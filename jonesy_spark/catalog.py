@@ -1,0 +1,99 @@
+"""Table registry: named sources behind one seam.
+
+The reference scans 13 Oracle views via hand-written SQL (SURVEY.md §1.1,
+``reference jonesy/queries.py:28,43,57,86,107,135-136,143,203,247-264``).
+Here every relation is a named entry resolved to a DataFrame; tests and
+the driver use parquet fixtures, production would swap in the JDBC
+reader (``jdbc_source``) without touching any query builder — query
+code only ever calls ``Catalog.table(name)``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The fixture tables materialized by the driver (TESTDATA.md).
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+@dataclass
+class Catalog:
+    """Resolves table names to DataFrames from a parquet directory.
+
+    Scale note: parquet scans get predicate pushdown + column pruning
+    from Catalyst for free; we never cache here (100 TB does not fit),
+    callers opt in per-query for small dims.
+    """
+
+    spark: SparkSession
+    sf_dir: str = DEFAULT_SF_DIR
+    _cache: dict[str, DataFrame] = field(default_factory=dict)
+
+    def table(self, name: str) -> DataFrame:
+        if name not in FIXTURE_TABLES:
+            raise KeyError(f"unknown table {name!r}; known: {FIXTURE_TABLES}")
+        if name not in self._cache:
+            self._cache[name] = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in FIXTURE_TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self) -> None:
+        """Register every fixture table as a temp view for spark.sql use."""
+        for name in FIXTURE_TABLES:
+            self.table(name).createOrReplaceTempView(name)
+
+
+def jdbc_source(
+    spark: SparkSession,
+    url: str,
+    dbtable: str,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """Production seam: parallel JDBC scan of a remote view.
+
+    Replaces the reference's client-side ROWNUM pagination loop
+    (reference ``jonesy/jobs.py:99-111``, ``BATCH_SIZE=120000`` at
+    ``jobs.py:18``) with Spark's partitioned JDBC read: N executors each
+    pull a key-range slice concurrently; no driver-side paging, no
+    spill-to-tempfile. Untested here (no database in the container) but
+    kept as the single place production I/O plugs in.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", dbtable)
+        .option("fetchsize", "10000")
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound or 0))
+            .option("upperBound", str(upper_bound or 1_000_000))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

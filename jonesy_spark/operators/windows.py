@@ -1,0 +1,96 @@
+"""Window-function-shaped operators.
+
+The reference expresses greatest-n-per-group as correlated scalar-MAX
+subqueries (SURVEY.md §2.3 J10 ``reference jonesy/queries.py:269-283``,
+J11 ``queries.py:90-95``) and pagination as ROWNUM envelopes
+(``queries.py:35-48,288-314``). Spark-first, both are window functions:
+a single hash-partitioned shuffle on the group keys, no correlated
+re-execution per row, no client-side paging loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def latest_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: ColumnOrName,
+    keep_ties: bool = True,
+) -> DataFrame:
+    """Keep row(s) carrying the max ``ts`` per ``keys`` group.
+
+    Mirrors J11 (latest-effective-date advisor row, reference
+    ``jonesy/queries.py:90-95``) and J10's latest-course-version
+    (``queries.py:269-283``): the reference keeps ALL rows tied at the
+    max and collapses duplicates later with DISTINCT — so the default is
+    ``keep_ties=True`` (filter on max-over-window), not ``row_number()``.
+
+    Scale: one shuffle on ``keys``; with AQE, skewed groups split
+    automatically. No global sort.
+    """
+    ts_col = F.col(ts) if isinstance(ts, str) else ts
+    w = Window.partitionBy(*keys)
+    if keep_ties:
+        return (
+            df.withColumn("__max_ts", F.max(ts_col).over(w))
+            .filter(ts_col == F.col("__max_ts"))
+            .drop("__max_ts")
+        )
+    w_ordered = w.orderBy(ts_col.desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w_ordered))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+) -> DataFrame:
+    """Top-k rows per group by ``order_by`` (callers must make the
+    ordering total — include a unique tiebreak column — so results are
+    deterministic).
+
+    Scale: rank-within-partition, single shuffle; prefer this over a
+    global ``orderBy().limit()`` when k applies per group.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def paginate(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    offset: int,
+    limit: int,
+) -> DataFrame:
+    """Rows (offset, offset+limit] of the totally-ordered frame.
+
+    Faithful port of the reference's ROWNUM batch envelope
+    (``jonesy/queries.py:35-48,288-314``; loop at ``jobs.py:104-111``)
+    kept only for byte-compatible extracts. At scale this is an
+    anti-pattern — the unpartitioned window funnels all rows through one
+    task; partitioned writes replace pagination entirely (SURVEY.md
+    §4.3).
+    """
+    w = Window.orderBy(*order_by)
+    rn = F.row_number().over(w)
+    return (
+        df.withColumn("__rn", rn)
+        .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
+        .drop("__rn")
+    )

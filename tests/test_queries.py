@@ -1,0 +1,39 @@
+"""Differential tests: every registered query vs its DuckDB oracle at
+sf0.001 — the same check the driver runs at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from jonesy_spark.plans import all_oracle_sql, all_queries
+
+from conftest import SF_DIR, assert_matches_oracle
+
+QUERIES = all_queries()
+ORACLE = all_oracle_sql()
+
+
+def test_every_query_has_oracle_or_is_flagged():
+    missing = set(QUERIES) - set(ORACLE)
+    # Non-SQL-expressible ops are allowed to omit an oracle, but must be
+    # deliberate: list them here when added.
+    allowed_missing: set[str] = set()
+    assert missing <= allowed_missing, f"queries without oracle: {missing}"
+
+
+def test_oracles_reference_known_queries():
+    assert set(ORACLE) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(spark, duck, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, duck, ORACLE[name])
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema) > 0
