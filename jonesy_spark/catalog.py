@@ -48,7 +48,20 @@ class Catalog:
         if name not in FIXTURE_TABLES:
             raise KeyError(f"unknown table {name!r}; known: {FIXTURE_TABLES}")
         if name not in self._cache:
-            self._cache[name] = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+            if name == "events":
+                # events.parquet carries INT64 TIMESTAMP(NANOS), which the
+                # vectorized reader rejects. Read nanos as long, then
+                # convert to a microsecond timestamp with exact integer
+                # division (double division would lose precision at 1e18).
+                # Oracle SQL casts ts to µs TIMESTAMP to match.
+                from pyspark.sql import functions as F
+
+                self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            else:
+                df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+            self._cache[name] = df
         return self._cache[name]
 
     def __getattr__(self, name: str) -> DataFrame:
