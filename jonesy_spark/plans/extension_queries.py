@@ -1,0 +1,440 @@
+"""Extension surface: aggregation / window / set-op / streaming-shaped
+operators the reference doesn't use but a complete engine must provide
+(SURVEY.md §2.4 note, §2.7, §2.10).
+
+The reference has zero GROUP BY/COUNT/SUM/AVG, no set operations and no
+windows analytics (all its relational work is projections, joins,
+correlated-MAX dedup and sorts); these queries supply that missing
+surface, each with a DuckDB oracle.
+
+Determinism rules for the driver hash: sums go through DECIMAL then cast
+to DOUBLE (exact, associativity-proof); averages divide two exact
+numbers in double; every computed column aliased identically on both
+sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..operators.windows import topk_per_group
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dsum(col: str | F.Column, alias: str):
+    """Deterministic double sum: exact decimal accumulation, double cast."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+@query(
+    "pricing_summary_agg",
+    oracle="""
+    SELECT
+        l_returnflag AS returnflag,
+        l_linestatus AS linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+            AS sum_disc_price,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: multi-aggregate GROUP BY.
+
+    Scale: partial (map-side) aggregation shrinks the shuffle to
+    #groups × #partitions rows; the l_shipdate filter pushes to the
+    parquet scan. The DECIMAL accumulation isn't just for the oracle —
+    at 100 TB a double sum drifts by accumulation order run-to-run;
+    decimal is exact and still codegen'd.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price.cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("*"))
+            .alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "topk_per_group_price",
+    oracle="""
+    SELECT returnflag, orderkey, linenumber, price
+    FROM (
+        SELECT l_returnflag AS returnflag, l_orderkey AS orderkey,
+               l_linenumber AS linenumber, l_extendedprice AS price,
+               row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+               ) AS rn
+        FROM lineitem
+    )
+    WHERE rn <= 5
+    """,
+)
+def topk_per_group_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranked window (total order incl. unique
+    tiebreak keys so ties are deterministic).
+
+    Scale: rank-within-partition shuffles once on the group key —
+    never a global sort. Skewed groups split under AQE.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    top = topk_per_group(
+        li,
+        ["l_returnflag"],
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        k=5,
+    )
+    return top.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_extendedprice").alias("price"),
+    )
+
+
+@query(
+    "rollup_agg",
+    oracle="""
+    SELECT
+        l_returnflag AS returnflag,
+        l_linestatus AS linestatus,
+        count(*) AS n_rows,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (group, subtotal, grand total) in one pass.
+
+    Scale: Catalyst expands rollup into a single Expand + hash
+    aggregate — one shuffle for all grouping sets, not one per level.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.rollup(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(F.count("*").alias("n_rows"), _dsum("l_extendedprice", "revenue"))
+    )
+
+
+@query(
+    "set_operations",
+    oracle="""
+    (
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+        WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    UNION
+    (
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    )
+    """,
+)
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT composition (distinct set semantics).
+
+    Absent from the reference (SURVEY.md §2.7); Spark plans each as a
+    hash-partitioned semi/anti-style exchange on the full row.
+    """
+    cat = Catalog(spark, sf_dir)
+    o95 = (
+        cat.orders.filter(F.year("o_orderdate") == 1995)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    building = cat.customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    negative = cat.customer.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return o95.intersect(building).union(negative.exceptAll(o95).distinct()).distinct()
+
+
+@query(
+    "pivot_event_counts",
+    oracle="""
+    SELECT
+        user_id,
+        count(*) FILTER (WHERE event_type = 'click')    AS click,
+        count(*) FILTER (WHERE event_type = 'view')     AS view,
+        count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        count(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide conditional aggregation) of event counts per user.
+
+    Explicit pivot values keep the schema static — mandatory at scale
+    (dynamic pivot needs an extra pass to discover values).
+    """
+    ev = Catalog(spark, sf_dir).events
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+
+
+@query(
+    "running_total",
+    oracle="""
+    SELECT
+        o_custkey  AS custkey,
+        o_orderkey AS orderkey,
+        o_orderdate AS orderdate,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS DOUBLE) AS cumulative_spend
+    FROM orders
+    """,
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) aggregate per key — ordered analytic window.
+
+    The frame order includes the unique orderkey so ties are total;
+    decimal accumulation keeps the running values exact at any prefix.
+    """
+    orders = Catalog(spark, sf_dir).orders
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").alias("orderdate"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("cumulative_spend"),
+    )
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+    SELECT
+        time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS window_start,
+        event_type,
+        count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-window aggregation (§2.10 streaming-shaped op, batch
+    form; the streaming twin in jonesy_spark.streaming shares semantics).
+
+    Spark's `window()` aligns buckets to the epoch; 6-hour buckets land
+    on the same boundaries as DuckDB's time_bucket. Scale: windowed agg
+    is an ordinary hash aggregate on (bucket, type).
+    """
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum("value", "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sessionization",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ), flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_nbr
+        FROM flagged
+    )
+    SELECT user_id, session_nbr, min(ts) AS session_start,
+           max(ts) AS session_end, count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_nbr
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands): sessions break on >30 min
+    silence per user.
+
+    Batch form of `session_window` built from lag + running sum — the
+    classic two-window pattern; both shuffles share the user_id
+    partitioning so Catalyst plans one exchange. The streaming twin
+    uses session_window() state (jonesy_spark.streaming).
+    """
+    ev = Catalog(spark, sf_dir).events
+    by_user = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_nbr",
+        F.sum("is_new").over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_nbr").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "asof_join_last_click",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, value,
+               CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), purchases AS (
+        SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT user_id, ts, value FROM ev WHERE event_type = 'click'
+    )
+    SELECT
+        p.event_id AS purchase_id,
+        p.user_id  AS user_id,
+        p.ts       AS purchase_ts,
+        c.ts       AS click_ts
+    FROM purchases p
+    ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest click at-or-before
+    it per user (Spark lacks a native as-of join — SURVEY.md §2.3 note).
+
+    Spark-first composition: union both streams, one window pass per
+    user ordered by (ts, click-first tiebreak) carrying the last click
+    ts forward, then keep purchases with a match. One shuffle on
+    user_id — no per-row range probe, no pandas merge_asof needed.
+    """
+    ev = Catalog(spark, sf_dir).events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("is_click"), F.lit(None).cast("long").alias("event_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(0).alias("is_click"), "event_id"
+    )
+    unioned = clicks.unionByName(purchases)
+    # clicks sort before purchases at equal ts so `p.ts >= c.ts` includes
+    # same-instant clicks, matching ASOF semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        "click_ts",
+        F.last(F.when(F.col("is_click") == 1, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.filter((F.col("is_click") == 0) & F.col("click_ts").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("click_ts"),
+        )
+    )
+
+
+@query(
+    "distinct_counts",
+    oracle="""
+    SELECT
+        l_returnflag AS returnflag,
+        count(DISTINCT l_partkey) AS n_parts,
+        count(DISTINCT l_suppkey) AS n_supps,
+        count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT DISTINCT per group.
+
+    Scale: two distinct columns → Catalyst Expand (one row per distinct
+    aggregate) + two-phase aggregate; for 100 TB dashboards prefer
+    approx_count_distinct (HLL, one pass, no expand) — exposed in
+    text_analysis ops; exact kept here for the oracle.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
