@@ -1,0 +1,169 @@
+"""Deduplication operators for the LLM-data-pipeline surface: exact,
+MinHash-LSH, SimHash, and n-gram-Jaccard near-dup.
+
+Scale design (the whole point at 100 TB):
+  * never all-pairs — every near-dup operator *blocks* first (LSH band
+    buckets, simhash buckets, lang×length blocks) so the self-join is an
+    equi-join on a bucket key, not a cross join;
+  * sketches (minhash/simhash) are map-only projections over built-in
+    expressions — no shuffle until the bucket join;
+  * candidate verification (true Jaccard) runs only on pairs that share
+    a bucket — the expensive step sees a vanishing fraction of n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized text: lowercase, trim, collapse runs of
+    whitespace, then group by md5 and keep the min id as representative.
+
+    One hash-aggregate shuffle on the 32-char digest (not the full
+    text — at 100 TB grouping on the raw document would shuffle the
+    corpus; the digest shuffles 32 bytes/row).
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return (
+        df.select(F.col(id_col), F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("representative_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Pipeline: token sets → md5 minhash signature (map-only) → band keys
+    → self-equi-join on (band_id, band_key) → distinct candidate pairs
+    → verify true token-set Jaccard >= threshold.
+
+    With b bands of r rows, P(candidate) = 1-(1-j^r)^b — the b/r choice
+    tunes the recall/cost knee. The band join is the only shuffle; its
+    key cardinality grows with corpus size so skew stays bounded (AQE
+    splits hot buckets).
+    """
+    band_size = n_hashes // n_bands
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), TX.tokens(F.col(text_col)).alias("toks")
+    )
+    banded = (
+        tok.withColumn("sig", TX.minhash_signature(F.col("toks"), n_hashes))
+        .withColumn("band", F.explode(TX.lsh_bands(F.col("sig"), n_bands, band_size)))
+        .select("doc_id", "toks", "band.band_id", "band.band_key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.toks").alias("toks_a"),
+            F.col("b.toks").alias("toks_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        candidates.withColumn(
+            "jaccard", TX.jaccard(F.col("toks_a"), F.col("toks_b"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: 16-bit fingerprint per doc, pairs
+    within a block compared by Hamming distance.
+
+    Fingerprinting is map-only; the pair join blocks on ``block_col``
+    (at scale: block on the fingerprint's top bits instead, giving
+    2^k buckets — same code, different block column).
+    """
+    fp = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(block_col).alias("block"),
+        TX.simhash_bits(
+            F.transform(TX.tokens(F.col(text_col)), lambda t: F.md5(t))
+        ).alias("simhash"),
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("simhash_a"),
+            F.col("b.simhash").alias("simhash_b"),
+        )
+        .withColumn(
+            "hamming", TX.hamming_distance(F.col("simhash_a"), F.col("simhash_b"))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Character n-gram Jaccard near-dup pairs, blocked by (lang,
+    length-bucket) so the self-join never goes all-pairs.
+
+    The length-bucket block is sound for high thresholds: two texts
+    with very different lengths can't reach high n-gram Jaccard.
+    """
+    g = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("lang"),
+        (F.col("n_chars") / 100).cast("int").alias("len_bucket"),
+        TX.char_ngrams(F.col(text_col), n).alias("grams"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            TX.jaccard(F.col("a.grams"), F.col("b.grams")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

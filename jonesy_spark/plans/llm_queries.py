@@ -1,0 +1,432 @@
+"""LLM-data-pipeline operator queries over the ``documents`` and
+``embeddings`` fixtures: dedup (exact / MinHash-LSH / SimHash / n-gram
+Jaccard / embedding-cosine), similarity search (brute-force + bucketed
+ANN), and text analysis (lang-id, quality, token counts, fingerprints).
+
+These extend beyond the reference's surface per the driver's north star
+(BASELINE.json); SURVEY.md §7 Phase 5 is the build plan. Every operator
+still gets a DuckDB oracle: sketches are built on md5 (identical hex on
+both engines) and all floating-point outputs are rounded at the
+boundary, so even MinHash-LSH is exactly reproducible in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions import text as TX
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# Shared oracle CTE fragments -------------------------------------------------
+
+_TOK = """
+    tok AS (
+        SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+        FROM documents
+    )
+"""
+
+_EMB = """
+    emb AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    nemb AS (
+        SELECT vec_id, label, v,
+               sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm
+        FROM emb
+    )
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT
+        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+        min(doc_id) AS representative_id,
+        count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize (lower/trim/collapse-ws), md5-group, keep
+    min doc_id. The shuffle key is the 32-byte digest, never the text."""
+    return DD.exact_dedup(Catalog(spark, sf_dir).documents)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_TOK},
+    mh AS (
+        SELECT doc_id, r.i,
+               min(md5(CAST(r.i AS VARCHAR) || '|' || u.t)) AS h
+        FROM tok, range(16) r(i), unnest(tok.toks) u(t)
+        GROUP BY doc_id, r.i
+    ),
+    band AS (
+        SELECT doc_id, i // 8 AS band_id,
+               string_agg(h, ',' ORDER BY i) AS band_key
+        FROM mh GROUP BY doc_id, i // 8
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a
+        JOIN band b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+                 / len(list_distinct(list_concat(ta.toks, tb.toks))), 6) AS jaccard
+    FROM pairs p
+    JOIN tok ta ON ta.doc_id = p.doc_a
+    JOIN tok tb ON tb.doc_id = p.doc_b
+    WHERE len(list_intersect(ta.toks, tb.toks))::DOUBLE
+          / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.8
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(2 bands × 8) candidate pairs, verified at
+    Jaccard >= 0.8. See operators.dedup.minhash_lsh_pairs for the
+    banding math and scale notes."""
+    return DD.minhash_lsh_pairs(
+        Catalog(spark, sf_dir).documents, n_hashes=16, n_bands=2, threshold=0.8
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               list_transform(list_distinct(string_split(lower(trim(text)), ' ')),
+                              t -> md5(t)) AS hs
+        FROM documents
+    ),
+    votes AS (
+        SELECT doc_id, r.p,
+               sum(CASE WHEN strpos('89abcdef', substr(u.h, r.p, 1)) > 0
+                        THEN 1 ELSE -1 END) AS v
+        FROM tok, range(1, 17) r(p), unnest(tok.hs) u(h)
+        GROUP BY doc_id, r.p
+    ),
+    fp AS (
+        SELECT t.doc_id, t.lang,
+               (SELECT string_agg(CASE WHEN v.v >= 0 THEN '1' ELSE '0' END, ''
+                                  ORDER BY v.p)
+                FROM votes v WHERE v.doc_id = t.doc_id) AS simhash
+        FROM tok t
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_filter(range(1, 17),
+               p -> substr(a.simhash, p, 1) <> substr(b.simhash, p, 1))) AS hamming
+    FROM fp a
+    JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_filter(range(1, 17),
+          p -> substr(a.simhash, p, 1) <> substr(b.simhash, p, 1))) <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(16-bit) near-dup pairs within language blocks at Hamming
+    distance <= 3. Fingerprints are majority votes over md5 hex digits —
+    map-only, cross-engine deterministic."""
+    return DD.simhash_near_dup(Catalog(spark, sf_dir).documents, max_hamming=3)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+               list_distinct(list_transform(range(1, length(text) - 1),
+                                            i -> substr(text, i, 3))) AS grams
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                 / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+    FROM g a
+    JOIN g b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+            AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-3-gram Jaccard near-dup pairs, blocked by (lang, length
+    bucket) — sound blocking for high thresholds since very different
+    lengths can't reach them."""
+    return DD.ngram_jaccard_pairs(Catalog(spark, sf_dir).documents, n=3, threshold=0.6)
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH {_EMB}
+    SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_sum(list_transform(range(1, len(a.v)+1),
+                                         i -> a.v[i] * b.v[i]))
+                 / (a.nrm * b.nrm), 6) AS cosine
+    FROM nemb a
+    JOIN nemb b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(range(1, len(a.v)+1),
+                                        i -> a.v[i] * b.v[i]))
+                / (a.nrm * b.nrm), 6) >= 0.3
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by label (cluster
+    stand-in); dot products via built-in fold — no UDF."""
+    return SIM.embedding_near_dup(Catalog(spark, sf_dir).embeddings, threshold=0.3)
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH {_EMB},
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nemb WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(list_sum(list_transform(range(1, len(e.v)+1),
+                                             i -> q.qv[i] * e.v[i]))
+                     / (q.qn * e.nrm), 6) AS cosine
+        FROM nemb e JOIN q ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 10 query vectors (broadcast
+    queries × corpus scan + rank window). The exact baseline for ANN."""
+    return SIM.cosine_topk(Catalog(spark, sf_dir).embeddings, k=10, n_queries=10)
+
+
+@query(
+    "ann_bucketed_topk",
+    oracle=f"""
+    WITH {_EMB},
+    be AS (
+        SELECT vec_id, v, nrm,
+               array_to_string(list_transform(range(1, 7),
+                   i -> CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        FROM nemb
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket
+          FROM be WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(list_sum(list_transform(range(1, len(e.v)+1),
+                                             i -> q.qv[i] * e.v[i]))
+                     / (q.qn * e.nrm), 6) AS cosine
+        FROM be e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 within deterministic sign buckets (64 IVF-style
+    cells) — the 100 TB plan shape: bucket equi-join, not a cross
+    product. Oracle reproduces the same approximation."""
+    return SIM.bucketed_topk(Catalog(spark, sf_dir).embeddings, k=5, n_queries=10)
+
+
+@query(
+    "lang_id_heuristic",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, lang AS tagged_lang,
+            CAST((length(lower(text)) - length(replace(lower(text), 'the', ''))) / 3
+                 AS INTEGER) AS c_the,
+            CAST((length(lower(text)) - length(replace(lower(text), 'data', ''))) / 4
+                 AS INTEGER) AS c_data,
+            CAST((length(lower(text)) - length(replace(lower(text), 'query', ''))) / 5
+                 AS INTEGER) AS c_query,
+            CAST((length(lower(text)) - length(replace(lower(text), 'row', ''))) / 3
+                 AS INTEGER) AS c_row
+        FROM documents
+    )
+    SELECT doc_id, tagged_lang, c_the, c_data, c_query, c_row,
+           CASE WHEN c_the >= greatest(c_data, c_query, c_row) THEN 'en'
+                WHEN c_data >= greatest(c_query, c_row) THEN 'de'
+                WHEN c_query >= c_row THEN 'fr'
+                ELSE 'es' END AS predicted_lang
+    FROM c
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/marker-count language-ID heuristic: count marker substrings
+    via the exact length-difference trick, argmax with a fixed
+    preference order. Map-only projection — no shuffle at any scale."""
+    docs = Catalog(spark, sf_dir).documents
+    low = F.lower(F.col("text"))
+    counts = {
+        "c_the": TX.occurrences(low, "the"),
+        "c_data": TX.occurrences(low, "data"),
+        "c_query": TX.occurrences(low, "query"),
+        "c_row": TX.occurrences(low, "row"),
+    }
+    d = docs.select(
+        "doc_id",
+        F.col("lang").alias("tagged_lang"),
+        *[c.alias(n) for n, c in counts.items()],
+    )
+    return d.withColumn(
+        "predicted_lang",
+        F.when(
+            F.col("c_the") >= F.greatest("c_data", "c_query", "c_row"), "en"
+        )
+        .when(F.col("c_data") >= F.greatest("c_query", "c_row"), "de")
+        .when(F.col("c_query") >= F.col("c_row"), "fr")
+        .otherwise("es"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, lang, n_chars,
+               len(string_split(trim(text), ' ')) AS n_tokens,
+               length(replace(text, ' ', '')) AS n_nonspace,
+               CAST((length(lower(text)) - length(replace(lower(text), 'the', ''))) / 3
+                    AS INTEGER) AS c_stop
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           round(n_nonspace::DOUBLE / n_tokens, 6) AS avg_token_len,
+           round(c_stop::DOUBLE / n_tokens, 6) AS stopword_ratio,
+           round(least(1.0, n_tokens / 100.0)
+                 * (1.0 - least(1.0, c_stop::DOUBLE / n_tokens)), 6) AS quality
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, avg token length, stopword-marker
+    ratio, composite score — the standard pretraining-corpus filters,
+    all exact integer/rounded math, map-only."""
+    docs = Catalog(spark, sf_dir).documents
+    n_tokens = TX.whitespace_token_count(F.col("text"))
+    n_nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    c_stop = TX.occurrences(F.lower(F.col("text")), "the")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_nonspace.alias("n_nonspace"),
+        c_stop.alias("c_stop"),
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(F.col("n_nonspace") / F.col("n_tokens"), 6).alias("avg_token_len"),
+        F.round(F.col("c_stop") / F.col("n_tokens"), 6).alias("stopword_ratio"),
+        F.round(
+            F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
+            * (1.0 - F.least(F.lit(1.0), F.col("c_stop") / F.col("n_tokens"))),
+            6,
+        ).alias("quality"),
+    )
+
+
+@query(
+    "token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(trim(text), ' ')) AS n_ws_tokens,
+           CAST(list_sum(list_transform(string_split(trim(text), ' '),
+                t -> CAST(ceil(length(t) / 4.0) AS INTEGER))) AS INTEGER)
+               AS n_subtokens,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish ceil(len/4) subtoken
+    bound per token — the budgeting pass of a training-data pipeline."""
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select(
+        "doc_id",
+        TX.whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
+        TX.subtoken_count(F.col("text")).alias("n_subtokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS full_hash,
+           (SELECT min(md5(substr(text, 1 + (length(text) - 16) * i // 3, 16)))
+            FROM range(4) r(i)) AS window_fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-content md5 + winnowing-style min
+    hash over 4 evenly spaced 16-char windows (rolling-hash stand-in)."""
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("full_hash"),
+        TX.doc_fingerprint(F.col("text")).alias("window_fingerprint"),
+    )
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS mime,
+           strlen(text) AS byte_len,
+           substr(md5(text), 1, 8) AS sample_hash
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, SQL-checkable part: binary payload metadata
+    (byte length, content hash sample, mime tag).
+
+    The documents' text stands in for an opaque binary column; the
+    Pandas-UDF decode/feature path (mapInPandas over binary + typed
+    metadata, stubbed decode per the container's lib constraints) lives
+    in jonesy_spark.multimodal and is exercised by tests — this query
+    verifies the metadata projection the real pipeline would compute."""
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select(
+        "doc_id",
+        F.lit("text/plain").alias("mime"),
+        F.octet_length("text").cast("long").alias("byte_len"),
+        F.substring(F.md5("text"), 1, 8).alias("sample_hash"),
+    )
