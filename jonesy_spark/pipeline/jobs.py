@@ -1,0 +1,159 @@
+"""Job registry + orchestration: the reference's three cron jobs
+re-hosted on the fixture tables.
+
+Reference spine (SURVEY.md §3): `cron script → JOB env var → dispatch →
+per-term queries → gzip CSV → multi-bucket upload`. Here: `run_job(name)
+→ registry fn → DataFrame builders (plans.*) → write_gzip_csv →
+MultiTargetSink`. Jobs:
+
+  * ``upload_advisors``   (reference ``jonesy/jobs.py:30-38``):
+    term-independent extracts — advisor permissions + latest-per-group
+    relationships.
+  * ``upload_snapshot``   (``jobs.py:50-63``): full snapshot — basic
+    attributes once, then per current term the courses + enrollments
+    extracts (dynamic term fan-out D3, ``jobs.py:41-48,55-63``).
+  * ``upload_recent_refresh`` (``jobs.py:39-49``): incremental — the
+    watermark-filtered updates per term.
+
+The per-term fan-out runs each term's extract as an independent write —
+on a cluster these are concurrent jobs (driver threads); the reference
+ran them serially on one cursor (``jobs.py:103``).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from datetime import date
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..plans import all_queries
+from .sinks import MultiTargetSink, daily_prefix, write_gzip_csv
+
+
+def layered_config(
+    shared: dict[str, str] | None = None,
+    secret: dict[str, str] | None = None,
+    env: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Config layering: shared < secret < environment — the reference's
+    ``dotenv_values('.env.shared') | dotenv_values('.env.secret') |
+    os.environ`` merge (``jonesy.py:7-11``)."""
+    merged: dict[str, str] = {}
+    for layer in (shared or {}), (secret or {}), (env if env is not None else os.environ):
+        merged.update({k: str(v) for k, v in layer.items()})
+    return merged
+
+
+@dataclass
+class JobContext:
+    spark: SparkSession
+    sf_dir: str
+    out_root: str
+    targets: list[str]
+    run_date: date = field(default_factory=date.today)
+    written: list[str] = field(default_factory=list)
+
+    @property
+    def sink(self) -> MultiTargetSink:
+        return MultiTargetSink(self.targets)
+
+
+def _current_term_ids(ctx: JobContext) -> list[str]:
+    """Dynamic fan-out driver (D3): the top-3 'terms' (months) from the
+    O3 query — mirrors get_current_term_ids (``jonesy/jobs.py:71-74``)."""
+    terms = all_queries()["current_terms_topk"](ctx.spark, ctx.sf_dir)
+    return [r["term_month"].strftime("%Y-%m") for r in terms.collect()]
+
+
+def _emit(ctx: JobContext, df, key: str, order_by=None) -> None:
+    path = write_gzip_csv(df, ctx.out_root, key, order_by=order_by)
+    ctx.sink.upload(path, f"{daily_prefix(ctx.run_date)}/{key}")
+    ctx.written.append(key)
+
+
+def upload_advisors(ctx: JobContext) -> None:
+    """Term-independent advisor extracts (``jonesy/jobs.py:30-38``)."""
+    q = all_queries()
+    _emit(
+        ctx,
+        q["basic_attributes"](ctx.spark, ctx.sf_dir),
+        "advisors/advisor-note-permissions.csv.gz",
+        order_by=[F.col("custkey")],
+    )
+    _emit(
+        ctx,
+        q["latest_order_per_customer"](ctx.spark, ctx.sf_dir),
+        "advisors/instructor-advisor-map.csv.gz",
+    )
+
+
+def upload_snapshot(ctx: JobContext) -> None:
+    """Full snapshot: attributes once + per-term course/enrollment
+    extracts (``jonesy/jobs.py:50-63``)."""
+    q = all_queries()
+    _emit(
+        ctx,
+        q["basic_attributes"](ctx.spark, ctx.sf_dir),
+        "sis-data/basic-attributes.csv.gz",
+        order_by=[F.col("custkey")],
+    )
+    for term in _current_term_ids(ctx):
+        cat = Catalog(ctx.spark, ctx.sf_dir)
+        enroll = (
+            cat.lineitem.join(
+                cat.orders, F.col("l_orderkey") == F.col("o_orderkey")
+            )
+            .filter(F.date_format("o_orderdate", "yyyy-MM") == term)
+            .select(
+                F.col("l_orderkey").alias("section_id"),
+                F.col("o_custkey").alias("ldap_uid"),
+                F.col("l_quantity").alias("units_taken"),
+                F.col("l_returnflag").alias("enroll_status"),
+                F.col("l_shipdate").alias("last_updated"),
+            )
+            .distinct()
+        )
+        _emit(
+            ctx,
+            enroll,
+            f"sis-data/enrollments-{term}.csv.gz",
+            order_by=[F.col("section_id"), F.col("ldap_uid")],
+        )
+
+
+def upload_recent_refresh(ctx: JobContext) -> None:
+    """Incremental refresh: watermark-filtered latest state + recent
+    change-log joins (``jonesy/jobs.py:39-49``)."""
+    q = all_queries()
+    _emit(
+        ctx,
+        q["watermark_incremental"](ctx.spark, ctx.sf_dir),
+        "sis-data/recent-enrollment-updates.csv.gz",
+    )
+    _emit(
+        ctx,
+        q["recent_instructor_updates"](ctx.spark, ctx.sf_dir),
+        "sis-data/recent-instructor-updates.csv.gz",
+        order_by=[F.col("last_updated").desc()],
+    )
+
+
+JOBS: dict[str, Callable[[JobContext], None]] = {
+    "upload_advisors": upload_advisors,
+    "upload_snapshot": upload_snapshot,
+    "upload_recent_refresh": upload_recent_refresh,
+}
+
+
+def run_job(name: str, ctx: JobContext) -> JobContext:
+    """Dispatch by job name; unknown names abort — mirrors the JOB env
+    var dispatch (``jonesy.py:13-16``, ``jobs.py:28-65``)."""
+    if name not in JOBS:
+        raise SystemExit(f"unknown or missing job {name!r}; known: {sorted(JOBS)}")
+    JOBS[name](ctx)
+    return ctx

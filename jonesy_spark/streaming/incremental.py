@@ -1,0 +1,126 @@
+"""Streaming twins of the reference's incremental-refresh pipeline.
+
+The reference's ``upload_recent_refresh`` is a micro-batch incremental
+pipeline in disguise (SURVEY.md §2.10): change-log source
+(``CLASS_INSTR_UPDATESV00_VW``), 5-day lookback watermark
+(``jonesy/jobs.py:19,40``), change-type filter (``queries.py:146``),
+latest-change ordering (``queries.py:148``). Structured Streaming makes
+the watermark real state instead of a re-scanned predicate:
+
+  * ``readStream`` over the events source (file source here; Kafka/CDC
+    in production — same plan from the first transformation on),
+  * ``withWatermark`` bounds state exactly like the 5-day cutoff
+    bounded the re-extract window,
+  * windowed/`dropDuplicates` state replaces the re-scan+dedup,
+  * ``foreachBatch`` reuses the batch multi-target sink for exactly-once
+    fan-out (same gzip CSV contract).
+
+Tests drive these with the file source + memory sink via
+``processAllAvailable`` — batch parity is asserted against the
+equivalent batch queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events.parquet physical schema (ts is INT64 TIMESTAMP(NANOS); the
+#: file source reads it as long under nanosAsLong, converted below).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (one file = one
+    micro-batch in tests; a real deployment points the same code at a
+    landing directory or Kafka).
+
+    The file source monitors a *directory*; the fixture is a single
+    parquet file, so we stage a symlink dir next to it (read-only
+    testdata is never touched).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"jonesy_stream_{hashlib.md5(src.encode()).hexdigest()[:12]}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Tumbling 6-hour counts with late-data watermark — streaming twin
+    of plans.extension_queries.events_tumbling_window (identical bucket
+    semantics; watermark bounds state instead of re-scans)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def latest_state_dedup(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming dedup state: first event per (user_id, event_type) per
+    watermark horizon — the stateful analogue of the reference's
+    re-extract+dedup (SURVEY.md §2.10 mapping: withWatermark +
+    dropDuplicates)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, mode: str = "complete") -> None:
+    """Drive a streaming frame to completion into an in-memory table
+    (test harness; production uses foreachBatch → write_gzip_csv +
+    MultiTargetSink for exactly-once object fan-out)."""
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def run_foreach_batch_fanout(
+    df: DataFrame, emit
+) -> None:
+    """foreachBatch sink: each micro-batch is handed to the batch sink
+    (gzip CSV + multi-target upload) with its epoch id — the
+    exactly-once pattern for object stores."""
+    q = df.writeStream.foreachBatch(
+        lambda batch_df, epoch_id: emit(batch_df, epoch_id)
+    ).start()
+    q.processAllAvailable()
+    q.stop()

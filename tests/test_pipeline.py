@@ -1,0 +1,143 @@
+"""Golden-output tests for the pipeline layer: the serialization details
+(headerless gzip CSV, lowercase columns, Pacific timestamp coercion,
+date-hashed prefixes, multi-target isolation) ARE the reference's real
+contract (SURVEY.md §5 item 2)."""
+
+from __future__ import annotations
+
+import csv
+import gzip
+import hashlib
+import io
+import os
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from jonesy_spark.catalog import Catalog
+from jonesy_spark.pipeline.jobs import JobContext, layered_config, run_job
+from jonesy_spark.pipeline.sinks import (
+    MultiTargetSink,
+    coerce_timestamp_pacific,
+    daily_prefix,
+    serialize_for_csv,
+    write_gzip_csv,
+)
+
+
+def _read_gzip_csv(path):
+    with gzip.open(path, "rt", newline="") as fh:
+        return list(csv.reader(fh))
+
+
+def test_daily_prefix_contract():
+    d = date(2026, 8, 13)
+    assert daily_prefix(d) == (
+        "daily/" + hashlib.md5(b"2026-08-13").hexdigest() + "-2026-08-13"
+    )
+
+
+def test_layered_config_precedence():
+    merged = layered_config(
+        shared={"A": "shared", "B": "shared"},
+        secret={"B": "secret", "C": "secret"},
+        env={"C": "env"},
+    )
+    assert (merged["A"], merged["B"], merged["C"]) == ("shared", "secret", "env")
+
+
+def test_pacific_coercion_renders_offset(spark):
+    df = spark.createDataFrame(
+        [("2024-01-05 13:14:15",), ("2024-07-05 13:14:15",)], ["s"]
+    ).select(F.col("s").cast("timestamp").alias("ts"))
+    rows = df.select(coerce_timestamp_pacific(F.col("ts")).alias("p")).collect()
+    # winter: PST (-0800); summer: PDT (-0700) — DST-aware offsets.
+    assert rows[0]["p"] == "2024-01-05 05:14:15 -0800"
+    assert rows[1]["p"] == "2024-07-05 06:14:15 -0700"
+
+
+def test_serialize_lowercases_and_formats(spark):
+    df = spark.createDataFrame([(1, "x")], ["ID", "NaMe"]).withColumn(
+        "TS", F.lit("2024-01-05 13:14:15").cast("timestamp")
+    )
+    out = serialize_for_csv(df)
+    assert out.columns == ["id", "name", "ts"]
+    assert out.first()["ts"] == "2024-01-05 05:14:15 -0800"
+
+
+def test_write_gzip_csv_headerless_ordered(spark, tmp_path):
+    df = Catalog(spark, SF_DIR).customer.select(
+        F.col("c_custkey").alias("CUSTKEY"), F.col("c_name").alias("NAME")
+    )
+    path = write_gzip_csv(
+        df, str(tmp_path), "extract.csv.gz", order_by=[F.col("custkey")]
+    )
+    rows = _read_gzip_csv(path)
+    assert len(rows) == df.count()
+    # headerless: first row is data, not column names
+    assert rows[0][0] != "custkey"
+    keys = [int(r[0]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_write_gzip_csv_partitioned(spark, tmp_path):
+    df = Catalog(spark, SF_DIR).lineitem.select("l_orderkey", "l_linenumber")
+    out = write_gzip_csv(df, str(tmp_path), "parts", single_file=False)
+    assert os.path.isdir(out)
+    import glob as g
+
+    assert g.glob(f"{out}/part-*.csv.gz")
+
+
+def test_multi_target_isolation(tmp_path):
+    src = tmp_path / "src.txt"
+    src.write_text("payload")
+    good = tmp_path / "bucket-a"
+    bad = "/proc/definitely-not-writable/bucket-b"
+    sink = MultiTargetSink([str(good), bad])
+    results = sink.upload(str(src), "k/src.txt")
+    assert results[str(good)] is True
+    assert results[bad] is False
+    assert (good / "k" / "src.txt").read_text() == "payload"
+    assert bad in sink.errors  # error captured, not raised
+
+
+@pytest.mark.parametrize("job", ["upload_advisors", "upload_recent_refresh"])
+def test_jobs_end_to_end(spark, tmp_path, job):
+    targets = [str(tmp_path / "bucket-a"), str(tmp_path / "bucket-b")]
+    ctx = JobContext(
+        spark=spark,
+        sf_dir=SF_DIR,
+        out_root=str(tmp_path / "out"),
+        targets=targets,
+        run_date=date(2026, 8, 13),
+    )
+    run_job(job, ctx)
+    assert ctx.written
+    prefix = daily_prefix(date(2026, 8, 13))
+    for key in ctx.written:
+        for t in targets:
+            obj = os.path.join(t, prefix, key)
+            assert os.path.isfile(obj), obj
+            assert _read_gzip_csv(obj)  # non-empty, parseable
+
+
+def test_snapshot_job_fans_out_terms(spark, tmp_path):
+    ctx = JobContext(
+        spark=spark,
+        sf_dir=SF_DIR,
+        out_root=str(tmp_path / "out"),
+        targets=[str(tmp_path / "bucket")],
+        run_date=date(2026, 8, 13),
+    )
+    run_job("upload_snapshot", ctx)
+    term_files = [k for k in ctx.written if "enrollments-" in k]
+    assert len(term_files) == 3  # top-3 current terms (O3 contract)
+
+
+def test_unknown_job_aborts(spark, tmp_path):
+    ctx = JobContext(spark, SF_DIR, str(tmp_path), [])
+    with pytest.raises(SystemExit, match="unknown"):
+        run_job("nope", ctx)

@@ -1,0 +1,55 @@
+"""Structured Streaming twins: drive file-source streams to completion
+and assert batch parity (the streaming plan must agree with the batch
+plan the oracle already verified)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from conftest import SF_DIR
+from jonesy_spark.plans import all_queries
+from jonesy_spark.streaming.incremental import (
+    events_stream,
+    latest_state_dedup,
+    run_foreach_batch_fanout,
+    run_to_memory,
+    windowed_counts,
+)
+
+
+def test_windowed_counts_match_batch(spark):
+    stream = windowed_counts(events_stream(spark, SF_DIR))
+    run_to_memory(stream, "stream_windowed", mode="complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM stream_windowed").collect()
+    }
+    batch = all_queries()["events_tumbling_window"](spark, SF_DIR)
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_latest_state_dedup_one_per_key(spark):
+    stream = latest_state_dedup(events_stream(spark, SF_DIR))
+    run_to_memory(stream, "stream_dedup", mode="append")
+    rows = spark.sql("SELECT user_id, event_type, count(*) c FROM stream_dedup "
+                     "GROUP BY 1,2 HAVING count(*) > 1").collect()
+    assert rows == []
+    total_keys = spark.sql(
+        "SELECT count(DISTINCT (user_id, event_type)) c FROM stream_dedup"
+    ).first()["c"]
+    assert total_keys == spark.sql("SELECT count(*) c FROM stream_dedup").first()["c"]
+    assert total_keys > 0
+
+
+def test_foreach_batch_fanout_collects_batches(spark):
+    seen = defaultdict(int)
+
+    def emit(batch_df, epoch_id):
+        seen[epoch_id] += batch_df.count()
+
+    run_foreach_batch_fanout(events_stream(spark, SF_DIR), emit)
+    assert sum(seen.values()) == 1000  # sf0.001 events row count
