@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced end-to-end with the `noop` sink (full computation,
+no sink cost, no driver collect). One warm-up of a trivial action first
+so JVM/codegen startup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: one representative per engine area (scan+agg, joins,
+#: window dedup, decorrelated lookup, sessionization, LSH dedup, ANN,
+#: text analysis).
+HEADLINE = [
+    "pricing_summary_agg",
+    "term_courses",
+    "latest_order_per_customer",
+    "omit_drops_withdrawals",
+    "composite_key_join",
+    "events_sessionization",
+    "asof_join_last_click",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_near_dup",
+    "ann_cosine_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    from jonesy_spark.plans import all_queries
+    from jonesy_spark.session import get_spark
+
+    spark = get_spark(app_name="jonesy_bench")
+    queries = all_queries()
+
+    # warm-up: JVM + parquet footer reads out of the timed path
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, SF_DIR)
+        t0 = time.time()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+#: Forced parallelism for CPU-bound sketch/verify stages. AQE coalesces
+#: exchanges by *byte* size; these stages are tiny in bytes but heavy in
+#: CPU (md5 sketches, set intersections), so without an explicit
+#: repartition they collapse to one task on small inputs. An explicit
+#: numPartitions is respected by AQE.
+CPU_PARTITIONS = 64
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -60,13 +68,24 @@ def minhash_lsh_pairs(
     band_size = n_hashes // n_bands
     tok = df.select(
         F.col(id_col).alias("doc_id"), TX.tokens(F.col(text_col)).alias("toks")
-    )
+    ).repartition(CPU_PARTITIONS)
+    # Band keys are md5-compressed (32 chars instead of band_size × 32):
+    # the shuffle/join key shrinks ~8x; md5 keeps the oracle exact (any
+    # collision would only *add* a candidate, which verification then
+    # re-checks — and the oracle applies the identical md5, so candidate
+    # sets match bit-for-bit).
     banded = (
         tok.withColumn("sig", TX.minhash_signature(F.col("toks"), n_hashes))
         .withColumn("band", F.explode(TX.lsh_bands(F.col("sig"), n_bands, band_size)))
-        .select("doc_id", "toks", "band.band_id", "band.band_key")
+        .select(
+            "doc_id",
+            F.col("band.band_id").alias("band_id"),
+            F.md5(F.col("band.band_key")).alias("band_key"),
+        )
     )
     a, b = banded.alias("a"), banded.alias("b")
+    # Candidate pairs carry ids only — the band join and the pair dedup
+    # shuffle 16-byte rows, never the token arrays.
     candidates = (
         a.join(
             b,
@@ -77,15 +96,26 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.toks").alias("toks_a"),
-            F.col("b.toks").alias("toks_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # Token sets re-attach via broadcast joins (tok is tiny relative to
+    # the pair set; at 100 TB block the corpus and broadcast per block,
+    # or bucket both sides on doc_id).
+    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = tok.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    verified = (
+        candidates.repartition(CPU_PARTITIONS)
+        .join(F.broadcast(ta), "doc_a")
+        .join(F.broadcast(tb), "doc_b")
+    )
+    # Size-ratio prefilter (implied by the threshold: j >= t forces
+    # |A|/|B| within [t, 1/t]) prunes pairs with an int compare before
+    # the O(|A|+|B|) set ops.
+    sa, sb = F.size("toks_a"), F.size("toks_b")
     return (
-        candidates.withColumn(
-            "jaccard", TX.jaccard(F.col("toks_a"), F.col("toks_b"))
-        )
+        verified.filter((sa >= threshold * sb) & (sb >= threshold * sa))
+        .withColumn("jaccard", TX.jaccard(F.col("toks_a"), F.col("toks_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -105,7 +135,7 @@ def simhash_near_dup(
     (at scale: block on the fingerprint's top bits instead, giving
     2^k buckets — same code, different block column).
     """
-    fp = df.select(
+    fp = df.repartition(CPU_PARTITIONS).select(
         F.col(id_col).alias("doc_id"),
         F.col(block_col).alias("block"),
         TX.simhash_bits(
@@ -146,24 +176,34 @@ def ngram_jaccard_pairs(
     The length-bucket block is sound for high thresholds: two texts
     with very different lengths can't reach high n-gram Jaccard.
     """
-    g = df.select(
+    g = df.repartition(CPU_PARTITIONS).select(
         F.col(id_col).alias("doc_id"),
         F.col("lang"),
         (F.col("n_chars") / 100).cast("int").alias("len_bucket"),
         TX.char_ngrams(F.col(text_col), n).alias("grams"),
     )
     a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.grams").alias("grams_a"),
+        F.col("b.grams").alias("grams_b"),
+    )
+    # Threshold-implied size-ratio prune + forced parallelism for the
+    # CPU-bound set intersections (see minhash_lsh_pairs).
+    sa, sb = F.size("grams_a"), F.size("grams_b")
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        pairs.filter((sa >= threshold * sb) & (sb >= threshold * sa))
+        .repartition(CPU_PARTITIONS)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            TX.jaccard(F.col("a.grams"), F.col("b.grams")).alias("jaccard"),
+            "doc_a",
+            "doc_b",
+            TX.jaccard(F.col("grams_a"), F.col("grams_b")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -88,7 +88,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     band AS (
         SELECT doc_id, i // 8 AS band_id,
-               string_agg(h, ',' ORDER BY i) AS band_key
+               md5(string_agg(h, ',' ORDER BY i)) AS band_key
         FROM mh GROUP BY doc_id, i // 8
     ),
     pairs AS (
