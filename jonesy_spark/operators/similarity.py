@@ -20,9 +20,12 @@ from pyspark.sql import functions as F
 from ..functions import vectors as VX
 
 
-def _prepared(emb: DataFrame) -> DataFrame:
+def _prepared(emb: DataFrame, n_partitions: int = 64) -> DataFrame:
+    # Explicit repartition: embedding folds are CPU-heavy but byte-light,
+    # so AQE's size-based coalescing would serialize them otherwise
+    # (same rationale as operators.dedup.CPU_PARTITIONS).
     v = VX.as_double(F.col("embedding"))
-    return emb.select(
+    return emb.repartition(n_partitions).select(
         F.col("vec_id"), v.alias("v"), VX.norm(v).alias("nrm"), F.col("label")
     )
 

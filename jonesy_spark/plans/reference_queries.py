@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
+from ..functions import scalars as SC
 from ..operators.windows import latest_per_group, paginate
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -851,6 +852,86 @@ def watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("ts").alias("last_seen"),
         F.col("value").alias("last_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8-F13 — catalog-number parsing + name assembly via the scalar library
+# (queries.py:167-185).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "catalog_number_parsing",
+    oracle="""
+    SELECT
+        p_partkey AS partkey,
+        p_brand   AS raw,
+        regexp_replace(p_brand, '[A-Za-z]', '', 'g')   AS root,
+        regexp_extract(p_brand, '^\\s*([A-Za-z]*)', 1) AS prefix,
+        regexp_extract(p_brand, '([A-Za-z]*)\\s*$', 1) AS suffix,
+        CASE WHEN p_size > 25 THEN 'true' ELSE 'false' END AS is_large,
+        trim(p_name) || CASE WHEN p_type IS NOT NULL AND trim(p_type) <> ''
+                             THEN ' ' || trim(p_type) ELSE '' END
+                     || ' ' || trim(p_brand) AS assembled_name
+    FROM part
+    """,
+)
+def catalog_number_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8-F13 via the named scalar library (functions.scalars): letter
+    stripping (Oracle 2-arg REGEXP_REPLACE → explicit '' replacement),
+    prefix/suffix extraction, boolean flag, NVL2-style name assembly
+    (``jonesy/queries.py:161,167-185``)."""
+    part = Catalog(spark, sf_dir).part
+    return part.select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_brand").alias("raw"),
+        SC.catalog_root(F.col("p_brand")).alias("root"),
+        SC.catalog_prefix(F.col("p_brand")).alias("prefix"),
+        SC.catalog_suffix(F.col("p_brand")).alias("suffix"),
+        SC.boolean_flag(F.col("p_size") > 25, True).alias("is_large"),
+        SC.full_name(F.col("p_name"), F.col("p_type"), F.col("p_brand")).alias(
+            "assembled_name"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F15/A6 — concatenated conditional day codes (meeting-days encoder,
+# queries.py:188-195) as a distinct-sorted aggregation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "active_day_codes",
+    oracle="""
+    WITH coded AS (
+        SELECT user_id,
+               CASE dayofweek(CAST(ts AS TIMESTAMP))
+                   WHEN 0 THEN 'SU' WHEN 1 THEN 'MO' WHEN 2 THEN 'TU'
+                   WHEN 3 THEN 'WE' WHEN 4 THEN 'TH' WHEN 5 THEN 'FR'
+                   ELSE 'SA'
+               END AS code
+        FROM events
+    )
+    SELECT user_id,
+           string_agg(DISTINCT code, ',' ORDER BY code) AS day_codes
+    FROM coded
+    GROUP BY user_id
+    """,
+)
+def active_day_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15's meeting-days pattern (``jonesy/queries.py:188-195``: CASE
+    per weekday → concatenated 'MO'/'TU'/... codes) as a per-user
+    distinct-sorted day-code string; collect_set + array_sort keeps the
+    concat deterministic."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.select("user_id", SC.day_code(F.col("ts")).alias("code"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("code")), ",").alias("day_codes")
+        )
     )
 
 

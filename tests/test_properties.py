@@ -1,0 +1,131 @@
+"""Property tests for the semantics SURVEY.md §7 calls out as hard:
+P10's NULL-propagating conditional lookup, J11's tie-keeping dedup, and
+the F19 timezone coercion — each validated against an independent
+pure-Python model over hypothesis-generated inputs."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from jonesy_spark.operators.windows import latest_per_group
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # group key
+        st.integers(0, 5),  # ts
+        st.integers(0, 99),  # payload
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_latest_per_group_keeps_all_ties(spark, rows):
+    """J11 semantics (reference queries.py:90-95): every row tied at the
+    group max survives — not just one winner (SURVEY §7 hard part 3)."""
+    df = spark.createDataFrame(rows, ["k", "ts", "payload"])
+    got = sorted(
+        (r["k"], r["ts"], r["payload"])
+        for r in latest_per_group(df, ["k"], "ts", keep_ties=True).collect()
+    )
+    max_ts = {}
+    for k, ts, _ in rows:
+        max_ts[k] = max(max_ts.get(k, ts), ts)
+    want = sorted((k, ts, p) for k, ts, p in rows if ts == max_ts[k])
+    assert got == want
+
+
+status_strategy = st.sampled_from(["E", "W", "A", None])
+basis_strategy = st.sampled_from(["O", "F"])
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 4),  # orderkey (group)
+            st.integers(1, 3),  # linenumber
+            status_strategy,  # returnflag ~ grade
+            basis_strategy,  # linestatus ~ grading basis
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_omit_drops_null_semantics(spark, rows):
+    """P10 (reference queries.py:4-19): a 'NON'-basis row whose primary
+    lookup is NULL must be FILTERED (NULL != 'R' → NULL → drop), exactly
+    Oracle's semantics (SURVEY §7 hard part 1)."""
+    df = spark.createDataFrame(
+        rows, "orderkey int, linenumber int, returnflag string, linestatus string"
+    )
+    primary = (
+        df.filter((F.col("linenumber") == 1) & (F.col("returnflag") != "A"))
+        .groupBy("orderkey")
+        .agg(F.min("returnflag").alias("primary_flag"))
+    )
+    effective = F.when(F.col("linestatus") == "O", F.col("primary_flag")).otherwise(
+        F.col("returnflag")
+    )
+    got = sorted(
+        (r["orderkey"], r["linenumber"], r["returnflag"], r["linestatus"])
+        for r in df.join(primary, "orderkey", "left")
+        .filter((F.col("returnflag") != "A") & (effective != "R"))
+        .collect()
+    )
+
+    # Independent python model with explicit three-valued logic.
+    def lookup(orderkey):
+        vals = [
+            rf
+            for ok, ln, rf, _ in rows
+            if ok == orderkey and ln == 1 and rf is not None and rf != "A"
+        ]
+        return min(vals) if vals else None
+
+    want = []
+    for ok, ln, rf, ls in rows:
+        if rf is None or rf == "A":
+            continue  # NULL != 'A' is NULL → filtered; 'A' filtered
+        eff = lookup(ok) if ls == "O" else rf
+        if eff is None:
+            continue  # NULL != 'R' is NULL → filtered
+        if eff != "R":
+            want.append((ok, ln, rf, ls))
+    assert got == sorted(want)
+
+
+@given(
+    ts=st.datetimes(
+        min_value=datetime(2000, 1, 1),
+        max_value=datetime(2030, 12, 31),
+    )
+)
+@settings(**SETTINGS)
+def test_pacific_coercion_matches_pytz(spark, ts):
+    """F19 (reference jobs.py:166-171): UTC wall time re-rendered as
+    America/Los_Angeles with its true DST-aware offset."""
+    pytz = pytest.importorskip("pytz")
+    from jonesy_spark.pipeline.sinks import coerce_timestamp_pacific
+
+    ts = ts.replace(microsecond=0)
+    df = spark.createDataFrame([(ts,)], "ts timestamp")
+    got = df.select(coerce_timestamp_pacific(F.col("ts")).alias("p")).first()["p"]
+    pacific = ts.replace(tzinfo=timezone.utc).astimezone(
+        pytz.timezone("America/Los_Angeles")
+    )
+    want = pacific.strftime("%Y-%m-%d %H:%M:%S %z")
+    assert got == want
