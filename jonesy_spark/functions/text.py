@@ -39,10 +39,14 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
 
 
 def jaccard(a: Column, b: Column, ndigits: int = 6) -> Column:
-    """Set Jaccard similarity of two array columns, rounded."""
-    return F.round(
-        F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b)), ndigits
-    )
+    """Set Jaccard similarity of two distinct-element array columns,
+    rounded.
+
+    Uses |A∪B| = |A|+|B|−|A∩B| so only ONE set operation runs per pair
+    (array_union would be a second full hash pass) — this is the hot
+    expression of every near-dup verification."""
+    inter = F.size(F.array_intersect(a, b))
+    return F.round(inter / (F.size(a) + F.size(b) - inter), ndigits)
 
 
 def minhash_signature(toks: Column, n_hashes: int = 16) -> Column:

@@ -1,0 +1,53 @@
+"""Operator-level tests: salted skew join equivalence and the
+applyInPandas as-of variant vs the window-based plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from jonesy_spark.catalog import Catalog
+from jonesy_spark.operators.joins import asof_topk_pandas, salted_join
+from jonesy_spark.plans import all_queries
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must be a pure physical rewrite: same rows out."""
+    cat = Catalog(spark, SF_DIR)
+    li = cat.lineitem.select("l_orderkey", "l_partkey", "l_quantity")
+    orders = cat.orders.select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey", "o_orderstatus"
+    )
+    plain = li.join(orders, on="l_orderkey", how="inner")
+    salted = salted_join(li, orders, on="l_orderkey", how="inner", salt_buckets=8)
+    cols = sorted(plain.columns)
+    assert sorted(salted.columns) == cols
+    p = sorted(tuple(r[c] for c in cols) for r in plain.collect())
+    s = sorted(tuple(r[c] for c in cols) for r in salted.collect())
+    assert p == s
+
+
+def test_salted_join_left_outer(spark):
+    """Left-outer with the skewed side on the left: unmatched skewed rows
+    survive exactly once."""
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (99, "orphan")], ["k", "v"]
+    )
+    right = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "w"])
+    plain = left.join(right, "k", "left")
+    salted = salted_join(left, right, on="k", how="left", salt_buckets=4)
+    p = sorted(map(tuple, plain.select("k", "v", "w").collect()))
+    s = sorted(map(tuple, salted.select("k", "v", "w").collect()))
+    assert p == s
+
+
+def test_asof_pandas_matches_window_plan(spark):
+    """The applyInPandas merge_asof variant and the window-based as-of
+    plan must agree row-for-row (two implementations, one semantics)."""
+    events = Catalog(spark, SF_DIR).events
+    pandas_out = asof_topk_pandas(events)
+    window_out = all_queries()["asof_join_last_click"](spark, SF_DIR)
+    cols = ["purchase_id", "user_id", "purchase_ts", "click_ts"]
+    p = sorted(tuple(r[c] for c in cols) for r in pandas_out.collect())
+    w = sorted(tuple(r[c] for c in cols) for r in window_out.collect())
+    assert p == w
