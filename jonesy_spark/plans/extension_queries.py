@@ -413,6 +413,193 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semi_anti_joins",
+    oracle="""
+    SELECT c_custkey AS custkey, c_mktsegment AS segment, c_acctbal AS acctbal
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1996
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    """,
+)
+def semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS as left-semi + left-anti joins.
+
+    The reference's correlated subqueries are its stand-in for
+    semi-join logic (SURVEY.md §2.3 note); Spark has the real operators:
+    semi/anti never materialize the probe side's payload, so the shuffle
+    carries keys only.
+    """
+    cat = Catalog(spark, sf_dir)
+    cust = cat.customer
+    o96 = cat.orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    of = cat.orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        cust.join(o96, cust.c_custkey == o96.o_custkey, "left_semi")
+        .join(of, cust.c_custkey == of.o_custkey, "left_anti")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+
+
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT
+        l_returnflag AS returnflag,
+        l_linestatus AS linestatus,
+        count(*) AS n_rows,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping sets in one pass —
+    Catalyst Expand + single shuffle, same plan shape as rollup_agg)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.cube(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).agg(F.count("*").alias("n_rows"), _dsum("l_extendedprice", "revenue"))
+
+
+@query(
+    "quantile_stats",
+    oracle="""
+    SELECT
+        l_returnflag AS returnflag,
+        median(l_quantity) AS median_qty,
+        quantile_cont(l_extendedprice, 0.9) AS p90_price,
+        quantile_cont(l_discount, 0.5) AS median_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (median / p90).
+
+    Spark's `median`/`percentile` interpolate identically to DuckDB's
+    quantile_cont (verified bit-equal). Scale note: exact quantiles
+    shuffle the full column per group; prefer `percentile_approx`
+    (t-digest sketch, one pass, mergeable) for 100 TB dashboards —
+    covered by the approx-bounds test in tests/test_operators.py.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+        F.percentile("l_discount", F.lit(0.5)).alias("median_discount"),
+    )
+
+
+@query(
+    "cdc_upsert",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, value,
+               CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    base AS (
+        SELECT * FROM ev WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+        QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) = 1
+    ),
+    updates AS (
+        SELECT * FROM ev WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+    ),
+    merged AS (
+        SELECT * FROM base UNION ALL SELECT * FROM updates
+    )
+    SELECT user_id, event_type, value AS current_value, ts AS current_ts
+    FROM merged
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (upsert) emulation without Delta: snapshot state ∪
+    change feed → latest row per key wins (anti-join+union+window — the
+    guide's MERGE INTO emulation; deterministic tiebreak on event_id).
+
+    Scale: both the base dedup and the final dedup hash-partition on
+    the merge key; with the base bucketed on (user_id, event_type) the
+    merge is shuffle-free on the base side.
+    """
+    ev = Catalog(spark, sf_dir).events
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = (
+        ev.filter(F.col("ts") < cutoff)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    updates = ev.filter(F.col("ts") >= cutoff)
+    merged = base.unionByName(updates.select(*base.columns))
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("value").alias("current_value"),
+            F.col("ts").alias("current_ts"),
+        )
+    )
+
+
+@query(
+    "profile_table",
+    oracle="""
+    SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+           count(*) - count(l_quantity) AS n_nulls,
+           count(DISTINCT l_quantity) AS n_distinct
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+           count(DISTINCT l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_partkey', count(*), count(*) - count(l_partkey),
+           count(DISTINCT l_partkey)
+    FROM lineitem
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator: per-column row/null/distinct counts in
+    one unioned aggregation pass (the ANALYZE-style quality gate a
+    training-data pipeline runs before ingest)."""
+    li = Catalog(spark, sf_dir).lineitem
+    parts = []
+    for col in ["l_quantity", "l_returnflag", "l_partkey"]:
+        parts.append(
+            li.agg(
+                F.lit(col).alias("col_name"),
+                F.count("*").alias("n_rows"),
+                (F.count("*") - F.count(col)).alias("n_nulls"),
+                F.countDistinct(col).alias("n_distinct"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
     "distinct_counts",
     oracle="""
     SELECT

@@ -41,6 +41,18 @@ def test_salted_join_left_outer(spark):
     assert p == s
 
 
+def test_approx_distinct_within_bounds(spark):
+    """approx_count_distinct (HLL) — the 100 TB path for distinct counts
+    (one pass, mergeable sketch, no Expand) — must land within its
+    documented error bound of the exact count."""
+    li = Catalog(spark, SF_DIR).lineitem
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.15
+
+
 def test_asof_pandas_matches_window_plan(spark):
     """The applyInPandas merge_asof variant and the window-based as-of
     plan must agree row-for-row (two implementations, one semantics)."""
