@@ -116,6 +116,24 @@ def write_gzip_csv(
     return final
 
 
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> str:
+    """Data-lake sink: hive-partitioned parquet (the scale default,
+    replacing per-term single objects — SURVEY.md §1.4's
+    `partitionBy("term_id")` mapping).
+
+    Partition columns become directory keys, so downstream readers get
+    partition pruning for free; at 100 TB choose low-cardinality keys
+    (date/term), never high-cardinality ids (small-files explosion).
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    return path
+
+
 @dataclass
 class MultiTargetSink:
     """Upload one object to N targets (dirs standing in for buckets),

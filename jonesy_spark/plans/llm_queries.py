@@ -405,6 +405,79 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_chunking",
+    oracle="""
+    WITH exploded AS (
+        SELECT doc_id, text,
+               unnest(range((length(text) - 1) // 150 + 1)) AS chunk_id
+        FROM documents
+    )
+    SELECT doc_id,
+           chunk_id,
+           substr(text, 1 + chunk_id * 150, 200) AS chunk,
+           length(substr(text, 1 + chunk_id * 150, 200)) AS chunk_len
+    FROM exploded
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: fixed 200-char windows with 50-char overlap
+    (stride 150) — the context-window preprocessing step of a training
+    pipeline, as a pure explode of generated offsets (no Python).
+
+    Scale: chunking is map-side only; output rows ≈ corpus_len/stride.
+    Downstream embedding/tokenization operates per chunk.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    n_chunks = F.floor((F.length("text") - 1) / 150).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.substring(F.col("text"), i * 150 + 1, 200).alias("chunk"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.chunk").alias("chunk"),
+            F.length("c.chunk").alias("chunk_len"),
+        )
+    )
+
+
+@query(
+    "corpus_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                     IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('c','d')
+                THEN 'val'
+                ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (75/12.5/12.5 by
+    the last md5 hex digit of the id) — reproducible across runs,
+    engines and cluster sizes, unlike `df.sample` (partition-dependent).
+    Map-only at any scale."""
+    docs = Catalog(spark, sf_dir).documents
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+    return docs.select(
+        "doc_id",
+        F.when(digit.isin(*"0123456789ab"), "train")
+        .when(digit.isin("c", "d"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
     "multimodal_features",
     oracle="""
     SELECT doc_id,

@@ -137,6 +137,32 @@ def test_snapshot_job_fans_out_terms(spark, tmp_path):
     assert len(term_files) == 3  # top-3 current terms (O3 contract)
 
 
+def test_partitioned_parquet_lake_sink(spark, tmp_path):
+    """Data-lake sink: hive-partitioned layout + partition pruning on
+    read-back."""
+    from jonesy_spark.pipeline.sinks import write_partitioned_parquet
+
+    orders = Catalog(spark, SF_DIR).orders.withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    out = write_partitioned_parquet(
+        orders, str(tmp_path / "lake" / "orders"), ["order_year"]
+    )
+    years = [d for d in os.listdir(out) if d.startswith("order_year=")]
+    assert len(years) >= 5  # hive-style partition dirs
+    back = spark.read.parquet(out)
+    one_year = back.filter(F.col("order_year") == 1995)
+    # partition pruning: only the matching directory is scanned
+    assert one_year.count() == orders.filter(F.col("order_year") == 1995).count()
+    import io as _io
+    import contextlib as _ctx
+
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        one_year.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+
+
 def test_unknown_job_aborts(spark, tmp_path):
     ctx = JobContext(spark, SF_DIR, str(tmp_path), [])
     with pytest.raises(SystemExit, match="unknown"):
