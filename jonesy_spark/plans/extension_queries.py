@@ -354,6 +354,56 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_session_native",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev
+    ), sessions AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_nbr
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_nbr
+    """,
+)
+def events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `session_window` (30-min gap) in batch mode — Spark's
+    built-in sessionizer, cross-checked against the gaps-and-islands
+    oracle (session_window.end = last event + gap, so subtracting the
+    gap recovers max(ts)).
+
+    Scale: unlike the two-window gaps-and-islands form, session_window
+    is a single aggregation operator — one shuffle, and it is the SAME
+    operator the streaming engine runs stateful (operators compose
+    across batch and streaming unchanged).
+    """
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
+        .select(
+            "user_id",
+            "session_start",
+            (F.col("w.end") - F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "asof_join_last_click",
     oracle="""
     WITH ev AS (

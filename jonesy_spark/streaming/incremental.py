@@ -99,6 +99,42 @@ def latest_state_dedup(events: DataFrame, watermark: str = "1 day") -> DataFrame
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-user running aggregate (event count + value sum) whose state
+    survives across micro-batches.
+
+    This is the §2.10 escape hatch for operators the built-in stateful
+    primitives (windows, dropDuplicates, stream joins) can't express —
+    arbitrary per-key state with explicit update logic, Arrow-batched.
+    State is (count, total); each micro-batch folds its rows in and
+    emits the updated running totals for keys it touched.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    output_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 6)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, mode: str = "complete") -> None:
     """Drive a streaming frame to completion into an in-memory table
     (test harness; production uses foreachBatch → write_gzip_csv +

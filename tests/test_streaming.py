@@ -45,6 +45,43 @@ def test_latest_state_dedup_one_per_key(spark):
     assert total_keys > 0
 
 
+def test_stateful_user_totals_matches_batch_agg(spark):
+    """applyInPandasWithState running totals must equal the batch
+    groupBy totals once the stream drains (custom-state plumbing check)."""
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.streaming.incremental import stateful_user_totals
+
+    stream = stateful_user_totals(events_stream(spark, SF_DIR))
+    run_to_memory(stream, "stream_state", mode="update")
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            # update mode can emit a key several times; the final emit
+            # carries the largest n_events
+            """SELECT user_id, n_events, total_value FROM (
+                   SELECT *, row_number() OVER (PARTITION BY user_id
+                                                ORDER BY n_events DESC) AS rn
+                   FROM stream_state
+               ) WHERE rn = 1"""
+        ).collect()
+    }
+    batch = (
+        Catalog(spark, SF_DIR)
+        .events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("t"),
+        )
+    )
+    want = {r["user_id"]: (r["n"], r["t"]) for r in batch.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-4
+
+
 def test_foreach_batch_fanout_collects_batches(spark):
     seen = defaultdict(int)
 
