@@ -22,6 +22,15 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def sis_dir(tmp_path_factory):
+    from sis_fixtures import build_sis_fixtures
+
+    d = tmp_path_factory.mktemp("sis_fixtures")
+    build_sis_fixtures(str(d))
+    return str(d)
+
+
+@pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
     for t in FIXTURE_TABLES:

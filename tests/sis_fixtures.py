@@ -268,7 +268,7 @@ def build_sis_fixtures(out_dir: str) -> dict[str, pd.DataFrame]:
 
     # -- instructor_updates (§7) + assigned_instructors (§8)
     up_rows, asg_rows = [], []
-    for term in active_terms[:2]:
+    for term in active_terms:
         for c in range(20):
             course = f"CRS{c:03d}"
             for snum in ["001", "100", "101"]:
@@ -317,7 +317,7 @@ def build_sis_fixtures(out_dir: str) -> dict[str, pd.DataFrame]:
         (None, None, None, None, None, "Y", "Y"),
         (None, None, None, None, None, None, None),
     ]
-    for term in active_terms[:2]:
+    for term in active_terms:
         for c in range(100):
             mon, tues, wed, thurs, fri, sat, sun = day_combos[c % len(day_combos)]
             start = datetime(2024, 1, 1, 8 + (c % 10), 30 * (c % 2))
@@ -402,7 +402,7 @@ def build_sis_fixtures(out_dir: str) -> dict[str, pd.DataFrame]:
     tables["xlat"] = pd.DataFrame(xlat_rows)
 
     mtg_rows = []
-    for term in active_terms[:2]:
+    for term in active_terms:
         for c in range(20):
             course = f"CRS{c:03d}"
             n_meet = c % 3  # 0, 1 or 2 meetings

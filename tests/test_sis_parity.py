@@ -10,17 +10,10 @@ import pytest
 
 from conftest import assert_matches_oracle
 from jonesy_spark.plans import sis_queries as SQ
-from sis_fixtures import CUTOFF, TODAY, build_sis_fixtures
+from sis_fixtures import CUTOFF, TODAY
 
 TERM = "2238"
 CUTOFF_SQL = f"TIMESTAMP '{CUTOFF:%Y-%m-%d %H:%M:%S}'"
-
-
-@pytest.fixture(scope="session")
-def sis_dir(tmp_path_factory):
-    d = tmp_path_factory.mktemp("sis_fixtures")
-    build_sis_fixtures(str(d))
-    return str(d)
 
 
 @pytest.fixture(scope="session")
