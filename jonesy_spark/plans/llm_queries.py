@@ -405,6 +405,104 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "top_tokens_per_lang",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS token
+        FROM documents
+    ), counted AS (
+        SELECT lang, token, count(*) AS n
+        FROM tok WHERE token <> '' GROUP BY lang, token
+    )
+    SELECT lang, token, n,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY n DESC, token) AS BIGINT) AS rank
+    FROM counted
+    QUALIFY rank <= 5
+    """,
+)
+def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: top-5 tokens per language bucket
+    (explode → count → rank window, deterministic tiebreak on token).
+
+    Scale: explode multiplies rows by tokens/doc, but the count
+    aggregates map-side first, so the shuffle carries (lang, token)
+    partial counts — vocabulary-sized, not corpus-sized.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "lang", F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counted = tok.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM tok WHERE token <> '' GROUP BY doc_id, token
+    ), df_ AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ), n_docs AS (
+        SELECT count(*) AS n FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * n_docs.n / df_.df, 6) AS salience
+        FROM tf JOIN df_ ON tf.token = df_.token, n_docs
+    )
+    SELECT doc_id, token, salience,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY salience DESC, token) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient terms: TF-IDF-style scoring with a log-free
+    rational idf (tf × N / df) so the score is an exact rational →
+    identical across engines (libm log() is not bit-portable); ranking
+    and keyword selection behave like classic TF-IDF.
+
+    Scale: tf and df are two aggregations sharing the token key; the
+    df table is vocabulary-sized and broadcast back.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(F.col("tf") * F.col("n") / F.col("df"), 6).alias("salience"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("salience").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@query(
     "doc_chunking",
     oracle="""
     WITH exploded AS (
