@@ -265,6 +265,69 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_event_counts",
+    oracle="""
+    WITH wide AS (
+        SELECT user_id,
+            count(*) FILTER (WHERE event_type = 'click')    AS click,
+            count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, 'click' AS kind, click AS n FROM wide
+    UNION ALL
+    SELECT user_id, 'purchase' AS kind, purchase AS n FROM wide
+    """,
+)
+def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long via stack) — the inverse of pivot_event_counts;
+    round-trips the columnar layout back to rows without a shuffle
+    beyond the underlying aggregate."""
+    ev = Catalog(spark, sf_dir).events
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "purchase"])
+    )
+    return wide.select(
+        "user_id",
+        F.expr("stack(2, 'click', click, 'purchase', purchase) AS (kind, n)"),
+    )
+
+
+@query(
+    "lag_lead_analytics",
+    oracle="""
+    SELECT
+        o_custkey  AS custkey,
+        o_orderkey AS orderkey,
+        o_orderdate AS orderdate,
+        lag(o_orderkey) OVER w  AS prev_orderkey,
+        lead(o_orderkey) OVER w AS next_orderkey,
+        CAST(ntile(4) OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+            AS recency_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def lag_lead_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset window analytics: lag/lead neighbors + ntile bucketing per
+    key (total order via the unique orderkey tiebreak). One shuffle on
+    the partition key serves all three functions."""
+    orders = Catalog(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").alias("orderdate"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.ntile(4).over(w).cast("long").alias("recency_quartile"),
+    )
+
+
+@query(
     "events_tumbling_window",
     oracle="""
     SELECT
