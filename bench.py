@@ -30,11 +30,17 @@ HEADLINE = [
     "omit_drops_withdrawals",
     "composite_key_join",
     "events_sessionization",
+    "events_session_native",
     "asof_join_last_click",
+    "cdc_upsert",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_ngram_jaccard",
     "embedding_near_dup",
     "ann_cosine_topk",
+    "ann_bucketed_topk",
+    "doc_chunking",
+    "tfidf_top_terms",
     "text_quality_score",
 ]
 
