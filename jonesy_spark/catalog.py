@@ -75,6 +75,27 @@ class Catalog:
             self.table(name).createOrReplaceTempView(name)
 
 
+def read_csv_extract(
+    spark: SparkSession,
+    path: str,
+    schema,
+) -> DataFrame:
+    """Read back a headerless gzip CSV extract written by
+    ``pipeline.sinks.write_gzip_csv`` with a declared schema.
+
+    The extracts carry no header row (reference contract,
+    ``jonesy/jobs.py:175-179``), so the consumer supplies the schema —
+    exactly how downstream consumers of the reference bind columns by
+    position. Used to round-trip-test the serialization contract.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("header", "false")
+        .option("emptyValue", "")
+        .csv(path)
+    )
+
+
 def jdbc_source(
     spark: SparkSession,
     url: str,

@@ -137,6 +137,26 @@ def test_snapshot_job_fans_out_terms(spark, tmp_path):
     assert len(term_files) == 3  # top-3 current terms (O3 contract)
 
 
+def test_csv_extract_round_trip(spark, tmp_path):
+    """Write an extract, read it back positionally with a declared
+    schema, and recover the original rows — the consumer-side half of
+    the serialization contract."""
+    from jonesy_spark.catalog import read_csv_extract
+
+    src = Catalog(spark, SF_DIR).customer.select(
+        F.col("c_custkey").alias("custkey"),
+        F.trim("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    path = write_gzip_csv(src, str(tmp_path), "rt.csv.gz", order_by=[F.col("custkey")])
+    back = read_csv_extract(
+        spark, path, "custkey long, name string, acctbal double"
+    )
+    a = sorted(map(tuple, src.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
 def test_partitioned_parquet_lake_sink(spark, tmp_path):
     """Data-lake sink: hive-partitioned layout + partition pruning on
     read-back."""
