@@ -75,6 +75,29 @@ class Catalog:
             self.table(name).createOrReplaceTempView(name)
 
 
+def write_format(df: DataFrame, path: str, fmt: str = "parquet") -> str:
+    """Write a table in any supported lake format (parquet/orc/json/csv).
+
+    Parquet is the default interchange format (columnar, pushdown); ORC
+    is its peer for Hive-ecosystem consumers; JSON/CSV are row formats
+    for interoperability — schema must be re-declared on read (use
+    ``read_format``). Delta/Iceberg need jars absent from this
+    environment and stay behind this same seam.
+    """
+    df.write.mode("overwrite").format(fmt).save(path)
+    return path
+
+
+def read_format(spark: SparkSession, path: str, fmt: str, schema=None) -> DataFrame:
+    """Read a table written by ``write_format``; pass the declared
+    schema for row formats (JSON/CSV) — inference is never used (slow
+    extra pass, unstable types at scale)."""
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def read_csv_extract(
     spark: SparkSession,
     path: str,

@@ -183,6 +183,19 @@ def test_partitioned_parquet_lake_sink(spark, tmp_path):
     assert "PartitionFilters" in buf.getvalue()
 
 
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json"])
+def test_multi_format_round_trip(spark, tmp_path, fmt):
+    """Every supported lake format round-trips the same rows (JSON with
+    a declared schema — no inference)."""
+    from jonesy_spark.catalog import read_format, write_format
+
+    src = Catalog(spark, SF_DIR).nation
+    path = write_format(src, str(tmp_path / f"t.{fmt}"), fmt)
+    schema = src.schema if fmt == "json" else None
+    back = read_format(spark, path, fmt, schema=schema)
+    assert sorted(map(tuple, src.collect())) == sorted(map(tuple, back.collect()))
+
+
 def test_unknown_job_aborts(spark, tmp_path):
     ctx = JobContext(spark, SF_DIR, str(tmp_path), [])
     with pytest.raises(SystemExit, match="unknown"):
