@@ -99,6 +99,42 @@ def latest_state_dedup(events: DataFrame, watermark: str = "1 day") -> DataFrame
     )
 
 
+def purchases_with_recent_clicks(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each purchase
+    joined to same-user clicks from the preceding hour.
+
+    Both sides carry watermarks so the join state is bounded: the range
+    condition (`click_ts` in [purchase_ts − 1h, purchase_ts]) tells the
+    engine exactly when a buffered click can never match again and is
+    evicted. This is the streaming analogue of the as-of/interval join
+    (SURVEY §2.10); without the time bound the state would grow forever.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "purchase_ts", "click_ts")
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     a per-user running aggregate (event count + value sum) whose state

@@ -45,6 +45,42 @@ def test_latest_state_dedup_one_per_key(spark):
     assert total_keys > 0
 
 
+def test_stream_stream_join_matches_batch(spark):
+    """Stream-stream interval join must produce the same pairs as the
+    equivalent batch join once both streams drain."""
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.streaming.incremental import purchases_with_recent_clicks
+
+    stream = purchases_with_recent_clicks(events_stream(spark, SF_DIR))
+    run_to_memory(stream, "stream_ssj", mode="append")
+    got = sorted(
+        map(tuple, spark.sql(
+            "SELECT purchase_id, user_id, purchase_ts, click_ts FROM stream_ssj"
+        ).collect())
+    )
+
+    ev = Catalog(spark, SF_DIR).events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "purchase_ts", "click_ts")
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+    assert len(got) > 0
+
+
 def test_stateful_user_totals_matches_batch_agg(spark):
     """applyInPandasWithState running totals must equal the batch
     groupBy totals once the stream drains (custom-state plumbing check)."""
