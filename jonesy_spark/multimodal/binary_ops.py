@@ -56,6 +56,57 @@ def decode_stub(payload: bytes, fake: bool) -> list[float]:
     return [b / 255.0 for b in digest[:4]]
 
 
+#: Output schema of the frame-sampling step: one row per sampled frame.
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_bytes binary, frame_hash string"
+)
+
+
+def sample_frames(df: DataFrame, stride: int = 64, max_frames: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: emit up to
+    ``max_frames`` fixed-stride slices of each binary payload as rows.
+
+    The slicing stands in for codec-level frame extraction (no av
+    libraries in this container); the Spark shape is the real one — a
+    ``mapInPandas`` fan-out where each input row yields N output rows,
+    so downstream per-frame operators (resize, embed) stay relational.
+    """
+    import hashlib as _hl
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                for i in range(min(max_frames, max(1, len(payload) // stride))):
+                    frame = payload[i * stride : (i + 1) * stride]
+                    out_rows.append(
+                        (
+                            row["doc_id"],
+                            i,
+                            frame,
+                            _hl.md5(frame).hexdigest()[:12],
+                        )
+                    )
+            yield pd.DataFrame(
+                out_rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_hash"]
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_stub(payload: bytes, target: int, fake: bool) -> bytes:
+    """Resize codec boundary — stubbed like decode_stub; the fake path
+    deterministically truncates/pads so plumbing is testable."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs unavailable in this environment; pass fake=True"
+        )
+    return payload[:target].ljust(target, b"\0")
+
+
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 

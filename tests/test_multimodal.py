@@ -54,6 +54,38 @@ def test_decode_stub_unit():
     assert decode_stub(b"abc", fake=True) == decode_stub(b"abc", fake=True)
 
 
+def test_sample_frames_fanout(spark):
+    """Frame sampling yields bounded per-doc fan-out with deterministic
+    frame hashes, and frames stay joinable on doc_id."""
+    from jonesy_spark.multimodal.binary_ops import sample_frames
+
+    docs = Catalog(spark, SF_DIR).documents.limit(10)
+    frames = sample_frames(attach_binary_payload(docs), stride=64, max_frames=4)
+    rows = frames.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    for frames_of_doc in per_doc.values():
+        assert 1 <= len(frames_of_doc) <= 4
+        assert [f["frame_idx"] for f in sorted(frames_of_doc, key=lambda f: f["frame_idx"])] == list(
+            range(len(frames_of_doc))
+        )
+        for f in frames_of_doc:
+            assert len(f["frame_hash"]) == 12
+            assert len(bytes(f["frame_bytes"])) <= 64
+
+
+def test_resize_stub_behavior():
+    from jonesy_spark.multimodal.binary_ops import resize_stub
+
+    with pytest.raises(NotImplementedError):
+        resize_stub(b"abc", 8, fake=False)
+    out = resize_stub(b"abcdef", 4, fake=True)
+    assert out == b"abcd"
+    assert resize_stub(b"ab", 4, fake=True) == b"ab\0\0"
+
+
 def test_feature_join_back(spark):
     """Features join back to the source on doc_id (plumbing stays relational)."""
     docs = Catalog(spark, SF_DIR).documents.limit(50)
