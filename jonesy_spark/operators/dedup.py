@@ -135,6 +135,11 @@ def simhash_near_dup(
     (at scale: block on the fingerprint's top bits instead, giving
     2^k buckets — same code, different block column).
     """
+    n_bits, n_bands = 16, 4
+    band_size = n_bits // n_bands
+    assert max_hamming < n_bands, (
+        "pigeonhole blocking needs max_hamming < n_bands to be lossless"
+    )
     fp = df.repartition(CPU_PARTITIONS).select(
         F.col(id_col).alias("doc_id"),
         F.col(block_col).alias("block"),
@@ -142,11 +147,34 @@ def simhash_near_dup(
             F.transform(TX.tokens(F.col(text_col)), lambda t: F.md5(t))
         ).alias("simhash"),
     )
-    a, b = fp.alias("a"), fp.alias("b")
-    return (
+    # Pigeonhole band blocking: with max_hamming errors spread over
+    # n_bands > max_hamming bands, at least one band is error-free, so
+    # every qualifying pair shares an exact band — the band equi-join is
+    # LOSSLESS (same output as all-pairs) while pruning candidates ~
+    # n_bands/2^band_size-fold. This is the 100 TB plan: never all-pairs.
+    banded = fp.select(
+        "doc_id",
+        "block",
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.substring(
+                        F.col("simhash"), b * band_size + 1, band_size
+                    ).alias("band_bits"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "block", "simhash", "band.band_id", "band.band_bits")
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -155,7 +183,10 @@ def simhash_near_dup(
             F.col("a.simhash").alias("simhash_a"),
             F.col("b.simhash").alias("simhash_b"),
         )
-        .withColumn(
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        candidates.withColumn(
             "hamming", TX.hamming_distance(F.col("simhash_a"), F.col("simhash_b"))
         )
         .filter(F.col("hamming") <= max_hamming)
