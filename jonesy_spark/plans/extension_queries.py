@@ -237,30 +237,39 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             PARTITION BY o_custkey
             ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) AS DOUBLE) AS cumulative_spend
+        ) AS DOUBLE) AS cumulative_spend,
+        lag(o_orderkey) OVER w  AS prev_orderkey,
+        lead(o_orderkey) OVER w AS next_orderkey,
+        CAST(ntile(4) OVER w AS BIGINT) AS recency_quartile
     FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
 )
 def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running (cumulative) aggregate per key — ordered analytic window.
+    """Ordered analytic windows over one shuffle: running (cumulative)
+    aggregate plus lag/lead offset neighbors and ntile bucketing per key
+    (absorbs the former ``lag_lead_analytics`` query — identical window
+    spec, so one driver row verifies all four §2.5 analytic patterns).
 
     The frame order includes the unique orderkey so ties are total;
     decimal accumulation keeps the running values exact at any prefix.
+    All four functions share the same (partition, order) so Catalyst
+    plans a single exchange + sort.
     """
     orders = Catalog(spark, sf_dir).orders
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return orders.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderkey").alias("orderkey"),
         F.col("o_orderdate").alias("orderdate"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w)
+        .over(wcum)
         .cast("double")
         .alias("cumulative_spend"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.ntile(4).over(w).cast("long").alias("recency_quartile"),
     )
 
 
@@ -292,38 +301,6 @@ def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "user_id",
         F.expr("stack(2, 'click', click, 'purchase', purchase) AS (kind, n)"),
-    )
-
-
-@query(
-    "lag_lead_analytics",
-    oracle="""
-    SELECT
-        o_custkey  AS custkey,
-        o_orderkey AS orderkey,
-        o_orderdate AS orderdate,
-        lag(o_orderkey) OVER w  AS prev_orderkey,
-        lead(o_orderkey) OVER w AS next_orderkey,
-        CAST(ntile(4) OVER (PARTITION BY o_custkey
-                            ORDER BY o_orderdate, o_orderkey) AS BIGINT)
-            AS recency_quartile
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-)
-def lag_lead_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Offset window analytics: lag/lead neighbors + ntile bucketing per
-    key (total order via the unique orderkey tiebreak). One shuffle on
-    the partition key serves all three functions."""
-    orders = Catalog(spark, sf_dir).orders
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return orders.select(
-        F.col("o_custkey").alias("custkey"),
-        F.col("o_orderkey").alias("orderkey"),
-        F.col("o_orderdate").alias("orderdate"),
-        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
-        F.lead("o_orderkey").over(w).alias("next_orderkey"),
-        F.ntile(4).over(w).cast("long").alias("recency_quartile"),
     )
 
 
@@ -377,14 +354,14 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ev
     ), sessions AS (
         SELECT user_id, ts, value,
-               sum(is_new) OVER (
+               CAST(sum(is_new) OVER (
                    PARTITION BY user_id ORDER BY ts
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_nbr
+               ) AS BIGINT) AS session_nbr
         FROM flagged
     )
     SELECT user_id, session_nbr, min(ts) AS session_start,
-           max(ts) AS session_end, count(*) AS n_events
+           max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events
     FROM sessions
     GROUP BY user_id, session_nbr
     """,
@@ -407,7 +384,9 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sessions = flagged.withColumn(
         "session_nbr",
-        F.sum("is_new").over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
+        F.sum("is_new")
+        .over(by_user.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
     )
     return sessions.groupBy("user_id", "session_nbr").agg(
         F.min("ts").alias("session_start"),
