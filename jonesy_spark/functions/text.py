@@ -79,12 +79,14 @@ def lsh_bands(signature: Column, n_bands: int, band_size: int) -> Column:
     )
 
 
-def simhash_bits(hashes: Column, n_bits: int = 16) -> Column:
+def simhash_bits(hashes: Column, n_bits: int = 64) -> Column:
     """SimHash fingerprint as an ``n_bits``-char '0'/'1' string.
 
-    Bit p votes +1 when hex digit p of a token's md5 is >= 8, else -1;
+    Bit p votes +1 when hex digit p of a token's hash is >= 8, else -1;
     the bit is 1 when the sum over tokens is >= 0. Near-duplicate texts
-    differ in few bits (compare with hamming_distance)."""
+    differ in few bits (compare with hamming_distance). ``hashes`` must
+    provide >= n_bits hex digits per element (one md5 gives 32; see
+    wide_hash for 64)."""
     digit_vote = lambda h, p: F.when(  # noqa: E731
         F.substring(h, p, 1).isin(*"89abcdef"), 1
     ).otherwise(-1)
@@ -103,7 +105,13 @@ def simhash_bits(hashes: Column, n_bits: int = 16) -> Column:
     )
 
 
-def hamming_distance(a: Column, b: Column, n_bits: int = 16) -> Column:
+def wide_hash(token: Column) -> Column:
+    """64 hex digits per token: md5(t) || md5('#' || t) — two independent
+    md5 draws, still bit-for-bit reproducible in the DuckDB oracle."""
+    return F.concat(F.md5(token), F.md5(F.concat(F.lit("#"), token)))
+
+
+def hamming_distance(a: Column, b: Column, n_bits: int = 64) -> Column:
     """Hamming distance between two equal-length bit-string fingerprints."""
     return F.aggregate(
         F.transform(

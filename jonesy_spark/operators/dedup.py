@@ -99,15 +99,19 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # Token sets re-attach via broadcast joins (tok is tiny relative to
-    # the pair set; at 100 TB block the corpus and broadcast per block,
-    # or bucket both sides on doc_id).
+    # Token sets re-attach via keyed joins on doc_id — NOT a forced
+    # broadcast: at 100 TB the token table IS the corpus, so the join
+    # must be able to degrade to a shuffle join. Catalyst auto-broadcasts
+    # the token side while its size estimate is under
+    # spark.sql.autoBroadcastJoinThreshold and otherwise plans a
+    # sort-merge/shuffled-hash join on doc_id — each side shuffles once,
+    # O(corpus), never O(pairs × corpus).
     ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = tok.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     verified = (
         candidates.repartition(CPU_PARTITIONS)
-        .join(F.broadcast(ta), "doc_a")
-        .join(F.broadcast(tb), "doc_b")
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
     )
     # Size-ratio prefilter (implied by the threshold: j >= t forces
     # |A|/|B| within [t, 1/t]) prunes pairs with an int compare before
@@ -127,16 +131,21 @@ def simhash_near_dup(
     id_col: str = "doc_id",
     block_col: str = "lang",
     max_hamming: int = 3,
+    n_bits: int = 64,
+    n_bands: int = 8,
 ) -> DataFrame:
-    """SimHash near-duplicate pairs: 16-bit fingerprint per doc, pairs
-    within a block compared by Hamming distance.
+    """SimHash near-duplicate pairs: ``n_bits``-bit fingerprint per doc,
+    pairs within a block compared by Hamming distance.
 
     Fingerprinting is map-only; the pair join blocks on ``block_col``
-    (at scale: block on the fingerprint's top bits instead, giving
-    2^k buckets — same code, different block column).
+    AND pigeonhole bands. 64 bits / 8 bands gives 2^8 bucket values per
+    band — candidate volume shrinks ~2^8/n_bands-fold vs all-pairs and
+    keeps shrinking as fingerprints spread, which is what survives a
+    100× corpus (a 16-bit fingerprint's 2^4 buckets per band would go
+    near-quadratic).
     """
-    n_bits, n_bands = 16, 4
     band_size = n_bits // n_bands
+    assert n_bits % n_bands == 0
     assert max_hamming < n_bands, (
         "pigeonhole blocking needs max_hamming < n_bands to be lossless"
     )
@@ -144,7 +153,7 @@ def simhash_near_dup(
         F.col(id_col).alias("doc_id"),
         F.col(block_col).alias("block"),
         TX.simhash_bits(
-            F.transform(TX.tokens(F.col(text_col)), lambda t: F.md5(t))
+            F.transform(TX.tokens(F.col(text_col)), TX.wide_hash), n_bits
         ).alias("simhash"),
     )
     # Pigeonhole band blocking: with max_hamming errors spread over
@@ -187,7 +196,8 @@ def simhash_near_dup(
     )
     return (
         candidates.withColumn(
-            "hamming", TX.hamming_distance(F.col("simhash_a"), F.col("simhash_b"))
+            "hamming",
+            TX.hamming_distance(F.col("simhash_a"), F.col("simhash_b"), n_bits),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

@@ -122,14 +122,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (
         SELECT doc_id, lang,
                list_transform(list_distinct(string_split(lower(trim(text)), ' ')),
-                              t -> md5(t)) AS hs
+                              t -> md5(t) || md5('#' || t)) AS hs
         FROM documents
     ),
     votes AS (
         SELECT doc_id, r.p,
                sum(CASE WHEN strpos('89abcdef', substr(u.h, r.p, 1)) > 0
                         THEN 1 ELSE -1 END) AS v
-        FROM tok, range(1, 17) r(p), unnest(tok.hs) u(h)
+        FROM tok, range(1, 65) r(p), unnest(tok.hs) u(h)
         GROUP BY doc_id, r.p
     ),
     fp AS (
@@ -140,18 +140,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tok t
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           len(list_filter(range(1, 17),
+           len(list_filter(range(1, 65),
                p -> substr(a.simhash, p, 1) <> substr(b.simhash, p, 1))) AS hamming
     FROM fp a
     JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE len(list_filter(range(1, 17),
+    WHERE len(list_filter(range(1, 65),
           p -> substr(a.simhash, p, 1) <> substr(b.simhash, p, 1))) <= 3
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(16-bit) near-dup pairs within language blocks at Hamming
-    distance <= 3. Fingerprints are majority votes over md5 hex digits —
-    map-only, cross-engine deterministic."""
+    """SimHash(64-bit, 8 pigeonhole bands) near-dup pairs within language
+    blocks at Hamming distance <= 3. Fingerprints are majority votes over
+    64 hex digits (md5(t) || md5('#'||t)) — map-only, cross-engine
+    deterministic. The oracle computes all-pairs-within-lang; band
+    blocking is lossless (max_hamming < n_bands), so outputs coincide."""
     return DD.simhash_near_dup(Catalog(spark, sf_dir).documents, max_hamming=3)
 
 
