@@ -29,13 +29,22 @@ def token_list(text: Column) -> Column:
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct character n-gram set (shingles) of the text."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.length(text) - (n - 1)),
-            lambda i: F.substring(text, i, n),
-        )
-    )
+    """Distinct character n-gram set (shingles) of the text.
+
+    Texts shorter than n yield an EMPTY set: without the guard,
+    sequence(1, len-(n-1)) with start > stop produces a descending
+    sequence and substring emits spurious truncated grams — the DuckDB
+    twin's range() is empty there, and empty is also the correct n-gram
+    semantics."""
+    return F.when(
+        F.length(text) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(text) - (n - 1)),
+                lambda i: F.substring(text, i, n),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def jaccard(a: Column, b: Column, ndigits: int = 6) -> Column:

@@ -210,38 +210,71 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.6,
+    n_hashes: int = 16,
+    n_bands: int = 8,
 ) -> DataFrame:
     """Character n-gram Jaccard near-dup pairs, blocked by (lang,
-    length-bucket) so the self-join never goes all-pairs.
+    MinHash band) so candidate volume stays sub-quadratic as the corpus
+    grows.
 
-    The length-bucket block is sound for high thresholds: two texts
-    with very different lengths can't reach high n-gram Jaccard.
+    The old block key (lang, exact length-bucket) had FIXED cardinality
+    — candidates within each block grew O(n²) with corpus size, and
+    pairs straddling a bucket boundary were silently dropped. Banding
+    the gram-set MinHash gives a key whose cardinality grows with the
+    corpus and removes the boundary loss; recall is the standard LSH
+    curve 1-(1-j^r)^b (r=2, b=8: ~97% at j=0.6, →1 as j→1), mirrored
+    exactly in the oracle. Length pruning still happens — losslessly —
+    via the threshold-implied size-ratio filter before any set op.
     """
+    band_size = n_hashes // n_bands
     g = df.repartition(CPU_PARTITIONS).select(
         F.col(id_col).alias("doc_id"),
         F.col("lang"),
-        (F.col("n_chars") / 100).cast("int").alias("len_bucket"),
         TX.char_ngrams(F.col(text_col), n).alias("grams"),
     )
-    a, b = g.alias("a"), g.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.grams").alias("grams_a"),
-        F.col("b.grams").alias("grams_b"),
-    )
-    # Threshold-implied size-ratio prune + forced parallelism for the
-    # CPU-bound set intersections (see minhash_lsh_pairs).
-    sa, sb = F.size("grams_a"), F.size("grams_b")
-    return (
-        pairs.filter((sa >= threshold * sb) & (sb >= threshold * sa))
-        .repartition(CPU_PARTITIONS)
+    banded = (
+        g.filter(F.size("grams") > 0)
+        .withColumn("sig", TX.minhash_signature(F.col("grams"), n_hashes))
+        .withColumn("band", F.explode(TX.lsh_bands(F.col("sig"), n_bands, band_size)))
         .select(
+            "doc_id",
+            "lang",
+            F.size("grams").alias("sz"),
+            F.col("band.band_id").alias("band_id"),
+            F.md5(F.col("band.band_key")).alias("band_key"),
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    # The gram-set SIZE rides along on the banded rows (one int) so the
+    # threshold-implied size-ratio bound (j >= t forces |A|/|B| within
+    # [t, 1/t]) evaluates as a join residual — candidate pairs that can't
+    # possibly verify are dropped at hash-probe time, before the
+    # dropDuplicates shuffle and the gram re-attach joins ever see them.
+    # Exact integer/decimal math, so the prune is lossless and mirrors
+    # bit-for-bit in the oracle.
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.sz") >= threshold * F.col("b.sz"))
+            & (F.col("b.sz") >= threshold * F.col("a.sz")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # Gram sets re-attach via keyed joins on doc_id (no forced broadcast
+    # — same degrade-to-shuffle rationale as minhash_lsh_pairs).
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    pairs = candidates.repartition(CPU_PARTITIONS).join(ga, "doc_a").join(gb, "doc_b")
+    return (
+        pairs.select(
             "doc_a",
             "doc_b",
             TX.jaccard(F.col("grams_a"), F.col("grams_b")).alias("jaccard"),

@@ -161,25 +161,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle="""
     WITH g AS (
-        SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+        SELECT doc_id, lang,
                list_distinct(list_transform(range(1, length(text) - 1),
                                             i -> substr(text, i, 3))) AS grams
         FROM documents
+    ),
+    mh AS (
+        SELECT doc_id, r.i,
+               min(md5(CAST(r.i AS VARCHAR) || '|' || u.gm)) AS h
+        FROM g, range(16) r(i), unnest(g.grams) u(gm)
+        GROUP BY doc_id, r.i
+    ),
+    band AS (
+        SELECT doc_id, i // 2 AS band_id,
+               md5(string_agg(h, ',' ORDER BY i)) AS band_key
+        FROM mh GROUP BY doc_id, i // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a
+        JOIN band b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+        JOIN g sa ON sa.doc_id = a.doc_id
+        JOIN g sb ON sb.doc_id = b.doc_id
+        WHERE len(sa.grams) >= 0.6 * len(sb.grams)
+          AND len(sb.grams) >= 0.6 * len(sa.grams)
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.grams, b.grams))::DOUBLE
-                 / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
-    FROM g a
-    JOIN g b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-            AND a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
-          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.6
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(ga.grams, gb.grams))::DOUBLE
+                 / len(list_distinct(list_concat(ga.grams, gb.grams))), 6) AS jaccard
+    FROM cand c
+    JOIN g ga ON ga.doc_id = c.doc_a
+    JOIN g gb ON gb.doc_id = c.doc_b
+    WHERE ga.lang = gb.lang
+      AND len(list_intersect(ga.grams, gb.grams))::DOUBLE
+          / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.6
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-3-gram Jaccard near-dup pairs, blocked by (lang, length
-    bucket) — sound blocking for high thresholds since very different
-    lengths can't reach them."""
+    """Char-3-gram Jaccard near-dup pairs, blocked by (lang, MinHash
+    band over the gram set) — block-key cardinality grows with the
+    corpus (see operators.dedup.ngram_jaccard_pairs for the recall
+    math), unlike the former fixed (lang, length-bucket) block."""
     return DD.ngram_jaccard_pairs(Catalog(spark, sf_dir).documents, n=3, threshold=0.6)
 
 
