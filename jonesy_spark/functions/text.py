@@ -160,11 +160,19 @@ def doc_fingerprint(text: Column, n_windows: int = 4, window: int = 16) -> Colum
     """Winnowing-style fingerprint: min md5 over ``n_windows`` evenly
     spaced ``window``-char slices (a deterministic rolling-hash stand-in)."""
     # floor division (not cast-of-double: DuckDB CAST rounds, Spark
-    # truncates — floor matches DuckDB's // exactly on positives)
+    # truncates — floor matches DuckDB's // exactly on positives).
+    # greatest(1, ...) pins positions for texts shorter than the window:
+    # negative starts would otherwise hit engine-specific substring
+    # semantics (mirrored in the oracle).
     positions = F.transform(
         F.sequence(F.lit(0), F.lit(n_windows - 1)),
-        lambda i: F.lit(1)
-        + F.floor((F.length(text) - window) * i / F.lit(n_windows - 1)).cast("int"),
+        lambda i: F.greatest(
+            F.lit(1),
+            F.lit(1)
+            + F.floor((F.length(text) - window) * i / F.lit(n_windows - 1)).cast(
+                "int"
+            ),
+        ),
     )
     return F.array_min(
         F.transform(positions, lambda p: F.md5(F.substring(text, p, window)))

@@ -33,6 +33,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import scalars as SC
+
 
 def coerce_timestamp_pacific(col: Column) -> Column:
     """Render a (mislabeled-)UTC timestamp as America/Los_Angeles wall
@@ -42,10 +44,15 @@ def coerce_timestamp_pacific(col: Column) -> Column:
     (``jonesy/jobs.py:166-171``) as pure built-in expressions: the
     offset is derived from the DST-aware shift `from_utc_timestamp`
     applies, so it flips -0800/-0700 correctly without any Python.
+
+    The epoch-cast subtraction makes the OFFSET session-tz independent,
+    but `date_format` renders in the session timezone, so the rendered
+    wall time is only correct under a UTC session — asserted by
+    serialize_for_csv at the sink boundary.
     """
     pacific = F.from_utc_timestamp(col, "America/Los_Angeles")
     offset_hours = (
-        (F.unix_timestamp(pacific) - F.unix_timestamp(col)) / 3600
+        (pacific.cast("long") - col.cast("long")) / 3600
     ).cast("int")
     offset_str = F.concat(
         F.when(offset_hours < 0, "-").otherwise("+"),
@@ -58,15 +65,35 @@ def coerce_timestamp_pacific(col: Column) -> Column:
 
 
 def serialize_for_csv(df: DataFrame) -> DataFrame:
-    """Apply the CSV contract: lowercase column names; timestamp columns
-    coerced to the Pacific wall-time string (F19); dates to ISO."""
+    """Apply the CSV contract (``jonesy/jobs.py:164-173``): lowercase
+    column names; the Pacific wall-time rendering (F19) applies ONLY to
+    the column named ``last_updated`` — every other datetime value is
+    rendered ``%Y-%m-%d %H:%M:%S UTC`` (F18). DateType columns render
+    as midnight UTC datetimes because Oracle has no DATE-without-time:
+    oracledb returns every DATE as a Python datetime, which the
+    reference's _coerce then labels UTC.
+    """
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    assert tz == "UTC", (
+        f"CSV serialization contract requires a UTC session (got {tz!r}): "
+        "date_format renders in the session timezone"
+    )
     out = df.toDF(*[c.lower() for c in df.columns])
     for f_ in out.schema.fields:
         if isinstance(f_.dataType, T.TimestampType):
-            out = out.withColumn(f_.name, coerce_timestamp_pacific(F.col(f_.name)))
+            render = (
+                coerce_timestamp_pacific(F.col(f_.name))
+                if f_.name == "last_updated"
+                else SC.utc_label(F.col(f_.name))
+            )
+            out = out.withColumn(f_.name, render)
         elif isinstance(f_.dataType, T.DateType):
             out = out.withColumn(
-                f_.name, F.date_format(F.col(f_.name), "yyyy-MM-dd")
+                f_.name,
+                F.concat(
+                    F.date_format(F.col(f_.name), "yyyy-MM-dd"),
+                    F.lit(" 00:00:00 UTC"),
+                ),
             )
     return out
 

@@ -439,7 +439,9 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            md5(text) AS full_hash,
-           (SELECT min(md5(substr(text, 1 + (length(text) - 16) * i // 3, 16)))
+           (SELECT min(md5(substr(text,
+                               greatest(1, 1 + (length(text) - 16) * i // 3),
+                               16)))
             FROM range(4) r(i)) AS window_fingerprint
     FROM documents
     """,

@@ -348,7 +348,14 @@ def term_courses(spark: SparkSession, fixtures_dir: str, term_id: str) -> DataFr
             _nz(F.trim("FIRST_NAME")),
             F.lit(" "),
             _nz(F.trim("MIDDLE_NAME")),
-            F.when(F.trim("MIDDLE_NAME").isNotNull(), " ").otherwise(""),
+            # Oracle NVL2(TRIM(x)): a whitespace-only middle name TRIMs
+            # to NULL there (no empty strings in Oracle), so the
+            # conditional space needs the != '' guard in Spark, where
+            # trim('  ') yields '' (non-NULL).
+            F.when(
+                F.trim("MIDDLE_NAME").isNotNull() & (F.trim("MIDDLE_NAME") != ""),
+                " ",
+            ).otherwise(""),
             _nz(F.trim("LAST_NAME")),
             F.lit(" "),
             _nz(F.trim("NAME_SUFFIX")),

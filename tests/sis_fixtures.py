@@ -345,7 +345,7 @@ def build_sis_fixtures(out_dir: str) -> dict[str, pd.DataFrame]:
                     CAMPUS_ID=f"{300000 + c}",
                     NAME_PREFIX=rng.choice(["Dr", None]),
                     FIRST_NAME=f" First{c} ",
-                    MIDDLE_NAME=None if c % 2 else f"M{c}",
+                    MIDDLE_NAME="  " if c % 5 == 3 else (None if c % 2 else f"M{c}"),
                     LAST_NAME=f" Last{c} ",
                     NAME_SUFFIX=rng.choice(["Jr", None]),
                     INSTR_ROLE="PI",

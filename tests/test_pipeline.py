@@ -59,12 +59,23 @@ def test_pacific_coercion_renders_offset(spark):
 
 
 def test_serialize_lowercases_and_formats(spark):
-    df = spark.createDataFrame([(1, "x")], ["ID", "NaMe"]).withColumn(
-        "TS", F.lit("2024-01-05 13:14:15").cast("timestamp")
+    """Golden-byte check of the reference _coerce contract
+    (jonesy/jobs.py:164-173): Pacific rendering ONLY for last_updated;
+    every other datetime gets the '%Y-%m-%d %H:%M:%S UTC' label; DATE
+    columns render as midnight UTC datetimes (Oracle DATEs arrive as
+    datetimes)."""
+    df = (
+        spark.createDataFrame([(1, "x")], ["ID", "NaMe"])
+        .withColumn("LAST_UPDATED", F.lit("2024-01-05 13:14:15").cast("timestamp"))
+        .withColumn("EFFDT", F.lit("2024-03-09 08:30:00").cast("timestamp"))
+        .withColumn("START_DT", F.lit("2024-03-09").cast("date"))
     )
     out = serialize_for_csv(df)
-    assert out.columns == ["id", "name", "ts"]
-    assert out.first()["ts"] == "2024-01-05 05:14:15 -0800"
+    assert out.columns == ["id", "name", "last_updated", "effdt", "start_dt"]
+    row = out.first()
+    assert row["last_updated"] == "2024-01-05 05:14:15 -0800"
+    assert row["effdt"] == "2024-03-09 08:30:00 UTC"
+    assert row["start_dt"] == "2024-03-09 00:00:00 UTC"
 
 
 def test_write_gzip_csv_headerless_ordered(spark, tmp_path):

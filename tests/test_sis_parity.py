@@ -219,7 +219,8 @@ def test_term_courses_flat(spark, sis_dir, sis_duck):
             trim(coalesce(trim(NAME_PREFIX), '') || ' ' ||
                  coalesce(trim(FIRST_NAME), '') || ' ' ||
                  coalesce(trim(MIDDLE_NAME), '') ||
-                 CASE WHEN trim(MIDDLE_NAME) IS NOT NULL THEN ' ' ELSE '' END ||
+                 CASE WHEN trim(MIDDLE_NAME) IS NOT NULL
+                       AND trim(MIDDLE_NAME) <> '' THEN ' ' ELSE '' END ||
                  coalesce(trim(LAST_NAME), '') || ' ' ||
                  coalesce(trim(NAME_SUFFIX), '')) AS instructor_name,
             INSTR_ROLE AS instructor_role_code,
