@@ -119,38 +119,54 @@ def read_csv_extract(
     )
 
 
-def jdbc_source(
-    spark: SparkSession,
+def jdbc_read_options(
     url: str,
     dbtable: str,
     partition_column: str | None = None,
     num_partitions: int = 32,
     lower_bound: int | None = None,
     upper_bound: int | None = None,
+    fetchsize: int = 10_000,
     **options: str,
-) -> DataFrame:
-    """Production seam: parallel JDBC scan of a remote view.
+) -> dict[str, str]:
+    """Build the option map for a partitioned JDBC scan (pure function —
+    the contract-testable half of :func:`jdbc_source`).
 
     Replaces the reference's client-side ROWNUM pagination loop
     (reference ``jonesy/jobs.py:99-111``, ``BATCH_SIZE=120000`` at
-    ``jobs.py:18``) with Spark's partitioned JDBC read: N executors each
-    pull a key-range slice concurrently; no driver-side paging, no
-    spill-to-tempfile. Untested here (no database in the container) but
-    kept as the single place production I/O plugs in.
+    ``jobs.py:18``): with partitionColumn/bounds, N executors each pull
+    a key-range slice concurrently; no driver-side paging, no
+    spill-to-tempfile. ``fetchsize`` plays the reference's cursor
+    ``arraysize`` role (rows per network round trip within a slice).
     """
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("dbtable", dbtable)
-        .option("fetchsize", "10000")
-    )
+    opts: dict[str, str] = {
+        "url": url,
+        "dbtable": dbtable,
+        "fetchsize": str(fetchsize),
+    }
     if partition_column is not None:
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("numPartitions", str(num_partitions))
-            .option("lowerBound", str(lower_bound or 0))
-            .option("upperBound", str(upper_bound or 1_000_000))
+        opts.update(
+            partitionColumn=partition_column,
+            numPartitions=str(num_partitions),
+            lowerBound=str(lower_bound or 0),
+            upperBound=str(upper_bound or 1_000_000),
         )
-    for k, v in options.items():
-        reader = reader.option(k, v)
-    return reader.load()
+    opts.update(options)
+    return opts
+
+
+def jdbc_source(
+    spark: SparkSession,
+    url: str,
+    dbtable: str,
+    **kwargs,
+) -> DataFrame:
+    """Production seam: parallel JDBC scan of a remote view (see
+    :func:`jdbc_read_options` for the partitioning contract). The
+    ``.load()`` needs a JDBC driver jar on the classpath — absent in
+    this container, so tests pin the option map instead."""
+    return (
+        spark.read.format("jdbc")
+        .options(**jdbc_read_options(url, dbtable, **kwargs))
+        .load()
+    )

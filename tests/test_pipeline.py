@@ -211,3 +211,72 @@ def test_unknown_job_aborts(spark, tmp_path):
     ctx = JobContext(spark, SF_DIR, str(tmp_path), [])
     with pytest.raises(SystemExit, match="unknown"):
         run_job("nope", ctx)
+
+
+def test_jdbc_read_options_contract():
+    """The JDBC seam must emit Spark's partitioned-scan options — this
+    is the contract the production read binds to (no driver jar in the
+    container, so the option map IS the testable surface)."""
+    from jonesy_spark.catalog import jdbc_read_options
+
+    opts = jdbc_read_options(
+        "jdbc:oracle:thin:@db:1521/SISEDO",
+        "SISEDO.SOME_VIEW",
+        partition_column="CLASS_NBR",
+        num_partitions=16,
+        lower_bound=100,
+        upper_bound=99999,
+        sessionInitStatement="ALTER SESSION SET TIME_ZONE='UTC'",
+    )
+    assert opts["url"].startswith("jdbc:oracle:")
+    assert opts["dbtable"] == "SISEDO.SOME_VIEW"
+    assert opts["partitionColumn"] == "CLASS_NBR"
+    assert opts["numPartitions"] == "16"
+    assert (opts["lowerBound"], opts["upperBound"]) == ("100", "99999")
+    assert int(opts["fetchsize"]) > 0
+    assert opts["sessionInitStatement"].startswith("ALTER SESSION")
+    # unpartitioned read omits the partitioning trio entirely
+    plain = jdbc_read_options("jdbc:h2:mem:x", "T")
+    assert "partitionColumn" not in plain and "numPartitions" not in plain
+
+
+def test_s3a_credentials_conf_branches():
+    """S7: role ARN present -> AssumedRoleCredentialProvider with the
+    reference's session name/duration; absent -> static keys. SSE-AES256
+    always rides along (jonesy/jobs.py:76-97,128)."""
+    from jonesy_spark.pipeline.credentials import (
+        ASSUMED_ROLE_PROVIDER,
+        SIMPLE_PROVIDER,
+        s3a_credentials_conf,
+    )
+
+    role = s3a_credentials_conf(
+        {
+            "AWS_ROLE_ARN": "arn:aws:iam::123:role/extract",
+            "AWS_ACCESS_KEY_ID": "AKIA",
+            "AWS_SECRET_ACCESS_KEY": "shh",
+        }
+    )
+    assert role["fs.s3a.aws.credentials.provider"] == ASSUMED_ROLE_PROVIDER
+    assert role["fs.s3a.assumed.role.arn"].endswith("role/extract")
+    assert role["fs.s3a.assumed.role.session.name"] == "AssumeAppRoleSession"
+    assert role["fs.s3a.assumed.role.session.duration"] == "3600s"
+    assert role["fs.s3a.server-side-encryption-algorithm"] == "AES256"
+
+    static = s3a_credentials_conf(
+        {"AWS_ACCESS_KEY_ID": "AKIA", "AWS_SECRET_ACCESS_KEY": "shh"}
+    )
+    assert static["fs.s3a.aws.credentials.provider"] == SIMPLE_PROVIDER
+    assert static["fs.s3a.access.key"] == "AKIA"
+    assert "fs.s3a.assumed.role.arn" not in static
+
+
+def test_apply_s3a_conf_sets_hadoop_conf(spark):
+    from jonesy_spark.pipeline.credentials import apply_s3a_conf
+
+    applied = apply_s3a_conf(
+        spark, {"AWS_ACCESS_KEY_ID": "AKIA", "AWS_SECRET_ACCESS_KEY": "shh"}
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in applied.items():
+        assert hconf.get(k) == v
