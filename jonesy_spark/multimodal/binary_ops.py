@@ -73,25 +73,35 @@ def sample_frames(df: DataFrame, stride: int = 64, max_frames: int = 4) -> DataF
     """
     import hashlib as _hl
 
+    import numpy as np
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
-                for i in range(min(max_frames, max(1, len(payload) // stride))):
-                    frame = payload[i * stride : (i + 1) * stride]
-                    out_rows.append(
-                        (
-                            row["doc_id"],
-                            i,
-                            frame,
-                            _hl.md5(frame).hexdigest()[:12],
-                        )
-                    )
+            # Vectorized explode: one frame count per row, then a single
+            # np.repeat fan-out — no per-row iterrows; the only Python
+            # loop left is over the (already exploded) frame slices,
+            # which is the per-frame codec boundary itself.
+            payloads = [bytes(p) for p in pdf["payload"]]
+            counts = np.array(
+                [min(max_frames, max(1, len(p) // stride)) for p in payloads]
+            )
+            doc_ids = np.repeat(pdf["doc_id"].to_numpy(), counts)
+            frame_idx = np.concatenate([np.arange(c) for c in counts])
+            frames = [
+                p[i * stride : (i + 1) * stride]
+                for p, c in zip(payloads, counts)
+                for i in range(c)
+            ]
             yield pd.DataFrame(
-                out_rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_hash"]
+                {
+                    "doc_id": doc_ids,
+                    "frame_idx": frame_idx.astype("int32"),
+                    "frame_bytes": frames,
+                    "frame_hash": [
+                        _hl.md5(fr).hexdigest()[:12] for fr in frames
+                    ],
+                }
             )
 
     return df.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -185,6 +185,36 @@ def run_to_memory(df: DataFrame, name: str, mode: str = "complete") -> None:
     q.stop()
 
 
+def dir_stream(spark: SparkSession, path: str, schema) -> DataFrame:
+    """File-source stream over a landing directory with a declared
+    schema — the generic ingestion edge (new files become micro-batches;
+    same shape as a Kafka source from the first transformation on)."""
+    return spark.readStream.schema(schema).format("parquet").load(path)
+
+
+def run_file_sink(
+    df: DataFrame, path: str, checkpoint: str, mode: str = "append"
+) -> None:
+    """Drive a streaming frame into a checkpointed directory sink and
+    drain everything currently available.
+
+    The checkpoint carries the source offsets + sink commit log, so a
+    restart with the same (path, checkpoint) resumes exactly where the
+    previous run stopped: already-committed files are never reprocessed
+    and the output directory stays exactly-once. This is the durable
+    production shape (the memory sink in run_to_memory is test-only).
+    """
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
 def run_foreach_batch_fanout(
     df: DataFrame, emit
 ) -> None:
