@@ -79,19 +79,25 @@ def minhash_lsh_pairs(
         .withColumn("band", F.explode(TX.lsh_bands(F.col("sig"), n_bands, band_size)))
         .select(
             "doc_id",
+            F.size("toks").alias("sz"),
             F.col("band.band_id").alias("band_id"),
             F.md5(F.col("band.band_key")).alias("band_key"),
         )
     )
     a, b = banded.alias("a"), banded.alias("b")
     # Candidate pairs carry ids only — the band join and the pair dedup
-    # shuffle 16-byte rows, never the token arrays.
+    # shuffle 16-byte rows, never the token arrays. The token-set size
+    # rides along (one int) so the threshold-implied size-ratio bound
+    # (j >= t forces |A|/|B| within [t, 1/t]) kills impossible pairs at
+    # hash-probe time, before the distinct shuffle or any re-attach.
     candidates = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.sz") >= threshold * F.col("b.sz"))
+            & (F.col("b.sz") >= threshold * F.col("a.sz")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -113,13 +119,8 @@ def minhash_lsh_pairs(
         .join(ta, "doc_a")
         .join(tb, "doc_b")
     )
-    # Size-ratio prefilter (implied by the threshold: j >= t forces
-    # |A|/|B| within [t, 1/t]) prunes pairs with an int compare before
-    # the O(|A|+|B|) set ops.
-    sa, sb = F.size("toks_a"), F.size("toks_b")
     return (
-        verified.filter((sa >= threshold * sb) & (sb >= threshold * sa))
-        .withColumn("jaccard", TX.jaccard(F.col("toks_a"), F.col("toks_b")))
+        verified.withColumn("jaccard", TX.jaccard(F.col("toks_a"), F.col("toks_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
