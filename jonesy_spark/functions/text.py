@@ -58,80 +58,15 @@ def jaccard(a: Column, b: Column, ndigits: int = 6) -> Column:
     return F.round(inter / (F.size(a) + F.size(b) - inter), ndigits)
 
 
-def minhash_signature(toks: Column, n_hashes: int = 16) -> Column:
-    """MinHash signature: for permutation i, min over tokens of
-    md5(i || '|' || token).
-
-    Min over uniformly-distributed hex strings is a valid min-hash;
-    md5's hex form is identical across engines, so signatures (and
-    therefore LSH buckets) are exactly reproducible in the oracle.
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(toks, lambda t: F.md5(F.concat(i.cast("string"), F.lit("|"), t)))
-        ),
-    )
-
-
-def lsh_bands(signature: Column, n_bands: int, band_size: int) -> Column:
-    """Split a signature into (band_id, band_key) structs for LSH
-    bucketing; docs sharing any band key become candidate pairs."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.concat_ws(",", F.slice(signature, b * band_size + 1, band_size)).alias(
-                "band_key"
-            ),
-        ),
-    )
-
-
-def simhash_bits(hashes: Column, n_bits: int = 64) -> Column:
-    """SimHash fingerprint as an ``n_bits``-char '0'/'1' string.
-
-    Bit p votes +1 when hex digit p of a token's hash is >= 8, else -1;
-    the bit is 1 when the sum over tokens is >= 0. Near-duplicate texts
-    differ in few bits (compare with hamming_distance). ``hashes`` must
-    provide >= n_bits hex digits per element (one md5 gives 32; see
-    wide_hash for 64)."""
-    digit_vote = lambda h, p: F.when(  # noqa: E731
-        F.substring(h, p, 1).isin(*"89abcdef"), 1
-    ).otherwise(-1)
-    return F.concat_ws(
-        "",
-        F.transform(
-            F.sequence(F.lit(1), F.lit(n_bits)),
-            lambda p: F.when(
-                F.aggregate(
-                    hashes, F.lit(0), lambda acc, h: acc + digit_vote(h, p)
-                )
-                >= 0,
-                "1",
-            ).otherwise("0"),
-        ),
-    )
-
-
-def wide_hash(token: Column) -> Column:
-    """64 hex digits per token: md5(t) || md5('#' || t) — two independent
-    md5 draws, still bit-for-bit reproducible in the DuckDB oracle."""
-    return F.concat(F.md5(token), F.md5(F.concat(F.lit("#"), token)))
-
-
-def hamming_distance(a: Column, b: Column, n_bits: int = 64) -> Column:
-    """Hamming distance between two equal-length bit-string fingerprints."""
-    return F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(n_bits)),
-            lambda p: F.when(F.substring(a, p, 1) != F.substring(b, p, 1), 1).otherwise(
-                0
-            ),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+#: Mersenne prime 2^31-1: modulus of the permuted-hash family. Element
+#: hashes stay < 2^28 and multipliers < 2^31, so products fit a BIGINT
+#: on both engines — no overflow, bit-for-bit reproducible in the oracle.
+MERSENNE31 = 2_147_483_647
+#: Fixed multipliers deriving permutation i's (a_i, b_i) coefficients:
+#: a_i = (A_MULT*(i+1)) % p, b_i = (B_MULT*(i+1)) % p. Deterministic, so
+#: the DuckDB oracle reproduces every bucket exactly.
+A_MULT = 2_654_435_761  # Knuth's multiplicative-hash constant
+B_MULT = 97_531
 
 
 def occurrences(text: Column, needle: str) -> Column:

@@ -3,17 +3,26 @@ MinHash-LSH, SimHash, and n-gram-Jaccard near-dup.
 
 Scale design (the whole point at 100 TB):
   * never all-pairs — every near-dup operator *blocks* first (LSH band
-    buckets, simhash buckets, lang×length blocks) so the self-join is an
-    equi-join on a bucket key, not a cross join;
-  * sketches (minhash/simhash) are map-only projections over built-in
-    expressions — no shuffle until the bucket join;
-  * candidate verification (true Jaccard) runs only on pairs that share
-    a bucket — the expensive step sees a vanishing fraction of n².
+    buckets, simhash pigeonhole bands) so the self-join is an equi-join
+    on a bucket key whose cardinality grows with the corpus, not a
+    cross join;
+  * sketches run RELATIONALLY — explode elements, one codegen'd md5 per
+    element, then min/sum aggregates under a partitioning already keyed
+    on doc_id (the groupBy reuses the explicit repartition, so sketch
+    reassembly is partition-local: no extra shuffle). Higher-order
+    lambdas (transform/aggregate) are interpreted per element in Spark
+    and were measured 5-10x slower for exactly this work;
+  * element sets are carried as 28-bit int hashes (ONE md5 per element,
+    shared by sketch and verification) — int array intersections are
+    ~2x cheaper than string intersections and shuffle tighter rows;
+  * candidate verification (true Jaccard / Hamming) runs only on pairs
+    that share a bucket — the expensive step sees a vanishing fraction
+    of n².
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -46,6 +55,56 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 CPU_PARTITIONS = 64
 
 
+def element_hash(col: Column) -> Column:
+    """28-bit integer hash of a string element: the leading 7 hex digits
+    of its md5. md5 hex is identical across engines and DuckDB casts
+    '0x'||hex to BIGINT, so every downstream bucket/intersection is
+    exactly reproducible in the oracle. Jaccard over this hashed space
+    equals raw-space Jaccard up to 28-bit collisions (P ~ |set|^2/2^29
+    per doc, ~1e-4 at 300 grams)."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def _minhash_min_aggs(n_hashes: int) -> list[Column]:
+    """One ``min`` aggregate per MinHash permutation over the exploded
+    element-hash column ``h``: permutation i is (a_i*h + b_i) mod 2^31-1
+    with deterministic coefficients (see functions.text constants) —
+    integer multiply-add-mod inside a codegen'd aggregate, never a
+    per-permutation md5."""
+    p = TX.MERSENNE31
+    aggs = []
+    for i in range(n_hashes):
+        a_i = (TX.A_MULT * (i + 1)) % p
+        b_i = (TX.B_MULT * (i + 1)) % p
+        aggs.append(
+            F.min((F.lit(a_i) * F.col("h") + F.lit(b_i)) % p).alias(f"mh{i}")
+        )
+    return aggs
+
+
+def _band_structs(n_bands: int, band_size: int) -> Column:
+    """(band_id, band_key) structs from the ``mh{i}`` min columns; the
+    band key is md5-compressed (32 chars instead of band_size renderings
+    — a smaller join/shuffle key, mirrored exactly in the oracle)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{i}").cast("string")
+                            for i in range(b * band_size, (b + 1) * band_size)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -54,36 +113,38 @@ def minhash_lsh_pairs(
     n_bands: int = 2,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """MinHash + LSH near-duplicate pairs with exact-Jaccard verification.
+    """MinHash + LSH near-duplicate pairs with exact-Jaccard verification
+    over hashed token sets.
 
-    Pipeline: token sets → md5 minhash signature (map-only) → band keys
-    → self-equi-join on (band_id, band_key) → distinct candidate pairs
-    → verify true token-set Jaccard >= threshold.
+    Pipeline: explode whitespace tokens → 28-bit element hash (one
+    codegen'd md5 each) → per-doc agg (collect_set + n_hashes min
+    permutations; partition-local — the groupBy reuses the explicit
+    doc_id repartition) → band keys → self-equi-join on (band_id,
+    band_key) → distinct candidate pairs → verify true hashed-set
+    Jaccard >= threshold.
 
     With b bands of r rows, P(candidate) = 1-(1-j^r)^b — the b/r choice
-    tunes the recall/cost knee. The band join is the only shuffle; its
-    key cardinality grows with corpus size so skew stays bounded (AQE
-    splits hot buckets).
+    tunes the recall/cost knee. The band join is the only quadratic-risk
+    shuffle; its key cardinality grows with corpus size so skew stays
+    bounded (AQE splits hot buckets).
     """
     band_size = n_hashes // n_bands
-    tok = df.select(
-        F.col(id_col).alias("doc_id"), TX.tokens(F.col(text_col)).alias("toks")
-    ).repartition(CPU_PARTITIONS)
-    # Band keys are md5-compressed (32 chars instead of band_size × 32):
-    # the shuffle/join key shrinks ~8x; md5 keeps the oracle exact (any
-    # collision would only *add* a candidate, which verification then
-    # re-checks — and the oracle applies the identical md5, so candidate
-    # sets match bit-for-bit).
-    banded = (
-        tok.withColumn("sig", TX.minhash_signature(F.col("toks"), n_hashes))
-        .withColumn("band", F.explode(TX.lsh_bands(F.col("sig"), n_bands, band_size)))
+    ex = (
+        df.repartition(CPU_PARTITIONS, F.col(id_col))
         .select(
-            "doc_id",
-            F.size("toks").alias("sz"),
-            F.col("band.band_id").alias("band_id"),
-            F.md5(F.col("band.band_key")).alias("band_key"),
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("t"),
         )
+        .select("doc_id", element_hash(F.col("t")).alias("h"))
     )
+    tok = ex.groupBy("doc_id").agg(
+        F.collect_set("h").alias("toks"), *_minhash_min_aggs(n_hashes)
+    )
+    banded = tok.select(
+        "doc_id",
+        F.size("toks").alias("sz"),
+        F.explode(_band_structs(n_bands, band_size)).alias("band"),
+    ).select("doc_id", "sz", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
     a, b = banded.alias("a"), banded.alias("b")
     # Candidate pairs carry ids only — the band join and the pair dedup
     # shuffle 16-byte rows, never the token arrays. The token-set size
@@ -138,46 +199,88 @@ def simhash_near_dup(
     """SimHash near-duplicate pairs: ``n_bits``-bit fingerprint per doc,
     pairs within a block compared by Hamming distance.
 
-    Fingerprinting is map-only; the pair join blocks on ``block_col``
-    AND pigeonhole bands. 64 bits / 8 bands gives 2^8 bucket values per
-    band — candidate volume shrinks ~2^8/n_bands-fold vs all-pairs and
-    keeps shrinking as fingerprints spread, which is what survives a
-    100× corpus (a 16-bit fingerprint's 2^4 buckets per band would go
-    near-quadratic).
+    The fingerprint takes each distinct token's leading n_bits/4 md5 hex
+    digits (ONE md5 per token), votes each digit's four actual bits
+    (+1 set / -1 clear), and keeps the majority per bit — computed as
+    n_bits codegen'd SUM aggregates over exploded tokens, partition-local
+    under the doc_id repartition. The fingerprint is packed into two
+    BIGINT halves so candidate rows shuffle 16 bytes and Hamming distance
+    is two xor+bit_count ops per pair instead of n_bits substring
+    comparisons.
+
+    The pair join blocks on ``block_col`` AND pigeonhole bands. 64 bits /
+    8 bands gives 2^8 bucket values per band — candidate volume shrinks
+    vs all-pairs and keeps shrinking as fingerprints spread, which is
+    what survives a 100x corpus (a 16-bit fingerprint's 2^4 buckets per
+    band would go near-quadratic).
     """
     band_size = n_bits // n_bands
-    assert n_bits % n_bands == 0
+    assert n_bits % n_bands == 0 and n_bits % 4 == 0 and n_bits <= 64
     assert max_hamming < n_bands, (
         "pigeonhole blocking needs max_hamming < n_bands to be lossless"
     )
-    fp = df.repartition(CPU_PARTITIONS).select(
-        F.col(id_col).alias("doc_id"),
-        F.col(block_col).alias("block"),
-        TX.simhash_bits(
-            F.transform(TX.tokens(F.col(text_col)), TX.wide_hash), n_bits
-        ).alias("simhash"),
+    half = n_bits // 2
+    assert half % band_size == 0, "bands must not straddle fingerprint halves"
+    ex = (
+        df.repartition(CPU_PARTITIONS, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(block_col).alias("block"),
+            F.explode(TX.tokens(F.col(text_col))).alias("t"),
+        )
+        .select("doc_id", "block", F.md5("t").alias("hh"))
+    )
+
+    def vote(p: int) -> Column:
+        # Bit p (1-indexed) reads hex digit (p-1)//4 + 1 under mask
+        # 8 >> ((p-1) % 4) — the digit's actual bits, high to low.
+        d, m = (p - 1) // 4 + 1, 8 >> ((p - 1) % 4)
+        v = F.conv(F.substring("hh", d, 1), 16, 10).cast("int")
+        return F.when(v.bitwiseAND(m) > 0, 1).otherwise(-1)
+
+    sums = ex.groupBy("doc_id", "block").agg(
+        *[F.sum(vote(p)).alias(f"s{p}") for p in range(1, n_bits + 1)]
+    )
+
+    def pack(lo_p: int, hi_p: int) -> Column:
+        # Majority bit p gets weight 2^(hi_p - p): a BIGINT half-word.
+        out = F.lit(0).cast("long")
+        for p in range(lo_p, hi_p + 1):
+            out = out + F.when(
+                F.col(f"s{p}") >= 0, F.lit(1 << (hi_p - p)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return out
+
+    fp = sums.select(
+        "doc_id",
+        "block",
+        pack(1, half).alias("fpa"),
+        pack(half + 1, n_bits).alias("fpb"),
     )
     # Pigeonhole band blocking: with max_hamming errors spread over
     # n_bands > max_hamming bands, at least one band is error-free, so
     # every qualifying pair shares an exact band — the band equi-join is
     # LOSSLESS (same output as all-pairs) while pruning candidates ~
     # n_bands/2^band_size-fold. This is the 100 TB plan: never all-pairs.
-    banded = fp.select(
-        "doc_id",
-        "block",
-        "simhash",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.substring(
-                        F.col("simhash"), b * band_size + 1, band_size
-                    ).alias("band_bits"),
-                ),
+    bands = []
+    for bd in range(n_bands):
+        lo_bit = bd * band_size + 1  # first (most-significant) bit of band
+        if lo_bit + band_size - 1 <= half:
+            src, hi_p = F.col("fpa"), half
+        else:
+            src, hi_p = F.col("fpb"), n_bits
+        shift = hi_p - (lo_bit + band_size - 1)
+        bands.append(
+            F.struct(
+                F.lit(bd).alias("band_id"),
+                F.shiftright(src, shift)
+                .bitwiseAND((1 << band_size) - 1)
+                .alias("band_bits"),
             )
-        ).alias("band"),
-    ).select("doc_id", "block", "simhash", "band.band_id", "band.band_bits")
+        )
+    banded = fp.select(
+        "doc_id", "block", "fpa", "fpb", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "block", "fpa", "fpb", "band.band_id", "band.band_bits")
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(
@@ -190,16 +293,18 @@ def simhash_near_dup(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("simhash_a"),
-            F.col("b.simhash").alias("simhash_b"),
+            F.col("a.fpa").alias("fpa_a"),
+            F.col("a.fpb").alias("fpb_a"),
+            F.col("b.fpa").alias("fpa_b"),
+            F.col("b.fpb").alias("fpb_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    hamming = F.bit_count(
+        F.col("fpa_a").bitwiseXOR(F.col("fpa_b"))
+    ) + F.bit_count(F.col("fpb_a").bitwiseXOR(F.col("fpb_b")))
     return (
-        candidates.withColumn(
-            "hamming",
-            TX.hamming_distance(F.col("simhash_a"), F.col("simhash_b"), n_bits),
-        )
+        candidates.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -218,33 +323,50 @@ def ngram_jaccard_pairs(
     MinHash band) so candidate volume stays sub-quadratic as the corpus
     grows.
 
-    The old block key (lang, exact length-bucket) had FIXED cardinality
-    — candidates within each block grew O(n²) with corpus size, and
-    pairs straddling a bucket boundary were silently dropped. Banding
-    the gram-set MinHash gives a key whose cardinality grows with the
-    corpus and removes the boundary loss; recall is the standard LSH
-    curve 1-(1-j^r)^b (r=2, b=8: ~97% at j=0.6, →1 as j→1), mirrored
-    exactly in the oracle. Length pruning still happens — losslessly —
-    via the threshold-implied size-ratio filter before any set op.
+    Gram generation is relational: explode gram start positions
+    (sequence guarded to EMPTY for texts shorter than n — no spurious
+    truncated grams), one codegen'd md5 per gram, per-doc agg
+    (collect_set + min permutations) partition-local under the doc_id
+    repartition.
+
+    A fixed block key (lang, length-bucket) would keep candidates O(n²)
+    within blocks and drop boundary-straddling pairs. Banding the
+    gram-set MinHash gives a key whose cardinality grows with the
+    corpus; recall is the standard LSH curve 1-(1-j^r)^b (r=2, b=8:
+    ~97% at j=0.6, →1 as j→1), mirrored exactly in the oracle. Length
+    pruning still happens — losslessly — via the threshold-implied
+    size-ratio filter before any set op.
     """
     band_size = n_hashes // n_bands
-    g = df.repartition(CPU_PARTITIONS).select(
-        F.col(id_col).alias("doc_id"),
-        F.col("lang"),
-        TX.char_ngrams(F.col(text_col), n).alias("grams"),
-    )
-    banded = (
-        g.filter(F.size("grams") > 0)
-        .withColumn("sig", TX.minhash_signature(F.col("grams"), n_hashes))
-        .withColumn("band", F.explode(TX.lsh_bands(F.col("sig"), n_bands, band_size)))
+    ex = (
+        df.repartition(CPU_PARTITIONS, F.col(id_col))
+        .select(F.col(id_col).alias("doc_id"), F.col("lang"), F.col(text_col).alias("txt"))
         .select(
             "doc_id",
             "lang",
-            F.size("grams").alias("sz"),
-            F.col("band.band_id").alias("band_id"),
-            F.md5(F.col("band.band_key")).alias("band_key"),
+            "txt",
+            F.explode(
+                F.when(
+                    F.length("txt") >= n,
+                    F.sequence(F.lit(1), F.length("txt") - (n - 1)),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            element_hash(F.substring(F.col("txt"), F.col("i"), F.lit(n))).alias("h"),
         )
     )
+    g = ex.groupBy("doc_id", "lang").agg(
+        F.collect_set("h").alias("grams"), *_minhash_min_aggs(n_hashes)
+    )
+    banded = g.select(
+        "doc_id",
+        "lang",
+        F.size("grams").alias("sz"),
+        F.explode(_band_structs(n_bands, band_size)).alias("band"),
+    ).select("doc_id", "lang", "sz", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
     a, b = banded.alias("a"), banded.alias("b")
     # The gram-set SIZE rides along on the banded rows (one int) so the
     # threshold-implied size-ratio bound (j >= t forces |A|/|B| within

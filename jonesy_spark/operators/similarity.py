@@ -161,25 +161,42 @@ def ivf_assignments(
     )
 
 
+def adaptive_centroids(n: int) -> int:
+    """Centroid count for an n-vector corpus: sqrt(n) rounded UP to a
+    power of two (2^(floor(log2(n)/2)+1)), floored at 16.
+
+    K ~ sqrt(n) keeps expected candidate volume ~ probes^2 * n^1.5 / 2
+    (cells hold ~probes*n/K vectors each) instead of n^2/K under any
+    fixed K — this is the knob that makes the IVF block survive a 100x
+    corpus. Must stay a pure function of count(n) so the DuckDB oracle
+    reproduces it exactly."""
+    import math
+
+    return max(16, 2 ** (int(math.floor(math.log2(n) / 2)) + 1))
+
+
 def embedding_near_dup(
     emb: DataFrame,
     threshold: float = 0.3,
-    n_centroids: int = 16,
-    probes: int = 3,
+    n_centroids: int | None = None,
+    probes: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by deterministic
     IVF cells with multi-probe.
 
     Candidates are pairs sharing >= 1 of their ``probes`` nearest
     centroid cells — an equi-join on cid whose cell count grows with the
-    corpus (K ~ sqrt(n)), replacing the former fixed-cardinality `label`
-    block (measured on the sf0.01 fixture: label blocking found 11% of
-    true >= 0.3 pairs; IVF(16, 3) finds ~76%, and recall rises toward 1
-    in the high-cosine regime real near-dups live in). Verification
-    re-attaches vectors via keyed joins (no forced broadcast) and checks
-    the exact rounded cosine.
+    corpus (K ~ sqrt(n) via :func:`adaptive_centroids` when
+    ``n_centroids`` is None), replacing the former fixed-cardinality
+    `label` block (measured on the sf0.01 fixture: label blocking found
+    11% of true >= 0.3 pairs even in the near-isotropic worst case, and
+    recall rises toward 1 in the high-cosine regime real near-dups live
+    in). Verification re-attaches vectors via keyed joins (no forced
+    broadcast) and checks the exact rounded cosine.
     """
     e = _prepared(emb)
+    if n_centroids is None:
+        n_centroids = adaptive_centroids(emb.count())
     assign = ivf_assignments(e, n_centroids, probes)
     a, b = assign.alias("a"), assign.alias("b")
     candidates = (

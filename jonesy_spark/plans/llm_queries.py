@@ -80,15 +80,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_TOK},
+    toki AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   toks, t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)) AS toks
+        FROM tok
+    ),
     mh AS (
         SELECT doc_id, r.i,
-               min(md5(CAST(r.i AS VARCHAR) || '|' || u.t)) AS h
-        FROM tok, range(16) r(i), unnest(tok.toks) u(t)
+               min((((2654435761 * (r.i+1)) % 2147483647) * u.h
+                    + ((97531 * (r.i+1)) % 2147483647))
+                   % 2147483647) AS h
+        FROM toki, range(16) r(i), unnest(toki.toks) u(h)
         GROUP BY doc_id, r.i
     ),
     band AS (
         SELECT doc_id, i // 8 AS band_id,
-               md5(string_agg(h, ',' ORDER BY i)) AS band_key
+               md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS band_key
         FROM mh GROUP BY doc_id, i // 8
     ),
     pairs AS (
@@ -101,8 +109,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
                  / len(list_distinct(list_concat(ta.toks, tb.toks))), 6) AS jaccard
     FROM pairs p
-    JOIN tok ta ON ta.doc_id = p.doc_a
-    JOIN tok tb ON tb.doc_id = p.doc_b
+    JOIN toki ta ON ta.doc_id = p.doc_a
+    JOIN toki tb ON tb.doc_id = p.doc_b
     WHERE len(list_intersect(ta.toks, tb.toks))::DOUBLE
           / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.8
     """,
@@ -121,60 +129,72 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
         SELECT doc_id, lang,
-               list_transform(list_distinct(string_split(lower(trim(text)), ' ')),
-                              t -> md5(t) || md5('#' || t)) AS hs
+               list_distinct(string_split(lower(trim(text)), ' ')) AS toks
         FROM documents
     ),
     votes AS (
         SELECT doc_id, r.p,
-               sum(CASE WHEN strpos('89abcdef', substr(u.h, r.p, 1)) > 0
+               sum(CASE WHEN (('0x' || substr(md5(u.t), ((r.p-1)//4)::INT + 1, 1))::INT
+                              & (8 >> ((r.p-1) % 4))::INT) > 0
                         THEN 1 ELSE -1 END) AS v
-        FROM tok, range(1, 65) r(p), unnest(tok.hs) u(h)
+        FROM tok, range(1, 65) r(p), unnest(tok.toks) u(t)
         GROUP BY doc_id, r.p
     ),
     fp AS (
-        SELECT t.doc_id, t.lang,
-               (SELECT string_agg(CASE WHEN v.v >= 0 THEN '1' ELSE '0' END, ''
-                                  ORDER BY v.p)
-                FROM votes v WHERE v.doc_id = t.doc_id) AS simhash
-        FROM tok t
+        SELECT v.doc_id,
+               sum(CASE WHEN v.v >= 0 AND v.p <= 32
+                        THEN (1::BIGINT << (32 - v.p)::INT) ELSE 0 END)::BIGINT AS fpa,
+               sum(CASE WHEN v.v >= 0 AND v.p > 32
+                        THEN (1::BIGINT << (64 - v.p)::INT) ELSE 0 END)::BIGINT AS fpb
+        FROM votes v GROUP BY v.doc_id
+    ),
+    fpl AS (
+        SELECT f.doc_id, t.lang, f.fpa, f.fpb
+        FROM fp f JOIN tok t ON t.doc_id = f.doc_id
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           len(list_filter(range(1, 65),
-               p -> substr(a.simhash, p, 1) <> substr(b.simhash, p, 1))) AS hamming
-    FROM fp a
-    JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE len(list_filter(range(1, 65),
-          p -> substr(a.simhash, p, 1) <> substr(b.simhash, p, 1))) <= 3
+           (bit_count(xor(a.fpa, b.fpa)) + bit_count(xor(a.fpb, b.fpb)))::INT AS hamming
+    FROM fpl a
+    JOIN fpl b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE (bit_count(xor(a.fpa, b.fpa)) + bit_count(xor(a.fpb, b.fpb))) <= 3
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit, 8 pigeonhole bands) near-dup pairs within language
     blocks at Hamming distance <= 3. Fingerprints are majority votes over
-    64 hex digits (md5(t) || md5('#'||t)) — map-only, cross-engine
-    deterministic. The oracle computes all-pairs-within-lang; band
-    blocking is lossless (max_hamming < n_bands), so outputs coincide."""
+    the leading 64 md5 BITS (4 per hex digit — ONE md5 per token) —
+    map-only, cross-engine deterministic. The oracle computes
+    all-pairs-within-lang; band blocking is lossless
+    (max_hamming < n_bands), so outputs coincide."""
     return DD.simhash_near_dup(Catalog(spark, sf_dir).documents, max_hamming=3)
 
 
 @query(
     "dedup_ngram_jaccard",
     oracle="""
-    WITH g AS (
+    WITH g0 AS (
         SELECT doc_id, lang,
                list_distinct(list_transform(range(1, length(text) - 1),
                                             i -> substr(text, i, 3))) AS grams
         FROM documents
     ),
+    g AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   grams, gm -> ('0x' || substr(md5(gm), 1, 7))::BIGINT)) AS grams
+        FROM g0
+    ),
     mh AS (
         SELECT doc_id, r.i,
-               min(md5(CAST(r.i AS VARCHAR) || '|' || u.gm)) AS h
-        FROM g, range(16) r(i), unnest(g.grams) u(gm)
+               min((((2654435761 * (r.i+1)) % 2147483647) * u.h
+                    + ((97531 * (r.i+1)) % 2147483647))
+                   % 2147483647) AS h
+        FROM g, range(16) r(i), unnest(g.grams) u(h)
         GROUP BY doc_id, r.i
     ),
     band AS (
         SELECT doc_id, i // 2 AS band_id,
-               md5(string_agg(h, ',' ORDER BY i)) AS band_key
+               md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS band_key
         FROM mh GROUP BY doc_id, i // 2
     ),
     cand AS (
@@ -211,7 +231,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_EMB},
     cent AS (
-        SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM nemb WHERE vec_id < 16
+        SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM nemb
+        WHERE vec_id < (SELECT greatest(16, power(2, floor(log2(count(*))/2)+1))::BIGINT
+                        FROM emb)
     ),
     scored AS (
         SELECT e.vec_id, c.cid,
@@ -225,7 +247,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT vec_id, cid,
                    row_number() OVER (PARTITION BY vec_id ORDER BY ncos, cid) AS rk
             FROM scored
-        ) WHERE rk <= 3
+        ) WHERE rk <= 4
     ),
     cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -245,11 +267,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs blocked by deterministic IVF
-    cells (16 centroids, 3 probes) — replaces the fixed-cardinality
-    label block (11% recall on the fixture) with a cell count that grows
-    with the corpus (~76% measured recall at the 0.3 threshold, ->1 for
-    true high-cosine near-dups). Dot products via built-in fold — no
-    UDF."""
+    cells (K = sqrt(n) rounded up to a power of two — 32 on this
+    fixture — with 4 probes); replaces the fixed-cardinality label block
+    (11% recall on the fixture) with a cell count that grows with the
+    corpus (~75% measured recall at the 0.3 threshold in the fixture's
+    near-isotropic worst case, ->1 for true high-cosine near-dups).
+    Dot products via built-in fold — no UDF."""
     return SIM.embedding_near_dup(Catalog(spark, sf_dir).embeddings, threshold=0.3)
 
 
