@@ -280,3 +280,49 @@ def test_apply_s3a_conf_sets_hadoop_conf(spark):
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     for k, v in applied.items():
         assert hconf.get(k) == v
+
+
+def test_env_dispatch_main(spark, tmp_path):
+    """D8 spine: JOB env var -> python -m jonesy_spark -> extracts on
+    disk (reference scripts/data-loch-*.sh:20 + jonesy.py:13-16).
+    get_spark() inside main() returns this session's active singleton,
+    so the run stays in-process."""
+    from jonesy_spark.__main__ import main
+
+    env = {
+        "JOB": "upload_advisors",
+        "SF_DIR": SF_DIR,
+        "OUT_ROOT": str(tmp_path / "out"),
+        "TARGETS": str(tmp_path / "loch"),
+    }
+    ctx = main(env=env)
+    assert ctx.written
+    for key in ctx.written:
+        assert os.path.isfile(
+            os.path.join(str(tmp_path / "loch"), daily_prefix(ctx.run_date), key)
+        )
+
+
+def test_env_dispatch_rejects_unknown_job():
+    from jonesy_spark.__main__ import main
+
+    with pytest.raises(SystemExit, match="unknown or missing job"):
+        main(env={"JOB": "nope"})
+    with pytest.raises(SystemExit, match="unknown or missing job"):
+        main(env={})
+
+
+def test_cron_wrappers_reference_shape():
+    """The three wrappers exist, are executable, and dispatch the right
+    JOB through the shared spine."""
+    root = os.path.join(os.path.dirname(__file__), "..", "scripts", "cron")
+    for name, job in [
+        ("data-loch-advisors.sh", "upload_advisors"),
+        ("data-loch-snapshot.sh", "upload_snapshot"),
+        ("data-loch-recent-refresh.sh", "upload_recent_refresh"),
+    ]:
+        path = os.path.join(root, name)
+        assert os.access(path, os.X_OK), path
+        assert job in open(path).read()
+    spine = open(os.path.join(root, "run-job.sh")).read()
+    assert "python -m jonesy_spark" in spine and "tee -a" in spine
