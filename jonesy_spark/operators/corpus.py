@@ -1,0 +1,237 @@
+"""Training-corpus preparation operators: repetition filtering, domain
+mixture sampling, sequence packing, and deterministic training order.
+
+These are the pipeline steps BETWEEN dedup (operators.dedup) and the
+tokenizer: decide what survives (repetition/quality gates, mixture
+rates), then shape what survives into training input (packed sequences,
+shuffled shards). Everything is deterministic — md5-derived randomness,
+no rand()/Date.now — so reruns, retries, and the DuckDB differential
+tests reproduce byte-identical decisions.
+
+Scale notes (the design constraints at 100 TB):
+  * repetition stats explode n-grams but aggregate under doc_id keys —
+    two keyed shuffles whose width is the corpus token stream, the same
+    shape (and cost class) as the MinHash sketch stage;
+  * mixture sampling is map-only: the rate table broadcasts and the
+    Bernoulli draw is a pure expression of (salt, doc_id);
+  * sequence packing never sorts globally — docs shard by hash first
+    (ONE keyed shuffle), then each shard packs independently under a
+    shard-local window. A global-order window would be an
+    Exchange SinglePartition: one task packs the planet. Shards pack
+    to the same fill ratio in expectation, which is what training
+    throughput cares about;
+  * train_order is repartitionByRange on an md5 sort key: the range
+    exchange samples key quantiles, so output files are balanced even
+    though the key is synthetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from .dedup import CPU_PARTITIONS, element_hash
+
+
+def _hash_unit(salt: str, key: Column) -> Column:
+    """Deterministic U[0,1) draw: 28-bit md5 prefix of salt|key scaled
+    to [0,1). Same expression is reproducible in DuckDB, so sampling
+    decisions are oracle-checkable."""
+    return element_hash(F.concat(F.lit(salt), F.lit("|"), key.cast("string"))) / F.lit(
+        float(1 << 28)
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition diagnostics per document.
+
+    Returns (id, n_tokens, dup_token_frac, top_ngram_frac, max_ngram_count):
+      * ``dup_token_frac``  — 1 - distinct/total tokens (word-level
+        repetitiveness);
+      * ``top_ngram_frac``  — occurrences of the most frequent word
+        n-gram over total n-grams (boilerplate/loop detector; the
+        Gopher rule drops docs above ~0.2 for 2-grams).
+
+    Relational shape: explode n-grams once, count per (doc, gram), then
+    max per doc — keyed aggregations with map-side partial combine, no
+    higher-order map accumulators (interpreted, 5-10x slower) and no
+    per-doc Python.
+    """
+    toks = TX.token_list(F.lower(F.col(text_col)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.repartition(CPU_PARTITIONS, id_col).select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            (F.size(toks) - F.size(F.array_distinct(toks)))
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("dup_token_frac"),
+        grams.alias("grams"),
+    )
+    # explode_outer + null-count-as-zero: docs too short to have any
+    # n-gram keep a stats row (top_ngram_frac 0) instead of vanishing.
+    per_gram = (
+        base.select(
+            id_col, "n_tokens", "dup_token_frac", F.explode_outer("grams").alias("g")
+        )
+        .groupBy(id_col, "n_tokens", "dup_token_frac", "g")
+        .agg(F.count(F.col("g")).alias("c"))
+    )
+    return (
+        per_gram.groupBy(id_col, "n_tokens", "dup_token_frac")
+        .agg(
+            F.max("c").alias("max_ngram_count"),
+            F.sum("c").alias("total_ngrams"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "dup_token_frac",
+            F.round(
+                F.col("max_ngram_count") / F.greatest(F.col("total_ngrams"), F.lit(1)), 6
+            ).alias("top_ngram_frac"),
+            F.col("max_ngram_count"),
+        )
+    )
+
+
+def repetition_filter(
+    docs: DataFrame,
+    max_dup_token_frac: float = 0.6,
+    max_top_ngram_frac: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents surviving the repetition gates, with the failing rule
+    names for the dropped ones available via an anti-join on the stats
+    (callers wanting drop reasons join ``repetition_stats`` directly)."""
+    stats = repetition_stats(docs, text_col=text_col, id_col=id_col)
+    keep = stats.filter(
+        (F.col("dup_token_frac") <= max_dup_token_frac)
+        & (F.col("top_ngram_frac") <= max_top_ngram_frac)
+    ).select(id_col)
+    return docs.join(keep, id_col, "left_semi")
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "mix-v1",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-domain Bernoulli sampling — the mixture-weights
+    step of a training-data pipeline (e.g. upweight curated sources,
+    downsample crawl).
+
+    The rate table broadcasts (domains are few); the keep decision is a
+    pure function of (salt, doc_id), so resampling with a new salt is a
+    fresh independent draw while reruns of the same salt are exact.
+    """
+    spark = docs.sparkSession
+    rate_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(rates.items())], f"{group_col} string, rate double"
+    )
+    return (
+        docs.join(F.broadcast(rate_df), group_col, "left")
+        .withColumn("rate", F.coalesce(F.col("rate"), F.lit(float(default_rate))))
+        .filter(_hash_unit(salt, F.col(id_col)) < F.col("rate"))
+        .drop("rate")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 512,
+    n_shards: int = 64,
+    salt: str = "pack-v1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contiguous-fill sequence packing: assign each document to a fixed
+    token-budget training sequence, without a global sort.
+
+    Docs shard by hash (ONE keyed shuffle), each shard orders its docs
+    by a deterministic md5 key and fills sequences by cumulative token
+    count: a doc starts in the sequence its running offset falls in,
+    overflow spills into the next (standard contiguous packing — the
+    tokenizer splits at the boundary downstream). Per-doc output:
+    (doc_id, shard, seq_nbr, seq_id, n_tokens, start_offset).
+
+    ``budget_tokens`` is the model context length; ``n_shards`` bounds
+    window state per task — at 100 TB raise shards, never the window.
+    """
+    key = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
+    toks = F.greatest(TX.whitespace_token_count(F.col(text_col)), F.lit(1))
+    base = docs.select(
+        F.col(id_col),
+        key.alias("pack_key"),
+        (element_hash(key) % n_shards).alias("shard"),
+        toks.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("pack_key")
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("start_offset"),
+        F.floor((cum - F.col("n_tokens")) / budget_tokens).alias("seq_nbr"),
+    ).withColumn(
+        "seq_id", F.concat_ws("-", F.col("shard"), F.col("seq_nbr"))
+    )
+
+
+def sequence_fill_stats(packed: DataFrame, budget_tokens: int = 512) -> DataFrame:
+    """Fill-ratio roll-up of :func:`pack_sequences` output — the packing
+    efficiency a training job actually observes (aggregated per shard so
+    the report stays small)."""
+    per_seq = packed.groupBy("shard", "seq_nbr").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("seq_tokens")
+    )
+    return (
+        per_seq.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.round(F.avg("n_docs"), 6).alias("avg_docs_per_seq"),
+            F.round(
+                F.avg(F.least(F.col("seq_tokens"), F.lit(budget_tokens)))
+                / budget_tokens,
+                6,
+            ).alias("avg_fill_ratio"),
+        )
+        .orderBy("shard")
+    )
+
+
+def train_order(
+    docs: DataFrame,
+    salt: str = "shuffle-v1",
+    n_files: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle for training order: every doc gets
+    an md5 sort key, rows range-partition on it (quantile-sampled, so
+    files balance), and sort within partitions.
+
+    The result streams to ``n_files`` output files in a stable
+    pseudo-random order: epoch N+1 is a different salt, a rerun of
+    epoch N is byte-identical. No ``rand()`` — retried tasks must not
+    reshuffle their partition."""
+    key = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
+    return (
+        docs.withColumn("shuffle_key", key)
+        .repartitionByRange(n_files, "shuffle_key")
+        .sortWithinPartitions("shuffle_key")
+    )

@@ -42,6 +42,12 @@ DRIVER_EXCLUDED = {
     # Same lag + running-sum sessionization as events_sessionization minus
     # the session_nbr column — green events_sessionization implies it.
     "events_session_native",
+    # Inverse of the retained pivot_event_counts over the same grouping —
+    # the pivot row plus the melt tests keep stack() covered.
+    "unpivot_event_counts",
+    # cube_agg's grouping sets are a strict superset of rollup_agg's
+    # hierarchy; the retained cube row exercises the same Expand plan.
+    "rollup_agg",
 }
 
 

@@ -677,3 +677,61 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("text").cast("long").alias("byte_len"),
         F.substring(F.md5("text"), 1, 8).alias("sample_hash"),
     )
+
+
+@query(
+    "mixture_sample",
+    oracle="""
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN (VALUES ('src0', 0.8), ('src1', 0.25), ('src2', 0.5)) r(source, rate)
+      USING (source)
+    WHERE ('0x' || substr(md5('mix-v1|' || CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+          / 268435456.0 < r.rate
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain mixture sampling (training-mix weights):
+    broadcast rate table + md5-derived U[0,1) draw per doc — map-only,
+    rerun-stable, resample-able by salt. operators.corpus.mixture_sample."""
+    from ..operators import corpus as C
+
+    return C.mixture_sample(
+        Catalog(spark, sf_dir).documents,
+        {"src0": 0.8, "src1": 0.25, "src2": 0.5},
+        salt="mix-v1",
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               md5('pack-v1|' || CAST(doc_id AS VARCHAR)) AS pack_key,
+               ('0x' || substr(md5(md5('pack-v1|' || CAST(doc_id AS VARCHAR))), 1, 7))::BIGINT
+                   % 64 AS shard,
+               greatest(len(string_split(trim(text), ' ')), 1) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, shard, n_tokens,
+               (sum(n_tokens) OVER (PARTITION BY shard ORDER BY pack_key))::BIGINT
+                   - n_tokens AS start_offset
+        FROM base
+    )
+    SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens, start_offset,
+           floor(start_offset / 512)::BIGINT AS seq_nbr,
+           CAST(shard AS VARCHAR) || '-' || CAST(floor(start_offset / 512)::BIGINT AS VARCHAR)
+               AS seq_id
+    FROM packed
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-fill sequence packing into 512-token training
+    sequences: hash-sharded (no global sort — the window partitions by
+    shard), deterministic order within shards, overflow spills to the
+    next sequence. operators.corpus.pack_sequences."""
+    from ..operators import corpus as C
+
+    return C.pack_sequences(Catalog(spark, sf_dir).documents, budget_tokens=512)
