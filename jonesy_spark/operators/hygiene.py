@@ -1,0 +1,168 @@
+"""Corpus-hygiene operators: PII redaction, benchmark-contamination
+detection, source blocklisting, and incremental dedup against an
+existing corpus index.
+
+These are the remaining gates of a training-data pipeline (after
+operators.dedup removes copies and operators.corpus shapes the mix):
+scrub what must not be learned, drop what must not be crawled, flag
+what must not be evaluated on, and skip what a previous run already
+ingested.
+
+Scale shape:
+  * redaction is chained ``regexp_replace`` — map-only, codegen'd, zero
+    shuffle at any corpus size;
+  * contamination joins doc n-gram hashes against the benchmark's gram
+    set — the benchmark side is small by nature (eval suites, not
+    corpora) and broadcasts; the doc side aggregates per doc_id with
+    map-side combine, so the shuffle is hit-rows only;
+  * blocklist is a broadcast anti-join on the domain key;
+  * incremental dedup is an anti-join of 16-byte digests — the index
+    side shuffles digests, never text, and at 100 TB lives as a
+    bucketed/partitioned table keyed on the digest so repeated nightly
+    runs co-locate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from .dedup import CPU_PARTITIONS, element_hash
+
+#: (kind, pattern, replacement) in application order — longer/more
+#: specific first so e.g. the SSN rule fires before the generic phone
+#: rule can consume its digits. Patterns are RE2-ish (no lookarounds) so
+#: they run identically in Spark and DuckDB's regex engines.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ()]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column, kinds: list[str] | None = None) -> Column:
+    """Replace PII spans with typed placeholder tokens — chained
+    ``regexp_replace`` in :data:`PII_RULES` order (map-only)."""
+    out = text
+    for kind, pat, repl in PII_RULES:
+        if kinds is None or kind in kinds:
+            out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII match counts per rule plus the redacted text —
+    the audit artifact a scrubbing run writes next to its output."""
+    cols = [F.col(id_col)]
+    cols += [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat, _ in PII_RULES
+    ]
+    cols.append(redact_pii(F.col(text_col)).alias("redacted_text"))
+    return docs.select(*cols)
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination report: for each document, the fraction
+    of its character ``n``-grams that appear anywhere in the benchmark
+    texts (the standard n-gram-overlap decontamination check; 13-gram
+    is the common eval-decontamination window).
+
+    Output: (doc_id, n_grams, n_contaminated, contamination_frac) for
+    docs with at least one gram — join back `left` for the rest. The
+    benchmark gram set is broadcast (eval suites are MBs, not TBs); doc
+    grams explode to 28-bit int hashes so the probe rows stay narrow.
+    """
+    doc_grams = (
+        docs.repartition(CPU_PARTITIONS, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(TX.char_ngrams(F.col(text_col), n)).alias("g"),
+        )
+        .select(id_col, element_hash(F.col("g")).alias("h"))
+    )
+    bench_grams = (
+        benchmark.select(F.explode(TX.char_ngrams(F.col(text_col), n)).alias("g"))
+        .select(element_hash(F.col("g")).alias("h"))
+        .distinct()
+    )
+    hit = F.when(F.col("bh").isNotNull(), 1).otherwise(0)
+    return (
+        doc_grams.join(
+            F.broadcast(bench_grams.select(F.col("h").alias("bh"))),
+            F.col("h") == F.col("bh"),
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(hit).alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 6).alias(
+                "contamination_frac"
+            ),
+        )
+    )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocked: DataFrame | list[str],
+    key_col: str = "source",
+) -> DataFrame:
+    """Drop documents whose ``key_col`` (domain/source) is blocklisted —
+    broadcast anti-join; blocklists are list-shaped, corpora are not."""
+    if isinstance(blocked, list):
+        spark = docs.sparkSession
+        blocked = spark.createDataFrame([(b,) for b in blocked], f"{key_col} string")
+    return docs.join(F.broadcast(blocked.select(key_col)), key_col, "left_anti")
+
+
+def content_digest(text: Column) -> Column:
+    """Normalized content digest shared with operators.dedup.exact_dedup:
+    md5 of lowercased, trimmed, whitespace-collapsed text."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a new batch against the already-ingested corpus: returns
+    ``(novel_docs, updated_seen)`` where ``seen`` is a 1-column
+    ``content_hash`` index.
+
+    Within-batch copies collapse first (min ``id_col`` survives — a
+    deterministic pick, unlike ``dropDuplicates`` whose survivor is
+    partition-order-dependent), then the anti-join drops digests the
+    corpus already holds. Both shuffles move digests only (32 hex chars
+    per row regardless of document size). ``updated_seen`` unions the
+    batch's novel digests — persist it partitioned/bucketed on
+    ``content_hash`` so tomorrow's run co-locates the probe.
+    """
+    from pyspark.sql import Window
+
+    withd = new_docs.withColumn("content_hash", content_digest(F.col(text_col)))
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    firsts = (
+        withd.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    novel = firsts.join(seen, "content_hash", "left_anti")
+    updated = seen.union(novel.select("content_hash")).distinct()
+    return novel, updated

@@ -1,0 +1,136 @@
+"""Corpus-hygiene operator tests: PII redaction goldens, contamination
+DuckDB differential, blocklist anti-join, incremental dedup semantics."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from jonesy_spark.catalog import Catalog
+from jonesy_spark.operators import hygiene as H
+
+DOCS = f"{SF_DIR}/documents.parquet"
+
+
+def test_redact_pii_golden(spark):
+    rows = [
+        (1, "mail bob.smith+x@example.co.uk now"),
+        (2, "ssn 123-45-6789 leaked"),
+        (3, "host 192.168.001.1 up"),
+        (4, "call +1 415-555-0199 today"),
+        (5, "clean text stays clean"),
+    ]
+    out = {
+        r["doc_id"]: r["redacted_text"]
+        for r in H.pii_stats(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    }
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "ssn <SSN> leaked"
+    assert out[3] == "host <IP> up"
+    assert out[4] == "call <PHONE> today"
+    assert out[5] == "clean text stays clean"
+
+
+def test_pii_stats_counts(spark):
+    rows = [(1, "a@b.co and c@d.org, ip 10.0.0.1")]
+    r = H.pii_stats(spark.createDataFrame(rows, ["doc_id", "text"])).first()
+    assert r["n_email"] == 2 and r["n_ipv4"] == 1 and r["n_ssn"] == 0
+
+
+def test_ssn_not_eaten_by_phone_rule(spark):
+    # Rule order: the SSN pattern must fire before the generic phone one.
+    r = (
+        spark.range(1)
+        .select(H.redact_pii(F.lit("id 987-65-4321 on file")).alias("t"))
+        .first()["t"]
+    )
+    assert r == "id <SSN> on file"
+
+
+def test_contamination_duckdb_differential(spark):
+    docs = Catalog(spark, SF_DIR).documents
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    got = sorted(
+        map(tuple, H.contamination(docs, bench, n=13).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            duckdb.sql(
+                f"""
+                WITH dg AS (
+                    SELECT doc_id,
+                           ('0x' || substr(md5(u.g), 1, 7))::BIGINT AS h
+                    FROM (
+                        SELECT doc_id,
+                               list_distinct(list_transform(
+                                   range(1, length(text) - 11),
+                                   i -> substr(text, i, 13))) AS gs
+                        FROM '{DOCS}' WHERE length(text) >= 13
+                    ), unnest(gs) u(g)
+                ),
+                bg AS (
+                    SELECT DISTINCT ('0x' || substr(md5(u.g), 1, 7))::BIGINT AS h
+                    FROM (
+                        SELECT list_distinct(list_transform(
+                                   range(1, length(text) - 11),
+                                   i -> substr(text, i, 13))) AS gs
+                        FROM '{DOCS}'
+                        WHERE doc_id % 50 = 0 AND length(text) >= 13
+                    ), unnest(gs) u(g)
+                )
+                SELECT dg.doc_id,
+                       count(*) AS n_grams,
+                       sum(CASE WHEN bg.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                           AS n_contaminated,
+                       round(sum(CASE WHEN bg.h IS NOT NULL THEN 1 ELSE 0 END)
+                             / count(*), 6) AS contamination_frac
+                FROM dg LEFT JOIN bg ON dg.h = bg.h
+                GROUP BY dg.doc_id
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == want and got
+    # benchmark members must read fully contaminated
+    full = [t for t in got if t[0] % 50 == 0]
+    assert full and all(t[3] == 1.0 for t in full)
+
+
+def test_blocklist_filter(spark):
+    docs = Catalog(spark, SF_DIR).documents
+    srcs = [r[0] for r in docs.select("source").distinct().limit(2).collect()]
+    kept = H.blocklist_filter(docs, srcs)
+    assert kept.filter(F.col("source").isin(srcs)).count() == 0
+    assert kept.count() == docs.filter(~F.col("source").isin(srcs)).count()
+
+
+def test_incremental_dedup_rounds(spark):
+    batch1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, "Alpha  beta")],  # 3 dups 1 after norm
+        ["doc_id", "text"],
+    )
+    empty_seen = spark.createDataFrame([], "content_hash string")
+    novel1, seen1 = H.incremental_dedup(batch1, empty_seen)
+    assert sorted(r["doc_id"] for r in novel1.collect()) == [1, 2]  # min-id survivor
+    assert seen1.count() == 2
+
+    batch2 = spark.createDataFrame(
+        [(10, "gamma"), (11, "delta")], ["doc_id", "text"]
+    )
+    novel2, seen2 = H.incremental_dedup(batch2, seen1)
+    assert [r["doc_id"] for r in novel2.collect()] == [11]  # 'gamma' already seen
+    assert seen2.count() == 3
+
+
+def test_contamination_benchmark_broadcasts(spark):
+    docs = Catalog(spark, SF_DIR).documents
+    bench = docs.filter(F.col("doc_id") < 5).select("doc_id", "text")
+    plan = (
+        H.contamination(docs, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
