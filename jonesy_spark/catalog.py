@@ -163,8 +163,10 @@ def jdbc_source(
 ) -> DataFrame:
     """Production seam: parallel JDBC scan of a remote view (see
     :func:`jdbc_read_options` for the partitioning contract). The
-    ``.load()`` needs a JDBC driver jar on the classpath — absent in
-    this container, so tests pin the option map instead."""
+    ``.load()`` needs a JDBC driver jar on the classpath; tests
+    round-trip through Spark's bundled embedded Derby (write, then a
+    4-slice partitioned read with filter pushdown) and additionally pin
+    the generated option map for the Oracle-shaped production case."""
     return (
         spark.read.format("jdbc")
         .options(**jdbc_read_options(url, dbtable, **kwargs))
