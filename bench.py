@@ -42,6 +42,8 @@ HEADLINE = [
     "doc_chunking",
     "tfidf_top_terms",
     "text_quality_score",
+    "mixture_sample",
+    "pack_sequences",
 ]
 
 

@@ -140,8 +140,14 @@ def mixture_sample(
     fresh independent draw while reruns of the same salt are exact.
     """
     spark = docs.sparkSession
-    rate_df = spark.createDataFrame(
-        [(k, float(v)) for k, v in sorted(rates.items())], f"{group_col} string, rate double"
+    # VALUES → LocalRelation: the literal rate rows live JVM-side (no
+    # Python-RDD scan in the plan, no per-session py4j warm-up cost).
+    values = ", ".join(
+        "('{}', CAST({} AS DOUBLE))".format(k.replace("'", "''"), float(v))
+        for k, v in sorted(rates.items())
+    )
+    rate_df = spark.sql(
+        f"SELECT * FROM (VALUES {values}) AS t({group_col}, rate)"
     )
     return (
         docs.join(F.broadcast(rate_df), group_col, "left")
