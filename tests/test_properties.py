@@ -129,3 +129,99 @@ def test_pacific_coercion_matches_pytz(spark, ts):
     )
     want = pacific.strftime("%Y-%m-%d %H:%M:%S %z")
     assert got == want
+
+
+url_strategy = st.builds(
+    lambda scheme, host, path, params, frag: (
+        scheme
+        + host
+        + path
+        + ("?" + "&".join(params) if params else "")
+        + ("#" + frag if frag else "")
+    ),
+    st.sampled_from(["http://", "https://", "http://www.", "https://WWW."]),
+    st.from_regex(r"[a-zA-Z]{1,8}\.(com|org|co\.uk)", fullmatch=True),
+    st.sampled_from(["", "/", "/a", "/a/b/", "/p-q_r"]),
+    st.lists(
+        st.sampled_from(
+            ["a=1", "b=2", "z=9", "utm_source=x", "gclid=42", "ref=tw"]
+        ),
+        max_size=4,
+        unique=True,
+    ),
+    st.sampled_from(["", "frag", "x=y"]),
+)
+
+
+@given(url=url_strategy)
+@settings(**SETTINGS)
+def test_normalize_url_idempotent(spark, url):
+    """Canonicalization must be a projection: applying it twice equals
+    applying it once (otherwise dedup keys depend on how many hops a
+    URL took through the pipeline)."""
+    from jonesy_spark.functions.url import normalize_url
+
+    once, twice = (
+        spark.range(1)
+        .select(
+            normalize_url(F.lit(url)).alias("a"),
+            normalize_url(normalize_url(F.lit(url))).alias("b"),
+        )
+        .first()
+    )
+    assert once == twice
+    assert once.startswith("https://")
+    assert "utm_" not in once and "gclid" not in once and "#" not in once
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab @.-0123456789xyz\n")), max_size=60
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_redact_pii_idempotent(spark, texts):
+    """Redaction output must contain no further matches — placeholders
+    must not themselves trigger rules (no '<EMAIL>@<IP>' cascades)."""
+    from jonesy_spark.operators.hygiene import redact_pii
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = df.select(
+        redact_pii(F.col("text")).alias("a"),
+        redact_pii(redact_pii(F.col("text"))).alias("b"),
+    )
+    for r in out.collect():
+        assert r["a"] == r["b"]
+
+
+@given(
+    sizes=st.lists(st.integers(1, 200), min_size=1, max_size=40),
+    budget=st.sampled_from([32, 128, 512]),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_offsets_consistent(spark, sizes, budget):
+    """Packing invariants for any doc-size distribution: every doc
+    appears exactly once; within a shard, offsets tile the token stream
+    with no gaps or overlaps; seq_nbr is the start-offset bin."""
+    from jonesy_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "t " * (s - 1) + "t") for i, s in enumerate(sizes)],
+        ["doc_id", "text"],
+    )
+    rows = pack_sequences(docs, budget_tokens=budget, n_shards=4).collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(len(sizes)))
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["start_offset"])
+        expect = 0
+        for r in shard_rows:
+            assert r["start_offset"] == expect
+            assert r["seq_nbr"] == r["start_offset"] // budget
+            expect += r["n_tokens"]
