@@ -226,3 +226,22 @@ def run_foreach_batch_fanout(
     ).start()
     q.processAllAvailable()
     q.stop()
+
+
+def content_dedup_stream(docs: DataFrame, watermark_col: str = "ts", horizon: str = "1 day") -> DataFrame:
+    """Streaming content dedup: first document per normalized content
+    digest within the watermark horizon — the streaming twin of
+    ``operators.hygiene.incremental_dedup`` (there the "state" is the
+    persisted seen-digest index; here it is the streaming state store).
+
+    Uses ``dropDuplicatesWithinWatermark`` so state for a digest is
+    evicted once the watermark passes it — at corpus-ingest scale the
+    state store holds one 16-byte digest per doc *in the horizon*, not
+    per doc ever seen (the batch-side index covers history)."""
+    from ..operators.hygiene import content_digest
+
+    return (
+        docs.withColumn("content_hash", content_digest(F.col("text")))
+        .withWatermark(watermark_col, horizon)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

@@ -175,3 +175,46 @@ def test_file_sink_checkpoint_restart_resume(spark, tmp_path):
     assert back.count() == purchases(ev).count()
     dupes = back.groupBy("event_id").count().filter("count > 1").count()
     assert dupes == 0
+
+
+def test_content_dedup_stream_one_per_digest(spark, tmp_path):
+    """Streaming content dedup: exactly one survivor per normalized
+    digest within the horizon, digest set identical to the batch
+    operator's."""
+    import pandas as pd
+
+    from jonesy_spark.streaming.incremental import (
+        content_dedup_stream,
+        dir_stream,
+        run_to_memory,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    rows = [
+        (1, "alpha beta", "2026-01-01 10:00:00"),
+        (2, "gamma", "2026-01-01 10:01:00"),
+        (3, "Alpha  beta", "2026-01-01 10:02:00"),  # dup of 1 after norm
+        (4, "gamma", "2026-01-01 10:03:00"),        # dup of 2
+        (5, "delta", "2026-01-01 10:04:00"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf.to_parquet(land / "batch0.parquet", coerce_timestamps="us")
+
+    schema = "doc_id bigint, text string, ts timestamp"
+    stream = content_dedup_stream(dir_stream(spark, str(land), schema))
+    run_to_memory(stream, "stream_content_dedup", mode="append")
+    out = spark.sql("SELECT content_hash, count(*) c FROM stream_content_dedup GROUP BY 1")
+    assert out.filter("c > 1").count() == 0
+    got_digests = {r["content_hash"] for r in out.collect()}
+    assert len(got_digests) == 3  # alpha-beta, gamma, delta
+
+    from jonesy_spark.operators.hygiene import incremental_dedup
+
+    batch_docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], ["doc_id", "text"]
+    )
+    empty = spark.createDataFrame([], "content_hash string")
+    _, seen = incremental_dedup(batch_docs, empty)
+    assert {r["content_hash"] for r in seen.collect()} == got_digests
