@@ -221,6 +221,46 @@ def sequence_fill_stats(packed: DataFrame, budget_tokens: int = 512) -> DataFram
     )
 
 
+def assemble_sequences(
+    docs: DataFrame,
+    packed: DataFrame,
+    sep: str = "<|doc|>",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize packed training sequences: join documents onto
+    :func:`pack_sequences` output and concatenate each sequence's texts
+    in offset order with a separator token.
+
+    One keyed join on doc_id + one aggregation keyed on (shard,
+    seq_nbr) — texts shuffle once, grouped under the same sharding the
+    packer created. Ordering inside the aggregate uses sort_array over
+    (start_offset, text) structs, so assembly is deterministic without a
+    window.
+    """
+    joined = packed.join(docs.select(id_col, text_col), id_col)
+    return (
+        joined.groupBy("shard", "seq_nbr")
+        .agg(
+            F.first("seq_id").alias("seq_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(F.col("start_offset"), F.col(text_col).alias("t"))
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+            ).alias("seq_text"),
+        )
+        .drop("shard", "seq_nbr")
+    )
+
+
 def train_order(
     docs: DataFrame,
     salt: str = "shuffle-v1",

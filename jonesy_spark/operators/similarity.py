@@ -115,29 +115,33 @@ def ivf_assignments(
     e: DataFrame,
     n_centroids: int = 16,
     probes: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """Deterministic IVF cell assignments: (vec_id, cid) rows mapping
-    each vector to its ``probes`` nearest of ``n_centroids`` centroid
-    directions (centroids = the first n_centroids vec_ids — seedless and
-    reproducible in the oracle; a production build would plug k-means
-    centroids into the same shape).
+    """IVF cell assignments: (vec_id, cid) rows mapping each vector to
+    its ``probes`` nearest centroid directions.
+
+    Centroid source: by default the first ``n_centroids`` vec_ids —
+    seedless and reproducible in the DuckDB oracle; pass ``centroids``
+    (``(cid, cv, cnrm)`` rows, e.g. from :func:`kmeans_centroids`) to
+    plug trained cells into the same plan shape.
 
     Fully map-side: centroids collapse to ONE array row (collect_list
     agg), broadcast-cross-joined, and each vector ranks the K cells
     inside a sorted-array expression — no window, no shuffle. At scale
     K grows ~sqrt(n) and the broadcast stays MB-sized.
     """
-    cents = (
-        e.filter(F.col("vec_id") < n_centroids)
-        .select(
-            F.struct(
-                F.col("vec_id").alias("cid"),
-                F.col("v").alias("cv"),
-                F.col("nrm").alias("cnrm"),
-            ).alias("c")
+    cent_rows = (
+        centroids
+        if centroids is not None
+        else e.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
         )
-        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
     )
+    cents = cent_rows.select(
+        F.struct(F.col("cid"), F.col("cv"), F.col("cnrm")).alias("c")
+    ).agg(F.sort_array(F.collect_list("c")).alias("cents"))
     # struct(-cos, cid) sorted ascending == cosine desc with cid
     # tiebreak; rounding first makes the order engine-portable.
     scored = F.transform(
@@ -175,11 +179,42 @@ def adaptive_centroids(n: int) -> int:
     return max(16, 2 ** (int(math.floor(math.log2(n) / 2)) + 1))
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int,
+    seed: int = 13,
+    max_iter: int = 8,
+) -> DataFrame:
+    """Trained IVF centroid table ``(cid, cv, cnrm)`` via MLlib KMeans
+    over the embedding column — the production-quality cell source for
+    :func:`ivf_assignments` (tighter cells than the seedless first-K
+    default => better recall at the same probe count; NOT cross-engine
+    deterministic, so it stays out of the oracle-checked surface).
+
+    Training is Spark-distributed (k-means||); only the K centers — a
+    K x dim float table — come to the driver, then ship back as literal
+    rows (MB-sized at any corpus scale, same budget as the broadcast)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    data = emb.select(
+        array_to_vector(VX.as_double(F.col("embedding"))).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(data)
+    spark = emb.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cents = spark.createDataFrame(rows, "cid bigint, cv array<double>")
+    return cents.select("cid", "cv", VX.norm(F.col("cv")).alias("cnrm"))
+
+
 def embedding_near_dup(
     emb: DataFrame,
     threshold: float = 0.3,
     n_centroids: int | None = None,
     probes: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by deterministic
     IVF cells with multi-probe.
@@ -195,9 +230,9 @@ def embedding_near_dup(
     broadcast) and checks the exact rounded cosine.
     """
     e = _prepared(emb)
-    if n_centroids is None:
+    if centroids is None and n_centroids is None:
         n_centroids = adaptive_centroids(emb.count())
-    assign = ivf_assignments(e, n_centroids, probes)
+    assign = ivf_assignments(e, n_centroids or 0, probes, centroids=centroids)
     a, b = assign.alias("a"), assign.alias("b")
     candidates = (
         a.join(

@@ -214,3 +214,19 @@ def test_url_dedup_keeps_preferred(spark):
     )
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [2, 3]
+
+
+def test_assemble_sequences_round_trip(spark):
+    docs = Catalog(spark, SF_DIR).documents
+    packed = C.pack_sequences(docs, budget_tokens=512)
+    seqs = C.assemble_sequences(docs, packed, sep="<|doc|>")
+    rows = seqs.collect()
+    # every doc's text lands in exactly one sequence, total docs conserved
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    # doc count per sequence matches separator count
+    for r in rows:
+        assert r["seq_text"].count("<|doc|>") == r["n_docs"] - 1
+    # assembly is deterministic
+    a = {r["seq_id"]: r["seq_text"] for r in rows}
+    b = {r["seq_id"]: r["seq_text"] for r in C.assemble_sequences(docs, packed).collect()}
+    assert a == b

@@ -106,3 +106,27 @@ def test_ivf_near_dup_recall_vs_brute_force(spark):
         assert cos == truth[pair]
     recall = len(found) / len(truth)
     assert recall >= 0.6, f"IVF recall {recall:.3f} below floor"
+
+
+def test_kmeans_ivf_beats_or_matches_default_recall(spark):
+    """Trained centroids must plug into the same IVF plan shape and not
+    lose recall vs the seedless first-K default at equal (K, probes)."""
+    from jonesy_spark.operators import similarity as SIM
+
+    emb = Catalog(spark, SF_DIR).embeddings
+    k, probes, thr = 16, 3, 0.3
+
+    truth = {
+        (r["vec_a"], r["vec_b"])
+        for r in SIM.embedding_near_dup(emb, thr, n_centroids=1, probes=1).collect()
+    }  # K=1: every vector in one cell == exact all-pairs ground truth
+
+    def recall(pairs):
+        found = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+        assert found <= truth  # verification is exact: no false positives
+        return len(found) / len(truth)
+
+    r_default = recall(SIM.embedding_near_dup(emb, thr, n_centroids=k, probes=probes))
+    cents = SIM.kmeans_centroids(emb, k=k)
+    r_kmeans = recall(SIM.embedding_near_dup(emb, thr, probes=probes, centroids=cents))
+    assert r_kmeans >= r_default - 0.05, (r_kmeans, r_default)
