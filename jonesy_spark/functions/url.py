@@ -21,7 +21,7 @@ TRACKING_PARAMS = (
 
 def url_host(url: Column) -> Column:
     """Lowercased host with any leading ``www.`` and port stripped."""
-    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
     return F.regexp_replace(host, r"^www\.", "")
 
 
@@ -37,7 +37,7 @@ def _clean_query(url: Column) -> Column:
     """Query string minus tracking params, keys sorted — '' if nothing
     survives. Sorting makes param order canonical (?a=1&b=2 ==
     ?b=2&a=1)."""
-    q = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    q = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
     kept = F.filter(
         F.split(q, "&"),
         lambda kv: (kv != "")
@@ -52,15 +52,19 @@ def normalize_url(url: Column) -> Column:
     fragment. Scheme is folded (http==https) because crawls see both for
     the same resource; fragments are client-side only."""
     host = url_host(url)
-    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
     path = F.when(path == "/", "").otherwise(F.regexp_replace(path, r"/$", ""))
     q = _clean_query(url)
-    return F.concat(
+    canon = F.concat(
         F.lit("https://"),
         host,
         path,
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
+    # Unparseable/host-less URLs fall back to the raw string: a NULL
+    # canonical key would collapse EVERY malformed URL into one dedup
+    # group and silently drop all but one of those documents.
+    return F.coalesce(canon, url)
 
 
 def url_dedup(

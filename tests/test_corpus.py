@@ -230,3 +230,18 @@ def test_assemble_sequences_round_trip(spark):
     a = {r["seq_id"]: r["seq_text"] for r in rows}
     b = {r["seq_id"]: r["seq_text"] for r in C.assemble_sequences(docs, packed).collect()}
     assert a == b
+
+
+def test_url_dedup_malformed_urls_do_not_collapse(spark):
+    """Host-less/unparseable URLs must keep distinct canonical keys
+    (raw fallback) — a NULL key would merge every malformed URL into
+    one group and drop the documents behind it."""
+    rows = [
+        (1, "not a url at all"),
+        (2, "also-not-a-url"),
+        (3, "https://example.com/ok"),
+    ]
+    out = URL.url_dedup(spark.createDataFrame(rows, ["doc_id", "url"]))
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3]
+    keys = {r["canonical_url"] for r in out.collect()}
+    assert len(keys) == 3 and None not in keys
