@@ -140,6 +140,10 @@ def mixture_sample(
     fresh independent draw while reruns of the same salt are exact.
     """
     spark = docs.sparkSession
+    if not rates:  # VALUES with zero rows is invalid SQL
+        return docs.filter(
+            _hash_unit(salt, F.col(id_col)) < F.lit(float(default_rate))
+        )
     # VALUES → LocalRelation: the literal rate rows live JVM-side (no
     # Python-RDD scan in the plan, no per-session py4j warm-up cost).
     values = ", ".join(

@@ -245,3 +245,10 @@ def test_url_dedup_malformed_urls_do_not_collapse(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3]
     keys = {r["canonical_url"] for r in out.collect()}
     assert len(keys) == 3 and None not in keys
+
+
+def test_mixture_sample_empty_rates_uses_default(spark):
+    docs = Catalog(spark, SF_DIR).documents
+    assert C.mixture_sample(docs, {}, default_rate=0.0).count() == 0
+    n = C.mixture_sample(docs, {}, default_rate=1.0).count()
+    assert n == docs.count()
