@@ -172,3 +172,38 @@ def jdbc_source(
         .options(**jdbc_read_options(url, dbtable, **kwargs))
         .load()
     )
+
+
+def validate_schema(df: DataFrame, expected: str, strict: bool = False) -> DataFrame:
+    """Schema-drift gate for the ingestion edge: assert ``df`` carries
+    the ``expected`` columns/types (DDL string, e.g. ``"doc_id bigint,
+    text string"``) before a pipeline consumes it.
+
+    Non-strict (default) permits extra columns — upstream producers add
+    fields without breaking consumers (the reference's positional CSV
+    contract breaks on ANY drift; declared-schema reads make additions
+    benign, so only require what we use). ``strict=True`` also rejects
+    extras. Raises ``ValueError`` naming every mismatch; returns ``df``
+    projected to the expected columns on success, so downstream plans
+    never silently bind to drifted types.
+    """
+    from pyspark.sql.types import StructType
+
+    want = StructType.fromDDL(expected)
+    have = {f.name.lower(): f for f in df.schema.fields}
+    problems = []
+    for f in want.fields:
+        got = have.get(f.name.lower())
+        if got is None:
+            problems.append(f"missing column {f.name!r} ({f.dataType.simpleString()})")
+        elif got.dataType != f.dataType:
+            problems.append(
+                f"column {f.name!r}: expected {f.dataType.simpleString()}, "
+                f"got {got.dataType.simpleString()}"
+            )
+    if strict:
+        extras = set(have) - {f.name.lower() for f in want.fields}
+        problems += [f"unexpected column {e!r}" for e in sorted(extras)]
+    if problems:
+        raise ValueError("schema drift: " + "; ".join(problems))
+    return df.select(*[f.name for f in want.fields])

@@ -252,3 +252,50 @@ def test_mixture_sample_empty_rates_uses_default(spark):
     assert C.mixture_sample(docs, {}, default_rate=0.0).count() == 0
     n = C.mixture_sample(docs, {}, default_rate=1.0).count()
     assert n == docs.count()
+
+
+def test_repetition_stats_duckdb_differential(spark):
+    got = sorted(
+        map(
+            tuple,
+            C.repetition_stats(Catalog(spark, SF_DIR).documents)
+            .select("doc_id", "n_tokens", "dup_token_frac", "top_ngram_frac")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            duckdb.sql(
+                f"""
+                WITH toks AS (
+                    SELECT doc_id, string_split(trim(lower(text)), ' ') AS ts
+                    FROM '{DOCS}'
+                ),
+                base AS (
+                    SELECT doc_id, len(ts) AS n_tokens,
+                           round((len(ts) - len(list_distinct(ts)))
+                                 / greatest(len(ts), 1), 6) AS dup_token_frac,
+                           CASE WHEN len(ts) >= 2 THEN list_transform(
+                               range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+                           ELSE [] END AS grams
+                    FROM toks
+                ),
+                per_gram AS (
+                    SELECT doc_id, n_tokens, dup_token_frac, u.g, count(*) AS c
+                    FROM base, unnest(grams) u(g)
+                    GROUP BY ALL
+                )
+                SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
+                       round(coalesce(m.mx, 0) / greatest(coalesce(m.tot, 0), 1), 6)
+                           AS top_ngram_frac
+                FROM base b
+                LEFT JOIN (
+                    SELECT doc_id, max(c) AS mx, sum(c) AS tot
+                    FROM per_gram GROUP BY doc_id
+                ) m USING (doc_id)
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == want and got

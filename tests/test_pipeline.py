@@ -326,3 +326,18 @@ def test_cron_wrappers_reference_shape():
         assert job in open(path).read()
     spine = open(os.path.join(root, "run-job.sh")).read()
     assert "python -m jonesy_spark" in spine and "tee -a" in spine
+
+
+def test_validate_schema_gate(spark):
+    from jonesy_spark.catalog import validate_schema
+
+    df = spark.createDataFrame([(1, "x", 2.0)], ["doc_id", "text", "extra"])
+    out = validate_schema(df, "doc_id bigint, text string")
+    assert out.columns == ["doc_id", "text"]  # projected to the contract
+
+    with pytest.raises(ValueError, match="missing column 'absent'"):
+        validate_schema(df, "absent int")
+    with pytest.raises(ValueError, match="expected int, got bigint"):
+        validate_schema(df, "doc_id int")
+    with pytest.raises(ValueError, match="unexpected column 'extra'"):
+        validate_schema(df, "doc_id bigint, text string", strict=True)
