@@ -12,12 +12,20 @@ similarity search, text analysis, multimodal columns) designed for
 
 Layout:
     session    -- tuned SparkSession builder
-    catalog    -- table registry over parquet fixtures (JDBC-ready seam)
-    functions/ -- scalar Column builders (strings, dates, text, vectors)
-    operators/ -- reusable relational patterns (dedup, windows, joins, similarity)
+    catalog    -- table registry over parquet fixtures (JDBC-ready seam,
+                  multi-format lake reads, schema-drift gate)
+    functions/ -- scalar Column builders (strings, dates, text, vectors,
+                  URL canonicalization)
+    operators/ -- reusable relational patterns (dedup, windows, joins,
+                  similarity/ANN, corpus prep, hygiene)
     plans/     -- named query builders + matching DuckDB oracle SQL
-    pipeline/  -- job registry, sinks (gzip CSV, multi-target)
-    streaming/ -- watermark/windowed incremental variants
+    pipeline/  -- job registry, sinks (gzip CSV, multi-target), S3A creds
+    streaming/ -- watermark/windowed incremental variants, file sink,
+                  streaming content dedup
+    multimodal/-- binary payload columns + Arrow mapInPandas features
+
+Run a pipeline job: ``JOB=upload_snapshot python -m jonesy_spark``
+(see ``scripts/cron/``).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
