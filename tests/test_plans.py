@@ -89,3 +89,49 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_near_dup_ops_never_cross_join(spark):
+    """Every near-dup/ANN self-join must be an equi-join on a bucket
+    key — a BroadcastNestedLoopJoin/CartesianProduct in any of these
+    plans means blocking regressed to all-pairs."""
+    q = all_queries()
+    for name in ["dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard", "ann_bucketed_topk"]:
+        plan = plan_of(q[name](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # embedding_near_dup legitimately broadcast-cross-joins ONE row (the
+    # collapsed centroid array) for map-side cell assignment — that
+    # subtree appears once per side of the self-join, so at most two
+    # BNLJ nodes; the pair join itself must be a hash equi-join on cid.
+    plan = plan_of(q["embedding_near_dup"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 2
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+
+
+def test_train_order_range_partitions(spark):
+    from jonesy_spark.operators.corpus import train_order
+
+    plan = plan_of(train_order(Catalog(spark, SF_DIR).documents, n_files=8))
+    assert "rangepartitioning" in plan.lower()  # quantile-sampled balance
+    assert "SinglePartition" not in plan
+
+
+def test_incremental_dedup_digest_anti_join(spark):
+    from jonesy_spark.operators.hygiene import incremental_dedup
+
+    docs = Catalog(spark, SF_DIR).documents
+    seen = spark.createDataFrame([], "content_hash string")
+    novel, _ = incremental_dedup(docs, seen)
+    plan = plan_of(novel)
+    assert "LeftAnti" in plan  # digest probe, not a collect-and-filter
+
+
+def test_mixture_sample_rate_table_local(spark):
+    """The literal rate table must plan as a LocalRelation (JVM-side),
+    not a Python RDD scan."""
+    from jonesy_spark.operators.corpus import mixture_sample
+
+    plan = plan_of(mixture_sample(Catalog(spark, SF_DIR).documents, {"src0": 0.5}))
+    assert "ExistingRDD" not in plan
