@@ -161,6 +161,68 @@ def mixture_sample(
     )
 
 
+def mixture_rates_from_targets(
+    docs: DataFrame,
+    targets: dict[str, float],
+    group_col: str = "source",
+    text_col: str = "text",
+) -> dict[str, float]:
+    """Derive per-domain sampling rates from target TOKEN budgets:
+    rate = target_tokens / available_tokens per domain (uncapped — a
+    target above availability yields a rate > 1, which
+    :func:`mixture_upsample` realizes as repeated epochs).
+
+    One aggregation keyed on the domain; only the per-domain totals (a
+    handful of rows — domains are list-shaped) reach the driver, same
+    budget as the reference's term fan-out."""
+    totals = {
+        r[group_col]: r["tok"]
+        for r in docs.groupBy(group_col)
+        .agg(F.sum(TX.whitespace_token_count(F.col(text_col))).alias("tok"))
+        .collect()
+    }
+    return {
+        g: float(t) / float(totals[g]) for g, t in sorted(targets.items()) if g in totals
+    }
+
+
+def mixture_upsample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    salt: str = "mix-v1",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mixture with upsampling: rate 2.3 emits every doc twice plus a
+    30% deterministic chance of a third copy — how training mixes
+    realize per-domain epoch counts. Output adds ``copy_nbr``
+    (0-indexed) so downstream shuffling/packing treats copies as
+    distinct rows.
+
+    Same md5 draw as :func:`mixture_sample` (rate <= 1 degenerates to
+    exactly its behavior, plus the copy_nbr=0 column); the explode is
+    map-side — no shuffle, no rand()."""
+    spark = docs.sparkSession
+    if not rates:
+        return docs.filter(F.lit(False)).withColumn("copy_nbr", F.lit(0))
+    values = ", ".join(
+        "('{}', CAST({} AS DOUBLE))".format(k.replace("'", "''"), float(v))
+        for k, v in sorted(rates.items())
+    )
+    rate_df = spark.sql(f"SELECT * FROM (VALUES {values}) AS t({group_col}, rate)")
+    whole = F.floor(F.col("rate")).cast("int")
+    extra = (
+        _hash_unit(salt, F.col(id_col)) < (F.col("rate") - F.floor(F.col("rate")))
+    ).cast("int")
+    return (
+        docs.join(F.broadcast(rate_df), group_col)
+        .withColumn("__n", whole + extra)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy_nbr", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("rate", "__n")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget_tokens: int = 512,

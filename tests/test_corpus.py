@@ -299,3 +299,37 @@ def test_repetition_stats_duckdb_differential(spark):
         )
     )
     assert got == want and got
+
+
+def test_mixture_rates_from_targets(spark):
+    docs = Catalog(spark, SF_DIR).documents
+    totals = {
+        r["source"]: r["tok"]
+        for r in docs.groupBy("source")
+        .agg(F.sum(F.size(F.split(F.trim("text"), " "))).alias("tok"))
+        .collect()
+    }
+    src = sorted(totals)[0]
+    rates = C.mixture_rates_from_targets(
+        docs, {src: totals[src] * 2.0, "no-such-source": 99}
+    )
+    assert rates == {src: 2.0}  # above-availability -> rate > 1; unknown dropped
+
+
+def test_mixture_upsample_epochs(spark):
+    docs = Catalog(spark, SF_DIR).documents
+    src = docs.select("source").distinct().orderBy("source").first()["source"]
+    base = docs.filter(F.col("source") == src)
+    n = base.count()
+    out = C.mixture_upsample(docs, {src: 2.3}, salt="up-test")
+    per_doc = out.groupBy("doc_id").count().collect()
+    assert len(per_doc) == n  # every doc of the domain present
+    assert all(r["count"] in (2, 3) for r in per_doc)  # 2 or 3 epochs each
+    total = sum(r["count"] for r in per_doc)
+    assert abs(total / n - 2.3) < 0.2  # fractional epoch realized ~30% (small-n noise)
+    # copy_nbr indexes copies 0..k-1
+    assert out.filter(F.col("copy_nbr") > 2).count() == 0
+    # rate <= 1 degenerates to mixture_sample + copy_nbr 0
+    a = sorted(r["doc_id"] for r in C.mixture_upsample(docs, {src: 0.5}, salt="s").collect())
+    b = sorted(r["doc_id"] for r in C.mixture_sample(docs, {src: 0.5}, salt="s").collect())
+    assert a == b
