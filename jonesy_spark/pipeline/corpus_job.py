@@ -1,0 +1,118 @@
+"""The assembled training-corpus pipeline: every corpus operator
+composed end-to-end, runnable as ``JOB=prepare_corpus python -m
+jonesy_spark``.
+
+Stage order follows cost and selectivity (cheap, selective gates first
+so expensive stages see fewer rows — the same principle as predicate
+pushdown, applied across operators):
+
+  1. exact dedup          digest anti-join (cheapest, highest yield)
+  2. PII redaction        map-only rewrite
+  3. repetition gates     two keyed aggs, drops boilerplate
+  4. near-dup dedup       MinHash-LSH, keeps min-id representative
+  5. mixture sampling     map-only per-domain rates
+  6. train/val/test split map-only hash split
+  7. sequence packing     hash-sharded window
+  8. assembly + shuffle   packed text in deterministic train order
+
+Every decision is md5-derived: rerunning the job reproduces the same
+corpus byte-for-byte (the property that makes a 100 TB run resumable
+and debuggable — no rand(), no partition-order dependence).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import corpus as C
+from ..operators import dedup as DD
+from ..operators import hygiene as H
+
+
+@dataclass
+class CorpusConfig:
+    rates: dict[str, float] = field(default_factory=dict)
+    default_rate: float = 1.0
+    budget_tokens: int = 512
+    n_shards: int = 64
+    salt: str = "corpus-v1"
+    max_dup_token_frac: float = 0.9
+    max_top_ngram_frac: float = 0.9
+    near_dup_threshold: float = 0.95
+    blocklist: list[str] = field(default_factory=list)
+
+
+def prepare_training_corpus(
+    docs: DataFrame, cfg: CorpusConfig | None = None
+) -> dict[str, DataFrame]:
+    """Run the full corpus pipeline; returns the named intermediate
+    frames (all lazy — callers materialize what they need):
+    ``clean`` (gated docs), ``split`` (doc_id -> train/val/test),
+    ``packed`` (doc -> sequence assignment), ``sequences`` (assembled
+    training text, train split only)."""
+    cfg = cfg or CorpusConfig()
+
+    # 1. exact dedup: keep each content digest's min-id representative.
+    reps = DD.exact_dedup(docs).select(
+        F.col("representative_id").alias("doc_id")
+    )
+    docs = docs.join(reps, "doc_id", "left_semi")
+    if cfg.blocklist:
+        docs = H.blocklist_filter(docs, cfg.blocklist)
+
+    # 2. PII scrub (map-only rewrite of the text column).
+    docs = docs.withColumn("text", H.redact_pii(F.col("text")))
+
+    # 3. repetition gates.
+    docs = C.repetition_filter(
+        docs,
+        max_dup_token_frac=cfg.max_dup_token_frac,
+        max_top_ngram_frac=cfg.max_top_ngram_frac,
+    )
+
+    # 4. near-dup dedup: drop the higher id of each verified pair.
+    pairs = DD.minhash_lsh_pairs(docs, threshold=cfg.near_dup_threshold)
+    dupes = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    docs = docs.join(dupes, "doc_id", "left_anti")
+
+    # 5. mixture sampling (default keeps everything).
+    if cfg.rates:
+        docs = C.mixture_sample(
+            docs, cfg.rates, default_rate=cfg.default_rate, salt=cfg.salt
+        )
+    clean = docs
+
+    # 6. deterministic split.
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+    split = clean.select(
+        "doc_id",
+        F.when(digit.isin(*"0123456789ab"), "train")
+        .when(digit.isin("c", "d"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+    # 7-8. pack + assemble the train split in train order.
+    train = clean.join(split.filter(F.col("split") == "train"), "doc_id", "left_semi")
+    packed = C.pack_sequences(
+        train, budget_tokens=cfg.budget_tokens, n_shards=cfg.n_shards, salt=cfg.salt
+    )
+    sequences = C.assemble_sequences(train, packed)
+
+    return {"clean": clean, "split": split, "packed": packed, "sequences": sequences}
+
+
+def run_prepare_corpus(ctx) -> None:
+    """Job-registry entry: run the pipeline on the fixture documents and
+    write the packed train sequences + split manifest as parquet under
+    the job's output root."""
+    from ..catalog import Catalog
+
+    out = prepare_training_corpus(Catalog(ctx.spark, ctx.sf_dir).documents)
+    for key in ("split", "sequences"):
+        path = f"{ctx.out_root}/corpus/{key}"
+        out[key].write.mode("overwrite").parquet(path)
+        ctx.written.append(f"corpus/{key}")

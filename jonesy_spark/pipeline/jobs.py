@@ -143,10 +143,17 @@ def upload_recent_refresh(ctx: JobContext) -> None:
     )
 
 
+def _prepare_corpus(ctx: JobContext) -> None:
+    from .corpus_job import run_prepare_corpus
+
+    run_prepare_corpus(ctx)
+
+
 JOBS: dict[str, Callable[[JobContext], None]] = {
     "upload_advisors": upload_advisors,
     "upload_snapshot": upload_snapshot,
     "upload_recent_refresh": upload_recent_refresh,
+    "prepare_corpus": _prepare_corpus,
 }
 
 

@@ -341,3 +341,43 @@ def test_validate_schema_gate(spark):
         validate_schema(df, "doc_id int")
     with pytest.raises(ValueError, match="unexpected column 'extra'"):
         validate_schema(df, "doc_id bigint, text string", strict=True)
+
+
+def test_prepare_corpus_end_to_end(spark, tmp_path):
+    """The assembled training-corpus pipeline: gates compose, counts
+    only shrink, outputs are deterministic, and the job writes the
+    split manifest + packed sequences."""
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.pipeline.corpus_job import prepare_training_corpus
+    from jonesy_spark.pipeline.jobs import run_job
+
+    docs = Catalog(spark, SF_DIR).documents
+    out = prepare_training_corpus(docs)
+    n_docs, n_clean = docs.count(), out["clean"].count()
+    assert 0 < n_clean <= n_docs
+    assert out["split"].count() == n_clean
+    # every packed doc is a train-split doc, each exactly once
+    train_ids = {
+        r["doc_id"]
+        for r in out["split"].filter("split = 'train'").collect()
+    }
+    packed_ids = [r["doc_id"] for r in out["packed"].select("doc_id").collect()]
+    assert set(packed_ids) <= train_ids and len(packed_ids) == len(set(packed_ids))
+    assert out["sequences"].count() > 0
+    # deterministic: a rerun reproduces identical sequences
+    again = prepare_training_corpus(docs)
+    a = sorted(r["seq_text"] for r in out["sequences"].collect())
+    b = sorted(r["seq_text"] for r in again["sequences"].collect())
+    assert a == b
+    # PII/near-dup gates actually ran: no raw emails survive
+    assert out["clean"].filter(F.col("text").rlike("@[A-Za-z0-9.-]+\\.")).count() == 0
+
+    ctx = JobContext(
+        spark=spark,
+        sf_dir=SF_DIR,
+        out_root=str(tmp_path / "out"),
+        targets=[str(tmp_path / "loch")],
+    )
+    run_job("prepare_corpus", ctx)
+    assert sorted(ctx.written) == ["corpus/sequences", "corpus/split"]
+    assert spark.read.parquet(str(tmp_path / "out" / "corpus" / "sequences")).count() > 0
