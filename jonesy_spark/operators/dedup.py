@@ -17,7 +17,11 @@ Scale design (the whole point at 100 TB):
     ~2x cheaper than string intersections and shuffle tighter rows;
   * candidate verification (true Jaccard / Hamming) runs only on pairs
     that share a bucket — the expensive step sees a vanishing fraction
-    of n².
+    of n²;
+  * degenerate hot buckets (a real crawl's empty/boilerplate docs all
+    sharing a band key) are capped: over-full buckets skip O(k²) pair
+    enumeration and collapse to their min-id representative
+    (:func:`_split_by_bucket_size`).
 """
 
 from __future__ import annotations
@@ -63,6 +67,58 @@ def element_hash(col: Column) -> Column:
     equals raw-space Jaccard up to 28-bit collisions (P ~ |set|^2/2^29
     per doc, ~1e-4 at 300 grams)."""
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+#: Default hot-bucket guard: band buckets with more members than this skip
+#: pair enumeration (O(k²)) and collapse to their min-id representative
+#: (O(k)). See :func:`_split_by_bucket_size`.
+BUCKET_CAP = 256
+
+
+def _split_by_bucket_size(
+    banded: DataFrame,
+    keys: list[str],
+    carry: list[str],
+    bucket_cap: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Split banded rows into (small, collapsed) by bucket population.
+
+    The band self-join emits O(k²) candidate pairs for a bucket of k
+    members, and AQE skew handling cannot reduce that *count* — it only
+    parallelizes processing of a hot key. A real crawl has degenerate
+    band keys (empty/boilerplate docs) where one bucket holds millions
+    of docs, a 10¹²-pair blowup. Guard: count members per bucket first;
+    buckets over ``bucket_cap`` skip enumeration entirely and emit only
+    (min-id representative, member) pairs — O(k) — which still flow
+    through exact verification, so precision is unchanged; recall inside
+    an over-full bucket degrades to the rep's star (its members are
+    near-certain duplicates of each other at any sane threshold, and
+    connected-components clustering downstream reunites them anyway).
+
+    Implemented as a groupBy + join-back on the bucket key (the
+    exchange is shared with the self-join; no window, so no single-task
+    sort buffer over a degenerate bucket). ``carry`` columns ride inside
+    the min-struct so the representative's payload (sizes,
+    fingerprints) is available without another join.
+
+    Returns ``(small, collapsed)``: ``small`` is banded rows in
+    buckets <= cap (self-join these), ``collapsed`` is banded rows in
+    over-full buckets with ``bkt_rep.*`` attached, representative row
+    excluded (pair each directly with its rep).
+    """
+    if bucket_cap is None:
+        return banded, None
+    stats = banded.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("bkt_n"),
+        F.min(F.struct(*carry)).alias("bkt_rep"),
+    )
+    st = banded.join(stats, keys)
+    small = st.filter(F.col("bkt_n") <= bucket_cap).drop("bkt_n", "bkt_rep")
+    collapsed = st.filter(
+        (F.col("bkt_n") > bucket_cap)
+        & (F.col(carry[0]) > F.col(f"bkt_rep.{carry[0]}"))
+    )
+    return small, collapsed
 
 
 def _minhash_min_aggs(n_hashes: int) -> list[Column]:
@@ -112,6 +168,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     n_bands: int = 2,
     threshold: float = 0.8,
+    bucket_cap: int | None = BUCKET_CAP,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs with exact-Jaccard verification
     over hashed token sets.
@@ -125,8 +182,11 @@ def minhash_lsh_pairs(
 
     With b bands of r rows, P(candidate) = 1-(1-j^r)^b — the b/r choice
     tunes the recall/cost knee. The band join is the only quadratic-risk
-    shuffle; its key cardinality grows with corpus size so skew stays
-    bounded (AQE splits hot buckets).
+    shuffle; band-key cardinality grows with corpus size, and degenerate
+    hot buckets (boilerplate/empty docs sharing a band) are guarded by
+    ``bucket_cap``: over-full buckets collapse to their min-id
+    representative instead of enumerating O(k²) pairs (see
+    :func:`_split_by_bucket_size`).
     """
     band_size = n_hashes // n_bands
     ex = (
@@ -145,27 +205,37 @@ def minhash_lsh_pairs(
         F.size("toks").alias("sz"),
         F.explode(_band_structs(n_bands, band_size)).alias("band"),
     ).select("doc_id", "sz", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
-    a, b = banded.alias("a"), banded.alias("b")
+    small, collapsed = _split_by_bucket_size(
+        banded, ["band_id", "band_key"], ["doc_id"], bucket_cap
+    )
+    a, b = small.alias("a"), small.alias("b")
     # Candidate pairs carry ids only — the band join and the pair dedup
     # shuffle 16-byte rows, never the token arrays. The token-set size
     # rides along (one int) so the threshold-implied size-ratio bound
     # (j >= t forces |A|/|B| within [t, 1/t]) kills impossible pairs at
     # hash-probe time, before the distinct shuffle or any re-attach.
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.sz") >= threshold * F.col("b.sz"))
-            & (F.col("b.sz") >= threshold * F.col("a.sz")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    candidates = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.sz") >= threshold * F.col("b.sz"))
+        & (F.col("b.sz") >= threshold * F.col("a.sz")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
     )
+    if collapsed is not None:
+        # rep < member by construction (rep = bucket min), so pair order
+        # holds; no size-ratio prune here — exact verification below is
+        # the filter, and the prune is only a lossless short-circuit.
+        candidates = candidates.unionByName(
+            collapsed.select(
+                F.col("bkt_rep.doc_id").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+            )
+        )
+    candidates = candidates.dropDuplicates(["doc_a", "doc_b"])
     # Token sets re-attach via keyed joins on doc_id — NOT a forced
     # broadcast: at 100 TB the token table IS the corpus, so the join
     # must be able to degrade to a shuffle join. Catalyst auto-broadcasts
@@ -195,6 +265,7 @@ def simhash_near_dup(
     max_hamming: int = 3,
     n_bits: int = 64,
     n_bands: int = 8,
+    bucket_cap: int | None = BUCKET_CAP,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: ``n_bits``-bit fingerprint per doc,
     pairs within a block compared by Hamming distance.
@@ -212,7 +283,10 @@ def simhash_near_dup(
     8 bands gives 2^8 bucket values per band — candidate volume shrinks
     vs all-pairs and keeps shrinking as fingerprints spread, which is
     what survives a 100x corpus (a 16-bit fingerprint's 2^4 buckets per
-    band would go near-quadratic).
+    band would go near-quadratic). Degenerate hot buckets are guarded by
+    ``bucket_cap`` (collapse to min-id representative, see
+    :func:`_split_by_bucket_size`); band blocking is lossless vs
+    all-pairs only while no bucket exceeds the cap.
     """
     band_size = n_bits // n_bands
     assert n_bits % n_bands == 0 and n_bits % 4 == 0 and n_bits <= 64
@@ -281,25 +355,38 @@ def simhash_near_dup(
     banded = fp.select(
         "doc_id", "block", "fpa", "fpb", F.explode(F.array(*bands)).alias("band")
     ).select("doc_id", "block", "fpa", "fpb", "band.band_id", "band.band_bits")
-    a, b = banded.alias("a"), banded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_bits") == F.col("b.band_bits"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.fpa").alias("fpa_a"),
-            F.col("a.fpb").alias("fpb_a"),
-            F.col("b.fpa").alias("fpa_b"),
-            F.col("b.fpb").alias("fpb_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    small, collapsed = _split_by_bucket_size(
+        banded, ["block", "band_id", "band_bits"], ["doc_id", "fpa", "fpb"], bucket_cap
     )
+    a, b = small.alias("a"), small.alias("b")
+    candidates = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_bits") == F.col("b.band_bits"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.fpa").alias("fpa_a"),
+        F.col("a.fpb").alias("fpb_a"),
+        F.col("b.fpa").alias("fpa_b"),
+        F.col("b.fpb").alias("fpb_b"),
+    )
+    if collapsed is not None:
+        # The representative's fingerprint rides in the min-struct, so
+        # the Hamming verify below needs no extra join.
+        candidates = candidates.unionByName(
+            collapsed.select(
+                F.col("bkt_rep.doc_id").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+                F.col("bkt_rep.fpa").alias("fpa_a"),
+                F.col("bkt_rep.fpb").alias("fpb_a"),
+                F.col("fpa").alias("fpa_b"),
+                F.col("fpb").alias("fpb_b"),
+            )
+        )
+    candidates = candidates.dropDuplicates(["doc_a", "doc_b"])
     hamming = F.bit_count(
         F.col("fpa_a").bitwiseXOR(F.col("fpa_b"))
     ) + F.bit_count(F.col("fpb_a").bitwiseXOR(F.col("fpb_b")))
@@ -318,6 +405,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     n_hashes: int = 16,
     n_bands: int = 8,
+    bucket_cap: int | None = BUCKET_CAP,
 ) -> DataFrame:
     """Character n-gram Jaccard near-dup pairs, blocked by (lang,
     MinHash band) so candidate volume stays sub-quadratic as the corpus
@@ -367,7 +455,10 @@ def ngram_jaccard_pairs(
         F.size("grams").alias("sz"),
         F.explode(_band_structs(n_bands, band_size)).alias("band"),
     ).select("doc_id", "lang", "sz", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
-    a, b = banded.alias("a"), banded.alias("b")
+    small, collapsed = _split_by_bucket_size(
+        banded, ["lang", "band_id", "band_key"], ["doc_id"], bucket_cap
+    )
+    a, b = small.alias("a"), small.alias("b")
     # The gram-set SIZE rides along on the banded rows (one int) so the
     # threshold-implied size-ratio bound (j >= t forces |A|/|B| within
     # [t, 1/t]) evaluates as a join residual — candidate pairs that can't
@@ -375,22 +466,26 @@ def ngram_jaccard_pairs(
     # dropDuplicates shuffle and the gram re-attach joins ever see them.
     # Exact integer/decimal math, so the prune is lossless and mirrors
     # bit-for-bit in the oracle.
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.sz") >= threshold * F.col("b.sz"))
-            & (F.col("b.sz") >= threshold * F.col("a.sz")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    candidates = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.sz") >= threshold * F.col("b.sz"))
+        & (F.col("b.sz") >= threshold * F.col("a.sz")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
     )
+    if collapsed is not None:
+        candidates = candidates.unionByName(
+            collapsed.select(
+                F.col("bkt_rep.doc_id").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+            )
+        )
+    candidates = candidates.dropDuplicates(["doc_a", "doc_b"])
     # Gram sets re-attach via keyed joins on doc_id (no forced broadcast
     # — same degrade-to-shuffle rationale as minhash_lsh_pairs).
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))

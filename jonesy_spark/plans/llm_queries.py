@@ -99,11 +99,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS band_key
         FROM mh GROUP BY doc_id, i // 8
     ),
+    bstat AS (
+        SELECT doc_id, band_id, band_key,
+               count(*) OVER (PARTITION BY band_id, band_key) AS bkt_n,
+               min(doc_id) OVER (PARTITION BY band_id, band_key) AS rep
+        FROM band
+    ),
     pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM band a
-        JOIN band b ON a.band_id = b.band_id AND a.band_key = b.band_key
-                   AND a.doc_id < b.doc_id
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bstat a
+            JOIN bstat b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id
+            WHERE a.bkt_n <= 256
+            UNION ALL
+            SELECT rep AS doc_a, doc_id AS doc_b
+            FROM bstat WHERE bkt_n > 256 AND doc_id > rep
+        )
     )
     SELECT p.doc_a, p.doc_b,
            round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
@@ -151,11 +163,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     fpl AS (
         SELECT f.doc_id, t.lang, f.fpa, f.fpb
         FROM fp f JOIN tok t ON t.doc_id = f.doc_id
+    ),
+    banded AS (
+        SELECT doc_id, lang, r.bd AS band_id,
+               CASE WHEN r.bd < 4 THEN (fpa >> ((3 - r.bd) * 8)::INT) & 255
+                    ELSE (fpb >> ((7 - r.bd) * 8)::INT) & 255 END AS band_bits
+        FROM fpl, range(8) r(bd)
+    ),
+    bstat AS (
+        SELECT doc_id, lang, band_id, band_bits,
+               count(*) OVER (PARTITION BY lang, band_id, band_bits) AS bkt_n,
+               min(doc_id) OVER (PARTITION BY lang, band_id, band_bits) AS rep
+        FROM banded
+    ),
+    cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bstat a
+            JOIN bstat b ON a.lang = b.lang AND a.band_id = b.band_id
+                        AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+            WHERE a.bkt_n <= 256
+            UNION ALL
+            SELECT rep AS doc_a, doc_id AS doc_b
+            FROM bstat WHERE bkt_n > 256 AND doc_id > rep
+        )
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    SELECT c.doc_a, c.doc_b,
            (bit_count(xor(a.fpa, b.fpa)) + bit_count(xor(a.fpb, b.fpb)))::INT AS hamming
-    FROM fpl a
-    JOIN fpl b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    FROM cand c
+    JOIN fpl a ON a.doc_id = c.doc_a
+    JOIN fpl b ON b.doc_id = c.doc_b
     WHERE (bit_count(xor(a.fpa, b.fpa)) + bit_count(xor(a.fpb, b.fpb))) <= 3
     """,
 )
@@ -163,9 +200,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit, 8 pigeonhole bands) near-dup pairs within language
     blocks at Hamming distance <= 3. Fingerprints are majority votes over
     the leading 64 md5 BITS (4 per hex digit — ONE md5 per token) —
-    map-only, cross-engine deterministic. The oracle computes
-    all-pairs-within-lang; band blocking is lossless
-    (max_hamming < n_bands), so outputs coincide."""
+    map-only, cross-engine deterministic. The oracle mirrors the
+    pigeonhole banding AND the hot-bucket cap (buckets > 256 collapse
+    to their min-id representative), so outputs coincide at any SF;
+    with no over-full bucket both equal all-pairs-within-lang
+    (max_hamming < n_bands makes banding lossless)."""
     return DD.simhash_near_dup(Catalog(spark, sf_dir).documents, max_hamming=3)
 
 
@@ -197,15 +236,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS band_key
         FROM mh GROUP BY doc_id, i // 2
     ),
+    bl AS (
+        SELECT b.doc_id, g.lang, b.band_id, b.band_key, len(g.grams) AS sz
+        FROM band b JOIN g ON g.doc_id = b.doc_id
+    ),
+    bstat AS (
+        SELECT doc_id, lang, band_id, band_key, sz,
+               count(*) OVER (PARTITION BY lang, band_id, band_key) AS bkt_n,
+               min(doc_id) OVER (PARTITION BY lang, band_id, band_key) AS rep
+        FROM bl
+    ),
     cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM band a
-        JOIN band b ON a.band_id = b.band_id AND a.band_key = b.band_key
-                   AND a.doc_id < b.doc_id
-        JOIN g sa ON sa.doc_id = a.doc_id
-        JOIN g sb ON sb.doc_id = b.doc_id
-        WHERE len(sa.grams) >= 0.6 * len(sb.grams)
-          AND len(sb.grams) >= 0.6 * len(sa.grams)
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bstat a
+            JOIN bstat b ON a.lang = b.lang AND a.band_id = b.band_id
+                        AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+            WHERE a.bkt_n <= 256
+              AND a.sz >= 0.6 * b.sz AND b.sz >= 0.6 * a.sz
+            UNION ALL
+            SELECT rep AS doc_a, doc_id AS doc_b
+            FROM bstat WHERE bkt_n > 256 AND doc_id > rep
+        )
     )
     SELECT c.doc_a, c.doc_b,
            round(len(list_intersect(ga.grams, gb.grams))::DOUBLE
