@@ -150,9 +150,13 @@ def incremental_dedup(
     deterministic pick, unlike ``dropDuplicates`` whose survivor is
     partition-order-dependent), then the anti-join drops digests the
     corpus already holds. Both shuffles move digests only (32 hex chars
-    per row regardless of document size). ``updated_seen`` unions the
-    batch's novel digests — persist it partitioned/bucketed on
-    ``content_hash`` so tomorrow's run co-locates the probe.
+    per row regardless of document size). ``updated_seen`` is a PLAIN
+    union — ``novel`` is within-batch unique (row_number = 1) and
+    anti-joined against ``seen``, so the sides are provably disjoint
+    and a ``distinct()`` would be a semantic no-op that re-shuffles the
+    entire historical index every nightly run. Persist the index
+    partitioned/bucketed on ``content_hash`` (or append-write just the
+    novel digests) so tomorrow's run co-locates the probe.
     """
     from pyspark.sql import Window
 
@@ -164,5 +168,5 @@ def incremental_dedup(
         .drop("__rn")
     )
     novel = firsts.join(seen, "content_hash", "left_anti")
-    updated = seen.union(novel.select("content_hash")).distinct()
+    updated = seen.union(novel.select("content_hash"))
     return novel, updated

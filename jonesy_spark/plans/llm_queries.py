@@ -602,8 +602,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical across engines (libm log() is not bit-portable); ranking
     and keyword selection behave like classic TF-IDF.
 
-    Scale: tf and df are two aggregations sharing the token key; the
-    df table is vocabulary-sized and broadcast back.
+    Scale: tf and df are two aggregations sharing the token key. The
+    df-join is NOT broadcast-hinted: at web scale the distinct-token
+    table is tens of GB and a forced broadcast OOMs executors, so
+    Catalyst decides — auto-broadcast under the threshold, otherwise a
+    shuffle join already co-partitioned on ``token`` (tf was just
+    aggregated on that key, so the exchange is reused). Only the
+    single-row corpus count is broadcast unconditionally.
     """
     docs = Catalog(spark, sf_dir).documents
     from pyspark.sql import Window
@@ -615,7 +620,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n"))
     scored = (
-        tf.join(F.broadcast(df_), "token")
+        tf.join(df_, "token")
         .join(F.broadcast(n_docs))
         .select(
             "doc_id",

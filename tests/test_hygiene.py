@@ -122,6 +122,24 @@ def test_incremental_dedup_rounds(spark):
     novel2, seen2 = H.incremental_dedup(batch2, seen1)
     assert [r["doc_id"] for r in novel2.collect()] == [11]  # 'gamma' already seen
     assert seen2.count() == 3
+    # Disjointness makes distinct() redundant: the index must stay
+    # duplicate-free across consecutive batches with a plain union.
+    hashes = [r["content_hash"] for r in seen2.collect()]
+    assert len(hashes) == len(set(hashes))
+
+
+def test_incremental_dedup_index_update_has_no_extra_shuffle(spark):
+    """The nightly index update must be a plain union — a distinct()
+    here re-shuffles the entire historical digest index every run. The
+    plan above the union of seen + novel digests must be exchange-free
+    (the anti-join's own exchanges sit BELOW the union's novel leg)."""
+    docs = Catalog(spark, SF_DIR).documents.limit(50)
+    seen = spark.createDataFrame([("x",)], "content_hash string")
+    _, updated = H.incremental_dedup(docs, seen)
+    plan = updated._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan
+    head = plan.split("Union", 1)[0]  # ancestors of the union
+    assert "Exchange" not in head and "Aggregate" not in head, head
 
 
 def test_contamination_benchmark_broadcasts(spark):
