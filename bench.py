@@ -57,32 +57,52 @@ def main() -> None:
     # warm-up: JVM + parquet footer reads out of the timed path
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).count()
 
-    # Steady-state timing: each query runs twice, min wins. The first
-    # execution of a plan shape pays one-time JVM JIT + codegen-cache
-    # costs (measured ~2-5 s on the heavy dedup plans at sf0.1) that a
-    # long-running cluster job amortizes to nothing — the min reflects
-    # the throughput the engine actually sustains.
-    timings: dict[str, float] = {}
+    # Each query runs RUNS times. Run 1 is COLD for this plan shape
+    # (pays one-time JVM JIT + codegen-cache costs, measured ~2-5 s on
+    # the heavy dedup plans at sf0.1); the min of all runs is STEADY —
+    # the
+    # throughput a long-running cluster job actually sustains. Both are
+    # reported so warm-up effects stay visible across rounds; the
+    # headline total and `queries` stay steady-state for cross-round
+    # comparability. The cache is cleared before EVERY run: operators
+    # persist() multi-consumer subtrees (e.g. the dedup sketches), and
+    # Spark's CacheManager matches by plan equality, so without the
+    # clear run 2 would read run 1's cache and report a cache-scan time
+    # instead of a compute time.
+    # 3 runs: the heavy dedup plans keep improving run 2 -> run 3 (C2
+    # JIT compiles the generated code only after enough invocations);
+    # min-of-2 was still ~30-60% above the sustained rate for them.
+    RUNS = 3
+    steady: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(RUNS):
+            spark.catalog.clearCache()
             df = queries[name](spark, SF_DIR)
             t0 = time.time()
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        cold[name] = round(runs[0], 3)
+        steady[name] = round(min(runs), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(steady.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": steady,
+                "queries_cold": cold,
+                "value_cold": round(sum(cold.values()), 3),
                 "sf": float(sf),
-                "runs_per_query": 2,
-                "timing": "min-of-2 (steady-state; excludes one-time JIT/codegen warm-up)",
+                "runs_per_query": RUNS,
+                "timing": (
+                    f"queries/value = min-of-{RUNS} steady-state (excludes "
+                    "one-time JIT/codegen warm-up); queries_cold/value_cold = "
+                    "first run per plan shape; cache cleared before every run"
+                ),
             }
         )
     )

@@ -80,7 +80,8 @@ def _split_by_bucket_size(
     keys: list[str],
     carry: list[str],
     bucket_cap: int | None,
-) -> tuple[DataFrame, DataFrame]:
+    op: str = "dedup",
+) -> tuple[DataFrame, DataFrame | None]:
     """Split banded rows into (small, collapsed) by bucket population.
 
     The band self-join emits O(k²) candidate pairs for a bucket of k
@@ -95,28 +96,55 @@ def _split_by_bucket_size(
     near-certain duplicates of each other at any sane threshold, and
     connected-components clustering downstream reunites them anyway).
 
-    Implemented as a groupBy + join-back on the bucket key (the
-    exchange is shared with the self-join; no window, so no single-task
-    sort buffer over a degenerate bucket). ``carry`` columns ride inside
-    the min-struct so the representative's payload (sizes,
+    Cost design: only the HOT keys (population > cap) are materialized —
+    a partial-aggregated groupBy whose output is the distinct-hot-key
+    set, empty on healthy corpora — and broadcast. ``small`` is then a
+    broadcast hash ANTI-join of ``banded`` against the hot keys and
+    ``collapsed`` a broadcast hash join, so the common no-hot-bucket
+    case pays one map-side-combined aggregation and two probe-only
+    passes: the banded rows themselves never shuffle for the split.
+    (The r3 implementation joined full per-bucket stats back onto every
+    banded row — a corpus-sized shuffle join paid even when no bucket
+    was hot; it cost 1.9-4.5× on the LSH bench.) The broadcast is
+    bounded by |banded| / cap distinct hot keys — reaching broadcast-
+    breaking size needs millions of *distinct* degenerate buckets, at
+    which point raise ``bucket_cap`` or pass ``None``. ``carry`` columns
+    ride inside the min-struct so the representative's payload (sizes,
     fingerprints) is available without another join.
+
+    The collapsed branch carries a ``CollectMetrics`` observation named
+    ``hot_buckets_{op}`` (``collapsed_members``, ``hot_buckets``) so
+    production jobs can see the cap fire via a QueryExecutionListener /
+    ``Observation`` without extra jobs.
 
     Returns ``(small, collapsed)``: ``small`` is banded rows in
     buckets <= cap (self-join these), ``collapsed`` is banded rows in
     over-full buckets with ``bkt_rep.*`` attached, representative row
-    excluded (pair each directly with its rep).
+    excluded (pair each directly with its rep); ``(banded, None)`` when
+    ``bucket_cap`` is None.
     """
     if bucket_cap is None:
         return banded, None
-    stats = banded.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("bkt_n"),
-        F.min(F.struct(*carry)).alias("bkt_rep"),
+    hot = (
+        banded.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("bkt_n"),
+            F.min(F.struct(*carry)).alias("bkt_rep"),
+        )
+        .filter(F.col("bkt_n") > bucket_cap)
+        .select(*keys, "bkt_rep")
     )
-    st = banded.join(stats, keys)
-    small = st.filter(F.col("bkt_n") <= bucket_cap).drop("bkt_n", "bkt_rep")
-    collapsed = st.filter(
-        (F.col("bkt_n") > bucket_cap)
-        & (F.col(carry[0]) > F.col(f"bkt_rep.{carry[0]}"))
+    small = banded.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
+    collapsed = (
+        banded.join(F.broadcast(hot), keys)
+        .filter(F.col(carry[0]) > F.col(f"bkt_rep.{carry[0]}"))
+        .observe(
+            f"hot_buckets_{op}",
+            F.count(F.lit(1)).alias("collapsed_members"),
+            # DISTINCT aggregates are disallowed in observed metrics;
+            # HLL approx is fine and plenty for an alerting signal.
+            F.approx_count_distinct(F.struct(*keys)).alias("hot_buckets"),
+        )
     )
     return small, collapsed
 
@@ -197,16 +225,23 @@ def minhash_lsh_pairs(
         )
         .select("doc_id", element_hash(F.col("t")).alias("h"))
     )
+    # The sketch subtree (explode + per-element md5 + collect_set + 16
+    # min-permutation aggregates) feeds six consumers: hot-key stats,
+    # both split probes, the collapsed probe, and the two token
+    # re-attach joins. Persist it (MEMORY_AND_DISK, spills at scale) so
+    # it's computed once per execution instead of once per consumer —
+    # this, plus the broadcast hot-key split, is what keeps the
+    # bucket-cap guard ~free when no bucket is hot.
     tok = ex.groupBy("doc_id").agg(
         F.collect_set("h").alias("toks"), *_minhash_min_aggs(n_hashes)
-    )
+    ).persist()
     banded = tok.select(
         "doc_id",
         F.size("toks").alias("sz"),
         F.explode(_band_structs(n_bands, band_size)).alias("band"),
     ).select("doc_id", "sz", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
     small, collapsed = _split_by_bucket_size(
-        banded, ["band_id", "band_key"], ["doc_id"], bucket_cap
+        banded, ["band_id", "band_key"], ["doc_id"], bucket_cap, op="minhash"
     )
     a, b = small.alias("a"), small.alias("b")
     # Candidate pairs carry ids only — the band join and the pair dedup
@@ -325,12 +360,18 @@ def simhash_near_dup(
             ).otherwise(F.lit(0).cast("long"))
         return out
 
+    # Persist the fingerprints: the explode + 64 vote-SUM aggregates
+    # above are the expensive subtree, and the banded rows derived from
+    # it are consumed four times (hot-key stats, both self-join sides,
+    # collapsed probe). 4 small columns per doc — cheap to cache,
+    # spills at scale. (Persisting `banded` instead was measured worse:
+    # 8 band rows per doc, each carrying both fingerprint halves.)
     fp = sums.select(
         "doc_id",
         "block",
         pack(1, half).alias("fpa"),
         pack(half + 1, n_bits).alias("fpb"),
-    )
+    ).persist()
     # Pigeonhole band blocking: with max_hamming errors spread over
     # n_bands > max_hamming bands, at least one band is error-free, so
     # every qualifying pair shares an exact band — the band equi-join is
@@ -356,7 +397,11 @@ def simhash_near_dup(
         "doc_id", "block", "fpa", "fpb", F.explode(F.array(*bands)).alias("band")
     ).select("doc_id", "block", "fpa", "fpb", "band.band_id", "band.band_bits")
     small, collapsed = _split_by_bucket_size(
-        banded, ["block", "band_id", "band_bits"], ["doc_id", "fpa", "fpb"], bucket_cap
+        banded,
+        ["block", "band_id", "band_bits"],
+        ["doc_id", "fpa", "fpb"],
+        bucket_cap,
+        op="simhash",
     )
     a, b = small.alias("a"), small.alias("b")
     candidates = a.join(
@@ -449,14 +494,27 @@ def ngram_jaccard_pairs(
     g = ex.groupBy("doc_id", "lang").agg(
         F.collect_set("h").alias("grams"), *_minhash_min_aggs(n_hashes)
     )
+    # Persist the BANDED rows (scalar columns only), not `g`: banded
+    # has four consumers (hot-key stats, both self-join sides, the
+    # collapsed probe), and caching it cuts the sketch subtree to three
+    # evaluations (banded + the two gram re-attach joins). Persisting
+    # `g` itself was measured ~25% slower steady-state — the columnar
+    # cache build/scan of the ~|text| -element gram arrays costs more
+    # than recomputing them for the two re-attach joins.
     banded = g.select(
         "doc_id",
         "lang",
         F.size("grams").alias("sz"),
         F.explode(_band_structs(n_bands, band_size)).alias("band"),
-    ).select("doc_id", "lang", "sz", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
+    ).select(
+        "doc_id",
+        "lang",
+        "sz",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_key").alias("band_key"),
+    ).persist()
     small, collapsed = _split_by_bucket_size(
-        banded, ["lang", "band_id", "band_key"], ["doc_id"], bucket_cap
+        banded, ["lang", "band_id", "band_key"], ["doc_id"], bucket_cap, op="ngram"
     )
     a, b = small.alias("a"), small.alias("b")
     # The gram-set SIZE rides along on the banded rows (one int) so the
