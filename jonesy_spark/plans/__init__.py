@@ -48,6 +48,22 @@ DRIVER_EXCLUDED = {
     # cube_agg's grouping sets are a strict superset of rollup_agg's
     # hierarchy; the retained cube row exercises the same Expand plan.
     "rollup_agg",
+    # Rotated out in round 4 to make room for contamination / url_dedup /
+    # repetition_stats (hygiene surface the driver had never checked):
+    # ts parsing/formatting stays driver-checked via scalar_functions_suite
+    # (F.to_timestamp/date_format members) and byte-pinned by the golden
+    # sink tests; the Pacific-reinterpretation rule keeps its golden test.
+    "timestamp_formats",
+    # left-semi/left-anti plans stay driver-checked: scalar_subquery_filter
+    # (IN-subquery -> semi) and the retained dedup/mixture rows' anti-join
+    # probes; the EXISTS/NOT EXISTS forms keep their pytest oracle.
+    "semi_anti_joins",
+    # both output columns are md5-expression composites over `text` —
+    # the same expression family dedup_exact (normalized-text md5) and
+    # dedup_minhash_lsh (per-element md5 min-aggregates) keep
+    # driver-checked; the winnowing window arithmetic keeps its pytest
+    # oracle.
+    "doc_fingerprints",
 }
 
 

@@ -111,10 +111,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM bstat a
             JOIN bstat b ON a.band_id = b.band_id AND a.band_key = b.band_key
                         AND a.doc_id < b.doc_id
-            WHERE a.bkt_n <= 256
+            WHERE a.bkt_n <= {DD.BUCKET_CAP}
             UNION ALL
             SELECT rep AS doc_a, doc_id AS doc_b
-            FROM bstat WHERE bkt_n > 256 AND doc_id > rep
+            FROM bstat WHERE bkt_n > {DD.BUCKET_CAP} AND doc_id > rep
         )
     )
     SELECT p.doc_a, p.doc_b,
@@ -138,7 +138,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash",
-    oracle="""
+    # f-string solely to interpolate the SHARED cap constant — a literal
+    # here and a different DD.BUCKET_CAP would silently diverge the two
+    # engines on corpora with buckets between the two values.
+    oracle=f"""
     WITH tok AS (
         SELECT doc_id, lang,
                list_distinct(string_split(lower(trim(text)), ' ')) AS toks
@@ -182,10 +185,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM bstat a
             JOIN bstat b ON a.lang = b.lang AND a.band_id = b.band_id
                         AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
-            WHERE a.bkt_n <= 256
+            WHERE a.bkt_n <= {DD.BUCKET_CAP}
             UNION ALL
             SELECT rep AS doc_a, doc_id AS doc_b
-            FROM bstat WHERE bkt_n > 256 AND doc_id > rep
+            FROM bstat WHERE bkt_n > {DD.BUCKET_CAP} AND doc_id > rep
         )
     )
     SELECT c.doc_a, c.doc_b,
@@ -201,8 +204,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks at Hamming distance <= 3. Fingerprints are majority votes over
     the leading 64 md5 BITS (4 per hex digit — ONE md5 per token) —
     map-only, cross-engine deterministic. The oracle mirrors the
-    pigeonhole banding AND the hot-bucket cap (buckets > 256 collapse
-    to their min-id representative), so outputs coincide at any SF;
+    pigeonhole banding AND the hot-bucket cap (buckets over the shared
+    DD.BUCKET_CAP collapse to their min-id representative), so outputs
+    coincide at any SF;
     with no over-full bucket both equal all-pairs-within-lang
     (max_hamming < n_bands makes banding lossless)."""
     return DD.simhash_near_dup(Catalog(spark, sf_dir).documents, max_hamming=3)
@@ -210,7 +214,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
-    oracle="""
+    # f-string solely to interpolate the SHARED cap constant (see
+    # dedup_simhash).
+    oracle=f"""
     WITH g0 AS (
         SELECT doc_id, lang,
                list_distinct(list_transform(range(1, length(text) - 1),
@@ -252,11 +258,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM bstat a
             JOIN bstat b ON a.lang = b.lang AND a.band_id = b.band_id
                         AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-            WHERE a.bkt_n <= 256
+            WHERE a.bkt_n <= {DD.BUCKET_CAP}
               AND a.sz >= 0.6 * b.sz AND b.sz >= 0.6 * a.sz
             UNION ALL
             SELECT rep AS doc_a, doc_id AS doc_b
-            FROM bstat WHERE bkt_n > 256 AND doc_id > rep
+            FROM bstat WHERE bkt_n > {DD.BUCKET_CAP} AND doc_id > rep
         )
     )
     SELECT c.doc_a, c.doc_b,
@@ -792,3 +798,146 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import corpus as C
 
     return C.pack_sequences(Catalog(spark, sf_dir).documents, budget_tokens=512)
+
+
+@query(
+    "repetition_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(lower(text)), ' ') AS ts
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
+               round((len(ts) - len(list_distinct(ts)))
+                     / greatest(len(ts), 1), 6) AS dup_token_frac,
+               CASE WHEN len(ts) >= 2 THEN list_transform(
+                   range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+               ELSE [] END AS grams
+        FROM toks
+    ),
+    per_gram AS (
+        SELECT doc_id, u.g, count(*) AS c
+        FROM base, unnest(grams) u(g)
+        GROUP BY ALL
+    )
+    SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
+           round(coalesce(m.mx, 0) / greatest(coalesce(m.tot, 0), 1), 6)
+               AS top_ngram_frac,
+           coalesce(m.mx, 0)::BIGINT AS max_ngram_count
+    FROM base b
+    LEFT JOIN (
+        SELECT doc_id, max(c) AS mx, sum(c) AS tot
+        FROM per_gram GROUP BY doc_id
+    ) m USING (doc_id)
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition diagnostics (dup-token fraction, most
+    frequent 2-gram share): relational explode + keyed counts with
+    map-side combine — see operators.corpus.repetition_stats for the
+    scale shape (no higher-order accumulators, no per-doc Python)."""
+    from ..operators import corpus as C
+
+    return C.repetition_stats(Catalog(spark, sf_dir).documents)
+
+
+@query(
+    "contamination",
+    oracle="""
+    WITH dg AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(u.g), 1, 7))::BIGINT AS h
+        FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, length(text) - 11),
+                       i -> substr(text, i, 13))) AS gs
+            FROM documents WHERE length(text) >= 13
+        ), unnest(gs) u(g)
+    ),
+    bg AS (
+        SELECT DISTINCT ('0x' || substr(md5(u.g), 1, 7))::BIGINT AS h
+        FROM (
+            SELECT list_distinct(list_transform(
+                       range(1, length(text) - 11),
+                       i -> substr(text, i, 13))) AS gs
+            FROM documents
+            WHERE doc_id % 50 = 0 AND length(text) >= 13
+        ), unnest(gs) u(g)
+    )
+    SELECT dg.doc_id,
+           count(*) AS n_grams,
+           sum(CASE WHEN bg.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_contaminated,
+           round(sum(CASE WHEN bg.h IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*), 6) AS contamination_frac
+    FROM dg LEFT JOIN bg ON dg.h = bg.h
+    GROUP BY dg.doc_id
+    """,
+)
+def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-gram benchmark-decontamination report: every 50th document
+    plays the benchmark (a stand-in eval suite); its distinct char
+    13-gram hashes broadcast against the full corpus's exploded grams.
+    operators.hygiene.contamination — benchmark members must read
+    fully contaminated (frac 1.0), which the differential test pins."""
+    from ..operators import hygiene as H
+
+    docs = Catalog(spark, sf_dir).documents
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    return H.contamination(docs, benchmark, n=13)
+
+
+@query(
+    "url_dedup",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN doc_id % 11 = 0
+                    THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+                    ELSE 'https://' || source || '.example.com/docs/'
+                         || CAST(doc_id % 37 AS VARCHAR)
+                         || '?page=' || CAST(doc_id % 5 AS VARCHAR)
+               END AS canonical_url
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, canonical_url,
+               row_number() OVER (PARTITION BY canonical_url
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM u
+    )
+    SELECT doc_id, canonical_url FROM r WHERE rn = 1
+    """,
+)
+def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup on the canonical form (functions.url): the
+    documents table has no URL column, so each doc gets a deterministic
+    crawl-shaped URL (http + www + trailing slash + tracking param +
+    page param — every normalization rule fires) colliding on
+    (source, doc_id%37, doc_id%5); every 11th doc is malformed to
+    exercise the raw-string fallback. The oracle constructs the
+    expected canonical form directly — ground truth for the parser
+    path, not a reimplementation of it — and picks the same
+    longest-text-then-min-id survivor."""
+    from ..functions import url as URL
+
+    docs = Catalog(spark, sf_dir).documents
+    url = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.lit("not a url "), F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("http://www."),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit("/?page="),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("&utm_campaign=track"),
+        )
+    )
+    with_url = docs.select("doc_id", "n_chars", url.alias("url"))
+    deduped = URL.url_dedup(with_url, prefer=F.col("n_chars").desc())
+    return deduped.select("doc_id", "canonical_url")
