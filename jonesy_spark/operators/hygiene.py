@@ -30,15 +30,32 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from .dedup import CPU_PARTITIONS, element_hash
 
+#: Phone shapes, anchored to telephone-like GROUPING rather than "any
+#: long digit run" (which also ate ISBNs, numeric ids, timestamps):
+#:   * compact E.164 — the leading '+' disambiguates (+14155550199);
+#:   * grouped — optional +CC, then an area part ((415) / 415- / 20 )
+#:     and two 3-4-digit groups, '-'/'.'/' ' separated; dates and ISBNs
+#:     fail the 3-4-digit-group requirement (08, 13, 16, 3 are too
+#:     short; 148410 too long), bare ids have no separators;
+#:   * US 7-digit local (555-2671), dash-only — space/dot locals are
+#:     too ambiguous against decimal/thousands grouping.
+PHONE_PATTERN = (
+    r"\+\d{8,15}\b"
+    r"|(\+\d{1,3}[-. ])?(\(\d{2,4}\)[-. ]?|\b\d{2,4}[-. ])\d{3,4}[-. ]\d{3,4}\b"
+    r"|\b\d{3}-\d{4}\b"
+)
+
 #: (kind, pattern, replacement) in application order — longer/more
 #: specific first so e.g. the SSN rule fires before the generic phone
-#: rule can consume its digits. Patterns are RE2-ish (no lookarounds) so
-#: they run identically in Spark and DuckDB's regex engines.
+#: rule can consume its digits, and IPv4 before phone so dotted quads
+#: never reach the dot-separated phone alternative. Patterns are
+#: RE2-ish (no lookarounds; \b is fine) so they run identically in
+#: Spark and DuckDB's regex engines.
 PII_RULES: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d\- ()]{7,}\d", "<PHONE>"),
+    ("phone", PHONE_PATTERN, "<PHONE>"),
 ]
 
 

@@ -215,6 +215,7 @@ def embedding_near_dup(
     n_centroids: int | None = None,
     probes: int = 4,
     centroids: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by deterministic
     IVF cells with multi-probe.
@@ -228,10 +229,17 @@ def embedding_near_dup(
     recall rises toward 1 in the high-cosine regime real near-dups live
     in). Verification re-attaches vectors via keyed joins (no forced
     broadcast) and checks the exact rounded cosine.
+
+    ``n_docs`` lets a pipeline that already knows the corpus size (its
+    catalog stats, a prior stage's count) skip the one extra Spark job
+    the K ~ sqrt(n) default otherwise runs; it is only consulted when
+    neither ``centroids`` nor ``n_centroids`` pins K explicitly.
     """
     e = _prepared(emb)
     if centroids is None and n_centroids is None:
-        n_centroids = adaptive_centroids(emb.count())
+        n_centroids = adaptive_centroids(
+            n_docs if n_docs is not None else emb.count()
+        )
     assign = ivf_assignments(e, n_centroids or 0, probes, centroids=centroids)
     a, b = assign.alias("a"), assign.alias("b")
     candidates = (

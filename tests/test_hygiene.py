@@ -48,6 +48,40 @@ def test_ssn_not_eaten_by_phone_rule(spark):
     assert r == "id <SSN> on file"
 
 
+def test_phone_rule_shapes(spark):
+    """The phone rule matches telephone-like grouping and ONLY that:
+    ISBNs, long numeric ids, and ISO timestamps must survive (the old
+    any-9+-digit-run rule ate all three)."""
+    positives = [
+        ("call 415-555-2671 now", "call <PHONE> now"),
+        ("call (415) 555-2671 now", "call <PHONE> now"),
+        ("call +44 20 7946 0958 now", "call <PHONE> now"),
+        ("call +14155552671 now", "call <PHONE> now"),
+        ("call 415.555.2671 now", "call <PHONE> now"),
+        ("local 555-2671 line", "local <PHONE> line"),
+    ]
+    negatives = [
+        "ISBN 978-3-16-148410-0 ed.2",
+        "ISBN 0-306-40615-2 ed.1",
+        "order 1234567890 shipped",
+        "at 2026-08-13 14:30:45 UTC",
+        "window 2026-08-13T14:30:45.123456",
+        "total 1 000 000 units",
+    ]
+    rows = [(i, t) for i, (t, _) in enumerate(positives)]
+    rows += [(100 + i, t) for i, t in enumerate(negatives)]
+    out = {
+        r["doc_id"]: r["t"]
+        for r in spark.createDataFrame(rows, ["doc_id", "text"])
+        .select("doc_id", H.redact_pii(F.col("text")).alias("t"))
+        .collect()
+    }
+    for i, (_, want) in enumerate(positives):
+        assert out[i] == want, (i, out[i])
+    for i, t in enumerate(negatives):
+        assert out[100 + i] == t, (t, out[100 + i])
+
+
 def test_contamination_duckdb_differential(spark):
     docs = Catalog(spark, SF_DIR).documents
     bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")

@@ -108,6 +108,31 @@ def test_ivf_near_dup_recall_vs_brute_force(spark):
     assert recall >= 0.6, f"IVF recall {recall:.3f} below floor"
 
 
+def test_embedding_near_dup_precomputed_count_skips_job(spark):
+    """A caller that already knows the corpus size (catalog stats, a
+    prior stage) must not pay the K ~ sqrt(n) sizing count(): with
+    n_docs supplied, building the plan runs ZERO Spark jobs, and the
+    result is identical to the self-counting default."""
+    from jonesy_spark.operators import similarity as SIM
+
+    emb = Catalog(spark, SF_DIR).embeddings
+    n = emb.count()
+    sc = spark.sparkContext
+    sc.setJobGroup("nd-build", "plan construction only")
+    try:
+        df = SIM.embedding_near_dup(emb, threshold=0.3, n_docs=n)
+        jobs = sc.statusTracker().getJobIdsForGroup("nd-build")
+    finally:
+        sc.setJobGroup("", "")
+    assert list(jobs) == [], f"plan construction ran jobs: {jobs}"
+    got = {(r["vec_a"], r["vec_b"]) for r in df.collect()}
+    want = {
+        (r["vec_a"], r["vec_b"])
+        for r in SIM.embedding_near_dup(emb, threshold=0.3).collect()
+    }
+    assert got == want
+
+
 def test_kmeans_ivf_beats_or_matches_default_recall(spark):
     """Trained centroids must plug into the same IVF plan shape and not
     lose recall vs the seedless first-K default at equal (K, probes)."""
