@@ -18,6 +18,53 @@ TRACKING_PARAMS = (
     "gclid fbclid msclkid mc_cid mc_eid ref referrer sessionid phpsessid"
 ).split()
 
+#: Vendored snapshot of the multi-label entries of the public suffix
+#: list (publicsuffix.org, Mozilla-maintained, MPL) that a web crawl
+#: actually hits: the second-level registration suffixes of the major
+#: ccTLDs. A registrable domain is suffix + one label, so hosts ending
+#: in one of these keep THREE labels (foo.example.co.uk ->
+#: example.co.uk) where the default keeps two. Deliberately a static
+#: snapshot, not a fetched list — the canonical key must be bit-stable
+#: across runs; unknown multi-label suffixes degrade to the last-two
+#: heuristic, never to an error.
+PUBLIC_SUFFIX_SNAPSHOT = (
+    # uk / ie
+    "co.uk org.uk ac.uk gov.uk net.uk sch.uk me.uk ltd.uk plc.uk nhs.uk "
+    # au / nz
+    "com.au net.au org.au edu.au gov.au asn.au id.au "
+    "co.nz net.nz org.nz ac.nz govt.nz school.nz gen.nz geek.nz "
+    # jp / kr / tw / hk / sg / my / th / id / in / cn
+    "co.jp or.jp ne.jp ac.jp ad.jp ed.jp go.jp gr.jp lg.jp "
+    "co.kr ne.kr or.kr re.kr pe.kr go.kr ac.kr ms.kr hs.kr es.kr sc.kr "
+    "com.tw net.tw org.tw edu.tw gov.tw idv.tw "
+    "com.hk net.hk org.hk edu.hk gov.hk idv.hk "
+    "com.sg net.sg org.sg edu.sg gov.sg per.sg "
+    "com.my net.my org.my edu.my gov.my name.my "
+    "co.th net.th or.th ac.th go.th in.th mi.th "
+    "co.id net.id or.id ac.id go.id web.id sch.id my.id biz.id "
+    "co.in net.in org.in firm.in gen.in ind.in ac.in edu.in res.in "
+    "gov.in nic.in "
+    "com.cn net.cn org.cn gov.cn edu.cn ac.cn mil.cn "
+    # americas
+    "com.br net.br org.br gov.br edu.br mil.br art.br blog.br "
+    "com.mx net.mx org.mx edu.mx gob.mx "
+    "com.ar net.ar org.ar edu.ar gob.ar mil.ar "
+    "com.co net.co org.co edu.co gov.co "
+    "com.pe net.pe org.pe edu.pe gob.pe "
+    "co.cr com.ec com.uy com.ve "
+    # europe / mideast / africa
+    "com.tr net.tr org.tr edu.tr gov.tr k12.tr bel.tr av.tr "
+    "com.ua net.ua org.ua edu.ua gov.ua in.ua "
+    "com.pl net.pl org.pl edu.pl gov.pl info.pl waw.pl "
+    "com.ru net.ru org.ru "
+    "co.il net.il org.il ac.il gov.il muni.il k12.il "
+    "com.sa net.sa org.sa edu.sa gov.sa med.sa "
+    "com.eg net.eg org.eg edu.eg gov.eg "
+    "co.za net.za org.za gov.za ac.za web.za "
+    "com.ng net.ng org.ng edu.ng gov.ng "
+    "co.ke or.ke ac.ke go.ke "
+).split()
+
 
 def url_host(url: Column) -> Column:
     """Lowercased host with any leading ``www.`` and port stripped."""
@@ -26,11 +73,19 @@ def url_host(url: Column) -> Column:
 
 
 def registered_domain(url: Column) -> Column:
-    """Last-two-labels heuristic for the registrable domain
-    (``a.b.example.com`` → ``example.com``). A production build swaps in
-    the public-suffix list via the same expression seam; the heuristic
-    keeps this dependency-free and deterministic."""
-    return F.regexp_extract(url_host(url), r"([^.]+\.[^.]+)$", 1)
+    """Registrable domain: public suffix + one label, using the vendored
+    :data:`PUBLIC_SUFFIX_SNAPSHOT` for multi-label suffixes
+    (``foo.example.co.uk`` → ``example.co.uk``) and the last-two-labels
+    rule otherwise (``a.b.example.com`` → ``example.com``). Pure
+    codegen'd expression — the isin() compiles to a literal set probe,
+    no join, no UDF, no network fetch."""
+    host = url_host(url)
+    labels = F.split(host, r"\.")
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    return F.when(
+        (F.size(labels) >= 3) & last2.isin(PUBLIC_SUFFIX_SNAPSHOT),
+        F.array_join(F.slice(labels, -3, 3), "."),
+    ).otherwise(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
 
 
 def _clean_query(url: Column) -> Column:

@@ -18,11 +18,17 @@ schema, batching, partition behavior — is real and tested either way.
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # optional real codec — present in a deployed image, not here
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - exercised in this container
+    _PILImage = None
 
 #: Output schema of the feature extraction step (declared up front so
 #: downstream plans are fully typed).
@@ -43,17 +49,28 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_stub(payload: bytes, fake: bool) -> list[float]:
-    """Codec boundary. Real deployment would dispatch on mime to
-    PIL/librosa/av; none exist in this container."""
-    if not fake:
-        raise NotImplementedError(
-            "media codecs unavailable in this environment; pass fake=True "
-            "for the deterministic stand-in"
-        )
-    # Deterministic fake: 4 floats from the md5 of the payload.
-    digest = hashlib.md5(payload).digest()
-    return [b / 255.0 for b in digest[:4]]
+def decode_stub(
+    payload: bytes, fake: bool, mime: str = "application/octet-stream"
+) -> list[float]:
+    """Codec boundary: dispatches on mime to whatever decoder imports in
+    this environment (PIL for ``image/*``; librosa/av would slot in the
+    same way for audio/video). When no decoder applies and ``fake`` is
+    False this raises — a missing codec must fail the batch loudly, not
+    emit silent garbage features."""
+    if fake:
+        # Deterministic fake: 4 floats from the md5 of the payload.
+        digest = hashlib.md5(payload).digest()
+        return [b / 255.0 for b in digest[:4]]
+    if _PILImage is not None and mime.startswith("image/"):
+        # 8x8 grayscale thumbnail as the feature vector: deterministic
+        # (PIL's nearest-neighbor resize), size-normalized, and cheap —
+        # a stand-in for a real embedding model at the same seam.
+        img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((8, 8))
+        return [p / 255.0 for p in img.getdata()]
+    raise NotImplementedError(
+        f"no decoder available for mime={mime!r} in this environment; "
+        "pass fake=True for the deterministic stand-in"
+    )
 
 
 #: Output schema of the frame-sampling step: one row per sampled frame.
@@ -107,14 +124,27 @@ def sample_frames(df: DataFrame, stride: int = 64, max_frames: int = 4) -> DataF
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
-def resize_stub(payload: bytes, target: int, fake: bool) -> bytes:
-    """Resize codec boundary — stubbed like decode_stub; the fake path
-    deterministically truncates/pads so plumbing is testable."""
-    if not fake:
-        raise NotImplementedError(
-            "image codecs unavailable in this environment; pass fake=True"
-        )
-    return payload[:target].ljust(target, b"\0")
+def resize_stub(
+    payload: bytes,
+    target: int,
+    fake: bool,
+    mime: str = "application/octet-stream",
+) -> bytes:
+    """Resize codec boundary — same dispatch as :func:`decode_stub`:
+    PIL for ``image/*`` when importable (re-encoded as PNG at
+    ``target`` x ``target``); the fake path deterministically
+    truncates/pads so plumbing is testable without codecs."""
+    if fake:
+        return payload[:target].ljust(target, b"\0")
+    if _PILImage is not None and mime.startswith("image/"):
+        img = _PILImage.open(io.BytesIO(payload)).resize((target, target))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+    raise NotImplementedError(
+        f"no image codec for mime={mime!r} in this environment; "
+        "pass fake=True"
+    )
 
 
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
@@ -134,8 +164,13 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "mime": pdf["mime"],
                     "byte_len": pdf["byte_len"],
-                    "feature": pdf["payload"].map(lambda p: decode_stub(bytes(p), fake)),
-                    "decoder": "stub-fake" if fake else "real",
+                    "feature": [
+                        decode_stub(bytes(p), fake, m)
+                        for p, m in zip(pdf["payload"], pdf["mime"])
+                    ],
+                    "decoder": "stub-fake"
+                    if fake
+                    else ("pil" if _PILImage is not None else "real"),
                 }
             )
             yield out

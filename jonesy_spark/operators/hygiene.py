@@ -187,3 +187,42 @@ def incremental_dedup(
     novel = firsts.join(seen, "content_hash", "left_anti")
     updated = seen.union(novel.select("content_hash"))
     return novel, updated
+
+
+def write_novel_digests(
+    novel: DataFrame, index_path: str, prefix_len: int = 2
+) -> None:
+    """Append ONLY a batch's novel digests to the on-disk corpus index —
+    the nightly follow-through of :func:`incremental_dedup`: the write
+    is O(novel), never O(index), and the full-index ``updated_seen``
+    union never needs to be materialized to disk.
+
+    Layout: parquet partitioned by the leading ``prefix_len`` hex chars
+    of the digest (256 stable buckets at the default). Every nightly
+    append lands inside those same partition dirs, so the index stays
+    digest-co-located across runs without a metastore-backed bucketed
+    table; the pre-write ``repartition`` on the bucket key caps the
+    append at one file per touched bucket per run. Append-only writes
+    of anti-joined digests also keep the index duplicate-free — the
+    invariant :func:`incremental_dedup`'s plain union relies on.
+    """
+    (
+        novel.select("content_hash")
+        .withColumn("bucket", F.substring("content_hash", 1, prefix_len))
+        .repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(index_path)
+    )
+
+
+def read_digest_index(spark, index_path: str) -> DataFrame:
+    """The ``seen`` side for tonight's :func:`incremental_dedup`, read
+    back from :func:`write_novel_digests`'s layout; an absent index
+    (first run) is an empty one."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(index_path).select("content_hash")
+    except AnalysisException:
+        return spark.createDataFrame([], "content_hash string")

@@ -202,6 +202,25 @@ def test_url_host_and_registered_domain(spark):
     assert row["d"] == "example.com"
 
 
+def test_registered_domain_public_suffixes(spark):
+    """Multi-label public suffixes keep suffix + one label; unknown
+    hosts fall back to last-two; a bare suffix host has no registrable
+    part and yields itself (last-two fallback)."""
+    cases = [
+        ("https://foo.example.co.uk/x", "example.co.uk"),
+        ("https://www.example.co.uk", "example.co.uk"),
+        ("https://a.b.shop.com.au/y?z=1", "shop.com.au"),
+        ("https://news.site.co.jp", "site.co.jp"),
+        ("https://deep.a.b.example.com", "example.com"),
+        ("https://co.uk/odd", "co.uk"),
+    ]
+    rows = spark.createDataFrame(
+        [(u,) for u, _ in cases], "url string"
+    ).select(URL.registered_domain(F.col("url")).alias("d"))
+    got = [r["d"] for r in rows.collect()]
+    assert got == [want for _, want in cases], got
+
+
 def test_url_dedup_keeps_preferred(spark):
     rows = [
         (1, "http://example.com/a?utm_source=x", 0.2),

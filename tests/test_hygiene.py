@@ -162,6 +162,42 @@ def test_incremental_dedup_rounds(spark):
     assert len(hashes) == len(set(hashes))
 
 
+def test_incremental_dedup_persisted_index_rounds(spark, tmp_path):
+    """Two nightly runs against the ON-DISK index: each run appends only
+    its novel digests (O(novel) write), the second run's probe drops
+    what the first ingested, and the index stays duplicate-free."""
+    import glob
+
+    idx = str(tmp_path / "digest_index")
+
+    batch1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, "Alpha  beta")],
+        ["doc_id", "text"],
+    )
+    novel1, _ = H.incremental_dedup(batch1, H.read_digest_index(spark, idx))
+    H.write_novel_digests(novel1, idx)
+    files_after_1 = set(glob.glob(f"{idx}/bucket=*/*.parquet"))
+    assert H.read_digest_index(spark, idx).count() == 2
+    assert files_after_1
+
+    batch2 = spark.createDataFrame(
+        [(10, "gamma"), (11, "delta")], ["doc_id", "text"]
+    )
+    novel2, _ = H.incremental_dedup(batch2, H.read_digest_index(spark, idx))
+    assert [r["doc_id"] for r in novel2.collect()] == [11]
+    H.write_novel_digests(novel2, idx)
+
+    # append-only: run 1's files are untouched, run 2 added O(novel)
+    files_after_2 = set(glob.glob(f"{idx}/bucket=*/*.parquet"))
+    assert files_after_1 <= files_after_2
+    assert len(files_after_2) == len(files_after_1) + 1  # 1 novel digest
+
+    hashes = [
+        r["content_hash"] for r in H.read_digest_index(spark, idx).collect()
+    ]
+    assert len(hashes) == 3 and len(set(hashes)) == 3
+
+
 def test_incremental_dedup_index_update_has_no_extra_shuffle(spark):
     """The nightly index update must be a plain union — a distinct()
     here re-shuffles the entire historical digest index every run. The

@@ -54,6 +54,34 @@ def test_decode_stub_unit():
     assert decode_stub(b"abc", fake=True) == decode_stub(b"abc", fake=True)
 
 
+def test_codec_dispatch_on_mime():
+    """The real (fake=False) path dispatches on mime to whatever codec
+    imports: with PIL present an image/* payload decodes to an 8x8
+    grayscale feature vector; without it the call raises — in BOTH
+    environments a non-image mime raises (no codec claims it)."""
+    from jonesy_spark.multimodal import binary_ops as B
+
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"abc", fake=False, mime="application/pdf")
+
+    if B._PILImage is None:
+        with pytest.raises(NotImplementedError):
+            decode_stub(b"\x89PNG", fake=False, mime="image/png")
+        with pytest.raises(NotImplementedError):
+            B.resize_stub(b"\x89PNG", 8, fake=False, mime="image/png")
+    else:  # pragma: no cover - PIL absent in this container
+        import io
+
+        buf = io.BytesIO()
+        B._PILImage.new("RGB", (3, 5), (10, 200, 30)).save(buf, format="PNG")
+        png = buf.getvalue()
+        feat = decode_stub(png, fake=False, mime="image/png")
+        assert len(feat) == 64 and all(0.0 <= x <= 1.0 for x in feat)
+        assert feat == decode_stub(png, fake=False, mime="image/png")
+        out = B.resize_stub(png, 4, fake=False, mime="image/png")
+        assert B._PILImage.open(io.BytesIO(out)).size == (4, 4)
+
+
 def test_sample_frames_fanout(spark):
     """Frame sampling yields bounded per-doc fan-out with deterministic
     frame hashes, and frames stay joinable on doc_id."""

@@ -218,6 +218,45 @@ def test_hot_bucket_cap_small_cap_vs_uncapped(spark, tmp_path):
     assert star == k - 1
 
 
+def test_hot_bucket_cap_is_observable(spark, tmp_path):
+    """A default-on recall change must be visible when it fires: the
+    collapsed branch carries a named CollectMetrics observation
+    (collapsed_members / hot_buckets) a production listener can read;
+    with the cap disabled the node is absent."""
+    import jonesy_spark.operators.dedup as DD
+
+    _write_degenerate_docs(tmp_path, 30)
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+
+    for op, name in [
+        (DD.minhash_lsh_pairs, "hot_buckets_minhash"),
+        (DD.simhash_near_dup, "hot_buckets_simhash"),
+        (DD.ngram_jaccard_pairs, "hot_buckets_ngram"),
+    ]:
+        plan = str(op(docs, bucket_cap=8)._jdf.queryExecution().analyzed())
+        assert name in plan and "collapsed_members" in plan, name
+    uncapped = str(
+        DD.minhash_lsh_pairs(docs, bucket_cap=None)
+        ._jdf.queryExecution()
+        .analyzed()
+    )
+    assert "hot_buckets" not in uncapped
+
+
+def test_oracle_sql_carries_operator_bucket_cap():
+    """The dedup oracles interpolate the SHARED cap constant; a literal
+    that drifted from BUCKET_CAP would silently diverge the two engines
+    on corpora with buckets between the two values (ADVICE r3)."""
+    import __spark_entry__ as entrymod
+    import jonesy_spark.operators.dedup as DD
+
+    oracles = entrymod.oracle_sql()
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard"):
+        sql = oracles[name]
+        assert f"<= {DD.BUCKET_CAP}" in sql, name
+        assert f"> {DD.BUCKET_CAP}" in sql, name
+
+
 def test_hot_bucket_cap_matches_oracle_when_hit(spark, tmp_path):
     """The cap is mirrored in the DuckDB oracles: with 600 copies
     (> cap 256) the driver-registered queries must still hash-match
