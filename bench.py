@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_clusters",  # added r4: connected components over minhash pairs
     "embedding_near_dup",
     "ann_cosine_topk",
     "ann_bucketed_topk",

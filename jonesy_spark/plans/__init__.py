@@ -64,6 +64,12 @@ DRIVER_EXCLUDED = {
     # driver-checked; the winnowing window arithmetic keeps its pytest
     # oracle.
     "doc_fingerprints",
+    # Rotated out for dedup_clusters (connected components — a genuinely
+    # new plan family): whitespace_token_count stays driver-checked via
+    # text_quality_score (n_tokens) and pack_sequences (budget fill);
+    # the remaining member, the ceil(len/4) subtoken bound, keeps its
+    # pytest DuckDB differential (test_queries covers every oracle).
+    "token_counts",
 }
 
 

@@ -76,10 +76,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(Catalog(spark, sf_dir).documents)
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_TOK},
+#: MinHash(16) + LSH(2x8) banding, hot-bucket cap, and Jaccard>=0.8
+#: verification as CTEs ending in ``vpairs(doc_a, doc_b, jaccard)`` —
+#: shared by the dedup_minhash_lsh oracle and the dedup_clusters
+#: oracle's transitive closure so the two can never drift apart.
+_MINHASH_VERIFIED_PAIRS = f"""
+    {_TOK},
     toki AS (
         SELECT doc_id,
                list_distinct(list_transform(
@@ -105,7 +107,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(doc_id) OVER (PARTITION BY band_id, band_key) AS rep
         FROM band
     ),
-    pairs AS (
+    cand AS (
         SELECT DISTINCT doc_a, doc_b FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bstat a
@@ -116,15 +118,26 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT rep AS doc_a, doc_id AS doc_b
             FROM bstat WHERE bkt_n > {DD.BUCKET_CAP} AND doc_id > rep
         )
+    ),
+    vpairs AS (
+        SELECT p.doc_a, p.doc_b,
+               round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+                     / len(list_distinct(list_concat(ta.toks, tb.toks))), 6)
+                   AS jaccard
+        FROM cand p
+        JOIN toki ta ON ta.doc_id = p.doc_a
+        JOIN toki tb ON tb.doc_id = p.doc_b
+        WHERE len(list_intersect(ta.toks, tb.toks))::DOUBLE
+              / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.8
     )
-    SELECT p.doc_a, p.doc_b,
-           round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
-                 / len(list_distinct(list_concat(ta.toks, tb.toks))), 6) AS jaccard
-    FROM pairs p
-    JOIN toki ta ON ta.doc_id = p.doc_a
-    JOIN toki tb ON tb.doc_id = p.doc_b
-    WHERE len(list_intersect(ta.toks, tb.toks))::DOUBLE
-          / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.8
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_MINHASH_VERIFIED_PAIRS}
+    SELECT doc_a, doc_b, jaccard FROM vpairs
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -941,3 +954,53 @@ def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_url = docs.select("doc_id", "n_chars", url.alias("url"))
     deduped = URL.url_dedup(with_url, prefer=F.col("n_chars").desc())
     return deduped.select("doc_id", "canonical_url")
+
+
+@query(
+    "dedup_clusters",
+    # The same verified-pair CTEs as dedup_minhash_lsh, closed
+    # transitively: the oracle computes reachability with a recursive
+    # CTE (set-semantics UNION terminates on cycles) and labels every
+    # node with its component minimum — exactly the operator's contract.
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_VERIFIED_PAIRS},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM vpairs
+        UNION
+        SELECT doc_b, doc_a FROM vpairs
+    ),
+    reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM reach GROUP BY u
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the minhash pair graph: A~B and B~C must
+    collapse into one min-id-labeled component even when the LSH bands
+    never emitted A~C. operators.graph.connected_components — alternating
+    large-star/small-star rounds, O(log^2 n) convergence, edges are two
+    longs end to end."""
+    from pyspark.sql import Window
+
+    from ..operators import graph as G
+
+    pairs = DD.minhash_lsh_pairs(
+        Catalog(spark, sf_dir).documents, n_hashes=16, n_bands=2, threshold=0.8
+    )
+    comps = G.connected_components(pairs)
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+    ).withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+    )

@@ -1,0 +1,115 @@
+"""Connected-components operator tests: differential against a Python
+union-find oracle (exact graph semantics, no Spark), adversarial chain
+shapes, and the cluster-level dedup resolution built on top."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from jonesy_spark.catalog import Catalog
+from jonesy_spark.operators import graph as G
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component id = min member, matching the operator's contract
+    comp: dict[int, int] = {}
+    for n in parent:
+        root = find(n)
+        comp[n] = min(comp.get(root, root), n)
+    return {n: comp[find(n)] for n in parent}
+
+
+def _spark_components(spark, edges):
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+    return {
+        r["node"]: r["component"]
+        for r in G.connected_components(pairs).collect()
+    }
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_components_match_union_find(spark, edges):
+    want = _union_find([(a, b) for a, b in edges if a != b])
+    if not want:  # all self-loops: operator drops them, no nodes remain
+        assert _spark_components(spark, edges) == {}
+        return
+    assert _spark_components(spark, edges) == want
+
+
+def test_components_adversarial_chain(spark):
+    """A single 300-hop path: naive min-flooding needs 300 rounds; the
+    star rounds must converge inside the operator's max_rounds=16 and
+    still label every node with the chain head."""
+    got = _spark_components(spark, [(i, i + 1) for i in range(300)])
+    assert got == {i: 0 for i in range(301)}
+
+
+def test_components_merge_two_cliques_via_bridge(spark):
+    """Transitivity across blocks the LSH bands never co-bucketed: two
+    cliques + one bridge edge must collapse into one component."""
+    c1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    got = _spark_components(spark, c1 + c2 + [(4, 10)])
+    assert set(got.values()) == {0}
+
+
+def test_resolve_duplicates_keeps_reps_and_isolated(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], "doc_a long, doc_b long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in G.resolve_duplicates(docs, pairs).collect()
+    )
+    # clusters {1,3,5} -> keep 1; {2,6} -> keep 2; 0,4,7 untouched
+    assert kept == [0, 1, 2, 4, 7]
+
+
+def test_components_on_real_lsh_pairs(spark):
+    """End-to-end over the fixture corpus: every minhash pair must land
+    inside one component (both endpoints same label) and component ids
+    are member minima."""
+    from jonesy_spark.operators import dedup as DD
+
+    docs = Catalog(spark, SF_DIR).documents
+    pairs = DD.minhash_lsh_pairs(docs, n_hashes=16, n_bands=2, threshold=0.8)
+    comp = {
+        r["node"]: r["component"]
+        for r in G.connected_components(pairs).collect()
+    }
+    edge_rows = pairs.select("doc_a", "doc_b").collect()
+    assert edge_rows
+    for r in edge_rows:
+        assert comp[r["doc_a"]] == comp[r["doc_b"]]
+    by_comp: dict[int, list[int]] = {}
+    for n, c in comp.items():
+        by_comp.setdefault(c, []).append(n)
+    for c, members in by_comp.items():
+        assert c == min(members)
