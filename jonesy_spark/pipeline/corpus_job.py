@@ -9,7 +9,9 @@ pushdown, applied across operators):
   1. exact dedup          digest anti-join (cheapest, highest yield)
   2. PII redaction        map-only rewrite
   3. repetition gates     two keyed aggs, drops boilerplate
-  4. near-dup dedup       MinHash-LSH, keeps min-id representative
+  4. near-dup dedup       MinHash-LSH pairs closed transitively
+                          (connected components), one min-id survivor
+                          per duplicate CLUSTER
   5. mixture sampling     map-only per-domain rates
   6. train/val/test split map-only hash split
   7. sequence packing     hash-sharded window
@@ -29,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..operators import corpus as C
 from ..operators import dedup as DD
+from ..operators import graph as G
 from ..operators import hygiene as H
 
 
@@ -73,10 +76,12 @@ def prepare_training_corpus(
         max_top_ngram_frac=cfg.max_top_ngram_frac,
     )
 
-    # 4. near-dup dedup: drop the higher id of each verified pair.
+    # 4. near-dup dedup at CLUSTER level: pair-wise drop-the-higher-id
+    # under-deletes (pairs {1~3, 2~3} would keep both 1 and 2 though
+    # they are transitively duplicates); connected components keeps
+    # exactly one min-id survivor per linked group.
     pairs = DD.minhash_lsh_pairs(docs, threshold=cfg.near_dup_threshold)
-    dupes = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    docs = docs.join(dupes, "doc_id", "left_anti")
+    docs = G.resolve_duplicates(docs, pairs)
 
     # 5. mixture sampling (default keeps everything).
     if cfg.rates:
