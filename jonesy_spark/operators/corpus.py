@@ -123,6 +123,33 @@ def repetition_filter(
     return docs.join(keep, id_col, "left_semi")
 
 
+def quality_percentile_filter(
+    docs: DataFrame,
+    quality: Column,
+    keep_frac: float = 0.5,
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the best ``keep_frac`` of documents PER ``by`` group ranked
+    by ``quality`` — the per-domain quality gate of a pretraining
+    pipeline (a global cut would let one high-scoring domain crowd out
+    every other; the per-domain percentile keeps the mixture).
+
+    Exact ``percent_rank`` window: one keyed shuffle on the group, and
+    the ``id_col`` tiebreak makes the cut deterministic under rerun and
+    retry. At 100 TB with few giant domains, swap the window for
+    ``approx_percentile`` thresholds aggregated per group and broadcast
+    back (same cut at sketch precision, no per-group sort); the window
+    form is exact and oracle-checkable, which is why it is the default.
+    """
+    w = Window.partitionBy(by).orderBy(quality.desc(), F.col(id_col))
+    return (
+        docs.withColumn("__pr", F.percent_rank().over(w))
+        .filter(F.col("__pr") <= keep_frac)
+        .drop("__pr")
+    )
+
+
 def mixture_sample(
     docs: DataFrame,
     rates: dict[str, float],

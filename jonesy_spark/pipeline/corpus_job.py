@@ -46,6 +46,10 @@ class CorpusConfig:
     max_top_ngram_frac: float = 0.9
     near_dup_threshold: float = 0.95
     blocklist: list[str] = field(default_factory=list)
+    #: keep the best fraction of each source by quality score; None
+    #: disables the gate (the default — quality cuts are a per-corpus
+    #: policy decision, not a universal one).
+    quality_keep_frac: float | None = None
 
 
 def prepare_training_corpus(
@@ -69,12 +73,25 @@ def prepare_training_corpus(
     # 2. PII scrub (map-only rewrite of the text column).
     docs = docs.withColumn("text", H.redact_pii(F.col("text")))
 
-    # 3. repetition gates.
+    # 3. repetition gates (+ optional per-domain quality percentile).
     docs = C.repetition_filter(
         docs,
         max_dup_token_frac=cfg.max_dup_token_frac,
         max_top_ngram_frac=cfg.max_top_ngram_frac,
     )
+    if cfg.quality_keep_frac is not None:
+        from ..functions import text as TX
+
+        n_tokens = TX.whitespace_token_count(F.col("text"))
+        c_stop = TX.occurrences(F.lower(F.col("text")), "the")
+        quality = F.round(
+            F.least(F.lit(1.0), n_tokens / 100.0)
+            * (1.0 - F.least(F.lit(1.0), c_stop / n_tokens)),
+            6,
+        )
+        docs = C.quality_percentile_filter(
+            docs, quality, keep_frac=cfg.quality_keep_frac
+        )
 
     # 4. near-dup dedup at CLUSTER level: pair-wise drop-the-higher-id
     # under-deletes (pairs {1~3, 2~3} would keep both 1 and 2 though

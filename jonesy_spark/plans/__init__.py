@@ -70,6 +70,10 @@ DRIVER_EXCLUDED = {
     # the remaining member, the ceil(len/4) subtoken bound, keeps its
     # pytest DuckDB differential (test_queries covers every oracle).
     "token_counts",
+    # Added r4 at-cap: pytest-oracle only. The plan family (rank window
+    # + threshold filter) is driver-covered by topk_per_group_price and
+    # pagination_window; the quality expression by text_quality_score.
+    "quality_filter",
 }
 
 

@@ -957,6 +957,56 @@ def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_filter",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, source,
+               len(string_split(trim(text), ' ')) AS n_tokens,
+               CAST((length(lower(text))
+                     - length(replace(lower(text), 'the', ''))) / 3
+                    AS INTEGER) AS c_stop
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source,
+               round(least(1.0, n_tokens / 100.0)
+                     * (1.0 - least(1.0, c_stop::DOUBLE / n_tokens)), 6)
+                   AS quality
+        FROM m
+    ),
+    r AS (
+        SELECT doc_id, source, quality,
+               percent_rank() OVER (PARTITION BY source
+                                    ORDER BY quality DESC, doc_id) AS pr
+        FROM q
+    )
+    SELECT doc_id, source, quality FROM r WHERE pr <= 0.5
+    """,
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality-percentile gate (keep the best half of each
+    source by the text_quality_score composite): quality is rounded to
+    6 digits BEFORE ranking on both engines so rank order — and
+    therefore the cut — is bit-identical. percent_rank is (rank-1)/(n-1)
+    on both sides: exact small-int division, deterministic comparison.
+    operators.corpus.quality_percentile_filter has the scale notes."""
+    from ..operators import corpus as C
+
+    docs = Catalog(spark, sf_dir).documents
+    n_tokens = TX.whitespace_token_count(F.col("text"))
+    c_stop = TX.occurrences(F.lower(F.col("text")), "the")
+    quality = F.round(
+        F.least(F.lit(1.0), n_tokens / 100.0)
+        * (1.0 - F.least(F.lit(1.0), c_stop / n_tokens)),
+        6,
+    )
+    scored = docs.select("doc_id", "source", quality.alias("quality"))
+    return C.quality_percentile_filter(
+        scored, F.col("quality"), keep_frac=0.5, by="source"
+    )
+
+
+@query(
     "dedup_clusters",
     # The same verified-pair CTEs as dedup_minhash_lsh, closed
     # transitively: the oracle computes reachability with a recursive

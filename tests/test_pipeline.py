@@ -381,3 +381,22 @@ def test_prepare_corpus_end_to_end(spark, tmp_path):
     run_job("prepare_corpus", ctx)
     assert sorted(ctx.written) == ["corpus/sequences", "corpus/split"]
     assert spark.read.parquet(str(tmp_path / "out" / "corpus" / "sequences")).count() > 0
+
+
+def test_prepare_corpus_quality_gate(spark):
+    """The optional per-domain quality percentile shrinks the corpus to
+    ~keep_frac per source and stays deterministic."""
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.pipeline.corpus_job import CorpusConfig, prepare_training_corpus
+
+    docs = Catalog(spark, SF_DIR).documents
+    base = prepare_training_corpus(docs)["clean"].count()
+    gated = prepare_training_corpus(
+        docs, CorpusConfig(quality_keep_frac=0.5)
+    )["clean"]
+    n1, n2 = gated.count(), gated.count()
+    assert n1 == n2  # deterministic under recompute
+    assert 0 < n1 < base
+    # ~half survives the gate; downstream near-dup dedup then removes
+    # its own share, so the bound is loose on the low side.
+    assert 0.2 <= n1 / base <= 0.65
