@@ -92,6 +92,24 @@ def test_resolve_duplicates_keeps_reps_and_isolated(spark):
     assert kept == [0, 1, 2, 4, 7]
 
 
+def test_components_compose_with_embedding_pairs(spark):
+    """Semantic dedup path: the same CC operator closes the
+    embedding-cosine pair graph (src/dst columns differ from the text
+    dedup default)."""
+    from jonesy_spark.operators import similarity as SIM
+
+    emb = Catalog(spark, SF_DIR).embeddings
+    pairs = SIM.embedding_near_dup(emb, threshold=0.3)
+    comp = {
+        r["node"]: r["component"]
+        for r in G.connected_components(
+            pairs, src="vec_a", dst="vec_b"
+        ).collect()
+    }
+    for r in pairs.select("vec_a", "vec_b").collect():
+        assert comp[r["vec_a"]] == comp[r["vec_b"]]
+
+
 def test_components_on_real_lsh_pairs(spark):
     """End-to-end over the fixture corpus: every minhash pair must land
     inside one component (both endpoints same label) and component ids
