@@ -103,6 +103,11 @@ def main() -> None:
                 "value_cold": round(sum(cold.values()), 3),
                 "sf": float(sf),
                 "runs_per_query": RUNS,
+                "headline_set": (
+                    f"{len(HEADLINE)} queries; r4 added dedup_clusters "
+                    "(connected components) — totals are NOT comparable "
+                    "to r<=3's 20-query set without subtracting it"
+                ),
                 "timing": (
                     f"queries/value = min-of-{RUNS} steady-state (excludes "
                     "one-time JIT/codegen warm-up); queries_cold/value_cold = "

@@ -171,9 +171,10 @@ def incremental_dedup(
     union — ``novel`` is within-batch unique (row_number = 1) and
     anti-joined against ``seen``, so the sides are provably disjoint
     and a ``distinct()`` would be a semantic no-op that re-shuffles the
-    entire historical index every nightly run. Persist the index
-    partitioned/bucketed on ``content_hash`` (or append-write just the
-    novel digests) so tomorrow's run co-locates the probe.
+    entire historical index every nightly run. The disk follow-through
+    is :func:`write_novel_digests` / :func:`read_digest_index`: append
+    ONLY the returned novel digests (that invariant is what keeps the
+    index duplicate-free, and the write O(novel) instead of O(index)).
     """
     from pyspark.sql import Window
 
