@@ -121,8 +121,13 @@ def connected_components(
         # collision-safe enough for a convergence check (edges are
         # distinct, so xor never cancels a duplicate).
         obs = Observation()
+        # Checkpoint BETWEEN the stars too: each star's output feeds two
+        # consumers (its min table and the join probe), and Spark plans
+        # them as separate subtrees (no ReusedExchange across the alias
+        # boundary — verified on the executed plan), so an un-materialized
+        # large-star would be computed twice per round.
         edges = (
-            _small_star(_large_star(edges))
+            _small_star(_large_star(edges).localCheckpoint())
             .observe(
                 obs,
                 F.count(F.lit(1)).alias("n"),
