@@ -191,7 +191,7 @@ def incremental_dedup(
 
 
 def write_novel_digests(
-    novel: DataFrame, index_path: str, prefix_len: int = 2
+    novel: DataFrame, index_path: str, prefix_len: int = 2, mode: str = "append"
 ) -> None:
     """Append ONLY a batch's novel digests to the on-disk corpus index —
     the nightly follow-through of :func:`incremental_dedup`: the write
@@ -206,12 +206,16 @@ def write_novel_digests(
     append at one file per touched bucket per run. Append-only writes
     of anti-joined digests also keep the index duplicate-free — the
     invariant :func:`incremental_dedup`'s plain union relies on.
+
+    ``mode="overwrite"`` is for retry-idempotent writers: the streaming
+    bridge targets a per-micro-batch ``ingest_batch=N`` subdirectory and
+    overwrites that whole subtree on epoch replay.
     """
     (
         novel.select("content_hash")
         .withColumn("bucket", F.substring("content_hash", 1, prefix_len))
         .repartition("bucket")
-        .write.mode("append")
+        .write.mode(mode)
         .partitionBy("bucket")
         .parquet(index_path)
     )

@@ -228,6 +228,51 @@ def run_foreach_batch_fanout(
     q.stop()
 
 
+def run_incremental_dedup_stream(
+    docs: DataFrame,
+    index_path: str,
+    novel_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming bridge to the PERSISTED digest index: each micro-batch
+    dedups against the on-disk index (``hygiene.read_digest_index`` —
+    re-read per batch, so it sees every previously committed epoch),
+    writes the surviving novel documents under ``novel_path``, and lands
+    their digests in a batch-scoped ``ingest_batch=N`` partition of the
+    index via ``hygiene.write_novel_digests``.
+
+    foreachBatch is at-least-once; idempotence comes from the writes,
+    not the framework: an epoch replay OVERWRITES its own
+    ``ingest_batch=N`` subtree on both sinks, so the index never
+    double-counts a retried batch — the streaming analogue of the
+    nightly append-only-novel invariant. (``content_dedup_stream``
+    below is the state-store twin for *within-horizon* duplicates; this
+    one is the *historical* gate — production runs both, in that
+    order.)
+    """
+    from ..operators import hygiene as H
+
+    def handle(batch_df, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        seen = H.read_digest_index(spark, index_path)
+        novel, _ = H.incremental_dedup(batch_df, seen)
+        novel = novel.localCheckpoint()  # two sinks, one computation
+        novel.write.mode("overwrite").parquet(
+            f"{novel_path}/ingest_batch={epoch_id}"
+        )
+        H.write_novel_digests(
+            novel, f"{index_path}/ingest_batch={epoch_id}", mode="overwrite"
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
 def content_dedup_stream(docs: DataFrame, watermark_col: str = "ts", horizon: str = "1 day") -> DataFrame:
     """Streaming content dedup: first document per normalized content
     digest within the watermark horizon — the streaming twin of

@@ -177,6 +177,47 @@ def test_file_sink_checkpoint_restart_resume(spark, tmp_path):
     assert dupes == 0
 
 
+def test_incremental_dedup_stream_maintains_index(spark, tmp_path):
+    """Streaming bridge to the persisted digest index: wave 1 lands its
+    novel docs + digests; a restarted query over wave 2 (same
+    checkpoint) must drop digests wave 1 already committed, and the
+    index holds exactly one row per distinct digest."""
+    import pandas as pd
+
+    from jonesy_spark.operators.hygiene import read_digest_index
+    from jonesy_spark.streaming.incremental import (
+        dir_stream,
+        run_incremental_dedup_stream,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    idx, novel, ckpt = (
+        str(tmp_path / "index"),
+        str(tmp_path / "novel"),
+        str(tmp_path / "ckpt"),
+    )
+    schema = "doc_id bigint, text string"
+
+    def wave(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            land / f"{name}.parquet"
+        )
+        run_incremental_dedup_stream(
+            dir_stream(spark, str(land), schema), idx, novel, ckpt
+        )
+
+    wave("w1", [(1, "alpha beta"), (2, "gamma"), (3, "Alpha  beta")])
+    assert read_digest_index(spark, idx).count() == 2  # 3 collapses into 1
+
+    wave("w2", [(10, "gamma"), (11, "delta")])  # gamma known from wave 1
+    hashes = [r["content_hash"] for r in read_digest_index(spark, idx).collect()]
+    assert len(hashes) == 3 and len(set(hashes)) == 3
+
+    kept = spark.read.parquet(novel)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 11]
+
+
 def test_content_dedup_stream_one_per_digest(spark, tmp_path):
     """Streaming content dedup: exactly one survivor per normalized
     digest within the horizon, digest set identical to the batch
