@@ -49,16 +49,26 @@ class Catalog:
             raise KeyError(f"unknown table {name!r}; known: {FIXTURE_TABLES}")
         if name not in self._cache:
             if name == "events":
-                # events.parquet carries INT64 TIMESTAMP(NANOS), which the
-                # vectorized reader rejects. Read nanos as long, then
-                # convert to a microsecond timestamp with exact integer
-                # division (double division would lose precision at 1e18).
-                # Oracle SQL casts ts to µs TIMESTAMP to match.
+                # events.parquet has shipped ts as INT64 TIMESTAMP(NANOS)
+                # in some fixture generations (which the vectorized reader
+                # rejects without nanosAsLong) and as µs TIMESTAMP in
+                # others. Normalize both to session-zone TIMESTAMP: nanos
+                # via exact integer division (double division would lose
+                # precision at 1e18), NTZ via a cast that is exact under
+                # the pinned UTC session zone. Oracle SQL casts ts to µs
+                # TIMESTAMP to match.
                 from pyspark.sql import functions as F
+                from pyspark.sql import types as T
 
                 self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
                 df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                ts_type = df.schema["ts"].dataType
+                if isinstance(ts_type, T.LongType):
+                    df = df.withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                    )
+                elif not isinstance(ts_type, T.TimestampType):
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             else:
                 df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
             self._cache[name] = df

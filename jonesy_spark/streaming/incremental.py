@@ -26,8 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: events.parquet physical schema (ts is INT64 TIMESTAMP(NANOS); the
-#: file source reads it as long under nanosAsLong, converted below).
+#: events.parquet logical schema. The physical ts type has varied across
+#: fixture generations (INT64 TIMESTAMP(NANOS) vs µs TIMESTAMP);
+#: :func:`events_stream` probes the footer with a batch read and adapts
+#: the declared stream schema + conversion to whichever it finds.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -63,8 +65,22 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
-    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The file source needs an explicit schema; probe the footer with a
+    # one-file batch read (no data scan) so the declared ts type and the
+    # conversion match whichever physical encoding this fixture carries.
+    ts_type = spark.read.parquet(src).schema["ts"].dataType
+    schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", ts_type)
+            for f in EVENTS_SCHEMA.fields
+        ]
+    )
+    raw = spark.readStream.schema(schema).format("parquet").load(stage)
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if not isinstance(ts_type, T.TimestampType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:
