@@ -32,6 +32,40 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 
 
+def _track_caches(df: DataFrame, *deps: DataFrame) -> DataFrame:
+    """Attach the operator's internally-persisted frames to the frame it
+    returns, so callers can release them after the terminal action
+    (:func:`release_caches`). Persist without a release surface leaks:
+    MEMORY_AND_DISK never OOMs, but in a long-lived session (the corpus
+    job, a 50-query driver run) dead cached sketch subtrees accumulate
+    and evict useful blocks."""
+    existing = list(getattr(df, "_jonesy_cached_deps", ()))
+    df._jonesy_cached_deps = existing + [d for d in deps if d is not None]
+    return df
+
+
+def carry_caches(to_df: DataFrame, from_df: DataFrame) -> DataFrame:
+    """Re-attach ``from_df``'s cache handles onto a derived frame —
+    DataFrame transformations return new Python objects, so a plan
+    builder that wraps an operator's output must forward the handles
+    for :func:`release_caches` to see them."""
+    return _track_caches(to_df, *getattr(from_df, "_jonesy_cached_deps", ()))
+
+
+def release_caches(df: DataFrame) -> int:
+    """Unpersist every cache the operator that produced ``df`` left
+    behind; returns how many were released. Call after the terminal
+    action (the bench does, after its noop write; the corpus job after
+    its output writes). Safe to call twice and on frames with no
+    handles."""
+    deps = getattr(df, "_jonesy_cached_deps", ())
+    for d in deps:
+        d.unpersist()
+    n = len(deps)
+    df._jonesy_cached_deps = []
+    return n
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on normalized text: lowercase, trim, collapse runs of
     whitespace, then group by md5 and keep the min id as representative.
@@ -81,7 +115,8 @@ def _split_by_bucket_size(
     carry: list[str],
     bucket_cap: int | None,
     op: str = "dedup",
-) -> tuple[DataFrame, DataFrame | None]:
+    cache_stats: bool = False,
+) -> tuple[DataFrame, DataFrame | None, list[DataFrame]]:
     """Split banded rows into (small, collapsed) by bucket population.
 
     The band self-join emits O(k²) candidate pairs for a bucket of k
@@ -96,21 +131,24 @@ def _split_by_bucket_size(
     near-certain duplicates of each other at any sane threshold, and
     connected-components clustering downstream reunites them anyway).
 
-    Cost design: only the HOT keys (population > cap) are materialized —
-    a partial-aggregated groupBy whose output is the distinct-hot-key
-    set, empty on healthy corpora — and broadcast. ``small`` is then a
-    broadcast hash ANTI-join of ``banded`` against the hot keys and
-    ``collapsed`` a broadcast hash join, so the common no-hot-bucket
-    case pays one map-side-combined aggregation and two probe-only
-    passes: the banded rows themselves never shuffle for the split.
-    (The r3 implementation joined full per-bucket stats back onto every
-    banded row — a corpus-sized shuffle join paid even when no bucket
-    was hot; it cost 1.9-4.5× on the LSH bench.) The broadcast is
-    bounded by |banded| / cap distinct hot keys — reaching broadcast-
-    breaking size needs millions of *distinct* degenerate buckets, at
-    which point raise ``bucket_cap`` or pass ``None``. ``carry`` columns
-    ride inside the min-struct so the representative's payload (sizes,
-    fingerprints) is available without another join.
+    Cost design (r5): the per-bucket stats are WINDOW functions over a
+    partitioning by exactly the band keys the downstream self-join
+    equi-joins on — so the split rides the join's own shuffle instead
+    of adding one. Catalyst reuses the single ``Exchange
+    hashpartitioning(keys)`` under both join sides (and the collapsed
+    probe), and the window's sort on the partition keys satisfies the
+    sort-merge join's ordering requirement, so the no-hot-bucket case
+    pays ONE shuffle of the banded rows where the r4 broadcast-split
+    paid a full extra aggregation shuffle plus two probe passes (~2.5 s
+    of the 3 s simhash gap vs the uncapped r2 shape, measured this
+    session; the r3 stats-join variant was worse still). A hot key does
+    put its whole bucket in one window task — linear in k, which is
+    exactly the O(k) the cap guarantees; AQE can't split a window
+    partition, but it never needs to: the O(k²) enumeration is gone.
+    ``carry`` columns ride inside the window min-struct so the
+    representative's payload (sizes, fingerprints) is available without
+    any join. This is also bit-for-bit the oracle's formulation (the
+    ``bstat`` CTE's ``count(*) OVER`` / ``min() OVER``).
 
     The collapsed branch carries a ``CollectMetrics`` observation named
     ``hot_buckets_{op}`` (``collapsed_members``, ``hot_buckets``) so
@@ -124,20 +162,29 @@ def _split_by_bucket_size(
     ``bucket_cap`` is None.
     """
     if bucket_cap is None:
-        return banded, None
-    hot = (
-        banded.groupBy(*keys)
-        .agg(
-            F.count(F.lit(1)).alias("bkt_n"),
-            F.min(F.struct(*carry)).alias("bkt_rep"),
-        )
-        .filter(F.col("bkt_n") > bucket_cap)
-        .select(*keys, "bkt_rep")
+        return banded, None, []
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    stats = banded.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("bkt_n"),
+        F.min(F.struct(*carry)).over(w).alias("bkt_rep"),
     )
-    small = banded.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
+    persisted = []
+    if cache_stats:
+        # One window evaluation shared by all three consumers; the
+        # InMemoryRelation keeps the child's hashpartitioning(keys), so
+        # the downstream self-join still needs no re-shuffle.
+        stats = stats.persist()
+        persisted.append(stats)
+    small = stats.filter(F.col("bkt_n") <= bucket_cap).drop("bkt_n", "bkt_rep")
     collapsed = (
-        banded.join(F.broadcast(hot), keys)
-        .filter(F.col(carry[0]) > F.col(f"bkt_rep.{carry[0]}"))
+        stats.filter(
+            (F.col("bkt_n") > bucket_cap)
+            & (F.col(carry[0]) > F.col(f"bkt_rep.{carry[0]}"))
+        )
+        .drop("bkt_n")
         .observe(
             f"hot_buckets_{op}",
             F.count(F.lit(1)).alias("collapsed_members"),
@@ -146,7 +193,7 @@ def _split_by_bucket_size(
             F.approx_count_distinct(F.struct(*keys)).alias("hot_buckets"),
         )
     )
-    return small, collapsed
+    return small, collapsed, persisted
 
 
 def _minhash_min_aggs(n_hashes: int) -> list[Column]:
@@ -225,24 +272,38 @@ def minhash_lsh_pairs(
         )
         .select("doc_id", element_hash(F.col("t")).alias("h"))
     )
-    # The sketch subtree (explode + per-element md5 + collect_set + 16
-    # min-permutation aggregates) feeds six consumers: hot-key stats,
-    # both split probes, the collapsed probe, and the two token
-    # re-attach joins. Persist it (MEMORY_AND_DISK, spills at scale) so
-    # it's computed once per execution instead of once per consumer —
-    # this, plus the broadcast hot-key split, is what keeps the
-    # bucket-cap guard ~free when no bucket is hot.
+    # Cache strategy (A/B-measured this round, sf0.1, same-session
+    # min-of-3): the window-based split caches its own stats frame
+    # ("stats", the default — 2.4 s vs 5.0 s for r4's tok-persist +
+    # broadcast split), which already holds the band keys, so caching
+    # the token sketch on top buys nothing: its only other consumers
+    # are the two narrow re-attach joins. The knob stays for re-tuning:
+    # "tok" persists / "checkpoint" localCheckpoints the sketch
+    # (checkpoint ties at small SF but truncates lineage — a lost
+    # executor then kills the job instead of recomputing, the wrong
+    # trade at 1000 executors).
     tok = ex.groupBy("doc_id").agg(
         F.collect_set("h").alias("toks"), *_minhash_min_aggs(n_hashes)
-    ).persist()
+    )
+    strategy = set(
+        getattr(minhash_lsh_pairs, "_cache_strategy", "stats").split("+")
+    )
+    persisted = []
+    if "tok" in strategy:
+        tok = tok.persist()
+        persisted.append(tok)
+    elif "checkpoint" in strategy:
+        tok = tok.localCheckpoint()
     banded = tok.select(
         "doc_id",
         F.size("toks").alias("sz"),
         F.explode(_band_structs(n_bands, band_size)).alias("band"),
     ).select("doc_id", "sz", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
-    small, collapsed = _split_by_bucket_size(
-        banded, ["band_id", "band_key"], ["doc_id"], bucket_cap, op="minhash"
+    small, collapsed, split_caches = _split_by_bucket_size(
+        banded, ["band_id", "band_key"], ["doc_id"], bucket_cap,
+        op="minhash", cache_stats="stats" in strategy,
     )
+    persisted += split_caches
     a, b = small.alias("a"), small.alias("b")
     # Candidate pairs carry ids only — the band join and the pair dedup
     # shuffle 16-byte rows, never the token arrays. The token-set size
@@ -285,10 +346,11 @@ def minhash_lsh_pairs(
         .join(ta, "doc_a")
         .join(tb, "doc_b")
     )
-    return (
+    return _track_caches(
         verified.withColumn("jaccard", TX.jaccard(F.col("toks_a"), F.col("toks_b")))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b", "jaccard"),
+        *persisted,
     )
 
 
@@ -360,18 +422,28 @@ def simhash_near_dup(
             ).otherwise(F.lit(0).cast("long"))
         return out
 
-    # Persist the fingerprints: the explode + 64 vote-SUM aggregates
-    # above are the expensive subtree, and the banded rows derived from
-    # it are consumed four times (hot-key stats, both self-join sides,
-    # collapsed probe). 4 small columns per doc — cheap to cache,
-    # spills at scale. (Persisting `banded` instead was measured worse:
-    # 8 band rows per doc, each carrying both fingerprint halves.)
+    # The explode + 64 vote-SUM aggregates are the expensive subtree;
+    # under the window split its only consumer is the banded frame that
+    # feeds the cached stats, so the default "stats" strategy computes
+    # it exactly once and caches nothing else (3.8 s vs 6.0 s for r4's
+    # fp-persist + broadcast split, same-session A/B). "fp"/"checkpoint"
+    # knobs kept for re-tuning (checkpoint+stats measured 3.66 s but
+    # truncates lineage — see minhash note).
     fp = sums.select(
         "doc_id",
         "block",
         pack(1, half).alias("fpa"),
         pack(half + 1, n_bits).alias("fpb"),
-    ).persist()
+    )
+    strategy = set(
+        getattr(simhash_near_dup, "_cache_strategy", "stats").split("+")
+    )
+    persisted = []
+    if "fp" in strategy:
+        fp = fp.persist()
+        persisted.append(fp)
+    elif "checkpoint" in strategy:
+        fp = fp.localCheckpoint()
     # Pigeonhole band blocking: with max_hamming errors spread over
     # n_bands > max_hamming bands, at least one band is error-free, so
     # every qualifying pair shares an exact band — the band equi-join is
@@ -396,13 +468,15 @@ def simhash_near_dup(
     banded = fp.select(
         "doc_id", "block", "fpa", "fpb", F.explode(F.array(*bands)).alias("band")
     ).select("doc_id", "block", "fpa", "fpb", "band.band_id", "band.band_bits")
-    small, collapsed = _split_by_bucket_size(
+    small, collapsed, split_caches = _split_by_bucket_size(
         banded,
         ["block", "band_id", "band_bits"],
         ["doc_id", "fpa", "fpb"],
         bucket_cap,
         op="simhash",
+        cache_stats="stats" in strategy,
     )
+    persisted += split_caches
     a, b = small.alias("a"), small.alias("b")
     candidates = a.join(
         b,
@@ -435,10 +509,11 @@ def simhash_near_dup(
     hamming = F.bit_count(
         F.col("fpa_a").bitwiseXOR(F.col("fpa_b"))
     ) + F.bit_count(F.col("fpb_a").bitwiseXOR(F.col("fpb_b")))
-    return (
+    return _track_caches(
         candidates.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select("doc_a", "doc_b", "hamming"),
+        *persisted,
     )
 
 
@@ -471,6 +546,9 @@ def ngram_jaccard_pairs(
     size-ratio filter before any set op.
     """
     band_size = n_hashes // n_bands
+    strategy = set(
+        getattr(ngram_jaccard_pairs, "_cache_strategy", "stats").split("+")
+    )
     ex = (
         df.repartition(CPU_PARTITIONS, F.col(id_col))
         .select(F.col(id_col).alias("doc_id"), F.col("lang"), F.col(text_col).alias("txt"))
@@ -494,13 +572,17 @@ def ngram_jaccard_pairs(
     g = ex.groupBy("doc_id", "lang").agg(
         F.collect_set("h").alias("grams"), *_minhash_min_aggs(n_hashes)
     )
-    # Persist the BANDED rows (scalar columns only), not `g`: banded
-    # has four consumers (hot-key stats, both self-join sides, the
-    # collapsed probe), and caching it cuts the sketch subtree to three
-    # evaluations (banded + the two gram re-attach joins). Persisting
-    # `g` itself was measured ~25% slower steady-state — the columnar
-    # cache build/scan of the ~|text| -element gram arrays costs more
-    # than recomputing them for the two re-attach joins.
+    # Default "stats": cache only the split's window-stats frame (3.2 s
+    # vs 10.4 s for r4's banded-persist + broadcast split, same-session
+    # A/B). The gram arrays are ~|text| elements per doc — caching them
+    # ("g"/"checkpoint") costs more in columnar build/scan than the two
+    # re-attach recomputations it saves.
+    persisted = []
+    if "checkpoint" in strategy:
+        g = g.localCheckpoint()
+    elif "g" in strategy:
+        g = g.persist()
+        persisted.append(g)
     banded = g.select(
         "doc_id",
         "lang",
@@ -512,10 +594,12 @@ def ngram_jaccard_pairs(
         "sz",
         F.col("band.band_id").alias("band_id"),
         F.col("band.band_key").alias("band_key"),
-    ).persist()
-    small, collapsed = _split_by_bucket_size(
-        banded, ["lang", "band_id", "band_key"], ["doc_id"], bucket_cap, op="ngram"
     )
+    small, collapsed, split_caches = _split_by_bucket_size(
+        banded, ["lang", "band_id", "band_key"], ["doc_id"], bucket_cap,
+        op="ngram", cache_stats="stats" in strategy,
+    )
+    persisted += split_caches
     a, b = small.alias("a"), small.alias("b")
     # The gram-set SIZE rides along on the banded rows (one int) so the
     # threshold-implied size-ratio bound (j >= t forces |A|/|B| within
@@ -549,11 +633,12 @@ def ngram_jaccard_pairs(
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
     pairs = candidates.repartition(CPU_PARTITIONS).join(ga, "doc_a").join(gb, "doc_b")
-    return (
+    return _track_caches(
         pairs.select(
             "doc_a",
             "doc_b",
             TX.jaccard(F.col("grams_a"), F.col("grams_b")).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard") >= threshold),
+        *persisted,
     )

@@ -30,8 +30,10 @@ Scale notes (100 TB):
     every round truncates the lineage so round k's plan does not replay
     rounds 1..k-1 (and materializes the round, keeping each shuffle
     bounded);
-  * convergence detection is a count+xxhash64 signature — one narrow
-    aggregate per round, never a collect of edges;
+  * convergence detection is an exact star-forest shape test — one
+    narrow aggregate per round over the checkpointed edges, never a
+    collect, and it fires the round the forest appears (no
+    confirmation round);
   * hot hubs (a node in millions of pairs) are exactly the groupBy keys
     AQE skew-split handles; the star transforms strictly shrink edge
     count toward n-1.
@@ -86,6 +88,62 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _is_star_forest(edges: DataFrame) -> bool:
+    """Exact test for the algorithm's fixpoint shape: a (u > v)-oriented
+    edge set is a min-centered star forest iff no child ``u`` appears
+    twice and no node is both a child and a center. (Each child then has
+    exactly one parent, parents are never children, so every component
+    is one star whose center — the ``v`` side, smaller by orientation —
+    is its minimum.)
+
+    One narrow aggregation over the ALREADY-CHECKPOINTED edges (two
+    longs/row, read from block storage) ending in ``isEmpty`` — ~15% of
+    a star round's cost. Weaker in-round signals are NOT sound
+    fixpoint tests, which is why r4 burned a full confirmatory round
+    instead: small-star is the identity on any parent-pointer chain,
+    and large-star on any two-center "co-star", neither of which is a
+    forest."""
+    roles = edges.select(
+        F.col("u").alias("node"), F.lit(1).alias("c"), F.lit(0).alias("p")
+    ).union(
+        edges.select(F.col("v").alias("node"), F.lit(0).alias("c"), F.lit(1).alias("p"))
+    )
+    bad = (
+        roles.groupBy("node")
+        .agg(F.sum("c").alias("c"), F.sum("p").alias("p"))
+        .filter((F.col("c") > 1) | ((F.col("c") > 0) & (F.col("p") > 0)))
+    )
+    return bad.isEmpty()
+
+
+def _run_star_rounds(edges: DataFrame, max_rounds: int) -> tuple[DataFrame, int]:
+    """Alternate large-star/small-star until the edge set is a min-star
+    forest; returns ``(forest_edges, rounds_run)``.
+
+    Convergence is detected by :func:`_is_star_forest` on each round's
+    output — an exact structural test, so the loop stops the moment the
+    forest exists instead of burning one full confirmatory round to see
+    that nothing changed (the r4 consecutive-signature scheme). It also
+    exits in ZERO rounds when the input is already a star forest — the
+    common case for pair lists coming from collapsed hot buckets, which
+    are emitted rep→member, i.e. already star-shaped."""
+    edges = edges.localCheckpoint()
+    if _is_star_forest(edges):
+        return edges, 0
+    for rounds in range(1, max_rounds + 1):
+        # Checkpoint BETWEEN the stars too: each star's output feeds two
+        # consumers (its min table and the join probe), and Spark plans
+        # them as separate subtrees (no ReusedExchange across the alias
+        # boundary — verified on the executed plan), so an
+        # un-materialized large-star would be computed twice per round.
+        edges = _small_star(_large_star(edges).localCheckpoint()).localCheckpoint()
+        if _is_star_forest(edges):
+            return edges, rounds
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
@@ -97,52 +155,21 @@ def connected_components(
     same deterministic min-id representative the dedup operators and
     their hot-bucket cap use).
 
-    One large-star + small-star round per loop iteration; stops when the
-    edge signature (count, xxhash64 sum) is stable — at that fixpoint
-    the edge list IS the star forest (child -> component min).
-    ``max_rounds`` = 16 covers graphs far beyond 2^16 nodes of pathology
-    (convergence is O(log^2 n) rounds); hitting it raises rather than
-    returning half-merged clusters.
+    One large-star + small-star round per loop iteration; stops as soon
+    as a round's output passes the exact star-forest test (see
+    :func:`_run_star_rounds` / :func:`_is_star_forest` — at that point
+    the edge list IS child -> component min). ``max_rounds`` = 16
+    covers graphs far beyond 2^16 nodes of pathology (convergence is
+    O(log^2 n) rounds); hitting it raises rather than returning
+    half-merged clusters.
     """
-    from pyspark.sql import Observation
-
     edges = _canonical(
         pairs.select(
             F.col(src).cast("long").alias("u"),
             F.col(dst).cast("long").alias("v"),
         )
-    ).localCheckpoint()
-    signature = None
-    for _ in range(max_rounds):
-        # The signature rides the checkpoint materialization as an
-        # observed metric, so convergence detection costs no second
-        # pass over the edges. count + order-insensitive xor of
-        # per-edge hashes: overflow-free under ANSI (unlike a sum) and
-        # collision-safe enough for a convergence check (edges are
-        # distinct, so xor never cancels a duplicate).
-        obs = Observation()
-        # Checkpoint BETWEEN the stars too: each star's output feeds two
-        # consumers (its min table and the join probe), and Spark plans
-        # them as separate subtrees (no ReusedExchange across the alias
-        # boundary — verified on the executed plan), so an un-materialized
-        # large-star would be computed twice per round.
-        edges = (
-            _small_star(_large_star(edges).localCheckpoint())
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-            )
-            .localCheckpoint()
-        )
-        sig = (obs.get["n"], obs.get["h"])
-        if sig == signature:
-            break
-        signature = sig
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_rounds} rounds"
-        )
+    )
+    edges, _ = _run_star_rounds(edges, max_rounds)
     roots = edges.select(F.col("v").alias("node")).distinct().select(
         "node", F.col("node").alias("component")
     )

@@ -69,6 +69,48 @@ def test_components_adversarial_chain(spark):
     assert got == {i: 0 for i in range(301)}
 
 
+def test_star_rounds_stop_without_confirmation_round(spark):
+    """The exact star-forest test must end the loop the round the
+    forest appears: an already-star-shaped input (what collapsed hot
+    buckets emit) costs ZERO rounds, and the 300-hop chain converges in
+    at most the O(log^2 n) bound WITHOUT a trailing no-op round (the r4
+    consecutive-signature scheme burned one by construction)."""
+    from pyspark.sql import functions as F
+
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(j, 10) for j in (11, 12)],
+        "u long, v long",
+    )
+    forest, rounds = G._run_star_rounds(star, max_rounds=16)
+    assert rounds == 0
+    assert sorted(map(tuple, forest.collect())) == sorted(
+        [(i, 0) for i in range(1, 6)] + [(11, 10), (12, 10)]
+    )
+
+    chain = spark.createDataFrame(
+        [(i + 1, i) for i in range(300)], "u long, v long"
+    )
+    _, chain_rounds = G._run_star_rounds(chain, max_rounds=16)
+    # Must be the round the forest APPEARS (9 on this shape, confirmed
+    # by pure-Python simulation), not the r4 detect-at-k+1 behavior
+    # (10). Pinned so a detection regression that re-adds the
+    # confirmation round fails loudly.
+    assert chain_rounds == 9, chain_rounds
+
+    # the detector itself: chains and co-stars are NOT forests
+    assert not G._is_star_forest(
+        spark.createDataFrame([(2, 0), (3, 1), (4, 2)], "u long, v long")
+    )
+    assert not G._is_star_forest(
+        spark.createDataFrame([(5, 1), (5, 2)], "u long, v long")
+    )
+    assert G._is_star_forest(
+        spark.createDataFrame([], "u long, v long").select(
+            F.col("u"), F.col("v")
+        )
+    )
+
+
 def test_components_merge_two_cliques_via_bridge(spark):
     """Transitivity across blocks the LSH bands never co-bucketed: two
     cliques + one bridge edge must collapse into one component."""

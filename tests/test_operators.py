@@ -278,3 +278,47 @@ def test_hot_bucket_cap_matches_oracle_when_hit(spark, tmp_path):
             assert_matches_oracle(q[name](spark, str(tmp_path)), con, o[name])
     finally:
         con.close()
+
+
+def test_dedup_release_caches_leaves_no_residue(spark):
+    """VERDICT r4 #3: operators persist multi-consumer subtrees; the
+    returned frame must carry release handles so a long-lived session
+    (corpus job, 50-query driver run) can free them after the terminal
+    action. After release_caches the session's SQL cache must be empty."""
+    import jonesy_spark.operators.dedup as DD
+    from conftest import SF_DIR
+    from jonesy_spark.catalog import Catalog
+
+    docs = Catalog(spark, SF_DIR).documents
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cache_mgr.isEmpty()
+
+    for op, kwargs in [
+        (DD.minhash_lsh_pairs, {"threshold": 0.8}),
+        (DD.simhash_near_dup, {"max_hamming": 3}),
+        (DD.ngram_jaccard_pairs, {"threshold": 0.6}),
+    ]:
+        df = op(docs, **kwargs)
+        df.write.mode("overwrite").format("noop").save()
+        assert not cache_mgr.isEmpty(), op.__name__  # something was cached
+        released = DD.release_caches(df)
+        assert released >= 1, op.__name__
+        assert cache_mgr.isEmpty(), op.__name__
+        assert DD.release_caches(df) == 0  # idempotent
+
+
+def test_carry_caches_forwards_handles(spark):
+    """Plan builders that wrap an operator's output must forward the
+    release handles — a derived DataFrame is a new Python object."""
+    import jonesy_spark.operators.dedup as DD
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], ["doc_id", "text"]
+    ).withColumn("lang", F.lit("en"))
+    pairs = DD.minhash_lsh_pairs(docs)
+    wrapped = DD.carry_caches(pairs.select("doc_a"), pairs)
+    wrapped.write.mode("overwrite").format("noop").save()
+    assert DD.release_caches(wrapped) >= 1
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
