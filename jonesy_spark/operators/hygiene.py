@@ -191,40 +191,54 @@ def incremental_dedup(
 
 
 def write_novel_digests(
-    novel: DataFrame, index_path: str, prefix_len: int = 2, mode: str = "append"
-) -> None:
+    novel: DataFrame,
+    index_path: str,
+    prefix_len: int = 2,
+    mode: str = "append",
+    run_id: str | None = None,
+) -> str:
     """Append ONLY a batch's novel digests to the on-disk corpus index —
     the nightly follow-through of :func:`incremental_dedup`: the write
     is O(novel), never O(index), and the full-index ``updated_seen``
-    union never needs to be materialized to disk.
+    union never needs to be materialized to disk. Returns the
+    ``run_id`` actually used.
 
-    Layout: parquet partitioned by the leading ``prefix_len`` hex chars
-    of the digest (256 stable buckets at the default). Every nightly
-    append lands inside those same partition dirs, so the index stays
-    digest-co-located across runs without a metastore-backed bucketed
-    table; the pre-write ``repartition`` on the bucket key caps the
-    append at one file per touched bucket per run. Append-only writes
-    of anti-joined digests also keep the index duplicate-free — the
-    invariant :func:`incremental_dedup`'s plain union relies on.
-
-    ``mode="overwrite"`` is for retry-idempotent writers: the streaming
-    bridge targets a per-micro-batch ``ingest_batch=N`` subdirectory and
-    overwrites that whole subtree on epoch replay.
+    Layout — ONE layout for every writer (r4 verdict #4: the nightly
+    and streaming writers previously produced different directory
+    depths under the same root, which breaks Spark's partition
+    discovery on a corpus that runs both):
+    ``{index_path}/ingest_batch=<run_id>/bucket=<prefix>/*.parquet``.
+    ``bucket`` is the leading ``prefix_len`` hex chars of the digest
+    (256 values at the default); the pre-write ``repartition`` on it
+    caps the write at one file per touched bucket per run. ``run_id``
+    defaults to a fresh ``nightly-<hex>`` token per call; the streaming
+    bridge passes ``epoch-<N>`` with ``mode="overwrite"`` so an epoch
+    replay overwrites exactly its own subtree (retry idempotence) —
+    the two namespaces can never collide. Writing only anti-joined
+    novel digests keeps the index duplicate-free — the invariant
+    :func:`incremental_dedup`'s plain union relies on.
     """
+    if run_id is None:
+        import uuid
+
+        run_id = f"nightly-{uuid.uuid4().hex[:12]}"
     (
         novel.select("content_hash")
         .withColumn("bucket", F.substring("content_hash", 1, prefix_len))
         .repartition("bucket")
         .write.mode(mode)
         .partitionBy("bucket")
-        .parquet(index_path)
+        .parquet(f"{index_path}/ingest_batch={run_id}")
     )
+    return run_id
 
 
 def read_digest_index(spark, index_path: str) -> DataFrame:
     """The ``seen`` side for tonight's :func:`incremental_dedup`, read
-    back from :func:`write_novel_digests`'s layout; an absent index
-    (first run) is an empty one."""
+    back from :func:`write_novel_digests`'s layout (partition discovery
+    sees ``ingest_batch``/``bucket`` as columns regardless of which
+    writer — nightly or streaming — produced each subtree); an absent
+    index (first run) is an empty one."""
     from pyspark.errors import AnalysisException
 
     try:

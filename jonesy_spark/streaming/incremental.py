@@ -254,12 +254,15 @@ def run_incremental_dedup_stream(
     dedups against the on-disk index (``hygiene.read_digest_index`` —
     re-read per batch, so it sees every previously committed epoch),
     writes the surviving novel documents under ``novel_path``, and lands
-    their digests in a batch-scoped ``ingest_batch=N`` partition of the
-    index via ``hygiene.write_novel_digests``.
+    their digests in a batch-scoped ``ingest_batch=epoch-N`` partition
+    of the index via ``hygiene.write_novel_digests`` — the SAME
+    one-layout-per-index contract the nightly writer uses, so a corpus
+    that runs both against one ``index_path`` stays readable (partition
+    discovery needs uniform directory depth; r4 verdict #4).
 
     foreachBatch is at-least-once; idempotence comes from the writes,
     not the framework: an epoch replay OVERWRITES its own
-    ``ingest_batch=N`` subtree on both sinks, so the index never
+    ``ingest_batch=epoch-N`` subtree on both sinks, so the index never
     double-counts a retried batch — the streaming analogue of the
     nightly append-only-novel invariant. (``content_dedup_stream``
     below is the state-store twin for *within-horizon* duplicates; this
@@ -277,7 +280,7 @@ def run_incremental_dedup_stream(
             f"{novel_path}/ingest_batch={epoch_id}"
         )
         H.write_novel_digests(
-            novel, f"{index_path}/ingest_batch={epoch_id}", mode="overwrite"
+            novel, index_path, mode="overwrite", run_id=f"epoch-{epoch_id}"
         )
 
     q = (

@@ -175,8 +175,9 @@ def test_incremental_dedup_persisted_index_rounds(spark, tmp_path):
         ["doc_id", "text"],
     )
     novel1, _ = H.incremental_dedup(batch1, H.read_digest_index(spark, idx))
-    H.write_novel_digests(novel1, idx)
-    files_after_1 = set(glob.glob(f"{idx}/bucket=*/*.parquet"))
+    run1 = H.write_novel_digests(novel1, idx)
+    assert run1.startswith("nightly-")
+    files_after_1 = set(glob.glob(f"{idx}/ingest_batch=*/bucket=*/*.parquet"))
     assert H.read_digest_index(spark, idx).count() == 2
     assert files_after_1
 
@@ -185,10 +186,11 @@ def test_incremental_dedup_persisted_index_rounds(spark, tmp_path):
     )
     novel2, _ = H.incremental_dedup(batch2, H.read_digest_index(spark, idx))
     assert [r["doc_id"] for r in novel2.collect()] == [11]
-    H.write_novel_digests(novel2, idx)
+    run2 = H.write_novel_digests(novel2, idx)
+    assert run2 != run1  # each nightly run gets its own batch dir
 
     # append-only: run 1's files are untouched, run 2 added O(novel)
-    files_after_2 = set(glob.glob(f"{idx}/bucket=*/*.parquet"))
+    files_after_2 = set(glob.glob(f"{idx}/ingest_batch=*/bucket=*/*.parquet"))
     assert files_after_1 <= files_after_2
     assert len(files_after_2) == len(files_after_1) + 1  # 1 novel digest
 

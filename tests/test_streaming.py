@@ -218,6 +218,58 @@ def test_incremental_dedup_stream_maintains_index(spark, tmp_path):
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 11]
 
 
+def test_batch_and_streaming_writers_share_one_index(spark, tmp_path):
+    """r4 verdict #4: the nightly appender and the streaming bridge
+    must be able to target the SAME index root. A mixed-writer index
+    must stay readable (uniform partition-dir depth), the streaming
+    probe must drop digests the nightly run committed (and vice versa),
+    and a follow-up nightly run must see the union."""
+    import pandas as pd
+
+    from jonesy_spark.operators import hygiene as H
+    from jonesy_spark.streaming.incremental import (
+        dir_stream,
+        run_incremental_dedup_stream,
+    )
+
+    idx = str(tmp_path / "index")
+
+    # nightly batch append
+    nightly = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], ["doc_id", "text"]
+    )
+    novel1, _ = H.incremental_dedup(nightly, H.read_digest_index(spark, idx))
+    H.write_novel_digests(novel1, idx, run_id="nightly-t0")
+
+    # streaming epochs against the SAME root: 'gamma' must be dropped
+    land = tmp_path / "land"
+    land.mkdir()
+    pd.DataFrame(
+        [(10, "gamma"), (11, "delta")], columns=["doc_id", "text"]
+    ).to_parquet(land / "w1.parquet")
+    run_incremental_dedup_stream(
+        dir_stream(spark, str(land), "doc_id bigint, text string"),
+        idx,
+        str(tmp_path / "novel"),
+        str(tmp_path / "ckpt"),
+    )
+    kept = spark.read.parquet(str(tmp_path / "novel"))
+    assert [r["doc_id"] for r in kept.collect()] == [11]
+
+    # the mixed-writer index reads as one table, duplicate-free
+    hashes = [r["content_hash"] for r in H.read_digest_index(spark, idx).collect()]
+    assert len(hashes) == 3 and len(set(hashes)) == 3
+
+    # and a second nightly run probes the union of both writers
+    nightly2 = spark.createDataFrame(
+        [(20, "delta"), (21, "epsilon")], ["doc_id", "text"]
+    )
+    novel2, _ = H.incremental_dedup(nightly2, H.read_digest_index(spark, idx))
+    assert [r["doc_id"] for r in novel2.collect()] == [21]
+    H.write_novel_digests(novel2, idx, run_id="nightly-t1")
+    assert H.read_digest_index(spark, idx).count() == 4
+
+
 def test_content_dedup_stream_one_per_digest(spark, tmp_path):
     """Streaming content dedup: exactly one survivor per normalized
     digest within the horizon, digest set identical to the batch
