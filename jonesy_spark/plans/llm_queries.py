@@ -1006,6 +1006,95 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_oracle() -> str:
+    """DuckDB oracle for pii_stats: the SAME rule patterns the operator
+    applies (interpolated from hygiene.PII_RULES, so the two engines can
+    never drift), over text with PII injected deterministically from
+    doc_id — the fixture corpus itself contains none, and a driver row
+    that counted only zeros would witness nothing. Patterns are
+    RE2-safe by construction (hygiene.py: no lookarounds), so Java and
+    RE2 agree on every match."""
+    from ..operators import hygiene as H
+
+    pats = {kind: pat for kind, pat, _ in H.PII_RULES}
+    redacted = "txt"
+    for kind, pat, repl in H.PII_RULES:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(txt, '{pats[k]}')) AS n_{k}"
+        for k in ("email", "ssn", "ipv4", "phone")
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || doc_id || '@example.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 3
+                       THEN ' ssn 123-45-6789 leaked' ELSE '' END
+               || CASE WHEN doc_id % 13 = 5
+                       THEN ' host 10.0.' || (doc_id % 250) || '.1 up'
+                       ELSE '' END
+               || CASE WHEN doc_id % 17 = 2
+                       THEN ' call 415-555-'
+                            || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                            || ' now'
+                       ELSE '' END AS txt
+        FROM documents
+    )
+    SELECT doc_id,
+           {counts},
+           {redacted} AS redacted_text
+    FROM t
+    """
+
+
+@query("pii_stats", oracle=_pii_oracle())
+def pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII counts per rule + redacted text
+    (operators.hygiene.pii_stats — chained codegen'd regexp, map-only,
+    zero shuffle at any corpus size) over the fixture corpus with
+    deterministic doc_id-keyed PII injections, mirrored exactly in the
+    oracle. Exercises every rule class (email / SSN / IPv4 / phone) and
+    the rule-order contract (SSN before phone)."""
+    from ..operators import hygiene as H
+
+    docs = Catalog(spark, sf_dir).documents
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 11 == 3, F.lit(" ssn 123-45-6789 leaked")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            did % 13 == 5,
+            F.concat(
+                F.lit(" host 10.0."),
+                (did % 250).cast("string"),
+                F.lit(".1 up"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 17 == 2,
+            F.concat(
+                F.lit(" call 415-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit(" now"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return H.pii_stats(docs.select("doc_id", injected.alias("text")))
+
+
 #: (applicationId, sf_dir) -> localCheckpoint-ed minhash pair graph.
 #: One entry per fixture dir per session (pairs are narrow 3-column
 #: rows, so the pinned blocks are KBs at driver scale); the checkpoint
