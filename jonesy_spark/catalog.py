@@ -67,8 +67,18 @@ class Catalog:
                     df = df.withColumn(
                         "ts", F.timestamp_micros(F.expr("ts div 1000"))
                     )
-                elif not isinstance(ts_type, T.TimestampType):
+                elif isinstance(ts_type, T.TimestampNTZType):
+                    # exact only under the pinned UTC session zone
                     df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+                elif not isinstance(ts_type, T.TimestampType):
+                    # A malformed fixture (string/int32/double ts) must
+                    # fail HERE, loudly: a blind cast would yield nulls
+                    # that silently corrupt every downstream window,
+                    # watermark, and incremental cutoff (ADVICE r4).
+                    raise TypeError(
+                        f"events.ts: expected INT64-nanos, TIMESTAMP, or "
+                        f"TIMESTAMP_NTZ, got {ts_type.simpleString()}"
+                    )
             else:
                 df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
             self._cache[name] = df

@@ -96,9 +96,15 @@ def prepare_training_corpus(
     # 4. near-dup dedup at CLUSTER level: pair-wise drop-the-higher-id
     # under-deletes (pairs {1~3, 2~3} would keep both 1 and 2 though
     # they are transitively duplicates); connected components keeps
-    # exactly one min-id survivor per linked group.
+    # exactly one min-id survivor per linked group. The LSH runs ONCE:
+    # connected_components checkpoints the canonical pair graph up
+    # front, so every downstream consumer (the anti-join under all four
+    # returned frames, however many times they materialize) reads the
+    # checkpointed star forest, never the LSH subtree — and the
+    # operator's internal sketch caches can be released immediately.
     pairs = DD.minhash_lsh_pairs(docs, threshold=cfg.near_dup_threshold)
     docs = G.resolve_duplicates(docs, pairs)
+    DD.release_caches(pairs)
 
     # 5. mixture sampling (default keeps everything).
     if cfg.rates:
