@@ -129,24 +129,44 @@ def quality_percentile_filter(
     keep_frac: float = 0.5,
     by: str = "source",
     id_col: str = "doc_id",
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Keep the best ``keep_frac`` of documents PER ``by`` group ranked
     by ``quality`` — the per-domain quality gate of a pretraining
     pipeline (a global cut would let one high-scoring domain crowd out
     every other; the per-domain percentile keeps the mixture).
 
-    Exact ``percent_rank`` window: one keyed shuffle on the group, and
-    the ``id_col`` tiebreak makes the cut deterministic under rerun and
-    retry. At 100 TB with few giant domains, swap the window for
-    ``approx_percentile`` thresholds aggregated per group and broadcast
-    back (same cut at sketch precision, no per-group sort); the window
-    form is exact and oracle-checkable, which is why it is the default.
+    ``exact=True`` (default): exact ``percent_rank`` window — one keyed
+    shuffle on the group, and the ``id_col`` tiebreak makes the cut
+    deterministic under rerun and retry; oracle-checkable, which is why
+    it is the default.
+
+    ``exact=False``: the 100 TB path for skewed domain sizes. The
+    window form sorts each domain inside one task — a single crawl
+    domain holding 10% of the corpus becomes one straggler sorting
+    10 TB. Instead, aggregate a per-group ``percentile_approx``
+    threshold (partial aggregation, no per-group sort — the t-digest
+    sketch merges map-side) and broadcast it back (domains are
+    list-shaped); the filter is then map-only. The cut lands within
+    sketch precision (``accuracy``; error ~1/accuracy of rank) of the
+    exact one, and ties AT the threshold are kept (inclusive >=), so
+    the kept fraction can exceed ``keep_frac`` by the tied mass.
     """
-    w = Window.partitionBy(by).orderBy(quality.desc(), F.col(id_col))
+    if exact:
+        w = Window.partitionBy(by).orderBy(quality.desc(), F.col(id_col))
+        return (
+            docs.withColumn("__pr", F.percent_rank().over(w))
+            .filter(F.col("__pr") <= keep_frac)
+            .drop("__pr")
+        )
+    thr = docs.groupBy(by).agg(
+        F.percentile_approx(quality, 1.0 - keep_frac, accuracy).alias("__thr")
+    )
     return (
-        docs.withColumn("__pr", F.percent_rank().over(w))
-        .filter(F.col("__pr") <= keep_frac)
-        .drop("__pr")
+        docs.join(F.broadcast(thr), by)
+        .filter(quality >= F.col("__thr"))
+        .drop("__thr")
     )
 
 

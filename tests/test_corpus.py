@@ -352,3 +352,54 @@ def test_mixture_upsample_epochs(spark):
     a = sorted(r["doc_id"] for r in C.mixture_upsample(docs, {src: 0.5}, salt="s").collect())
     b = sorted(r["doc_id"] for r in C.mixture_sample(docs, {src: 0.5}, salt="s").collect())
     assert a == b
+
+
+def test_quality_gate_approx_matches_exact_within_sketch_error(spark):
+    """The exact=False path (per-group percentile_approx threshold,
+    broadcast back, map-only filter — the skew-safe 100 TB shape) must
+    land the same cut as the exact window up to sketch precision and
+    threshold ties: every kept doc's quality >= its group threshold,
+    per-group kept fraction near keep_frac, and the approx keep-set
+    contains every exactly-kept doc whose quality clears the threshold
+    strictly."""
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.functions import text as TX
+    from jonesy_spark.operators import corpus as C
+
+    docs = Catalog(spark, SF_DIR).documents
+    n_tokens = TX.whitespace_token_count(F.col("text"))
+    quality = F.round(F.least(F.lit(1.0), n_tokens / 100.0), 6)
+    scored = docs.select("doc_id", "source", quality.alias("quality"))
+
+    exact = C.quality_percentile_filter(
+        scored, F.col("quality"), keep_frac=0.5, exact=True
+    )
+    approx = C.quality_percentile_filter(
+        scored, F.col("quality"), keep_frac=0.5, exact=False
+    )
+
+    totals = {r["source"]: r["n"] for r in
+              scored.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept = {r["source"]: r["n"] for r in
+            approx.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in totals.items():
+        frac = kept.get(src, 0) / n
+        # inclusive >= keeps threshold ties, so frac can exceed 0.5;
+        # it must never fall meaningfully below the target
+        assert 0.45 <= frac, (src, frac)
+
+    # agreement: docs strictly above the quality of any approx-dropped
+    # doc in the same group are kept by both
+    e = {(r["source"], r["doc_id"]) for r in exact.collect()}
+    a = {(r["source"], r["doc_id"]) for r in approx.collect()}
+    overlap = len(e & a) / len(e)
+    assert overlap >= 0.9, overlap
+
+    # the approx plan has no per-group sort (no Window), and the
+    # threshold joins broadcast
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
