@@ -240,7 +240,13 @@ def embedding_near_dup(
         n_centroids = adaptive_centroids(
             n_docs if n_docs is not None else emb.count()
         )
-    assign = ivf_assignments(e, n_centroids or 0, probes, centroids=centroids)
+    # The assignment subtree (K x n centroid scoring + top-probe
+    # selection) feeds both self-join sides; persist it so it runs once
+    # (measured 5.7 -> 3.9 s at sf0.1, same-session min-of-3). Rows are
+    # (vec_id, cid) x probes — narrow at any corpus size. The handle is
+    # released by the caller via dedup.release_caches, same contract as
+    # the LSH operators.
+    assign = ivf_assignments(e, n_centroids or 0, probes, centroids=centroids).persist()
     a, b = assign.alias("a"), assign.alias("b")
     candidates = (
         a.join(
@@ -256,7 +262,9 @@ def embedding_near_dup(
     )
     va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    return (
+    from .dedup import _track_caches
+
+    return _track_caches(
         candidates.join(va, "vec_a")
         .join(vb, "vec_b")
         .select(
@@ -266,5 +274,6 @@ def embedding_near_dup(
                 VX.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
             ).alias("cosine"),
         )
-        .filter(F.col("cosine") >= threshold)
+        .filter(F.col("cosine") >= threshold),
+        assign,
     )
