@@ -322,3 +322,30 @@ def test_carry_caches_forwards_handles(spark):
     wrapped.write.mode("overwrite").format("noop").save()
     assert DD.release_caches(wrapped) >= 1
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_cap_split_is_noop_below_cap(spark):
+    """The window-based hot-bucket split (r5) must be semantically
+    invisible while every bucket is <= cap: capped and uncapped outputs
+    identical for all three LSH-family operators on a corpus with
+    duplicates but no degenerate bucket."""
+    import jonesy_spark.operators.dedup as DD
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(60):
+        base = f"tok{i % 7} tok{(i * 3) % 11} tok{(i * 5) % 13} middle words here"
+        if i % 4 == 0:
+            base = f"tok{(i - 1) % 7} tok{((i - 1) * 3) % 11} tok{((i - 1) * 5) % 13} middle words here"
+        rows.append((i, base))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "lang", F.lit("en")
+    )
+    for op, kwargs in [
+        (DD.minhash_lsh_pairs, {"threshold": 0.5}),
+        (DD.simhash_near_dup, {"max_hamming": 8, "n_bands": 16}),
+        (DD.ngram_jaccard_pairs, {"threshold": 0.4}),
+    ]:
+        capped = sorted(map(tuple, op(docs, **kwargs).collect()))
+        uncapped = sorted(map(tuple, op(docs, bucket_cap=None, **kwargs).collect()))
+        assert capped == uncapped and capped, op.__name__
