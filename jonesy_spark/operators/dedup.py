@@ -354,6 +354,64 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_banded_sigs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 2,
+) -> DataFrame:
+    """Per-document MinHash signature rows for the PERSISTED near-dup
+    index (``hygiene.write_minhash_index``): one row per (doc, band) —
+    ``(doc_id, sz, mh: array<long>, band_id, band_key)`` — computed by
+    exactly the sketch pipeline :func:`minhash_lsh_pairs` uses (same
+    element hashing, same permutations, same md5-compressed band keys),
+    so an index written today buckets identically to a probe computed
+    against it years later. The full signature array rides along
+    because cross-batch verification estimates Jaccard from component
+    agreement — the index never needs the token sets, which is what
+    keeps an index row ~(n_hashes + 3) longs however large the
+    documents were."""
+    band_size = n_hashes // n_bands
+    ex = (
+        df.repartition(CPU_PARTITIONS, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("t"),
+        )
+        .select("doc_id", element_hash(F.col("t")).alias("h"))
+    )
+    tok = ex.groupBy("doc_id").agg(
+        F.count_distinct("h").alias("sz"), *_minhash_min_aggs(n_hashes)
+    )
+    return tok.select(
+        "doc_id",
+        "sz",
+        F.array(*[F.col(f"mh{i}") for i in range(n_hashes)]).alias("mh"),
+        F.explode(_band_structs(n_bands, band_size)).alias("band"),
+    ).select(
+        "doc_id",
+        "sz",
+        "mh",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_key").alias("band_key"),
+    )
+
+
+def estimated_jaccard(mh_a: Column, mh_b: Column, n_hashes: int) -> Column:
+    """Unbiased MinHash Jaccard estimate: the fraction of agreeing
+    signature components (std ~ sqrt(J(1-J)/n_hashes) — ±0.12 at 16
+    hashes; raise n_hashes where the incremental gate needs a tighter
+    band). 16-element interpreted zip is fine: it runs per CANDIDATE
+    pair, a vanishing fraction of the corpus."""
+    agree = F.aggregate(
+        F.zip_with(mh_a, mh_b, lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(agree / F.lit(float(n_hashes)), 6)
+
+
 def simhash_near_dup(
     df: DataFrame,
     text_col: str = "text",

@@ -233,6 +233,157 @@ def write_novel_digests(
     return run_id
 
 
+def write_minhash_index(
+    sigs: DataFrame, index_path: str, mode: str = "append", run_id: str | None = None
+) -> str:
+    """Append a batch's banded MinHash signatures
+    (``dedup.minhash_banded_sigs`` rows) to the on-disk NEAR-DUP index —
+    the sketch-level sibling of :func:`write_novel_digests`: nightly
+    near-dup against history then costs sketching the NEW batch plus a
+    band-key probe, never a recompute over the historical corpus (whose
+    text the index never stores — ~(n_hashes+3) longs per doc). Same
+    one-layout contract as the digest index:
+    ``ingest_batch=<run_id>/bucket=<band prefix>/``; append only the
+    docs :func:`incremental_near_dup` reports as novel, so the index
+    holds one surviving representative per near-dup cluster.
+    """
+    if run_id is None:
+        import uuid
+
+        run_id = f"nightly-{uuid.uuid4().hex[:12]}"
+    (
+        sigs.withColumn("bucket", F.substring("band_key", 1, 2))
+        .repartition("bucket")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(f"{index_path}/ingest_batch={run_id}")
+    )
+    return run_id
+
+
+def probe_minhash_index(
+    new_sigs: DataFrame,
+    spark,
+    index_path: str,
+    threshold: float = 0.8,
+    n_hashes: int = 16,
+    bucket_cap: int | None = 256,
+) -> DataFrame:
+    """Near-dup matches of a new batch against the persisted signature
+    index: ``(doc_id, index_doc_id, est_jaccard)`` for every new doc
+    sharing a band bucket with an indexed doc at estimated Jaccard >=
+    ``threshold``.
+
+    The probe is a band-key equi-join — O(new-batch sketches) plus one
+    shuffle of the matching index rows; historical TEXT is never read.
+    Verification uses the MinHash component-agreement estimate
+    (``dedup.estimated_jaccard``; the index stores signatures, not
+    token sets), so the cross-batch gate is the standard
+    sketch-precision tradeoff an incremental LSH index makes — raise
+    ``n_hashes`` at write time for a tighter band. Degenerate index
+    buckets are capped: only ``bucket_cap`` members per (band_id,
+    band_key), deterministically the min doc_ids, are probed — members
+    of an over-full bucket are near-identical, so any representative
+    catches the duplicate; same recall argument as the batch cap.
+    An absent index (first run) yields no matches.
+    """
+    from pyspark.sql import Window
+
+    from pyspark.errors import AnalysisException
+
+    from .dedup import estimated_jaccard
+
+    try:
+        idx = spark.read.parquet(index_path)
+    except AnalysisException:
+        return new_sigs.sparkSession.createDataFrame(
+            [], "doc_id long, index_doc_id long, est_jaccard double"
+        )
+    if bucket_cap is not None:
+        w = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
+        idx = (
+            idx.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= bucket_cap)
+            .drop("__rn")
+        )
+    idx = idx.select(
+        F.col("doc_id").alias("index_doc_id"),
+        F.col("sz").alias("sz_i"),
+        F.col("mh").alias("mh_i"),
+        "band_id",
+        "band_key",
+    )
+    cand = (
+        new_sigs.join(
+            idx,
+            ["band_id", "band_key"],
+        )
+        # threshold-implied size-ratio prune, lossless as in the batch op
+        .filter(
+            (F.col("sz") >= threshold * F.col("sz_i"))
+            & (F.col("sz_i") >= threshold * F.col("sz"))
+        )
+        .dropDuplicates(["doc_id", "index_doc_id"])
+    )
+    return (
+        cand.withColumn(
+            "est_jaccard", estimated_jaccard(F.col("mh"), F.col("mh_i"), n_hashes)
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_id", "index_doc_id", "est_jaccard")
+    )
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    spark,
+    index_path: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 2,
+    run_id: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup dedup of a new batch against the already-ingested
+    corpus WITHOUT recomputing historical sketches — the near-dup
+    sibling of :func:`incremental_dedup`: returns ``(novel_docs,
+    matches)`` and appends the novel docs' signatures to the index.
+
+    Within-batch duplicates collapse first at CLUSTER level (exact
+    verified :func:`~..operators.dedup.minhash_lsh_pairs` + connected
+    components, min-id survivor — the same semantics the batch corpus
+    job applies); the surviving representatives then probe the
+    persisted index, and any with a cross-batch match >= ``threshold``
+    are dropped. Only the remaining novel docs' signatures are appended
+    (O(novel) write), keeping nightly cost sketch(new) + probe, never
+    O(corpus).
+    """
+    from . import dedup as DD
+    from . import graph as G
+
+    pairs = DD.minhash_lsh_pairs(
+        new_docs, text_col=text_col, id_col=id_col,
+        n_hashes=n_hashes, n_bands=n_bands, threshold=threshold,
+    )
+    survivors = G.resolve_duplicates(new_docs, pairs, id_col=id_col)
+    DD.release_caches(pairs)
+    sigs = DD.minhash_banded_sigs(
+        survivors, text_col=text_col, id_col=id_col,
+        n_hashes=n_hashes, n_bands=n_bands,
+    ).localCheckpoint()  # probe + anti-join + index append: one computation
+    matches = probe_minhash_index(
+        sigs, spark, index_path, threshold=threshold, n_hashes=n_hashes
+    ).localCheckpoint()
+    dup_ids = matches.select(F.col("doc_id").alias(id_col)).distinct()
+    novel = survivors.join(dup_ids, id_col, "left_anti")
+    novel_sigs = sigs.join(
+        dup_ids.select(F.col(id_col).alias("doc_id")), "doc_id", "left_anti"
+    )
+    write_minhash_index(novel_sigs, index_path, run_id=run_id)
+    return novel, matches
+
+
 def read_digest_index(spark, index_path: str) -> DataFrame:
     """The ``seen`` side for tonight's :func:`incremental_dedup`, read
     back from :func:`write_novel_digests`'s layout (partition discovery

@@ -224,3 +224,100 @@ def test_contamination_benchmark_broadcasts(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_near_dup_two_batches(spark, tmp_path):
+    """Near-dup sibling of the digest index: batch 1 collapses its own
+    cluster and seeds the index; batch 2 is deduped against HISTORY via
+    the signature probe (no historical text read), and only its novel
+    docs' signatures are appended."""
+    idx = str(tmp_path / "mh_index")
+    t_common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    batch1 = spark.createDataFrame(
+        [(1, t_common), (2, t_common), (3, "totally different words here now")],
+        ["doc_id", "text"],
+    )
+    novel1, matches1 = H.incremental_near_dup(
+        batch1, spark, idx, threshold=0.8, run_id="n0"
+    )
+    assert matches1.count() == 0  # first run: no index yet
+    assert sorted(r["doc_id"] for r in novel1.collect()) == [1, 3]  # 2 collapsed
+
+    batch2 = spark.createDataFrame(
+        [(10, t_common), (11, "yet another unrelated document body")],
+        ["doc_id", "text"],
+    )
+    novel2, matches2 = H.incremental_near_dup(
+        batch2, spark, idx, threshold=0.8, run_id="n1"
+    )
+    got = [(r["doc_id"], r["index_doc_id"], r["est_jaccard"]) for r in matches2.collect()]
+    assert got == [(10, 1, 1.0)]  # identical signature -> estimate exactly 1
+    assert [r["doc_id"] for r in novel2.collect()] == [11]
+
+    # the index holds exactly the novel survivors' signatures
+    docs_in_index = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
+    )
+    assert docs_in_index == [1, 3, 11]
+    # and the layout matches the digest-index contract
+    import glob
+
+    assert glob.glob(f"{idx}/ingest_batch=n0/bucket=*/*.parquet")
+    assert glob.glob(f"{idx}/ingest_batch=n1/bucket=*/*.parquet")
+
+
+def test_minhash_signature_estimate_matches_duckdb(spark):
+    """The component-agreement Jaccard estimate is md5-deterministic, so
+    DuckDB reproduces it bit-for-bit with the shared permutation
+    constants — the cross-engine guarantee the persisted index relies
+    on (an index written by any conforming engine probes identically)."""
+    from jonesy_spark.operators import dedup as DD
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta NINE"),
+        (3, "completely different tokens in this body"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = DD.minhash_banded_sigs(docs)
+    a = sigs.select(F.col("doc_id").alias("da"), F.col("mh").alias("ma")).distinct()
+    b = sigs.select(F.col("doc_id").alias("db"), F.col("mh").alias("mb")).distinct()
+    got = sorted(
+        (r["da"], r["db"], r["est"])
+        for r in a.join(b, F.col("da") < F.col("db"))
+        .select("da", "db", DD.estimated_jaccard(F.col("ma"), F.col("mb"), 16).alias("est"))
+        .collect()
+    )
+    import duckdb
+
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    want = sorted(
+        map(
+            tuple,
+            duckdb.sql(
+                f"""
+        WITH docs(doc_id, text) AS (VALUES {vals}),
+        toki AS (
+            SELECT doc_id, list_distinct(list_transform(
+                string_split(lower(trim(text)), ' '),
+                t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)) AS toks
+            FROM docs
+        ),
+        mh AS (
+            SELECT doc_id, r.i,
+                   min((((2654435761 * (r.i+1)) % 2147483647) * u.h
+                        + ((97531 * (r.i+1)) % 2147483647)) % 2147483647) AS h
+            FROM toki, range(16) r(i), unnest(toki.toks) u(h)
+            GROUP BY doc_id, r.i
+        )
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               round(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) / 16.0, 6) AS est
+        FROM mh a JOIN mh b ON a.i = b.i AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want and got[0][2] > 0.5  # (1,2) mostly agree
