@@ -344,11 +344,15 @@ def incremental_near_dup(
     n_hashes: int = 16,
     n_bands: int = 2,
     run_id: str | None = None,
+    mode: str = "append",
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup dedup of a new batch against the already-ingested
     corpus WITHOUT recomputing historical sketches — the near-dup
     sibling of :func:`incremental_dedup`: returns ``(novel_docs,
-    matches)`` and appends the novel docs' signatures to the index.
+    matches)`` and appends the novel docs' signatures to the index
+    (``mode="overwrite"`` + a deterministic ``run_id`` scope the write
+    to one batch subtree for retry-idempotent callers — the streaming
+    bridge).
 
     Within-batch duplicates collapse first at CLUSTER level (exact
     verified :func:`~..operators.dedup.minhash_lsh_pairs` + connected
@@ -380,7 +384,7 @@ def incremental_near_dup(
     novel_sigs = sigs.join(
         dup_ids.select(F.col(id_col).alias("doc_id")), "doc_id", "left_anti"
     )
-    write_minhash_index(novel_sigs, index_path, run_id=run_id)
+    write_minhash_index(novel_sigs, index_path, mode=mode, run_id=run_id)
     return novel, matches
 
 

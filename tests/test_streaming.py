@@ -311,3 +311,50 @@ def test_content_dedup_stream_one_per_digest(spark, tmp_path):
     empty = spark.createDataFrame([], "content_hash string")
     _, seen = incremental_dedup(batch_docs, empty)
     assert {r["content_hash"] for r in seen.collect()} == got_digests
+
+
+def test_incremental_near_dup_stream_two_waves(spark, tmp_path):
+    """Streaming bridge to the persisted MinHash index: wave 1 seeds it;
+    a restarted query over wave 2 (same checkpoint) must drop the
+    cross-wave near-duplicate via the signature probe and append only
+    the novel doc's signatures."""
+    import pandas as pd
+
+    from jonesy_spark.streaming.incremental import (
+        dir_stream,
+        run_incremental_near_dup_stream,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    idx, novel, ckpt = (
+        str(tmp_path / "mh_index"),
+        str(tmp_path / "novel"),
+        str(tmp_path / "ckpt"),
+    )
+    t_common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def wave(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            land / f"{name}.parquet"
+        )
+        run_incremental_near_dup_stream(
+            dir_stream(spark, str(land), "doc_id bigint, text string"),
+            idx,
+            novel,
+            ckpt,
+        )
+
+    wave("w1", [(1, t_common), (2, t_common), (3, "totally different body")])
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
+    ) == [1, 3]
+
+    wave("w2", [(10, t_common), (11, "yet another unrelated text")])
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
+    ) == [1, 3, 11]  # 10 matched history, never indexed
+    kept = spark.read.parquet(novel)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 11]
