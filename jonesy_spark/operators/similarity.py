@@ -277,3 +277,162 @@ def embedding_near_dup(
         .filter(F.col("cosine") >= threshold),
         assign,
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index — incremental embedding near-dup (the semantic
+# sibling of hygiene's digest / MinHash indexes).
+# ---------------------------------------------------------------------------
+
+
+def read_ivf_centroids(spark, index_path: str) -> DataFrame | None:
+    """The index's frozen cell table ``(cid, cv, cnrm)``; None when the
+    index does not exist yet. Centroids are written ONCE at index
+    creation and never change — cell assignment must be identical for
+    every batch ever probed or appended, which is also why growing
+    corpora re-index periodically rather than re-train in place."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{index_path}/centroids")
+    except AnalysisException:
+        return None
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    index_path: str,
+    centroids: DataFrame | None = None,
+    run_id: str | None = None,
+    mode: str = "append",
+) -> str:
+    """Append a batch of vectors to the persisted IVF index; creates the
+    index (freezing its centroid table) on first call. Returns the
+    ``run_id`` used.
+
+    Layout: ``centroids/`` (immutable ``(cid, cv, cnrm)``) +
+    ``assignments/ingest_batch=<run_id>/cid=<N>/`` holding
+    ``(vec_id, v, nrm)`` — each vector stored in its ONE nearest cell
+    (standard IVF: storage is single-cell, recall comes from
+    multi-probe at query time). Partitioning by ``cid`` means a probe
+    that targets p cells reads ~p/K of the index — the same
+    partition-pruning contract as the digest index's hash buckets.
+    On creation, ``centroids`` defaults to the deterministic first-K
+    cells (K ~ sqrt(batch)); pass :func:`kmeans_centroids` output for
+    trained cells.
+    """
+    spark = emb.sparkSession
+    if run_id is None:
+        import uuid
+
+        run_id = f"nightly-{uuid.uuid4().hex[:12]}"
+    e = _prepared(emb)
+    cents = read_ivf_centroids(spark, index_path)
+    if cents is None:
+        if centroids is None:
+            k = adaptive_centroids(emb.count())
+            centroids = e.filter(F.col("vec_id") < k).select(
+                F.col("vec_id").alias("cid"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cnrm"),
+            )
+        centroids.write.mode("errorifexists").parquet(f"{index_path}/centroids")
+        cents = read_ivf_centroids(spark, index_path)
+    assign = ivf_assignments(e, probes=1, centroids=cents)
+    (
+        e.join(assign, "vec_id")
+        .select("vec_id", "v", "nrm", "cid")
+        .repartition("cid")
+        .write.mode(mode)
+        .partitionBy("cid")
+        .parquet(f"{index_path}/assignments/ingest_batch={run_id}")
+    )
+    return run_id
+
+
+def probe_ivf_index(
+    new_emb: DataFrame,
+    spark,
+    index_path: str,
+    threshold: float = 0.9,
+    probes: int = 4,
+) -> DataFrame:
+    """Semantic matches of a new batch against the persisted IVF index:
+    ``(vec_id, index_vec_id, cosine)`` for every new vector within
+    ``threshold`` cosine of an indexed one that shares one of its
+    ``probes`` nearest cells.
+
+    The probe joins on the index's ``cid`` PARTITION column, so the
+    scan touches only the probed cells' directories (dynamic partition
+    pruning); verification is the exact rounded cosine against the
+    stored vectors. An absent index yields no matches.
+    """
+    from pyspark.errors import AnalysisException
+
+    cents = read_ivf_centroids(spark, index_path)
+    if cents is None:
+        return new_emb.sparkSession.createDataFrame(
+            [], "vec_id long, index_vec_id long, cosine double"
+        )
+    e = _prepared(new_emb)
+    probe = e.join(ivf_assignments(e, probes=probes, centroids=cents), "vec_id")
+    try:
+        idx = spark.read.parquet(f"{index_path}/assignments")
+    except AnalysisException:
+        return new_emb.sparkSession.createDataFrame(
+            [], "vec_id long, index_vec_id long, cosine double"
+        )
+    idx = idx.select(
+        F.col("vec_id").alias("index_vec_id"),
+        F.col("v").alias("iv"),
+        F.col("nrm").alias("inrm"),
+        "cid",
+    )
+    return (
+        probe.join(idx, "cid")
+        .withColumn(
+            "cosine",
+            F.round(VX.dot(F.col("v"), F.col("iv")) / (F.col("nrm") * F.col("inrm")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_id", "index_vec_id", "cosine")
+        .dropDuplicates(["vec_id", "index_vec_id"])
+    )
+
+
+def incremental_embedding_dedup(
+    new_emb: DataFrame,
+    spark,
+    index_path: str,
+    threshold: float = 0.9,
+    probes: int = 4,
+    run_id: str | None = None,
+    mode: str = "append",
+) -> tuple[DataFrame, DataFrame]:
+    """Semantic dedup of a new embedding batch against the persisted
+    IVF index — the embedding-space sibling of
+    ``hygiene.incremental_near_dup``: returns ``(novel, matches)`` and
+    appends only the novel vectors to the index.
+
+    Within-batch near-dups collapse first at cluster level
+    (:func:`embedding_near_dup` pairs closed by connected components,
+    min-id survivor); the survivors probe the index, and any within
+    ``threshold`` of an indexed vector are dropped. Nightly cost is
+    O(batch) sketch+probe against the probed cells only — historical
+    vectors outside those cells are never read.
+    """
+    from .dedup import release_caches
+    from .graph import resolve_duplicates
+
+    pairs = embedding_near_dup(new_emb, threshold=threshold)
+    survivors = resolve_duplicates(
+        new_emb, pairs, id_col="vec_id", src="vec_a", dst="vec_b"
+    )
+    release_caches(pairs)
+    matches = probe_ivf_index(
+        survivors, spark, index_path, threshold=threshold, probes=probes
+    ).localCheckpoint()
+    dup_ids = matches.select("vec_id").distinct()
+    novel = survivors.join(dup_ids, "vec_id", "left_anti")
+    write_ivf_index(novel, index_path, run_id=run_id, mode=mode)
+    return novel, matches

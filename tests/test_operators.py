@@ -349,3 +349,55 @@ def test_cap_split_is_noop_below_cap(spark):
         capped = sorted(map(tuple, op(docs, **kwargs).collect()))
         uncapped = sorted(map(tuple, op(docs, bucket_cap=None, **kwargs).collect()))
         assert capped == uncapped and capped, op.__name__
+
+
+def test_incremental_embedding_dedup_two_batches(spark, tmp_path):
+    """Persisted IVF index: batch 1 freezes the centroid table and
+    seeds its cells; batch 2 copies of batch-1 vectors must be caught by
+    the cell probe (cosine 1.0) without reading vectors outside the
+    probed cells, and only genuinely novel vectors are appended."""
+    import glob
+
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.operators import similarity as SIM
+
+    idx = str(tmp_path / "ivf")
+    emb = Catalog(spark, SF_DIR).embeddings
+    batch1 = emb.filter(F.col("vec_id") < 80)
+    novel1, matches1 = SIM.incremental_embedding_dedup(
+        batch1, spark, idx, threshold=0.995, run_id="r0"
+    )
+    assert matches1.count() == 0  # no index yet
+    n1 = novel1.count()
+    assert 0 < n1 <= 80
+
+    # batch 2: exact copies of three batch-1 survivors + fresh vectors
+    survivors = [r["vec_id"] for r in novel1.select("vec_id").limit(3).collect()]
+    copies = (
+        emb.filter(F.col("vec_id").isin(survivors))
+        .withColumn("vec_id", F.col("vec_id") + 1000)
+    )
+    fresh = emb.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 90))
+    novel2, matches2 = SIM.incremental_embedding_dedup(
+        copies.unionByName(fresh), spark, idx, threshold=0.995, run_id="r1"
+    )
+    hit = {(r["vec_id"], r["index_vec_id"]) for r in matches2.collect()}
+    for s in survivors:
+        assert (s + 1000, s) in hit  # each copy matched its original
+    assert {r["vec_id"] for r in novel2.collect()}.isdisjoint(
+        {s + 1000 for s in survivors}
+    )
+
+    # layout: frozen centroids + cid-partitioned per-run assignments
+    assert glob.glob(f"{idx}/centroids/*.parquet")
+    assert glob.glob(f"{idx}/assignments/ingest_batch=r0/cid=*/*.parquet")
+    assert glob.glob(f"{idx}/assignments/ingest_batch=r1/cid=*/*.parquet")
+    # the index never double-stores a vector id
+    stored = [
+        r["vec_id"]
+        for r in spark.read.parquet(f"{idx}/assignments").select("vec_id").collect()
+    ]
+    assert len(stored) == len(set(stored))
