@@ -268,11 +268,15 @@ def probe_minhash_index(
     threshold: float = 0.8,
     n_hashes: int = 16,
     bucket_cap: int | None = 256,
+    exclude_run_id: str | None = None,
 ) -> DataFrame:
     """Near-dup matches of a new batch against the persisted signature
     index: ``(doc_id, index_doc_id, est_jaccard)`` for every new doc
     sharing a band bucket with an indexed doc at estimated Jaccard >=
-    ``threshold``.
+    ``threshold``. ``exclude_run_id`` prunes one ``ingest_batch=``
+    subtree (partition filter) — retrying writers exclude their own
+    run_id so a crashed prior attempt's committed signatures can't
+    self-match the replay (ADVICE r5 #1).
 
     The probe is a band-key equi-join — O(new-batch sketches) plus one
     shuffle of the matching index rows; historical TEXT is never read.
@@ -299,6 +303,8 @@ def probe_minhash_index(
         return new_sigs.sparkSession.createDataFrame(
             [], "doc_id long, index_doc_id long, est_jaccard double"
         )
+    if exclude_run_id is not None:
+        idx = idx.filter(F.col("ingest_batch") != exclude_run_id)
     if bucket_cap is not None:
         w = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
         idx = (
@@ -345,6 +351,7 @@ def incremental_near_dup(
     n_bands: int = 2,
     run_id: str | None = None,
     mode: str = "append",
+    novel_sink=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup dedup of a new batch against the already-ingested
     corpus WITHOUT recomputing historical sketches — the near-dup
@@ -353,6 +360,17 @@ def incremental_near_dup(
     (``mode="overwrite"`` + a deterministic ``run_id`` scope the write
     to one batch subtree for retry-idempotent callers — the streaming
     bridge).
+
+    Replay idempotence (ADVICE r5 #1): when ``run_id`` is given, the
+    index probe EXCLUDES that run_id's own ``ingest_batch=`` subtree —
+    a crashed prior attempt of the same batch may have committed its
+    signatures, and probing them would self-match every survivor at
+    est_jaccard 1.0, empty the novel set, and lose the batch from both
+    sinks on replay. ``novel_sink`` (a ``novel_df -> None`` callable)
+    runs BEFORE the index write so the document sink commits first —
+    the same crash-ordering the digest bridge uses: a crash between
+    the two writes replays into an identical recompute, never a
+    half-indexed batch that poisons its own retry.
 
     Within-batch duplicates collapse first at CLUSTER level (exact
     verified :func:`~..operators.dedup.minhash_lsh_pairs` + connected
@@ -377,26 +395,44 @@ def incremental_near_dup(
         n_hashes=n_hashes, n_bands=n_bands,
     ).localCheckpoint()  # probe + anti-join + index append: one computation
     matches = probe_minhash_index(
-        sigs, spark, index_path, threshold=threshold, n_hashes=n_hashes
+        sigs, spark, index_path, threshold=threshold, n_hashes=n_hashes,
+        exclude_run_id=run_id,
     ).localCheckpoint()
     dup_ids = matches.select(F.col("doc_id").alias(id_col)).distinct()
     novel = survivors.join(dup_ids, id_col, "left_anti")
     novel_sigs = sigs.join(
         dup_ids.select(F.col(id_col).alias("doc_id")), "doc_id", "left_anti"
     )
+    if novel_sink is not None:
+        novel = novel.localCheckpoint()  # sink + return path: one computation
+        novel_sink(novel)
     write_minhash_index(novel_sigs, index_path, mode=mode, run_id=run_id)
     return novel, matches
 
 
-def read_digest_index(spark, index_path: str) -> DataFrame:
+def read_digest_index(
+    spark, index_path: str, exclude_run_id: str | None = None
+) -> DataFrame:
     """The ``seen`` side for tonight's :func:`incremental_dedup`, read
     back from :func:`write_novel_digests`'s layout (partition discovery
     sees ``ingest_batch``/``bucket`` as columns regardless of which
     writer — nightly or streaming — produced each subtree); an absent
-    index (first run) is an empty one."""
+    index (first run) is an empty one.
+
+    ``exclude_run_id`` drops one ``ingest_batch=`` subtree from the
+    view — a PARTITION filter, so the excluded subtree's files are
+    pruned, not read. Retrying writers (the streaming bridge) pass
+    their own run_id: a crashed previous attempt of the SAME batch may
+    have committed its digests already, and reading them back would
+    make the replay see its own output as "already ingested", emit an
+    empty novel set, and overwrite the novel sink with nothing
+    (ADVICE r5 #1 — the replay-idempotence hazard)."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(index_path).select("content_hash")
+        idx = spark.read.parquet(index_path)
     except AnalysisException:
         return spark.createDataFrame([], "content_hash string")
+    if exclude_run_id is not None:
+        idx = idx.filter(F.col("ingest_batch") != exclude_run_id)
+    return idx.select("content_hash")

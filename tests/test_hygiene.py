@@ -268,6 +268,65 @@ def test_incremental_near_dup_two_batches(spark, tmp_path):
     assert glob.glob(f"{idx}/ingest_batch=n1/bucket=*/*.parquet")
 
 
+def test_incremental_near_dup_replay_idempotent(spark, tmp_path):
+    """ADVICE r5 #1: a replayed batch (same run_id, at-least-once
+    foreachBatch) must NOT probe its own crashed attempt's committed
+    signatures — without the ingest_batch exclusion every survivor
+    self-matches at est_jaccard 1.0, novel collapses to empty, and the
+    overwrite permanently erases the batch from both sinks."""
+    idx = str(tmp_path / "mh_index")
+    batch = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "completely unrelated words in this body"),
+        ],
+        ["doc_id", "text"],
+    )
+    # attempt 1 commits the index subtree, then "crashes" before the
+    # streaming checkpoint commits -> the engine redelivers the epoch
+    novel1, _ = H.incremental_near_dup(
+        batch, spark, idx, run_id="epoch-0", mode="overwrite"
+    )
+    assert sorted(r["doc_id"] for r in novel1.collect()) == [1, 2]
+
+    sunk: list[list[int]] = []
+    novel2, matches2 = H.incremental_near_dup(
+        batch,
+        spark,
+        idx,
+        run_id="epoch-0",
+        mode="overwrite",
+        novel_sink=lambda df: sunk.append(sorted(r["doc_id"] for r in df.collect())),
+    )
+    assert matches2.count() == 0  # own subtree pruned, no self-matches
+    assert sorted(r["doc_id"] for r in novel2.collect()) == [1, 2]
+    assert sunk == [[1, 2]]  # document sink sees the full batch again
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
+    ) == [1, 2]
+
+
+def test_digest_index_replay_exclusion(spark, tmp_path):
+    """Digest twin of the replay hazard: after a crashed attempt already
+    committed ``ingest_batch=epoch-0``, the replay's ``seen`` read must
+    prune that subtree or the whole batch anti-joins itself away and
+    the novel sink is overwritten empty."""
+    idx = str(tmp_path / "digest_index")
+    batch = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+    novel, _ = H.incremental_dedup(
+        batch, H.read_digest_index(spark, idx, exclude_run_id="epoch-0")
+    )
+    H.write_novel_digests(novel, idx, mode="overwrite", run_id="epoch-0")
+
+    seen_replay = H.read_digest_index(spark, idx, exclude_run_id="epoch-0")
+    assert seen_replay.count() == 0
+    novel2, _ = H.incremental_dedup(batch, seen_replay)
+    assert novel2.count() == 2
+    # other readers (the next epoch, the nightly) still see the digests
+    assert H.read_digest_index(spark, idx).count() == 2
+
+
 def test_minhash_signature_estimate_matches_duckdb(spark):
     """The component-agreement Jaccard estimate is md5-deterministic, so
     DuckDB reproduces it bit-for-bit with the shared permutation
