@@ -318,8 +318,10 @@ def write_ivf_index(
     that targets p cells reads ~p/K of the index — the same
     partition-pruning contract as the digest index's hash buckets.
     On creation, ``centroids`` defaults to the deterministic first-K
-    cells (K ~ sqrt(batch)); pass :func:`kmeans_centroids` output for
-    trained cells.
+    vectors BY RANK of vec_id (K ~ sqrt(batch)); pass
+    :func:`kmeans_centroids` output for trained cells. Centroids are
+    frozen forever, so creation REFUSES an empty centroid table —
+    every future probe of such an index would silently return nothing.
     """
     spark = emb.sparkSession
     if run_id is None:
@@ -330,11 +332,39 @@ def write_ivf_index(
     cents = read_ivf_centroids(spark, index_path)
     if cents is None:
         if centroids is None:
-            k = adaptive_centroids(emb.count())
-            centroids = e.filter(F.col("vec_id") < k).select(
-                F.col("vec_id").alias("cid"),
-                F.col("v").alias("cv"),
-                F.col("nrm").alias("cnrm"),
+            from pyspark.sql import Window
+
+            n = emb.count()
+            if n == 0:
+                raise ValueError(
+                    f"IVF index creation at {index_path!r}: empty centroid "
+                    "table (empty first batch) — refusing to freeze an "
+                    "index that could never match anything"
+                )
+            k = adaptive_centroids(n)
+            # First K by RANK, not by id VALUE (ADVICE r5 #2): a first
+            # batch with offset/hashed/post-dedup vec_ids has no rows
+            # below k, and an id-value filter would freeze an empty or
+            # undersized centroid table — permanently, since centroids
+            # are immutable after creation. limit(k) collapses to one
+            # task of k rows (K ~ sqrt(batch)), so the global window
+            # ranks a driver-bounded frame, never the corpus.
+            centroids = (
+                e.orderBy("vec_id")
+                .limit(k)
+                .select(
+                    (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+                        "cid"
+                    ),
+                    F.col("v").alias("cv"),
+                    F.col("nrm").alias("cnrm"),
+                )
+            )
+        if centroids.isEmpty():
+            raise ValueError(
+                f"IVF index creation at {index_path!r}: empty centroid "
+                "table (empty first batch?) — refusing to freeze an "
+                "index that could never match anything"
             )
         centroids.write.mode("errorifexists").parquet(f"{index_path}/centroids")
         cents = read_ivf_centroids(spark, index_path)

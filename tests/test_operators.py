@@ -401,3 +401,52 @@ def test_incremental_embedding_dedup_two_batches(spark, tmp_path):
         for r in spark.read.parquet(f"{idx}/assignments").select("vec_id").collect()
     ]
     assert len(stored) == len(set(stored))
+
+
+def test_ivf_index_offset_ids_seed_centroids(spark, tmp_path):
+    """ADVICE r5 #2: a first batch whose vec_ids are offset/sparse (post
+    dedup, hashed, partition-offset) must still freeze a usable centroid
+    table — the old id-value filter (vec_id < K) found no rows and froze
+    an empty index that could never match anything, permanently."""
+    import glob
+
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.operators import similarity as SIM
+
+    idx = str(tmp_path / "ivf_offset")
+    emb = Catalog(spark, SF_DIR).embeddings
+    offset = emb.filter(F.col("vec_id") < 60).withColumn(
+        "vec_id", F.col("vec_id") + 5_000_000
+    )
+    SIM.write_ivf_index(offset, idx, run_id="r0")
+    cents = spark.read.parquet(f"{idx}/centroids")
+    k = SIM.adaptive_centroids(60)
+    assert cents.count() == k  # rank-based seed ignores id values
+    assert glob.glob(f"{idx}/assignments/ingest_batch=r0/cid=*/*.parquet")
+
+    # a copy of an indexed vector must be found by the probe
+    probe_batch = (
+        emb.filter(F.col("vec_id") < 3).withColumn("vec_id", F.col("vec_id") + 9_000_000)
+    )
+    hits = SIM.probe_ivf_index(probe_batch, spark, idx, threshold=0.999)
+    got = {(r["vec_id"], r["index_vec_id"]) for r in hits.collect()}
+    for i in range(3):
+        assert (9_000_000 + i, 5_000_000 + i) in got
+
+
+def test_ivf_index_refuses_empty_first_batch(spark, tmp_path):
+    """Creation must fail loudly rather than freeze a matchless index."""
+    import pytest
+
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.operators import similarity as SIM
+
+    emb = Catalog(spark, SF_DIR).embeddings.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty centroid"):
+        SIM.write_ivf_index(emb, str(tmp_path / "ivf_empty"), run_id="r0")
