@@ -279,8 +279,14 @@ def probe_minhash_index(
     self-match the replay (ADVICE r5 #1).
 
     The probe is a band-key equi-join — O(new-batch sketches) plus one
-    shuffle of the matching index rows; historical TEXT is never read.
-    Verification uses the MinHash component-agreement estimate
+    shuffle of the TOUCHED index rows: the index is first semi-joined
+    to the batch's distinct (band_id, band_key) set (broadcast — the
+    batch side is small by contract), so buckets the batch never probes
+    are filtered at the scan and neither the cap window nor the join
+    ever shuffles them. Before this (ADVICE r5 #3) the cap window
+    row-numbered the ENTIRE persisted index per probe — an O(index)
+    shuffle per nightly run that grew with history. Verification uses
+    the MinHash component-agreement estimate
     (``dedup.estimated_jaccard``; the index stores signatures, not
     token sets), so the cross-batch gate is the standard
     sketch-precision tradeoff an incremental LSH index makes — raise
@@ -288,8 +294,11 @@ def probe_minhash_index(
     buckets are capped: only ``bucket_cap`` members per (band_id,
     band_key), deterministically the min doc_ids, are probed — members
     of an over-full bucket are near-identical, so any representative
-    catches the duplicate; same recall argument as the batch cap.
-    An absent index (first run) yields no matches.
+    catches the duplicate; same recall argument as the batch cap. The
+    cap window partitions by the same keys the join shuffles on, so
+    the capped side's exchange is reused by the join (the r5 LSH
+    window-stats pattern). An absent index (first run) yields no
+    matches.
     """
     from pyspark.sql import Window
 
@@ -305,6 +314,25 @@ def probe_minhash_index(
         )
     if exclude_run_id is not None:
         idx = idx.filter(F.col("ingest_batch") != exclude_run_id)
+    # Partition pruning first: the layout derives ``bucket`` from
+    # band_key (write_minhash_index: substring(band_key, 1, 2)), so the
+    # batch's touched buckets are knowable up front. Collecting them is
+    # a tiny driver action (<= 256 two-char prefixes) that turns the
+    # index read into a scan of ONLY the touched bucket directories —
+    # at corpus scale the probe's I/O is bounded by the batch's bucket
+    # fan-out, not the index size.
+    buckets = [
+        r["b"]
+        for r in new_sigs.select(F.substring("band_key", 1, 2).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    idx = idx.filter(F.col("bucket").isin(buckets))
+    # Row-level: semi-join to the batch's distinct band keys (broadcast
+    # — small by the same contract), so untouched buckets inside a
+    # scanned directory never reach the cap window or the join shuffle.
+    touched = new_sigs.select("band_id", "band_key").distinct()
+    idx = idx.join(F.broadcast(touched), ["band_id", "band_key"], "left_semi")
     if bucket_cap is not None:
         w = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
         idx = (
