@@ -68,7 +68,16 @@ class Catalog:
                         "ts", F.timestamp_micros(F.expr("ts div 1000"))
                     )
                 elif isinstance(ts_type, T.TimestampNTZType):
-                    # exact only under the pinned UTC session zone
+                    # NTZ -> TIMESTAMP is exact only when the session
+                    # zone matches the zone the naive values were
+                    # written in; the engine pins UTC (session.get_spark),
+                    # so assert rather than assume — a non-UTC session
+                    # would silently shift every event timestamp (same
+                    # enforcement as streaming.incremental.events_stream).
+                    tz = self.spark.conf.get("spark.sql.session.timeZone")
+                    assert tz == "UTC", (
+                        f"events.ts NTZ cast requires UTC session zone, got {tz}"
+                    )
                     df = df.withColumn("ts", F.col("ts").cast("timestamp"))
                 elif not isinstance(ts_type, T.TimestampType):
                     # A malformed fixture (string/int32/double ts) must
