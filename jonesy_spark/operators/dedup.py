@@ -563,13 +563,23 @@ def simhash_near_dup(
                 F.col("fpb").alias("fpb_b"),
             )
         )
-    candidates = candidates.dropDuplicates(["doc_a", "doc_b"])
+    # Verify BEFORE deduplicating: hamming is two xor+bit_count ops on
+    # columns already in the candidate row (no re-attach join), so it
+    # runs map-side right out of the band join, and the
+    # dropDuplicates shuffle then moves only true near-dup pairs —
+    # ~15 k rows instead of ~1.9 M distinct candidates at sf0.1
+    # (r6 same-session A/B: 3.43 -> 1.4 s steady). A doc pair sharing
+    # several bands yields identical hamming on every copy, so
+    # filter-then-distinct is exactly distinct-then-filter. This
+    # ordering is the one that survives scale: candidate volume grows
+    # with corpus similarity, verified-pair volume is the answer size.
     hamming = F.bit_count(
         F.col("fpa_a").bitwiseXOR(F.col("fpa_b"))
     ) + F.bit_count(F.col("fpb_a").bitwiseXOR(F.col("fpb_b")))
     return _track_caches(
         candidates.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming"),
         *persisted,
     )
