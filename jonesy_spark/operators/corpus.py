@@ -394,3 +394,105 @@ def train_order(
         .repartitionByRange(n_files, "shuffle_key")
         .sortWithinPartitions("shuffle_key")
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 50_000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's OWN
+    unigram distribution — the classic cheap perplexity proxy for
+    quality gating (a doc of rare/garbled tokens scores far below the
+    corpus mode; natural prose scores near it).
+
+    Model: the top-``vocab_size`` tokens by corpus frequency (ties
+    broken by token string, so the vocabulary is deterministic) with
+    add-``alpha`` smoothing; everything outside the vocabulary shares
+    one OOV floor probability::
+
+        p(t) = (count(t) + alpha) / (N + alpha * (V + 1))   t in vocab
+        p(OOV) = alpha           / (N + alpha * (V + 1))
+
+    Output: ``(doc_id, n_tokens, oov_frac, avg_logprob)`` with the two
+    ratios rounded to 6 digits (per-token logs rounded to 9 first so
+    libm's 1-ulp ``ln`` differences between engines can never reach the
+    comparison digits).
+
+    Scale shape: two passes over the token stream (corpus counts, then
+    per-doc scoring), both aggregating under keyed shuffles with
+    map-side combine. The vocabulary is top-V via ``orderBy + limit``
+    (partial per-partition top-V, never a global sort of the vocab) and
+    joins the token stream as a BROADCAST — ``vocab_size`` bounds it to
+    MBs however large the corpus, which is the whole point of the OOV
+    floor: unbounded tails stay out of the join. The 1-row totals frame
+    cross-joins (broadcast) rather than collecting.
+    """
+    toks = docs.repartition(CPU_PARTITIONS, F.col(id_col)).select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("t"),
+    )
+    tf = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tf.orderBy(F.col("c").desc(), F.col("t")).limit(vocab_size)
+    totals = tf.agg(
+        F.sum("c").alias("n_total"),
+    ).crossJoin(vocab.agg(F.count(F.lit(1)).alias("v_actual")))
+    denom = F.col("n_total") + alpha * (F.col("v_actual") + 1)
+    scored = (
+        toks.join(F.broadcast(vocab), "t", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.when(F.col("c").isNull(), 1).otherwise(0).alias("is_oov"),
+            F.round(
+                F.log((F.coalesce(F.col("c"), F.lit(0)) + alpha) / denom), 9
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.round(F.sum("is_oov") / F.count(F.lit(1)), 6).alias("oov_frac"),
+        F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+    )
+
+
+def cluster_keyed_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    train_frac: float = 0.75,
+    val_frac: float = 0.125,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the split decision hashes the
+    near-dup CLUSTER id, not the document id, so transitively-linked
+    near-copies can never straddle a split boundary (the doc-keyed
+    split's silent eval-set leak — a near-copy of a training document
+    landing in val/test). Documents in no cluster are their own
+    singleton cluster.
+
+    ``clusters`` is ``(doc_id, cluster_id)`` — e.g.
+    ``graph.connected_components`` output over any pair operator, or an
+    exact-digest grouping. The join is digest-width; the draw is the
+    same md5 ``_hash_unit`` expression every sampling operator here
+    uses, so the split is deterministic across runs, engines, and
+    cluster sizes.
+    """
+    labeled = docs.select(id_col).join(
+        clusters.select(
+            F.col(id_col), F.col("cluster_id").cast("long").alias("cluster_id")
+        ),
+        id_col,
+        "left",
+    )
+    u = _hash_unit(salt, F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    return labeled.select(
+        id_col,
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        F.when(u < train_frac, "train")
+        .when(u < train_frac + val_frac, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -710,3 +710,75 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold),
         *persisted,
     )
+
+
+def ngram_containment(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.8,
+    df_cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """Directional n-gram containment pairs: ``(doc_a, doc_b,
+    containment)`` where containment = |grams(A) ∩ grams(B)| /
+    |grams(A)| >= ``threshold`` — doc_a is (near-)CONTAINED in doc_b.
+
+    This is the asymmetric overlap the symmetric Jaccard operators
+    structurally miss: a short document pasted inside a long one has
+    containment ~1 but Jaccard ~|A|/|B| ~ 0, so MinHash-LSH (which
+    targets Jaccard) never emits the pair. Partial inclusion —
+    boilerplate wrappers, quoted articles, template expansions — is a
+    containment question, not a similarity question.
+
+    Plan: explode each doc's DISTINCT gram hashes (28-bit md5 —
+    oracle-reproducible), drop grams whose document frequency exceeds
+    ``df_cap`` from BOTH the numerator and denominator (ubiquitous
+    grams — boilerplate phrases, whitespace runs — carry no containment
+    signal and their posting lists are the quadratic hazard: the
+    posting-list self-join fans out df² pairs per gram, so the cap
+    bounds per-gram fan-out at df_cap² exactly as the LSH bucket cap
+    bounds band buckets; the exclusion is mirrored verbatim in the
+    oracle, so it is a *definition* of the measure, not an
+    approximation of it), then count shared kept-grams per ordered pair
+    via the posting-list join and divide by A's kept-gram count.
+
+    Scale shape: the gram explode + distinct aggregates ride doc_id
+    keyed shuffles (map-side combine); the document-frequency pass and
+    the posting join shuffle 28-bit hashes, never text; the pair
+    aggregation keys on (doc_a, doc_b) with map-side combine so the
+    shuffle is intersection counts, not gram instances.
+    """
+    grams = (
+        df.repartition(CPU_PARTITIONS, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(TX.char_ngrams(F.col(text_col), n)).alias("g"),
+        )
+        .select("doc_id", element_hash(F.col("g")).alias("h"))
+        .distinct()
+    )
+    kept = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("gdf"))
+        .filter(F.col("gdf") <= df_cap)
+        .select("h")
+    )
+    gk = grams.join(kept, "h")
+    sizes = gk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    inter = (
+        gk.select(F.col("doc_id").alias("doc_a"), "h")
+        .join(gk.select(F.col("doc_id").alias("doc_b"), "h"), "h")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), "n_grams"), "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_shared") / F.col("n_grams"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

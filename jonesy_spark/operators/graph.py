@@ -196,3 +196,50 @@ def resolve_duplicates(
         .select(F.col("node").alias(id_col))
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def survivor_assignments(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Quality-aware cluster survivor selection: ``(doc_id, cluster_id,
+    survivor_id)`` for EVERY document — near-dup clusters keep their
+    best-``score_col`` member (min id on ties), documents in no pair
+    are their own singleton survivor.
+
+    :func:`resolve_duplicates`'s min-id survivor is the right default
+    for idempotent dedup, but a training pipeline usually wants to keep
+    the best COPY, not the first one: the cleanest OCR of a duplicated
+    page, the longest of three truncated mirrors. ``docs`` must carry a
+    deterministic (pre-rounded) numeric ``score_col`` — ranking on an
+    unrounded float would make the survivor engine-dependent.
+
+    Shape: components over 16-byte edges, one digest-width left join to
+    label docs, then ``first_value`` over a (cluster, score desc, id)
+    window — the window's shuffle is the only pass over the full doc
+    list, and it moves (id, cluster, score) triples, never text.
+    """
+    from pyspark.sql import Window
+
+    comps = connected_components(pairs, src=src, dst=dst)
+    labeled = docs.select(F.col(id_col), F.col(score_col)).join(
+        comps.select(F.col("node").alias(id_col), "component"), id_col, "left"
+    )
+    labeled = labeled.withColumn(
+        "cluster_id", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.col(score_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return labeled.select(
+        id_col,
+        "cluster_id",
+        F.first(F.col(id_col)).over(w).alias("survivor_id"),
+        F.col(score_col),
+    )

@@ -80,6 +80,33 @@ DRIVER_EXCLUDED = {
     # stays driver-checked via profile_table (countDistinct per column
     # over lineitem); full pytest DuckDB differential kept.
     "distinct_counts",
+    # Rotated out r6 to make room for doc_logprob / ngram_containment /
+    # dedup_survivors_quality / leakage_safe_split (four genuinely new
+    # plan families: broadcast-vocab LM scoring, posting-list asymmetric
+    # overlap, quality-argmax survivor windows, cluster-keyed split):
+    #
+    # corpus_split's doc-keyed md5 split is strictly subsumed by
+    # leakage_safe_split (same CASE thresholds, same md5-draw family as
+    # the retained mixture_sample; the new query adds the cluster
+    # coalesce on top); pytest DuckDB differential kept.
+    "corpus_split",
+    # text_quality_score's composite is recomputed EXPRESSION-FOR-
+    # EXPRESSION inside the retained quality_filter driver row (its
+    # oracle embeds the same length/stopword formula before ranking);
+    # pytest differential kept.
+    "text_quality_score",
+    # top_tokens_per_lang's explode + group-count + rank-window family
+    # stays driver-checked via tfidf_top_terms (same token explode, same
+    # count aggregate, same per-group rank cut); pytest differential
+    # kept.
+    "top_tokens_per_lang",
+    # running_total's cumulative-window-over-ordered-partition plan —
+    # and the lag/lead members merged into it when lag_lead_analytics
+    # was excluded — stay driver-checked via events_sessionization
+    # (lag + running sum over the same ordered user window) and
+    # pack_sequences (running sum as start_offset); pytest
+    # differential kept.
+    "running_total",
 }
 
 

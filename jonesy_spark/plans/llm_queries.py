@@ -1173,3 +1173,203 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
     )
+
+
+@query(
+    "doc_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS t
+        FROM documents
+    ),
+    tf AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    vocab AS (SELECT t, c FROM tf ORDER BY c DESC, t LIMIT 16),
+    tot AS (SELECT (SELECT sum(c) FROM tf) AS n_total,
+                   (SELECT count(*) FROM vocab) AS v_actual),
+    scored AS (
+        SELECT toks.doc_id,
+               CASE WHEN v.c IS NULL THEN 1 ELSE 0 END AS is_oov,
+               round(ln((coalesce(v.c, 0) + 0.5)
+                        / (tot.n_total + 0.5 * (tot.v_actual + 1))), 9) AS lp
+        FROM toks LEFT JOIN vocab v ON v.t = toks.t CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+           round(sum(is_oov) / count(*), 6) AS oov_frac,
+           round(sum(lp) / count(*), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring (perplexity proxy): mean log-prob of
+    each doc's tokens under the corpus's own add-0.5-smoothed top-16
+    unigram distribution, plus the OOV fraction. The tiny vocab_size
+    exercises the OOV floor on the fixture's 31-token vocabulary; a
+    production run uses the 50k default. operators.corpus.unigram_logprob
+    has the broadcast-vocabulary scale notes."""
+    from ..operators import corpus as C
+
+    return C.unigram_logprob(
+        Catalog(spark, sf_dir).documents, vocab_size=16, alpha=0.5
+    )
+
+
+@query(
+    "ngram_containment",
+    # f-string solely to interpolate the shared df_cap constant.
+    oracle=f"""
+    WITH g0 AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, length(text) - 3),
+                                            i -> substr(text, i, 5))) AS grams
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, ('0x' || substr(md5(u.gm), 1, 7))::BIGINT AS h
+        FROM g0, unnest(g0.grams) u(gm)
+    ),
+    kept AS (SELECT h FROM g GROUP BY h HAVING count(*) <= {DD.BUCKET_CAP}),
+    gk AS (SELECT doc_id, h FROM g JOIN kept USING (h)),
+    sz AS (SELECT doc_id, count(*) AS n_grams FROM gk GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM gk a JOIN gk b USING (h)
+        WHERE a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_shared / s.n_grams, 6) AS containment
+    FROM inter i JOIN sz s ON s.doc_id = i.doc_a
+    WHERE round(i.n_shared / s.n_grams, 6) >= 0.8
+    """,
+)
+def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional 5-gram containment pairs (doc_a near-contained in
+    doc_b): the asymmetric-overlap detector for partial inclusion —
+    boilerplate wrappers, quoted articles — that symmetric-Jaccard LSH
+    structurally misses. operators.dedup.ngram_containment has the
+    posting-list / df-cap scale notes."""
+    return DD.ngram_containment(
+        Catalog(spark, sf_dir).documents, n=5, threshold=0.8
+    )
+
+
+@query(
+    "dedup_survivors_quality",
+    # The shared verified-pair + reachability CTEs (exactly
+    # dedup_clusters's component construction) + quality_filter's
+    # composite, closed by a first_value window — survivor = best
+    # quality, min id on ties, singletons survive themselves.
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_VERIFIED_PAIRS},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM vpairs
+        UNION
+        SELECT doc_b, doc_a FROM vpairs
+    ),
+    reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM reach GROUP BY u
+    ),
+    q AS (
+        SELECT doc_id,
+               round(least(1.0, n_tokens / 100.0)
+                     * (1.0 - least(1.0, c_stop::DOUBLE / n_tokens)), 6)
+                   AS quality
+        FROM (
+            SELECT doc_id,
+                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   CAST((length(lower(text))
+                         - length(replace(lower(text), 'the', ''))) / 3
+                        AS INTEGER) AS c_stop
+            FROM documents
+        )
+    ),
+    lab AS (
+        SELECT q.doc_id, coalesce(c.cluster_id, q.doc_id) AS cluster_id,
+               q.quality
+        FROM q LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           first_value(doc_id) OVER (PARTITION BY cluster_id
+                                     ORDER BY quality DESC, doc_id)
+               AS survivor_id,
+           quality
+    FROM lab
+    """,
+)
+def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection over the minhash near-dup
+    clusters: every document labeled with its cluster and the cluster's
+    best-quality member (min id on ties) — keep the best COPY, not the
+    first one. Reuses the session's checkpointed pair graph
+    (:func:`_shared_minhash_pairs`), so this prices component closure +
+    one window, not a second LSH run. operators.graph.survivor_assignments."""
+    from ..operators import graph as G
+
+    docs = Catalog(spark, sf_dir).documents
+    n_tokens = TX.whitespace_token_count(F.col("text"))
+    c_stop = TX.occurrences(F.lower(F.col("text")), "the")
+    quality = F.round(
+        F.least(F.lit(1.0), n_tokens / 100.0)
+        * (1.0 - F.least(F.lit(1.0), c_stop / n_tokens)),
+        6,
+    )
+    scored = docs.select("doc_id", quality.alias("quality"))
+    return G.survivor_assignments(
+        scored, _shared_minhash_pairs(spark, sf_dir), "quality"
+    )
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_VERIFIED_PAIRS},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM vpairs
+        UNION
+        SELECT doc_b, doc_a FROM vpairs
+    ),
+    reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM reach GROUP BY u
+    ),
+    lab AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN ('0x' || substr(md5('split-v1|'
+                                         || CAST(cluster_id AS VARCHAR)),
+                      1, 7))::BIGINT / 268435456.0 < 0.75 THEN 'train'
+                WHEN ('0x' || substr(md5('split-v1|'
+                                         || CAST(cluster_id AS VARCHAR)),
+                      1, 7))::BIGINT / 268435456.0 < 0.875 THEN 'val'
+                ELSE 'test' END AS split
+    FROM lab
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split keyed on the near-dup CLUSTER id instead of
+    the document id: transitively-linked near-copies can never straddle
+    a split boundary, closing the eval-leak a doc-keyed split silently
+    allows. Same 75/12.5/12.5 md5 draw as corpus_split; clusters come
+    from the session's shared pair graph.
+    operators.corpus.cluster_keyed_split."""
+    from ..operators import corpus as C
+    from ..operators import graph as G
+
+    docs = Catalog(spark, sf_dir).documents
+    clusters = G.connected_components(
+        _shared_minhash_pairs(spark, sf_dir)
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+    return C.cluster_keyed_split(docs, clusters, salt="split-v1")

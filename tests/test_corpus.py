@@ -403,3 +403,66 @@ def test_quality_gate_approx_matches_exact_within_sketch_error(spark):
     plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_unigram_logprob_oov_floor_and_ranking(spark):
+    """A doc of corpus-frequent tokens must outscore a doc of rare/OOV
+    tokens; OOV tokens hit the shared floor probability exactly."""
+    import math
+
+    rows = [(1, "a a a b"), (2, "a b a b"), (3, "zz qq xx yy")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in C.unigram_logprob(docs, vocab_size=3, alpha=0.5).collect()
+    }
+    # corpus counts: a=5, b=3, zz/qq/xx/yy=1 each; vocab (top-3 by count,
+    # token tiebreak) = a, b, qq; N=12, V=3 -> denom = 12 + 0.5*4 = 14
+    denom = 14.0
+    lp = lambda c: round(math.log((c + 0.5) / denom), 9)
+    assert out[3]["oov_frac"] == 0.75  # qq in vocab, zz/xx/yy OOV
+    assert out[1]["oov_frac"] == 0.0
+    want1 = round((3 * lp(5) + lp(3)) / 4, 6)
+    assert abs(out[1]["avg_logprob"] - want1) < 1e-9
+    want3 = round((lp(1) + 3 * lp(0)) / 4, 6)  # one vocab hit + 3 OOV floors
+    assert abs(out[3]["avg_logprob"] - want3) < 1e-9
+    assert out[1]["avg_logprob"] > out[3]["avg_logprob"]
+
+
+def test_unigram_logprob_vocab_broadcasts(spark):
+    docs = Catalog(spark, SF_DIR).documents
+    plan = (
+        C.unigram_logprob(docs, vocab_size=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_cluster_keyed_split_never_straddles(spark):
+    """THE leakage property: every cluster lands in exactly one split,
+    and singletons fall back to their own id (matching corpus_split's
+    draw for unclustered docs with the same salt)."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], ["doc_id", "text"]
+    )
+    clusters = spark.createDataFrame(
+        [(i, i % 7) for i in range(0, 50)], ["doc_id", "cluster_id"]
+    )
+    out = C.cluster_keyed_split(docs, clusters, salt="t-v1")
+    per_cluster = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_cluster)
+    got = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out.collect()}
+    assert len(got) == 100
+    assert got[60][0] == 60  # singleton: own id is the cluster
+    # determinism: rerun is identical
+    again = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in C.cluster_keyed_split(docs, clusters, salt="t-v1").collect()
+    }
+    assert got == again

@@ -173,3 +173,26 @@ def test_components_on_real_lsh_pairs(spark):
         by_comp.setdefault(c, []).append(n)
     for c, members in by_comp.items():
         assert c == min(members)
+
+
+def test_survivor_assignments_quality_and_ties(spark):
+    """Survivor = max score per component, min id on ties; singletons
+    survive themselves; transitive A~B~C closes into one survivor."""
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (9, 0.7)],
+        ["doc_id", "score"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["doc_a", "doc_b"]
+    )  # one chain component {1,2,3,4}; 9 is a singleton
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["survivor_id"])
+        for r in G.survivor_assignments(docs, pairs, "score").collect()
+    }
+    assert out == {
+        1: (1, 2),  # 2 and 3 tie at 0.9 -> min id 2 survives
+        2: (1, 2),
+        3: (1, 2),
+        4: (1, 2),
+        9: (9, 9),
+    }

@@ -450,3 +450,47 @@ def test_ivf_index_refuses_empty_first_batch(spark, tmp_path):
     emb = Catalog(spark, SF_DIR).embeddings.filter(F.col("vec_id") < 0)
     with pytest.raises(ValueError, match="empty centroid"):
         SIM.write_ivf_index(emb, str(tmp_path / "ivf_empty"), run_id="r0")
+
+
+def test_ngram_containment_asymmetric(spark):
+    """Containment catches a short doc pasted inside a long one — the
+    pair symmetric Jaccard misses — and only in the contained->container
+    direction when the container has enough extra material."""
+    from jonesy_spark.operators import dedup as DD
+
+    short = "alpha beta gamma delta words"
+    long = (
+        "completely unrelated opening material here " + short +
+        " and then a very long tail of additional unrelated content "
+        "stretching onward with many extra characters to dilute jaccard"
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "nothing in common at all here")],
+        ["doc_id", "text"],
+    ).withColumn("lang", F.lit("en"))
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in DD.ngram_containment(docs, n=5, threshold=0.8).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0  # short fully contained
+    assert (2, 1) not in got  # container is NOT contained in the part
+    assert not any(3 in k for k in got)
+    # and the symmetric-Jaccard operator indeed misses the pair at the
+    # same confidence: |A|/|B| bounds jaccard well below containment
+    jac = DD.ngram_jaccard_pairs(docs, n=5, threshold=0.8)
+    assert jac.filter("doc_a = 1 AND doc_b = 2").count() == 0
+
+
+def test_ngram_containment_df_cap_drops_boilerplate(spark):
+    """Grams above the document-frequency cap are excluded from both
+    numerator and denominator — a gram shared by every doc must not
+    produce all-pairs containment."""
+    from jonesy_spark.operators import dedup as DD
+
+    boiler = "sharedboilerplategram"
+    rows = [(i, f"{boiler} unique{i}content{i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = DD.ngram_containment(docs, n=5, threshold=0.5, df_cap=5).collect()
+    # the boilerplate grams (df=10 > 5) are dropped; the unique tails
+    # share nothing, so no pair reaches 0.5
+    assert got == []
