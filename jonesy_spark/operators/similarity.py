@@ -386,6 +386,7 @@ def probe_ivf_index(
     index_path: str,
     threshold: float = 0.9,
     probes: int = 4,
+    exclude_run_id: str | None = None,
 ) -> DataFrame:
     """Semantic matches of a new batch against the persisted IVF index:
     ``(vec_id, index_vec_id, cosine)`` for every new vector within
@@ -396,6 +397,11 @@ def probe_ivf_index(
     scan touches only the probed cells' directories (dynamic partition
     pruning); verification is the exact rounded cosine against the
     stored vectors. An absent index yields no matches.
+    ``exclude_run_id`` prunes one ``ingest_batch=`` subtree (partition
+    filter) — retrying writers exclude their own run_id so a crashed
+    prior attempt's committed vectors can't self-match the replay at
+    cosine 1.0 and erase the batch (the ADVICE r5 #1 hazard, same as
+    the digest/minhash indexes).
     """
     from pyspark.errors import AnalysisException
 
@@ -412,6 +418,8 @@ def probe_ivf_index(
         return new_emb.sparkSession.createDataFrame(
             [], "vec_id long, index_vec_id long, cosine double"
         )
+    if exclude_run_id is not None:
+        idx = idx.filter(F.col("ingest_batch") != exclude_run_id)
     idx = idx.select(
         F.col("vec_id").alias("index_vec_id"),
         F.col("v").alias("iv"),
@@ -438,6 +446,7 @@ def incremental_embedding_dedup(
     probes: int = 4,
     run_id: str | None = None,
     mode: str = "append",
+    novel_sink=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Semantic dedup of a new embedding batch against the persisted
     IVF index — the embedding-space sibling of
@@ -450,6 +459,13 @@ def incremental_embedding_dedup(
     ``threshold`` of an indexed vector are dropped. Nightly cost is
     O(batch) sketch+probe against the probed cells only — historical
     vectors outside those cells are never read.
+
+    Replay idempotence (same contract as the digest/minhash indexes):
+    with a ``run_id``, the probe excludes that run's own
+    ``ingest_batch=`` subtree, and ``novel_sink`` (a ``novel_df ->
+    None`` callable) runs BEFORE the index write so a crash between
+    the two writes replays into an identical recompute rather than a
+    self-matched empty batch.
     """
     from .dedup import release_caches
     from .graph import resolve_duplicates
@@ -460,9 +476,13 @@ def incremental_embedding_dedup(
     )
     release_caches(pairs)
     matches = probe_ivf_index(
-        survivors, spark, index_path, threshold=threshold, probes=probes
+        survivors, spark, index_path, threshold=threshold, probes=probes,
+        exclude_run_id=run_id,
     ).localCheckpoint()
     dup_ids = matches.select("vec_id").distinct()
     novel = survivors.join(dup_ids, "vec_id", "left_anti")
+    if novel_sink is not None:
+        novel = novel.localCheckpoint()  # sink + return path: one computation
+        novel_sink(novel)
     write_ivf_index(novel, index_path, run_id=run_id, mode=mode)
     return novel, matches

@@ -494,3 +494,45 @@ def test_ngram_containment_df_cap_drops_boilerplate(spark):
     # the boilerplate grams (df=10 > 5) are dropped; the unique tails
     # share nothing, so no pair reaches 0.5
     assert got == []
+
+
+def test_incremental_embedding_dedup_replay_idempotent(spark, tmp_path):
+    """ADVICE r5 #1, embedding axis: a replayed batch (same run_id) must
+    not probe its own crashed attempt's committed vectors — without the
+    ingest_batch exclusion every survivor self-matches at cosine 1.0
+    and the batch is erased on replay."""
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.operators import similarity as SIM
+
+    idx = str(tmp_path / "ivf_replay")
+    batch = Catalog(spark, SF_DIR).embeddings.filter(F.col("vec_id") < 40)
+    novel1, _ = SIM.incremental_embedding_dedup(
+        batch, spark, idx, threshold=0.995, run_id="epoch-0", mode="overwrite"
+    )
+    ids1 = sorted(r["vec_id"] for r in novel1.collect())
+    assert ids1
+
+    sunk: list[list[int]] = []
+    novel2, matches2 = SIM.incremental_embedding_dedup(
+        batch,
+        spark,
+        idx,
+        threshold=0.995,
+        run_id="epoch-0",
+        mode="overwrite",
+        novel_sink=lambda df: sunk.append(sorted(r["vec_id"] for r in df.collect())),
+    )
+    assert matches2.count() == 0  # own subtree pruned
+    assert sorted(r["vec_id"] for r in novel2.collect()) == ids1
+    assert sunk == [ids1]
+    stored = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(f"{idx}/assignments")
+        .select("vec_id")
+        .distinct()
+        .collect()
+    )
+    assert stored == ids1
