@@ -464,3 +464,65 @@ def read_digest_index(
     if exclude_run_id is not None:
         idx = idx.filter(F.col("ingest_batch") != exclude_run_id)
     return idx.select("content_hash")
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int = 32,
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: drop every line whose
+    normalized form (lower+trim digest) appears in more than ``df_cap``
+    DISTINCT documents — nav menus, cookie banners, copyright footers —
+    and reassemble the surviving lines in original order.
+
+    Output: ``(doc_id, clean_text, n_lines, n_removed)``; a document
+    whose every line is boilerplate survives with ``clean_text = ''``
+    (the caller's quality gate drops empties — removal here must stay
+    reversible for auditing).
+
+    Scale shape: the document-frequency pass shuffles 16-byte line
+    digests (distinct per doc first, so a line repeated inside one doc
+    counts once); the hot-line table is lines shared by > df_cap
+    documents — by construction a tiny fraction of distinct lines — and
+    BROADCASTS to the line stream; reassembly is one groupBy over the
+    exploded lines (struct sort on position — no window, no global
+    sort), the same corpus-width shuffle class as chunking/packing.
+    """
+    lines = docs.repartition(CPU_PARTITIONS, F.col(id_col)).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    key = F.md5(F.lower(F.trim(F.col("line"))))
+    hot = (
+        lines.select(id_col, key.alias("k"))
+        .distinct()
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+        .filter(F.col("line_df") > df_cap)
+        .select("k")
+    )
+    kept = lines.withColumn("k", key).join(F.broadcast(hot), "k", "left_anti")
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_lines").cast("int").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )

@@ -100,6 +100,14 @@ DRIVER_EXCLUDED = {
     # count aggregate, same per-group rank cut); pytest differential
     # kept.
     "top_tokens_per_lang",
+    # doc_chunking's sequence-explode + substring-window family is the
+    # exact gram-generation shape driver-checked inside
+    # dedup_ngram_jaccard and ngram_containment (explode positions,
+    # substring slices, per-doc agg); the overlap/stride arithmetic
+    # keeps its pytest DuckDB differential. Rotated r6 for line_dedup
+    # (line-level boilerplate removal — a genuinely new df-cap +
+    # reassembly plan family).
+    "doc_chunking",
     # running_total's cumulative-window-over-ordered-partition plan —
     # and the lag/lead members merged into it when lag_lead_analytics
     # was excluded — stay driver-checked via events_sessionization

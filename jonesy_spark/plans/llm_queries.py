@@ -1373,3 +1373,85 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shared_minhash_pairs(spark, sf_dir)
     ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
     return C.cluster_keyed_split(docs, clusters, salt="split-v1")
+
+
+@query(
+    "line_dedup",
+    # The fixture corpus is single-line, so boilerplate lines are
+    # INJECTED deterministically from doc_id on both engines (the
+    # pii_stats precedent): two high-df banners (removed at df_cap=32)
+    # and a unique per-doc footer (kept).
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 2 = 0
+                       THEN chr(10) || 'Copyright 2024 Example Corp'
+                       ELSE '' END
+               || CASE WHEN doc_id % 3 = 0
+                       THEN chr(10) || 'Subscribe to our newsletter'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 1
+                       THEN chr(10) || 'footer id ' || doc_id
+                       ELSE '' END AS txt
+        FROM documents
+    ),
+    sp AS (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM t),
+    lines AS (
+        SELECT doc_id, u.i AS pos, sp.ls[u.i] AS line
+        FROM sp, unnest(range(1, len(sp.ls) + 1)) u(i)
+    ),
+    ldf AS (
+        SELECT md5(lower(trim(line))) AS k,
+               count(DISTINCT doc_id) AS line_df
+        FROM lines GROUP BY 1
+    ),
+    kept AS (
+        SELECT l.doc_id, l.pos, l.line
+        FROM lines l JOIN ldf ON ldf.k = md5(lower(trim(l.line)))
+        WHERE ldf.line_df <= 32
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+    rebuilt AS (
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(tt.n_lines AS INT) AS n_lines,
+           CAST(tt.n_lines - coalesce(r.n_kept, 0) AS INT) AS n_removed
+    FROM totals tt
+    JOIN t ON t.doc_id = tt.doc_id
+    LEFT JOIN rebuilt r ON r.doc_id = tt.doc_id
+    """,
+)
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: lines shared by more
+    than 32 distinct documents (injected banners here; nav/footer chrome
+    in a real crawl) are dropped and the survivors reassembled in
+    order. operators.hygiene.line_dedup has the digest-shuffle /
+    broadcast-hot-set scale notes."""
+    from ..operators import hygiene as H
+
+    docs = Catalog(spark, sf_dir).documents
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("\nCopyright 2024 Example Corp")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("\nSubscribe to our newsletter")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 1,
+                F.concat(F.lit("\nfooter id "), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return H.line_dedup(injected, df_cap=32)

@@ -380,3 +380,22 @@ def test_minhash_signature_estimate_matches_duckdb(spark):
         )
     )
     assert got == want and got[0][2] > 0.5  # (1,2) mostly agree
+
+
+def test_line_dedup_semantics(spark):
+    """Boilerplate lines (df > cap) vanish; a doc that is ALL
+    boilerplate survives with empty clean_text; a line repeated inside
+    ONE doc counts once toward document frequency; order is preserved."""
+    banner = "subscribe now"
+    rows = [(i, f"unique body {i}\n{banner}") for i in range(5)]
+    rows.append((90, banner))  # all-boilerplate doc
+    rows.append((91, "echo\necho\necho"))  # within-doc repeat, df = 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in H.line_dedup(docs, df_cap=3).collect()}
+    for i in range(5):
+        assert out[i]["clean_text"] == f"unique body {i}"
+        assert (out[i]["n_lines"], out[i]["n_removed"]) == (2, 1)
+    assert out[90]["clean_text"] == "" and out[90]["n_removed"] == 1
+    # 'echo' appears in one document only -> df 1 <= cap, kept 3x in order
+    assert out[91]["clean_text"] == "echo\necho\necho"
+    assert out[91]["n_removed"] == 0
