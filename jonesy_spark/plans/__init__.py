@@ -100,6 +100,14 @@ DRIVER_EXCLUDED = {
     # count aggregate, same per-group rank cut); pytest differential
     # kept.
     "top_tokens_per_lang",
+    # ann_cosine_topk's brute-force scoring is the same rounded
+    # dot-product expression family driver-checked in embedding_near_dup
+    # and ann_bucketed_topk (exact-cosine verification over the probed
+    # cells), and its per-query rank-cut window is topk_per_group_price's
+    # retained plan; pytest DuckDB differential kept. Rotated r6 for
+    # near_dup_contamination (sketch-level eval decontamination — a new
+    # capability, not a new expression family).
+    "ann_cosine_topk",
     # doc_chunking's sequence-explode + substring-window family is the
     # exact gram-generation shape driver-checked inside
     # dedup_ngram_jaccard and ngram_containment (explode positions,

@@ -1455,3 +1455,65 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return H.line_dedup(injected, df_cap=32)
+
+
+@query(
+    "near_dup_contamination",
+    # The shared md5-deterministic sketch CTEs (same tokens/permutations
+    # as _MINHASH_VERIFIED_PAIRS), with the benchmark side drawn as the
+    # doc_id % 50 subset — mirrors the exact-overlap contamination
+    # query's benchmark construction. est_jaccard = fraction of
+    # agreeing signature components.
+    oracle=f"""
+    WITH {_TOK},
+    toki AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   toks, t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)) AS toks
+        FROM tok
+    ),
+    mh AS (
+        SELECT doc_id, r.i,
+               min((((2654435761 * (r.i+1)) % 2147483647) * u.h
+                    + ((97531 * (r.i+1)) % 2147483647))
+                   % 2147483647) AS h
+        FROM toki, range(16) r(i), unnest(toki.toks) u(h)
+        GROUP BY doc_id, r.i
+    ),
+    band AS (
+        SELECT doc_id, i // 8 AS band_id,
+               md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS band_key
+        FROM mh GROUP BY doc_id, i // 8
+    ),
+    bsz AS (SELECT doc_id, len(toks) AS sz FROM toki),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id
+        FROM band a
+        JOIN band b ON a.band_id = b.band_id AND a.band_key = b.band_key
+        JOIN bsz sa ON sa.doc_id = a.doc_id
+        JOIN bsz sb ON sb.doc_id = b.doc_id
+        WHERE b.doc_id % 50 = 0
+          AND sa.sz >= 0.8 * sb.sz AND sb.sz >= 0.8 * sa.sz
+    )
+    SELECT c.doc_id, c.bench_id,
+           round(sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) / 16.0, 6)
+               AS est_jaccard
+    FROM cand c
+    JOIN mh ma ON ma.doc_id = c.doc_id
+    JOIN mh mb ON mb.doc_id = c.bench_id AND mb.i = ma.i
+    GROUP BY c.doc_id, c.bench_id
+    HAVING round(sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) / 16.0, 6) >= 0.8
+    """,
+)
+def near_dup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-level eval decontamination: corpus docs whose MinHash
+    signature agrees with a benchmark doc's (doc_id % 50 subset, as in
+    the exact-overlap contamination row) at estimated Jaccard >= 0.8 —
+    catches near-copies whose contiguous 13-grams all changed.
+    operators.hygiene.near_dup_contamination broadcasts the benchmark
+    sketches; the corpus side reuses the index's signature pipeline."""
+    from ..operators import hygiene as H
+
+    docs = Catalog(spark, sf_dir).documents
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    return H.near_dup_contamination(docs, bench, threshold=0.8)

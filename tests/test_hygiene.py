@@ -399,3 +399,41 @@ def test_line_dedup_semantics(spark):
     # 'echo' appears in one document only -> df 1 <= cap, kept 3x in order
     assert out[91]["clean_text"] == "echo\necho\necho"
     assert out[91]["n_removed"] == 0
+
+
+def test_near_dup_contamination_catches_reformatted_eval(spark):
+    """A reformatted benchmark copy (token set mostly intact, contiguous
+    13-grams all shifted) must be flagged by the sketch gate even when
+    the exact-overlap gate scores it low; an unrelated doc stays clean.
+    The benchmark side must broadcast."""
+    bench_text = (
+        "which planet is known as the red one in our solar system "
+        "mars is the answer to this question"
+    )
+    # same tokens in REVERSED order -> the token SET is identical but
+    # almost no contiguous 13-char gram survives
+    reformatted = " ".join(reversed(bench_text.split(" ")))
+    docs = spark.createDataFrame(
+        [(1, reformatted), (2, "totally unrelated corpus document body")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["bench_id"]): r["est_jaccard"]
+        for r in H.near_dup_contamination(docs, bench, threshold=0.8).collect()
+    }
+    assert (1, 100) in got and got[(1, 100)] >= 0.8
+    assert not any(d == 2 for d, _ in got)
+    # the exact contiguous-gram gate scores the same pair low
+    exact = {
+        r["doc_id"]: r["contamination_frac"]
+        for r in H.contamination(docs, bench, n=13).collect()
+    }
+    assert exact[1] < 0.5
+    plan = (
+        H.near_dup_contamination(docs, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
