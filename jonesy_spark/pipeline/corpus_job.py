@@ -6,16 +6,20 @@ Stage order follows cost and selectivity (cheap, selective gates first
 so expensive stages see fewer rows — the same principle as predicate
 pushdown, applied across operators):
 
-  1. exact dedup          digest anti-join (cheapest, highest yield)
-  2. PII redaction        map-only rewrite
-  3. repetition gates     two keyed aggs, drops boilerplate
-  4. near-dup dedup       MinHash-LSH pairs closed transitively
-                          (connected components), one min-id survivor
-                          per duplicate CLUSTER
-  5. mixture sampling     map-only per-domain rates
-  6. train/val/test split map-only hash split
-  7. sequence packing     hash-sharded window
-  8. assembly + shuffle   packed text in deterministic train order
+  1.  exact dedup          digest anti-join (cheapest, highest yield)
+  1.5 line boilerplate     opt-in CCNet-style line-df removal, before
+                           every text-derived stage
+  2.  PII redaction        map-only rewrite
+  3.  repetition gates     two keyed aggs, drops boilerplate
+  4.  near-dup dedup       MinHash-LSH pairs closed transitively
+                           (connected components); survivor policy:
+                           min-id (default) or best-quality
+  5.  mixture sampling     map-only per-domain rates
+  6.  train/val/test split map-only hash split — doc-keyed, or
+                           cluster-keyed at a lower threshold
+                           (leakage-safe, opt-in)
+  7.  sequence packing     hash-sharded window
+  8.  assembly + shuffle   packed text in deterministic train order
 
 Every decision is md5-derived: rerunning the job reproduces the same
 corpus byte-for-byte (the property that makes a 100 TB run resumable
@@ -50,6 +54,24 @@ class CorpusConfig:
     #: disables the gate (the default — quality cuts are a per-corpus
     #: policy decision, not a universal one).
     quality_keep_frac: float | None = None
+    #: drop lines shared by more than this many documents (CCNet-style
+    #: boilerplate removal, hygiene.line_dedup) before any text-derived
+    #: stage; None disables (the default — the fixture corpora are
+    #: single-line, so the stage is a per-corpus crawl-shape decision).
+    line_df_cap: int | None = None
+    #: near-dup survivor policy: "min_id" (default — idempotent,
+    #: matches the incremental indexes' representative choice) or
+    #: "quality" (keep the best-quality member of each cluster,
+    #: graph.survivor_assignments — the keep-the-best-copy policy).
+    survivor_policy: str = "min_id"
+    #: when set, the train/val/test decision is keyed on near-dup
+    #: CLUSTERS at THIS threshold instead of doc ids
+    #: (corpus.cluster_keyed_split). Meaningful below
+    #: ``near_dup_threshold``: dedup at 0.95 removes strong copies, but
+    #: weaker near-dups (e.g. 0.8) survive it and would straddle a
+    #: doc-keyed split — the classic eval leak. None keeps the
+    #: doc-keyed split.
+    split_cluster_threshold: float | None = None
 
 
 def prepare_training_corpus(
@@ -69,6 +91,23 @@ def prepare_training_corpus(
     docs = docs.join(reps, "doc_id", "left_semi")
     if cfg.blocklist:
         docs = H.blocklist_filter(docs, cfg.blocklist)
+
+    # 1.5 line-level boilerplate removal (opt-in): runs BEFORE every
+    # text-derived stage so repetition stats, quality scores, sketches
+    # and packing all see the de-boilerplated text. Docs reduced to
+    # nothing are dropped here (empty text carries no training signal
+    # and would skew the repetition ratios).
+    if cfg.line_df_cap is not None:
+        cleaned = H.line_dedup(docs, df_cap=cfg.line_df_cap)
+        docs = (
+            docs.drop("text")
+            .join(
+                cleaned.filter(F.length("clean_text") > 0).select(
+                    "doc_id", F.col("clean_text").alias("text")
+                ),
+                "doc_id",
+            )
+        )
 
     # 2. PII scrub (map-only rewrite of the text column).
     docs = docs.withColumn("text", H.redact_pii(F.col("text")))
@@ -103,7 +142,34 @@ def prepare_training_corpus(
     # checkpointed star forest, never the LSH subtree — and the
     # operator's internal sketch caches can be released immediately.
     pairs = DD.minhash_lsh_pairs(docs, threshold=cfg.near_dup_threshold)
-    docs = G.resolve_duplicates(docs, pairs)
+    if cfg.survivor_policy == "quality":
+        # Keep the best-quality member of each cluster instead of the
+        # min id — the keep-the-best-copy policy. The score must be
+        # pre-rounded (engine-stable ordering); same composite as the
+        # quality gate.
+        from ..functions import text as TX
+
+        n_tokens = TX.whitespace_token_count(F.col("text"))
+        c_stop = TX.occurrences(F.lower(F.col("text")), "the")
+        q = F.round(
+            F.least(F.lit(1.0), n_tokens / 100.0)
+            * (1.0 - F.least(F.lit(1.0), c_stop / n_tokens)),
+            6,
+        )
+        assign = G.survivor_assignments(
+            docs.select("doc_id", q.alias("quality")), pairs, "quality"
+        )
+        survivors = assign.filter(
+            F.col("doc_id") == F.col("survivor_id")
+        ).select("doc_id")
+        docs = docs.join(survivors, "doc_id", "left_semi")
+    elif cfg.survivor_policy == "min_id":
+        docs = G.resolve_duplicates(docs, pairs)
+    else:
+        raise ValueError(
+            f"unknown survivor_policy {cfg.survivor_policy!r}; "
+            "expected 'min_id' or 'quality'"
+        )
     DD.release_caches(pairs)
 
     # 5. mixture sampling (default keeps everything).
@@ -113,15 +179,31 @@ def prepare_training_corpus(
         )
     clean = docs
 
-    # 6. deterministic split.
-    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
-    split = clean.select(
-        "doc_id",
-        F.when(digit.isin(*"0123456789ab"), "train")
-        .when(digit.isin("c", "d"), "val")
-        .otherwise("test")
-        .alias("split"),
-    )
+    # 6. deterministic split — doc-keyed by default; with
+    # split_cluster_threshold set, keyed on near-dup clusters at that
+    # (lower) threshold so weak near-dups that survived the stricter
+    # dedup can never straddle train/eval (the leakage-safe split).
+    if cfg.split_cluster_threshold is not None:
+        split_pairs = DD.minhash_lsh_pairs(
+            clean, threshold=cfg.split_cluster_threshold
+        )
+        comps = G.connected_components(split_pairs).select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        )
+        DD.release_caches(split_pairs)
+        split = C.cluster_keyed_split(
+            clean, comps, salt=cfg.salt, train_frac=0.75, val_frac=0.125
+        ).select("doc_id", "split")
+    else:
+        digit = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+        split = clean.select(
+            "doc_id",
+            F.when(digit.isin(*"0123456789ab"), "train")
+            .when(digit.isin("c", "d"), "val")
+            .otherwise("test")
+            .alias("split"),
+        )
 
     # 7-8. pack + assemble the train split in train order.
     train = clean.join(split.filter(F.col("split") == "train"), "doc_id", "left_semi")

@@ -443,3 +443,69 @@ def test_corpus_job_runs_lsh_once_and_releases_caches(spark):
         assert "mh0" not in plan, key
     clean_plan = out["clean"]._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in clean_plan  # the checkpointed component labels
+
+
+def test_prepare_corpus_r6_policies(spark):
+    """The r6 pipeline knobs compose: line-level boilerplate removal
+    scrubs injected banners before any text-derived stage, the quality
+    survivor policy keeps the best cluster member instead of the min
+    id, and the cluster-keyed split never straddles a near-dup cluster
+    at the split threshold — all deterministic under rerun."""
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.operators import dedup as DD
+    from jonesy_spark.operators import graph as G
+    from jonesy_spark.pipeline.corpus_job import CorpusConfig, prepare_training_corpus
+
+    banner = "Subscribe to our newsletter"
+    docs = Catalog(spark, SF_DIR).documents.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit("\n" + banner)),
+        ).otherwise(F.col("text")),
+    )
+    cfg = CorpusConfig(
+        line_df_cap=32,
+        survivor_policy="quality",
+        split_cluster_threshold=0.8,
+    )
+    out = prepare_training_corpus(docs, cfg)
+    clean = out["clean"]
+    # the injected banner (df ~ half the corpus) is gone from every doc
+    assert clean.filter(F.col("text").contains(banner)).count() == 0
+    assert clean.count() > 0
+
+    # leakage property at the SPLIT threshold: re-derive the 0.8 pair
+    # graph over the clean docs; no component may straddle splits
+    pairs = DD.minhash_lsh_pairs(clean, threshold=0.8)
+    comps = G.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cid")
+    )
+    DD.release_caches(pairs)
+    straddle = (
+        out["split"]
+        .join(comps, "doc_id")
+        .groupBy("cid")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    assert straddle.count() == 0
+
+    # deterministic under rerun
+    again = prepare_training_corpus(docs, cfg)
+    a = sorted(r["doc_id"] for r in out["clean"].select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in again["clean"].select("doc_id").collect())
+    assert a == b
+
+
+def test_prepare_corpus_rejects_unknown_survivor_policy(spark):
+    import pytest
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.pipeline.corpus_job import CorpusConfig, prepare_training_corpus
+
+    with pytest.raises(ValueError, match="survivor_policy"):
+        prepare_training_corpus(
+            Catalog(spark, SF_DIR).documents,
+            CorpusConfig(survivor_policy="newest"),
+        )
