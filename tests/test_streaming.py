@@ -415,3 +415,36 @@ def test_incremental_embedding_stream_two_waves(spark, tmp_path):
     assert stored2 == set(range(20)) | {200, 201, 202, 203}
     kept = set(r["vec_id"] for r in spark.read.parquet(novel).collect())
     assert kept == stored2  # copies never reached either sink
+
+
+def test_session_window_stream_matches_batch(spark):
+    """Streaming session_window aggregation must reproduce the batch
+    session_window result once the stream drains — same gap, same
+    (start, end, count) per user session."""
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.streaming.incremental import session_aggregates
+
+    stream = session_aggregates(events_stream(spark, SF_DIR))
+    run_to_memory(stream, "stream_sessions", mode="complete")
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM stream_sessions").collect()
+    }
+    ev = Catalog(spark, SF_DIR).events
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in batch.collect()
+    }
+    assert got == want and got
