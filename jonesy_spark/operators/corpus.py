@@ -496,3 +496,45 @@ def cluster_keyed_split(
         .otherwise("test")
         .alias("split"),
     )
+
+
+def quota_sample(
+    docs: DataFrame,
+    quotas: dict[str, int],
+    by: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "quota-v1",
+    default_quota: int | None = None,
+) -> DataFrame:
+    """Exact per-stratum quotas: the ``quotas[stratum]`` documents with
+    the smallest md5 draw win — a deterministic reservoir. Where
+    :func:`mixture_sample` hits a RATE in expectation (right for
+    training mixes), eval-set construction wants exactly N per source;
+    hashing makes the choice rerun-stable and engine-reproducible, and
+    growing a quota later only ADDS documents (the first N of a larger
+    N' — the draws don't move), so refreshed eval sets stay supersets.
+
+    Strata absent from ``quotas`` fall back to ``default_quota``
+    (None = keep the stratum whole). One rank window per stratum
+    (partitionBy ``by``) — no global sort; the quota table broadcasts.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in quotas.items()], f"{by} string, __quota int"
+    )
+    w = Window.partitionBy(by).orderBy(
+        _hash_unit(salt, F.col(id_col)), F.col(id_col)
+    )
+    ranked = (
+        docs.join(F.broadcast(qdf), by, "left")
+        .withColumn("__rk", F.row_number().over(w))
+    )
+    if default_quota is not None:
+        ranked = ranked.withColumn(
+            "__quota", F.coalesce(F.col("__quota"), F.lit(int(default_quota)))
+        )
+    return ranked.filter(
+        F.col("__quota").isNull() | (F.col("__rk") <= F.col("__quota"))
+    ).drop("__quota", "__rk")

@@ -100,6 +100,13 @@ DRIVER_EXCLUDED = {
     # count aggregate, same per-group rank cut); pytest differential
     # kept.
     "top_tokens_per_lang",
+    # quota_sample is REGISTRY-ONLY by design, not a rotation: its
+    # md5-draw family (mixture_sample, leakage_safe_split) and its
+    # rank-cut window family (topk_per_group_price, quality_filter) are
+    # both already driver-checked; the new CONTRACT (exact per-stratum
+    # counts, superset-on-growth) is pinned by the pytest DuckDB
+    # differential + property tests instead of a driver slot.
+    "quota_sample",
     # ann_cosine_topk's brute-force scoring is the same rounded
     # dot-product expression family driver-checked in embedding_near_dup
     # and ann_bucketed_topk (exact-cosine verification over the probed

@@ -1517,3 +1517,38 @@ def near_dup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents
     bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
     return H.near_dup_contamination(docs, bench, threshold=0.8)
+
+
+@query(
+    "quota_sample",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5('quota-v1|'
+                                 || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT,
+                            doc_id) AS rk
+        FROM documents
+    )
+    SELECT r.doc_id, r.source
+    FROM r JOIN (VALUES ('src0', 10), ('src1', 5)) q(source, n)
+      USING (source)
+    WHERE r.rk <= q.n
+    UNION ALL
+    SELECT doc_id, source FROM r WHERE source NOT IN ('src0', 'src1')
+    """,
+)
+def quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum quotas (deterministic reservoir): exactly 10
+    src0 + 5 src1 docs by smallest md5 draw; other sources kept whole.
+    Eval-set construction wants exact counts where training mixes want
+    rates — and a later larger quota is a strict superset (the draws
+    don't move). operators.corpus.quota_sample. Driver-excluded
+    (pytest-oracle only): the md5-draw + rank-window families are both
+    already driver-checked; the capability is the exact-count contract."""
+    from ..operators import corpus as C
+
+    return C.quota_sample(
+        Catalog(spark, sf_dir).documents, {"src0": 10, "src1": 5}
+    ).select("doc_id", "source")

@@ -466,3 +466,30 @@ def test_cluster_keyed_split_never_straddles(spark):
         for r in C.cluster_keyed_split(docs, clusters, salt="t-v1").collect()
     }
     assert got == again
+
+
+def test_quota_sample_exact_counts_and_superset(spark):
+    """Exactly N per quota'd stratum; unquota'd strata kept whole;
+    growing a quota yields a strict superset (draws don't move)."""
+    docs = Catalog(spark, SF_DIR).documents
+    out = C.quota_sample(docs, {"src0": 10, "src1": 5})
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["src0"] == 10 and counts["src1"] == 5
+    whole = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for s, n in whole.items():
+        if s not in ("src0", "src1"):
+            assert counts[s] == n
+    small = {r["doc_id"] for r in
+             C.quota_sample(docs, {"src0": 10}).filter("source='src0'").collect()}
+    big = {r["doc_id"] for r in
+           C.quota_sample(docs, {"src0": 20}).filter("source='src0'").collect()}
+    assert small <= big and len(small) == 10 and len(big) == 20
+    # a quota above the stratum population degrades to the whole stratum
+    assert C.quota_sample(docs, {"src0": 400}).filter("source='src0'").count() == 25
+    # default_quota caps every unlisted stratum
+    capped = C.quota_sample(docs, {"src0": 15}, default_quota=8)
+    cc = {r["source"]: r["n"] for r in
+          capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert cc["src0"] == 15 and all(v == 8 for s, v in cc.items() if s != "src0")
