@@ -758,13 +758,17 @@ def ngram_containment(
         .select("doc_id", element_hash(F.col("g")).alias("h"))
         .distinct()
     )
-    kept = (
+    # Keep-set by COMPLEMENT: the hot grams (df > cap — boilerplate by
+    # construction, a tiny fraction of distinct grams) broadcast into a
+    # left-anti join, so the corpus-sized gram stream never shuffle-joins
+    # a corpus-sized keep list. Same shape as line_dedup's hot-line set.
+    hot = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("gdf"))
-        .filter(F.col("gdf") <= df_cap)
+        .filter(F.col("gdf") > df_cap)
         .select("h")
     )
-    gk = grams.join(kept, "h")
+    gk = grams.join(F.broadcast(hot), "h", "left_anti")
     sizes = gk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     inter = (
         gk.select(F.col("doc_id").alias("doc_a"), "h")
