@@ -585,3 +585,57 @@ def near_dup_contamination(
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_id", "bench_id", "est_jaccard")
     )
+
+
+def compact_index(
+    spark,
+    index_path: str,
+    run_id: str | None = None,
+    prefix_len: int = 2,
+) -> str:
+    """Compact an incremental index's accumulated ``ingest_batch=``
+    subtrees into ONE — the small-files maintenance a nightly/streaming
+    index needs: every epoch adds up to one file per touched bucket, so
+    a year of 15-minute epochs is ~9 M tiny files whose listing alone
+    dominates probe planning. Works on both the digest index and the
+    minhash signature index (same one-layout contract).
+
+    Returns the new consolidated ``run_id``
+    (``compact-<n_batches>-<hex>``).
+
+    Crash ordering: the consolidated subtree is fully written BEFORE
+    the old subtrees are deleted, so an interruption leaves the index
+    with duplicate rows, never missing ones — and duplicates are
+    SAFE here: the digest probe is an anti-join (extra copies change
+    nothing) and the minhash probe dedups candidate pairs; the next
+    compaction removes them. Deletion uses Hadoop's FileSystem API so
+    the same code runs on local disk, HDFS, or s3a.
+    """
+    import uuid
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        idx = spark.read.parquet(index_path)
+    except AnalysisException:
+        raise ValueError(f"no index at {index_path!r} to compact") from None
+    batches = [r["ingest_batch"] for r in idx.select("ingest_batch").distinct().collect()]
+    if len(batches) <= 1:
+        return batches[0] if batches else ""
+    run_id = run_id or f"compact-{len(batches)}-{uuid.uuid4().hex[:8]}"
+    data_cols = [c for c in idx.columns if c not in ("ingest_batch", "bucket")]
+    (
+        idx.select(*data_cols, "bucket")
+        .repartition("bucket")
+        .write.mode("errorifexists")
+        .partitionBy("bucket")
+        .parquet(f"{index_path}/ingest_batch={run_id}")
+    )
+    # consolidated tree is durable; now drop the source subtrees
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for b in batches:
+        p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/ingest_batch={b}")
+        fs = p.getFileSystem(hconf)
+        fs.delete(p, True)
+    return run_id

@@ -437,3 +437,64 @@ def test_near_dup_contamination_catches_reformatted_eval(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_compact_index_digest_and_minhash(spark, tmp_path):
+    """Compaction collapses N ingest_batch subtrees into one with
+    identical content and strictly fewer files, for BOTH index layouts;
+    probes against the compacted index are unchanged."""
+    import glob
+
+    # --- digest index: three batches, then compact
+    didx = str(tmp_path / "digest")
+    for i, texts in enumerate([["alpha", "beta"], ["gamma"], ["delta", "eps"]]):
+        b = spark.createDataFrame(
+            [(i * 10 + j, t) for j, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        novel, _ = H.incremental_dedup(b, H.read_digest_index(spark, didx))
+        H.write_novel_digests(novel, didx, run_id=f"n{i}")
+    before = sorted(
+        r["content_hash"] for r in H.read_digest_index(spark, didx).collect()
+    )
+    files_before = glob.glob(f"{didx}/ingest_batch=*/bucket=*/*.parquet")
+    rid = H.compact_index(spark, didx)
+    assert rid.startswith("compact-3-")
+    after = sorted(
+        r["content_hash"] for r in H.read_digest_index(spark, didx).collect()
+    )
+    assert after == before
+    trees = glob.glob(f"{didx}/ingest_batch=*")
+    assert len(trees) == 1 and trees[0].endswith(rid)
+    # one file per touched bucket total (the point of compaction); with
+    # these 5 digests in 5 distinct buckets that's equality, never more
+    assert len(glob.glob(f"{didx}/ingest_batch=*/bucket=*/*.parquet")) <= len(
+        files_before
+    )
+
+    # --- minhash index: seed two batches, compact, probe unchanged
+    midx = str(tmp_path / "mh")
+    t_common = "alpha beta gamma delta epsilon zeta eta theta"
+    H.incremental_near_dup(
+        spark.createDataFrame([(1, t_common)], ["doc_id", "text"]),
+        spark, midx, run_id="m0",
+    )
+    H.incremental_near_dup(
+        spark.createDataFrame([(2, "totally different body here")], ["doc_id", "text"]),
+        spark, midx, run_id="m1",
+    )
+    from jonesy_spark.operators import dedup as DD
+
+    probe_sigs = DD.minhash_banded_sigs(
+        spark.createDataFrame([(99, t_common)], ["doc_id", "text"])
+    ).localCheckpoint()
+    before_m = sorted(
+        map(tuple, H.probe_minhash_index(probe_sigs, spark, midx).collect())
+    )
+    H.compact_index(spark, midx)
+    after_m = sorted(
+        map(tuple, H.probe_minhash_index(probe_sigs, spark, midx).collect())
+    )
+    assert after_m == before_m and before_m == [(99, 1, 1.0)]
+
+    # single-tree index: compaction is a no-op returning that run_id
+    assert H.compact_index(spark, midx).startswith("compact-")
