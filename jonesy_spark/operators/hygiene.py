@@ -591,14 +591,16 @@ def compact_index(
     spark,
     index_path: str,
     run_id: str | None = None,
-    prefix_len: int = 2,
+    part_col: str = "bucket",
 ) -> str:
     """Compact an incremental index's accumulated ``ingest_batch=``
     subtrees into ONE — the small-files maintenance a nightly/streaming
     index needs: every epoch adds up to one file per touched bucket, so
     a year of 15-minute epochs is ~9 M tiny files whose listing alone
-    dominates probe planning. Works on both the digest index and the
-    minhash signature index (same one-layout contract).
+    dominates probe planning. Works on the digest and minhash signature
+    indexes (``part_col="bucket"``, the default) and on the IVF vector
+    store (``similarity.compact_ivf_assignments`` passes
+    ``part_col="cid"`` over its ``assignments/`` root).
 
     Returns the new consolidated ``run_id``
     (``compact-<n_batches>-<hex>``).
@@ -623,12 +625,12 @@ def compact_index(
     if len(batches) <= 1:
         return batches[0] if batches else ""
     run_id = run_id or f"compact-{len(batches)}-{uuid.uuid4().hex[:8]}"
-    data_cols = [c for c in idx.columns if c not in ("ingest_batch", "bucket")]
+    data_cols = [c for c in idx.columns if c not in ("ingest_batch", part_col)]
     (
-        idx.select(*data_cols, "bucket")
-        .repartition("bucket")
+        idx.select(*data_cols, part_col)
+        .repartition(part_col)
         .write.mode("errorifexists")
-        .partitionBy("bucket")
+        .partitionBy(part_col)
         .parquet(f"{index_path}/ingest_batch={run_id}")
     )
     # consolidated tree is durable; now drop the source subtrees

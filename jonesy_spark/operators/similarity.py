@@ -486,3 +486,17 @@ def incremental_embedding_dedup(
         novel_sink(novel)
     write_ivf_index(novel, index_path, run_id=run_id, mode=mode)
     return novel, matches
+
+
+def compact_ivf_assignments(spark, index_path: str, run_id: str | None = None) -> str:
+    """Compact the IVF index's accumulated per-epoch vector subtrees —
+    ``hygiene.compact_index`` over the ``assignments/`` root with the
+    cell id as the partition column. Centroids are a single immutable
+    table and never need compaction; the same crash ordering applies
+    (consolidated tree before deletes; duplicate vectors are tolerated
+    by the probe's pair dedup until the next compaction)."""
+    from .hygiene import compact_index
+
+    return compact_index(
+        spark, f"{index_path}/assignments", run_id=run_id, part_col="cid"
+    )

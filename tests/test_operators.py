@@ -536,3 +536,36 @@ def test_incremental_embedding_dedup_replay_idempotent(spark, tmp_path):
         .collect()
     )
     assert stored == ids1
+
+
+def test_compact_ivf_assignments(spark, tmp_path):
+    """IVF compaction collapses the per-epoch vector subtrees into one
+    cid-partitioned tree; probes are unchanged."""
+    import glob
+
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.operators import similarity as SIM
+
+    idx = str(tmp_path / "ivf")
+    emb = Catalog(spark, SF_DIR).embeddings
+    SIM.write_ivf_index(emb.filter(F.col("vec_id") < 40), idx, run_id="e0")
+    SIM.write_ivf_index(
+        emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 80)), idx, run_id="e1"
+    )
+    probe = emb.filter(F.col("vec_id") < 3).withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    )
+    before = sorted(
+        map(tuple, SIM.probe_ivf_index(probe, spark, idx, threshold=0.999).collect())
+    )
+    rid = SIM.compact_ivf_assignments(spark, idx)
+    assert rid.startswith("compact-2-")
+    trees = glob.glob(f"{idx}/assignments/ingest_batch=*")
+    assert len(trees) == 1 and trees[0].endswith(rid)
+    after = sorted(
+        map(tuple, SIM.probe_ivf_index(probe, spark, idx, threshold=0.999).collect())
+    )
+    assert after == before and before  # copies still found post-compaction
