@@ -158,6 +158,7 @@ def incremental_dedup(
     seen: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    small_batch: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a new batch against the already-ingested corpus: returns
     ``(novel_docs, updated_seen)`` where ``seen`` is a 1-column
@@ -175,6 +176,17 @@ def incremental_dedup(
     is :func:`write_novel_digests` / :func:`read_digest_index`: append
     ONLY the returned novel digests (that invariant is what keeps the
     index duplicate-free, and the write O(novel) instead of O(index)).
+
+    ``small_batch=True`` flips the probe's join geometry for the
+    streaming/micro-batch regime: the default anti-join shuffles the
+    INDEX side on ``content_hash`` — an O(index) shuffle per run, fine
+    for nightly batches comparable to the index, wrong for a 15-minute
+    epoch probing a 10 B-digest index. With the flag, the batch's
+    digests BROADCAST into a left-semi join against the index (map-side
+    — the index is scanned, never shuffled), and the matched set (at
+    most batch-sized) broadcasts back into the anti-join. Identical
+    output (equivalence-tested); the caller asserts the batch fits the
+    broadcast budget, which a micro-batch does by construction.
     """
     from pyspark.sql import Window
 
@@ -185,7 +197,13 @@ def incremental_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    novel = firsts.join(seen, "content_hash", "left_anti")
+    if small_batch:
+        matched = seen.join(
+            F.broadcast(firsts.select("content_hash")), "content_hash", "left_semi"
+        )
+        novel = firsts.join(F.broadcast(matched), "content_hash", "left_anti")
+    else:
+        novel = firsts.join(seen, "content_hash", "left_anti")
     updated = seen.union(novel.select("content_hash"))
     return novel, updated
 

@@ -498,3 +498,26 @@ def test_compact_index_digest_and_minhash(spark, tmp_path):
 
     # single-tree index: compaction is a no-op returning that run_id
     assert H.compact_index(spark, midx).startswith("compact-")
+
+
+def test_incremental_dedup_small_batch_equivalent_and_unshuffled(spark):
+    """The small-batch probe geometry must produce exactly the default
+    strategy's novel set, and the novel plan must be exchange-free
+    below its window (index scanned map-side via broadcasts, never
+    shuffled)."""
+    docs = Catalog(spark, SF_DIR).documents.limit(60)
+    seen_rows = [(r["content_hash"],) for r in
+                 docs.limit(20).select(H.content_digest(F.col("text")).alias("content_hash")).collect()]
+    seen = spark.createDataFrame(seen_rows, "content_hash string")
+    novel_a, _ = H.incremental_dedup(docs, seen)
+    novel_b, _ = H.incremental_dedup(docs, seen, small_batch=True)
+    a = sorted(r["doc_id"] for r in novel_a.collect())
+    b = sorted(r["doc_id"] for r in novel_b.collect())
+    assert a == b and len(a) == 40
+    plan = novel_b._jdf.queryExecution().executedPlan().toString()
+    # both probe joins are broadcast; the only exchange under the novel
+    # frame is the within-batch window's own keyed shuffle
+    assert plan.count("BroadcastHashJoin") >= 1 or "BroadcastExchange" in plan
+    import re
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert all(s.strip().startswith("content_hash") for s in shuffles), shuffles
