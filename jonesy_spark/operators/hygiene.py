@@ -630,6 +630,15 @@ def compact_index(
     nothing) and the minhash probe dedups candidate pairs; the next
     compaction removes them. Deletion uses Hadoop's FileSystem API so
     the same code runs on local disk, HDFS, or s3a.
+
+    Operational constraint: QUIESCE streaming writers first. The
+    bridges' replay idempotence excludes the replaying epoch's own
+    ``ingest_batch=epoch-N`` subtree; if compaction folds a crashed
+    epoch's rows into ``compact-*`` before that epoch replays, the
+    exclusion no longer reaches them and the replay self-matches —
+    exactly the hazard the exclusion exists to prevent. Run compaction
+    only with the stream stopped (or past its last checkpoint commit),
+    the standard maintenance-window contract for LSM-style compaction.
     """
     import uuid
 
