@@ -426,6 +426,14 @@ def incremental_near_dup(
     are dropped. Only the remaining novel docs' signatures are appended
     (O(novel) write), keeping nightly cost sketch(new) + probe, never
     O(corpus).
+
+    Multi-consumer subtrees (the signature frame feeds the probe, the
+    anti-join, and the index append; the match/novel frames feed a
+    sink and the return path) are ``persist``-ed, NOT checkpointed —
+    lineage survives executor loss at cluster scale (SCALE.md "Cache
+    lifecycle"). The handles ride the returned ``novel`` frame: call
+    ``dedup.release_caches(novel)`` after the terminal actions on BOTH
+    returned frames.
     """
     from . import dedup as DD
     from . import graph as G
@@ -439,20 +447,21 @@ def incremental_near_dup(
     sigs = DD.minhash_banded_sigs(
         survivors, text_col=text_col, id_col=id_col,
         n_hashes=n_hashes, n_bands=n_bands,
-    ).localCheckpoint()  # probe + anti-join + index append: one computation
+    ).persist()  # probe + anti-join + index append: one computation
     matches = probe_minhash_index(
         sigs, spark, index_path, threshold=threshold, n_hashes=n_hashes,
         exclude_run_id=run_id,
-    ).localCheckpoint()
+    ).persist()
     dup_ids = matches.select(F.col("doc_id").alias(id_col)).distinct()
     novel = survivors.join(dup_ids, id_col, "left_anti")
     novel_sigs = sigs.join(
         dup_ids.select(F.col(id_col).alias("doc_id")), "doc_id", "left_anti"
     )
     if novel_sink is not None:
-        novel = novel.localCheckpoint()  # sink + return path: one computation
+        novel = DD._track_caches(novel.persist(), novel)
         novel_sink(novel)
     write_minhash_index(novel_sigs, index_path, mode=mode, run_id=run_id)
+    novel = DD._track_caches(novel, sigs, matches)
     return novel, matches
 
 

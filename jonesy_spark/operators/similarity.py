@@ -467,7 +467,7 @@ def incremental_embedding_dedup(
     the two writes replays into an identical recompute rather than a
     self-matched empty batch.
     """
-    from .dedup import release_caches
+    from .dedup import _track_caches, release_caches
     from .graph import resolve_duplicates
 
     pairs = embedding_near_dup(new_emb, threshold=threshold)
@@ -475,16 +475,20 @@ def incremental_embedding_dedup(
         new_emb, pairs, id_col="vec_id", src="vec_a", dst="vec_b"
     )
     release_caches(pairs)
+    # persist, not checkpoint: multi-consumer subtrees keep their
+    # lineage so a lost executor recomputes instead of killing the job
+    # (SCALE.md "Cache lifecycle"); release via the handles on ``novel``
     matches = probe_ivf_index(
         survivors, spark, index_path, threshold=threshold, probes=probes,
         exclude_run_id=run_id,
-    ).localCheckpoint()
+    ).persist()
     dup_ids = matches.select("vec_id").distinct()
     novel = survivors.join(dup_ids, "vec_id", "left_anti")
     if novel_sink is not None:
-        novel = novel.localCheckpoint()  # sink + return path: one computation
+        novel = _track_caches(novel.persist(), novel)
         novel_sink(novel)
     write_ivf_index(novel, index_path, run_id=run_id, mode=mode)
+    novel = _track_caches(novel, matches)
     return novel, matches
 
 

@@ -232,6 +232,7 @@ def test_incremental_near_dup_two_batches(spark, tmp_path):
     the signature probe (no historical text read), and only its novel
     docs' signatures are appended."""
     idx = str(tmp_path / "mh_index")
+    spark.catalog.clearCache()  # isolate the residue assertion below
     t_common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
 
     batch1 = spark.createDataFrame(
@@ -266,6 +267,15 @@ def test_incremental_near_dup_two_batches(spark, tmp_path):
 
     assert glob.glob(f"{idx}/ingest_batch=n0/bucket=*/*.parquet")
     assert glob.glob(f"{idx}/ingest_batch=n1/bucket=*/*.parquet")
+
+    # VERDICT r5 #6: the operator persists (never checkpoints) its
+    # multi-consumer subtrees and hands release handles back on novel
+    from jonesy_spark.operators import dedup as DD
+
+    assert DD.release_caches(novel1) >= 1
+    assert DD.release_caches(novel2) >= 1
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_mgr.isEmpty()
 
 
 def test_incremental_near_dup_replay_idempotent(spark, tmp_path):

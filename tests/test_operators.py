@@ -365,6 +365,7 @@ def test_incremental_embedding_dedup_two_batches(spark, tmp_path):
     from jonesy_spark.operators import similarity as SIM
 
     idx = str(tmp_path / "ivf")
+    spark.catalog.clearCache()  # isolate the residue assertion below
     emb = Catalog(spark, SF_DIR).embeddings
     batch1 = emb.filter(F.col("vec_id") < 80)
     novel1, matches1 = SIM.incremental_embedding_dedup(
@@ -401,6 +402,14 @@ def test_incremental_embedding_dedup_two_batches(spark, tmp_path):
         for r in spark.read.parquet(f"{idx}/assignments").select("vec_id").collect()
     ]
     assert len(stored) == len(set(stored))
+
+    # VERDICT r5 #6: persisted (not checkpointed) subtrees, released
+    # through the handles the operator attaches to novel
+    from jonesy_spark.operators import dedup as DD
+
+    assert DD.release_caches(novel1) >= 1
+    assert DD.release_caches(novel2) >= 1
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
 def test_ivf_index_offset_ids_seed_centroids(spark, tmp_path):
