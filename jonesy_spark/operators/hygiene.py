@@ -287,6 +287,7 @@ def probe_minhash_index(
     n_hashes: int = 16,
     bucket_cap: int | None = 256,
     exclude_run_id: str | None = None,
+    observation=None,
 ) -> DataFrame:
     """Near-dup matches of a new batch against the persisted signature
     index: ``(doc_id, index_doc_id, est_jaccard)`` for every new doc
@@ -317,6 +318,14 @@ def probe_minhash_index(
     the capped side's exchange is reused by the join (the r5 LSH
     window-stats pattern). An absent index (first run) yields no
     matches.
+
+    The returned frame carries a ``CollectMetrics`` observation
+    (``matches`` / ``matched_new_docs`` / ``probed_buckets``) riding
+    whatever action the caller runs — a nightly job alerts from a
+    ``QueryExecutionListener`` with zero extra passes (the hot-bucket
+    cap pattern, ``dedup.py``). Pass a ``pyspark.sql.Observation`` as
+    ``observation`` to read the values in-process; the default is the
+    listener-visible name ``probe_minhash_index``.
     """
     from pyspark.sql import Window
 
@@ -324,11 +333,23 @@ def probe_minhash_index(
 
     from .dedup import estimated_jaccard
 
+    def _observed(df: DataFrame, n_buckets: int) -> DataFrame:
+        return df.observe(
+            observation if observation is not None else "probe_minhash_index",
+            F.count(F.lit(1)).alias("matches"),
+            # DISTINCT aggregates are disallowed in observed metrics
+            F.approx_count_distinct("doc_id").alias("matched_new_docs"),
+            F.max(F.lit(n_buckets)).alias("probed_buckets"),
+        )
+
     try:
         idx = spark.read.parquet(index_path)
     except AnalysisException:
-        return new_sigs.sparkSession.createDataFrame(
-            [], "doc_id long, index_doc_id long, est_jaccard double"
+        return _observed(
+            new_sigs.sparkSession.createDataFrame(
+                [], "doc_id long, index_doc_id long, est_jaccard double"
+            ),
+            0,
         )
     if exclude_run_id is not None:
         idx = idx.filter(F.col("ingest_batch") != exclude_run_id)
@@ -377,12 +398,13 @@ def probe_minhash_index(
         )
         .dropDuplicates(["doc_id", "index_doc_id"])
     )
-    return (
+    return _observed(
         cand.withColumn(
             "est_jaccard", estimated_jaccard(F.col("mh"), F.col("mh_i"), n_hashes)
         )
         .filter(F.col("est_jaccard") >= threshold)
-        .select("doc_id", "index_doc_id", "est_jaccard")
+        .select("doc_id", "index_doc_id", "est_jaccard"),
+        len(buckets),
     )
 
 
@@ -453,7 +475,9 @@ def incremental_near_dup(
         exclude_run_id=run_id,
     ).persist()
     dup_ids = matches.select(F.col("doc_id").alias(id_col)).distinct()
-    novel = survivors.join(dup_ids, id_col, "left_anti")
+    novel = survivors.join(dup_ids, id_col, "left_anti").observe(
+        "incremental_near_dup_novel", F.count(F.lit(1)).alias("novel_docs")
+    )
     novel_sigs = sigs.join(
         dup_ids.select(F.col(id_col).alias("doc_id")), "doc_id", "left_anti"
     )

@@ -387,6 +387,7 @@ def probe_ivf_index(
     threshold: float = 0.9,
     probes: int = 4,
     exclude_run_id: str | None = None,
+    observation=None,
 ) -> DataFrame:
     """Semantic matches of a new batch against the persisted IVF index:
     ``(vec_id, index_vec_id, cosine)`` for every new vector within
@@ -402,21 +403,43 @@ def probe_ivf_index(
     prior attempt's committed vectors can't self-match the replay at
     cosine 1.0 and erase the batch (the ADVICE r5 #1 hazard, same as
     the digest/minhash indexes).
+
+    Observability rides the caller's own action (the hot-bucket
+    ``CollectMetrics`` pattern): the returned frame observes
+    ``matches`` / ``matched_new_vecs`` (pass a ``pyspark.sql.
+    Observation`` to read in-process; default listener name
+    ``probe_ivf_index``), and the batch's assignment subtree observes
+    ``probed_cells`` under the name ``probe_ivf_cells`` — a nightly
+    job alerts on zero extra passes.
     """
     from pyspark.errors import AnalysisException
 
+    def _observed(df: DataFrame) -> DataFrame:
+        return df.observe(
+            observation if observation is not None else "probe_ivf_index",
+            F.count(F.lit(1)).alias("matches"),
+            F.approx_count_distinct("vec_id").alias("matched_new_vecs"),
+        )
+
     cents = read_ivf_centroids(spark, index_path)
     if cents is None:
-        return new_emb.sparkSession.createDataFrame(
-            [], "vec_id long, index_vec_id long, cosine double"
+        return _observed(
+            new_emb.sparkSession.createDataFrame(
+                [], "vec_id long, index_vec_id long, cosine double"
+            )
         )
     e = _prepared(new_emb)
     probe = e.join(ivf_assignments(e, probes=probes, centroids=cents), "vec_id")
+    probe = probe.observe(
+        "probe_ivf_cells", F.approx_count_distinct("cid").alias("probed_cells")
+    )
     try:
         idx = spark.read.parquet(f"{index_path}/assignments")
     except AnalysisException:
-        return new_emb.sparkSession.createDataFrame(
-            [], "vec_id long, index_vec_id long, cosine double"
+        return _observed(
+            new_emb.sparkSession.createDataFrame(
+                [], "vec_id long, index_vec_id long, cosine double"
+            )
         )
     if exclude_run_id is not None:
         idx = idx.filter(F.col("ingest_batch") != exclude_run_id)
@@ -426,7 +449,7 @@ def probe_ivf_index(
         F.col("nrm").alias("inrm"),
         "cid",
     )
-    return (
+    return _observed(
         probe.join(idx, "cid")
         .withColumn(
             "cosine",
@@ -483,7 +506,9 @@ def incremental_embedding_dedup(
         exclude_run_id=run_id,
     ).persist()
     dup_ids = matches.select("vec_id").distinct()
-    novel = survivors.join(dup_ids, "vec_id", "left_anti")
+    novel = survivors.join(dup_ids, "vec_id", "left_anti").observe(
+        "incremental_embedding_novel", F.count(F.lit(1)).alias("novel_vecs")
+    )
     if novel_sink is not None:
         novel = _track_caches(novel.persist(), novel)
         novel_sink(novel)

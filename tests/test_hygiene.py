@@ -278,6 +278,43 @@ def test_incremental_near_dup_two_batches(spark, tmp_path):
     assert cache_mgr.isEmpty()
 
 
+def test_probe_minhash_index_observability(spark, tmp_path):
+    """VERDICT r5 #7: nightly probes must be alertable without extra
+    actions — the probe's returned frame carries a CollectMetrics node
+    (matches / matched_new_docs / probed_buckets) that an in-process
+    Observation (or a production QueryExecutionListener) reads off the
+    caller's own action."""
+    from pyspark.sql import Observation
+
+    from jonesy_spark.operators import dedup as DD
+
+    idx = str(tmp_path / "mh_index")
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    seed = spark.createDataFrame([(1, t)], ["doc_id", "text"])
+    seed_novel, _ = H.incremental_near_dup(seed, spark, idx, run_id="n0")
+    DD.release_caches(seed_novel)
+
+    sigs = DD.minhash_banded_sigs(
+        spark.createDataFrame([(10, t), (11, "unrelated body")], ["doc_id", "text"])
+    )
+    obs = Observation("probe")
+    out = H.probe_minhash_index(sigs, spark, idx, observation=obs)
+    assert out.count() == 1  # doc 10 matches the indexed doc 1
+    got = obs.get
+    assert got["matches"] == 1
+    assert got["matched_new_docs"] == 1
+    assert got["probed_buckets"] >= 1
+
+    # the incremental wrapper's novel path is observable too
+    novel, matches = H.incremental_near_dup(
+        spark.createDataFrame([(20, t)], ["doc_id", "text"]), spark, idx, run_id="n1"
+    )
+    plan = str(novel._jdf.queryExecution().analyzed())
+    assert "incremental_near_dup_novel" in plan
+    assert "probe_minhash_index" in str(matches._jdf.queryExecution().analyzed())
+    DD.release_caches(novel)
+
+
 def test_incremental_near_dup_replay_idempotent(spark, tmp_path):
     """ADVICE r5 #1: a replayed batch (same run_id, at-least-once
     foreachBatch) must NOT probe its own crashed attempt's committed

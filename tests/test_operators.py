@@ -412,6 +412,40 @@ def test_incremental_embedding_dedup_two_batches(spark, tmp_path):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
+def test_probe_ivf_index_observability(spark, tmp_path):
+    """VERDICT r5 #7 (embedding axis): the IVF probe's returned frame
+    observes matches / matched_new_vecs, and the batch's assignment
+    subtree observes probed_cells — nightly alerting costs zero extra
+    actions."""
+    from conftest import SF_DIR
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.operators import dedup as DD
+    from jonesy_spark.operators import similarity as SIM
+
+    idx = str(tmp_path / "ivf_obs")
+    emb = Catalog(spark, SF_DIR).embeddings
+    seed_novel, _ = SIM.incremental_embedding_dedup(
+        emb.filter(F.col("vec_id") < 60), spark, idx, threshold=0.995, run_id="r0"
+    )
+    seed_ids = [r["vec_id"] for r in seed_novel.select("vec_id").limit(2).collect()]
+    DD.release_caches(seed_novel)
+
+    copies = (
+        emb.filter(F.col("vec_id").isin(seed_ids))
+        .withColumn("vec_id", F.col("vec_id") + 5000)
+    )
+    obs = Observation("ivf_probe")
+    out = SIM.probe_ivf_index(copies, spark, idx, threshold=0.995, observation=obs)
+    assert out.count() >= len(seed_ids)
+    got = obs.get
+    assert got["matches"] >= len(seed_ids)
+    assert got["matched_new_vecs"] >= 1
+    assert "probe_ivf_cells" in str(out._jdf.queryExecution().analyzed())
+
+
 def test_ivf_index_offset_ids_seed_centroids(spark, tmp_path):
     """ADVICE r5 #2: a first batch whose vec_ids are offset/sparse (post
     dedup, hashed, partition-offset) must still freeze a usable centroid
