@@ -285,16 +285,48 @@ def embedding_near_dup(
 # ---------------------------------------------------------------------------
 
 
+def live_ivf_version(spark, index_path: str) -> int | None:
+    """The committed version the index currently serves, or None for an
+    unversioned (pre-rebuild) layout. A version is LIVE only once its
+    ``version=N/_COMMITTED`` marker exists — the marker is a single
+    file create, so publishing a rebuild is atomic: readers resolving
+    mid-rebuild see the old version until the new one is fully durable
+    (Hadoop FileSystem API, so the same code runs on local disk, HDFS,
+    or s3a)."""
+    sc = spark.sparkContext
+    Path = sc._jvm.org.apache.hadoop.fs.Path
+    fs = Path(index_path).getFileSystem(sc._jsc.hadoopConfiguration())
+    best = None
+    statuses = fs.globStatus(Path(f"{index_path}/version=*/_COMMITTED"))
+    for st in statuses or []:
+        n = int(st.getPath().getParent().getName().split("=", 1)[1])
+        if best is None or n > best:
+            best = n
+    return best
+
+
+def _ivf_root(spark, index_path: str) -> str:
+    """Resolve the directory actually holding ``centroids/`` +
+    ``assignments/``: the live ``version=N`` subtree after a rebuild,
+    the index path itself before one. Every reader/writer resolves at
+    call time, so a rebuild's marker flip re-points the NEXT operation
+    without touching in-flight ones."""
+    n = live_ivf_version(spark, index_path)
+    return index_path if n is None else f"{index_path}/version={n}"
+
+
 def read_ivf_centroids(spark, index_path: str) -> DataFrame | None:
     """The index's frozen cell table ``(cid, cv, cnrm)``; None when the
     index does not exist yet. Centroids are written ONCE at index
-    creation and never change — cell assignment must be identical for
-    every batch ever probed or appended, which is also why growing
-    corpora re-index periodically rather than re-train in place."""
+    creation and never change within a version — cell assignment must
+    be identical for every batch ever probed or appended to it. Growing
+    corpora re-train via :func:`rebuild_ivf_index`, which freezes a NEW
+    centroid table in a fresh ``version=`` subtree rather than mutating
+    this one."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(f"{index_path}/centroids")
+        return spark.read.parquet(f"{_ivf_root(spark, index_path)}/centroids")
     except AnalysisException:
         return None
 
@@ -323,13 +355,22 @@ def write_ivf_index(
     frozen forever, so creation REFUSES an empty centroid table —
     every future probe of such an index would silently return nothing.
     """
+    from pyspark.errors import AnalysisException
+
     spark = emb.sparkSession
     if run_id is None:
         import uuid
 
         run_id = f"nightly-{uuid.uuid4().hex[:12]}"
     e = _prepared(emb)
-    cents = read_ivf_centroids(spark, index_path)
+    # resolve ONCE: centroids and assignments must land in the same
+    # version subtree even if a rebuild commits mid-call (writers are
+    # quiesced during rebuilds by contract, same as compaction)
+    root = _ivf_root(spark, index_path)
+    try:
+        cents = spark.read.parquet(f"{root}/centroids")
+    except AnalysisException:
+        cents = None
     if cents is None:
         if centroids is None:
             from pyspark.sql import Window
@@ -366,8 +407,8 @@ def write_ivf_index(
                 "table (empty first batch?) — refusing to freeze an "
                 "index that could never match anything"
             )
-        centroids.write.mode("errorifexists").parquet(f"{index_path}/centroids")
-        cents = read_ivf_centroids(spark, index_path)
+        centroids.write.mode("errorifexists").parquet(f"{root}/centroids")
+        cents = spark.read.parquet(f"{root}/centroids")
     assign = ivf_assignments(e, probes=1, centroids=cents)
     (
         e.join(assign, "vec_id")
@@ -375,7 +416,7 @@ def write_ivf_index(
         .repartition("cid")
         .write.mode(mode)
         .partitionBy("cid")
-        .parquet(f"{index_path}/assignments/ingest_batch={run_id}")
+        .parquet(f"{root}/assignments/ingest_batch={run_id}")
     )
     return run_id
 
@@ -421,7 +462,13 @@ def probe_ivf_index(
             F.approx_count_distinct("vec_id").alias("matched_new_vecs"),
         )
 
-    cents = read_ivf_centroids(spark, index_path)
+    # resolve ONCE: the probe's centroids and scanned assignments must
+    # come from the same version subtree
+    root = _ivf_root(spark, index_path)
+    try:
+        cents = spark.read.parquet(f"{root}/centroids")
+    except AnalysisException:
+        cents = None
     if cents is None:
         return _observed(
             new_emb.sparkSession.createDataFrame(
@@ -434,7 +481,7 @@ def probe_ivf_index(
         "probe_ivf_cells", F.approx_count_distinct("cid").alias("probed_cells")
     )
     try:
-        idx = spark.read.parquet(f"{index_path}/assignments")
+        idx = spark.read.parquet(f"{root}/assignments")
     except AnalysisException:
         return _observed(
             new_emb.sparkSession.createDataFrame(
@@ -517,6 +564,95 @@ def incremental_embedding_dedup(
     return novel, matches
 
 
+def rebuild_ivf_index(
+    spark,
+    index_path: str,
+    k: int | None = None,
+    run_id: str | None = None,
+    seed: int = 13,
+) -> int:
+    """Re-train the IVF index's centroids and re-shard every stored
+    vector into a NEW ``version=N`` subtree, then publish it with an
+    atomic marker flip — the periodic re-index a growing corpus needs
+    (a centroid table frozen at sqrt(first-batch) cells degrades as the
+    corpus grows 100x past it; K should track sqrt(corpus)). Returns
+    the new version number.
+
+    Publication protocol: the new version's ``centroids/`` and
+    ``assignments/`` are fully durable BEFORE its ``_COMMITTED`` marker
+    is created; readers and writers resolve the live version per call
+    (:func:`_ivf_root`), so anything in flight keeps the old subtree —
+    unaffected mid-rebuild — and the next operation lands on the new
+    one. A crash mid-rebuild leaves an unmarked subtree the next
+    rebuild attempt ignores (stale unmarked/old versions are cleanup
+    fodder, never correctness hazards).
+
+    Training is MLlib k-means|| (:func:`kmeans_centroids`, K ~
+    sqrt(corpus) by default): distributed over the stored vectors, only
+    the K x dim center table reaches the driver. Re-sharding is one
+    scan + one ``cid`` shuffle of the index — O(corpus), which is the
+    point: rebuilds are RARE maintenance (weekly, or at 10x growth),
+    appends stay O(novel).
+
+    Operational constraint: QUIESCE writers first, the compaction
+    contract (``hygiene.compact_index``) — an append racing the rebuild
+    lands in the old version after its snapshot and would be absent
+    from the new one.
+    """
+    import uuid
+
+    from pyspark.errors import AnalysisException
+
+    old_root = _ivf_root(spark, index_path)
+    try:
+        idx = spark.read.parquet(f"{old_root}/assignments")
+    except AnalysisException:
+        raise ValueError(f"no IVF index at {index_path!r} to rebuild") from None
+    # compaction tolerates duplicate rows between batches; a rebuild
+    # must not double-store them in the new shards
+    vectors = idx.select("vec_id", "v", "nrm").dropDuplicates(["vec_id"]).persist()
+    try:
+        n = vectors.count()
+        if n == 0:
+            raise ValueError(
+                f"IVF rebuild at {index_path!r}: stored index is empty"
+            )
+        # number past EVERY version subtree, committed or not — a
+        # crashed rebuild's unmarked directory must not collide with
+        # the retry's errorifexists writes
+        sc = spark.sparkContext
+        Path = sc._jvm.org.apache.hadoop.fs.Path
+        fs = Path(index_path).getFileSystem(sc._jsc.hadoopConfiguration())
+        seen_versions = [
+            int(st.getPath().getName().split("=", 1)[1])
+            for st in (fs.globStatus(Path(f"{index_path}/version=*")) or [])
+        ]
+        new_version = max(seen_versions, default=0) + 1
+        new_root = f"{index_path}/version={new_version}"
+        cents = kmeans_centroids(
+            vectors.select("vec_id", F.col("v").alias("embedding")),
+            k or adaptive_centroids(n),
+            seed=seed,
+        )
+        cents.write.mode("errorifexists").parquet(f"{new_root}/centroids")
+        cents = spark.read.parquet(f"{new_root}/centroids")
+        assign = ivf_assignments(vectors, probes=1, centroids=cents)
+        run_id = run_id or f"rebuild-{uuid.uuid4().hex[:12]}"
+        (
+            vectors.join(assign, "vec_id")
+            .select("vec_id", "v", "nrm", "cid")
+            .repartition("cid")
+            .write.mode("errorifexists")
+            .partitionBy("cid")
+            .parquet(f"{new_root}/assignments/ingest_batch={run_id}")
+        )
+    finally:
+        vectors.unpersist()
+    # everything durable -> atomic publish (single file create)
+    fs.create(Path(f"{new_root}/_COMMITTED")).close()
+    return new_version
+
+
 def compact_ivf_assignments(spark, index_path: str, run_id: str | None = None) -> str:
     """Compact the IVF index's accumulated per-epoch vector subtrees —
     ``hygiene.compact_index`` over the ``assignments/`` root with the
@@ -527,5 +663,8 @@ def compact_ivf_assignments(spark, index_path: str, run_id: str | None = None) -
     from .hygiene import compact_index
 
     return compact_index(
-        spark, f"{index_path}/assignments", run_id=run_id, part_col="cid"
+        spark,
+        f"{_ivf_root(spark, index_path)}/assignments",
+        run_id=run_id,
+        part_col="cid",
     )
