@@ -45,6 +45,10 @@ HEADLINE = [
     "text_quality_score",
     "mixture_sample",
     "pack_sequences",
+    # added r6: the persisted-index probe path (the r5 scale seam) —
+    # cold pays the one-time index seed write (session memo), steady
+    # prices the probe alone: sketch(batch) + touched-bucket join.
+    "incremental_near_dup",
 ]
 
 
@@ -141,7 +145,10 @@ def main() -> None:
                     "r5 dedup_clusters reuses the session's checkpointed "
                     "minhash pair graph (computed once, on its cold run), "
                     "so its steady time prices connected components only "
-                    "— the pair cost is priced by dedup_minhash_lsh"
+                    "— the pair cost is priced by dedup_minhash_lsh. r6 "
+                    "added incremental_near_dup (22-query set): its cold "
+                    "run pays the one-time index seed write, steady "
+                    "prices the probe"
                 ),
                 "timing": (
                     f"queries/value = min-of-{RUNS} steady-state (excludes "

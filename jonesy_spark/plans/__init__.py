@@ -123,6 +123,21 @@ DRIVER_EXCLUDED = {
     # (line-level boilerplate removal — a genuinely new df-cap +
     # reassembly plan family).
     "doc_chunking",
+    # Rotated out r6 to make room for incremental_near_dup (the r5
+    # persisted-index family's FIRST driver witness: index round-trip
+    # probe with bucket cap + size prune + agreement estimate) and
+    # assemble_sequences (ordered-aggregation assembly, VERDICT r5 #8):
+    #
+    # catalog_number_parsing's F8-F13 regexp/substring members stay
+    # driver-checked inside scalar_functions_suite (same expression
+    # family over the same fixture); full pytest DuckDB differential
+    # kept.
+    "catalog_number_parsing",
+    # pagination_window is byte-compat only (ROWNUM offset+limit
+    # envelope): the row_number window family stays driver-checked via
+    # topk_per_group_price / current_terms_topk / quality_filter, and
+    # the offset+limit arithmetic keeps its pytest oracle.
+    "pagination_window",
     # running_total's cumulative-window-over-ordered-partition plan —
     # and the lag/lead members merged into it when lag_lead_analytics
     # was excluded — stay driver-checked via events_sessionization

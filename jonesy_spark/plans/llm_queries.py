@@ -1552,3 +1552,151 @@ def quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.quota_sample(
         Catalog(spark, sf_dir).documents, {"src0": 10, "src1": 5}
     ).select("doc_id", "source")
+
+
+#: (applicationId, sf_dir) -> minhash index dir seeded with the even
+#: half of ``documents``. One seed write per fixture per session; the
+#: write is overwrite-idempotent under the fixed run_id, so a re-seed
+#: after a crashed session replaces, never duplicates, the subtree.
+_MH_INDEX_MEMO: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "incremental_near_dup",
+    # The index round-trip collapses to pure relational algebra: the
+    # probe of the odd half against an index holding the even half's
+    # banded signatures is a band-key equi-join with the probe-side
+    # bucket cap (min-doc_id rank window over the index side), the
+    # threshold-implied size-ratio prune, and the MinHash
+    # component-agreement estimate — all md5-deterministic, so DuckDB
+    # reproduces the persisted-index semantics without any files.
+    oracle=f"""
+    WITH {_TOK},
+    toki AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   toks, t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)) AS toks
+        FROM tok
+    ),
+    mh AS (
+        SELECT doc_id, r.i,
+               min((((2654435761 * (r.i+1)) % 2147483647) * u.h
+                    + ((97531 * (r.i+1)) % 2147483647))
+                   % 2147483647) AS h
+        FROM toki, range(16) r(i), unnest(toki.toks) u(h)
+        GROUP BY doc_id, r.i
+    ),
+    band AS (
+        SELECT doc_id, i // 8 AS band_id,
+               md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS band_key
+        FROM mh GROUP BY doc_id, i // 8
+    ),
+    sz AS (SELECT doc_id, len(toks) AS sz FROM toki),
+    icap AS (
+        SELECT doc_id, band_id, band_key FROM (
+            SELECT doc_id, band_id, band_key,
+                   row_number() OVER (
+                       PARTITION BY band_id, band_key ORDER BY doc_id) AS rn
+            FROM band WHERE doc_id % 2 = 0
+        ) WHERE rn <= {DD.BUCKET_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT p.doc_id AS doc_id, i.doc_id AS index_doc_id
+        FROM band p
+        JOIN icap i ON p.band_id = i.band_id AND p.band_key = i.band_key
+        JOIN sz sp ON sp.doc_id = p.doc_id
+        JOIN sz si ON si.doc_id = i.doc_id
+        WHERE p.doc_id % 2 = 1
+          AND sp.sz >= 0.8 * si.sz AND si.sz >= 0.8 * sp.sz
+    )
+    SELECT c.doc_id, c.index_doc_id,
+           round(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) / 16.0, 6)
+               AS est_jaccard
+    FROM cand c
+    JOIN mh a ON a.doc_id = c.doc_id
+    JOIN mh b ON b.doc_id = c.index_doc_id AND b.i = a.i
+    GROUP BY 1, 2
+    HAVING sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) / 16.0 >= 0.8
+    """,
+)
+def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index near-dup round trip (the r5 flagship family's
+    first driver witness): the EVEN half of ``documents`` seeds an
+    on-disk banded-MinHash signature index
+    (``hygiene.write_minhash_index``), then the ODD half probes it
+    (``hygiene.probe_minhash_index``) — partition-pruned to touched
+    buckets, capped at the shared BUCKET_CAP, verified by the
+    component-agreement Jaccard estimate. Incremental contract: the
+    probe never reads historical TEXT (the index stores ~19 longs per
+    doc) and its cost is O(batch + touched index rows), never
+    O(index) — the nightly-ingest shape of jonesy's watermark
+    incrementals (jonesy/jobs.py:19,40) lifted to sketch space."""
+    from ..operators import hygiene as H
+
+    docs = Catalog(spark, sf_dir).documents
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MH_INDEX_MEMO:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="jonesy_mh_index_")
+        H.write_minhash_index(
+            DD.minhash_banded_sigs(docs.filter(F.col("doc_id") % 2 == 0)),
+            d,
+            mode="overwrite",
+            run_id="seed",
+        )
+        _MH_INDEX_MEMO[key] = d
+    probe_sigs = DD.minhash_banded_sigs(docs.filter(F.col("doc_id") % 2 == 1))
+    return H.probe_minhash_index(
+        probe_sigs,
+        spark,
+        _MH_INDEX_MEMO[key],
+        threshold=0.8,
+        n_hashes=16,
+        bucket_cap=DD.BUCKET_CAP,
+    )
+
+
+@query(
+    "assemble_sequences",
+    # pack_sequences' shard/offset CTEs (the already-witnessed row)
+    # closed by the ordered-aggregation assembly: texts concatenate in
+    # start_offset order within each (shard, seq) group. sum(INTEGER)
+    # widens to HUGEINT in DuckDB -> cast back to BIGINT to match
+    # Spark's long.
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               md5('pack-v1|' || CAST(doc_id AS VARCHAR)) AS pack_key,
+               ('0x' || substr(md5(md5('pack-v1|' || CAST(doc_id AS VARCHAR))), 1, 7))::BIGINT
+                   % 64 AS shard,
+               greatest(len(string_split(trim(text), ' ')), 1) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, shard, n_tokens,
+               (sum(n_tokens) OVER (PARTITION BY shard ORDER BY pack_key))::BIGINT
+                   - n_tokens AS start_offset
+        FROM base
+    )
+    SELECT CAST(p.shard AS VARCHAR) || '-'
+               || CAST(floor(p.start_offset / 512)::BIGINT AS VARCHAR) AS seq_id,
+           count(*) AS n_docs,
+           sum(p.n_tokens)::BIGINT AS seq_tokens,
+           string_agg(d.text, '<|doc|>' ORDER BY p.start_offset, d.text) AS seq_text
+    FROM packed p JOIN documents d USING (doc_id)
+    GROUP BY p.shard, floor(p.start_offset / 512)
+    """,
+)
+def assemble_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed training sequences: pack_sequences output
+    joined back onto document text and concatenated in offset order
+    with a separator — one keyed join + one aggregation under the
+    packer's own sharding, deterministic via sort_array (no window).
+    operators.corpus.assemble_sequences; first driver witness of the
+    ordered-aggregation assembly family (VERDICT r5 #8)."""
+    from ..operators import corpus as C
+
+    docs = Catalog(spark, sf_dir).documents
+    packed = C.pack_sequences(docs, budget_tokens=512)
+    return C.assemble_sequences(docs, packed)
