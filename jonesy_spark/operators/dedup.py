@@ -568,7 +568,8 @@ def simhash_near_dup(
     # runs map-side right out of the band join, and the
     # dropDuplicates shuffle then moves only true near-dup pairs —
     # ~15 k rows instead of ~1.9 M distinct candidates at sf0.1
-    # (r6 same-session A/B: 3.43 -> 1.4 s steady). A doc pair sharing
+    # (locally a wash — same-session A/B 3.36 vs 3.34 s, a 90 MB
+    # shuffle is free on a RAM-disk local[32]). A doc pair sharing
     # several bands yields identical hamming on every copy, so
     # filter-then-distinct is exactly distinct-then-filter. This
     # ordering is the one that survives scale: candidate volume grows
