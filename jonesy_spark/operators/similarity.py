@@ -653,6 +653,42 @@ def rebuild_ivf_index(
     return new_version
 
 
+def vacuum_ivf_versions(spark, index_path: str) -> list[str]:
+    """Delete every IVF subtree the live version no longer needs: stale
+    ``version=N`` directories (superseded rebuilds and crashed attempts
+    without a ``_COMMITTED`` marker) and, once a versioned layout is
+    live, the legacy root's ``centroids/`` + ``assignments/``. Returns
+    the deleted paths. No-op (empty list) while the index is still
+    unversioned — there is nothing stale yet.
+
+    Old subtrees are retention for in-flight readers, so vacuum runs
+    AFTER those drain — typically the next maintenance window, one
+    cycle behind the rebuild that stranded them (the same quiescence
+    contract as ``hygiene.compact_index``; deletes use the Hadoop
+    FileSystem API so local disk, HDFS, and s3a behave alike)."""
+    live = live_ivf_version(spark, index_path)
+    if live is None:
+        return []
+    sc = spark.sparkContext
+    Path = sc._jvm.org.apache.hadoop.fs.Path
+    fs = Path(index_path).getFileSystem(sc._jsc.hadoopConfiguration())
+    doomed = [
+        st.getPath()
+        for st in (fs.globStatus(Path(f"{index_path}/version=*")) or [])
+        if int(st.getPath().getName().split("=", 1)[1]) != live
+    ]
+    doomed += [
+        Path(f"{index_path}/{legacy}")
+        for legacy in ("centroids", "assignments")
+        if fs.exists(Path(f"{index_path}/{legacy}"))
+    ]
+    deleted = []
+    for p in doomed:
+        fs.delete(p, True)
+        deleted.append(str(p.toUri().getPath()))
+    return deleted
+
+
 def compact_ivf_assignments(spark, index_path: str, run_id: str | None = None) -> str:
     """Compact the IVF index's accumulated per-epoch vector subtrees —
     ``hygiene.compact_index`` over the ``assignments/`` root with the

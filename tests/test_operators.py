@@ -488,6 +488,21 @@ def test_rebuild_ivf_index_versions(spark, tmp_path):
     assert glob.glob(f"{idx}/version=6/assignments/ingest_batch=r2/cid=*/*.parquet")
     assert not glob.glob(f"{idx}/assignments/ingest_batch=r2")
 
+    # vacuum (next maintenance window): stale version dirs + the legacy
+    # root go; the live version and its probes are untouched
+    deleted = SIM.vacuum_ivf_versions(spark, idx)
+    assert any(d.endswith("version=5") for d in deleted)
+    assert any(d.endswith("/assignments") for d in deleted)
+    assert not os.path.exists(f"{idx}/version=5")
+    assert not os.path.exists(f"{idx}/assignments")
+    assert os.path.exists(f"{idx}/version=6/_COMMITTED")
+    after_vacuum = {
+        (r["vec_id"], r["index_vec_id"])
+        for r in SIM.probe_ivf_index(copies, spark, idx, threshold=0.999).collect()
+    }
+    assert after_vacuum == pre
+    assert SIM.vacuum_ivf_versions(spark, idx) == []  # idempotent
+
 
 def test_probe_ivf_index_observability(spark, tmp_path):
     """VERDICT r5 #7 (embedding axis): the IVF probe's returned frame
