@@ -145,6 +145,22 @@ DRIVER_EXCLUDED = {
     # pack_sequences (running sum as start_offset); pytest
     # differential kept.
     "running_total",
+    # Rotated out r6 (second wave) to make room for mixture_upsample
+    # (row-multiplication explode — a plan family with no prior driver
+    # row) and train_order (epoch shuffle-key expression, VERDICT r5 #8):
+    #
+    # priority_ordered_extract's CASE-priority sort key stays
+    # driver-checked via current_terms_topk (same CASE-ranked ordering
+    # feeding a window cut) and scalar_functions_suite (the CASE
+    # expression family); ordering itself is invisible to the driver's
+    # order-insensitive hash, so the row only ever witnessed the key
+    # expression; pytest DuckDB differential kept.
+    "priority_ordered_extract",
+    # set_operations' UNION/INTERSECT/EXCEPT keep their pytest DuckDB
+    # differential; the Expand/aggregate plan shape the set-ops lower to
+    # stays driver-checked via cube_agg (grouping-set Expand) and the
+    # distinct aggregates in profile_table.
+    "set_operations",
 }
 
 

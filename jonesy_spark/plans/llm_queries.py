@@ -780,6 +780,65 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mixture_upsample",
+    oracle="""
+    WITH rated AS (
+        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+               CAST(floor(r.rate) AS INT)
+               + CASE WHEN ('0x' || substr(md5('up-v1|' || CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+                           / 268435456.0 < r.rate - floor(r.rate)
+                 THEN 1 ELSE 0 END AS n_copies
+        FROM documents d
+        JOIN (VALUES ('src0', 2.3), ('src1', 0.5), ('src2', 1.0), ('src3', 3.7))
+             r(source, rate) USING (source)
+    )
+    SELECT doc_id, text, lang, source, n_chars,
+           CAST(unnest(generate_series(0, n_copies - 1)) AS INT) AS copy_nbr
+    FROM rated
+    WHERE n_copies > 0
+    """,
+)
+def mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture with upsampling (rate > 1 emits whole copies plus an
+    md5-deterministic fractional copy; rate <= 1 degenerates to
+    mixture_sample): broadcast rate table, map-side sequence() explode,
+    copy_nbr distinguishes the copies for downstream shuffling/packing.
+    The row-multiplication (explode of a computed-length sequence)
+    family's first driver witness. operators.corpus.mixture_upsample."""
+    from ..operators import corpus as C
+
+    return C.mixture_upsample(
+        Catalog(spark, sf_dir).documents,
+        {"src0": 2.3, "src1": 0.5, "src2": 1.0, "src3": 3.7},
+        salt="up-v1",
+    )
+
+
+@query(
+    "train_order",
+    oracle="""
+    SELECT doc_id,
+           md5('shuffle-v1|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    """,
+)
+def train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: md5 sort key +
+    repartitionByRange + sortWithinPartitions. The driver compare is
+    order-insensitive, so this row witnesses the salt-keyed shuffle-key
+    EXPRESSION (identical across engines, rerun-stable, re-salted per
+    epoch); the range-partitioned file layout itself is pinned by
+    tests/test_plans.py::test_train_order_range_partitions and the
+    balance/determinism properties in tests/test_corpus.py.
+    operators.corpus.train_order."""
+    from ..operators import corpus as C
+
+    return C.train_order(
+        Catalog(spark, sf_dir).documents, salt="shuffle-v1", n_files=16
+    ).select("doc_id", "shuffle_key")
+
+
+@query(
     "pack_sequences",
     oracle="""
     WITH base AS (
