@@ -448,3 +448,36 @@ def test_session_window_stream_matches_batch(spark):
         for r in batch.collect()
     }
     assert got == want and got
+
+
+def test_jsonl_ingest_stream_two_waves(spark, tmp_path):
+    """Streaming JSONL ingest: wave 1 lands clean docs; a restarted
+    query over wave 2 (same checkpoint) quarantines its corrupt lines
+    without reprocessing wave 1, and the clean corpus reads back as an
+    ingest_batch-partitioned parquet table."""
+    import json
+
+    from jonesy_spark.streaming.incremental import run_jsonl_ingest_stream
+
+    land = tmp_path / "land"
+    land.mkdir()
+    dest, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+
+    def wave(name, lines):
+        (land / f"{name}.jsonl").write_text("\n".join(lines) + "\n")
+        run_jsonl_ingest_stream(spark, str(land), dest, ckpt)
+
+    doc = lambda i, t: json.dumps(
+        {"doc_id": i, "text": t, "lang": "en", "source": "s", "n_chars": len(t)}
+    )
+    wave("w1", [doc(1, "alpha"), doc(2, "beta")])
+    wave("w2", [doc(3, "gamma"), "{broken line", '{"text": "no id"}'])
+
+    clean = spark.read.parquet(dest)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2, 3]
+    # epoch partition column is present and splits the waves
+    assert clean.select("ingest_batch").distinct().count() == 2
+
+    quarantine = spark.read.parquet(f"{dest}/_quarantine")
+    reasons = sorted(r["reason"] for r in quarantine.collect())
+    assert reasons == ["malformed", "missing_required"]
