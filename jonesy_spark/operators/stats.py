@@ -1,0 +1,131 @@
+"""Mergeable corpus statistics: HLL-sketch profiles that accumulate
+per-batch and answer corpus-wide distinct-count questions without ever
+rescanning history.
+
+The reference's only statistic is a row count per extract (reference
+``jonesy/jobs.py:180-183`` logs ``len(rows)``); a training-data corpus
+needs the monitoring tier above that: per-(source, lang) document /
+token totals and VOCABULARY size, maintained incrementally as batches
+land. Exact distinct-token counting is the one aggregate that cannot
+be accumulated with plain sums — two batches' exact distinct counts
+don't add. Datasketches HLL sketches (public Spark SQL surface:
+``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``,
+Spark 3.5+) close exactly that gap: a sketch is a few KB per group,
+unions are register-wise max (order- and batching-invariant), and the
+estimate of a union equals the estimate of the single-pass sketch —
+so the nightly cost is O(new batch) and the corpus-wide report is a
+fold over group-level sketch rows, never over documents.
+
+Index layout follows the house convention for every persisted
+incremental artifact (``hygiene.write_novel_digests``):
+``{path}/ingest_batch=<run_id>/*.parquet`` — batch-scoped subtrees,
+``overwrite`` of a replayed epoch's own subtree keeps writers
+idempotent. Rows here are GROUP-level (a handful per batch), so no
+``bucket=`` sublevel is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+#: Default Datasketches log2(K): 4 KiB registers, ~1.6 % relative
+#: standard error — vocabulary-sized cardinalities are well inside the
+#: sparse-exact regime at test scale and ±2 % at web scale.
+DEFAULT_LG_K = 12
+
+GROUP_COLS = ("source", "lang")
+
+
+def profile_batch(
+    docs: DataFrame,
+    group_cols: tuple[str, ...] = GROUP_COLS,
+    text_col: str = "text",
+    lg_k: int = DEFAULT_LG_K,
+) -> DataFrame:
+    """One batch's per-group profile row: exact additive counters
+    (``n_docs``, ``n_tokens``) plus the HLL ``vocab_sketch`` of its
+    lowercased whitespace tokens.
+
+    Two keyed aggregations (doc-grain counters, token-grain sketch)
+    joined on the group key — both shuffle only group-cardinality rows
+    after map-side partial aggregation; the token explode never leaves
+    its stage. Output is one row per group: KBs regardless of corpus
+    size, which is what makes the persisted index a metadata table.
+    """
+    gcols = list(group_cols)
+    counters = docs.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.whitespace_token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    tokens = docs.select(
+        *gcols,
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    sketches = tokens.groupBy(*gcols).agg(
+        F.hll_sketch_agg("tok", lg_k).alias("vocab_sketch")
+    )
+    return counters.join(sketches, gcols, "left")
+
+
+def merge_profiles(
+    profiles: DataFrame, group_cols: tuple[str, ...] = GROUP_COLS
+) -> DataFrame:
+    """Fold any number of batch profile rows into one row per group:
+    counters add, sketches union (register-wise max — exactly the
+    single-pass sketch, however the batches were cut)."""
+    return profiles.groupBy(*group_cols).agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.hll_union_agg("vocab_sketch").alias("vocab_sketch"),
+    )
+
+
+def profile_report(profiles: DataFrame) -> DataFrame:
+    """Readable report: the sketch column becomes ``vocab_est`` (the
+    HLL distinct-token estimate, exact in the sparse regime)."""
+    return profiles.withColumn(
+        "vocab_est", F.hll_sketch_estimate("vocab_sketch")
+    ).drop("vocab_sketch")
+
+
+def write_stats_index(
+    profile: DataFrame, index_path: str, mode: str = "append", run_id: str | None = None
+) -> str:
+    """Land one batch's profile rows under a batch-scoped subtree.
+    O(groups) bytes per batch; ``overwrite`` + an epoch run_id gives
+    replay idempotence (same contract as the digest/minhash/IVF
+    indexes). Returns the run_id used."""
+    if run_id is None:
+        import uuid
+
+        run_id = f"nightly-{uuid.uuid4().hex[:12]}"
+    profile.coalesce(1).write.mode(mode).parquet(
+        f"{index_path}/ingest_batch={run_id}"
+    )
+    return run_id
+
+
+def read_stats_index(
+    spark: SparkSession, index_path: str, exclude_run_id: str | None = None
+) -> DataFrame:
+    """All committed batch profile rows; ``exclude_run_id`` omits one
+    batch's own subtree (the replay-safety read, as the index bridges
+    do)."""
+    df = spark.read.option("basePath", index_path).parquet(index_path)
+    if exclude_run_id is not None:
+        df = df.filter(F.col("ingest_batch") != exclude_run_id)
+    return df.drop("ingest_batch")
+
+
+def corpus_stats_report(
+    spark: SparkSession,
+    index_path: str,
+    group_cols: tuple[str, ...] = GROUP_COLS,
+) -> DataFrame:
+    """The corpus-wide report from the persisted index alone: fold the
+    group-level rows, estimate the sketches. Cost is O(batches x
+    groups) metadata rows — the documents themselves are never read."""
+    return profile_report(merge_profiles(read_stats_index(spark, index_path), group_cols))

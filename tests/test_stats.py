@@ -1,0 +1,94 @@
+"""Mergeable HLL corpus statistics: estimate accuracy, merge
+invariance, and the persisted incremental index round-trip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jonesy_spark.catalog import Catalog
+from jonesy_spark.operators import stats as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _exact_vocab(docs):
+    return {
+        (r["source"], r["lang"]): r["v"]
+        for r in docs.select(
+            "source",
+            "lang",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source", "lang")
+        .agg(F.countDistinct("tok").alias("v"))
+        .collect()
+    }
+
+
+def test_profile_counters_and_estimate_match_exact(spark):
+    docs = Catalog(spark, SF_DIR).documents
+    report = S.profile_report(S.profile_batch(docs)).collect()
+    exact = _exact_vocab(docs)
+    exact_docs = {
+        (r["source"], r["lang"]): r["n"]
+        for r in docs.groupBy("source", "lang").count().withColumnRenamed("count", "n").collect()
+    }
+    assert {(r["source"], r["lang"]) for r in report} == set(exact)
+    for r in report:
+        key = (r["source"], r["lang"])
+        assert r["n_docs"] == exact_docs[key]
+        # fixture vocabularies sit in HLL's sparse-exact regime
+        assert abs(r["vocab_est"] - exact[key]) <= max(1, 0.02 * exact[key])
+
+
+def test_merge_is_batching_invariant(spark):
+    docs = Catalog(spark, SF_DIR).documents
+    single = {
+        (r["source"], r["lang"]): (r["n_docs"], r["n_tokens"], r["vocab_est"])
+        for r in S.profile_report(S.profile_batch(docs)).collect()
+    }
+    halves = [docs.filter(F.col("doc_id") % 2 == i) for i in (0, 1)]
+    merged_rows = S.profile_report(
+        S.merge_profiles(
+            S.profile_batch(halves[0]).unionByName(S.profile_batch(halves[1]))
+        )
+    ).collect()
+    merged = {
+        (r["source"], r["lang"]): (r["n_docs"], r["n_tokens"], r["vocab_est"])
+        for r in merged_rows
+    }
+    # counters add exactly; the unioned sketch estimate equals the
+    # single-pass estimate (register-wise max is cut-invariant)
+    assert merged == single
+
+
+def test_stats_index_accumulates_batches(spark, tmp_path):
+    docs = Catalog(spark, SF_DIR).documents
+    idx = str(tmp_path / "stats_index")
+    b1 = docs.filter(F.col("doc_id") < 30)
+    b2 = docs.filter(F.col("doc_id") >= 30)
+    S.write_stats_index(S.profile_batch(b1), idx, run_id="epoch-1", mode="overwrite")
+    S.write_stats_index(S.profile_batch(b2), idx, run_id="epoch-2", mode="overwrite")
+
+    report = {
+        (r["source"], r["lang"]): (r["n_docs"], r["n_tokens"], r["vocab_est"])
+        for r in S.corpus_stats_report(spark, idx).collect()
+    }
+    single = {
+        (r["source"], r["lang"]): (r["n_docs"], r["n_tokens"], r["vocab_est"])
+        for r in S.profile_report(S.profile_batch(docs)).collect()
+    }
+    assert report == single
+
+    # replay idempotence: re-writing epoch-2's own subtree changes nothing
+    S.write_stats_index(S.profile_batch(b2), idx, run_id="epoch-2", mode="overwrite")
+    report2 = {
+        (r["source"], r["lang"]): (r["n_docs"], r["n_tokens"], r["vocab_est"])
+        for r in S.corpus_stats_report(spark, idx).collect()
+    }
+    assert report2 == report
+
+    # the replay-safety read excludes a batch's own subtree
+    partial = S.read_stats_index(spark, idx, exclude_run_id="epoch-2")
+    assert partial.agg(F.sum("n_docs")).first()[0] == b1.count()
