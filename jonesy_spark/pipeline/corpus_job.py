@@ -226,3 +226,44 @@ def run_prepare_corpus(ctx) -> None:
         path = f"{ctx.out_root}/corpus/{key}"
         out[key].write.mode("overwrite").parquet(path)
         ctx.written.append(f"corpus/{key}")
+
+
+def prepare_corpus_from_jsonl(
+    spark,
+    src_path: str,
+    workdir: str,
+    cfg: CorpusConfig | None = None,
+) -> dict:
+    """The raw-bytes-to-training-corpus end-to-end: crawl-shaped JSONL
+    lands, ingest validates + quarantines it into the documents parquet
+    contract, the corpus pipeline gates/dedups/splits/packs it, and an
+    HLL stats-index batch records what landed (per-(source, lang) docs,
+    tokens, vocabulary) so corpus-wide monitoring never rescans.
+
+    Layout under ``workdir``:
+      ``documents/``            clean ingested corpus (+ ``_quarantine``)
+      ``corpus/{split,sequences}``  pipeline outputs
+      ``stats_index/ingest_batch=<run>/``  this batch's profile rows
+
+    Returns the ingest report, the stats run id, and the written paths.
+    Every stage is deterministic, so a rerun over the same raw bytes
+    reproduces the same corpus — the resumability contract the nightly
+    jobs rely on.
+    """
+    from ..operators import stats as ST
+    from .ingest import ingest_jsonl_corpus
+
+    docs_path = f"{workdir}/documents"
+    report = ingest_jsonl_corpus(spark, src_path, docs_path)
+    docs = spark.read.parquet(docs_path)
+
+    out = prepare_training_corpus(docs, cfg)
+    paths = {}
+    for key in ("split", "sequences"):
+        paths[key] = f"{workdir}/corpus/{key}"
+        out[key].write.mode("overwrite").parquet(paths[key])
+
+    stats_run = ST.write_stats_index(
+        ST.profile_batch(docs), f"{workdir}/stats_index"
+    )
+    return {"ingest": report, "stats_run_id": stats_run, "paths": paths}

@@ -509,3 +509,45 @@ def test_prepare_corpus_rejects_unknown_survivor_policy(spark):
             Catalog(spark, SF_DIR).documents,
             CorpusConfig(survivor_policy="newest"),
         )
+
+
+def test_prepare_corpus_from_jsonl_end_to_end(spark, tmp_path):
+    """Raw JSONL in, training corpus + quarantine + stats index out —
+    the full front-door composition, with row conservation across
+    ingest and a stats report that matches the ingested table."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.operators.stats import corpus_stats_report
+    from jonesy_spark.pipeline.corpus_job import prepare_corpus_from_jsonl
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lines = [json.dumps(r.asDict()) for r in fixture.limit(60).collect()]
+    lines.insert(10, "{broken json")
+    lines.insert(20, json.dumps({"text": "no id", "lang": "en", "source": "s", "n_chars": 5}))
+    (raw / "crawl-0.jsonl").write_text("\n".join(lines) + "\n")
+
+    workdir = str(tmp_path / "work")
+    result = prepare_corpus_from_jsonl(spark, str(raw), workdir)
+
+    report = result["ingest"]
+    assert report.rows_clean == 60
+    assert report.rows_malformed == 1 and report.rows_missing_required == 1
+
+    # ingested table == clean jsonl rows, quarantine holds the rest
+    docs = spark.read.parquet(f"{workdir}/documents")
+    assert docs.count() == 60
+    assert spark.read.parquet(f"{workdir}/documents/_quarantine").count() == 2
+
+    # pipeline outputs exist and the split covers every surviving doc
+    split = spark.read.parquet(result["paths"]["split"])
+    assert split.select("doc_id").distinct().count() == split.count()
+    assert split.count() <= 60
+    assert spark.read.parquet(result["paths"]["sequences"]).count() > 0
+
+    # the stats index records exactly what landed
+    stats = corpus_stats_report(spark, f"{workdir}/stats_index")
+    assert stats.agg(F.sum("n_docs")).first()[0] == 60
