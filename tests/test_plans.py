@@ -135,3 +135,14 @@ def test_mixture_sample_rate_table_local(spark):
 
     plan = plan_of(mixture_sample(Catalog(spark, SF_DIR).documents, {"src0": 0.5}))
     assert "ExistingRDD" not in plan
+
+
+def test_mixture_upsample_map_side_only(spark):
+    """The upsample explode must stay map-side: the only exchange in
+    the plan is the broadcast of the rate table — a corpus-sized
+    shuffle here would be a pure waste (every decision is per-row)."""
+    plan = plan_of(all_queries()["mixture_upsample"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "Generate" in plan  # the sequence() explode
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan

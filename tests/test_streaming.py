@@ -463,9 +463,13 @@ def test_jsonl_ingest_stream_two_waves(spark, tmp_path):
     land.mkdir()
     dest, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
 
+    stats_idx = str(tmp_path / "stats")
+
     def wave(name, lines):
         (land / f"{name}.jsonl").write_text("\n".join(lines) + "\n")
-        run_jsonl_ingest_stream(spark, str(land), dest, ckpt)
+        run_jsonl_ingest_stream(
+            spark, str(land), dest, ckpt, stats_index_path=stats_idx
+        )
 
     doc = lambda i, t: json.dumps(
         {"doc_id": i, "text": t, "lang": "en", "source": "s", "n_chars": len(t)}
@@ -481,3 +485,12 @@ def test_jsonl_ingest_stream_two_waves(spark, tmp_path):
     quarantine = spark.read.parquet(f"{dest}/_quarantine")
     reasons = sorted(r["reason"] for r in quarantine.collect())
     assert reasons == ["malformed", "missing_required"]
+
+    # the stats index accumulated one profile batch per epoch and its
+    # fold matches the landed clean table exactly
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.operators.stats import corpus_stats_report
+
+    stats = corpus_stats_report(spark, stats_idx)
+    assert stats.agg(F.sum("n_docs")).first()[0] == 3
