@@ -55,3 +55,34 @@ def sign_bucket(v: Column, n_dims: int = 6) -> Column:
             lambda i: F.when(F.element_at(v, i) >= 0, "1").otherwise("0"),
         ),
     )
+
+
+def quantize_int8(v: Column) -> Column:
+    """Symmetric per-vector int8 quantization:
+    ``struct(q: array<tinyint>, scale: float)`` with
+    ``x ~= q * scale``, ``scale = max|x| / 127``.
+
+    The storage tier for a 100 TB vector store: 4x smaller than
+    float32 (8x vs double) with worst-case per-component error of
+    ``scale / 2`` — cosine distortion well under 1 % for typical
+    embedding distributions, and the exact-verify stage of every ANN
+    path here re-ranks candidates anyway, so quantization error only
+    moves CANDIDATE selection, never final scores, when the float
+    originals are kept for verification. Pure built-ins (transform /
+    array_max) — whole-stage codegen, no Python.
+
+    All-zero vectors take scale = 1 so the round trip is exact rather
+    than 0/0.
+    """
+    vd = as_double(v)
+    scale = F.greatest(
+        F.array_max(F.transform(vd, F.abs)) / F.lit(127.0), F.lit(1e-30)
+    )
+    q = F.transform(vd, lambda x: F.round(x / scale).cast("tinyint"))
+    return F.struct(q.alias("q"), scale.cast("float").alias("scale"))
+
+
+def dequantize_int8(s: Column) -> Column:
+    """Inverse of :func:`quantize_int8`: ``array<double>`` within
+    ``scale / 2`` of the original per component."""
+    return F.transform(s["q"], lambda x: x.cast("double") * s["scale"].cast("double"))

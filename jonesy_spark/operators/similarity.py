@@ -704,3 +704,104 @@ def compact_ivf_assignments(spark, index_path: str, run_id: str | None = None) -
         run_id=run_id,
         part_col="cid",
     )
+
+
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """The int8 storage tier of the vector store: ``(vec_id, qv
+    struct<q: array<tinyint>, scale: float>, label)`` — 4x smaller than
+    float32 on disk and in shuffle. Candidate generation reads ONLY
+    this; exact verification joins the float originals back for the
+    survivors (``quantized_topk``), so quantization error can demote a
+    borderline candidate but never distort a reported score."""
+    return emb.select(
+        "vec_id",
+        VX.quantize_int8(F.col("embedding")).alias("qv"),
+        "label",
+    )
+
+
+def quantized_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_queries: int = 10,
+    overfetch: int = 3,
+    rerank: bool = True,
+) -> DataFrame:
+    """Brute-force top-k whose SCAN side is the int8 store: score the
+    dequantized vectors, keep ``overfetch * k`` candidates per query,
+    then (by default) re-rank exactly on the float originals — the
+    standard quantized-ANN shape: cheap wide scan, exact narrow tail.
+
+    At 100 TB the scan is the cost; reading tinyint arrays quarters
+    the bytes moved while the exact re-rank touches only
+    ``n_queries * overfetch * k`` rows. Output schema matches
+    :func:`cosine_topk` so :func:`ann_recall` compares them directly.
+    """
+    store = quantize_embeddings(emb).repartition(64)
+    dq = VX.dequantize_int8(F.col("qv"))
+    e = store.select("vec_id", dq.alias("v")).withColumn("nrm", VX.norm(F.col("v")))
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv_vec"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).withColumn(
+        "cosine",
+        F.round(VX.dot(F.col("qv_vec"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= (overfetch * k if rerank else k))
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+    if not rerank:
+        return cand
+    # exact tail: float originals for candidates only (broadcast-sized)
+    fl = emb.select("vec_id", VX.as_double(F.col("embedding")).alias("fv"))
+    fl = fl.withColumn("fn", VX.norm(F.col("fv")))
+    qf = fl.withColumnsRenamed({"vec_id": "query_id", "fv": "qfv", "fn": "qfn"})
+    exact = (
+        cand.select("query_id", "vec_id")
+        .join(fl, "vec_id")
+        .join(qf, "query_id")
+        .withColumn(
+            "cosine",
+            F.round(VX.dot(F.col("qfv"), F.col("fv")) / (F.col("qfn") * F.col("fn")), 6),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall of an approximate top-k against the exact one —
+    the tuning loop for every ANN knob here (bucket dims, IVF
+    ``n_probe``, quantization overfetch): run both at a sampled set of
+    queries, read the recall, adjust. ``(query_id, n_exact, n_hit,
+    recall)``; both inputs are top-k-sized, so every join is
+    broadcast-scale metadata work regardless of corpus size."""
+    e = exact.select(query_col, id_col)
+    hits = e.join(
+        approx.select(query_col, id_col), [query_col, id_col], "left_semi"
+    )
+    denom = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    num = hits.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        denom.join(num, query_col, "left")
+        .fillna(0, subset=["n_hit"])
+        .select(
+            query_col,
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )

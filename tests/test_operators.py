@@ -704,3 +704,69 @@ def test_compact_ivf_assignments(spark, tmp_path):
         map(tuple, SIM.probe_ivf_index(probe, spark, idx, threshold=0.999).collect())
     )
     assert after == before and before  # copies still found post-compaction
+
+
+def test_quantize_int8_roundtrip_bounded(spark):
+    """Per-component reconstruction error is <= scale/2 and the cosine
+    distortion is negligible — the storage-tier contract."""
+    from jonesy_spark.functions import vectors as V
+
+    emb = Catalog(spark, SF_DIR).embeddings
+    q = emb.select(
+        "vec_id",
+        V.as_double(F.col("embedding")).alias("orig"),
+        V.quantize_int8(F.col("embedding")).alias("qv"),
+    )
+    assert q.schema["qv"].dataType.simpleString() == "struct<q:array<tinyint>,scale:float>"
+    r = q.select(
+        V.cosine(F.col("orig"), V.dequantize_int8(F.col("qv"))).alias("cos"),
+        F.array_max(
+            F.zip_with(
+                F.col("orig"), V.dequantize_int8(F.col("qv")), lambda a, b: F.abs(a - b)
+            )
+        ).alias("maxerr"),
+        (F.col("qv.scale") / 2).alias("bound"),
+    )
+    assert r.filter(F.col("maxerr") > F.col("bound") * 1.01).count() == 0
+    assert r.agg(F.min("cos")).first()[0] >= 0.999
+
+    # all-zero vector round-trips exactly instead of dividing by zero
+    z = spark.createDataFrame([([0.0, 0.0, 0.0],)], "v array<float>")
+    back = z.select(V.dequantize_int8(V.quantize_int8(F.col("v"))).alias("d")).first()["d"]
+    assert back == [0.0, 0.0, 0.0]
+
+
+def test_quantized_topk_recall_and_exact_scores(spark):
+    """Candidate generation off the int8 store recalls ~all of the
+    float-exact top-k, and the re-ranked scores are EXACT (float
+    originals re-score the survivors)."""
+    from jonesy_spark.operators import similarity as SIM
+
+    emb = Catalog(spark, SF_DIR).embeddings
+    exact = SIM.cosine_topk(emb, k=10).persist()
+    approx = SIM.quantized_topk(emb, k=10)
+    rec = SIM.ann_recall(exact, approx).collect()
+    assert len(rec) == 10
+    assert min(r["recall"] for r in rec) >= 0.9
+
+    # overlapping pairs carry identical cosines: the rerank is exact
+    both = exact.select("query_id", "vec_id", F.col("cosine").alias("ce")).join(
+        approx.select("query_id", "vec_id", F.col("cosine").alias("ca")),
+        ["query_id", "vec_id"],
+    )
+    assert both.filter(F.col("ce") != F.col("ca")).count() == 0
+    exact.unpersist()
+
+
+def test_ann_recall_identity_and_miss(spark):
+    from jonesy_spark.operators import similarity as SIM
+
+    emb = Catalog(spark, SF_DIR).embeddings
+    exact = SIM.cosine_topk(emb, k=5).persist()
+    self_rec = SIM.ann_recall(exact, exact)
+    assert all(r["recall"] == 1.0 for r in self_rec.collect())
+    # an empty approximation scores recall 0, not a crash or a dropped row
+    empty = exact.filter(F.lit(False))
+    zero = SIM.ann_recall(exact, empty)
+    assert all(r["recall"] == 0.0 for r in zero.collect())
+    exact.unpersist()
