@@ -757,14 +757,16 @@ def quantized_topk(
     )
     if not rerank:
         return cand
-    # exact tail: float originals for candidates only (broadcast-sized)
+    # exact tail: float originals for candidates only. The candidate
+    # set (n_queries * overfetch * k rows) broadcasts against the
+    # corpus-sized float table, so the re-rank is a map-side semi-scan,
+    # never a corpus shuffle.
     fl = emb.select("vec_id", VX.as_double(F.col("embedding")).alias("fv"))
     fl = fl.withColumn("fn", VX.norm(F.col("fv")))
     qf = fl.withColumnsRenamed({"vec_id": "query_id", "fv": "qfv", "fn": "qfn"})
     exact = (
-        cand.select("query_id", "vec_id")
-        .join(fl, "vec_id")
-        .join(qf, "query_id")
+        fl.join(F.broadcast(cand.select("query_id", "vec_id")), "vec_id")
+        .join(F.broadcast(qf.filter(F.col("query_id") < n_queries)), "query_id")
         .withColumn(
             "cosine",
             F.round(VX.dot(F.col("qfv"), F.col("fv")) / (F.col("qfn") * F.col("fn")), 6),
