@@ -112,3 +112,21 @@ def doc_fingerprint(text: Column, n_windows: int = 4, window: int = 16) -> Colum
     return F.array_min(
         F.transform(positions, lambda p: F.md5(F.substring(text, p, window)))
     )
+
+
+#: GPT-2-style pre-tokenizer alternation (contractions, letter runs,
+#: digit runs, punctuation runs, whitespace), minus the original's
+#: trailing-space lookahead so the SAME pattern is leftmost-first
+#: compatible across Java regex (Spark), RE2 (DuckDB) and PCRE —
+#: verified identical counts cross-engine in tests.
+PRETOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def pretoken_count(text: Column) -> Column:
+    """BPE-ish token-count proxy: the number of pre-tokenizer segments
+    under :data:`PRETOKEN_PATTERN`. Real BPE merges only ever split
+    WITHIN a pretoken, so this counts <= the true BPE token count while
+    tracking it far more closely than whitespace words (punctuation,
+    contractions and digit runs count separately, as they tokenize).
+    Pure ``regexp_count`` — JVM-side, map-only, no vocabulary."""
+    return F.regexp_count(text, F.lit(PRETOKEN_PATTERN))

@@ -233,6 +233,70 @@ def mixture_rates_from_targets(
     }
 
 
+def temperature_rates(
+    totals: dict[str, float],
+    tau: float = 0.7,
+    token_budget: float | None = None,
+) -> dict[str, float]:
+    """Temperature-scaled mixture rates: the standard multilingual /
+    multi-domain rebalancing rule — sampling share ``p_g ∝ f_g^tau``
+    where ``f_g`` is the domain's fraction of corpus tokens. ``tau=1``
+    keeps natural proportions, ``tau=0`` equalizes domains, values
+    between damp the head and boost the tail (0.7 is the classic
+    multilingual-pretraining setting).
+
+    Input is the per-domain token totals (list-shaped — the same
+    bounded driver-side dict :func:`mixture_rates_from_targets`
+    collects); output is per-domain epoch rates for
+    :func:`mixture_upsample`: ``rate_g = p_g * budget / total_g``.
+    ``token_budget`` defaults to the corpus total (pure reweighting);
+    tail domains then get rates > 1 (upsampled epochs) and head
+    domains < 1, with the expected token SUM preserved at the budget.
+    Pure driver math over a handful of floats — no jobs run here.
+    """
+    if not totals:
+        return {}
+    if tau < 0:
+        raise ValueError(f"tau must be >= 0, got {tau}")
+    grand = float(sum(totals.values()))
+    budget = grand if token_budget is None else float(token_budget)
+    shares = {g: (float(t) / grand) ** tau for g, t in totals.items()}
+    z = sum(shares.values())
+    return {
+        g: (shares[g] / z) * budget / float(totals[g]) for g in sorted(totals)
+    }
+
+
+def domain_token_totals(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> dict[str, float]:
+    """The per-domain token totals dict (one keyed aggregation; only
+    the list-shaped totals reach the driver)."""
+    return {
+        r[group_col]: float(r["tok"])
+        for r in docs.groupBy(group_col)
+        .agg(F.sum(TX.whitespace_token_count(F.col(text_col))).alias("tok"))
+        .collect()
+    }
+
+
+def temperature_mix(
+    docs: DataFrame,
+    tau: float = 0.7,
+    token_budget: float | None = None,
+    salt: str = "temp-v1",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Compose :func:`domain_token_totals` -> :func:`temperature_rates`
+    -> :func:`mixture_upsample`: the one-call temperature-rebalanced
+    training mix (rows carry ``copy_nbr`` for upsampled domains)."""
+    rates = temperature_rates(
+        domain_token_totals(docs, group_col, text_col), tau, token_budget
+    )
+    return mixture_upsample(docs, rates, salt=salt, group_col=group_col)
+
+
 def mixture_upsample(
     docs: DataFrame,
     rates: dict[str, float],

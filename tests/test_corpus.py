@@ -493,3 +493,63 @@ def test_quota_sample_exact_counts_and_superset(spark):
     cc = {r["source"]: r["n"] for r in
           capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert cc["src0"] == 15 and all(v == 8 for s, v in cc.items() if s != "src0")
+
+
+def test_temperature_rates_math():
+    from jonesy_spark.operators.corpus import temperature_rates
+
+    totals = {"big": 8000.0, "small": 1000.0, "mid": 1000.0}
+    # tau=1: natural proportions — every rate is budget/grand
+    r1 = temperature_rates(totals, tau=1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in r1.values())
+    # tau=0: equal shares — expected tokens per domain = budget/3
+    r0 = temperature_rates(totals, tau=0.0)
+    expected = {g: r0[g] * totals[g] for g in totals}
+    assert all(abs(v - 10000.0 / 3) < 1e-6 for v in expected.values())
+    # between: head damped below natural, tail boosted above
+    r7 = temperature_rates(totals, tau=0.7)
+    assert r7["big"] < 1.0 < r7["small"]
+    # expected token sum is preserved at the budget for any tau
+    assert abs(sum(r0[g] * totals[g] for g in totals) - 10000.0) < 1e-6
+    assert abs(sum(r7[g] * totals[g] for g in totals) - 10000.0) < 1e-6
+    rb = temperature_rates(totals, tau=0.3, token_budget=5000)
+    assert abs(sum(rb[g] * totals[g] for g in totals) - 5000.0) < 1e-6
+    assert temperature_rates({}) == {}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_rates(totals, tau=-0.1)
+
+
+def test_temperature_mix_end_to_end(spark):
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.functions.text import whitespace_token_count
+    from jonesy_spark.operators.corpus import (
+        domain_token_totals,
+        temperature_mix,
+        temperature_rates,
+    )
+
+    docs = Catalog(spark, SF_DIR).documents
+    totals = domain_token_totals(docs)
+    rates = temperature_rates(totals, tau=0.5)
+    out = temperature_mix(docs, tau=0.5)
+    # realized tokens per domain ~= rate * total (md5 draw is the only
+    # variance source; whole-copy part is deterministic)
+    realized = {
+        r["source"]: r["tok"]
+        for r in out.groupBy("source")
+        .agg(F.sum(whitespace_token_count(F.col("text"))).alias("tok"))
+        .collect()
+    }
+    for g, t in totals.items():
+        want = rates[g] * t
+        # floor(rate) copies are guaranteed; the fractional copy adds
+        # at most one extra epoch of variance
+        assert realized.get(g, 0) >= (rates[g] // 1) * t - 1e-9
+        assert abs(realized.get(g, 0) - want) <= t  # within one epoch
+    # determinism
+    a = sorted(map(tuple, out.select("doc_id", "copy_nbr").collect()))
+    b = sorted(map(tuple, temperature_mix(docs, tau=0.5).select("doc_id", "copy_nbr").collect()))
+    assert a == b

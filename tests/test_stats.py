@@ -92,3 +92,29 @@ def test_stats_index_accumulates_batches(spark, tmp_path):
     # the replay-safety read excludes a batch's own subtree
     partial = S.read_stats_index(spark, idx, exclude_run_id="epoch-2")
     assert partial.agg(F.sum("n_docs")).first()[0] == b1.count()
+
+
+def test_pretoken_count_matches_duckdb_everywhere(spark, duck):
+    """The BPE-ish pre-tokenizer count is engine-portable: identical
+    leftmost-first match counts in Spark (Java regex) and DuckDB (RE2)
+    over the entire fixture corpus."""
+    from jonesy_spark.functions.text import PRETOKEN_PATTERN, pretoken_count
+
+    got = {
+        r["doc_id"]: r["n"]
+        for r in Catalog(spark, SF_DIR)
+        .documents.select("doc_id", pretoken_count(F.col("text")).alias("n"))
+        .collect()
+    }
+    want = dict(
+        duck.execute(
+            "SELECT doc_id, len(regexp_extract_all(text, ?)) FROM documents",
+            [PRETOKEN_PATTERN],
+        ).fetchall()
+    )
+    assert got == want
+    # sanity: strictly more granular than whitespace words on punctuated text
+    sample = Catalog(spark, SF_DIR).documents.select(
+        pretoken_count(F.lit("It's here, now!")).alias("p")
+    ).first()
+    assert sample["p"] == 6
