@@ -64,6 +64,16 @@ class CorpusConfig:
     #: "quality" (keep the best-quality member of each cluster,
     #: graph.survivor_assignments — the keep-the-best-copy policy).
     survivor_policy: str = "min_id"
+    #: when set (and ``rates`` is empty), the mixture stage becomes the
+    #: temperature-scaled rebalance (corpus.temperature_mix):
+    #: p_domain ∝ share^tau, tail domains upsampled as whole+fractional
+    #: copies. Copies get a copy-unique ``doc_copy_id`` so packing and
+    #: assembly stay deterministic; the SPLIT stays keyed on the
+    #: original doc_id — every copy of a document lands in the same
+    #: split (anything else is a train/eval leak by construction).
+    mixture_tau: float | None = None
+    #: token budget for the temperature mix; None reweights in place.
+    mixture_token_budget: float | None = None
     #: when set, the train/val/test decision is keyed on near-dup
     #: CLUSTERS at THIS threshold instead of doc ids
     #: (corpus.cluster_keyed_split). Meaningful below
@@ -172,20 +182,39 @@ def prepare_training_corpus(
         )
     DD.release_caches(pairs)
 
-    # 5. mixture sampling (default keeps everything).
+    # 5. mixture sampling (default keeps everything). Explicit rates
+    # win; otherwise a temperature knob rebalances domains with
+    # upsampling — copies then carry a copy-unique id so the packer's
+    # deterministic ordering never sees duplicate keys.
+    pack_id = "doc_id"
     if cfg.rates:
         docs = C.mixture_sample(
             docs, cfg.rates, default_rate=cfg.default_rate, salt=cfg.salt
         )
+    elif cfg.mixture_tau is not None:
+        docs = C.temperature_mix(
+            docs,
+            tau=cfg.mixture_tau,
+            token_budget=cfg.mixture_token_budget,
+            salt=cfg.salt,
+        ).withColumn(
+            "doc_copy_id",
+            F.concat_ws("#", F.col("doc_id"), F.col("copy_nbr")),
+        )
+        pack_id = "doc_copy_id"
     clean = docs
 
     # 6. deterministic split — doc-keyed by default; with
     # split_cluster_threshold set, keyed on near-dup clusters at that
     # (lower) threshold so weak near-dups that survived the stricter
     # dedup can never straddle train/eval (the leakage-safe split).
+    # The split decision is per DOCUMENT, never per copy: upsampled
+    # copies deduplicate down to one doc_id row first, so every copy
+    # follows its document into one split.
+    split_base = clean.dropDuplicates(["doc_id"]) if pack_id != "doc_id" else clean
     if cfg.split_cluster_threshold is not None:
         split_pairs = DD.minhash_lsh_pairs(
-            clean, threshold=cfg.split_cluster_threshold
+            split_base, threshold=cfg.split_cluster_threshold
         )
         comps = G.connected_components(split_pairs).select(
             F.col("node").alias("doc_id"),
@@ -193,11 +222,11 @@ def prepare_training_corpus(
         )
         DD.release_caches(split_pairs)
         split = C.cluster_keyed_split(
-            clean, comps, salt=cfg.salt, train_frac=0.75, val_frac=0.125
+            split_base, comps, salt=cfg.salt, train_frac=0.75, val_frac=0.125
         ).select("doc_id", "split")
     else:
         digit = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
-        split = clean.select(
+        split = split_base.select(
             "doc_id",
             F.when(digit.isin(*"0123456789ab"), "train")
             .when(digit.isin("c", "d"), "val")
@@ -205,12 +234,17 @@ def prepare_training_corpus(
             .alias("split"),
         )
 
-    # 7-8. pack + assemble the train split in train order.
+    # 7-8. pack + assemble the train split in train order (copy-unique
+    # id when the mix upsampled, so packing order is total).
     train = clean.join(split.filter(F.col("split") == "train"), "doc_id", "left_semi")
     packed = C.pack_sequences(
-        train, budget_tokens=cfg.budget_tokens, n_shards=cfg.n_shards, salt=cfg.salt
+        train,
+        budget_tokens=cfg.budget_tokens,
+        n_shards=cfg.n_shards,
+        salt=cfg.salt,
+        id_col=pack_id,
     )
-    sequences = C.assemble_sequences(train, packed)
+    sequences = C.assemble_sequences(train, packed, id_col=pack_id)
 
     return {"clean": clean, "split": split, "packed": packed, "sequences": sequences}
 

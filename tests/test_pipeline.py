@@ -551,3 +551,43 @@ def test_prepare_corpus_from_jsonl_end_to_end(spark, tmp_path):
     # the stats index records exactly what landed
     stats = corpus_stats_report(spark, f"{workdir}/stats_index")
     assert stats.agg(F.sum("n_docs")).first()[0] == 60
+
+
+def test_prepare_corpus_temperature_mix_policy(spark):
+    """The tau knob rebalances domains with upsampled copies: copies
+    carry copy-unique packing ids, every copy of a doc lands in ONE
+    split, and the whole run is rerun-deterministic."""
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.pipeline.corpus_job import CorpusConfig, prepare_training_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = CorpusConfig(mixture_tau=0.3)
+    out = prepare_training_corpus(docs, cfg)
+
+    clean = out["clean"]
+    assert "copy_nbr" in clean.columns and "doc_copy_id" in clean.columns
+    # tau<1 upsamples at least one tail domain -> copies exist
+    assert clean.filter(F.col("copy_nbr") > 0).count() > 0
+
+    # split is one row per DOCUMENT (not per copy)
+    split = out["split"]
+    assert split.count() == split.select("doc_id").distinct().count()
+
+    # packing ids are copy-unique: every packed row is a distinct copy
+    packed = out["packed"]
+    assert packed.count() == packed.select("doc_copy_id").distinct().count()
+
+    # all copies of any doc share the doc's split: train-packed copies
+    # may only come from train docs
+    train_ids = {r["doc_id"] for r in split.filter(F.col("split") == "train").collect()}
+    packed_docs = {
+        int(r["doc_copy_id"].split("#")[0]) for r in packed.select("doc_copy_id").collect()
+    }
+    assert packed_docs <= train_ids
+
+    # determinism across reruns
+    again = prepare_training_corpus(docs, cfg)
+    a = sorted(map(tuple, out["sequences"].select("seq_id", "seq_tokens").collect()))
+    b = sorted(map(tuple, again["sequences"].select("seq_id", "seq_tokens").collect()))
+    assert a == b
