@@ -40,6 +40,8 @@ HEADLINE = [
     "embedding_near_dup",
     "ann_cosine_topk",
     "ann_bucketed_topk",
+    # added r6: candidate scan off the int8 store + exact float rerank
+    "ann_quantized_topk",
     "doc_chunking",
     "tfidf_top_terms",
     "text_quality_score",

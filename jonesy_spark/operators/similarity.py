@@ -337,6 +337,7 @@ def write_ivf_index(
     centroids: DataFrame | None = None,
     run_id: str | None = None,
     mode: str = "append",
+    quantize: bool = False,
 ) -> str:
     """Append a batch of vectors to the persisted IVF index; creates the
     index (freezing its centroid table) on first call. Returns the
@@ -354,6 +355,16 @@ def write_ivf_index(
     :func:`kmeans_centroids` output for trained cells. Centroids are
     frozen forever, so creation REFUSES an empty centroid table —
     every future probe of such an index would silently return nothing.
+
+    ``quantize=True`` stores the int8 tier instead of double arrays —
+    ``(vec_id, qv struct<q: array<tinyint>, scale: float>, nrm float,
+    cid)``, ~8x less index IO per probe. Probe-time cosines are then
+    computed on DEQUANTIZED vectors (distortion well under 1 %, see
+    ``vectors.quantize_int8``) — size the match ``threshold`` with
+    that margin. Storage format is an index-level property: appends
+    FOLLOW the existing assignment schema, whatever this call asks
+    for, so one index never mixes formats (mixed subtrees would break
+    schema-uniform reads).
     """
     from pyspark.errors import AnalysisException
 
@@ -409,11 +420,25 @@ def write_ivf_index(
             )
         centroids.write.mode("errorifexists").parquet(f"{root}/centroids")
         cents = spark.read.parquet(f"{root}/centroids")
+    # storage format is sticky: appends follow whatever the index
+    # already stores, regardless of this call's quantize argument
+    try:
+        quantize = "qv" in spark.read.parquet(f"{root}/assignments").columns
+    except AnalysisException:
+        pass
     assign = ivf_assignments(e, probes=1, centroids=cents)
+    rows = e.join(assign, "vec_id")
+    if quantize:
+        rows = rows.select(
+            "vec_id",
+            VX.quantize_int8(F.col("v")).alias("qv"),
+            F.col("nrm").cast("float").alias("nrm"),
+            "cid",
+        )
+    else:
+        rows = rows.select("vec_id", "v", "nrm", "cid")
     (
-        e.join(assign, "vec_id")
-        .select("vec_id", "v", "nrm", "cid")
-        .repartition("cid")
+        rows.repartition("cid")
         .write.mode(mode)
         .partitionBy("cid")
         .parquet(f"{root}/assignments/ingest_batch={run_id}")
@@ -490,12 +515,23 @@ def probe_ivf_index(
         )
     if exclude_run_id is not None:
         idx = idx.filter(F.col("ingest_batch") != exclude_run_id)
-    idx = idx.select(
-        F.col("vec_id").alias("index_vec_id"),
-        F.col("v").alias("iv"),
-        F.col("nrm").alias("inrm"),
-        "cid",
-    )
+    if "qv" in idx.columns:
+        # int8 storage tier: dequantize at scan (the scan reads ~8x
+        # fewer bytes; cosine distortion < 1 % — threshold is sized
+        # with that margin by the caller, see write_ivf_index)
+        idx = idx.select(
+            F.col("vec_id").alias("index_vec_id"),
+            VX.dequantize_int8(F.col("qv")).alias("iv"),
+            F.col("nrm").cast("double").alias("inrm"),
+            "cid",
+        )
+    else:
+        idx = idx.select(
+            F.col("vec_id").alias("index_vec_id"),
+            F.col("v").alias("iv"),
+            F.col("nrm").alias("inrm"),
+            "cid",
+        )
     return _observed(
         probe.join(idx, "cid")
         .withColumn(
@@ -609,7 +645,16 @@ def rebuild_ivf_index(
     except AnalysisException:
         raise ValueError(f"no IVF index at {index_path!r} to rebuild") from None
     # compaction tolerates duplicate rows between batches; a rebuild
-    # must not double-store them in the new shards
+    # must not double-store them in the new shards. A quantized index
+    # re-trains on DEQUANTIZED vectors and stays quantized in the new
+    # version (the storage format is an index-level property).
+    quantized = "qv" in idx.columns
+    if quantized:
+        idx = idx.select(
+            "vec_id",
+            VX.dequantize_int8(F.col("qv")).alias("v"),
+            F.col("nrm").cast("double").alias("nrm"),
+        )
     vectors = idx.select("vec_id", "v", "nrm").dropDuplicates(["vec_id"]).persist()
     try:
         n = vectors.count()
@@ -638,10 +683,18 @@ def rebuild_ivf_index(
         cents = spark.read.parquet(f"{new_root}/centroids")
         assign = ivf_assignments(vectors, probes=1, centroids=cents)
         run_id = run_id or f"rebuild-{uuid.uuid4().hex[:12]}"
+        resharded = vectors.join(assign, "vec_id")
+        if quantized:
+            resharded = resharded.select(
+                "vec_id",
+                VX.quantize_int8(F.col("v")).alias("qv"),
+                F.col("nrm").cast("float").alias("nrm"),
+                "cid",
+            )
+        else:
+            resharded = resharded.select("vec_id", "v", "nrm", "cid")
         (
-            vectors.join(assign, "vec_id")
-            .select("vec_id", "v", "nrm", "cid")
-            .repartition("cid")
+            resharded.repartition("cid")
             .write.mode("errorifexists")
             .partitionBy("cid")
             .parquet(f"{new_root}/assignments/ingest_batch={run_id}")

@@ -145,6 +145,13 @@ DRIVER_EXCLUDED = {
     # pack_sequences (running sum as start_offset); pytest
     # differential kept.
     "running_total",
+    # REGISTRY-ONLY by design (not a rotation): the int8-scan +
+    # exact-float-rerank ANN. No DuckDB oracle on purpose — the
+    # round(x/scale) int8 boundary is the one spot engine ulp drift
+    # could flip a candidate; the pytest equalities (rerank scores ==
+    # float scores on every overlapping pair; recall >= 0.9 vs
+    # cosine_topk) pin it instead. Benched for the scan-cost story.
+    "ann_quantized_topk",
     # Rotated out r6 (second wave) to make room for mixture_upsample
     # (row-multiplication explode — a plan family with no prior driver
     # row) and train_order (epoch shuffle-key expression, VERDICT r5 #8):

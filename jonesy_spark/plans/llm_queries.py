@@ -405,6 +405,19 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.bucketed_topk(Catalog(spark, sf_dir).embeddings, k=5, n_queries=10)
 
 
+@query("ann_quantized_topk")
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 whose candidate scan reads the int8 quantized store, with
+    an exact float re-rank of the survivors (similarity.quantized_topk)
+    — the storage-tier ANN shape. REGISTRY-ONLY, deliberately no DuckDB
+    oracle: the int8 rounding boundary (round(x/scale) at exact .5) is
+    the one place engine ulp differences could flip a candidate, so
+    correctness is pinned instead by the pytest equalities — re-ranked
+    scores EXACTLY equal the float scores for every overlapping pair,
+    and recall vs cosine_topk >= 0.9 (test_operators.py)."""
+    return SIM.quantized_topk(Catalog(spark, sf_dir).embeddings, k=10)
+
+
 @query(
     "lang_id_heuristic",
     oracle="""

@@ -17,7 +17,11 @@ def test_every_query_has_oracle_or_is_flagged():
     missing = set(QUERIES) - set(ORACLE)
     # Non-SQL-expressible ops are allowed to omit an oracle, but must be
     # deliberate: list them here when added.
-    allowed_missing: set[str] = set()
+    allowed_missing: set[str] = {
+        # int8 rounding boundary is engine-ulp-sensitive; pinned by
+        # pytest equalities instead (see plans/llm_queries.py)
+        "ann_quantized_topk",
+    }
     assert missing <= allowed_missing, f"queries without oracle: {missing}"
 
 
