@@ -118,8 +118,17 @@ def doc_fingerprint(text: Column, n_windows: int = 4, window: int = 16) -> Colum
 #: digit runs, punctuation runs, whitespace), minus the original's
 #: trailing-space lookahead so the SAME pattern is leftmost-first
 #: compatible across Java regex (Spark), RE2 (DuckDB) and PCRE —
-#: verified identical counts cross-engine in tests.
-PRETOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+#: verified identical counts cross-engine in tests. Whitespace is the
+#: EXPLICIT Java class, never ``\s``: ``\s`` means different sets per
+#: engine (Java includes \x0B, RE2 doesn't, Python's is full Unicode —
+#: NEL \x85 diverges), so spelling the set out is what makes the
+#: pattern portable rather than merely similar.
+PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+"
+    r"| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+"
+    r"|[ \t\n\x0B\f\r]+"
+)
 
 
 def pretoken_count(text: Column) -> Column:

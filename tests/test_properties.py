@@ -225,3 +225,80 @@ def test_pack_sequences_offsets_consistent(spark, sizes, budget):
             assert r["start_offset"] == expect
             assert r["seq_nbr"] == r["start_offset"] // budget
             expect += r["n_tokens"]
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=1,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_quantize_int8_error_bound_any_vector(spark, vecs):
+    """quantize/dequantize round-trip error is <= scale/2 per component
+    for ARBITRARY finite float vectors (negatives, zeros, huge and tiny
+    magnitudes) — the storage-tier contract, not a fixture accident."""
+    from jonesy_spark.functions import vectors as V
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)], "i int, v array<float>")
+    rows = df.select(
+        V.as_double(F.col("v")).alias("orig"),
+        V.quantize_int8(F.col("v")).alias("qv"),
+        V.dequantize_int8(V.quantize_int8(F.col("v"))).alias("back"),
+    ).collect()
+    for r in rows:
+        scale = r["qv"]["scale"]
+        for o, b, q in zip(r["orig"], r["back"], r["qv"]["q"]):
+            assert -128 <= q <= 127
+            assert abs(o - b) <= scale / 2 * 1.0001 + 1e-30
+        # max-magnitude component pins the scale: re-quantization is exact
+        assert max(abs(x) for x in r["orig"]) <= 127.001 * scale
+
+
+@given(
+    texts=st.lists(
+        # Codepoints through U+058F (Latin/Greek/Cyrillic/Armenian +
+        # all ASCII punctuation/control incl. the \x0B / \x85
+        # whitespace edge cases the explicit class pins): category-
+        # stable since early Unicode, so the Java 17 (Spark), RE2
+        # (DuckDB) and Python `regex` tables agree. Recently-added
+        # scripts legitimately differ across engines' Unicode DATA
+        # versions (observed: U+1E290 is \p{L} to Python regex but
+        # not to JDK 17) — that skew is a property of the engines'
+        # tables, not of the pattern.
+        st.text(
+            alphabet=st.characters(max_codepoint=0x58F),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_pretoken_count_matches_python_re(spark, texts):
+    """The pre-tokenizer count matches an independent Python regex
+    implementation of the SAME pattern on arbitrary unicode — pinning
+    the Java-regex semantics the engine relies on."""
+    regex = pytest.importorskip("regex")  # supports \p{..} like Java/RE2
+
+    from jonesy_spark.functions.text import PRETOKEN_PATTERN, pretoken_count
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", pretoken_count(F.col("t")).alias("n")).collect()
+    }
+    for i, t in enumerate(texts):
+        want = len(regex.findall(PRETOKEN_PATTERN, t))
+        assert got[i] == want, (t, got[i], want)
