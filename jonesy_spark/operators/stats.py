@@ -129,3 +129,70 @@ def corpus_stats_report(
     group-level rows, estimate the sketches. Cost is O(batches x
     groups) metadata rows — the documents themselves are never read."""
     return profile_report(merge_profiles(read_stats_index(spark, index_path), group_cols))
+
+
+def stats_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    group_cols: tuple[str, ...] = GROUP_COLS,
+) -> DataFrame:
+    """Per-group drift between two :func:`profile_report` frames — the
+    alert surface for "the upstream crawl changed shape": token-share
+    shifts, vocabulary jumps, domains that appeared or vanished.
+
+    Output per group: both sides' counters, ``tokens_ratio`` /
+    ``vocab_ratio`` (current/baseline; null for new/gone groups),
+    ``token_share_base`` / ``token_share_cur`` / ``share_delta``, and
+    ``status`` in {'both', 'new', 'gone'}. Inputs are group-cardinality
+    metadata frames (KBs), so the full-frame windows that compute the
+    shares are bounded by the number of domains, never the corpus — a
+    nightly drift check reads two index folds and joins a handful of
+    rows.
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    cur = current.select(
+        *gcols,
+        F.col("n_docs").alias("n_docs_cur"),
+        F.col("n_tokens").alias("n_tokens_cur"),
+        F.col("vocab_est").alias("vocab_cur"),
+    )
+    base = baseline.select(
+        *gcols,
+        F.col("n_docs").alias("n_docs_base"),
+        F.col("n_tokens").alias("n_tokens_base"),
+        F.col("vocab_est").alias("vocab_base"),
+    )
+    joined = cur.join(base, gcols, "full_outer")
+    whole = Window.partitionBy()
+    return joined.select(
+        *gcols,
+        "n_docs_base",
+        "n_docs_cur",
+        "n_tokens_base",
+        "n_tokens_cur",
+        "vocab_base",
+        "vocab_cur",
+        F.round(F.col("n_tokens_cur") / F.col("n_tokens_base"), 6).alias(
+            "tokens_ratio"
+        ),
+        F.round(F.col("vocab_cur") / F.col("vocab_base"), 6).alias("vocab_ratio"),
+        F.round(
+            F.coalesce(F.col("n_tokens_base"), F.lit(0))
+            / F.sum(F.coalesce(F.col("n_tokens_base"), F.lit(0))).over(whole),
+            6,
+        ).alias("token_share_base"),
+        F.round(
+            F.coalesce(F.col("n_tokens_cur"), F.lit(0))
+            / F.sum(F.coalesce(F.col("n_tokens_cur"), F.lit(0))).over(whole),
+            6,
+        ).alias("token_share_cur"),
+        F.when(F.col("n_tokens_base").isNull(), "new")
+        .when(F.col("n_tokens_cur").isNull(), "gone")
+        .otherwise("both")
+        .alias("status"),
+    ).withColumn(
+        "share_delta",
+        F.round(F.col("token_share_cur") - F.col("token_share_base"), 6),
+    )

@@ -118,3 +118,30 @@ def test_pretoken_count_matches_duckdb_everywhere(spark, duck):
         pretoken_count(F.lit("It's here, now!")).alias("p")
     ).first()
     assert sample["p"] == 6
+
+
+def test_stats_drift_report(spark):
+    """Known-answer drift: a shrunk domain, a grown one, one vanished,
+    one appeared — ratios, shares and statuses all pinned."""
+    base = spark.createDataFrame(
+        [("a", "en", 10, 1000, 100.0), ("b", "en", 10, 1000, 100.0), ("c", "en", 5, 500, 50.0)],
+        "source string, lang string, n_docs long, n_tokens long, vocab_est double",
+    )
+    cur = spark.createDataFrame(
+        [("a", "en", 20, 2000, 150.0), ("b", "en", 5, 500, 90.0), ("d", "en", 5, 500, 60.0)],
+        "source string, lang string, n_docs long, n_tokens long, vocab_est double",
+    )
+    rows = {
+        r["source"]: r for r in S.stats_drift(cur, base).collect()
+    }
+    assert rows["a"]["status"] == "both" and rows["a"]["tokens_ratio"] == 2.0
+    assert rows["a"]["vocab_ratio"] == 1.5
+    assert rows["b"]["tokens_ratio"] == 0.5
+    assert rows["c"]["status"] == "gone" and rows["c"]["n_tokens_cur"] is None
+    assert rows["d"]["status"] == "new" and rows["d"]["tokens_ratio"] is None
+    # shares: base total 2500, cur total 3000
+    assert rows["a"]["token_share_base"] == 0.4
+    assert abs(rows["a"]["token_share_cur"] - 2000 / 3000) < 1e-6
+    assert rows["d"]["token_share_base"] == 0.0
+    # share deltas sum to ~0 across the union of groups
+    assert abs(sum(r["share_delta"] for r in rows.values())) < 1e-5
