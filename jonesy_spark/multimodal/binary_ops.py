@@ -176,3 +176,121 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
             yield out
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+#: Output schema of the perceptual-hash step.
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def _dhash_bits(values: list[int]) -> int:
+    """64-bit difference hash over a 65-sample signal: bit i is
+    (sample[i+1] > sample[i]). The classic dHash construction —
+    locality-preserving: a small change to the signal flips few bits."""
+    h = 0
+    for i in range(64):
+        h = (h << 1) | (1 if values[i + 1] > values[i] else 0)
+    # two's-complement into int64 range for a Spark BIGINT
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def perceptual_hash(payload: bytes, fake: bool, mime: str) -> int:
+    """64-bit perceptual hash of a media payload.
+
+    PIL path (``image/*`` when importable): standard image dHash —
+    grayscale 9x8 thumbnail, bit per horizontal neighbor comparison.
+    Fake path: the SAME dHash construction over 65 evenly-spaced bytes
+    of the raw payload ("byte-space dHash") — deterministic, codec-free
+    and still locality-preserving (a few changed bytes flip a few
+    bits), so the near-dup plumbing is testable end-to-end without
+    codecs, unlike an md5-style fake that would destroy locality.
+    """
+    if not fake and _PILImage is not None and mime.startswith("image/"):
+        img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((9, 8))
+        px = list(img.getdata())  # row-major 9x8
+        h = 0
+        for r in range(8):
+            for c in range(8):
+                h = (h << 1) | (1 if px[r * 9 + c + 1] > px[r * 9 + c] else 0)
+        return h - (1 << 64) if h >= (1 << 63) else h
+    if not fake:
+        raise NotImplementedError(
+            f"no perceptual-hash codec for mime={mime!r}; pass fake=True"
+        )
+    if len(payload) == 0:
+        return 0
+    n = len(payload)
+    samples = [payload[min(n - 1, (i * n) // 65)] for i in range(65)]
+    return _dhash_bits(samples)
+
+
+def perceptual_hashes(df: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas batch computation of :func:`perceptual_hash` —
+    ``(doc_id, phash)``, the sketch table media near-dup blocks on."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [
+                        perceptual_hash(bytes(p), fake, m)
+                        for p, m in zip(pdf["payload"], pdf["mime"])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def media_near_dup(
+    df: DataFrame, max_hamming: int = 7, fake: bool = True
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual hash: ``(doc_id,
+    dup_doc_id, hamming)`` for every payload pair within
+    ``max_hamming`` bits.
+
+    Same 100 TB shape as the text SimHash operator: 8 pigeonhole bands
+    of 8 bits (PROVABLY lossless for ``max_hamming < 8`` — two hashes
+    within h bits must agree on at least one of h+1 disjoint bands),
+    band-key self-join, exact ``bit_count(xor)`` verification. The
+    only Python is the per-payload hash (Arrow-batched); banding,
+    joining and verification are all JVM-side bit arithmetic on one
+    BIGINT per row.
+    """
+    if not 0 <= max_hamming < 8:
+        raise ValueError(f"max_hamming must be in [0, 8) for 8 bands, got {max_hamming}")
+    sketches = perceptual_hashes(df, fake=fake)
+    banded = sketches.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftrightunsigned(F.col("phash"), 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_key"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band_id", "b.band_key")
+    right = banded.select(
+        F.col("doc_id").alias("dup_doc_id"),
+        F.col("phash").alias("dup_phash"),
+        "band_id",
+        "band_key",
+    )
+    return (
+        banded.join(right, ["band_id", "band_key"])
+        .filter(F.col("doc_id") < F.col("dup_doc_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("phash").bitwiseXOR(F.col("dup_phash"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id", "dup_doc_id", "hamming")
+        .dropDuplicates(["doc_id", "dup_doc_id"])
+    )

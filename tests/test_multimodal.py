@@ -121,3 +121,68 @@ def test_feature_join_back(spark):
     joined = docs.join(feats.select("doc_id", "feature", "decoder"), "doc_id")
     assert joined.count() == 50
     assert "feature" in joined.columns
+
+
+def test_byte_dhash_locality():
+    """The fake path is a real dHash over byte samples: flipping one
+    byte flips at most 2 bits; unrelated payloads land far apart."""
+    import random
+
+    from jonesy_spark.multimodal.binary_ops import perceptual_hash
+
+    rnd = random.Random(7)
+    base = bytes(rnd.randrange(256) for _ in range(640))
+    h0 = perceptual_hash(base, fake=True, mime="image/png")
+    # flip one sampled byte -> at most 2 comparison bits change
+    mutated = bytearray(base)
+    mutated[320] = (mutated[320] + 128) % 256
+    h1 = perceptual_hash(bytes(mutated), fake=True, mime="image/png")
+    assert bin((h0 ^ h1) & ((1 << 64) - 1)).count("1") <= 2
+    # determinism + int64 range
+    assert h0 == perceptual_hash(base, fake=True, mime="image/png")
+    assert -(1 << 63) <= h0 < (1 << 63)
+    assert perceptual_hash(b"", fake=True, mime="x") == 0
+
+
+def test_media_near_dup_pairs(spark):
+    """End-to-end: corrupted copies pair with their originals at small
+    hamming; unrelated payloads don't pair; the band join is lossless
+    for hamming <= max_hamming (every planted near-dup is found)."""
+    import random
+
+    from jonesy_spark.multimodal.binary_ops import media_near_dup
+
+    rnd = random.Random(13)
+    rows = []
+    for i in range(10):
+        p = bytes(rnd.randrange(256) for _ in range(640))
+        rows.append((i, bytearray(p)))
+        # id 100+i: a lightly-corrupted copy (2 byte flips)
+        c = bytearray(p)
+        for off in (100, 500):
+            c[off] = (c[off] + 97) % 256
+        rows.append((100 + i, c))
+    df = spark.createDataFrame(
+        [(i, bytes(p), "image/png", len(p)) for i, p in rows],
+        "doc_id long, payload binary, mime string, byte_len long",
+    )
+    pairs = {
+        (r["doc_id"], r["dup_doc_id"]): r["hamming"]
+        for r in media_near_dup(df, max_hamming=7).collect()
+    }
+    # every planted copy found, paired with its original
+    for i in range(10):
+        assert (i, 100 + i) in pairs, f"missing planted near-dup {i}"
+        assert pairs[(i, 100 + i)] <= 4
+    # no cross-pairs between unrelated originals
+    assert not any(a < 100 and b < 100 for a, b in pairs)
+
+
+def test_media_near_dup_rejects_bad_hamming(spark):
+    import pytest
+
+    from jonesy_spark.multimodal.binary_ops import media_near_dup
+
+    df = spark.createDataFrame([], "doc_id long, payload binary, mime string, byte_len long")
+    with pytest.raises(ValueError):
+        media_near_dup(df, max_hamming=8)
