@@ -701,3 +701,108 @@ def compact_index(
         fs = p.getFileSystem(hconf)
         fs.delete(p, True)
     return run_id
+
+
+def repeated_span_removal(
+    docs: DataFrame,
+    k: int = 13,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-SPAN removal — the span-level exact-
+    substring dedup (public method: Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), re-expressed
+    relationally: any ``k``-token span whose normalized gram occurs in
+    at least ``min_df`` distinct documents is kept ONLY in the min-id
+    document among them and cut from every other occurrence. Doc-level
+    dedup misses this entirely (two different pages sharing one lifted
+    paragraph); line_dedup misses it when the span crosses line
+    structure.
+
+    Output: ``(doc_id, clean_text, n_tokens, n_removed)`` —
+    ``clean_text`` is the surviving tokens in original order, single-
+    space joined (the operator tokenizes on whitespace, so text is
+    whitespace-normalized on the way through, as in the reference
+    method which operates on token streams).
+
+    Scale shape, stage by stage: gram keys are 16-byte md5s built
+    map-side from an array-slice transform (no token-stream shuffle to
+    build grams); the document-frequency pass aggregates per-gram over
+    DISTINCT (gram, doc) pairs — keyed shuffles with map-side combine,
+    the same class as every sketch pass here. The repeated-gram table
+    joins back as an ordinary shuffle join on the gram key (NOT a
+    broadcast: at crawl scale the repeated tail is large — boilerplate
+    is why this operator exists). Covered positions explode only
+    REMOVED spans (k rows each), dedupe by (doc, pos) — overlapping
+    spans merge for free in that distinct, no interval arithmetic —
+    and anti-join the token stream. Reassembly is the house
+    struct-sort groupBy, no window, no global sort.
+    """
+    if k < 2:
+        raise ValueError(f"span length k must be >= 2, got {k}")
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    base = docs.repartition(CPU_PARTITIONS, F.col(id_col)).select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("arr"),
+    )
+    toks = base.select(
+        id_col, F.posexplode(F.col("arr")).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    n = F.size(F.col("arr"))
+    grams = base.select(
+        id_col,
+        F.posexplode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(0), n - k), lambda i: F.md5(
+                        F.lower(F.concat_ws(" ", F.slice(F.col("arr"), i + 1, k)))
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("start", "g"),
+    )
+    hot = (
+        grams.select(id_col, "g")
+        .distinct()
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("gram_df"),
+            F.min(id_col).alias("keeper_doc"),
+        )
+        .filter(F.col("gram_df") >= min_df)
+        .select("g", "keeper_doc")
+    )
+    removed_spans = (
+        grams.join(hot, "g")
+        .filter(F.col(id_col) != F.col("keeper_doc"))
+        .select(id_col, "start")
+    )
+    covered = removed_spans.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))
+        ).alias("pos"),
+    ).distinct()
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+    )

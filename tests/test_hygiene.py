@@ -568,3 +568,60 @@ def test_incremental_dedup_small_batch_equivalent_and_unshuffled(spark):
     import re
     shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     assert all(s.strip().startswith("content_hash") for s in shuffles), shuffles
+
+
+def test_repeated_span_removal_keeps_one_copy(spark):
+    """A paragraph lifted into two documents survives only in the
+    min-id document; unrelated text is untouched; short docs pass
+    through; overlapping repeated spans merge in the position dedup."""
+    from jonesy_spark.operators.hygiene import repeated_span_removal
+
+    shared = " ".join(f"shared{i}" for i in range(15))  # 15-token run
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one {shared} outro one"),
+            (5, f"different lead {shared} and a different tail"),
+            (7, "totally unrelated text with enough tokens to stand alone"),
+            (9, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repeated_span_removal(docs, k=13).collect()}
+
+    # keeper (min id) intact
+    assert out[1]["clean_text"] == f"intro one {shared} outro one"
+    assert out[1]["n_removed"] == 0
+    # the other occurrence loses exactly the shared tokens
+    assert "shared0" not in out[5]["clean_text"]
+    assert out[5]["clean_text"].startswith("different lead")
+    assert out[5]["clean_text"].endswith("and a different tail")
+    assert out[5]["n_removed"] == 15
+    # bystanders untouched
+    assert out[7]["n_removed"] == 0 and out[9]["n_removed"] == 0
+    assert out[9]["clean_text"] == "tiny doc"
+
+
+def test_repeated_span_removal_three_docs_one_keeper(spark):
+    from jonesy_spark.operators.hygiene import repeated_span_removal
+
+    boiler = " ".join(f"b{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [(i, f"head{i} {boiler} tail{i}") for i in (3, 8, 11)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repeated_span_removal(docs, k=13).collect()}
+    assert out[3]["n_removed"] == 0
+    assert out[8]["n_removed"] == 13 and out[11]["n_removed"] == 13
+    assert out[8]["clean_text"] == "head8 tail8"
+
+
+def test_repeated_span_removal_validates_params(spark):
+    import pytest
+
+    from jonesy_spark.operators.hygiene import repeated_span_removal
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        repeated_span_removal(docs, k=1)
+    with pytest.raises(ValueError):
+        repeated_span_removal(docs, min_df=1)
