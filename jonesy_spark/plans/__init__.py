@@ -145,6 +145,11 @@ DRIVER_EXCLUDED = {
     # pack_sequences (running sum as start_offset); pytest
     # differential kept.
     "running_total",
+    # REGISTRY-ONLY this round, first in line for the r7 rotation:
+    # cross-document repeated-span removal has a full DuckDB oracle
+    # (pytest differential green) but the 50-slot cap is spent; PARITY
+    # names it as the next swap-in.
+    "repeated_span_removal",
     # REGISTRY-ONLY by design (not a rotation): the int8-scan +
     # exact-float-rerank ANN. No DuckDB oracle on purpose — the
     # round(x/scale) int8 boundary is the one spot engine ulp drift

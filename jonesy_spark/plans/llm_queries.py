@@ -405,6 +405,66 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.bucketed_topk(Catalog(spark, sf_dir).embeddings, k=5, n_queries=10)
 
 
+@query(
+    "repeated_span_removal",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, i - 1 AS pos, arr[i] AS tok
+        FROM base, unnest(generate_series(1, len(arr))) AS s(i)
+        WHERE arr[i] <> ''
+    ),
+    grams AS (
+        SELECT doc_id, i AS start,
+               md5(lower(array_to_string(arr[i + 1 : i + 13], ' '))) AS g
+        FROM base, unnest(generate_series(0, len(arr) - 13)) AS u(i)
+        WHERE len(arr) >= 13
+    ),
+    hot AS (
+        SELECT g, min(doc_id) AS keeper_doc
+        FROM (SELECT DISTINCT doc_id, g FROM grams)
+        GROUP BY g HAVING count(*) >= 2
+    ),
+    removed AS (
+        SELECT gr.doc_id, gr.start FROM grams gr JOIN hot USING (g)
+        WHERE gr.doc_id <> hot.keeper_doc
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, start + d AS pos
+        FROM removed, unnest(generate_series(0, 12)) AS v(d)
+    ),
+    kept AS (
+        SELECT t.* FROM toks t ANTI JOIN covered c
+          ON t.doc_id = c.doc_id AND t.pos = c.pos
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+    rebuilt AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(t.n_tokens AS INT) AS n_tokens,
+           CAST(t.n_tokens - coalesce(r.n_kept, 0) AS INT) AS n_removed
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span removal (span-level exact dedup,
+    Lee et al. 2022): every 13-token span shared by >= 2 documents
+    survives only in the min-id document. operators.hygiene.
+    repeated_span_removal; oracle reproduces gram keys, keeper choice,
+    position coverage and reassembly relationally."""
+    from ..operators import hygiene as H
+
+    return H.repeated_span_removal(Catalog(spark, sf_dir).documents, k=13)
+
+
 @query("ann_quantized_topk")
 def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 whose candidate scan reads the int8 quantized store, with
