@@ -59,6 +59,11 @@ class CorpusConfig:
     #: stage; None disables (the default — the fixture corpora are
     #: single-line, so the stage is a per-corpus crawl-shape decision).
     line_df_cap: int | None = None
+    #: remove k-token spans repeated across documents (span-level exact
+    #: dedup, hygiene.repeated_span_removal — the min-id document keeps
+    #: its copy); runs with the line stage, before every text-derived
+    #: stage. None disables (per-corpus policy, like the line cap).
+    span_dedup_k: int | None = None
     #: near-dup survivor policy: "min_id" (default — idempotent,
     #: matches the incremental indexes' representative choice) or
     #: "quality" (keep the best-quality member of each cluster,
@@ -117,6 +122,21 @@ def prepare_training_corpus(
                 ),
                 "doc_id",
             )
+        )
+
+    # 1.6 cross-document repeated-span removal (opt-in): the span-level
+    # exact dedup — paragraphs lifted between otherwise-distinct pages
+    # are cut everywhere but the min-id document. Same placement
+    # rationale as the line stage: downstream sketches/gates must see
+    # the de-duplicated text. Whitespace-normalizing by construction
+    # (the operator tokenizes), documented in its docstring.
+    if cfg.span_dedup_k is not None:
+        spans = H.repeated_span_removal(docs, k=cfg.span_dedup_k)
+        docs = docs.drop("text").join(
+            spans.filter(F.length("clean_text") > 0).select(
+                "doc_id", F.col("clean_text").alias("text")
+            ),
+            "doc_id",
         )
 
     # 2. PII scrub (map-only rewrite of the text column).

@@ -591,3 +591,28 @@ def test_prepare_corpus_temperature_mix_policy(spark):
     a = sorted(map(tuple, out["sequences"].select("seq_id", "seq_tokens").collect()))
     b = sorted(map(tuple, again["sequences"].select("seq_id", "seq_tokens").collect()))
     assert a == b
+
+
+def test_prepare_corpus_span_dedup_policy(spark):
+    """The span_dedup_k knob cuts cross-document repeated spans before
+    the text-derived stages: the lifted paragraph survives only in its
+    keeper document's pipeline output."""
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.pipeline.corpus_job import CorpusConfig, prepare_training_corpus
+
+    shared = " ".join(f"lifted{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, f"keeper head {shared} keeper tail", "en", "src0", 10),
+            (6, f"otherlead opening {shared} closing othertail", "en", "src0", 10),
+            (9, "independent filler text with its own tokens entirely", "en", "src1", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = prepare_training_corpus(docs, CorpusConfig(span_dedup_k=13))
+    clean = {r["doc_id"]: r["text"] for r in out["clean"].collect()}
+    assert "lifted0" in clean[1]
+    assert "lifted0" not in clean[6]
+    assert clean[6] == "otherlead opening closing othertail"
+    assert clean[9].startswith("independent")
