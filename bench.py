@@ -42,6 +42,8 @@ HEADLINE = [
     "ann_bucketed_topk",
     # added r6: candidate scan off the int8 store + exact float rerank
     "ann_quantized_topk",
+    # added r6: span-level exact dedup (gram-df pass + anti-join rebuild)
+    "repeated_span_removal",
     "doc_chunking",
     "tfidf_top_terms",
     "text_quality_score",
