@@ -320,4 +320,50 @@ def prepare_corpus_from_jsonl(
     stats_run = ST.write_stats_index(
         ST.profile_batch(docs), f"{workdir}/stats_index"
     )
-    return {"ingest": report, "stats_run_id": stats_run, "paths": paths}
+    counts = {
+        key: spark.read.parquet(path).count() for key, path in paths.items()
+    }
+    manifest = write_corpus_manifest(
+        workdir, cfg or CorpusConfig(), report, stats_run, counts
+    )
+    return {
+        "ingest": report,
+        "stats_run_id": stats_run,
+        "paths": paths,
+        "manifest": manifest,
+    }
+
+
+def write_corpus_manifest(
+    workdir: str,
+    cfg: CorpusConfig,
+    ingest_report,
+    stats_run_id: str,
+    output_counts: dict[str, int],
+) -> str:
+    """Write the run's reproducibility record as
+    ``{workdir}/_MANIFEST.json``: the full config (every md5 salt and
+    policy knob — with them, a rerun over the same raw bytes is
+    byte-identical), the ingest accounting, the stats batch id, and
+    per-output row counts. The underscore prefix keeps it invisible to
+    parquet readers of the sibling directories. Driver-side single
+    small file — metadata, not data.
+    """
+    import dataclasses
+    import json
+    import os
+
+    manifest = {
+        "config": dataclasses.asdict(cfg),
+        "ingest": {
+            "rows_clean": ingest_report.rows_clean,
+            "rows_malformed": ingest_report.rows_malformed,
+            "rows_missing_required": ingest_report.rows_missing_required,
+        },
+        "stats_run_id": stats_run_id,
+        "output_counts": output_counts,
+    }
+    path = os.path.join(workdir, "_MANIFEST.json")
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return path

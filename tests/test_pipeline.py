@@ -552,6 +552,16 @@ def test_prepare_corpus_from_jsonl_end_to_end(spark, tmp_path):
     stats = corpus_stats_report(spark, f"{workdir}/stats_index")
     assert stats.agg(F.sum("n_docs")).first()[0] == 60
 
+    # the manifest pins the whole run: config, accounting, counts
+    import json
+
+    with open(result["manifest"]) as f:
+        manifest = json.load(f)
+    assert manifest["ingest"]["rows_clean"] == 60
+    assert manifest["config"]["salt"] == "corpus-v1"
+    assert manifest["output_counts"]["split"] == split.count()
+    assert manifest["stats_run_id"] == result["stats_run_id"]
+
 
 def test_prepare_corpus_temperature_mix_policy(spark):
     """The tau knob rebalances domains with upsampled copies: copies
