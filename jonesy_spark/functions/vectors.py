@@ -71,8 +71,10 @@ def quantize_int8(v: Column) -> Column:
     originals are kept for verification. Pure built-ins (transform /
     array_max) — whole-stage codegen, no Python.
 
-    All-zero vectors take scale = 1 so the round trip is exact rather
-    than 0/0.
+    All-zero vectors take the 1e-30 floor scale so the round trip is
+    exact (every q is 0) rather than 0/0; vectors whose max magnitude
+    sits below ~1.27e-28 flush to zero under the same floor —
+    embeddings live many orders of magnitude above it.
     """
     vd = as_double(v)
     scale = F.greatest(

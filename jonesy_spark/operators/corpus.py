@@ -253,18 +253,24 @@ def temperature_rates(
     tail domains then get rates > 1 (upsampled epochs) and head
     domains < 1, with the expected token SUM preserved at the budget.
     Pure driver math over a handful of floats — no jobs run here.
+
+    Degenerate domains are EXCLUDED, not crashed on: a zero-token
+    domain (all-empty docs) and the NULL-keyed domain (docs with no
+    source — the ingest contract only requires doc_id/text) get no
+    rate, so :func:`mixture_upsample`'s inner join drops their docs —
+    the same fate a rate of 0 would give them. An all-degenerate
+    totals dict returns {}.
     """
-    if not totals:
-        return {}
     if tau < 0:
         raise ValueError(f"tau must be >= 0, got {tau}")
-    grand = float(sum(totals.values()))
+    live = {g: float(t) for g, t in totals.items() if g is not None and t > 0}
+    if not live:
+        return {}
+    grand = float(sum(live.values()))
     budget = grand if token_budget is None else float(token_budget)
-    shares = {g: (float(t) / grand) ** tau for g, t in totals.items()}
+    shares = {g: (t / grand) ** tau for g, t in live.items()}
     z = sum(shares.values())
-    return {
-        g: (shares[g] / z) * budget / float(totals[g]) for g in sorted(totals)
-    }
+    return {g: (shares[g] / z) * budget / live[g] for g in sorted(live)}
 
 
 def domain_token_totals(

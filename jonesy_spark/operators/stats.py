@@ -67,7 +67,16 @@ def profile_batch(
     sketches = tokens.groupBy(*gcols).agg(
         F.hll_sketch_agg("tok", lg_k).alias("vocab_sketch")
     )
-    return counters.join(sketches, gcols, "left")
+    # NULL-SAFE group join: a NULL source/lang is a legal group (the
+    # ingest contract only requires doc_id/text), and a null-unsafe
+    # equi-join would silently discard its computed sketch.
+    cond = None
+    for c in gcols:
+        eq = counters[c].eqNullSafe(sketches[c])
+        cond = eq if cond is None else (cond & eq)
+    return counters.join(sketches, cond, "left").select(
+        *[counters[c] for c in gcols], "n_docs", "n_tokens", "vocab_sketch"
+    )
 
 
 def merge_profiles(
@@ -76,10 +85,14 @@ def merge_profiles(
     """Fold any number of batch profile rows into one row per group:
     counters add, sketches union (register-wise max — exactly the
     single-pass sketch, however the batches were cut)."""
+    # allowDifferentLgConfigK: batches landed with different lg_k
+    # (parameter drift over an index's lifetime) union by downsizing to
+    # the smaller K instead of making the whole accumulated index
+    # unreadable at report time.
     return profiles.groupBy(*group_cols).agg(
         F.sum("n_docs").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
-        F.hll_union_agg("vocab_sketch").alias("vocab_sketch"),
+        F.hll_union_agg("vocab_sketch", True).alias("vocab_sketch"),
     )
 
 
@@ -108,13 +121,30 @@ def write_stats_index(
     return run_id
 
 
+#: Schema of a profile row under the default GROUP_COLS — what an
+#: absent index reads as (empty), matching the first-run contract of
+#: the other persisted indexes (``hygiene.read_digest_index``).
+DEFAULT_PROFILE_SCHEMA = (
+    "source string, lang string, n_docs bigint, n_tokens bigint, "
+    "vocab_sketch binary"
+)
+
+
 def read_stats_index(
     spark: SparkSession, index_path: str, exclude_run_id: str | None = None
 ) -> DataFrame:
     """All committed batch profile rows; ``exclude_run_id`` omits one
     batch's own subtree (the replay-safety read, as the index bridges
-    do)."""
-    df = spark.read.option("basePath", index_path).parquet(index_path)
+    do). An ABSENT index reads as an empty frame (default-GROUP_COLS
+    schema) — monitoring wired up before the first batch lands reports
+    zero groups instead of crashing; custom-group indexes should land
+    a batch before their first read."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.option("basePath", index_path).parquet(index_path)
+    except AnalysisException:
+        return spark.createDataFrame([], DEFAULT_PROFILE_SCHEMA)
     if exclude_run_id is not None:
         df = df.filter(F.col("ingest_batch") != exclude_run_id)
     return df.drop("ingest_batch")

@@ -312,19 +312,29 @@ def prepare_corpus_from_jsonl(
     docs = spark.read.parquet(docs_path)
 
     out = prepare_training_corpus(docs, cfg)
-    paths = {}
-    for key in ("split", "sequences"):
-        paths[key] = f"{workdir}/corpus/{key}"
-        out[key].write.mode("overwrite").parquet(paths[key])
+    # The two output frames share the full expensive upstream (LSH +
+    # connected components, whose internal caches release at build
+    # time): persist the shared subtrees so the second write and the
+    # count pass don't recompute the near-dup stages end-to-end.
+    out["clean"].persist()
+    out["split"].persist()
+    try:
+        paths = {}
+        for key in ("split", "sequences"):
+            paths[key] = f"{workdir}/corpus/{key}"
+            out[key].write.mode("overwrite").parquet(paths[key])
 
-    stats_run = ST.write_stats_index(
-        ST.profile_batch(docs), f"{workdir}/stats_index"
-    )
-    counts = {
-        key: spark.read.parquet(path).count() for key, path in paths.items()
-    }
+        stats_run = ST.write_stats_index(
+            ST.profile_batch(docs), f"{workdir}/stats_index"
+        )
+        counts = {
+            key: spark.read.parquet(path).count() for key, path in paths.items()
+        }
+    finally:
+        out["clean"].unpersist()
+        out["split"].unpersist()
     manifest = write_corpus_manifest(
-        workdir, cfg or CorpusConfig(), report, stats_run, counts
+        spark, workdir, cfg or CorpusConfig(), report, stats_run, counts
     )
     return {
         "ingest": report,
@@ -335,6 +345,7 @@ def prepare_corpus_from_jsonl(
 
 
 def write_corpus_manifest(
+    spark,
     workdir: str,
     cfg: CorpusConfig,
     ingest_report,
@@ -346,12 +357,14 @@ def write_corpus_manifest(
     policy knob — with them, a rerun over the same raw bytes is
     byte-identical), the ingest accounting, the stats batch id, and
     per-output row counts. The underscore prefix keeps it invisible to
-    parquet readers of the sibling directories. Driver-side single
-    small file — metadata, not data.
+    parquet readers of the sibling directories. Written through the
+    Hadoop FileSystem API — every sibling artifact goes through Spark
+    writers, so the manifest must resolve the same schemes
+    (local/hdfs/s3a), not assume a driver-local path (the same pattern
+    as the IVF ``_COMMITTED`` marker).
     """
     import dataclasses
     import json
-    import os
 
     manifest = {
         "config": dataclasses.asdict(cfg),
@@ -363,7 +376,15 @@ def write_corpus_manifest(
         "stats_run_id": stats_run_id,
         "output_counts": output_counts,
     }
-    path = os.path.join(workdir, "_MANIFEST.json")
-    with open(path, "w", encoding="utf-8") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
-    return path
+    sc = spark.sparkContext
+    Path = sc._jvm.org.apache.hadoop.fs.Path
+    path = Path(f"{workdir}/_MANIFEST.json")
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    stream = fs.create(path, True)
+    try:
+        stream.write(
+            json.dumps(manifest, indent=2, sort_keys=True).encode("utf-8")
+        )
+    finally:
+        stream.close()
+    return f"{workdir}/_MANIFEST.json"

@@ -553,3 +553,12 @@ def test_temperature_mix_end_to_end(spark):
     a = sorted(map(tuple, out.select("doc_id", "copy_nbr").collect()))
     b = sorted(map(tuple, temperature_mix(docs, tau=0.5).select("doc_id", "copy_nbr").collect()))
     assert a == b
+
+
+def test_temperature_rates_degenerate_domains():
+    from jonesy_spark.operators.corpus import temperature_rates
+
+    # zero-token and NULL-keyed domains are excluded, not crashed on
+    r = temperature_rates({"ok": 1000.0, "empty": 0.0, None: 50.0}, tau=0.5)
+    assert set(r) == {"ok"}
+    assert temperature_rates({"empty": 0.0, None: 0.0}) == {}

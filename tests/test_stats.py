@@ -145,3 +145,34 @@ def test_stats_drift_report(spark):
     assert rows["d"]["token_share_base"] == 0.0
     # share deltas sum to ~0 across the union of groups
     assert abs(sum(r["share_delta"] for r in rows.values())) < 1e-5
+
+
+def test_profile_batch_null_group_keeps_sketch(spark):
+    """A NULL source/lang is a legal group (the ingest contract only
+    requires doc_id/text): its sketch must survive the group join."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", None, None, 10), (2, "alpha gamma", None, "en", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {
+        (r["source"], r["lang"]): r
+        for r in S.profile_report(S.profile_batch(docs)).collect()
+    }
+    assert rows[(None, None)]["vocab_est"] == 2.0
+    assert rows[("en", None)]["vocab_est"] == 2.0
+
+
+def test_read_stats_index_absent_is_empty(spark, tmp_path):
+    """First-run contract: an index that does not exist yet reads as
+    an empty frame and the report yields zero groups, not a crash."""
+    report = S.corpus_stats_report(spark, str(tmp_path / "never_written"))
+    assert report.count() == 0
+    assert "vocab_est" in report.columns
+
+
+def test_merge_tolerates_mixed_lg_k(spark):
+    docs = Catalog(spark, SF_DIR).documents
+    a = S.profile_batch(docs.filter(F.col("doc_id") < 30), lg_k=12)
+    b = S.profile_batch(docs.filter(F.col("doc_id") >= 30), lg_k=14)
+    merged = S.profile_report(S.merge_profiles(a.unionByName(b)))
+    assert merged.filter(F.col("vocab_est").isNull()).count() == 0
