@@ -149,11 +149,37 @@ def _prepare_corpus(ctx: JobContext) -> None:
     run_prepare_corpus(ctx)
 
 
+def _ingest_corpus(ctx: JobContext) -> None:
+    """Raw-bytes front door as a cron job: JSONL under ``$CORPUS_SRC``
+    (config-layered, reference ``jonesy.py:7-11`` pattern) through
+    ingest -> pipeline -> stats index into ``{out_root}/corpus_run``.
+    With no ``CORPUS_SRC`` configured the job materializes the fixture
+    documents as JSONL first — the same e2e path, runnable from cron
+    and tests without external inputs.
+    """
+    from .corpus_job import prepare_corpus_from_jsonl
+
+    src = layered_config().get("CORPUS_SRC")
+    if not src:
+        src = f"{ctx.out_root}/raw_src"
+        (
+            Catalog(ctx.spark, ctx.sf_dir)
+            .documents.write.mode("overwrite")
+            .json(src)
+        )
+    prepare_corpus_from_jsonl(ctx.spark, src, f"{ctx.out_root}/corpus_run")
+    ctx.written.extend(
+        ["corpus_run/documents", "corpus_run/corpus/split",
+         "corpus_run/corpus/sequences", "corpus_run/_MANIFEST.json"]
+    )
+
+
 JOBS: dict[str, Callable[[JobContext], None]] = {
     "upload_advisors": upload_advisors,
     "upload_snapshot": upload_snapshot,
     "upload_recent_refresh": upload_recent_refresh,
     "prepare_corpus": _prepare_corpus,
+    "ingest_corpus": _ingest_corpus,
 }
 
 

@@ -626,3 +626,28 @@ def test_prepare_corpus_span_dedup_policy(spark):
     assert "lifted0" not in clean[6]
     assert clean[6] == "otherlead opening closing othertail"
     assert clean[9].startswith("independent")
+
+
+def test_ingest_corpus_job_end_to_end(spark, tmp_path):
+    """JOB=ingest_corpus: with no CORPUS_SRC configured the job
+    self-materializes the fixture documents as JSONL and runs the full
+    raw-bytes path — documents, split, sequences, stats index and
+    manifest all land under the job's output root."""
+    import json
+    import os
+
+    from jonesy_spark.pipeline.jobs import JobContext, run_job
+
+    assert "CORPUS_SRC" not in os.environ
+    ctx = JobContext(spark, SF_DIR, str(tmp_path), [])
+    run_job("ingest_corpus", ctx)
+    assert "corpus_run/_MANIFEST.json" in ctx.written
+
+    root = f"{tmp_path}/corpus_run"
+    docs = spark.read.parquet(f"{root}/documents")
+    assert docs.count() == 500  # whole fixture corpus round-trips
+    assert spark.read.parquet(f"{root}/corpus/split").count() > 0
+    with open(f"{root}/_MANIFEST.json") as f:
+        manifest = json.load(f)
+    assert manifest["ingest"]["rows_clean"] == 500
+    assert manifest["ingest"]["rows_malformed"] == 0
