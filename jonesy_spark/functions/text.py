@@ -139,3 +139,34 @@ def pretoken_count(text: Column) -> Column:
     contractions and digit runs count separately, as they tokenize).
     Pure ``regexp_count`` — JVM-side, map-only, no vocabulary."""
     return F.regexp_count(text, F.lit(PRETOKEN_PATTERN))
+
+
+def strip_control_chars(text: Column) -> Column:
+    """Remove C0/C1 control characters (except \\t \\n \\r) — crawl
+    payloads carry stray terminal controls that corrupt downstream
+    tokenization and CSV sinks. Pure ``regexp_replace``, map-only."""
+    return F.regexp_replace(
+        text, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x80-\x9F]", ""
+    )
+
+
+def nfc_normalize(text: Column) -> Column:
+    """Unicode NFC normalization via an Arrow-batched pandas UDF — the
+    one text op here with no Spark built-in, and a CORRECTNESS input to
+    exact dedup: 'café' composed (U+00E9) and decomposed (e + U+0301)
+    are different bytes, different md5 digests, and therefore invisible
+    to digest dedup until normalized to one form. Ingest-time use:
+    normalize once at the front door so every downstream digest,
+    sketch and gram key sees canonical bytes.
+
+    pandas' vectorized ``Series.str.normalize`` processes each Arrow
+    batch in one call — the sanctioned slow-path shape (same as the
+    multimodal codec boundary), never per-row Python.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):  # pragma: no cover - executed on workers
+        return s.str.normalize("NFC")
+
+    return _nfc(text)

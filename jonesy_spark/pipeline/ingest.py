@@ -154,6 +154,7 @@ def ingest_jsonl_corpus(
     partition_by: tuple[str, ...] = (),
     max_records_per_file: int = 1_000_000,
     mode: str = "overwrite",
+    normalize: bool = False,
 ) -> IngestReport:
     """JSONL -> parquet ingest job: parse, validate, quarantine, write.
 
@@ -168,10 +169,23 @@ def ingest_jsonl_corpus(
     The parsed frame is persisted for the two writes (quarantine is
     normally a sliver, but the persist guarantees one scan of the raw
     bytes either way), then released.
+
+    ``normalize=True`` canonicalizes the text column on the way in —
+    control-char strip (map-only regexp) + Unicode NFC
+    (``functions.text.nfc_normalize``): composed and decomposed forms
+    of the same text digest identically downstream, so exact dedup
+    actually catches them. Normalize at the front door, once; the
+    quarantine keeps the raw bytes untouched as evidence.
     """
     parsed = read_jsonl_corpus(spark, src_path, schema).persist()
     try:
         clean, quarantine = split_quarantine(parsed, required)
+        if normalize:
+            from ..functions.text import nfc_normalize, strip_control_chars
+
+            clean = clean.withColumn(
+                "text", nfc_normalize(strip_control_chars(F.col("text")))
+            )
         clean_obs = Observation("ingest_clean")
         bad_obs = Observation("ingest_quarantine")
         quarantine_path = os.path.join(dest_path, "_quarantine")

@@ -120,3 +120,26 @@ def test_corrupt_col_collision_rejected(spark):
     bad = T.StructType([T.StructField(I.CORRUPT_COL, T.StringType())])
     with pytest.raises(ValueError):
         I.read_jsonl_corpus(spark, "/nonexistent", schema=bad)
+
+
+def test_ingest_normalize_canonicalizes_text(spark, tmp_path):
+    """normalize=True makes composed/decomposed twins land with
+    identical bytes (exact dedup then catches them); raw quarantine
+    evidence stays untouched."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    composed = "caf\u00e9 au lait"
+    decomposed = "cafe\u0301 au lait"
+    lines = [
+        json.dumps({"doc_id": 1, "text": composed, "lang": "fr", "source": "s", "n_chars": 12}),
+        json.dumps({"doc_id": 2, "text": decomposed, "lang": "fr", "source": "s", "n_chars": 13}),
+        json.dumps({"doc_id": 3, "text": "ctl\u0007chars\u009dhere", "lang": "en", "source": "s", "n_chars": 13}),
+    ]
+    (raw / "a.jsonl").write_text("\n".join(lines) + "\n", encoding="utf-8")
+    dest = str(tmp_path / "docs")
+    report = I.ingest_jsonl_corpus(spark, str(raw), dest, normalize=True)
+    assert report.rows_clean == 3
+
+    back = {r["doc_id"]: r["text"] for r in spark.read.parquet(dest).collect()}
+    assert back[1] == back[2] == composed
+    assert back[3] == "ctlcharshere"

@@ -176,3 +176,34 @@ def test_merge_tolerates_mixed_lg_k(spark):
     b = S.profile_batch(docs.filter(F.col("doc_id") >= 30), lg_k=14)
     merged = S.profile_report(S.merge_profiles(a.unionByName(b)))
     assert merged.filter(F.col("vocab_est").isNull()).count() == 0
+
+
+def test_nfc_normalize_unifies_digests(spark):
+    """Composed vs decomposed unicode digests differently RAW and
+    identically after NFC — the exact-dedup correctness case; NFC is
+    idempotent; control chars strip without touching \\t \\n."""
+    from jonesy_spark.functions.text import nfc_normalize, strip_control_chars
+
+    composed = "café au lait"
+    decomposed = "café au lait"
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed)], "doc_id long, text string"
+    )
+    raw = df.select(F.md5("text").alias("d")).distinct().count()
+    norm = (
+        df.select(F.md5(nfc_normalize(F.col("text"))).alias("d"))
+        .distinct()
+        .count()
+    )
+    assert raw == 2 and norm == 1
+
+    # idempotence
+    once = df.select(nfc_normalize(F.col("text")).alias("t"))
+    twice = once.select(nfc_normalize(F.col("t")).alias("t"))
+    assert [r["t"] for r in once.collect()] == [r["t"] for r in twice.collect()]
+
+    ctrl = spark.createDataFrame(
+        [(1, "a\x00b\x1fc\tkeep\nlines\x9d")], "doc_id long, text string"
+    )
+    got = ctrl.select(strip_control_chars(F.col("text")).alias("t")).first()["t"]
+    assert got == "abc\tkeep\nlines"
