@@ -170,3 +170,44 @@ def nfc_normalize(text: Column) -> Column:
         return s.str.normalize("NFC")
 
     return _nfc(text)
+
+
+#: Unicode script ranges as EXPLICIT codepoint classes — the same
+#: portability rule as PRETOKEN_PATTERN: Java spells scripts
+#: \p{IsHan}, RE2 spells them \p{Han}, so named script classes are
+#: engine-specific; literal ranges are identical everywhere. Coarse on
+#: purpose (script family detection for routing, not linguistics).
+SCRIPT_RANGES = {
+    "latin": r"[A-Za-z\x{00C0}-\x{024F}]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "cjk": r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]",
+    "arabic": r"[\x{0600}-\x{06FF}]",
+}
+
+
+def script_counts(text: Column) -> list[Column]:
+    """One aliased ``regexp_count`` per script family (``n_<script>``)
+    — map-only, JVM-side; the input to routing decisions ("send CJK
+    docs to the CJK tokenizer") and to mixed-script spam detection."""
+    return [
+        F.regexp_count(text, F.lit(pat)).alias(f"n_{name}")
+        for name, pat in SCRIPT_RANGES.items()
+    ]
+
+
+def dominant_script(text: Column) -> Column:
+    """The script family with the highest character count ('none' when
+    no family matches; ties break by the fixed SCRIPT_RANGES order via
+    strict greater-than). A deterministic CASE chain — reproducible in
+    any SQL engine with the same literal ranges."""
+    counts = {n: F.regexp_count(text, F.lit(p)) for n, p in SCRIPT_RANGES.items()}
+    expr = F.lit("none")
+    # build innermost-last: reversed iteration leaves the FIRST-listed
+    # family as the outermost WHEN, so it wins ties
+    for name in reversed(list(SCRIPT_RANGES)):
+        cond = counts[name] > F.lit(0)
+        for other in SCRIPT_RANGES:
+            if other != name:
+                cond = cond & (counts[name] >= counts[other])
+        expr = F.when(cond, F.lit(name)).otherwise(expr)
+    return expr

@@ -860,3 +860,32 @@ def ann_recall(
             F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
         )
     )
+
+
+def embedding_health(emb: DataFrame) -> DataFrame:
+    """One-row health report of a vector store — the pre-flight check
+    before indexing or training consumes it: row/distinct-id counts
+    (duplicate ids silently corrupt index appends), dimension
+    consistency (a mixed-dim batch breaks every dot product), null and
+    zero-vector counts (zero vectors make cosine undefined), and norm
+    quantiles (collapsed or exploding norms are the classic sign of a
+    broken embedding export).
+
+    Single aggregation pass; ``approx_percentile`` keeps the quantiles
+    one-pass and executor-bounded at any scale (an exact percentile
+    would sort the corpus for a monitoring number).
+    """
+    v = VX.as_double(F.col("embedding"))
+    nrm = VX.norm(v)
+    return emb.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("vec_id").alias("n_distinct_ids"),
+        F.countDistinct(F.size(v)).alias("n_dims_seen"),
+        F.min(F.size(v)).alias("dim_min"),
+        F.max(F.size(v)).alias("dim_max"),
+        F.count(F.when(F.col("embedding").isNull(), 1)).alias("n_null_vecs"),
+        F.count(F.when(nrm == 0.0, 1)).alias("n_zero_vecs"),
+        F.round(F.min(nrm), 6).alias("norm_min"),
+        F.round(F.percentile_approx(nrm, 0.5), 6).alias("norm_p50"),
+        F.round(F.max(nrm), 6).alias("norm_max"),
+    )

@@ -830,3 +830,31 @@ def test_ivf_index_int8_tier(spark, tmp_path):
     assert _bytes(f"{idx}/assignments/ingest_batch=e0") < 0.65 * _bytes(
         f"{idxf}/assignments/ingest_batch=e0"
     )
+
+
+def test_embedding_health_flags_defects(spark):
+    """The pre-flight report catches the classic export defects:
+    duplicate ids, mixed dims, null and zero vectors."""
+    from jonesy_spark.operators.similarity import embedding_health
+
+    healthy = Catalog(spark, SF_DIR).embeddings
+    h = embedding_health(healthy).first()
+    assert h["n_rows"] == h["n_distinct_ids"] == 500
+    assert h["n_dims_seen"] == 1 and h["dim_min"] == h["dim_max"] == 64
+    assert h["n_null_vecs"] == 0 and h["n_zero_vecs"] == 0
+    assert h["norm_min"] > 0
+
+    broken = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (1, [0.0, 1.0], 0),        # duplicate id
+            (2, [1.0, 2.0, 3.0], 0),   # mixed dimension
+            (3, None, 0),              # null vector
+            (4, [0.0, 0.0], 0),        # zero vector
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    b = embedding_health(broken).first()
+    assert b["n_rows"] == 5 and b["n_distinct_ids"] == 4
+    assert b["n_dims_seen"] == 2 and (b["dim_min"], b["dim_max"]) == (2, 3)
+    assert b["n_null_vecs"] == 1 and b["n_zero_vecs"] == 1

@@ -207,3 +207,42 @@ def test_nfc_normalize_unifies_digests(spark):
     )
     got = ctrl.select(strip_control_chars(F.col("text")).alias("t")).first()["t"]
     assert got == "abc\tkeep\nlines"
+
+
+def test_script_profile_matches_duckdb(spark, duck):
+    """Script-family counts are engine-portable (explicit codepoint
+    ranges — named script classes differ between Java and RE2), and
+    dominant_script picks the max with first-listed tie-break."""
+    from jonesy_spark.functions.text import (
+        SCRIPT_RANGES,
+        dominant_script,
+        script_counts,
+    )
+
+    texts = [
+        (1, "Hello мир мир мир"),
+        (2, "你好世界 ひらがな"),
+        (3, "...!!! 123"),
+        (4, "mixed мир"),
+        (5, "مرحبا بالعالم"),
+        (6, "ab яю"),  # 2 latin vs 2 cyrillic: a true tie -> first listed wins
+    ]
+    df = spark.createDataFrame(texts, "i long, t string")
+    got = {
+        r["i"]: (r["s"], *[r[f"n_{k}"] for k in SCRIPT_RANGES])
+        for r in df.select(
+            "i", dominant_script(F.col("t")).alias("s"), *script_counts(F.col("t"))
+        ).collect()
+    }
+    assert got[1][0] == "cyrillic" and got[2][0] == "cjk"
+    assert got[3][0] == "none" and got[5][0] == "arabic"
+    assert got[6][0] == "latin"  # tie-break: first-listed family
+
+    for i, t in texts:
+        duck_counts = tuple(
+            duck.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [t, pat]
+            ).fetchone()[0]
+            for pat in SCRIPT_RANGES.values()
+        )
+        assert got[i][1:] == duck_counts, (t, got[i][1:], duck_counts)
