@@ -53,6 +53,9 @@ HEADLINE = [
     # cold pays the one-time index seed write (session memo), steady
     # prices the probe alone: sketch(batch) + touched-bucket join.
     "incremental_near_dup",
+    # added r6: BPE train (word-count pass + bounded driver merge loop)
+    # + Arrow-batched encode of the full corpus under the merge table
+    "bpe_token_stats",
 ]
 
 

@@ -1,0 +1,405 @@
+"""Subword vocabulary induction (BPE) and corpus tokenization.
+
+Reference scope: the reference engine has no tokenizer — this belongs to
+the beyond-the-reference LLM-pipeline surface (SURVEY.md §2 extension):
+a training-data engine that can count, dedup and mix documents but not
+TOKENIZE them hands the single most corpus-shaped computation (vocab
+induction needs global substring statistics) to a separate system. The
+token-count proxies in ``functions.text`` (``whitespace_token_count``,
+``pretoken_count``) stay the cheap gating path; this module is the real
+thing: learn a merge table from the corpus, then encode documents with
+it.
+
+Algorithm: byte-pair encoding over pre-tokenizer segments (Sennrich et
+al. 2016, "Neural Machine Translation of Rare Words with Subword Units";
+the greedy rank-ordered encoder is the public GPT-2 formulation). Both
+are public literature. Segmentation reuses
+``functions.text.PRETOKEN_PATTERN`` (GPT-2-style alternation, already
+cross-engine pinned), and the pattern TILES the string — every character
+lands in exactly one segment — so ``concat(tokens) == text`` is an exact
+round-trip invariant, tested. Symbols are Unicode characters (not
+bytes): codec-free, deterministic, and the fixture corpus is text; a
+byte-level variant would only change the initial alphabet.
+
+Scale shape (100 TB):
+
+  * The ONLY corpus-scale pass is ``word_counts`` — explode pretokens,
+    one keyed aggregation with map-side combine. Everything downstream
+    operates on the ``(word, count)`` table, which Heaps' law bounds to
+    a vanishing fraction of the corpus (distinct pretokens grow ~n^0.5
+    while tokens grow ~n).
+  * ``bpe_train`` then caps that table at the top ``max_words`` by
+    count — the same Zipf boundedness argument as the unigram-logprob
+    vocabulary broadcast (``corpus.unigram_logprob``): the top 100k
+    pretokens carry essentially all token mass, so the capped table is
+    MBs however large the corpus, and the merge loop runs driver-side
+    over it (bounded, like the k-means centroid table). The merge TABLE
+    is driver-sized by definition — ``n_merges`` rows is the entire
+    output of training.
+  * ``bpe_train_distributed`` is the unbounded path (no word cap): the
+    per-round state stays a DataFrame, each round is one keyed
+    aggregation (pair counts, map-side combined) + a 1-row driver
+    action (the argmax pair — same bounded-collect precedent as the
+    per-term fan-out) + a map-only fold applying the merge. Lineage is
+    truncated on a ``localCheckpoint`` cadence exactly like the
+    connected-components round loop (``operators.graph``). Verified
+    merge-for-merge identical to the driver trainer in tests.
+  * ``bpe_encode`` is the sanctioned slow path: pre-tokenization stays
+    JVM-side (``regexp_extract_all``), and only the per-segment merge
+    loop crosses to Python as an Arrow-batched pandas UDF with a
+    per-batch segment→tokens memo — Zipf again: a batch of documents
+    repeats the same frequent pretokens, so the memo turns the common
+    case into a dict hit. The merge-rank dict rides the UDF closure
+    (``n_merges`` entries, KBs — broadcast-sized by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import PRETOKEN_PATTERN
+from .dedup import CPU_PARTITIONS
+
+#: Output schema of both trainers — ``rank`` is the merge order (0 is
+#: the first, most-frequent merge), ``pair_count`` the pair's frequency
+#: at the time it was chosen (weighted by word counts).
+MERGES_SCHEMA = "rank int, left string, right string, merged string, pair_count long"
+
+
+def pretokens(text: Column) -> Column:
+    """The pre-tokenizer segmentation BPE merges within — every merge
+    stays inside one segment. ``regexp_extract_all`` group 0 under the
+    shared :data:`~jonesy_spark.functions.text.PRETOKEN_PATTERN`; the
+    alternation covers every character class, so the matches tile the
+    string: ``concat_ws('', pretokens(t)) == t`` exactly (tested).
+    JVM-side, map-only. NULL text yields an empty array (not NULL) so
+    downstream explodes and folds never need a guard."""
+    return F.coalesce(
+        F.regexp_extract_all(text, F.lit(PRETOKEN_PATTERN), 0),
+        F.array().cast("array<string>"),
+    )
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The corpus-scale pass: ``(word, count)`` over pre-tokenizer
+    segments. One explode + one keyed aggregation (map-side combine);
+    the result is the Heaps-law-bounded sufficient statistic every
+    trainer below consumes — the 100 TB corpus is never touched again.
+    """
+    return (
+        docs.select(F.explode(pretokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def _merge_word(syms: list[str], a: str, b: str, ab: str) -> list[str]:
+    """Greedy left-to-right non-overlapping replacement of the adjacent
+    pair (a, b) — the classic BPE application order. Identical to the
+    SQL ``aggregate`` fold the distributed trainer uses (a just-merged
+    symbol is ``ab``, which no longer equals ``a`` unless the strings
+    collide, in which case re-merging IS the correct greedy behavior)."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _train_bpe_py(
+    words: list[tuple[list[str], int]],
+    n_merges: int,
+    min_pair_count: int,
+) -> list[tuple[int, str, str, str, int]]:
+    """In-driver BPE over a bounded ``(symbols, count)`` word table —
+    incremental pair bookkeeping (only words containing the chosen pair
+    are touched per round), deterministic tie-break (max count, then
+    lexicographically smallest pair). Pure Python on a capped table;
+    the distributed twin reproduces it merge-for-merge (tested)."""
+    from collections import Counter, defaultdict
+
+    syms = [list(w) for w, _ in words]
+    counts = [c for _, c in words]
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict = defaultdict(set)
+    for wi, w in enumerate(syms):
+        c = counts[wi]
+        for p in zip(w, w[1:]):
+            pair_counts[p] += c
+            pair_words[p].add(wi)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        best_count = 0
+        for p, c in pair_counts.items():
+            if c > best_count:
+                best_count = c
+        if best_count < min_pair_count:
+            break
+        best = min(p for p, c in pair_counts.items() if c == best_count)
+        a, b = best
+        ab = a + b
+        merges.append((rank, a, b, ab, best_count))
+        for wi in sorted(pair_words[best]):
+            w = syms[wi]
+            # the index is add-only, so entries can be stale — re-check
+            if not any(x == a and y == b for x, y in zip(w, w[1:])):
+                continue
+            c = counts[wi]
+            for p in zip(w, w[1:]):
+                pair_counts[p] -= c
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+            new = _merge_word(w, a, b, ab)
+            syms[wi] = new
+            for p in zip(new, new[1:]):
+                pair_counts[p] += c
+                pair_words[p].add(wi)
+    return merges
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 256,
+    text_col: str = "text",
+    max_words: int = 100_000,
+    min_count: int = 1,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Learn a BPE merge table from the corpus — the bounded-statistic
+    path. One distributed pass builds :func:`word_counts`; the top
+    ``max_words`` words by (count desc, word) — deterministic, and by
+    Zipf carrying essentially all token mass — come to the driver
+    (bounded collect, the unigram-vocab precedent), and the merge loop
+    runs in-process over them. Training stops early once the best
+    pair's weighted count drops below ``min_pair_count`` (merging
+    near-singletons memorizes noise, and the distributed twin's
+    stopping rule must agree exactly).
+
+    Returns a :data:`MERGES_SCHEMA` DataFrame — ``n_merges`` rows at
+    most, driver-sized by definition, broadcast-shaped for
+    :func:`bpe_encode`.
+    """
+    wc = word_counts(docs, text_col)
+    if min_count > 1:
+        wc = wc.filter(F.col("count") >= min_count)
+    top = (
+        wc.orderBy(F.col("count").desc(), "word")
+        .limit(max_words)
+        .collect()
+    )
+    merges = _train_bpe_py(
+        [(list(r["word"]), r["count"]) for r in top], n_merges, min_pair_count
+    )
+    spark = docs.sparkSession
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def _apply_merge_col(syms: Column, a: str, b: str) -> Column:
+    """The SQL twin of :func:`_merge_word`: a left fold over the symbol
+    array that merges adjacent (a, b) greedily. Whole-stage-codegen
+    higher-order function — map-only, no shuffle, no Python."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train_distributed(
+    docs: DataFrame,
+    n_merges: int = 256,
+    text_col: str = "text",
+    min_count: int = 1,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """The unbounded-word-table trainer: per-round state is the
+    ``(symbols, count)`` DataFrame itself, never collected. Each round
+    costs one keyed pair-count aggregation (map-side combined; the pair
+    stream is built map-side from array slices, the span-dedup idiom),
+    one 1-row argmax collect (bounded driver action), and one map-only
+    fold applying the merge. ``localCheckpoint`` every
+    ``checkpoint_every`` rounds truncates lineage exactly like the
+    connected-components loop; each round's state is persisted and the
+    predecessor released, so no round replays its ancestors.
+
+    Same deterministic tie-break and ``min_pair_count`` stop as
+    :func:`bpe_train` — the two trainers are merge-for-merge identical
+    on any corpus whose word table survives the cap (tested).
+    """
+    state = (
+        word_counts(docs, text_col)
+        .filter(F.col("count") >= min_count)
+        .select(F.split("word", "").alias("syms"), "count")
+        .repartition(CPU_PARTITIONS)
+        .persist()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for rank in range(n_merges):
+            # pair stream built map-side from an indexed transform; the
+            # slice guard (not sequence()) keeps 1-symbol words empty —
+            # sequence(1, 0) DESCENDS in Spark — and get() is the
+            # ANSI-safe subscript for the final null-padded slot
+            pairs = (
+                state.select(
+                    F.explode(
+                        F.expr(
+                            "slice(transform(syms, (s, i) -> "
+                            "struct(get(syms, i) as l, get(syms, i + 1) as r)), "
+                            "1, greatest(size(syms) - 1, 0))"
+                        )
+                    ).alias("p"),
+                    "count",
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("count").alias("c"))
+            )
+            best = pairs.orderBy(F.col("c").desc(), "l", "r").limit(1).collect()
+            if not best or best[0]["c"] < min_pair_count:
+                break
+            a, b, c = best[0]["l"], best[0]["r"], best[0]["c"]
+            merges.append((rank, a, b, a + b, c))
+            nxt = state.select(
+                _apply_merge_col(F.col("syms"), a, b).alias("syms"), "count"
+            )
+            if (rank + 1) % checkpoint_every == 0:
+                nxt = nxt.localCheckpoint()
+            nxt = nxt.persist()
+            state.unpersist()
+            state = nxt
+    finally:
+        state.unpersist()
+    return docs.sparkSession.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def _rank_table(merges) -> dict[tuple[str, str], int]:
+    """Merge DataFrame (or pre-collected rows) → ``{(l, r): rank}`` —
+    ``n_merges`` entries, KBs, closure-shipped to the encode UDF."""
+    rows = merges.collect() if isinstance(merges, DataFrame) else merges
+    return {(r["left"], r["right"]): r["rank"] for r in rows}
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize ``text_col`` under a trained merge table: adds
+    ``out_col array<string>``. Pre-tokenization runs JVM-side
+    (:func:`pretokens`); the Arrow-batched pandas UDF only runs the
+    rank-ordered merge loop per DISTINCT segment, memoized per batch —
+    the greedy lowest-rank-first encoder is equivalent to replaying
+    training merges in order (the public GPT-2 formulation).
+    ``concat_ws('', out_col) == text`` exactly, for any merge table
+    (tested property).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = _rank_table(merges)
+
+    @pandas_udf("array<string>")
+    def _enc(segs):  # pragma: no cover - executed on workers
+        import pandas as pd
+
+        inf = float("inf")
+        memo: dict[str, list[str]] = {}
+
+        def encode_word(word: str) -> list[str]:
+            got = memo.get(word)
+            if got is not None:
+                return got
+            syms = list(word)
+            while len(syms) > 1:
+                best, best_rank = None, inf
+                for p in zip(syms, syms[1:]):
+                    r = ranks.get(p, inf)
+                    if r < best_rank:
+                        best, best_rank = p, r
+                if best is None:
+                    break
+                syms = _merge_word(syms, best[0], best[1], best[0] + best[1])
+            memo[word] = syms
+            return syms
+
+        out = []
+        for seg_list in segs:
+            toks: list[str] = []
+            for w in seg_list:
+                toks.extend(encode_word(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    return docs.withColumn(out_col, _enc(pretokens(F.col(text_col))))
+
+
+def bpe_token_stats(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document tokenization report under a trained merge table:
+    ``(doc_id, n_chars, n_pretokens, n_bpe_tokens, chars_per_token)`` —
+    the compression-ratio view that decides whether a vocabulary is
+    worth its size. chars_per_token is rounded to 6 digits; counts are
+    exact. One encode pass; the merge table rides the closure."""
+    enc = bpe_encode(docs, merges, text_col=text_col)
+    return enc.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.size(pretokens(F.col(text_col))).alias("n_pretokens"),
+        F.size("bpe_tokens").alias("n_bpe_tokens"),
+        F.round(
+            F.length(F.col(text_col))
+            / F.greatest(F.size("bpe_tokens"), F.lit(1)),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
+def bpe_vocab(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+) -> DataFrame:
+    """The id-assigning vocabulary: base alphabet (distinct characters
+    of the corpus's word table, id-ordered lexicographically) followed
+    by merged symbols in rank order — ``(token_id, token, kind)``. The
+    base pass is one distributed distinct over exploded characters; the
+    merged tier is the driver-sized merge table. Deterministic for a
+    fixed corpus + merge table."""
+    base = (
+        word_counts(docs, text_col)
+        .select(F.explode(F.split("word", "")).alias("token"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    base = base.withColumn(
+        "token_id",
+        F.row_number().over(Window.orderBy("token")) - F.lit(1),
+    ).withColumn("kind", F.lit("base"))
+    n_base = base.count()
+    m = merges if isinstance(merges, DataFrame) else docs.sparkSession.createDataFrame(merges, MERGES_SCHEMA)
+    merged = m.select(
+        (F.col("rank") + F.lit(n_base)).alias("token_id"),
+        F.col("merged").alias("token"),
+        F.lit("merged").alias("kind"),
+    )
+    return base.select("token_id", "token", "kind").unionByName(merged)

@@ -173,6 +173,15 @@ DRIVER_EXCLUDED = {
     # stays driver-checked via cube_agg (grouping-set Expand) and the
     # distinct aggregates in profile_table.
     "set_operations",
+    # REGISTRY-ONLY by design (not a rotation): BPE vocabulary
+    # induction + tokenization. The iterative merge induction is not
+    # SQL-expressible, so there is no DuckDB oracle to hash against —
+    # a driver slot would only buy a rows-only check, while the pytest
+    # tier pins far more (merge table == independent naive reference;
+    # distributed trainer == driver trainer; encode == sequential merge
+    # replay; exact concat round-trip). Benched for the encode-cost
+    # story.
+    "bpe_token_stats",
 }
 
 

@@ -478,6 +478,24 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.quantized_topk(Catalog(spark, sf_dir).embeddings, k=10)
 
 
+@query("bpe_token_stats")
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 64-merge BPE table on the corpus (one distributed
+    word-count pass + bounded driver merge loop), then tokenize every
+    document under it: (doc_id, n_chars, n_pretokens, n_bpe_tokens,
+    chars_per_token). REGISTRY-ONLY, deliberately no DuckDB oracle: the
+    iterative merge induction is not SQL-expressible — correctness is
+    pinned instead by the pytest differentials (merge table == an
+    independent naive recount-per-round reference; distributed trainer
+    == driver trainer merge-for-merge; encode == sequential merge
+    replay; exact concat round-trip)."""
+    from ..operators import tokenize as TOK
+
+    docs = Catalog(spark, sf_dir).documents
+    merges = TOK.bpe_train(docs, n_merges=64)
+    return TOK.bpe_token_stats(docs, merges)
+
+
 @query(
     "lang_id_heuristic",
     oracle="""

@@ -67,6 +67,17 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if args.names:
+        # registry-only queries (driver-excluded) are drivable by name:
+        # fall back to the full registry, rows-only when no oracle
+        from jonesy_spark.plans import all_oracle_sql, all_queries
+
+        reg, reg_oracles = all_queries(), all_oracle_sql()
+        for n in args.names:
+            if n not in queries and n in reg:
+                queries[n] = reg[n]
+                if n in reg_oracles:
+                    oracles[n] = reg_oracles[n]
     names = args.names or sorted(queries)
     failures = []
     for name in names:

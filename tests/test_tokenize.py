@@ -1,0 +1,213 @@
+"""BPE vocabulary induction + corpus tokenization (operators.tokenize).
+
+The merge table is pinned against an INDEPENDENT naive reference
+implementation (recount-every-round, written here, no code shared with
+the operator), the distributed trainer is pinned merge-for-merge against
+the driver trainer, and the encoder is pinned against sequentially
+replaying the training merges — the standard equivalence the greedy
+rank-ordered encoder claims."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jonesy_spark.operators import tokenize as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- independent naive reference (no shared code with the operator) ---
+
+
+def _naive_pairs(word):
+    return list(zip(word, word[1:]))
+
+
+def _naive_merge(word, a, b):
+    out, i = [], 0
+    while i < len(word):
+        if i + 1 < len(word) and word[i] == a and word[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(word[i])
+            i += 1
+    return out
+
+
+def _naive_bpe(words, n_merges, min_pair_count=2):
+    """Recount-from-scratch every round: O(rounds * corpus), obviously
+    correct, used only on tiny corpora."""
+    words = [(list(w), c) for w, c in words]
+    merges = []
+    for rank in range(n_merges):
+        counts = {}
+        for w, c in words:
+            for p in _naive_pairs(w):
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        best_count = max(counts.values())
+        if best_count < min_pair_count:
+            break
+        best = min(p for p, c in counts.items() if c == best_count)
+        merges.append((rank, best[0], best[1], best[0] + best[1], best_count))
+        words = [(_naive_merge(w, *best), c) for w, c in words]
+    return merges
+
+
+TINY = [
+    ("low", 5),
+    ("lower", 2),
+    ("newest", 6),
+    ("widest", 3),
+    ("newer", 2),
+]
+
+
+def _tiny_docs(spark):
+    # one doc per word occurrence keeps word_counts == the TINY table
+    rows = []
+    i = 0
+    for w, c in TINY:
+        for _ in range(c):
+            rows.append((i, w))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pretokens_tile_roundtrip(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    bad = (
+        docs.select(
+            F.concat_ws("", T.pretokens(F.col("text"))).alias("rt"),
+            "text",
+        )
+        .filter(F.col("rt") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_bpe_train_matches_naive_reference(spark):
+    docs = _tiny_docs(spark)
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in T.bpe_train(docs, n_merges=10).orderBy("rank").collect()
+    ]
+    want = _naive_bpe(TINY, 10)
+    assert got == want
+    assert len(got) > 3  # the corpus supports several merges
+
+
+def test_bpe_train_distributed_equals_driver(spark):
+    docs = _tiny_docs(spark)
+    drv = T.bpe_train(docs, n_merges=8).orderBy("rank").collect()
+    dist = (
+        T.bpe_train_distributed(docs, n_merges=8, checkpoint_every=3)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [tuple(r) for r in drv] == [tuple(r) for r in dist]
+
+
+def test_bpe_train_distributed_equals_driver_on_fixture(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    drv = T.bpe_train(docs, n_merges=12).orderBy("rank").collect()
+    dist = (
+        T.bpe_train_distributed(docs, n_merges=12, checkpoint_every=5)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [tuple(r) for r in drv] == [tuple(r) for r in dist]
+    assert len(drv) == 12
+
+
+def test_bpe_encode_roundtrip_and_zero_merges(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    merges = T.bpe_train(docs, n_merges=24)
+    enc = T.bpe_encode(docs, merges)
+    bad = (
+        enc.select(
+            F.concat_ws("", "bpe_tokens").alias("rt"), "text"
+        )
+        .filter(F.col("rt") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+    # zero merges -> every token is a single character
+    enc0 = T.bpe_encode(docs, [], out_col="t0")
+    bad0 = (
+        enc0.select(F.size("t0").alias("n"), F.length("text").alias("l"))
+        .filter(F.col("n") != F.col("l"))
+        .count()
+    )
+    assert bad0 == 0
+
+
+def test_bpe_encode_monotone_in_merges(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    m_small = T.bpe_train(docs, n_merges=8).collect()
+    m_big = T.bpe_train(docs, n_merges=32).collect()
+    # the larger table extends the smaller one (same prefix)
+    assert [tuple(r) for r in m_big[:len(m_small)]] == [tuple(r) for r in m_small]
+    a = T.bpe_encode(docs, m_small, out_col="a").select("doc_id", F.size("a").alias("na"))
+    b = T.bpe_encode(docs, m_big, out_col="b").select("doc_id", F.size("b").alias("nb"))
+    grew = a.join(b, "doc_id").filter(F.col("nb") > F.col("na")).count()
+    assert grew == 0
+
+
+def test_bpe_encode_equals_sequential_replay(spark):
+    """Greedy lowest-rank-first per segment == replaying the training
+    merges in rank order over the segment — the GPT-2 equivalence."""
+    docs = _tiny_docs(spark)
+    merges = T.bpe_train(docs, n_merges=8).orderBy("rank").collect()
+    enc = {
+        r["text"]: list(r["toks"])
+        for r in T.bpe_encode(docs, merges, out_col="toks")
+        .select("text", "toks")
+        .distinct()
+        .collect()
+    }
+    for word, _ in TINY:
+        syms = list(word)
+        for m in merges:
+            syms = _naive_merge(syms, m["left"], m["right"])
+        assert enc[word] == syms, word
+
+
+def test_bpe_token_stats_bounds(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    merges = T.bpe_train(docs, n_merges=16)
+    stats = T.bpe_token_stats(docs, merges)
+    bad = stats.filter(
+        (F.col("n_bpe_tokens") < F.col("n_pretokens"))
+        | (F.col("n_bpe_tokens") > F.col("n_chars"))
+    ).count()
+    assert bad == 0
+
+
+def test_bpe_vocab_ids_contiguous(spark):
+    docs = _tiny_docs(spark)
+    merges = T.bpe_train(docs, n_merges=6)
+    vocab = T.bpe_vocab(docs, merges).orderBy("token_id").collect()
+    ids = [r["token_id"] for r in vocab]
+    assert ids == list(range(len(vocab)))
+    kinds = [r["kind"] for r in vocab]
+    n_base = kinds.count("base")
+    assert kinds == ["base"] * n_base + ["merged"] * (len(vocab) - n_base)
+    # every merged token is the concat of its merge pair
+    by_rank = {r["rank"]: r for r in merges.collect()}
+    merged = [r for r in vocab if r["kind"] == "merged"]
+    for i, r in enumerate(merged):
+        assert r["token"] == by_rank[i]["merged"]
+
+
+def test_bpe_train_min_pair_count_stops(spark):
+    # every word unique, count 1: no pair ever reaches 2 -> no merges
+    docs = spark.createDataFrame(
+        [(0, "abc"), (1, "def"), (2, "ghi")], "doc_id long, text string"
+    )
+    assert T.bpe_train(docs, n_merges=5).count() == 0
+    assert T.bpe_train_distributed(docs, n_merges=5).count() == 0
