@@ -26,7 +26,7 @@ idempotent. Rows here are GROUP-level (a handful per batch), so no
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -225,4 +225,72 @@ def stats_drift(
     ).withColumn(
         "share_delta",
         F.round(F.col("token_share_cur") - F.col("token_share_base"), 6),
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    compare_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Row-level diff between two corpus snapshots:
+    ``(id, status, old_digest, new_digest)`` with status in
+    ``added | removed | changed | unchanged`` — the reverse-CDC
+    operator. The reference pipeline ships FULL nightly snapshots
+    (reference ``jonesy/jobs.py:124-131``: every run re-extracts and
+    re-uploads the whole table); diffing successive snapshots is how a
+    consumer BOOTSTRAPS a change feed from a source with no watermark
+    column — the complement of ``cdc_upsert`` (which applies a feed to
+    a snapshot, while this derives the feed from two snapshots).
+
+    Comparison is by digest: ``md5`` over the ``compare_cols`` joined
+    with a US (0x1f) separator, NULLs mapped to a NUL sentinel so
+    ``(NULL, 'a')`` and ``('', 'a')`` differ. Digesting map-side means
+    the JOIN carries only (id, 16-byte digest) per side — document
+    bytes never shuffle, which is the entire cost story at corpus
+    scale: the full-outer join hash-partitions both sides on the id,
+    and with snapshots WRITTEN bucketed by the id it is shuffle-free.
+
+    Duplicate ids within a snapshot are a layout defect this operator
+    must not silently absorb (a full-outer join would multiply rows):
+    callers guarantee uniqueness (the corpus contract); the summary
+    wrapper exposes totals so a multiplied diff is visible immediately.
+    """
+    sep, nul = "\x1f", "\x00"
+
+    def digest(df: DataFrame) -> Column:
+        return F.md5(
+            F.concat_ws(
+                sep,
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit(nul))
+                    for c in compare_cols
+                ],
+            )
+        )
+
+    o = old.select(F.col(id_col), digest(old).alias("old_digest"))
+    n = new.select(F.col(id_col), digest(new).alias("new_digest"))
+    return o.join(n, id_col, "full_outer").select(
+        id_col,
+        F.when(F.col("old_digest").isNull(), "added")
+        .when(F.col("new_digest").isNull(), "removed")
+        .when(F.col("old_digest") != F.col("new_digest"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        "old_digest",
+        "new_digest",
+    )
+
+
+def snapshot_diff_summary(diff: DataFrame) -> DataFrame:
+    """One row per status with counts and share of the union — the
+    nightly monitoring view over :func:`snapshot_diff` (a sudden spike
+    in ``changed`` or ``removed`` is the classic upstream-regression
+    alarm). One keyed aggregation + a broadcast 1-row total."""
+    counts = diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "status", "n", F.round(F.col("n") / F.col("t"), 6).alias("share")
     )

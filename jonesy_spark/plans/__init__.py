@@ -182,6 +182,11 @@ DRIVER_EXCLUDED = {
     # replay; exact concat round-trip). Benched for the encode-cost
     # story.
     "bpe_token_stats",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # reverse CDC — derive the change feed from two snapshot
+    # generations (stats.snapshot_diff). Second in line for the r7
+    # rotation behind repeated_span_removal; pytest differential green.
+    "snapshot_cdc",
 }
 
 

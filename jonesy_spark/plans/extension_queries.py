@@ -654,6 +654,51 @@ def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_cdc",
+    oracle="""
+    WITH oldsnap AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+    ),
+    newsnap AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+        FROM documents WHERE doc_id % 5 <> 0
+    ),
+    o AS (SELECT doc_id, md5(coalesce(text, chr(0))) AS old_digest FROM oldsnap),
+    n AS (SELECT doc_id, md5(coalesce(text, chr(0))) AS new_digest FROM newsnap)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN old_digest <> new_digest THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           old_digest, new_digest
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """,
+)
+def snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse CDC: derive the change feed from two full nightly
+    snapshots (stats.snapshot_diff) — the complement of cdc_upsert,
+    and the shape the reference's snapshot-only pipeline implies
+    (reference jonesy/jobs.py:124-131 re-ships the full table nightly;
+    consumers diff generations to get increments). Fixture derivation:
+    old = doc_id % 7 != 0, new = doc_id % 5 != 0 with ' v2' appended
+    for doc_id % 3 == 0 — covers all four statuses. Digests are
+    computed map-side so only (id, digest) enters the full-outer join.
+    """
+    from ..operators import stats as ST
+
+    docs = Catalog(spark, sf_dir).documents
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return ST.snapshot_diff(old, new)
+
+
+@query(
     "profile_table",
     oracle="""
     SELECT 'l_quantity' AS col_name, count(*) AS n_rows,

@@ -21,6 +21,10 @@ def test_every_query_has_oracle_or_is_flagged():
         # int8 rounding boundary is engine-ulp-sensitive; pinned by
         # pytest equalities instead (see plans/llm_queries.py)
         "ann_quantized_topk",
+        # iterative BPE merge induction is not SQL-expressible; pinned
+        # by the test_tokenize differentials (naive reference, trainer
+        # equivalence, sequential-replay encode, concat round-trip)
+        "bpe_token_stats",
     }
     assert missing <= allowed_missing, f"queries without oracle: {missing}"
 

@@ -246,3 +246,44 @@ def test_script_profile_matches_duckdb(spark, duck):
             for pat in SCRIPT_RANGES.values()
         )
         assert got[i][1:] == duck_counts, (t, got[i][1:], duck_counts)
+
+
+def test_snapshot_diff_statuses(spark):
+    from jonesy_spark.operators.stats import snapshot_diff, snapshot_diff_summary
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None), (5, "")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, ""), (5, ""), (6, "f")],
+        "doc_id long, text string",
+    )
+    d = snapshot_diff(old, new)
+    got = {r["doc_id"]: r["status"] for r in d.collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "changed",  # NULL -> '' is a CHANGE, not unchanged
+        5: "unchanged",
+        6: "added",
+    }
+    s = {r["status"]: (r["n"], r["share"]) for r in snapshot_diff_summary(d).collect()}
+    assert s["unchanged"][0] == 2 and s["changed"][0] == 2
+    assert s["added"][0] == 1 and s["removed"][0] == 1
+    assert abs(sum(v[1] for v in s.values()) - 1.0) < 1e-6
+
+
+def test_snapshot_diff_multi_column_compare(spark):
+    from jonesy_spark.operators.stats import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "en")], "doc_id long, text string, lang string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "de"), (2, "b", "en")], "doc_id long, text string, lang string"
+    )
+    d = snapshot_diff(old, new, compare_cols=("text", "lang"))
+    got = {r["doc_id"]: r["status"] for r in d.collect()}
+    assert got == {1: "changed", 2: "unchanged"}
