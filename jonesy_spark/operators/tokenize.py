@@ -403,3 +403,58 @@ def bpe_vocab(
         F.lit("merged").alias("kind"),
     )
     return base.select("token_id", "token", "kind").unionByName(merged)
+
+
+def live_merges_version(spark: SparkSession, path: str) -> int | None:
+    """The committed merge-table version currently served, or None when
+    none is published. Same atomic-publish contract as the IVF index
+    (``similarity.live_ivf_version``): a version is live only once its
+    ``version=N/_COMMITTED`` marker exists — a single file create — so
+    readers resolving mid-publish keep the previous table. Hadoop
+    FileSystem API: identical on local disk, HDFS, s3a."""
+    sc = spark.sparkContext
+    Path = sc._jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(sc._jsc.hadoopConfiguration())
+    best = None
+    for st in fs.globStatus(Path(f"{path}/version=*/_COMMITTED")) or []:
+        n = int(st.getPath().getParent().getName().split("=", 1)[1])
+        if best is None or n > best:
+            best = n
+    return best
+
+
+def write_bpe_merges(merges: DataFrame, path: str) -> int:
+    """Publish a trained merge table as the next ``version=N`` subtree,
+    made live by an atomic ``_COMMITTED`` marker create. Returns the
+    published version number.
+
+    A merge table is a VOCABULARY CONTRACT: every artifact encoded
+    under it (packed sequences, token counts, downstream training
+    shards) is only comparable to artifacts encoded under the SAME
+    table, so the store is versioned-immutable like the IVF centroid
+    tables — retraining publishes a new version, it never mutates one.
+    Version numbering skips past crashed (uncommitted) attempts, and
+    the table itself is one coalesced file (``n_merges`` rows —
+    driver-sized by definition)."""
+    spark = merges.sparkSession
+    sc = spark.sparkContext
+    Path = sc._jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(sc._jsc.hadoopConfiguration())
+    taken = [
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.globStatus(Path(f"{path}/version=*")) or []
+    ]
+    n = 1 + max(taken, default=-1)
+    merges.coalesce(1).write.mode("error").parquet(f"{path}/version={n}")
+    fs.create(Path(f"{path}/version={n}/_COMMITTED"), False).close()
+    return n
+
+
+def read_bpe_merges(spark: SparkSession, path: str) -> DataFrame | None:
+    """The live (latest committed) merge table, or None when no version
+    has been published — crashed partial writes are invisible by
+    construction (no ``_COMMITTED`` marker)."""
+    n = live_merges_version(spark, path)
+    if n is None:
+        return None
+    return spark.read.parquet(f"{path}/version={n}")

@@ -211,3 +211,26 @@ def test_bpe_train_min_pair_count_stops(spark):
     )
     assert T.bpe_train(docs, n_merges=5).count() == 0
     assert T.bpe_train_distributed(docs, n_merges=5).count() == 0
+
+
+def test_bpe_merge_store_versioned_publish(spark, tmp_path):
+    path = str(tmp_path / "merges")
+    docs = _tiny_docs(spark)
+    assert T.read_bpe_merges(spark, path) is None
+
+    m1 = T.bpe_train(docs, n_merges=4)
+    v1 = T.write_bpe_merges(m1, path)
+    assert v1 == 0
+    got = T.read_bpe_merges(spark, path).orderBy("rank").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in m1.orderBy("rank").collect()]
+
+    # a crashed attempt (no _COMMITTED marker) stays invisible
+    m2 = T.bpe_train(docs, n_merges=6)
+    m2.write.parquet(f"{path}/version=1")
+    assert T.live_merges_version(spark, path) == 0
+    assert len(T.read_bpe_merges(spark, path).collect()) == 4
+
+    # the next publish skips past the crashed subtree
+    v2 = T.write_bpe_merges(m2, path)
+    assert v2 == 2
+    assert len(T.read_bpe_merges(spark, path).collect()) == 6
