@@ -458,3 +458,65 @@ def read_bpe_merges(spark: SparkSession, path: str) -> DataFrame | None:
     if n is None:
         return None
     return spark.read.parquet(f"{path}/version={n}")
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    vocab: DataFrame,
+    merges,
+    text_col: str = "text",
+    out_col: str = "token_ids",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Tokenize straight to integer ids under a frozen
+    (:func:`bpe_vocab`, merge table) pair — what a training shard
+    actually stores. Adds ``out_col array<int>``.
+
+    The token→id dict rides the UDF closure next to the merge ranks —
+    both are vocabulary-sized (base alphabet + ``n_merges`` entries,
+    KBs to low MBs), the same boundedness contract as every broadcast
+    dict in this engine. A symbol outside the vocab (possible only
+    when encoding a DIFFERENT corpus than the vocab was built from —
+    e.g. a new ingest batch with unseen characters) maps to ``oov_id``
+    rather than failing the shard job; count them downstream via
+    ``aggregate(out_col, 0, ...)`` or re-train a new vocab version.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = _rank_table(merges)
+    ids = {r["token"]: r["token_id"] for r in vocab.collect()}
+
+    @pandas_udf("array<int>")
+    def _enc(segs):  # pragma: no cover - executed on workers
+        import pandas as pd
+
+        inf = float("inf")
+        memo: dict[str, list[int]] = {}
+
+        def encode_word(word: str) -> list[int]:
+            got = memo.get(word)
+            if got is not None:
+                return got
+            syms = list(word)
+            while len(syms) > 1:
+                best, best_rank = None, inf
+                for p in zip(syms, syms[1:]):
+                    r = ranks.get(p, inf)
+                    if r < best_rank:
+                        best, best_rank = p, r
+                if best is None:
+                    break
+                syms = _merge_word(syms, best[0], best[1], best[0] + best[1])
+            out = [ids.get(s, oov_id) for s in syms]
+            memo[word] = out
+            return out
+
+        out = []
+        for seg_list in segs:
+            toks: list[int] = []
+            for w in seg_list:
+                toks.extend(encode_word(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    return docs.withColumn(out_col, _enc(pretokens(F.col(text_col))))

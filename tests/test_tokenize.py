@@ -234,3 +234,30 @@ def test_bpe_merge_store_versioned_publish(spark, tmp_path):
     v2 = T.write_bpe_merges(m2, path)
     assert v2 == 2
     assert len(T.read_bpe_merges(spark, path).collect()) == 6
+
+
+def test_bpe_encode_ids_roundtrip_through_vocab(spark):
+    docs = _tiny_docs(spark)
+    merges = T.bpe_train(docs, n_merges=6)
+    vocab = T.bpe_vocab(docs, merges)
+    id2tok = {r["token_id"]: r["token"] for r in vocab.collect()}
+    enc_s = T.bpe_encode(docs, merges, out_col="toks")
+    enc_i = T.bpe_encode_ids(docs, vocab, merges, out_col="ids")
+    rows = (
+        enc_s.select("doc_id", "toks")
+        .join(enc_i.select("doc_id", "ids"), "doc_id")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert [id2tok[i] for i in r["ids"]] == list(r["toks"])
+        assert -1 not in r["ids"]  # same corpus -> no OOV
+
+
+def test_bpe_encode_ids_oov_on_unseen_chars(spark):
+    train = _tiny_docs(spark)
+    merges = T.bpe_train(train, n_merges=4)
+    vocab = T.bpe_vocab(train, merges)
+    other = spark.createDataFrame([(0, "lowzq")], "doc_id long, text string")
+    ids = T.bpe_encode_ids(other, vocab, merges).collect()[0]["token_ids"]
+    assert ids.count(-1) == 2  # z and q unseen in training
