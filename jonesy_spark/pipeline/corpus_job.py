@@ -87,6 +87,17 @@ class CorpusConfig:
     #: doc-keyed split — the classic eval leak. None keeps the
     #: doc-keyed split.
     split_cluster_threshold: float | None = None
+    #: when set, train a BPE merge table of this many merges on the
+    #: TRAIN split (eval text must never shape the vocabulary — the
+    #: tokenizer twin of the leakage-safe split) and emit integer
+    #: token ids for the train docs (operators.tokenize). None
+    #: disables (the default; token-count proxies keep gating cheap).
+    #: NOTE: unlike every other stage, vocab training is an ACTION —
+    #: the merge loop runs bounded driver rounds — so enabling this
+    #: makes prepare_training_corpus eager at the tokenize stage.
+    tokenizer_merges: int | None = None
+    #: Zipf cap on the driver-side word table for vocab training.
+    tokenizer_max_words: int = 100_000
 
 
 def prepare_training_corpus(
@@ -266,7 +277,33 @@ def prepare_training_corpus(
     )
     sequences = C.assemble_sequences(train, packed, id_col=pack_id)
 
-    return {"clean": clean, "split": split, "packed": packed, "sequences": sequences}
+    out = {"clean": clean, "split": split, "packed": packed, "sequences": sequences}
+
+    # 9. tokenization (opt-in): vocab trained on the TRAIN split only
+    # (the tokenizer twin of the leakage-safe split — eval text must
+    # not shape the merge table), then the train docs encode to
+    # integer ids under the frozen (vocab, merges) pair. Upsampled
+    # copies encode per copy (the shard layout is per pack_id), but
+    # the vocab trains on the deduplicated documents so copy
+    # multiplicity cannot bias pair counts.
+    if cfg.tokenizer_merges is not None:
+        from ..operators import tokenize as TOK
+
+        vocab_docs = train.dropDuplicates(["doc_id"]) if pack_id != "doc_id" else train
+        merges = TOK.bpe_train(
+            vocab_docs,
+            n_merges=cfg.tokenizer_merges,
+            max_words=cfg.tokenizer_max_words,
+        )
+        vocab = TOK.bpe_vocab(vocab_docs, merges)
+        tokenized = TOK.bpe_encode_ids(train, vocab, merges).select(
+            pack_id,
+            "token_ids",
+            F.size("token_ids").alias("n_bpe_tokens"),
+        )
+        out.update({"merges": merges, "vocab": vocab, "tokenized": tokenized})
+
+    return out
 
 
 def run_prepare_corpus(ctx) -> None:

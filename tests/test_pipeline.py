@@ -651,3 +651,28 @@ def test_ingest_corpus_job_end_to_end(spark, tmp_path):
         manifest = json.load(f)
     assert manifest["ingest"]["rows_clean"] == 500
     assert manifest["ingest"]["rows_malformed"] == 0
+
+
+def test_prepare_corpus_tokenizer_stage(spark):
+    """Opt-in tokenize stage: vocab trains on the train split only,
+    every train doc encodes to ids with zero OOV, and ids decode back
+    to the document text through the vocab."""
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.pipeline.corpus_job import CorpusConfig, prepare_training_corpus
+
+    docs = Catalog(spark, SF_DIR).documents.limit(120)
+    out = prepare_training_corpus(
+        docs, CorpusConfig(tokenizer_merges=16)
+    )
+    assert {"merges", "vocab", "tokenized"} <= set(out)
+    assert out["merges"].count() == 16
+    n_train = out["split"].filter("split = 'train'").count()
+    tok = out["tokenized"]
+    assert tok.count() == n_train
+    # vocab trained on the same docs -> no OOV ids anywhere
+    assert tok.filter(F.array_contains("token_ids", -1)).count() == 0
+    # ids decode back to the exact document text
+    id2tok = {r["token_id"]: r["token"] for r in out["vocab"].collect()}
+    texts = {r["doc_id"]: r["text"] for r in out["clean"].collect()}
+    for r in tok.limit(10).collect():
+        assert "".join(id2tok[i] for i in r["token_ids"]) == texts[r["doc_id"]]
