@@ -520,3 +520,47 @@ def bpe_encode_ids(
         return pd.Series(out)
 
     return docs.withColumn(out_col, _enc(pretokens(F.col(text_col))))
+
+
+def write_bpe_tokenizer(merges: DataFrame, vocab: DataFrame, path: str) -> int:
+    """Publish a complete tokenizer — the (merge table, id vocabulary)
+    PAIR — as one atomically-committed ``version=N`` subtree holding
+    ``merges/`` and ``vocab/``. Ids are meaningless without the exact
+    vocab they were assigned under, so the two tables freeze together
+    or not at all: one ``_COMMITTED`` marker covers both (a reader can
+    never see a new vocab with old merges mid-publish). Same
+    versioned-immutable contract as :func:`write_bpe_merges`; use THIS
+    store when downstream consumes ids (training shards), the
+    merges-only store when it consumes token strings. The two layouts
+    differ (subtrees vs a bare table), so give each store its own
+    path."""
+    spark = merges.sparkSession
+    sc = spark.sparkContext
+    Path = sc._jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(sc._jsc.hadoopConfiguration())
+    taken = [
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.globStatus(Path(f"{path}/version=*")) or []
+    ]
+    n = 1 + max(taken, default=-1)
+    merges.coalesce(1).write.mode("error").parquet(f"{path}/version={n}/merges")
+    vocab.coalesce(1).write.mode("error").parquet(f"{path}/version={n}/vocab")
+    fs.create(Path(f"{path}/version={n}/_COMMITTED"), False).close()
+    return n
+
+
+def read_bpe_tokenizer(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, int] | None:
+    """The live (merges, vocab, version) triple, or None when no
+    version is committed. The version number travels with encoded
+    output as artifact lineage — a shard is only comparable to shards
+    of the same tokenizer version."""
+    n = live_merges_version(spark, path)
+    if n is None:
+        return None
+    return (
+        spark.read.parquet(f"{path}/version={n}/merges"),
+        spark.read.parquet(f"{path}/version={n}/vocab"),
+        n,
+    )

@@ -494,3 +494,76 @@ def test_jsonl_ingest_stream_two_waves(spark, tmp_path):
 
     stats = corpus_stats_report(spark, stats_idx)
     assert stats.agg(F.sum("n_docs")).first()[0] == 3
+
+
+def test_tokenized_shard_stream_two_waves(spark, tmp_path):
+    """Streaming shard encoder: wave 1 encodes under the published
+    tokenizer with zero OOV (same corpus); a restarted query over wave
+    2 (same checkpoint) encodes only the new files, and its unseen
+    characters land as counted OOV sentinels with the tokenizer
+    version riding every row."""
+    from jonesy_spark.operators import tokenize as T
+    from jonesy_spark.streaming.incremental import run_tokenized_shard_stream
+
+    land = tmp_path / "docs"
+    land.mkdir()
+    shards, ckpt = str(tmp_path / "shards"), str(tmp_path / "ckpt")
+    tok_path = str(tmp_path / "tokenizer")
+
+    train = spark.createDataFrame(
+        [(1, "low lower"), (2, "newest widest")], "doc_id long, text string"
+    )
+    merges = T.bpe_train(train, n_merges=6)
+    vocab = T.bpe_vocab(train, merges)
+    v = T.write_bpe_tokenizer(merges, vocab, tok_path)
+    assert v == 0
+
+    def wave(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(f"{land}/{name}")
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            f"{land}/*"
+        )
+        run_tokenized_shard_stream(stream, tok_path, shards, ckpt)
+
+    wave("w1", [(1, "low lower"), (2, "newest widest")])
+    wave("w2", [(3, "low zq")])
+
+    got = spark.read.parquet(shards)
+    rows = {r["doc_id"]: r for r in got.collect()}
+    assert sorted(rows) == [1, 2, 3]
+    # wave-1 docs: same corpus as the vocab -> zero OOV
+    assert rows[1]["n_oov"] == 0 and rows[2]["n_oov"] == 0
+    # wave-2 doc carries unseen chars z and q
+    assert rows[3]["n_oov"] == 2
+    assert all(r["tokenizer_version"] == 0 for r in rows.values())
+    # ids decode back to the text through the published vocab
+    id2tok = {r["token_id"]: r["token"] for r in vocab.collect()}
+    assert (
+        "".join(id2tok[i] for i in rows[1]["token_ids"]) == "low lower"
+    )
+    # the two waves landed as separate epoch subtrees
+    assert got.select("ingest_batch").distinct().count() == 2
+
+
+def test_tokenized_shard_stream_requires_tokenizer(spark, tmp_path):
+    import pytest as _pytest
+
+    from jonesy_spark.streaming.incremental import run_tokenized_shard_stream
+
+    land = tmp_path / "docs"
+    land.mkdir()
+    spark.createDataFrame([(1, "x")], "doc_id long, text string").write.parquet(
+        f"{land}/w1"
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"{land}/*"
+    )
+    with _pytest.raises(Exception, match="no committed tokenizer"):
+        run_tokenized_shard_stream(
+            stream,
+            str(tmp_path / "missing_tok"),
+            str(tmp_path / "shards"),
+            str(tmp_path / "ckpt"),
+        )

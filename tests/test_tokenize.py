@@ -261,3 +261,19 @@ def test_bpe_encode_ids_oov_on_unseen_chars(spark):
     other = spark.createDataFrame([(0, "lowzq")], "doc_id long, text string")
     ids = T.bpe_encode_ids(other, vocab, merges).collect()[0]["token_ids"]
     assert ids.count(-1) == 2  # z and q unseen in training
+
+
+def test_bpe_tokenizer_pair_store_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "tok")
+    docs = _tiny_docs(spark)
+    assert T.read_bpe_tokenizer(spark, path) is None
+    m = T.bpe_train(docs, n_merges=4)
+    v = T.bpe_vocab(docs, m)
+    assert T.write_bpe_tokenizer(m, v, path) == 0
+    rm, rv, n = T.read_bpe_tokenizer(spark, path)
+    assert n == 0
+    assert sorted(map(tuple, rm.collect())) == sorted(map(tuple, m.collect()))
+    assert sorted(map(tuple, rv.collect())) == sorted(map(tuple, v.collect()))
+    # second publish bumps the version; readers re-point atomically
+    assert T.write_bpe_tokenizer(m, v, path) == 1
+    assert T.read_bpe_tokenizer(spark, path)[2] == 1
