@@ -564,3 +564,30 @@ def read_bpe_tokenizer(
         spark.read.parquet(f"{path}/version={n}/vocab"),
         n,
     )
+
+
+def oov_report(shards: DataFrame) -> DataFrame:
+    """Nightly OOV-rate report over a tokenized shard table (the
+    ``run_tokenized_shard_stream`` / :func:`bpe_encode_ids` output):
+    per (tokenizer_version, ingest_batch) docs, token totals, OOV
+    totals and rate — one keyed aggregation over per-row counters, no
+    re-tokenization. A rising ``oov_rate`` across batches is the
+    re-train-the-vocab alarm; a STEP at a version bump is the expected
+    signature of the new vocab taking over."""
+    keys = [
+        c for c in ("tokenizer_version", "ingest_batch") if c in shards.columns
+    ]
+    return (
+        shards.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe_tokens").alias("n_tokens"),
+            F.sum("n_oov").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(
+                F.col("n_oov") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+            ),
+        )
+    )

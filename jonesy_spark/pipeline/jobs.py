@@ -174,12 +174,30 @@ def _ingest_corpus(ctx: JobContext) -> None:
     )
 
 
+def _train_tokenizer(ctx: JobContext) -> None:
+    """Nightly vocabulary training: learn a BPE merge table on the
+    corpus (``TOKENIZER_MERGES`` via the layered config, default 256)
+    and publish the (merges, vocab) pair as the next committed version
+    under ``{out_root}/tokenizer`` — consumers (the shard stream, the
+    corpus pipeline) re-resolve the live version per run/batch, so
+    publishing IS the rollout."""
+    from ..operators import tokenize as TOK
+
+    docs = Catalog(ctx.spark, ctx.sf_dir).documents
+    n_merges = int(layered_config().get("TOKENIZER_MERGES", "256"))
+    merges = TOK.bpe_train(docs, n_merges=n_merges)
+    vocab = TOK.bpe_vocab(docs, merges)
+    v = TOK.write_bpe_tokenizer(merges, vocab, f"{ctx.out_root}/tokenizer")
+    ctx.written.append(f"tokenizer/version={v}")
+
+
 JOBS: dict[str, Callable[[JobContext], None]] = {
     "upload_advisors": upload_advisors,
     "upload_snapshot": upload_snapshot,
     "upload_recent_refresh": upload_recent_refresh,
     "prepare_corpus": _prepare_corpus,
     "ingest_corpus": _ingest_corpus,
+    "train_tokenizer": _train_tokenizer,
 }
 
 

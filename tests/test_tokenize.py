@@ -277,3 +277,66 @@ def test_bpe_tokenizer_pair_store_roundtrip(spark, tmp_path):
     # second publish bumps the version; readers re-point atomically
     assert T.write_bpe_tokenizer(m, v, path) == 1
     assert T.read_bpe_tokenizer(spark, path)[2] == 1
+
+
+def test_train_tokenizer_job_publishes_versioned_pair(spark, tmp_path, monkeypatch):
+    from jonesy_spark.pipeline.jobs import JobContext, run_job
+
+    monkeypatch.setenv("TOKENIZER_MERGES", "8")
+    ctx = JobContext(
+        spark=spark,
+        sf_dir=SF_DIR,
+        out_root=str(tmp_path),
+        targets=[str(tmp_path / "t0")],
+    )
+    run_job("train_tokenizer", ctx)
+    assert any(w.startswith("tokenizer/version=0") for w in ctx.written)
+    merges, vocab, v = T.read_bpe_tokenizer(spark, f"{tmp_path}/tokenizer")
+    assert v == 0 and merges.count() == 8 and vocab.count() > 8
+
+
+def test_oov_report_rates(spark):
+    shards = spark.createDataFrame(
+        [
+            (1, [5, 6], 2, 0, 0, "epoch-0"),
+            (2, [5, -1], 2, 1, 0, "epoch-0"),
+            (3, [5, 6, -1, -1], 4, 2, 0, "epoch-1"),
+        ],
+        "doc_id long, token_ids array<int>, n_bpe_tokens int, n_oov int, "
+        "tokenizer_version int, ingest_batch string",
+    )
+    got = {
+        r["ingest_batch"]: r
+        for r in T.oov_report(shards).collect()
+    }
+    assert got["epoch-0"]["n_docs"] == 2 and got["epoch-0"]["n_oov"] == 1
+    assert abs(got["epoch-0"]["oov_rate"] - 0.25) < 1e-9
+    assert abs(got["epoch-1"]["oov_rate"] - 0.5) < 1e-9
+
+
+# --- property: the incremental driver trainer == the naive reference ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_words_strategy = st.lists(
+    st.tuples(
+        # tiny alphabet forces overlapping-pair stress (aaa + merge
+        # (a,a)) and string-collision merges ((ab,c) vs (a,bc))
+        st.text(alphabet="ab", min_size=1, max_size=7),
+        st.integers(1, 5),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(words=_words_strategy, n=st.integers(1, 10))
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_bpe_incremental_trainer_matches_naive_property(words, n):
+    """The incremental pair-bookkeeping trainer (touch only words
+    containing the chosen pair, stale-index recheck, delta counts) is
+    exactly the recount-from-scratch reference on ANY corpus."""
+    got = T._train_bpe_py([(list(w), c) for w, c in words], n, 2)
+    assert got == _naive_bpe(words, n, 2)
