@@ -608,3 +608,81 @@ def quota_sample(
     return ranked.filter(
         F.col("__quota").isNull() | (F.col("__rk") <= F.col("__quota"))
     ).drop("__quota", "__rk")
+
+
+def token_budget_prune(
+    docs: DataFrame,
+    budget_tokens: int,
+    quality: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_ranges: int = 64,
+) -> DataFrame:
+    """Greedy global prefix under a corpus-wide token budget: rank every
+    document by (``quality`` desc, ``id_col``) and keep the maximal
+    prefix whose running token total fits ``budget_tokens`` — the
+    "best N tokens" corpus cut (distinct from
+    :func:`quality_percentile_filter`, which keeps a FRACTION per
+    domain, and from the mixture budget, which reweights in
+    expectation; this one is an exact hard cap). Output:
+    ``(id, quality, n_tokens, cum_tokens)``.
+
+    Scale shape — the naive form is a global ordered cumulative window,
+    i.e. ONE task sorting the corpus. This is the two-pass
+    range-partition form (the terasort pattern): ``repartitionByRange``
+    on the sort key gives a total order ACROSS partitions, pass 1
+    aggregates one token-sum row per partition (``n_ranges`` rows to
+    the driver — a bounded action, like the centroid and per-term
+    collects), the driver turns them into exclusive prefix offsets,
+    and pass 2 adds a WITHIN-partition cumulative window to the
+    (broadcast) offset and filters. Each task sorts only its range;
+    no stage ever sees the global order. The cut is exact and
+    partitioning-invariant: the (quality, id) key is total, so the
+    greedy prefix does not depend on where the range bounds landed.
+    The ranged frame is persisted so both passes read ONE
+    materialization of the sampling-based exchange; release via
+    ``dedup.release_caches`` after the terminal action.
+
+    ``quality`` must be rounded/deterministic on both engines when
+    oracle-compared (the ``quality_filter`` precedent).
+    """
+    from .dedup import release_caches as _  # noqa: F401 (documented pairing)
+
+    toks = F.greatest(TX.whitespace_token_count(F.col(text_col)), F.lit(1))
+    scored = docs.select(
+        F.col(id_col), quality.alias("quality"), toks.alias("n_tokens")
+    )
+    ranged = (
+        scored.repartitionByRange(
+            n_ranges, F.col("quality").desc(), F.col(id_col)
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    sums = {
+        r["__pid"]: r["s"]
+        for r in ranged.groupBy("__pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, running = [], 0
+    for pid in sorted(sums):
+        offsets.append((pid, running))
+        running += sums[pid]
+    spark = docs.sparkSession
+    off = spark.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __offset long"
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("quality").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        ranged.join(F.broadcast(off), "__pid")
+        .withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w) + F.col("__offset")
+        )
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(id_col, "quality", "n_tokens", "cum_tokens")
+    )
+    out._jonesy_cached_deps = [ranged]
+    return out

@@ -187,6 +187,13 @@ DRIVER_EXCLUDED = {
     # generations (stats.snapshot_diff). Second in line for the r7
     # rotation behind repeated_span_removal; pytest differential green.
     "snapshot_cdc",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # the global token-budget prune — the oracle is the naive global
+    # cumulative window, the Spark side the two-pass range-partition
+    # form, so a driver row would witness a genuinely new plan family
+    # (terasort-style global prefix). r7 rotation candidate with the
+    # two rows above.
+    "token_budget_prune",
 }
 
 

@@ -1156,6 +1156,55 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "token_budget_prune",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               greatest(len(string_split(trim(text), ' ')), 1) AS n_tokens,
+               CAST((length(lower(text))
+                     - length(replace(lower(text), 'the', ''))) / 3
+                    AS INTEGER) AS c_stop
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, n_tokens,
+               round(least(1.0, n_tokens / 100.0)
+                     * (1.0 - least(1.0, c_stop::DOUBLE / n_tokens)), 6)
+                   AS quality
+        FROM m
+    ),
+    t AS (
+        SELECT doc_id, quality, n_tokens,
+               sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM q
+    )
+    SELECT doc_id, quality, n_tokens, cum_tokens
+    FROM t WHERE cum_tokens <= 15000
+    """,
+)
+def token_budget_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard corpus cut: the best documents (same rounded quality
+    composite as quality_filter, doc_id tiebreak) until a global
+    15k-token budget is exhausted. The ORACLE is the naive global
+    cumulative window; the Spark side is the two-pass range-partition
+    form (per-partition sums -> driver prefix offsets -> partition-local
+    windows) — same exact rows, no global sort task
+    (operators.corpus.token_budget_prune has the scale notes)."""
+    from ..operators import corpus as C
+
+    docs = Catalog(spark, sf_dir).documents
+    n_tokens = TX.whitespace_token_count(F.col("text"))
+    c_stop = TX.occurrences(F.lower(F.col("text")), "the")
+    quality = F.round(
+        F.least(F.lit(1.0), n_tokens / 100.0)
+        * (1.0 - F.least(F.lit(1.0), c_stop / n_tokens)),
+        6,
+    )
+    return C.token_budget_prune(docs, budget_tokens=15_000, quality=quality)
+
+
 def _pii_oracle() -> str:
     """DuckDB oracle for pii_stats: the SAME rule patterns the operator
     applies (interpolated from hygiene.PII_RULES, so the two engines can

@@ -562,3 +562,56 @@ def test_temperature_rates_degenerate_domains():
     r = temperature_rates({"ok": 1000.0, "empty": 0.0, None: 50.0}, tau=0.5)
     assert set(r) == {"ok"}
     assert temperature_rates({"empty": 0.0, None: 0.0}) == {}
+
+
+def test_token_budget_prune_partitioning_invariant(spark):
+    """The greedy prefix is a property of the total order, not of where
+    range bounds land: 1 partition and 64 partitions yield identical
+    rows, and they equal the collected-sort reference."""
+    from jonesy_spark.operators.corpus import token_budget_prune
+    from jonesy_spark.operators.dedup import release_caches
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = F.round(F.length("text") / 1000.0, 6)
+    a = token_budget_prune(docs, 8_000, q, n_ranges=1)
+    b = token_budget_prune(docs, 8_000, q, n_ranges=64)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) > 0
+    release_caches(a), release_caches(b)
+
+    # collected-sort reference: greedy prefix over (quality desc, id)
+    scored = sorted(
+        docs.select(
+            "doc_id",
+            q.alias("q"),
+            F.greatest(
+                F.size(F.split(F.trim("text"), " ")), F.lit(1)
+            ).alias("n"),
+        ).collect(),
+        key=lambda r: (-r["q"], r["doc_id"]),
+    )
+    keep, cum = set(), 0
+    for r in scored:
+        cum += r["n"]
+        if cum > 8_000:
+            break
+        keep.add(r["doc_id"])
+    assert {t[0] for t in ra} == keep
+
+
+def test_token_budget_prune_edges(spark):
+    from jonesy_spark.operators.corpus import token_budget_prune
+    from jonesy_spark.operators.dedup import release_caches
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    q = F.lit(1.0)
+    nothing = token_budget_prune(docs, 0, q)
+    assert nothing.count() == 0
+    release_caches(nothing)
+    everything = token_budget_prune(docs, 10**12, q)
+    rows = everything.collect()
+    assert len(rows) == 50
+    # the max cum equals the token total: the prefix sum is exact
+    assert max(r["cum_tokens"] for r in rows) == sum(r["n_tokens"] for r in rows)
+    release_caches(everything)
