@@ -98,6 +98,12 @@ class CorpusConfig:
     tokenizer_merges: int | None = None
     #: Zipf cap on the driver-side word table for vocab training.
     tokenizer_max_words: int = 100_000
+    #: hard corpus-wide token budget (corpus.token_budget_prune): keep
+    #: the best documents by the quality composite until the budget is
+    #: exhausted — an exact cap, unlike the mixture's expected-token
+    #: budget. Runs after the per-domain percentile gate (mixture
+    #: preserved), before mixture sampling. None disables (default).
+    token_budget: int | None = None
 
 
 def prepare_training_corpus(
@@ -172,6 +178,32 @@ def prepare_training_corpus(
         docs = C.quality_percentile_filter(
             docs, quality, keep_frac=cfg.quality_keep_frac
         )
+
+    # 3.5 hard global token budget (opt-in): after the per-domain
+    # percentile (which preserves the mixture) but before mixture
+    # sampling — the cap bounds what the mixture stage can draw from,
+    # so the budget holds whatever rates/tau do downstream. Keyed
+    # left-semi back to docs; the quality key is the same composite as
+    # the percentile gate, doc_id tiebreak, so reruns keep the same
+    # prefix.
+    if cfg.token_budget is not None:
+        from ..functions import text as TX
+
+        n_tokens = TX.whitespace_token_count(F.col("text"))
+        c_stop = TX.occurrences(F.lower(F.col("text")), "the")
+        quality = F.round(
+            F.least(F.lit(1.0), n_tokens / 100.0)
+            * (1.0 - F.least(F.lit(1.0), c_stop / n_tokens)),
+            6,
+        )
+        kept = C.token_budget_prune(docs, cfg.token_budget, quality)
+        # the stage is already eager (the prune's offset collect);
+        # localCheckpoint the id set so the operator's persisted range
+        # frame can release NOW instead of leaking into the lazy
+        # downstream (the cache-manager-empty contract, r5)
+        kept_ids = kept.select("doc_id").localCheckpoint()
+        DD.release_caches(kept)
+        docs = docs.join(kept_ids, "doc_id", "left_semi")
 
     # 4. near-dup dedup at CLUSTER level: pair-wise drop-the-higher-id
     # under-deletes (pairs {1~3, 2~3} would keep both 1 and 2 though

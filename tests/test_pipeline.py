@@ -676,3 +676,46 @@ def test_prepare_corpus_tokenizer_stage(spark):
     texts = {r["doc_id"]: r["text"] for r in out["clean"].collect()}
     for r in tok.limit(10).collect():
         assert "".join(id2tok[i] for i in r["token_ids"]) == texts[r["doc_id"]]
+
+
+def test_prepare_corpus_token_budget_cap(spark):
+    """The hard token-budget knob caps the clean corpus: kept docs'
+    token total fits the budget, and loosening the budget only grows
+    the kept set (prefix monotonicity)."""
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.pipeline.corpus_job import CorpusConfig, prepare_training_corpus
+
+    docs = Catalog(spark, SF_DIR).documents
+    tight = prepare_training_corpus(docs, CorpusConfig(token_budget=5_000))
+    loose = prepare_training_corpus(docs, CorpusConfig(token_budget=20_000))
+    base = prepare_training_corpus(docs)
+
+    n_tight, n_loose, n_base = (
+        tight["clean"].count(),
+        loose["clean"].count(),
+        base["clean"].count(),
+    )
+    assert 0 < n_tight < n_loose <= n_base
+    def total_tokens(frame):
+        return frame.select(
+            F.sum(F.size(F.split(F.trim("text"), " "))).alias("t")
+        ).first()["t"]
+
+    assert total_tokens(tight["clean"]) <= 5_000
+    assert total_tokens(loose["clean"]) <= 20_000
+    # NOTE: tight ⊆ loose does NOT hold through the FULL pipeline —
+    # the near-dup stage keeps min-id survivors, and pruning a
+    # cluster's min-id member changes which doc survives downstream.
+    # Prefix monotonicity is asserted at the operator level
+    # (test_corpus.test_token_budget_prune_partitioning_invariant).
+
+
+def test_token_budget_stage_releases_caches(spark):
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.pipeline.corpus_job import CorpusConfig, prepare_training_corpus
+
+    docs = Catalog(spark, SF_DIR).documents
+    spark.catalog.clearCache()
+    out = prepare_training_corpus(docs, CorpusConfig(token_budget=8_000))
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    assert out["clean"].count() > 0
