@@ -294,3 +294,80 @@ def snapshot_diff_summary(diff: DataFrame) -> DataFrame:
     return counts.crossJoin(F.broadcast(total)).select(
         "status", "n", F.round(F.col("n") / F.col("t"), 6).alias("share")
     )
+
+
+def psi_report(
+    base: DataFrame,
+    cur: DataFrame,
+    score: Column,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two corpus generations over a
+    bounded [0, 1) score (quality composite, lang-confidence, OOV rate
+    …): per-bin ``(bin, share_base, share_cur, psi_term)`` with the
+    summed ``psi`` repeated on every row (the frame is ``n_bins`` rows
+    — metadata-sized — so the window total costs nothing). The classic
+    monitoring decision values: psi < 0.1 stable, 0.1-0.25 drifting,
+    > 0.25 shifted (public credit-scoring literature).
+
+    Complements :func:`stats_drift` (which tracks per-GROUP volume and
+    vocabulary): PSI sees DISTRIBUTIONAL movement inside a group that
+    totals never show — a quality collapse at constant document count.
+
+    Engine-portable by construction: fixed-width bins via
+    ``least(floor(score * n), n-1)`` (no width_bucket dialect
+    differences), empty bins floored at ``eps`` (the standard PSI
+    regularization — and it keeps ``ln`` finite), each log term rounded
+    to 9 digits before the 6-digit shares/psi rounding so libm 1-ulp
+    drift can never reach the comparison digits (the doc_logprob
+    precedent). Scale: one map-side bin + one ``n_bins``-ary
+    aggregation per side, then an ``n_bins``-row join — the documents
+    are read once each and nothing corpus-sized shuffles.
+    """
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(
+                F.least(
+                    F.floor(score * n_bins).cast("int"), F.lit(n_bins - 1)
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    b = binned(base, "n_base")
+    c = binned(cur, "n_cur")
+    spark = base.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    j = (
+        bins.join(b, "bin", "left")
+        .join(c, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
+    )
+    j = j.crossJoin(F.broadcast(tot))
+    share_b = F.greatest(F.col("n_base") / F.col("tb"), F.lit(eps))
+    share_c = F.greatest(F.col("n_cur") / F.col("tc"), F.lit(eps))
+    term = F.round(
+        (share_c - share_b) * F.round(F.log(share_c / share_b), 9), 9
+    )
+    from pyspark.sql import Window
+
+    out = j.select(
+        "bin",
+        F.round(share_b, 6).alias("share_base"),
+        F.round(share_c, 6).alias("share_cur"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(
+            F.sum(term).over(Window.partitionBy(F.lit(1))), 6
+        ).alias("psi"),
+    )
+    return out

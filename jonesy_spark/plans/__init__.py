@@ -194,6 +194,10 @@ DRIVER_EXCLUDED = {
     # (terasort-style global prefix). r7 rotation candidate with the
     # two rows above.
     "token_budget_prune",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # PSI distributional drift between corpus halves — the monitoring
+    # tier's histogram complement to stats_drift's volume ratios.
+    "quality_psi",
 }
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
+from ..functions import text as TX
 from ..operators.windows import topk_per_group
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -696,6 +697,84 @@ def snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return ST.snapshot_diff(old, new)
+
+
+@query(
+    "quality_psi",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split(trim(text), ' ')) AS n_tokens,
+               CAST((length(lower(text))
+                     - length(replace(lower(text), 'the', ''))) / 3
+                    AS INTEGER) AS c_stop
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id,
+               round(least(1.0, n_tokens / 100.0)
+                     * (1.0 - least(1.0, c_stop::DOUBLE / n_tokens)), 6)
+                   AS quality
+        FROM m
+    ),
+    b AS (
+        SELECT CAST(least(floor(quality * 10), 9) AS INTEGER) AS bin,
+               count(*) AS n
+        FROM q WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    c AS (
+        SELECT CAST(least(floor(quality * 10), 9) AS INTEGER) AS bin,
+               count(*) AS n
+        FROM q WHERE doc_id % 2 = 1 GROUP BY 1
+    ),
+    bins AS (SELECT CAST(range AS INTEGER) AS bin FROM range(10)),
+    j AS (
+        SELECT bin, coalesce(b.n, 0) AS n_base, coalesce(c.n, 0) AS n_cur
+        FROM bins LEFT JOIN b USING (bin) LEFT JOIN c USING (bin)
+    ),
+    t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j),
+    s AS (
+        SELECT bin,
+               greatest(n_base / tb, 1e-6) AS sb,
+               greatest(n_cur / tc, 1e-6) AS sc
+        FROM j, t
+    ),
+    terms AS (
+        SELECT bin, sb, sc,
+               round((sc - sb) * round(ln(sc / sb), 9), 9) AS term9
+        FROM s
+    )
+    SELECT bin,
+           round(sb, 6) AS share_base,
+           round(sc, 6) AS share_cur,
+           round(term9, 6) AS psi_term,
+           round(sum(term9) OVER (), 6) AS psi
+    FROM terms
+    """,
+)
+def quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus halves (even vs
+    odd doc_ids) over the quality composite — the distributional-drift
+    monitor (stats.psi_report): fixed-width bins, eps-floored shares,
+    9-then-6-digit log rounding so libm ulp drift never reaches the
+    hash. One map-side bin + one tiny aggregation per side; nothing
+    corpus-sized shuffles."""
+    from ..operators import stats as ST
+
+    docs = Catalog(spark, sf_dir).documents
+    n_tokens = TX.whitespace_token_count(F.col("text"))
+    c_stop = TX.occurrences(F.lower(F.col("text")), "the")
+    quality = F.round(
+        F.least(F.lit(1.0), n_tokens / 100.0)
+        * (1.0 - F.least(F.lit(1.0), c_stop / n_tokens)),
+        6,
+    )
+    scored = docs.select("doc_id", quality.alias("quality"))
+    return ST.psi_report(
+        scored.filter(F.col("doc_id") % 2 == 0),
+        scored.filter(F.col("doc_id") % 2 == 1),
+        F.col("quality"),
+    )
 
 
 @query(

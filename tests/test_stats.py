@@ -287,3 +287,26 @@ def test_snapshot_diff_multi_column_compare(spark):
     d = snapshot_diff(old, new, compare_cols=("text", "lang"))
     got = {r["doc_id"]: r["status"] for r in d.collect()}
     assert got == {1: "changed", 2: "unchanged"}
+
+
+def test_psi_report_identical_and_shifted(spark):
+    from jonesy_spark.operators.stats import psi_report
+
+    a = spark.createDataFrame(
+        [(i, (i % 10) / 10.0 + 0.05) for i in range(100)], "id long, s double"
+    )
+    same = psi_report(a, a, F.col("s")).collect()
+    assert all(r["psi"] == 0.0 for r in same)
+    assert len(same) == 10
+
+    # everything shifts into the top bin -> large PSI
+    b = spark.createDataFrame(
+        [(i, 0.95) for i in range(100)], "id long, s double"
+    )
+    shifted = psi_report(a, b, F.col("s")).collect()
+    psi = shifted[0]["psi"]
+    assert psi > 0.25  # the classic "population shifted" threshold
+    # shares: base uniform 0.1 per bin; cur all in bin 9
+    by_bin = {r["bin"]: r for r in shifted}
+    assert abs(by_bin[9]["share_cur"] - 1.0) < 1e-9
+    assert abs(by_bin[0]["share_cur"] - 1e-6) < 1e-12
