@@ -347,6 +347,7 @@ def pack_sequences(
     salt: str = "pack-v1",
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Contiguous-fill sequence packing: assign each document to a fixed
     token-budget training sequence, without a global sort.
@@ -360,9 +361,19 @@ def pack_sequences(
 
     ``budget_tokens`` is the model context length; ``n_shards`` bounds
     window state per task — at 100 TB raise shards, never the window.
+
+    ``n_tokens_col`` switches the fill metric from the whitespace
+    proxy over ``text_col`` to a precomputed count column — the REAL
+    tokens path: pack ``bpe_encode_ids`` output on
+    ``size(token_ids)`` and the offsets are exact token positions,
+    which is what ``assemble_id_sequences`` requires.
     """
     key = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
-    toks = F.greatest(TX.whitespace_token_count(F.col(text_col)), F.lit(1))
+    toks = (
+        F.greatest(F.col(n_tokens_col), F.lit(1))
+        if n_tokens_col is not None
+        else F.greatest(TX.whitespace_token_count(F.col(text_col)), F.lit(1))
+    )
     base = docs.select(
         F.col(id_col),
         key.alias("pack_key"),
@@ -686,3 +697,70 @@ def token_budget_prune(
     )
     out._jonesy_cached_deps = [ranged]
     return out
+
+
+def assemble_id_sequences(
+    tokenized: DataFrame,
+    packed: DataFrame,
+    budget_tokens: int = 512,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """Materialize fixed-length TRAINING SEQUENCES of token ids from
+    packed, tokenized documents — the step the packing docstring
+    defers with "the tokenizer splits at the boundary downstream":
+    here IS downstream. Output one row per sequence:
+    ``(shard, seq_nbr, seq_id, token_ids, n_tokens)`` where every
+    sequence holds exactly ``budget_tokens`` ids except the last of
+    each shard (the remainder), documents are laid out in pack order,
+    and a document overflowing a boundary CONTINUES in the next
+    sequence — ``concat(sequences) == concat(docs in pack order)``
+    per shard, exactly (tested).
+
+    REQUIRES ``packed`` built with ``pack_sequences(...,
+    n_tokens_col=...)`` over the SAME id counts (`size(token_ids)`) —
+    offsets from the whitespace proxy would desynchronize the
+    boundary math; the operator asserts nothing silently and the
+    conservation test is the guard.
+
+    Scale shape: this is the one deliberately token-grain op in the
+    corpus pipeline — the explode IS the output materialization (every
+    training token appears in exactly one output row), so its shuffle
+    is the write itself, not overhead: token rows carry
+    (shard, position, id) — 20 bytes — keyed by (shard, seq_nbr), with
+    each group bounded by ``budget_tokens``. ``array_sort`` over
+    collect_list keeps groups independent (no giant per-shard window);
+    position arithmetic is exact because pack offsets are exclusive
+    prefix sums of the same counts.
+    """
+    j = packed.select(id_col, "shard", "start_offset").join(
+        tokenized.select(id_col, ids_col), id_col
+    )
+    toks = j.select(
+        "shard",
+        F.posexplode(ids_col).alias("pos_in_doc", "tid"),
+        (F.col("start_offset") + F.col("pos_in_doc")).alias("position"),
+    ).select(
+        "shard",
+        "position",
+        "tid",
+        F.floor(F.col("position") / budget_tokens).alias("seq_nbr"),
+    )
+    return (
+        toks.groupBy("shard", "seq_nbr")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("position", "tid"))
+                ),
+                lambda s: s["tid"],
+            ).alias("token_ids")
+        )
+        .select(
+            "shard",
+            "seq_nbr",
+            F.concat_ws("-", F.col("shard"), F.col("seq_nbr")).alias("seq_id"),
+            "token_ids",
+            F.size("token_ids").alias("n_tokens"),
+        )
+    )

@@ -615,3 +615,45 @@ def test_token_budget_prune_edges(spark):
     # the max cum equals the token total: the prefix sum is exact
     assert max(r["cum_tokens"] for r in rows) == sum(r["n_tokens"] for r in rows)
     release_caches(everything)
+
+
+def test_assemble_id_sequences_exact_boundaries(spark):
+    """Pack on real id counts, assemble fixed-length sequences: every
+    sequence but the last per shard is exactly the budget, and the
+    concatenated sequences reproduce the concatenated documents in
+    pack order, token for token."""
+    from jonesy_spark.operators import tokenize as T
+    from jonesy_spark.operators.corpus import assemble_id_sequences, pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    merges = T.bpe_train(docs, n_merges=16)
+    vocab = T.bpe_vocab(docs, merges)
+    tok = T.bpe_encode_ids(docs, vocab, merges).select("doc_id", "token_ids")
+    tok = tok.withColumn("n_ids", F.size("token_ids"))
+
+    BUDGET, SHARDS = 64, 4
+    packed = pack_sequences(
+        tok, budget_tokens=BUDGET, n_shards=SHARDS, n_tokens_col="n_ids"
+    )
+    seqs = assemble_id_sequences(tok, packed, budget_tokens=BUDGET)
+    rows = seqs.collect()
+    assert rows
+
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    pk = {r["doc_id"]: r for r in packed.collect()}
+    ids = {r["doc_id"]: list(r["token_ids"]) for r in tok.collect()}
+    for shard, srows in by_shard.items():
+        srows.sort(key=lambda r: r["seq_nbr"])
+        # all but the final sequence are exactly full
+        for r in srows[:-1]:
+            assert r["n_tokens"] == BUDGET, (shard, r["seq_nbr"])
+        # conservation: concat(seqs) == concat(docs in pack order)
+        flat = [t for r in srows for t in r["token_ids"]]
+        docs_in_order = sorted(
+            (d for d in pk.values() if d["shard"] == shard),
+            key=lambda d: d["start_offset"],
+        )
+        want = [t for d in docs_in_order for t in ids[d["doc_id"]]]
+        assert flat == want, shard
