@@ -333,7 +333,33 @@ def prepare_training_corpus(
             "token_ids",
             F.size("token_ids").alias("n_bpe_tokens"),
         )
-        out.update({"merges": merges, "vocab": vocab, "tokenized": tokenized})
+        # real-count packing + fixed-length assembly: the id shards a
+        # trainer reads. Packed on size(token_ids) — NOT the whitespace
+        # proxy the text path uses — so offsets are exact token
+        # positions and every non-final sequence is exactly
+        # budget_tokens long (conservation tested token-for-token).
+        id_packed = C.pack_sequences(
+            tokenized,
+            budget_tokens=cfg.budget_tokens,
+            n_shards=cfg.n_shards,
+            salt=cfg.salt,
+            id_col=pack_id,
+            n_tokens_col="n_bpe_tokens",
+        )
+        id_sequences = C.assemble_id_sequences(
+            tokenized,
+            id_packed,
+            budget_tokens=cfg.budget_tokens,
+            id_col=pack_id,
+        )
+        out.update(
+            {
+                "merges": merges,
+                "vocab": vocab,
+                "tokenized": tokenized,
+                "id_sequences": id_sequences,
+            }
+        )
 
     return out
 

@@ -664,7 +664,7 @@ def test_prepare_corpus_tokenizer_stage(spark):
     out = prepare_training_corpus(
         docs, CorpusConfig(tokenizer_merges=16)
     )
-    assert {"merges", "vocab", "tokenized"} <= set(out)
+    assert {"merges", "vocab", "tokenized", "id_sequences"} <= set(out)
     assert out["merges"].count() == 16
     n_train = out["split"].filter("split = 'train'").count()
     tok = out["tokenized"]
@@ -676,6 +676,20 @@ def test_prepare_corpus_tokenizer_stage(spark):
     texts = {r["doc_id"]: r["text"] for r in out["clean"].collect()}
     for r in tok.limit(10).collect():
         assert "".join(id2tok[i] for i in r["token_ids"]) == texts[r["doc_id"]]
+    # id shards: every non-final sequence per shard is exactly the
+    # budget, and total sequence tokens == total document tokens
+    seqs = out["id_sequences"].collect()
+    assert seqs
+    budget = 512  # CorpusConfig default
+    by_shard = {}
+    for r in seqs:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["seq_nbr"])
+        assert all(r["n_tokens"] == budget for r in rows[:-1])
+    assert sum(r["n_tokens"] for r in seqs) == tok.agg(
+        F.sum("n_bpe_tokens")
+    ).first()[0]
 
 
 def test_prepare_corpus_token_budget_cap(spark):
