@@ -56,6 +56,10 @@ HEADLINE = [
     # added r6: BPE train (word-count pass + bounded driver merge loop)
     # + Arrow-batched encode of the full corpus under the merge table
     "bpe_token_stats",
+    # added r6: the terasort-style global prefix cut (range partition +
+    # per-partition sums + bounded driver offsets) — prices the
+    # two-pass global-order family
+    "token_budget_prune",
 ]
 
 
