@@ -787,3 +787,108 @@ def ngram_containment(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def lsh_recall_report(
+    df: DataFrame,
+    threshold: float = 0.8,
+    sample_frac: float = 0.2,
+    salt: str = "lsh-recall-v1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 2,
+    bucket_cap: int | None = BUCKET_CAP,
+) -> DataFrame:
+    """Banding-recall tuning report for :func:`minhash_lsh_pairs` — the
+    text-dedup twin of ``similarity.ann_recall``: measure, don't guess,
+    what the (n_hashes, n_bands) knee actually costs in missed pairs.
+
+    A deterministic md5 sample of the corpus gets EXACT all-pairs
+    ground truth (cross join within the sample, size-ratio pruned, the
+    same hashed-token Jaccard the verifier uses — so the only miss
+    source being measured is the BANDING, P(candidate) = 1-(1-j^r)^b);
+    the same LSH op runs on the same sample, and the report is one
+    row: ``(n_docs, n_true_pairs, n_lsh_pairs, recall, worst_miss)``
+    with ``worst_miss`` the highest-Jaccard pair the bands missed —
+    the actionable number when deciding to add bands. The O(sample²)
+    cross join is the point and the budget: ``sample_frac`` bounds it
+    exactly like ann_recall's sampled query set; precision is
+    structurally 1.0 (the op verifies exactly), so it is not reported.
+    """
+    draw = element_hash(
+        F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))
+    ) / F.lit(float(1 << 28))
+    sample = df.filter(draw < sample_frac)
+
+    toks = (
+        sample.repartition(CPU_PARTITIONS, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), " ")
+            ).alias("t"),
+        )
+        .select("doc_id", element_hash(F.col("t")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("toks"))
+        .withColumn("sz", F.size("toks"))
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    true_pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.sz") >= threshold * F.col("b.sz"))
+            & (F.col("b.sz") >= threshold * F.col("a.sz")),
+        )
+        .withColumn("jaccard", TX.jaccard(F.col("a.toks"), F.col("b.toks")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    lsh = minhash_lsh_pairs(
+        sample,
+        text_col=text_col,
+        id_col=id_col,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        threshold=threshold,
+        bucket_cap=bucket_cap,
+    )
+    hit = true_pairs.join(
+        lsh.select("doc_a", "doc_b", F.lit(1).alias("__hit")),
+        ["doc_a", "doc_b"],
+        "left",
+    )
+    counts = hit.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
+        F.max(F.when(F.col("__hit").isNull(), F.col("jaccard"))).alias(
+            "worst_miss"
+        ),
+    )
+    report = (
+        counts.crossJoin(
+            F.broadcast(toks.agg(F.count(F.lit(1)).alias("n_docs")))
+        )
+        .crossJoin(
+            F.broadcast(lsh.agg(F.count(F.lit(1)).alias("n_lsh_pairs")))
+        )
+        .select(
+            "n_docs",
+            "n_true_pairs",
+            "n_lsh_pairs",
+            F.round(
+                F.when(F.col("n_true_pairs") == 0, 1.0).otherwise(
+                    F.col("n_hits") / F.col("n_true_pairs")
+                ),
+                6,
+            ).alias("recall"),
+            F.round("worst_miss", 6).alias("worst_miss"),
+        )
+    )
+    return _track_caches(report, *getattr(lsh, "_jonesy_cached_deps", ()))

@@ -858,3 +858,43 @@ def test_embedding_health_flags_defects(spark):
     assert b["n_rows"] == 5 and b["n_distinct_ids"] == 4
     assert b["n_dims_seen"] == 2 and (b["dim_min"], b["dim_max"]) == (2, 3)
     assert b["n_null_vecs"] == 1 and b["n_zero_vecs"] == 1
+
+
+def test_lsh_recall_report_planted_duplicates(spark):
+    """Identical-set pairs share every band key, so banding recall over
+    a corpus whose only true pairs are exact duplicates is 1.0 — and
+    the report's counts, worst_miss and cache-release contract hold."""
+    from jonesy_spark.operators.dedup import lsh_recall_report, release_caches
+
+    rows = []
+    # 20 mutually-distinct docs (disjoint token sets)
+    for i in range(20):
+        rows.append((i, " ".join(f"tok{i}_{j}" for j in range(30))))
+    # 5 planted exact duplicates of the first five docs
+    for k in range(5):
+        rows.append((100 + k, rows[k][1]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    spark.catalog.clearCache()
+    rep = lsh_recall_report(docs, threshold=0.8, sample_frac=1.0)
+    r = rep.collect()[0]
+    assert r["n_docs"] == 25
+    assert r["n_true_pairs"] == 5
+    assert r["recall"] == 1.0
+    assert r["worst_miss"] is None
+    assert r["n_lsh_pairs"] == 5
+    release_caches(rep)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_lsh_recall_report_empty_sample(spark):
+    from jonesy_spark.operators.dedup import lsh_recall_report, release_caches
+
+    docs = spark.createDataFrame(
+        [(i, f"unique text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    rep = lsh_recall_report(docs, sample_frac=1.0)
+    r = rep.collect()[0]
+    # no true pairs -> vacuous recall 1.0, nothing missed
+    assert r["n_true_pairs"] == 0 and r["recall"] == 1.0
+    release_caches(rep)
