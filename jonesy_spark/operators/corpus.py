@@ -764,3 +764,113 @@ def assemble_id_sequences(
             F.size("token_ids").alias("n_tokens"),
         )
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 10_000,
+    bigram_size: int = 100_000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean CONDITIONAL log-probability under the corpus's
+    own bigram model — the perplexity-proxy upgrade over
+    :func:`unigram_logprob`: word salad with plausible unigrams
+    ("the of and is the") scores high under a unigram model but
+    collapses under p(t|prev); natural prose does the opposite.
+
+    Model (OOV-collapsed add-alpha): tokens outside the top-
+    ``vocab_size`` unigrams collapse to one ``<oov>`` symbol BEFORE
+    counting, so the vocabulary is exactly the v1 observed collapsed
+    symbols (<= vocab_size + 1) and no backoff case analysis exists —
+    add-alpha over v1 symbols normalizes exactly::
+
+        p(t1)      = (c1(t1) + alpha)      / (N + alpha * v1)
+        p(t|prev)  = (c2(prev, t) + alpha) / (c1(prev) + alpha * v1)
+
+    Bigrams outside the top-``bigram_size`` count as unseen (numerator
+    ``alpha``) — the standard bounded-table approximation, chosen so
+    BOTH model tables broadcast: the collapsed unigram table is <= V+1
+    rows by construction, the bigram table is capped (count desc, pair
+    tiebreak — deterministic cut). Output per doc: ``(doc_id,
+    n_tokens, unseen_bigram_frac, avg_logprob)`` with the unigram
+    rounding discipline (per-token logs to 9 digits, ratios to 6).
+
+    Scale shape: one posexplode pass; the ``lag`` window partitions by
+    doc_id — the SAME key the stream was repartitioned on, so Catalyst
+    reuses the exchange and the window sort is the only per-doc cost;
+    counting is two keyed aggregations with map-side combine; scoring
+    joins the stream against two BROADCAST tables and aggregates back
+    under the original doc_id partitioning. A literal ``<oov>`` token
+    in the corpus would alias with the collapse symbol (documented
+    tradeoff; pick a rarer sentinel if the corpus contains it).
+    """
+    from pyspark.sql import Window as W
+
+    stream = docs.repartition(CPU_PARTITIONS, F.col(id_col)).select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), " ")
+        ).alias("pos", "raw"),
+    )
+    tf = stream.groupBy("raw").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        tf.orderBy(F.col("c").desc(), "raw")
+        .limit(vocab_size)
+        .select("raw", F.lit(1).alias("__in_vocab"))
+    )
+    collapsed = stream.join(F.broadcast(vocab), "raw", "left").select(
+        id_col,
+        "pos",
+        F.when(F.col("__in_vocab").isNull(), F.lit("<oov>"))
+        .otherwise(F.col("raw"))
+        .alias("t"),
+    )
+    c1 = collapsed.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    totals = c1.agg(
+        F.sum("c1").alias("n_total"), F.count(F.lit(1)).alias("v1")
+    )
+    paired = collapsed.withColumn(
+        "prev", F.lag("t").over(W.partitionBy(id_col).orderBy("pos"))
+    )
+    c2 = (
+        paired.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "t")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .orderBy(F.col("c2").desc(), "prev", "t")
+        .limit(bigram_size)
+    )
+    cprev = c1.select(F.col("t").alias("prev"), F.col("c1").alias("c_prev"))
+    denom_u = F.col("n_total") + alpha * F.col("v1")
+    denom_b = F.col("c_prev") + alpha * F.col("v1")
+    scored = (
+        paired.join(F.broadcast(c2), ["prev", "t"], "left")
+        .join(F.broadcast(cprev), "prev", "left")
+        .join(F.broadcast(c1), "t", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.when(
+                F.col("prev").isNotNull() & F.col("c2").isNull(), 1
+            ).otherwise(0).alias("unseen"),
+            F.round(
+                F.when(
+                    F.col("prev").isNull(),
+                    F.log((F.col("c1") + alpha) / denom_u),
+                ).otherwise(
+                    F.log(
+                        (F.coalesce(F.col("c2"), F.lit(0)) + alpha) / denom_b
+                    )
+                ),
+                9,
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.round(F.sum("unseen") / F.count(F.lit(1)), 6).alias(
+            "unseen_bigram_frac"
+        ),
+        F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+    )

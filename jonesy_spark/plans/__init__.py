@@ -198,6 +198,11 @@ DRIVER_EXCLUDED = {
     # PSI distributional drift between corpus halves — the monitoring
     # tier's histogram complement to stats_drift's volume ratios.
     "quality_psi",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # bigram-LM scoring — the conditional-probability upgrade of
+    # doc_logprob (lag window + two broadcast model tables with
+    # deterministic cuts). r7 rotation candidate.
+    "bigram_logprob",
 }
 
 

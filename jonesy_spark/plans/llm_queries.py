@@ -1413,6 +1413,75 @@ def doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bigram_logprob",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS arr
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, i AS pos, arr[i] AS raw
+        FROM base, unnest(generate_series(1, len(arr))) AS s(i)
+    ),
+    tf AS (SELECT raw, count(*) AS c FROM toks GROUP BY raw),
+    vocab AS (SELECT raw FROM tf ORDER BY c DESC, raw LIMIT 16),
+    coll AS (
+        SELECT toks.doc_id, toks.pos,
+               CASE WHEN v.raw IS NULL THEN '<oov>' ELSE toks.raw END AS t
+        FROM toks LEFT JOIN vocab v ON v.raw = toks.raw
+    ),
+    c1 AS (SELECT t, count(*) AS c1 FROM coll GROUP BY t),
+    tot AS (SELECT (SELECT sum(c1) FROM c1) AS n_total,
+                   (SELECT count(*) FROM c1) AS v1),
+    paired AS (
+        SELECT doc_id, pos, t,
+               lag(t) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM coll
+    ),
+    c2 AS (
+        SELECT prev, t, count(*) AS c2
+        FROM paired WHERE prev IS NOT NULL GROUP BY prev, t
+        ORDER BY c2 DESC, prev, t LIMIT 64
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               CASE WHEN p.prev IS NOT NULL AND b.c2 IS NULL
+                    THEN 1 ELSE 0 END AS unseen,
+               round(CASE WHEN p.prev IS NULL
+                     THEN ln((u.c1 + 0.5) / (tot.n_total + 0.5 * tot.v1))
+                     ELSE ln((coalesce(b.c2, 0) + 0.5)
+                             / (cp.c1 + 0.5 * tot.v1)) END, 9) AS lp
+        FROM paired p
+        LEFT JOIN c2 b ON b.prev = p.prev AND b.t = p.t
+        LEFT JOIN c1 cp ON cp.t = p.prev
+        LEFT JOIN c1 u ON u.t = p.t
+        CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+           round(sum(unseen) / count(*), 6) AS unseen_bigram_frac,
+           round(sum(lp) / count(*), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring — the conditional upgrade of
+    doc_logprob: mean log p(t|prev) under the corpus's own
+    OOV-collapsed add-0.5 bigram model (top-16 vocab, top-64 bigram
+    table — tiny caps to exercise both deterministic cuts on the
+    fixture; production uses the 10k/100k defaults). Same 9-then-6
+    rounding discipline. operators.corpus.bigram_logprob has the
+    broadcast-table scale notes."""
+    from ..operators import corpus as C
+
+    return C.bigram_logprob(
+        Catalog(spark, sf_dir).documents,
+        vocab_size=16,
+        bigram_size=64,
+        alpha=0.5,
+    )
+
+
+@query(
     "ngram_containment",
     # f-string solely to interpolate the shared df_cap constant.
     oracle=f"""

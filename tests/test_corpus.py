@@ -657,3 +657,24 @@ def test_assemble_id_sequences_exact_boundaries(spark):
         )
         want = [t for d in docs_in_order for t in ids[d["doc_id"]]]
         assert flat == want, shard
+
+
+def test_bigram_logprob_discriminates_word_salad(spark):
+    """Docs with IDENTICAL unigram content but scrambled order: the
+    unigram scorer ties them, the bigram scorer ranks natural order
+    above the salad — the whole point of the conditional upgrade."""
+    from jonesy_spark.operators.corpus import bigram_logprob, unigram_logprob
+
+    natural = "the cat sat on the mat and the dog sat on the rug"
+    salad = "the the on mat sat cat the dog and rug on sat the"
+    rows = [(i, natural) for i in range(8)] + [(100, salad)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uni = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(docs).collect()}
+    assert uni[0] == uni[100]  # same bag of words -> unigram tie
+
+    bi = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in bigram_logprob(docs, vocab_size=50, bigram_size=200).collect()
+    }
+    assert bi[0] > bi[100]  # conditional model prefers natural order
