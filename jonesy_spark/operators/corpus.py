@@ -647,9 +647,17 @@ def token_budget_prune(
     collects), the driver turns them into exclusive prefix offsets,
     and pass 2 adds a WITHIN-partition cumulative window to the
     (broadcast) offset and filters. Each task sorts only its range;
-    no stage ever sees the global order. The cut is exact and
-    partitioning-invariant: the (quality, id) key is total, so the
-    greedy prefix does not depend on where the range bounds landed.
+    no stage ever sees the global order. Plan note (measured via
+    ``explain``): the pid-keyed window re-shuffles the scored rows
+    once — but those rows are the NARROW projection (id, quality,
+    n_tokens, pid — ~40 bytes), never the documents, so the extra
+    exchange is doc-count-sized, not corpus-sized; a
+    ``mapInPandas``-based partition-local cumsum would avoid it at
+    the cost of an Arrow round-trip of the same rows and the loss of
+    whole-stage codegen — the wrong trade while the rows are this
+    narrow. The cut is exact and partitioning-invariant: the
+    (quality, id) key is total, so the greedy prefix does not depend
+    on where the range bounds landed.
     The ranged frame is persisted so both passes read ONE
     materialization of the sampling-based exchange; release via
     ``dedup.release_caches`` after the terminal action.
