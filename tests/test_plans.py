@@ -146,3 +146,42 @@ def test_mixture_upsample_map_side_only(spark):
     assert "Generate" in plan  # the sequence() explode
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_budget_prune_offsets_broadcast_no_smj(spark):
+    """The prune's offset join must broadcast (the offsets frame is
+    n_ranges rows) and the plan must contain the range exchange that
+    gives the cross-partition total order — never a sort-merge join."""
+    from jonesy_spark.operators.corpus import token_budget_prune
+    from jonesy_spark.operators.dedup import release_caches
+
+    docs = Catalog(spark, SF_DIR).documents
+    out = token_budget_prune(docs, 8_000, F.round(F.length("text") / 1000.0, 6))
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" in plan
+    release_caches(out)
+
+
+def test_bigram_model_tables_all_broadcast(spark):
+    """Both model tables (bigram counts, context counts) and the vocab
+    collapse join are broadcast-sized by construction — the scoring
+    pass must not sort-merge anything."""
+    plan = plan_of(all_queries()["bigram_logprob"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_snapshot_diff_shuffles_digests_not_text(spark):
+    """The reverse-CDC diff digests map-side: the full-outer join's
+    exchanges carry (id, digest) only — document bytes never shuffle."""
+    plan = plan_of(all_queries()["snapshot_cdc"](spark, SF_DIR))
+    assert "FullOuter" in plan
+    # every hash-exchange detail block's Input must be digest-width
+    blocks = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert blocks, "no exchange detail blocks parsed"
+    for cols in blocks:
+        assert "text#" not in cols, cols
