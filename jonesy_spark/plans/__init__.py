@@ -203,6 +203,11 @@ DRIVER_EXCLUDED = {
     # doc_logprob (lag window + two broadcast model tables with
     # deterministic cuts). r7 rotation candidate.
     "bigram_logprob",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # the LSH banding-recall report at sample_frac=1.0, its oracle
+    # composed from the shared verified-pairs fragment + an all-pairs
+    # truth CTE. r7 rotation candidate.
+    "lsh_recall",
 }
 
 

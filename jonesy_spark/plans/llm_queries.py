@@ -150,6 +150,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lsh_recall",
+    # f-string: reuses the SHARED verified-pairs fragment so the report
+    # and dedup_minhash_lsh can never drift apart engine-side.
+    oracle=f"""
+    WITH {_MINHASH_VERIFIED_PAIRS},
+    truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                     / len(list_distinct(list_concat(a.toks, b.toks))), 6)
+                   AS jaccard
+        FROM toki a JOIN toki b
+          ON a.doc_id < b.doc_id
+         AND len(a.toks) >= 0.8 * len(b.toks)
+         AND len(b.toks) >= 0.8 * len(a.toks)
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+    ),
+    hit AS (
+        SELECT t.jaccard,
+               CASE WHEN v.doc_a IS NOT NULL THEN 1 ELSE 0 END AS h
+        FROM truth t
+        LEFT JOIN vpairs v
+          ON v.doc_a = t.doc_a AND v.doc_b = t.doc_b
+    )
+    SELECT (SELECT count(*) FROM toki) AS n_docs,
+           count(*) AS n_true_pairs,
+           (SELECT count(*) FROM vpairs) AS n_lsh_pairs,
+           round(CASE WHEN count(*) = 0 THEN 1.0
+                      ELSE sum(h)::DOUBLE / count(*) END, 6) AS recall,
+           round(max(CASE WHEN h = 0 THEN jaccard END), 6) AS worst_miss
+    FROM hit
+    """,
+)
+def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-recall report (dedup.lsh_recall_report) at
+    sample_frac=1.0 so the oracle reuses the shared verified-pairs
+    fragment verbatim: exact all-pairs ground truth vs the SAME
+    MinHash(16)+LSH(2x8) pairs, one-row report with worst_miss. The
+    sampled path (the 100 TB budget control) keeps its pytest tier."""
+    return DD.lsh_recall_report(
+        Catalog(spark, sf_dir).documents, threshold=0.8, sample_frac=1.0
+    )
+
+
+@query(
     "dedup_simhash",
     # f-string solely to interpolate the SHARED cap constant — a literal
     # here and a different DD.BUCKET_CAP would silently diverge the two
