@@ -302,3 +302,64 @@ def test_pretoken_count_matches_python_re(spark, texts):
     for i, t in enumerate(texts):
         want = len(regex.findall(PRETOKEN_PATTERN, t))
         assert got[i] == want, (t, got[i], want)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 12), st.integers(0, 5)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.integers(0, 120),
+)
+@settings(**SETTINGS)
+def test_token_budget_prune_equals_greedy_reference(spark, docs, budget):
+    """Property: the two-pass range-partition cut == the collected
+    greedy prefix, for ANY corpus and budget (incl. 0 and over-total).
+    Quality ties are exercised (quality drawn from 6 values)."""
+    from jonesy_spark.operators.corpus import token_budget_prune
+    from jonesy_spark.operators.dedup import release_caches
+
+    rows = [(i, " ".join(["w"] * n), float(q) / 10.0) for i, n, q in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+    out = token_budget_prune(df, budget, F.col("q"), n_ranges=4)
+    got = sorted((r["doc_id"], r["cum_tokens"]) for r in out.collect())
+    release_caches(out)
+
+    ordered = sorted(docs, key=lambda t: (-t[2] / 10.0, t[0]))
+    want, cum = [], 0
+    for i, n, _ in ordered:
+        cum += n
+        if cum > budget:
+            break
+        want.append((i, cum))
+    assert got == sorted(want)
+
+
+@given(
+    old=st.dictionaries(st.integers(0, 8), st.one_of(st.none(), st.text(max_size=3)), max_size=6),
+    new=st.dictionaries(st.integers(0, 8), st.one_of(st.none(), st.text(max_size=3)), max_size=6),
+)
+@settings(**SETTINGS)
+def test_snapshot_diff_matches_dict_reference(spark, old, new):
+    """Property: snapshot_diff statuses == the obvious dict diff, for
+    ANY pair of snapshots incl. NULL texts and empty sides."""
+    from jonesy_spark.operators.stats import snapshot_diff
+
+    schema = "doc_id long, text string"
+    o = spark.createDataFrame(list(old.items()), schema)
+    n = spark.createDataFrame(list(new.items()), schema)
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(o, n).collect()}
+
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = "added"
+        elif k not in new:
+            want[k] = "removed"
+        elif old[k] != new[k]:
+            want[k] = "changed"
+        else:
+            want[k] = "unchanged"
+    assert got == want
