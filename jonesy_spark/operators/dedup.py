@@ -892,3 +892,100 @@ def lsh_recall_report(
         )
     )
     return _track_caches(report, *getattr(lsh, "_jonesy_cached_deps", ()))
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """EXACT Jaccard self-join via prefix filtering (the PPJoin family —
+    Chaudhuri et al. 2006 / Xiao et al. 2008, public literature): every
+    pair with true Jaccard >= ``threshold`` is returned, recall 1.0 by
+    construction — the deterministic complement to
+    :func:`minhash_lsh_pairs` (whose banding trades recall for cost;
+    :func:`lsh_recall_report` measures that trade against THIS
+    guarantee's ground truth).
+
+    Filter theorem: order every document's token set by one GLOBAL
+    ordering (document frequency asc, then token — rare tokens first),
+    and take each doc's first ``|x| - ceil(t*|x|) + 1`` tokens as its
+    prefix; any pair with J >= t must share a PREFIX token. Candidates
+    are then an equi-join on prefix tokens — and because the ordering
+    puts RARE tokens in prefixes, the join's bucket sizes are df-bounded
+    exactly where df is small. The ``ceil`` is computed on a 9-digit
+    rounding of t*|x| so IEEE 1-ulp inflation (0.8*5 = 4.0000…0002)
+    cannot silently shrink a prefix below the theorem's bound.
+
+    Cost shape: one df aggregation, one per-doc window (orderBy df — a
+    doc-sized sort under doc_id keys), the prefix equi-join (output
+    bounded by sum over tokens of df_prefix² — corpora with a hot
+    near-universal token keep it OUT of prefixes), size-ratio prune,
+    then the house exact-verify re-attach. ``bucket_cap`` (default
+    None = exact) optionally applies the hot-bucket representative
+    collapse for adversarial corpora — capping trades the exactness
+    guarantee inside over-full buckets for O(k), the LSH cap argument.
+    """
+    ex = (
+        df.repartition(CPU_PARTITIONS, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), " ")
+            ).alias("t"),
+        )
+        .select("doc_id", element_hash(F.col("t")).alias("h"))
+        .distinct()
+    )
+    dft = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window as W
+
+    wdoc = W.partitionBy("doc_id").orderBy("df", "h")
+    pos = (
+        ex.join(dft, "h")
+        .withColumn("pos", F.row_number().over(wdoc))
+        .withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    )
+    L = F.col("sz") - F.ceil(F.round(F.lit(threshold) * F.col("sz"), 9)) + 1
+    pref = pos.filter(F.col("pos") <= L).select("doc_id", "h", "sz")
+    if bucket_cap is not None:
+        small, collapsed, caches = _split_by_bucket_size(
+            pref, ["h"], ["sz"], bucket_cap, op="prefix_jaccard"
+        )
+    else:
+        small, collapsed, caches = pref, None, []
+    a, b = small.alias("a"), small.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.sz") >= threshold * F.col("b.sz"))
+            & (F.col("b.sz") >= threshold * F.col("a.sz")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    if collapsed is not None:
+        cand = cand.unionByName(
+            collapsed.select(
+                F.col("bkt_rep.doc_id").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+            )
+        )
+    cand = cand.dropDuplicates(["doc_a", "doc_b"])
+    toksets = ex.groupBy("doc_id").agg(F.collect_set("h").alias("toks"))
+    ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    out = (
+        cand.repartition(CPU_PARTITIONS)
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("jaccard", TX.jaccard(F.col("toks_a"), F.col("toks_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return _track_caches(out, *caches)

@@ -208,6 +208,11 @@ DRIVER_EXCLUDED = {
     # composed from the shared verified-pairs fragment + an all-pairs
     # truth CTE. r7 rotation candidate.
     "lsh_recall",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # EXACT Jaccard self-join via prefix filtering (PPJoin family) —
+    # recall 1.0 by theorem, the deterministic complement to the LSH
+    # row. r7 rotation candidate.
+    "prefix_jaccard_join",
 }
 
 

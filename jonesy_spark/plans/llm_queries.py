@@ -150,6 +150,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "prefix_jaccard_join",
+    oracle=f"""
+    WITH {_TOK},
+    toki AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   toks, t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)) AS toks
+        FROM tok
+    ),
+    tokrow AS (SELECT doc_id, u.h FROM toki, unnest(toks) AS u(h)),
+    dft AS (SELECT h, count(*) AS df FROM tokrow GROUP BY h),
+    pos AS (
+        SELECT t.doc_id, t.h,
+               row_number() OVER (PARTITION BY t.doc_id
+                                  ORDER BY d.df, t.h) AS pos,
+               count(*) OVER (PARTITION BY t.doc_id) AS sz
+        FROM tokrow t JOIN dft d USING (h)
+    ),
+    pref AS (
+        SELECT doc_id, h, sz FROM pos
+        WHERE pos <= sz - ceil(round(0.8 * sz, 9)) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pref a JOIN pref b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+         AND a.sz >= 0.8 * b.sz AND b.sz >= 0.8 * a.sz
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+                 / len(list_distinct(list_concat(ta.toks, tb.toks))), 6)
+               AS jaccard
+    FROM cand c
+    JOIN toki ta ON ta.doc_id = c.doc_a
+    JOIN toki tb ON tb.doc_id = c.doc_b
+    WHERE len(list_intersect(ta.toks, tb.toks))::DOUBLE
+          / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.8
+    """,
+)
+def prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.8 self-join by prefix filtering (PPJoin
+    family) — recall 1.0 by theorem, the deterministic complement to
+    the LSH row. operators.dedup.prefix_jaccard_pairs has the
+    global-df-ordering and rounding-before-ceil notes."""
+    return DD.prefix_jaccard_pairs(
+        Catalog(spark, sf_dir).documents, threshold=0.8
+    )
+
+
+@query(
     "lsh_recall",
     # f-string: reuses the SHARED verified-pairs fragment so the report
     # and dedup_minhash_lsh can never drift apart engine-side.

@@ -898,3 +898,63 @@ def test_lsh_recall_report_empty_sample(spark):
     # no true pairs -> vacuous recall 1.0, nothing missed
     assert r["n_true_pairs"] == 0 and r["recall"] == 1.0
     release_caches(rep)
+
+
+def test_prefix_jaccard_pairs_exact_vs_brute_force(spark):
+    """Recall 1.0 by theorem: the prefix-filtered join returns EXACTLY
+    the brute-force >= 0.8 pairs, and the probabilistic LSH pairs are
+    a subset of them."""
+    from jonesy_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        prefix_jaccard_pairs,
+        release_caches,
+    )
+
+    base = ["alpha bravo charlie delta echo foxtrot golf hotel india juliet"]
+    rows = []
+    for i in range(12):
+        rows.append((i, " ".join(f"w{i}_{j}" for j in range(10))))
+    # near-dup pairs at graded overlap: 9/11 (~0.818), 8/12 (~0.667)
+    rows.append((100, base[0]))
+    rows.append((101, base[0].replace("juliet", "kilo")))       # J=9/11
+    rows.append((102, base[0].replace("india juliet", "kilo lima")))  # J=8/12
+    rows.append((103, base[0]))                                  # J=1.0 w/ 100
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    # brute force over hashed token sets
+    from jonesy_spark.functions.text import jaccard as jx
+    from jonesy_spark.operators.dedup import element_hash
+
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.split(F.lower(F.trim("text")), " "),
+                lambda t: element_hash(t),
+            )
+        ).alias("toks"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    brute = {
+        (r["da"], r["db"]): r["j"]
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            jx(F.col("a.toks"), F.col("b.toks")).alias("j"),
+        )
+        .filter(F.col("j") >= 0.8)
+        .collect()
+    }
+    assert got == brute
+    assert (100, 101) in got and (100, 103) in got
+    assert (100, 102) not in got  # 0.667 < threshold
+
+    lsh = minhash_lsh_pairs(docs, threshold=0.8)
+    lsh_pairs = {(r["doc_a"], r["doc_b"]) for r in lsh.collect()}
+    release_caches(lsh)
+    assert lsh_pairs <= set(got)
