@@ -94,3 +94,83 @@ def paginate(
         .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
         .drop("__rn")
     )
+
+
+def resample_ffill(
+    events: DataFrame,
+    step_seconds: int = 21_600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Gap-filled per-key resampling with forward fill — the hypertable
+    / time-bucket-gapfill shape (SURVEY.md §2's "operator Spark lacks"
+    category; public TimescaleDB semantics): bucket each key's events
+    onto a regular ``step_seconds`` grid spanning [first, last] bucket,
+    emit EVERY grid slot, and carry the last observed value across
+    empty slots. Output per (key, slot): ``(key, grid_epoch,
+    n_events, last_value, is_gap)`` — ``last_value`` is the slot's
+    final value (deterministic tiebreak on (ts, tiebreak_col)) or the
+    forward-filled predecessor for gap slots; epochs stay BIGINT
+    seconds so no timezone rendering enters the comparison surface.
+
+    Scale shape: one keyed aggregation for per-slot last/count (window
+    keyed (key, bucket) — the same partitioning the downstream join
+    needs), one tiny per-key min/max aggregation whose ``sequence``
+    explode GENERATES the grid (grid size = span/step per key — bounded
+    by retention policy, never by event count), a left join grid ←
+    slots co-partitioned on (key, bucket), and the forward-fill window
+    ordered by bucket within each key (running ``last(ignorenulls)``,
+    the as-of carry-forward idiom this module already uses). No
+    corpus-sized shuffle exceeds the events table itself; the grid is
+    metadata-scale.
+    """
+    from pyspark.sql import Window as W
+
+    es = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    ev = events.select(
+        F.col(key_col).alias("k"),
+        (F.floor(es / step_seconds) * step_seconds).alias("bucket"),
+        es.alias("es"),
+        F.col(value_col).alias("v"),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    wlast = W.partitionBy("k", "bucket").orderBy(
+        F.col("es").desc(), F.col("tb").desc()
+    )
+    slots = (
+        ev.withColumn("__rn", F.row_number().over(wlast))
+        .withColumn(
+            "n_events", F.count(F.lit(1)).over(W.partitionBy("k", "bucket"))
+        )
+        .filter(F.col("__rn") == 1)
+        .select("k", "bucket", "v", "n_events")
+    )
+    grid = (
+        ev.groupBy("k")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select(
+            "k",
+            F.explode(
+                F.sequence("b0", "b1", F.lit(int(step_seconds)))
+            ).alias("bucket"),
+        )
+    )
+    wfill = (
+        W.partitionBy("k")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(slots, ["k", "bucket"], "left")
+        .select(
+            F.col("k").alias(key_col),
+            F.col("bucket").alias("grid_epoch"),
+            F.coalesce("n_events", F.lit(0)).cast("int").alias("n_events"),
+            F.round(F.last("v", ignorenulls=True).over(wfill), 6).alias(
+                "last_value"
+            ),
+            F.when(F.col("n_events").isNull(), 1).otherwise(0).alias("is_gap"),
+        )
+    )

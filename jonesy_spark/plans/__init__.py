@@ -213,6 +213,11 @@ DRIVER_EXCLUDED = {
     # recall 1.0 by theorem, the deterministic complement to the LSH
     # row. r7 rotation candidate.
     "prefix_jaccard_join",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # per-key gap-filled resampling with forward fill — the hypertable
+    # / time_bucket_gapfill shape (grid GENERATED by sequence explode,
+    # running last(ignorenulls) carry-forward). r7 rotation candidate.
+    "resample_gapfill",
 }
 
 

@@ -655,6 +655,53 @@ def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "resample_gapfill",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               (CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) // 21600) * 21600
+                   AS bucket,
+               CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS es,
+               value, event_id
+        FROM events
+    ),
+    slots AS (
+        SELECT user_id, bucket, value AS v,
+               count(*) OVER (PARTITION BY user_id, bucket) AS n_events
+        FROM ev
+        QUALIFY row_number() OVER (PARTITION BY user_id, bucket
+                                   ORDER BY es DESC, event_id DESC) = 1
+    ),
+    stats AS (
+        SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        FROM ev GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, u.g AS bucket
+        FROM stats, unnest(generate_series(b0, b1, 21600)) AS u(g)
+    )
+    SELECT g.user_id,
+           g.bucket AS grid_epoch,
+           CAST(coalesce(s.n_events, 0) AS INT) AS n_events,
+           round(last_value(s.v IGNORE NULLS)
+                 OVER (PARTITION BY g.user_id ORDER BY g.bucket
+                       ROWS UNBOUNDED PRECEDING), 6) AS last_value,
+           CASE WHEN s.n_events IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM grid g LEFT JOIN slots s USING (user_id, bucket)
+    """,
+)
+def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 6-hour resampling with gap fill + forward-filled last
+    value over the events stream — the hypertable/time_bucket_gapfill
+    shape (operators.windows.resample_ffill has the grid-generation
+    and carry-forward scale notes). Epochs stay BIGINT seconds so no
+    timezone rendering enters the hash."""
+    from ..operators.windows import resample_ffill
+
+    return resample_ffill(Catalog(spark, sf_dir).events, step_seconds=21_600)
+
+
+@query(
     "snapshot_cdc",
     oracle="""
     WITH oldsnap AS (

@@ -958,3 +958,33 @@ def test_prefix_jaccard_pairs_exact_vs_brute_force(spark):
     lsh_pairs = {(r["doc_a"], r["doc_b"]) for r in lsh.collect()}
     release_caches(lsh)
     assert lsh_pairs <= set(got)
+
+
+def test_resample_ffill_gap_semantics(spark):
+    from jonesy_spark.operators.windows import resample_ffill
+
+    # user 1: events in buckets 0 and 1800 (hole at 600, 1200); user 2: one event
+    rows = [
+        (1, 1, "2024-01-01 00:01:00", 10.0),
+        (2, 1, "2024-01-01 00:05:00", 20.0),   # same bucket, later -> wins
+        (3, 1, "2024-01-01 00:31:00", 30.0),   # bucket 1800
+        (4, 2, "2024-01-01 01:00:00", 99.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    )
+    got = {
+        (r["user_id"], r["grid_epoch"]): r
+        for r in resample_ffill(ev, step_seconds=600).collect()
+    }
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    u1 = [(1, base), (1, base + 600), (1, base + 1200), (1, base + 1800)]
+    assert set(got) == set(u1) | {(2, base + 3600)}
+    # bucket 0: two events, last (by ts) wins
+    assert got[(1, base)]["n_events"] == 2 and got[(1, base)]["last_value"] == 20.0
+    # holes: flagged gaps, value carried forward
+    for e in (base + 600, base + 1200):
+        assert got[(1, e)]["is_gap"] == 1 and got[(1, e)]["last_value"] == 20.0
+        assert got[(1, e)]["n_events"] == 0
+    assert got[(1, base + 1800)]["last_value"] == 30.0
+    assert got[(2, base + 3600)]["is_gap"] == 0
