@@ -174,3 +174,48 @@ def resample_ffill(
             F.when(F.col("n_events").isNull(), 1).otherwise(0).alias("is_gap"),
         )
     )
+
+
+def trailing_range_stats(
+    events: DataFrame,
+    window_seconds: int = 86_400,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-event trailing-window aggregates over EVENT TIME — the RANGE
+    frame family (``rangeBetween`` on an epoch ordering key), distinct
+    from every ROWS frame in this module: the frame holds whatever
+    events fall in the last ``window_seconds`` SECONDS, not the last N
+    rows, so sparse and bursty keys get the same time horizon. Output:
+    ``(event_id, key, es, n_trailing, mean_trailing, max_trailing)``.
+
+    Scale shape: one keyed window (partition by key, order by epoch) —
+    the same single shuffle any per-key ordering pays; RANGE frames
+    stay whole-stage-codegen'd JVM. The mean is rounded to 6 digits on
+    both engines (double accumulation order inside a frame is
+    engine-specific; the rounding absorbs the 1-ulp tail, the house
+    float discipline)."""
+    from pyspark.sql import Window as W
+
+    es = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    base = events.select(
+        F.col(id_col),
+        F.col(key_col).alias("k"),
+        es.alias("es"),
+        F.col(value_col).alias("v"),
+    )
+    w = (
+        W.partitionBy("k")
+        .orderBy("es")
+        .rangeBetween(-int(window_seconds), 0)
+    )
+    return base.select(
+        id_col,
+        F.col("k").alias(key_col),
+        "es",
+        F.count(F.lit(1)).over(w).cast("int").alias("n_trailing"),
+        F.round(F.avg("v").over(w), 6).alias("mean_trailing"),
+        F.round(F.max("v").over(w), 6).alias("max_trailing"),
+    )

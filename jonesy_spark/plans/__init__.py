@@ -218,6 +218,11 @@ DRIVER_EXCLUDED = {
     # / time_bucket_gapfill shape (grid GENERATED by sequence explode,
     # running last(ignorenulls) carry-forward). r7 rotation candidate.
     "resample_gapfill",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # trailing time-horizon aggregates via a RANGE frame on epoch
+    # seconds — the one window-frame family no driver row witnesses
+    # (every retained window row is a ROWS frame). r7 candidate.
+    "trailing_range_stats",
 }
 
 

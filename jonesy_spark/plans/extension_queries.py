@@ -655,13 +655,40 @@ def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "trailing_range_stats",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es, value
+        FROM events
+    )
+    SELECT event_id, user_id, es,
+           CAST(count(*) OVER w AS INT) AS n_trailing,
+           round(avg(value) OVER w, 6) AS mean_trailing,
+           round(max(value) OVER w, 6) AS max_trailing
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+    """,
+)
+def trailing_range_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24h per-event aggregates via a RANGE frame over event
+    time — the time-horizon window family (rangeBetween on epoch
+    seconds), previously unwitnessed: every other window here uses ROWS
+    frames. operators.windows.trailing_range_stats."""
+    from ..operators.windows import trailing_range_stats as TRS
+
+    return TRS(Catalog(spark, sf_dir).events, window_seconds=86_400)
+
+
+@query(
     "resample_gapfill",
     oracle="""
     WITH ev AS (
         SELECT user_id,
-               (CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) // 21600) * 21600
+               (CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 21600) * 21600
                    AS bucket,
-               CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS es,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
                value, event_id
         FROM events
     ),

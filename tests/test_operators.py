@@ -988,3 +988,29 @@ def test_resample_ffill_gap_semantics(spark):
         assert got[(1, e)]["n_events"] == 0
     assert got[(1, base + 1800)]["last_value"] == 30.0
     assert got[(2, base + 3600)]["is_gap"] == 0
+
+
+def test_trailing_range_stats_time_horizon(spark):
+    """RANGE frame semantics: the frame is a TIME horizon, not a row
+    count — a burst inside the window aggregates fully, events past
+    the horizon fall out."""
+    from jonesy_spark.operators.windows import trailing_range_stats
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", 10.0),
+        (2, 1, "2024-01-01 10:00:00", 20.0),
+        (3, 1, "2024-01-01 10:00:00", 30.0),   # same second: peer row
+        (4, 1, "2024-01-02 09:00:00", 40.0),   # 10:00 day1 still in 24h
+        (5, 1, "2024-01-03 00:00:00", 50.0),   # only event 4 (15h ago) left
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    )
+    got = {r["event_id"]: r for r in trailing_range_stats(ev).collect()}
+    assert got[1]["n_trailing"] == 1 and got[1]["mean_trailing"] == 10.0
+    # peer rows at the same epoch are BOTH in each other's frame
+    assert got[2]["n_trailing"] == 3 and got[3]["n_trailing"] == 3
+    assert got[2]["mean_trailing"] == 20.0  # (10+20+30)/3
+    # 24h horizon: event 1 (00:00 day1) aged out by 09:00 day2
+    assert got[4]["n_trailing"] == 3 and got[4]["max_trailing"] == 40.0
+    assert got[5]["n_trailing"] == 2 and got[5]["mean_trailing"] == 45.0
