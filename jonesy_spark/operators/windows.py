@@ -219,3 +219,84 @@ def trailing_range_stats(
         F.round(F.avg("v").over(w), 6).alias("mean_trailing"),
         F.round(F.max("v").over(w), 6).alias("max_trailing"),
     )
+
+
+def resample_interpolate(
+    events: DataFrame,
+    step_seconds: int = 21_600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Linear-interpolation twin of :func:`resample_ffill` (the
+    ``interpolate()`` gapfill semantics): gap slots take the value on
+    the straight line between their two anchor slots (nearest event
+    slots before and after on the grid); event slots keep their own
+    last value. Output: ``(key, grid_epoch, n_events, value_interp,
+    is_gap)``.
+
+    Same grid-generation shape as the ffill twin; the two anchor
+    lookups are running ``last``/``first`` (ignorenulls) windows over
+    the same per-key bucket ordering — three windows total, one keyed
+    shuffle. Anchors always exist: the grid spans [first, last] event
+    bucket, so every gap slot is interior. Values round to 6 digits
+    (the interpolation divide is float on both engines)."""
+    from pyspark.sql import Window as W
+
+    es = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    ev = events.select(
+        F.col(key_col).alias("k"),
+        (F.floor(es / step_seconds) * step_seconds).alias("bucket"),
+        es.alias("es"),
+        F.col(value_col).alias("v"),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    wlast = W.partitionBy("k", "bucket").orderBy(
+        F.col("es").desc(), F.col("tb").desc()
+    )
+    slots = (
+        ev.withColumn("__rn", F.row_number().over(wlast))
+        .withColumn(
+            "n_events", F.count(F.lit(1)).over(W.partitionBy("k", "bucket"))
+        )
+        .filter(F.col("__rn") == 1)
+        .select("k", "bucket", "v", "n_events")
+    )
+    grid = (
+        ev.groupBy("k")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select(
+            "k",
+            F.explode(
+                F.sequence("b0", "b1", F.lit(int(step_seconds)))
+            ).alias("bucket"),
+        )
+    )
+    j = grid.join(slots, ["k", "bucket"], "left")
+    wprev = (
+        W.partitionBy("k").orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wnext = (
+        W.partitionBy("k").orderBy("bucket")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    anchored_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    prev_v = F.last("v", ignorenulls=True).over(wprev)
+    prev_b = F.last(anchored_bucket, ignorenulls=True).over(wprev)
+    next_v = F.first("v", ignorenulls=True).over(wnext)
+    next_b = F.first(anchored_bucket, ignorenulls=True).over(wnext)
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        prev_v
+        + (next_v - prev_v)
+        * (F.col("bucket") - prev_b)
+        / (next_b - prev_b)
+    )
+    return j.select(
+        F.col("k").alias(key_col),
+        F.col("bucket").alias("grid_epoch"),
+        F.coalesce("n_events", F.lit(0)).cast("int").alias("n_events"),
+        F.round(interp, 6).alias("value_interp"),
+        F.when(F.col("n_events").isNull(), 1).otherwise(0).alias("is_gap"),
+    )

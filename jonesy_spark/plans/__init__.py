@@ -223,6 +223,10 @@ DRIVER_EXCLUDED = {
     # seconds — the one window-frame family no driver row witnesses
     # (every retained window row is a ROWS frame). r7 candidate.
     "trailing_range_stats",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # the interpolate() twin of resample_gapfill (straight-line fill
+    # between anchor slots, three-window shape). r7 candidate.
+    "resample_interpolate",
 }
 
 

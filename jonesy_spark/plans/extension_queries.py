@@ -655,6 +655,66 @@ def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "resample_interpolate",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               (CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 21600)
+                   * 21600 AS bucket,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+               value, event_id
+        FROM events
+    ),
+    slots AS (
+        SELECT user_id, bucket, value AS v,
+               count(*) OVER (PARTITION BY user_id, bucket) AS n_events
+        FROM ev
+        QUALIFY row_number() OVER (PARTITION BY user_id, bucket
+                                   ORDER BY es DESC, event_id DESC) = 1
+    ),
+    stats AS (
+        SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        FROM ev GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, u.g AS bucket
+        FROM stats, unnest(generate_series(b0, b1, 21600)) AS u(g)
+    ),
+    j AS (
+        SELECT g.user_id, g.bucket, s.v, s.n_events,
+               last_value(s.v IGNORE NULLS) OVER wp AS prev_v,
+               last_value(CASE WHEN s.v IS NOT NULL THEN g.bucket END
+                          IGNORE NULLS) OVER wp AS prev_b,
+               first_value(s.v IGNORE NULLS) OVER wn AS next_v,
+               first_value(CASE WHEN s.v IS NOT NULL THEN g.bucket END
+                           IGNORE NULLS) OVER wn AS next_b
+        FROM grid g LEFT JOIN slots s USING (user_id, bucket)
+        WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.bucket
+                      ROWS UNBOUNDED PRECEDING),
+               wn AS (PARTITION BY g.user_id ORDER BY g.bucket
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket AS grid_epoch,
+           CAST(coalesce(n_events, 0) AS INT) AS n_events,
+           round(CASE WHEN v IS NOT NULL THEN v
+                 ELSE prev_v + (next_v - prev_v)
+                      * (bucket - prev_b) / (next_b - prev_b) END, 6)
+               AS value_interp,
+           CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM j
+    """,
+)
+def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling over the events stream — the
+    interpolate() gapfill twin of resample_gapfill: gap slots take the
+    straight-line value between their anchor slots.
+    operators.windows.resample_interpolate."""
+    from ..operators.windows import resample_interpolate as RI
+
+    return RI(Catalog(spark, sf_dir).events, step_seconds=21_600)
+
+
+@query(
     "trailing_range_stats",
     oracle="""
     WITH ev AS (

@@ -1014,3 +1014,27 @@ def test_trailing_range_stats_time_horizon(spark):
     # 24h horizon: event 1 (00:00 day1) aged out by 09:00 day2
     assert got[4]["n_trailing"] == 3 and got[4]["max_trailing"] == 40.0
     assert got[5]["n_trailing"] == 2 and got[5]["mean_trailing"] == 45.0
+
+
+def test_resample_interpolate_straight_line(spark):
+    from jonesy_spark.operators.windows import resample_interpolate
+
+    # values 10 at bucket 0 and 40 at bucket 1800: gaps at 600/1200
+    # must land exactly on the line (20, 30)
+    rows = [
+        (1, 1, "2024-01-01 00:01:00", 10.0),
+        (2, 1, "2024-01-01 00:31:00", 40.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    )
+    got = {
+        r["grid_epoch"]: r
+        for r in resample_interpolate(ev, step_seconds=600).collect()
+    }
+    base = 1704067200
+    assert got[base]["value_interp"] == 10.0 and got[base]["is_gap"] == 0
+    assert got[base + 600]["value_interp"] == 20.0
+    assert got[base + 1200]["value_interp"] == 30.0
+    assert got[base + 1800]["value_interp"] == 40.0
+    assert got[base + 600]["is_gap"] == 1 and got[base + 1200]["is_gap"] == 1
