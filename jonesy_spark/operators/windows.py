@@ -300,3 +300,62 @@ def resample_interpolate(
         F.round(interp, 6).alias("value_interp"),
         F.when(F.col("n_events").isNull(), 1).otherwise(0).alias("is_gap"),
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel progression per key: the earliest time each key
+    completes step i STRICTLY AFTER its step i-1 completion — the
+    classic product-analytics funnel (view → click → purchase), which
+    no plain groupBy expresses because each stage's filter depends on
+    the previous stage's result. Output per key that reached step 1:
+    ``(key, step1_epoch, step2_epoch, …, furthest_step)`` with NULL
+    epochs past the drop-off point; aggregate ``furthest_step``
+    downstream for the conversion report.
+
+    Shape: one stage per step — filter to the step's events, join the
+    previous stage's per-key frontier (one row per key, strictly
+    shrinking), keep events after the frontier, take the min. Every
+    stage is a keyed aggregation + keyed join on the SAME key, so the
+    funnel reuses one hash partitioning end-to-end; ``len(steps)`` is
+    a query constant (3-5), never data-scaled. Epochs are BIGINT
+    seconds (the time-series tier's no-timezone rule)."""
+    es = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    ev = events.select(
+        F.col(key_col).alias("k"), F.col(type_col).alias("et"), es.alias("es")
+    )
+    prefixes = []
+    frontier = None
+    for i, step in enumerate(steps, start=1):
+        stage = ev.filter(F.col("et") == step).select("k", "es")
+        col = f"step{i}_epoch"
+        if frontier is None:
+            frontier = stage.groupBy("k").agg(F.min("es").alias(col))
+        else:
+            prev = f"step{i - 1}_epoch"
+            frontier = (
+                stage.join(frontier, "k")
+                .filter(F.col("es") > F.col(prev))
+                .groupBy("k", *[f"step{j}_epoch" for j in range(1, i)])
+                .agg(F.min("es").alias(col))
+            )
+        prefixes.append(frontier.select("k", col))
+    result = prefixes[0]
+    for p in prefixes[1:]:
+        result = result.join(p, "k", "left")
+    furthest = F.coalesce(
+        *[
+            F.when(F.col(f"step{i}_epoch").isNotNull(), F.lit(i))
+            for i in range(len(steps), 0, -1)
+        ]
+    )
+    return result.select(
+        F.col("k").alias(key_col),
+        *[f"step{i}_epoch" for i in range(1, len(steps) + 1)],
+        furthest.cast("int").alias("furthest_step"),
+    )

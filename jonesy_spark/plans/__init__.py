@@ -227,6 +227,11 @@ DRIVER_EXCLUDED = {
     # the interpolate() twin of resample_gapfill (straight-line fill
     # between anchor slots, three-window shape). r7 candidate.
     "resample_interpolate",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # ordered funnel progression (stage-dependent filters — each
+    # stage's min is taken strictly after the previous stage's
+    # frontier). r7 candidate.
+    "funnel_steps",
 }
 
 

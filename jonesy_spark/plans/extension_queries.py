@@ -655,6 +655,50 @@ def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_steps",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id AS k, event_type AS et,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+        FROM events
+    ),
+    s1 AS (
+        SELECT k, min(es) AS step1_epoch FROM ev WHERE et = 'view' GROUP BY k
+    ),
+    s2 AS (
+        SELECT e.k, s1.step1_epoch, min(e.es) AS step2_epoch
+        FROM ev e JOIN s1 ON e.k = s1.k
+        WHERE e.et = 'click' AND e.es > s1.step1_epoch
+        GROUP BY e.k, s1.step1_epoch
+    ),
+    s3 AS (
+        SELECT e.k, s2.step1_epoch, s2.step2_epoch, min(e.es) AS step3_epoch
+        FROM ev e JOIN s2 ON e.k = s2.k
+        WHERE e.et = 'purchase' AND e.es > s2.step2_epoch
+        GROUP BY e.k, s2.step1_epoch, s2.step2_epoch
+    )
+    SELECT s1.k AS user_id, s1.step1_epoch, s2.step2_epoch, s3.step3_epoch,
+           CAST(CASE WHEN s3.step3_epoch IS NOT NULL THEN 3
+                     WHEN s2.step2_epoch IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS furthest_step
+    FROM s1
+    LEFT JOIN s2 ON s1.k = s2.k
+    LEFT JOIN s3 ON s1.k = s3.k
+    """,
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel per user: earliest strictly-
+    ordered completion times with NULLs past the drop-off — the
+    stage-dependent-filter family no plain groupBy expresses
+    (operators.windows.funnel_conversion)."""
+    from ..operators.windows import funnel_conversion
+
+    return funnel_conversion(
+        Catalog(spark, sf_dir).events, steps=["view", "click", "purchase"]
+    )
+
+
+@query(
     "resample_interpolate",
     oracle="""
     WITH ev AS (

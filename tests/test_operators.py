@@ -1038,3 +1038,43 @@ def test_resample_interpolate_straight_line(spark):
     assert got[base + 1200]["value_interp"] == 30.0
     assert got[base + 1800]["value_interp"] == 40.0
     assert got[base + 600]["is_gap"] == 1 and got[base + 1200]["is_gap"] == 1
+
+
+def test_funnel_conversion_strict_ordering(spark):
+    from jonesy_spark.operators.windows import funnel_conversion
+
+    rows = [
+        # user 1: full funnel in order
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (2, 1, "2024-01-01 01:00:00", "click"),
+        (3, 1, "2024-01-01 02:00:00", "purchase"),
+        # user 2: purchase BEFORE click -> stops at step 2
+        (4, 2, "2024-01-01 00:00:00", "view"),
+        (5, 2, "2024-01-01 00:30:00", "purchase"),
+        (6, 2, "2024-01-01 01:00:00", "click"),
+        # user 3: click only, never viewed -> not in the funnel at all
+        (7, 3, "2024-01-01 00:00:00", "click"),
+        # user 4: view only
+        (8, 4, "2024-01-01 00:00:00", "view"),
+        # user 5: earliest click is BEFORE view; a later click counts
+        (9, 5, "2024-01-01 00:00:00", "click"),
+        (10, 5, "2024-01-01 01:00:00", "view"),
+        (11, 5, "2024-01-01 02:00:00", "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    )
+    got = {
+        r["user_id"]: r
+        for r in funnel_conversion(
+            ev, steps=["view", "click", "purchase"]
+        ).collect()
+    }
+    assert set(got) == {1, 2, 4, 5}
+    assert got[1]["furthest_step"] == 3
+    assert got[2]["furthest_step"] == 2  # purchase before click: no credit
+    assert got[2]["step3_epoch"] is None
+    assert got[4]["furthest_step"] == 1
+    assert got[5]["furthest_step"] == 2
+    base = 1704067200
+    assert got[5]["step2_epoch"] == base + 7200  # the post-view click
