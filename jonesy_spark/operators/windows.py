@@ -359,3 +359,62 @@ def funnel_conversion(
         *[f"step{i}_epoch" for i in range(1, len(steps) + 1)],
         furthest.cast("int").alias("furthest_step"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    cohort_event: str = "signup",
+    bucket_seconds: int = 604_800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Cohort retention matrix: keys cohorted by the bucket of their
+    FIRST ``cohort_event``, then counted distinct-active per
+    ``bucket_seconds`` offset — the standard weekly-retention report.
+    Output: ``(cohort_epoch, week_offset, n_active, cohort_size,
+    retention)`` for offsets >= 0 (activity before the cohorting event
+    is not retention). ``retention`` rounds to 6 digits.
+
+    Shape: one per-key min aggregation (the cohort frame, one row per
+    key), a keyed join of the event stream against it (broadcast-able
+    when keys are few; hash otherwise — Catalyst's call), then ONE
+    distinct aggregation on (cohort, offset, key) followed by the
+    count roll-up — the distinct is the only corpus-keyed shuffle.
+    The matrix itself is |cohorts| x |offsets| metadata."""
+    es = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    bucket = (F.floor(es / bucket_seconds) * bucket_seconds).cast("long")
+    ev = events.select(
+        F.col(key_col).alias("k"),
+        F.col(type_col).alias("et"),
+        bucket.alias("b"),
+    )
+    cohorts = (
+        ev.filter(F.col("et") == cohort_event)
+        .groupBy("k")
+        .agg(F.min("b").alias("cohort_epoch"))
+    )
+    sizes = cohorts.groupBy("cohort_epoch").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    active = (
+        ev.join(cohorts, "k")
+        .filter(F.col("b") >= F.col("cohort_epoch"))
+        .select(
+            "cohort_epoch",
+            ((F.col("b") - F.col("cohort_epoch")) / bucket_seconds)
+            .cast("int")
+            .alias("week_offset"),
+            "k",
+        )
+        .distinct()
+        .groupBy("cohort_epoch", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return active.join(sizes, "cohort_epoch").select(
+        "cohort_epoch",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )

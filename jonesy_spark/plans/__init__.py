@@ -232,6 +232,10 @@ DRIVER_EXCLUDED = {
     # stage's min is taken strictly after the previous stage's
     # frontier). r7 candidate.
     "funnel_steps",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # weekly cohort retention matrix (per-key cohort min + one distinct
+    # aggregation; matrix output is metadata-sized). r7 candidate.
+    "retention_cohorts",
 }
 
 

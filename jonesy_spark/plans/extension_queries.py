@@ -655,6 +655,45 @@ def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "retention_cohorts",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id AS k, event_type AS et,
+               (CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 604800)
+                   * 604800 AS b
+        FROM events
+    ),
+    cohorts AS (
+        SELECT k, min(b) AS cohort_epoch FROM ev
+        WHERE et = 'signup' GROUP BY k
+    ),
+    sizes AS (
+        SELECT cohort_epoch, count(*) AS cohort_size
+        FROM cohorts GROUP BY cohort_epoch
+    ),
+    active AS (
+        SELECT c.cohort_epoch,
+               CAST((e.b - c.cohort_epoch) // 604800 AS INT) AS week_offset,
+               count(DISTINCT e.k) AS n_active
+        FROM ev e JOIN cohorts c ON e.k = c.k
+        WHERE e.b >= c.cohort_epoch
+        GROUP BY c.cohort_epoch, week_offset
+    )
+    SELECT a.cohort_epoch, a.week_offset, a.n_active, s.cohort_size,
+           round(a.n_active / s.cohort_size, 6) AS retention
+    FROM active a JOIN sizes s USING (cohort_epoch)
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly signup-cohort retention matrix over the events stream —
+    cohort by first signup bucket, distinct-active per offset
+    (operators.windows.retention_cohorts)."""
+    from ..operators.windows import retention_cohorts as RC
+
+    return RC(Catalog(spark, sf_dir).events)
+
+
+@query(
     "funnel_steps",
     oracle="""
     WITH ev AS (

@@ -1078,3 +1078,35 @@ def test_funnel_conversion_strict_ordering(spark):
     assert got[5]["furthest_step"] == 2
     base = 1704067200
     assert got[5]["step2_epoch"] == base + 7200  # the post-view click
+
+
+def test_retention_cohorts_matrix(spark):
+    from jonesy_spark.operators.windows import retention_cohorts
+
+    W = 604_800
+    base = 1704067200 - (1704067200 % W)  # week bucket containing 2024-01-01
+    rows = [
+        # cohort week 0: users 1, 2 sign up
+        (1, 1, "2024-01-01 00:00:00", "signup"),
+        (2, 2, "2024-01-02 00:00:00", "signup"),
+        # user 1 active weeks 0 and 1; user 2 only week 0
+        (3, 1, "2024-01-03 00:00:00", "click"),
+        (4, 1, "2024-01-10 00:00:00", "view"),
+        (5, 2, "2024-01-03 00:00:00", "click"),
+        # user 3: activity but NO signup -> excluded entirely
+        (6, 3, "2024-01-03 00:00:00", "click"),
+        # user 2 had activity BEFORE signup-week: not counted (negative offset)
+        (7, 2, "2023-12-20 00:00:00", "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    )
+    got = {
+        (r["cohort_epoch"], r["week_offset"]): r
+        for r in retention_cohorts(ev).collect()
+    }
+    assert set(k[1] for k in got) == {0, 1}
+    (c0,) = {k[0] for k in got}
+    assert got[(c0, 0)]["n_active"] == 2 and got[(c0, 0)]["cohort_size"] == 2
+    assert got[(c0, 0)]["retention"] == 1.0
+    assert got[(c0, 1)]["n_active"] == 1 and got[(c0, 1)]["retention"] == 0.5
