@@ -236,6 +236,11 @@ DRIVER_EXCLUDED = {
     # weekly cohort retention matrix (per-key cohort min + one distinct
     # aggregation; matrix output is metadata-sized). r7 candidate.
     "retention_cohorts",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # declared-schema JSON extraction over the events props payload —
+    # the semi-structured family (from_json, no inference), previously
+    # the one unexercised fixture column. r7 candidate.
+    "json_props_extract",
 }
 
 

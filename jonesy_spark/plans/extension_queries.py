@@ -655,6 +655,42 @@ def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+               AS sum_k,
+           round(avg(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k,
+           max(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+           count(*) FILTER (
+               WHERE CAST(json_extract(props, '$.k') AS INT) IS NULL
+           ) AS n_unparsed
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the events table's JSON
+    ``props`` payload under a DECLARED schema (``from_json`` — the
+    house no-inference rule: schema inference over a 100 TB JSON
+    column is a second full scan with unstable types) and aggregate
+    the extracted field per event type, counting unparsed rows instead
+    of dropping them (the quarantine philosophy at expression level).
+    Map-side parse + one grouped aggregation; the JSON never shuffles
+    — only the extracted INT does."""
+    ev = Catalog(spark, sf_dir).events
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.when(k.isNull(), 1)).alias("n_unparsed"),
+    )
+
+
+@query(
     "retention_cohorts",
     oracle="""
     WITH ev AS (
