@@ -60,6 +60,9 @@ HEADLINE = [
     # per-partition sums + bounded driver offsets) — prices the
     # two-pass global-order family
     "token_budget_prune",
+    # added r6: the EXACT set-similarity join (prefix filtering) —
+    # prices the deterministic complement to the LSH dedup rows
+    "prefix_jaccard_join",
 ]
 
 
@@ -157,9 +160,12 @@ def main() -> None:
                     "minhash pair graph (computed once, on its cold run), "
                     "so its steady time prices connected components only "
                     "— the pair cost is priced by dedup_minhash_lsh. r6 "
-                    "added incremental_near_dup (22-query set): its cold "
-                    "run pays the one-time index seed write, steady "
-                    "prices the probe"
+                    "added incremental_near_dup (cold pays the one-time "
+                    "index seed write, steady prices the probe), then "
+                    "ann_quantized_topk, repeated_span_removal, "
+                    "bpe_token_stats, token_budget_prune and "
+                    "prefix_jaccard_join — the 27-query set; subtract "
+                    "new rows for cross-round subtotal comparisons"
                 ),
                 "timing": (
                     f"queries/value = min-of-{RUNS} steady-state (excludes "

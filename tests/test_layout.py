@@ -74,3 +74,17 @@ def test_zorder_layout_equalizes_pruning(spark, tmp_path):
         )
     ).first()[0]
     assert chk(back) == chk(li)
+
+
+def test_zvalue_injective_on_full_grid(spark):
+    """The Morton interleave must be a bijection on the full
+    [0,256)x[0,256) grid — any collision would merge unrelated cells
+    and silently weaken every pruning bound."""
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).cast("int").alias("a"),
+        (F.col("id") / 256).cast("int").alias("b"),
+    )
+    n = grid.select(zvalue(F.col("a"), F.col("b")).alias("z")).agg(
+        F.countDistinct("z").alias("n"), F.max("z").alias("m"), F.min("z").alias("lo")
+    ).first()
+    assert n["n"] == 65536 and n["lo"] == 0 and n["m"] == 65535
