@@ -241,6 +241,11 @@ DRIVER_EXCLUDED = {
     # the semi-structured family (from_json, no inference), previously
     # the one unexercised fixture column. r7 candidate.
     "json_props_extract",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # the VARIANT-typed twin (Spark 4 parse_json + variant_get) — same
+    # oracle truth as the from_json row, pinning both semi-structured
+    # paths. r7 candidate.
+    "variant_props_extract",
 }
 
 

@@ -655,6 +655,35 @@ def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "variant_props_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+               AS sum_k,
+           max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT-typed twin of json_props_extract (Spark 4 semi-
+    structured tier: parse_json once into the binary variant encoding,
+    then typed variant_get path access — the schema-on-read shape for
+    payloads too heterogeneous for one declared struct; same oracle
+    semantics, so the two rows pin from_json and VARIANT against the
+    same truth). Parse and path-extract are map-side; only the
+    extracted INT shuffles."""
+    ev = Catalog(spark, sf_dir).events
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
     "json_props_extract",
     oracle="""
     SELECT event_type,
