@@ -246,6 +246,10 @@ DRIVER_EXCLUDED = {
     # oracle truth as the from_json row, pinning both semi-structured
     # paths. r7 candidate.
     "variant_props_extract",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # TPC-H Q5-shaped multi-dim join closing the last three unexercised
+    # fixture columns (c_nationkey, s_acctbal, l_tax). r7 candidate.
+    "local_supplier_volume",
 }
 
 

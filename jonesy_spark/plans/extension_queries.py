@@ -655,6 +655,62 @@ def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         * (1 + l.l_tax) AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue_with_tax,
+           round(CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_supp_acctbal,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: revenue (tax-inclusive —
+    the one lineitem column no other query touched) per nation where
+    customer and supplier share the nation, with the mean supplier
+    balance. Dims (nation, supplier, customer) broadcast under
+    Catalyst's thresholds; the fact joins hash-partition on their
+    keys; sums accumulate in DECIMAL then cast (the house
+    associativity-proof float rule)."""
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    )
+    joined = (
+        cat.lineitem.join(
+            cat.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            cat.supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(cat.nation, F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(rev.cast("decimal(18,6)")).cast("double").alias("revenue_with_tax"),
+        F.round(
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_supp_acctbal"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@query(
     "variant_props_extract",
     oracle="""
     SELECT event_type,
