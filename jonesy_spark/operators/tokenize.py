@@ -381,21 +381,25 @@ def bpe_vocab(
     """The id-assigning vocabulary: base alphabet (distinct characters
     of the corpus's word table, id-ordered lexicographically) followed
     by merged symbols in rank order — ``(token_id, token, kind)``. The
-    base pass is one distributed distinct over exploded characters; the
-    merged tier is the driver-sized merge table. Deterministic for a
-    fixed corpus + merge table."""
-    base = (
-        word_counts(docs, text_col)
+    base pass is one distributed distinct over exploded characters;
+    its RESULT is alphabet-sized (thousands at most, the same
+    boundedness as the merge table), so ids are assigned on a bounded
+    driver collect — not a global row_number window, which would move
+    the frame to one partition and warn on every call. Deterministic
+    for a fixed corpus + merge table."""
+    spark = docs.sparkSession
+    base_tokens = sorted(
+        r["token"]
+        for r in word_counts(docs, text_col)
         .select(F.explode(F.split("word", "")).alias("token"))
         .distinct()
+        .collect()
     )
-    from pyspark.sql import Window
-
-    base = base.withColumn(
-        "token_id",
-        F.row_number().over(Window.orderBy("token")) - F.lit(1),
-    ).withColumn("kind", F.lit("base"))
-    n_base = base.count()
+    base = spark.createDataFrame(
+        [(i, t, "base") for i, t in enumerate(base_tokens)],
+        "token_id int, token string, kind string",
+    )
+    n_base = len(base_tokens)
     m = merges if isinstance(merges, DataFrame) else docs.sparkSession.createDataFrame(merges, MERGES_SCHEMA)
     merged = m.select(
         (F.col("rank") + F.lit(n_base)).alias("token_id"),
