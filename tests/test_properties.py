@@ -363,3 +363,49 @@ def test_snapshot_diff_matches_dict_reference(spark, old, new):
         else:
             want[k] = "unchanged"
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=16),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.5, 0.8, 1.0]),
+)
+@settings(**{**SETTINGS, "max_examples": 6})  # two Spark joins per example
+def test_prefix_jaccard_exactness_property(spark, docs, threshold):
+    """Property: prefix filtering returns EXACTLY the brute-force
+    >= threshold pairs on ANY corpus — including 1-symbol sets, full
+    duplicates, t=1.0, and whitespace-only texts."""
+    from jonesy_spark.functions.text import jaccard as jx
+    from jonesy_spark.operators.dedup import element_hash, prefix_jaccard_pairs
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_jaccard_pairs(df, threshold=threshold).collect()
+    }
+    toks = df.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.split(F.lower(F.trim("text")), " "),
+                lambda t: element_hash(t),
+            )
+        ).alias("toks"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    brute = {
+        (r["da"], r["db"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            jx(F.col("a.toks"), F.col("b.toks")).alias("j"),
+        )
+        .filter(F.col("j") >= threshold)
+        .collect()
+    }
+    assert got == brute
