@@ -595,3 +595,64 @@ def oov_report(shards: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def tokenizer_drift(old_merges: DataFrame, new_merges: DataFrame) -> DataFrame:
+    """One-row drift report between two merge tables — the re-ship
+    decision input when :func:`oov_report` alarms: ``(n_old, n_new,
+    n_shared, n_rank_moved, jaccard, prefix_len)``. ``n_shared``
+    counts merges present in both (by (left, right) pair),
+    ``n_rank_moved`` those shared but at a different rank,
+    ``prefix_len`` the length of the common PREFIX (identical pair at
+    every rank up to it) — BPE merges are order-sensitive, so a long
+    shared prefix means shards encoded under the old table stay
+    byte-identical up to tokens formed past that point. Driver-sized
+    inputs by definition (merge tables); one join, no corpus access."""
+    o = old_merges.select(
+        F.col("rank").alias("rank_old"), "left", "right"
+    )
+    n = new_merges.select(
+        F.col("rank").alias("rank_new"), "left", "right"
+    )
+    j = o.join(n, ["left", "right"], "full_outer")
+    agg = j.agg(
+        F.count(F.when(F.col("rank_old").isNotNull(), 1)).alias("n_old"),
+        F.count(F.when(F.col("rank_new").isNotNull(), 1)).alias("n_new"),
+        F.count(
+            F.when(
+                F.col("rank_old").isNotNull() & F.col("rank_new").isNotNull(),
+                1,
+            )
+        ).alias("n_shared"),
+        F.count(
+            F.when(
+                F.col("rank_old").isNotNull()
+                & F.col("rank_new").isNotNull()
+                & (F.col("rank_old") != F.col("rank_new")),
+                1,
+            )
+        ).alias("n_rank_moved"),
+        F.min(
+            F.when(
+                F.col("rank_old").isNull() | F.col("rank_new").isNull()
+                | (F.col("rank_old") != F.col("rank_new")),
+                F.coalesce("rank_old", "rank_new"),
+            )
+        ).alias("__first_div"),
+    )
+    return agg.select(
+        "n_old",
+        "n_new",
+        "n_shared",
+        "n_rank_moved",
+        F.round(
+            F.col("n_shared")
+            / F.greatest(
+                F.col("n_old") + F.col("n_new") - F.col("n_shared"), F.lit(1)
+            ),
+            6,
+        ).alias("jaccard"),
+        F.coalesce(
+            F.col("__first_div"), F.least("n_old", "n_new")
+        ).cast("int").alias("prefix_len"),
+    )

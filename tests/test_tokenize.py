@@ -340,3 +340,24 @@ def test_bpe_incremental_trainer_matches_naive_property(words, n):
     exactly the recount-from-scratch reference on ANY corpus."""
     got = T._train_bpe_py([(list(w), c) for w, c in words], n, 2)
     assert got == _naive_bpe(words, n, 2)
+
+
+def test_tokenizer_drift_report(spark):
+    docs = _tiny_docs(spark)
+    m8 = T.bpe_train(docs, n_merges=8)
+    m4 = T.bpe_train(docs, n_merges=4)
+    # prefix-extension: identical prefix, no moves
+    r = T.tokenizer_drift(m4, m8).collect()[0]
+    assert (r["n_old"], r["n_new"], r["n_shared"]) == (4, 8, 4)
+    assert r["n_rank_moved"] == 0 and r["prefix_len"] == 4
+    assert abs(r["jaccard"] - 0.5) < 1e-9
+    # identical tables: full overlap, prefix == length
+    r2 = T.tokenizer_drift(m8, m8).collect()[0]
+    assert r2["jaccard"] == 1.0 and r2["prefix_len"] == 8
+    # disjoint corpora: divergence at rank 0
+    other = spark.createDataFrame(
+        [(0, "zzz zzz zzz yyy yyy")], "doc_id long, text string"
+    )
+    mo = T.bpe_train(other, n_merges=3)
+    r3 = T.tokenizer_drift(m8, mo).collect()[0]
+    assert r3["n_shared"] == 0 and r3["prefix_len"] == 0
