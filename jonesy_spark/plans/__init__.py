@@ -145,11 +145,6 @@ DRIVER_EXCLUDED = {
     # pack_sequences (running sum as start_offset); pytest
     # differential kept.
     "running_total",
-    # REGISTRY-ONLY this round, first in line for the r7 rotation:
-    # cross-document repeated-span removal has a full DuckDB oracle
-    # (pytest differential green) but the 50-slot cap is spent; PARITY
-    # names it as the next swap-in.
-    "repeated_span_removal",
     # REGISTRY-ONLY by design (not a rotation): the int8-scan +
     # exact-float-rerank ANN. No DuckDB oracle on purpose — the
     # round(x/scale) int8 boundary is the one spot engine ulp drift
@@ -183,18 +178,6 @@ DRIVER_EXCLUDED = {
     # story.
     "bpe_token_stats",
     # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # reverse CDC — derive the change feed from two snapshot
-    # generations (stats.snapshot_diff). Second in line for the r7
-    # rotation behind repeated_span_removal; pytest differential green.
-    "snapshot_cdc",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # the global token-budget prune — the oracle is the naive global
-    # cumulative window, the Spark side the two-pass range-partition
-    # form, so a driver row would witness a genuinely new plan family
-    # (terasort-style global prefix). r7 rotation candidate with the
-    # two rows above.
-    "token_budget_prune",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
     # PSI distributional drift between corpus halves — the monitoring
     # tier's histogram complement to stats_drift's volume ratios.
     "quality_psi",
@@ -209,29 +192,9 @@ DRIVER_EXCLUDED = {
     # truth CTE. r7 rotation candidate.
     "lsh_recall",
     # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # EXACT Jaccard self-join via prefix filtering (PPJoin family) —
-    # recall 1.0 by theorem, the deterministic complement to the LSH
-    # row. r7 rotation candidate.
-    "prefix_jaccard_join",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # per-key gap-filled resampling with forward fill — the hypertable
-    # / time_bucket_gapfill shape (grid GENERATED by sequence explode,
-    # running last(ignorenulls) carry-forward). r7 rotation candidate.
-    "resample_gapfill",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # trailing time-horizon aggregates via a RANGE frame on epoch
-    # seconds — the one window-frame family no driver row witnesses
-    # (every retained window row is a ROWS frame). r7 candidate.
-    "trailing_range_stats",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
     # the interpolate() twin of resample_gapfill (straight-line fill
     # between anchor slots, three-window shape). r7 candidate.
     "resample_interpolate",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # ordered funnel progression (stage-dependent filters — each
-    # stage's min is taken strictly after the previous stage's
-    # frontier). r7 candidate.
-    "funnel_steps",
     # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
     # weekly cohort retention matrix (per-key cohort min + one distinct
     # aggregation; matrix output is metadata-sized). r7 candidate.
@@ -246,10 +209,53 @@ DRIVER_EXCLUDED = {
     # oracle truth as the from_json row, pinning both semi-structured
     # paths. r7 candidate.
     "variant_props_extract",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # TPC-H Q5-shaped multi-dim join closing the last three unexercised
-    # fixture columns (c_nationkey, s_acctbal, l_tax). r7 candidate.
-    "local_supplier_volume",
+    # Rotated out r6 (third wave) to make room for the queued new-plan
+    # families (repeated_span_removal, snapshot_cdc, token_budget_prune,
+    # prefix_jaccard_join, resample_gapfill, trailing_range_stats,
+    # funnel_steps, local_supplier_volume — all pre-verified hash-green
+    # at sf0.01 via driver_sim this session). Each row below keeps its
+    # full pytest DuckDB differential; only the driver slot moves:
+    #
+    # watermark_incremental: the high-watermark timestamp predicate
+    # stays driver-checked via recent_instructor_updates (same
+    # threshold comparison over the same fixture), and the streaming
+    # twin carries the incremental semantics with batch-parity tests
+    # (PARITY-named rotation-out candidate).
+    "watermark_incremental",
+    # latest_event_version: the conditional-window-max / epoch-sentinel
+    # family stays driver-checked via cdc_upsert (latest-version-wins
+    # over the same events fixture; PARITY-named candidate).
+    "latest_event_version",
+    # topk_per_group_price: the rank-cut window family stays
+    # driver-checked via current_terms_topk (rank over CASE priority)
+    # and quality_filter (rank against a percentile gate).
+    "topk_per_group_price",
+    # mixture_sample: the md5-deterministic Bernoulli draw stays
+    # driver-checked via leakage_safe_split (same md5-threshold CASE)
+    # and mixture_upsample (the same draw deciding the fractional
+    # copy, plus the per-domain rate join on top).
+    "mixture_sample",
+    # composite_key_join: the 5-key composite equi-join family stays
+    # driver-checked via term_courses' retained 5-key composite
+    # left-outer chain (J7/J8 — the superset plan of the inner form).
+    "composite_key_join",
+    # events_tumbling_window: the time-bucket arithmetic stays
+    # driver-checked via resample_gapfill (same floor-to-step slot
+    # bucketing over the same events timestamps, plus grid generation
+    # on top); the streaming twin's batch-parity tests keep window()
+    # itself pinned.
+    "events_tumbling_window",
+    # quantile_stats: the percentile-aggregate family stays
+    # driver-checked via quality_filter (percentile_approx gate); the
+    # exact-interpolation members (median / percentile vs DuckDB
+    # quantile_cont) keep their pytest differential.
+    "quantile_stats",
+    # pivot_event_counts: pivot lowers to one hash aggregate of
+    # CASE-conditional counts — the conditional-aggregate family
+    # pricing_summary_agg and cube_agg keep driver-checked; the pivot
+    # column synthesis and the unpivot/melt twin keep their pytest
+    # differentials.
+    "pivot_event_counts",
 }
 
 
