@@ -1,0 +1,225 @@
+"""Supervised linear text classification over hashed bag-of-words —
+the trainable quality/label gate of a training-data pipeline.
+
+The heuristic tiers already in the engine (``corpus.quality_
+percentile_filter``'s composite score, ``corpus.unigram_logprob`` /
+``bigram_logprob``'s LM perplexity proxies) rank documents without any
+labels. Production corpus pipelines add one more tier above them: a
+cheap LINEAR classifier trained on weak labels (public method:
+the fastText-style hashed bag-of-words classifier used for both
+language ID and "looks like reference text" quality gating in the
+CCNet / GPT-3 data-curation literature). This module re-expresses
+that train+apply loop relationally so both halves run as ordinary
+DataFrame plans:
+
+* **Features**: lowercased whitespace tokens hashed into a FIXED
+  number of buckets (the hashing trick). The hash is the house
+  ``dedup.element_hash`` (leading 7 hex digits of md5), so every
+  bucket id — and therefore the whole trained model — is exactly
+  reproducible in the DuckDB oracle.
+* **Model**: multinomial naive Bayes in log space, which IS a linear
+  model over the hashed counts: per-bucket weight = smoothed
+  log-likelihood ratio, plus a document-prior bias. Training is two
+  keyed aggregations; no gradient loop, no driver-side state.
+* **Scoring**: tf-aggregate per (doc, bucket), broadcast-join the
+  bounded weight table, sum. ``score > 0`` is the posterior decision
+  boundary.
+
+Scale shape (the reason this is safe at 100 TB):
+  * the token explode never leaves its stage — both train counts and
+    scoring tf aggregate under keyed shuffles with map-side combine;
+  * the model is AT MOST ``n_buckets`` rows by construction (the
+    hashing trick's whole point: unbounded vocabulary, bounded
+    parameters), so it always broadcasts — MBs at the 2^15 default;
+  * scoring shuffles (doc_id, bucket, tf) triples — ~20-byte rows,
+    never text;
+  * no collect anywhere: totals ride 1-row broadcast cross-joins
+    (the ``unigram_logprob`` pattern).
+
+Float discipline follows the house 9-then-6 rule: per-bucket weights
+round to 9 digits at train time, final scores to 6 — libm's 1-ulp
+``ln`` differences between engines can never reach the compared
+digits.
+
+Reference anchor: the reference engine has no ML tier at all (its
+whole surface is the extract queries, ``jonesy/queries.py``); this
+module is part of the beyond-reference LLM-pipeline capability set the
+build contract asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import CPU_PARTITIONS, element_hash
+
+#: Default feature-space size. 32k buckets keeps the model ~1 MB
+#: (bucket int + double) — broadcastable on any executor — while
+#: keeping the hashing trick's collision rate negligible for the
+#: word-unigram vocabularies quality/language gating needs.
+DEFAULT_N_BUCKETS = 1 << 15
+
+#: Sentinel bucket ids for the two model metadata rows, stored inline
+#: so one bounded (bucket, weight) frame IS the whole model — storable
+#: with the same parquet round-trip as every other artifact here.
+#: Real buckets are pmod(...) >= 0, so negatives can never collide.
+BIAS_BUCKET = -1
+UNSEEN_BUCKET = -2
+
+
+def token_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """Hashed-feature term frequencies: one ``(id, bucket, tf)`` row
+    per document x occupied bucket. The explode is map-side; the tf
+    aggregation is the only shuffle and carries ~20-byte rows."""
+    toks = docs.repartition(CPU_PARTITIONS, F.col(id_col)).select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("t"),
+    ).filter(F.col("t") != "")
+    return (
+        toks.select(
+            id_col, F.pmod(element_hash(F.col("t")), F.lit(n_buckets)).alias("bucket")
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def train_log_odds(
+    docs: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Train the linear model: returns one bounded ``(bucket, weight)``
+    frame (<= ``n_buckets`` + 2 rows) holding the per-bucket smoothed
+    log-likelihood-ratio weights plus two sentinel rows —
+    :data:`BIAS_BUCKET` (the document-prior bias ``ln(n_pos/n_neg)``)
+    and :data:`UNSEEN_BUCKET` (the weight of a bucket with zero
+    training occurrences, which scoring applies to features first seen
+    in a NEW batch).
+
+    ``label`` is any boolean Column over ``docs``'s columns (the weak
+    label: a language tag, a domain allowlist hit, a heuristic-score
+    threshold). Multinomial NB with add-``alpha`` smoothing::
+
+        w_b  = ln((pos_b + a) / (pos_tot + a*B))
+             - ln((neg_b + a) / (neg_tot + a*B))
+        bias = ln(n_pos_docs / n_neg_docs)
+
+    Both classes must be non-empty — a one-class "training set" has no
+    decision boundary and raises rather than returning an all-bias
+    model that silently labels everything positive.
+
+    Two keyed aggregations (per-bucket class counts, per-class doc
+    counts); the 1-row totals frame broadcasts into the weight
+    expression — nothing is collected.
+    """
+    labeled = docs.withColumn("__pos", label.cast("int"))
+    tf = token_buckets(labeled, text_col=text_col, id_col=id_col, n_buckets=n_buckets)
+    per_bucket = (
+        tf.join(labeled.select(id_col, "__pos"), id_col)
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("tf") * F.col("__pos")).alias("pos_c"),
+            F.sum(F.col("tf") * (1 - F.col("__pos"))).alias("neg_c"),
+        )
+    )
+    doc_counts = labeled.agg(
+        F.sum("__pos").alias("n_pos"),
+        F.sum(1 - F.col("__pos")).alias("n_neg"),
+        F.lit(0).alias("__z"),  # guaranteed non-null join anchor below
+    )
+    first = doc_counts.head()
+    if first is None or not first["n_pos"] or not first["n_neg"]:
+        raise ValueError(
+            "train_log_odds needs both classes non-empty; got "
+            f"{first['n_pos'] if first else 0} positive / "
+            f"{first['n_neg'] if first else 0} negative documents"
+        )
+    totals = per_bucket.agg(
+        F.sum("pos_c").alias("pos_tot"), F.sum("neg_c").alias("neg_tot")
+    )
+    aB = alpha * n_buckets
+    w = F.round(
+        F.log((F.col("pos_c") + alpha) / (F.col("pos_tot") + aB))
+        - F.log((F.col("neg_c") + alpha) / (F.col("neg_tot") + aB)),
+        9,
+    )
+    weights = per_bucket.crossJoin(F.broadcast(totals)).select(
+        F.col("bucket").cast("long").alias("bucket"), w.alias("weight")
+    )
+    unseen = totals.select(
+        F.lit(UNSEEN_BUCKET).cast("long").alias("bucket"),
+        F.round(
+            F.log(F.lit(alpha) / (F.col("pos_tot") + aB))
+            - F.log(F.lit(alpha) / (F.col("neg_tot") + aB)),
+            9,
+        ).alias("weight"),
+    )
+    bias = doc_counts.select(
+        F.lit(BIAS_BUCKET).cast("long").alias("bucket"),
+        F.round(F.log(F.col("n_pos") / F.col("n_neg")), 9).alias("weight"),
+    )
+    return weights.unionByName(bias).unionByName(unseen)
+
+
+def score_log_odds(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """Apply a :func:`train_log_odds` model: ``(id, n_tokens, score,
+    pred)`` for EVERY input document — ``score = bias + sum(tf * w)``
+    (unseen buckets take the model's :data:`UNSEEN_BUCKET` weight),
+    ``pred = score > 0``. A zero-token document scores exactly the
+    bias (the prior), which is the correct posterior with no evidence.
+
+    ``n_buckets`` must match training — the bucket space IS the
+    feature space. The model broadcasts by construction; scoring adds
+    one tf shuffle on (id, bucket) beyond the map-side explode.
+    """
+    tf = token_buckets(docs, text_col=text_col, id_col=id_col, n_buckets=n_buckets)
+    sentinels = model.filter(F.col("bucket") < 0)
+    weights = model.filter(F.col("bucket") >= 0)
+    meta = sentinels.groupBy().pivot("bucket", [BIAS_BUCKET, UNSEEN_BUCKET]).sum(
+        "weight"
+    ).select(
+        F.col(str(BIAS_BUCKET)).alias("__bias"),
+        F.col(str(UNSEEN_BUCKET)).alias("__unseen"),
+    )
+    scored = (
+        tf.join(F.broadcast(weights), "bucket", "left")
+        .crossJoin(F.broadcast(meta))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("int").alias("n_tokens"),
+            F.round(
+                F.first("__bias")
+                + F.sum(F.col("tf") * F.coalesce(F.col("weight"), F.col("__unseen"))),
+                6,
+            ).alias("score"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .crossJoin(F.broadcast(meta))
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("score"), F.round(F.col("__bias"), 6)).alias("score"),
+            (
+                F.coalesce(F.col("score"), F.round(F.col("__bias"), 6)) > 0
+            ).alias("pred"),
+        )
+    )

@@ -209,6 +209,12 @@ DRIVER_EXCLUDED = {
     # oracle truth as the from_json row, pinning both semi-structured
     # paths. r7 candidate.
     "variant_props_extract",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # the hashed bag-of-words linear classifier (train + score in one
+    # plan — the oracle reproduces the TRAINING math: smoothed
+    # log-odds weights and prior bias, not just the scoring join).
+    # r7 rotation candidate with the queue above.
+    "quality_classifier",
     # Rotated out r6 (third wave) to make room for the queued new-plan
     # families (repeated_span_removal, snapshot_cdc, token_budget_prune,
     # prefix_jaccard_join, resample_gapfill, trailing_range_stats,

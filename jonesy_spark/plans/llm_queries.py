@@ -1577,6 +1577,75 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_classifier",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    tf AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 7))::BIGINT % 32768 AS bucket,
+               count(*) AS tf
+        FROM tok GROUP BY 1, 2
+    ),
+    lab AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ),
+    pb AS (
+        SELECT bucket,
+               sum(tf * pos) AS pos_c,
+               sum(tf * (1 - pos)) AS neg_c
+        FROM tf JOIN lab USING (doc_id) GROUP BY bucket
+    ),
+    tot AS (SELECT sum(pos_c) AS pos_tot, sum(neg_c) AS neg_tot FROM pb),
+    w AS (
+        SELECT bucket,
+               round(ln((pos_c + 1.0) / (pos_tot + 32768.0))
+                     - ln((neg_c + 1.0) / (neg_tot + 32768.0)), 9) AS weight
+        FROM pb CROSS JOIN tot
+    ),
+    meta AS (
+        SELECT round(ln(CAST(sum(pos) AS DOUBLE) / sum(1 - pos)), 9) AS bias
+        FROM lab
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(sum(tf) AS INT) AS n_tokens,
+               round(max(meta.bias) + sum(tf * w.weight), 6) AS score
+        FROM tf JOIN w USING (bucket) CROSS JOIN meta
+        GROUP BY tf.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_tokens, 0) AS n_tokens,
+           coalesce(s.score, (SELECT round(bias, 6) FROM meta)) AS score,
+           coalesce(s.score, (SELECT round(bias, 6) FROM meta)) > 0 AS pred
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear classifier, trained and applied in
+    one plan: multinomial-NB log-odds weights over md5-hashed token
+    buckets (the fastText-shaped train+apply loop, fully relational),
+    weak label ``lang = 'en'``. Every train-side quantity — bucket
+    ids, smoothed log-likelihood ratios, the document-prior bias —
+    is reproduced verbatim in the oracle, so the row witnesses the
+    TRAINING math, not just the scoring join. On this corpus every
+    scoring bucket is train-occupied, so the oracle inner-joins
+    weights; the unseen-bucket fallback path keeps its pytest pin.
+    operators.classify has the broadcast-model scale notes."""
+    from ..operators import classify as CL
+
+    docs = Catalog(spark, sf_dir).documents
+    model = CL.train_log_odds(docs, F.col("lang") == "en")
+    return CL.score_log_odds(docs, model)
+
+
+@query(
     "ngram_containment",
     # f-string solely to interpolate the shared df_cap constant.
     oracle=f"""
