@@ -171,6 +171,39 @@ def train_log_odds(
     return weights.unionByName(bias).unionByName(unseen)
 
 
+def write_model(model: DataFrame, path: str, n_buckets: int = DEFAULT_N_BUCKETS) -> int:
+    """Publish a trained model as the next committed version
+    (``store.publish_version`` contract: fully durable, then one
+    atomic ``_COMMITTED`` create; retraining publishes N+1, never
+    mutates N). The feature-space size is stored WITH the weights —
+    a model scored under a different ``n_buckets`` than it was
+    trained with is silently wrong (every hashed id moves), so the
+    pair freezes together and :func:`read_model` hands both back.
+    The table is bounded (<= n_buckets + 2 rows), so the single-file
+    layout is driver-sized by construction."""
+    from .store import publish_version
+
+    return publish_version(
+        model.withColumn("n_buckets", F.lit(n_buckets).cast("int")), path
+    )
+
+
+def read_model(spark, path: str) -> tuple[DataFrame, int, int] | None:
+    """The live ``(model, n_buckets, version)`` triple, or None when
+    nothing is committed. The version number should ride scored
+    output as lineage — scores are only comparable within one model
+    version (the tokenizer-shard contract)."""
+    from .store import read_live
+
+    got = read_live(spark, path)
+    if got is None:
+        return None
+    (stored,), n = got
+    first = stored.select("n_buckets").head()
+    n_buckets = int(first["n_buckets"]) if first is not None else DEFAULT_N_BUCKETS
+    return stored.drop("n_buckets"), n_buckets, n
+
+
 def score_log_odds(
     docs: DataFrame,
     model: DataFrame,

@@ -293,16 +293,9 @@ def live_ivf_version(spark, index_path: str) -> int | None:
     mid-rebuild see the old version until the new one is fully durable
     (Hadoop FileSystem API, so the same code runs on local disk, HDFS,
     or s3a)."""
-    sc = spark.sparkContext
-    Path = sc._jvm.org.apache.hadoop.fs.Path
-    fs = Path(index_path).getFileSystem(sc._jsc.hadoopConfiguration())
-    best = None
-    statuses = fs.globStatus(Path(f"{index_path}/version=*/_COMMITTED"))
-    for st in statuses or []:
-        n = int(st.getPath().getParent().getName().split("=", 1)[1])
-        if best is None or n > best:
-            best = n
-    return best
+    from .store import live_version
+
+    return live_version(spark, index_path)
 
 
 def _ivf_root(spark, index_path: str) -> str:

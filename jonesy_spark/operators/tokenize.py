@@ -411,20 +411,11 @@ def bpe_vocab(
 
 def live_merges_version(spark: SparkSession, path: str) -> int | None:
     """The committed merge-table version currently served, or None when
-    none is published. Same atomic-publish contract as the IVF index
-    (``similarity.live_ivf_version``): a version is live only once its
-    ``version=N/_COMMITTED`` marker exists — a single file create — so
-    readers resolving mid-publish keep the previous table. Hadoop
-    FileSystem API: identical on local disk, HDFS, s3a."""
-    sc = spark.sparkContext
-    Path = sc._jvm.org.apache.hadoop.fs.Path
-    fs = Path(path).getFileSystem(sc._jsc.hadoopConfiguration())
-    best = None
-    for st in fs.globStatus(Path(f"{path}/version=*/_COMMITTED")) or []:
-        n = int(st.getPath().getParent().getName().split("=", 1)[1])
-        if best is None or n > best:
-            best = n
-    return best
+    none is published (the shared ``store.live_version`` contract:
+    atomic ``_COMMITTED`` publish, crashed writes invisible)."""
+    from .store import live_version
+
+    return live_version(spark, path)
 
 
 def write_bpe_merges(merges: DataFrame, path: str) -> int:
@@ -440,28 +431,19 @@ def write_bpe_merges(merges: DataFrame, path: str) -> int:
     Version numbering skips past crashed (uncommitted) attempts, and
     the table itself is one coalesced file (``n_merges`` rows —
     driver-sized by definition)."""
-    spark = merges.sparkSession
-    sc = spark.sparkContext
-    Path = sc._jvm.org.apache.hadoop.fs.Path
-    fs = Path(path).getFileSystem(sc._jsc.hadoopConfiguration())
-    taken = [
-        int(st.getPath().getName().split("=", 1)[1])
-        for st in fs.globStatus(Path(f"{path}/version=*")) or []
-    ]
-    n = 1 + max(taken, default=-1)
-    merges.coalesce(1).write.mode("error").parquet(f"{path}/version={n}")
-    fs.create(Path(f"{path}/version={n}/_COMMITTED"), False).close()
-    return n
+    from .store import publish_version
+
+    return publish_version(merges, path)
 
 
 def read_bpe_merges(spark: SparkSession, path: str) -> DataFrame | None:
     """The live (latest committed) merge table, or None when no version
     has been published — crashed partial writes are invisible by
     construction (no ``_COMMITTED`` marker)."""
-    n = live_merges_version(spark, path)
-    if n is None:
-        return None
-    return spark.read.parquet(f"{path}/version={n}")
+    from .store import read_live
+
+    got = read_live(spark, path)
+    return None if got is None else got[0][0]
 
 
 def bpe_encode_ids(
@@ -538,19 +520,9 @@ def write_bpe_tokenizer(merges: DataFrame, vocab: DataFrame, path: str) -> int:
     merges-only store when it consumes token strings. The two layouts
     differ (subtrees vs a bare table), so give each store its own
     path."""
-    spark = merges.sparkSession
-    sc = spark.sparkContext
-    Path = sc._jvm.org.apache.hadoop.fs.Path
-    fs = Path(path).getFileSystem(sc._jsc.hadoopConfiguration())
-    taken = [
-        int(st.getPath().getName().split("=", 1)[1])
-        for st in fs.globStatus(Path(f"{path}/version=*")) or []
-    ]
-    n = 1 + max(taken, default=-1)
-    merges.coalesce(1).write.mode("error").parquet(f"{path}/version={n}/merges")
-    vocab.coalesce(1).write.mode("error").parquet(f"{path}/version={n}/vocab")
-    fs.create(Path(f"{path}/version={n}/_COMMITTED"), False).close()
-    return n
+    from .store import publish_version
+
+    return publish_version({"merges": merges, "vocab": vocab}, path)
 
 
 def read_bpe_tokenizer(
@@ -560,14 +532,13 @@ def read_bpe_tokenizer(
     version is committed. The version number travels with encoded
     output as artifact lineage — a shard is only comparable to shards
     of the same tokenizer version."""
-    n = live_merges_version(spark, path)
-    if n is None:
+    from .store import read_live
+
+    got = read_live(spark, path, names=("merges", "vocab"))
+    if got is None:
         return None
-    return (
-        spark.read.parquet(f"{path}/version={n}/merges"),
-        spark.read.parquet(f"{path}/version={n}/vocab"),
-        n,
-    )
+    (merges, vocab), n = got
+    return merges, vocab, n
 
 
 def oov_report(shards: DataFrame) -> DataFrame:

@@ -107,3 +107,88 @@ def test_model_bounded_and_scoring_broadcasts(spark):
     assert "bucket" not in "".join(
         line for line in plan.splitlines() if "SortMergeJoin" in line
     )
+
+
+def test_model_store_round_trip_and_version_bump(spark, tmp_path):
+    """write_model freezes (weights, n_buckets) together; a retrain
+    publishes the next version and read_model serves it."""
+    path = str(tmp_path / "model")
+    docs = _docs(spark, [(0, "alpha beta", "en"), (1, "omega sigma", "de")])
+    m0 = C.train_log_odds(docs, F.col("lang") == "en", n_buckets=64)
+    assert C.write_model(m0, path, n_buckets=64) == 0
+    model, n_buckets, v = C.read_model(spark, path)
+    assert (n_buckets, v) == (64, 0)
+    assert "n_buckets" not in model.columns
+    got = {r["bucket"]: r["weight"] for r in model.collect()}
+    want = {r["bucket"]: r["weight"] for r in m0.collect()}
+    assert got == want
+    m1 = C.train_log_odds(docs, F.col("lang") == "de", n_buckets=128)
+    assert C.write_model(m1, path, n_buckets=128) == 1
+    _, n_buckets, v = C.read_model(spark, path)
+    assert (n_buckets, v) == (128, 1)
+
+
+def test_scored_doc_stream_two_waves_with_retrain(spark, tmp_path):
+    """Streaming scorer: wave 1 scores under model v0; a retrain
+    publishes v1 between waves and the restarted query scores wave 2
+    under it — the version lineage rides every row, and each wave
+    lands as its own epoch subtree."""
+    from jonesy_spark.streaming.incremental import run_scored_doc_stream
+
+    land = tmp_path / "docs"
+    land.mkdir()
+    scores, ckpt = str(tmp_path / "scores"), str(tmp_path / "ckpt")
+    model_path = str(tmp_path / "model")
+
+    train = _docs(
+        spark,
+        [(0, "alpha beta alpha", "en"), (1, "omega sigma omega", "de")],
+    )
+    m0 = C.train_log_odds(train, F.col("lang") == "en", n_buckets=64)
+    assert C.write_model(m0, model_path, n_buckets=64) == 0
+
+    def wave(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(f"{land}/{name}")
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            f"{land}/*"
+        )
+        run_scored_doc_stream(stream, model_path, scores, ckpt)
+
+    wave("w1", [(10, "alpha beta"), (11, "omega sigma")])
+    # retrain with the labels flipped: the sign of every score flips too
+    m1 = C.train_log_odds(train, F.col("lang") == "de", n_buckets=64)
+    assert C.write_model(m1, model_path, n_buckets=64) == 1
+    wave("w2", [(12, "alpha beta")])
+
+    got = {r["doc_id"]: r for r in spark.read.parquet(scores).collect()}
+    assert sorted(got) == [10, 11, 12]
+    assert got[10]["model_version"] == 0 and got[12]["model_version"] == 1
+    assert got[10]["pred"] and not got[11]["pred"]
+    # same text, flipped training labels -> mirrored score
+    assert got[12]["score"] == -got[10]["score"]
+    assert (
+        spark.read.parquet(scores).select("ingest_batch").distinct().count() == 2
+    )
+
+
+def test_scored_doc_stream_requires_model(spark, tmp_path):
+    from jonesy_spark.streaming.incremental import run_scored_doc_stream
+
+    land = tmp_path / "docs"
+    land.mkdir()
+    spark.createDataFrame([(1, "x")], "doc_id long, text string").write.parquet(
+        f"{land}/w1"
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"{land}/*"
+    )
+    # the ValueError surfaces wrapped in StreamingQueryException
+    with pytest.raises(Exception, match="no committed model"):
+        run_scored_doc_stream(
+            stream,
+            str(tmp_path / "model"),
+            str(tmp_path / "scores"),
+            str(tmp_path / "ckpt"),
+        )
