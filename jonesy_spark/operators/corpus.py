@@ -882,3 +882,119 @@ def bigram_logprob(
         ),
         F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
     )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 15,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Hashed n-gram importance weights for data selection (public
+    method: DSIR — Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): per raw document the log
+    importance ratio of a TARGET distribution (the data you want more
+    of — curated reference text) over the RAW distribution it is
+    drawn from, estimated over hashed bag-of-words features::
+
+        log w(x) = sum_b tf_b(x) * (log p_target(b) - log p_raw(b))
+
+    with add-``alpha`` smoothing on both class-conditional bucket
+    distributions. The math is :func:`~.classify.train_log_odds`'s
+    class-conditional core with (target, raw) as the two classes and
+    no document prior — reusing the same hashed feature space
+    (``classify.token_buckets``), so the two tiers share bucket ids
+    and the same oracle-reproducibility story.
+
+    Output: ``(id, n_tokens, log_weight)`` for every raw document
+    (zero-token docs carry log_weight 0 — no evidence, unit ratio).
+
+    Scale shape: identical to classifier training — two bounded
+    per-bucket count aggregations (<= ``n_buckets`` rows each, full
+    outer joined: a bucket seen only in target still reweights raw
+    docs... which cannot contain it; a bucket seen only in raw gets
+    the smoothed target floor), a broadcast weight join, one tf
+    shuffle. The target corpus is typically MBs of curated text —
+    but nothing here requires it to fit anywhere special.
+    """
+    from .classify import token_buckets
+
+    tf_r = token_buckets(raw, text_col=text_col, id_col=id_col, n_buckets=n_buckets)
+    tf_t = token_buckets(target, text_col=text_col, id_col=id_col, n_buckets=n_buckets)
+    ct = tf_t.groupBy("bucket").agg(F.sum("tf").alias("ct"))
+    cr = tf_r.groupBy("bucket").agg(F.sum("tf").alias("cr"))
+    counts = ct.join(cr, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+        F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
+    )
+    totals = counts.agg(F.sum("ct").alias("tot_t"), F.sum("cr").alias("tot_r"))
+    aB = alpha * n_buckets
+    w = F.round(
+        F.log((F.col("ct") + alpha) / (F.col("tot_t") + aB))
+        - F.log((F.col("cr") + alpha) / (F.col("tot_r") + aB)),
+        9,
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket", w.alias("weight")
+    )
+    scored = (
+        tf_r.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("int").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * F.col("weight")), 6).alias("log_weight"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 15,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Importance-RESAMPLE ``k`` raw documents toward the target
+    distribution: Gumbel-top-k over :func:`dsir_weights` — adding
+    standard Gumbel noise to each log weight and taking the k largest
+    keys draws a sample WITHOUT replacement with probability
+    proportional to the importance weights (the Gumbel-max trick,
+    public result), which is exactly DSIR's resampling step. The
+    noise is the house deterministic md5 draw (``g = -ln(-ln(u))``,
+    ``u`` from salt|doc_id), so the selection is rerun-stable,
+    resample-able by salt, and oracle-reproducible.
+
+    Output: the selected ``(id, n_tokens, log_weight, sample_key)``
+    rows. Top-k is ``orderBy + limit`` — per-partition partial top-k,
+    never a global sort; ties (impossible up to md5 collisions) break
+    on ``id_col``.
+    """
+    weighted = dsir_weights(
+        raw, target, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, alpha=alpha,
+    )
+    u = _hash_unit(salt, F.col(id_col))
+    # u in [0, 1): guard the u == 0 endpoint (ln(0)) by the half-step
+    # below the smallest representable draw — deterministic, oracle-safe.
+    safe_u = F.greatest(u, F.lit(0.5 / float(1 << 28)))
+    key = F.round(F.col("log_weight") - F.log(-F.log(safe_u)), 6)
+    return (
+        weighted.withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -210,6 +210,11 @@ DRIVER_EXCLUDED = {
     # paths. r7 candidate.
     "variant_props_extract",
     # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # DSIR importance resampling (class-conditional bucket ratio +
+    # md5 Gumbel-top-k — the data-selection step between quality
+    # gating and mixture sampling). r7 rotation candidate.
+    "dsir_select",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
     # the hashed bag-of-words linear classifier (train + score in one
     # plan — the oracle reproduces the TRAINING math: smoothed
     # log-odds weights and prior bias, not just the scoring join).

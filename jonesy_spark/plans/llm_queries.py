@@ -942,6 +942,86 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dsir_select",
+    oracle="""
+    WITH tok_r AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    tf_r AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 7))::BIGINT % 32768 AS bucket,
+               count(*) AS tf
+        FROM tok_r GROUP BY 1, 2
+    ),
+    tok_t AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            FROM documents WHERE lang = 'en'
+        ) WHERE t <> ''
+    ),
+    ct AS (
+        SELECT ('0x' || substr(md5(t), 1, 7))::BIGINT % 32768 AS bucket,
+               count(*) AS ct
+        FROM tok_t GROUP BY 1
+    ),
+    cr AS (SELECT bucket, sum(tf) AS cr FROM tf_r GROUP BY 1),
+    counts AS (
+        SELECT coalesce(ct.bucket, cr.bucket) AS bucket,
+               coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+        FROM ct FULL OUTER JOIN cr ON ct.bucket = cr.bucket
+    ),
+    tot AS (SELECT sum(ct) AS tot_t, sum(cr) AS tot_r FROM counts),
+    w AS (
+        SELECT bucket,
+               round(ln((ct + 1.0) / (tot_t + 32768.0))
+                     - ln((cr + 1.0) / (tot_r + 32768.0)), 9) AS weight
+        FROM counts CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT tf_r.doc_id, CAST(sum(tf) AS INT) AS n_tokens,
+               round(sum(tf * w.weight), 6) AS log_weight
+        FROM tf_r JOIN w USING (bucket)
+        GROUP BY tf_r.doc_id
+    ),
+    allr AS (
+        SELECT d.doc_id,
+               coalesce(s.n_tokens, 0) AS n_tokens,
+               coalesce(s.log_weight, 0.0) AS log_weight
+        FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    )
+    SELECT doc_id, n_tokens, log_weight,
+           round(log_weight
+                 - ln(-ln(greatest(
+                       ('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                       / 268435456.0,
+                       0.5 / 268435456.0))), 6) AS sample_key
+    FROM allr
+    ORDER BY sample_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (public method, Xie et al. 2023):
+    select the 100 raw documents whose hashed bag-of-words importance
+    ratio toward the English-subset "target distribution" wins the
+    Gumbel-top-k draw — the data-selection step between quality
+    gating and mixture sampling. The oracle reproduces the whole
+    chain: both class-conditional bucket distributions, the smoothed
+    log ratio, the per-doc weight, the md5 Gumbel key, and the
+    deterministic top-k cut. operators.corpus.dsir_weights has the
+    broadcast-weights scale notes."""
+    from ..operators import corpus as C
+
+    docs = Catalog(spark, sf_dir).documents
+    return C.dsir_select(docs, docs.filter(F.col("lang") == "en"), k=100)
+
+
+@query(
     "mixture_sample",
     oracle="""
     SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars

@@ -678,3 +678,55 @@ def test_bigram_logprob_discriminates_word_salad(spark):
         for r in bigram_logprob(docs, vocab_size=50, bigram_size=200).collect()
     }
     assert bi[0] > bi[100]  # conditional model prefers natural order
+
+
+def test_dsir_weights_favor_target_population(spark):
+    """DSIR importance weights: raw holds two subpopulations; the
+    target matches one of them, so every pop-A document must outweigh
+    every pop-B document, and Gumbel-top-k selection at k = |pop A|
+    must draw overwhelmingly from pop A."""
+    from jonesy_spark.operators.corpus import dsir_select, dsir_weights
+
+    pop_a = "alpha beta gamma delta alpha beta gamma"
+    pop_b = "omega sigma tau rho omega sigma tau"
+    raw = spark.createDataFrame(
+        [(i, pop_a) for i in range(20)] + [(i + 20, pop_b) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(1000 + i, "alpha beta gamma delta") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    w = {r["doc_id"]: r["log_weight"] for r in dsir_weights(raw, target).collect()}
+    assert min(w[i] for i in range(20)) > max(w[i + 20] for i in range(20))
+    picked = {r["doc_id"] for r in dsir_select(raw, target, k=20).collect()}
+    # Gumbel noise can flip a few boundary draws; the bulk must be pop A
+    assert len(picked & set(range(20))) >= 16
+
+
+def test_dsir_zero_token_doc_unit_ratio(spark):
+    from jonesy_spark.operators.corpus import dsir_weights
+
+    raw = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "")], ["doc_id", "text"]
+    )
+    target = spark.createDataFrame([(9, "alpha")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in dsir_weights(raw, target).collect()}
+    assert rows[1]["n_tokens"] == 0 and rows[1]["log_weight"] == 0.0
+
+
+def test_dsir_select_is_deterministic_and_exhaustive(spark):
+    """Same salt -> identical selection; k >= |raw| returns all rows
+    (sampling without replacement can never repeat a doc)."""
+    from jonesy_spark.operators.corpus import dsir_select
+
+    raw = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{(i + 1) % 7}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame([(99, "tok1 tok2")], ["doc_id", "text"])
+    a = [r["doc_id"] for r in dsir_select(raw, target, k=10).collect()]
+    b = [r["doc_id"] for r in dsir_select(raw, target, k=10).collect()]
+    assert a == b and len(a) == len(set(a)) == 10
+    everything = dsir_select(raw, target, k=1000).collect()
+    assert len(everything) == 30
