@@ -191,6 +191,28 @@ def _train_tokenizer(ctx: JobContext) -> None:
     ctx.written.append(f"tokenizer/version={v}")
 
 
+def _train_classifier(ctx: JobContext) -> None:
+    """Nightly classifier retrain: fit the hashed bag-of-words
+    log-odds model on the corpus under a config-layered weak label
+    (``CLASSIFIER_LABEL_LANG``, default ``en`` — "looks like the
+    reference language" quality gating) and publish it as the next
+    committed version under ``{out_root}/quality_model``. Scoring
+    consumers (``streaming.run_scored_doc_stream``) re-resolve the
+    live version per batch, so publishing IS the rollout — the
+    tokenizer-job contract."""
+    from ..operators import classify as CL
+
+    docs = Catalog(ctx.spark, ctx.sf_dir).documents
+    cfg = layered_config()
+    lang = cfg.get("CLASSIFIER_LABEL_LANG", "en")
+    n_buckets = int(cfg.get("CLASSIFIER_N_BUCKETS", str(CL.DEFAULT_N_BUCKETS)))
+    model = CL.train_log_odds(
+        docs, F.col("lang") == lang, n_buckets=n_buckets
+    )
+    v = CL.write_model(model, f"{ctx.out_root}/quality_model", n_buckets=n_buckets)
+    ctx.written.append(f"quality_model/version={v}")
+
+
 JOBS: dict[str, Callable[[JobContext], None]] = {
     "upload_advisors": upload_advisors,
     "upload_snapshot": upload_snapshot,
@@ -198,6 +220,7 @@ JOBS: dict[str, Callable[[JobContext], None]] = {
     "prepare_corpus": _prepare_corpus,
     "ingest_corpus": _ingest_corpus,
     "train_tokenizer": _train_tokenizer,
+    "train_classifier": _train_classifier,
 }
 
 

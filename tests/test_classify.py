@@ -192,3 +192,29 @@ def test_scored_doc_stream_requires_model(spark, tmp_path):
             str(tmp_path / "scores"),
             str(tmp_path / "ckpt"),
         )
+
+
+def test_train_classifier_job_publishes_versioned_model(
+    spark, tmp_path, monkeypatch
+):
+    """The nightly retrain job: one run publishes model version 0 under
+    the job's out_root with the configured feature-space size frozen in."""
+    from conftest import SF_DIR
+    from jonesy_spark.pipeline.jobs import JobContext, run_job
+
+    monkeypatch.setenv("CLASSIFIER_N_BUCKETS", "4096")
+    ctx = JobContext(
+        spark=spark,
+        sf_dir=SF_DIR,
+        out_root=str(tmp_path),
+        targets=[str(tmp_path / "t0")],
+    )
+    run_job("train_classifier", ctx)
+    assert any(w.startswith("quality_model/version=0") for w in ctx.written)
+    model, n_buckets, v = C.read_model(spark, f"{tmp_path}/quality_model")
+    assert (n_buckets, v) == (4096, 0)
+    assert model.count() <= 4096 + 2
+    assert {r["bucket"] for r in model.filter(F.col("bucket") < 0).collect()} == {
+        C.BIAS_BUCKET,
+        C.UNSEEN_BUCKET,
+    }
