@@ -63,6 +63,12 @@ HEADLINE = [
     # added r6: the EXACT set-similarity join (prefix filtering) —
     # prices the deterministic complement to the LSH dedup rows
     "prefix_jaccard_join",
+    # added r6 (continuation): the trainable tier — hashed-bucket NB
+    # train + broadcast-model scoring in one plan
+    "quality_classifier",
+    # added r6 (continuation): DSIR selection — two class-conditional
+    # distributions + Gumbel-top-k cut
+    "dsir_select",
 ]
 
 
@@ -164,7 +170,8 @@ def main() -> None:
                     "index seed write, steady prices the probe), then "
                     "ann_quantized_topk, repeated_span_removal, "
                     "bpe_token_stats, token_budget_prune and "
-                    "prefix_jaccard_join — the 27-query set; subtract "
+                    "prefix_jaccard_join, then quality_classifier and "
+                    "dsir_select — the 29-query set; subtract "
                     "new rows for cross-round subtotal comparisons"
                 ),
                 "timing": (
