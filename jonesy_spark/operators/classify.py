@@ -171,6 +171,49 @@ def train_log_odds(
     return weights.unionByName(bias).unionByName(unseen)
 
 
+def eval_report(scored: DataFrame, labels: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One-row quality report of a scored frame against reference
+    labels: confusion counts plus precision / recall / F1 / accuracy
+    (6-digit rounded ratios; all-zero denominators report 0.0, not
+    NULL, so alert thresholds compare cleanly). ``labels`` carries
+    ``(id, label)`` with a boolean/int ``label``; the nightly retrain
+    job evaluates on a held-out slice before publishing, and a drop
+    vs the previous version is the don't-publish alarm.
+
+    One doc-keyed join + one global aggregation — the output is a
+    single metadata row at any corpus size."""
+    j = scored.select(id_col, F.col("pred").cast("int").alias("p")).join(
+        labels.select(id_col, F.col("label").cast("int").alias("y")), id_col
+    )
+    agg = j.agg(
+        F.sum(F.col("p") * F.col("y")).alias("tp"),
+        F.sum(F.col("p") * (1 - F.col("y"))).alias("fp"),
+        F.sum((1 - F.col("p")) * F.col("y")).alias("fn"),
+        F.sum((1 - F.col("p")) * (1 - F.col("y"))).alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    safe = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6
+    )
+    prec = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
+    rec = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(0.0))
+    return agg.select(
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        tn.cast("long").alias("tn"),
+        safe(tp, tp + fp).alias("precision"),
+        safe(tp, tp + fn).alias("recall"),
+        F.round(
+            F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("f1"),
+        safe(tp + tn, tp + fp + fn + tn).alias("accuracy"),
+    )
+
+
 def write_model(model: DataFrame, path: str, n_buckets: int = DEFAULT_N_BUCKETS) -> int:
     """Publish a trained model as the next committed version
     (``store.publish_version`` contract: fully durable, then one

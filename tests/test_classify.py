@@ -218,3 +218,34 @@ def test_train_classifier_job_publishes_versioned_model(
         C.BIAS_BUCKET,
         C.UNSEEN_BUCKET,
     }
+
+
+def test_eval_report_confusion_and_ratios(spark):
+    """Hand-built confusion matrix: 2 TP, 1 FP, 1 FN, 2 TN."""
+    scored = spark.createDataFrame(
+        [(i, p == 1) for i, p in enumerate([1, 1, 1, 0, 0, 0])],
+        "doc_id long, pred boolean",
+    )
+    labels = spark.createDataFrame(
+        [(i, y == 1) for i, y in enumerate([1, 1, 0, 1, 0, 0])],
+        "doc_id long, label boolean",
+    )
+    row = C.eval_report(scored, labels).collect()[0]
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (2, 1, 1, 2)
+    assert row["precision"] == round(2 / 3, 6)
+    assert row["recall"] == round(2 / 3, 6)
+    assert row["f1"] == round(2 / 3, 6)
+    assert row["accuracy"] == round(4 / 6, 6)
+
+
+def test_eval_report_degenerate_all_negative(spark):
+    """No positives anywhere: ratios report 0.0, never NULL."""
+    scored = spark.createDataFrame(
+        [(0, False), (1, False)], "doc_id long, pred boolean"
+    )
+    labels = spark.createDataFrame(
+        [(0, False), (1, False)], "doc_id long, label boolean"
+    )
+    row = C.eval_report(scored, labels).collect()[0]
+    assert (row["precision"], row["recall"], row["f1"]) == (0.0, 0.0, 0.0)
+    assert row["accuracy"] == 1.0
