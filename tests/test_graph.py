@@ -196,3 +196,61 @@ def test_survivor_assignments_quality_and_ties(spark):
         4: (1, 2),
         9: (9, 9),
     }
+
+
+def _np_pagerank(edges, damping=0.85, max_iter=50, tol=1e-9):
+    """Independent dense power-iteration reference (numpy)."""
+    import numpy as np
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 0  # presence
+    deg = {}
+    for u, v in set(edges):
+        deg[u] = deg.get(u, 0) + 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        new = np.full(n, (1 - damping) / n)
+        dangling = sum(r[idx[x]] for x in nodes if x not in deg)
+        new += damping * dangling / n
+        for u, v in set(edges):
+            new[idx[v]] += damping * r[idx[u]] / deg[u]
+        if np.abs(new - r).sum() < tol:
+            r = new
+            break
+        r = new
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_matches_dense_reference(spark):
+    """Spark PageRank vs an independent numpy power iteration on a
+    graph with a hub, a chain, and a dangling sink."""
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (5, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in G.pagerank(df, max_iter=60, tol=1e-12).collect()}
+    want = _np_pagerank(edges, max_iter=60, tol=1e-12)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6, (k, got[k], want[k])
+    # mass conservation: the dangling correction keeps a distribution
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    got = [r["rank"] for r in G.pagerank(df).collect()]
+    assert all(abs(x - 1 / 3) < 1e-6 for x in got)
+
+
+def test_pagerank_validates_inputs(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with _pytest.raises(ValueError, match="damping"):
+        G.pagerank(df, damping=1.5)
+    empty = spark.createDataFrame([], "src long, dst long")
+    with _pytest.raises(ValueError, match="non-empty"):
+        G.pagerank(empty)
