@@ -104,6 +104,17 @@ class CorpusConfig:
     #: budget. Runs after the per-domain percentile gate (mixture
     #: preserved), before mixture sampling. None disables (default).
     token_budget: int | None = None
+    #: when set, gate documents through the LIVE published classifier
+    #: model at this store path (classify.read_model — the nightly
+    #: train_classifier job's output): only docs scoring above
+    #: ``classifier_min_score`` survive. The trained tier above the
+    #: heuristic gates; resolution happens at pipeline build, so a
+    #: retrain re-points the NEXT run. None disables (default).
+    classifier_model_path: str | None = None
+    #: decision threshold for the classifier gate; 0.0 is the NB
+    #: posterior boundary (``pred``), positive values trade recall for
+    #: precision.
+    classifier_min_score: float = 0.0
 
 
 def prepare_training_corpus(
@@ -165,6 +176,32 @@ def prepare_training_corpus(
         max_dup_token_frac=cfg.max_dup_token_frac,
         max_top_ngram_frac=cfg.max_top_ngram_frac,
     )
+    # 3.2 trained-classifier gate (opt-in): ABSOLUTE filter under the
+    # live published model, applied before the per-domain percentile
+    # (which is RELATIVE — it should rank classifier-passing docs, not
+    # re-admit classifier-rejected ones). The model resolves at
+    # pipeline build (store glob + bounded parquet read; the scoring
+    # plan itself stays lazy), so a nightly retrain re-points the next
+    # run — publishing is the rollout, as for the streaming scorer.
+    if cfg.classifier_model_path is not None:
+        from ..operators import classify as CL
+
+        got = CL.read_model(docs.sparkSession, cfg.classifier_model_path)
+        if got is None:
+            raise ValueError(
+                f"no committed classifier model at "
+                f"{cfg.classifier_model_path!r}; publish one with "
+                "classify.write_model (the train_classifier job) or "
+                "unset classifier_model_path"
+            )
+        model, n_buckets, _version = got
+        keep = (
+            CL.score_log_odds(docs, model, n_buckets=n_buckets)
+            .filter(F.col("score") > cfg.classifier_min_score)
+            .select("doc_id")
+        )
+        docs = docs.join(keep, "doc_id", "left_semi")
+
     if cfg.quality_keep_frac is not None:
         from ..functions import text as TX
 

@@ -249,3 +249,46 @@ def test_eval_report_degenerate_all_negative(spark):
     row = C.eval_report(scored, labels).collect()[0]
     assert (row["precision"], row["recall"], row["f1"]) == (0.0, 0.0, 0.0)
     assert row["accuracy"] == 1.0
+
+
+def test_pipeline_classifier_gate_drops_off_target_docs(spark, tmp_path):
+    """CorpusConfig.classifier_model_path: publish a model trained to
+    accept one subpopulation; the pipeline's clean output keeps that
+    population and drops the other. An unset path leaves both."""
+    from jonesy_spark.pipeline.corpus_job import (
+        CorpusConfig,
+        prepare_training_corpus,
+    )
+
+    model_path = str(tmp_path / "model")
+    pop_a = "alpha beta gamma delta epsilon zeta"
+    pop_b = "omega sigma tau rho phi chi"
+    docs = spark.createDataFrame(
+        [(i, pop_a + f" uniq{i}", "en", "srcA") for i in range(8)]
+        + [(i + 8, pop_b + f" uniq{i+8}", "de", "srcB") for i in range(8)],
+        "doc_id long, text string, lang string, source string",
+    )
+    model = C.train_log_odds(docs, F.col("lang") == "en", n_buckets=512)
+    C.write_model(model, model_path, n_buckets=512)
+
+    gated = prepare_training_corpus(
+        docs, CorpusConfig(classifier_model_path=model_path)
+    )["clean"]
+    kept = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    assert kept == set(range(8))
+
+    ungated = prepare_training_corpus(docs, CorpusConfig())["clean"]
+    assert ungated.count() == 16
+
+
+def test_pipeline_classifier_gate_requires_published_model(spark, tmp_path):
+    from jonesy_spark.pipeline.corpus_job import (
+        CorpusConfig,
+        prepare_training_corpus,
+    )
+
+    docs = _docs(spark, [(0, "alpha", "en")])
+    with pytest.raises(ValueError, match="no committed classifier model"):
+        prepare_training_corpus(
+            docs, CorpusConfig(classifier_model_path=str(tmp_path / "nope"))
+        )
