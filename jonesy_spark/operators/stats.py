@@ -371,3 +371,45 @@ def psi_report(
         ).alias("psi"),
     )
     return out
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Heavy-hitter diagnosis for a join/aggregation key: the top
+    ``top_n`` keys by row count with their share of all rows and their
+    ratio to the MEDIAN per-key count — the measurement that decides
+    whether a key needs salting (``joins.salted_join``) or AQE skew
+    handling before a shuffle lands on it. A ratio in the thousands on
+    a key carrying percent-level share is exactly the profile that
+    turns a 1000-executor shuffle into one straggler task.
+
+    Output: ``(key, n_rows, share, ratio_to_median)`` — ``top_n`` rows,
+    descending count, key-string tiebreak (deterministic, oracle-able).
+
+    Scale shape: one keyed count aggregation (map-side combine; the
+    shuffle carries key-cardinality rows, not data rows), a 1-row
+    totals/median aggregate broadcast back, and a partial top-N via
+    ``orderBy + limit`` — no global sort, nothing driver-sized beyond
+    the report itself.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    stats = counts.agg(
+        F.sum("n_rows").alias("total"),
+        F.median("n_rows").alias("med"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("total"), 6).alias("share"),
+            F.round(F.col("n_rows") / F.col("med"), 6).alias("ratio_to_median"),
+        )
+        .orderBy(F.col("n_rows").desc(), "key")
+        .limit(top_n)
+    )

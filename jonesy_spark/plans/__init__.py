@@ -210,6 +210,11 @@ DRIVER_EXCLUDED = {
     # paths. r7 candidate.
     "variant_props_extract",
     # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # heavy-hitter key-skew diagnosis (keyed count + broadcast
+    # median/total + partial top-N) — the pre-shuffle salting
+    # decision's measurement. r7 rotation candidate.
+    "events_key_skew",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
     # DSIR importance resampling (class-conditional bucket ratio +
     # md5 Gumbel-top-k — the data-selection step between quality
     # gating and mixture sampling). r7 rotation candidate.

@@ -1179,3 +1179,30 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.count("*").alias("n_rows"),
     )
+
+
+@query(
+    "events_key_skew",
+    oracle="""
+    WITH counts AS (
+        SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+        FROM events GROUP BY 1
+    ),
+    s AS (SELECT sum(n_rows) AS total, median(n_rows) AS med FROM counts)
+    SELECT key, n_rows,
+           round(n_rows / total, 6) AS share,
+           round(n_rows / med, 6) AS ratio_to_median
+    FROM counts CROSS JOIN s
+    ORDER BY n_rows DESC, key
+    LIMIT 10
+    """,
+)
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnosis over the events join key (user_id): the
+    pre-shuffle measurement that decides salting vs AQE skew handling.
+    operators.stats.key_skew_report — keyed count + 1-row broadcast
+    median/total + partial top-N, nothing corpus-sized leaves the
+    aggregation."""
+    from ..operators.stats import key_skew_report
+
+    return key_skew_report(Catalog(spark, sf_dir).events, "user_id", top_n=10)

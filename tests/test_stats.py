@@ -310,3 +310,28 @@ def test_psi_report_identical_and_shifted(spark):
     by_bin = {r["bin"]: r for r in shifted}
     assert abs(by_bin[9]["share_cur"] - 1.0) < 1e-9
     assert abs(by_bin[0]["share_cur"] - 1e-6) < 1e-12
+
+
+def test_key_skew_report_flags_heavy_hitter(spark):
+    """One key carrying half the rows over a uniform background must
+    top the report with the right share and median ratio."""
+    from jonesy_spark.operators.stats import key_skew_report
+
+    rows = [("hot",)] * 50 + [(f"k{i}",) for i in range(25) for _ in range(2)]
+    df = spark.createDataFrame(rows, ["k"])
+    got = key_skew_report(df, "k", top_n=3).collect()
+    assert got[0]["key"] == "hot"
+    assert got[0]["n_rows"] == 50
+    assert got[0]["share"] == 0.5
+    # background keys have 2 rows each -> median 2, ratio 25
+    assert got[0]["ratio_to_median"] == 25.0
+    assert [r["n_rows"] for r in got[1:]] == [2, 2]
+
+
+def test_key_skew_report_uniform_ratio_one(spark):
+    from jonesy_spark.operators.stats import key_skew_report
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(10)] * 3, ["k"])
+    got = key_skew_report(df, "k", top_n=5).collect()
+    assert all(r["ratio_to_median"] == 1.0 for r in got)
+    assert all(r["share"] == round(3 / 30, 6) for r in got)
