@@ -273,6 +273,19 @@ def score_log_odds(
         F.col(str(BIAS_BUCKET)).alias("__bias"),
         F.col(str(UNSEEN_BUCKET)).alias("__unseen"),
     )
+    # DECIMAL accumulation (the house exact-numerics rule): the model
+    # weights are on an exact 1e-9 grid (round(., 9) at train time),
+    # so summing them as decimals makes the per-doc score EXACT and
+    # independent of partition/accumulation order. A plain double sum
+    # drifts ~1e-12 — enough to flip the 6th rounded digit when a
+    # score lands near a rounding boundary, which at corpus scale is a
+    # per-run coin flip (observed at sf0.1: one run matched the
+    # oracle, the next did not). Widths are chosen so the product
+    # precision stays WELL under Spark's 38-digit cap: |weight| < 100
+    # fits DECIMAL(12,9) and tf fits DECIMAL(9,0) — a long*decimal(28,9)
+    # product would exceed 38 and trip Spark's silent precision-loss
+    # scale reduction, which DuckDB does not mirror.
+    dec = lambda c: c.cast("decimal(12,9)")  # noqa: E731
     scored = (
         tf.join(F.broadcast(weights), "bucket", "left")
         .crossJoin(F.broadcast(meta))
@@ -280,10 +293,15 @@ def score_log_odds(
         .agg(
             F.sum("tf").cast("int").alias("n_tokens"),
             F.round(
-                F.first("__bias")
-                + F.sum(F.col("tf") * F.coalesce(F.col("weight"), F.col("__unseen"))),
+                dec(F.first("__bias"))
+                + F.sum(
+                    F.col("tf").cast("decimal(9,0)")
+                    * dec(F.coalesce(F.col("weight"), F.col("__unseen")))
+                ),
                 6,
-            ).alias("score"),
+            )
+            .cast("double")
+            .alias("score"),
         )
     )
     return (

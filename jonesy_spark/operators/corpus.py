@@ -940,12 +940,25 @@ def dsir_weights(
     weights = counts.crossJoin(F.broadcast(totals)).select(
         "bucket", w.alias("weight")
     )
+    # DECIMAL accumulation over the 1e-9-grid weights: exact,
+    # order-independent per-doc sums (see classify.score_log_odds —
+    # a double sum flips 6th-digit roundings run-to-run at scale;
+    # widths keep the product under Spark's 38-digit cap so its
+    # precision-loss scale reduction never fires).
     scored = (
         tf_r.join(F.broadcast(weights), "bucket")
         .groupBy(id_col)
         .agg(
             F.sum("tf").cast("int").alias("n_tokens"),
-            F.round(F.sum(F.col("tf") * F.col("weight")), 6).alias("log_weight"),
+            F.round(
+                F.sum(
+                    F.col("tf").cast("decimal(9,0)")
+                    * F.col("weight").cast("decimal(12,9)")
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("log_weight"),
         )
     )
     return (

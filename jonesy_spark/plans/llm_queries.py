@@ -983,8 +983,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM counts CROSS JOIN tot
     ),
     scored AS (
+        -- DECIMAL accumulation (see the classifier oracle)
         SELECT tf_r.doc_id, CAST(sum(tf) AS INT) AS n_tokens,
-               round(sum(tf * w.weight), 6) AS log_weight
+               CAST(round(sum(tf * CAST(w.weight AS DECIMAL(12,9))), 6)
+                    AS DOUBLE) AS log_weight
         FROM tf_r JOIN w USING (bucket)
         GROUP BY tf_r.doc_id
     ),
@@ -1694,9 +1696,13 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lab
     ),
     scored AS (
+        -- DECIMAL accumulation over the 1e-9-grid weights: exact,
+        -- order-independent (mirrors classify.score_log_odds)
         SELECT tf.doc_id,
                CAST(sum(tf) AS INT) AS n_tokens,
-               round(max(meta.bias) + sum(tf * w.weight), 6) AS score
+               CAST(round(CAST(max(meta.bias) AS DECIMAL(12,9))
+                          + sum(tf * CAST(w.weight AS DECIMAL(12,9))), 6)
+                    AS DOUBLE) AS score
         FROM tf JOIN w USING (bucket) CROSS JOIN meta
         GROUP BY tf.doc_id
     )
