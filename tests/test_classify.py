@@ -292,3 +292,28 @@ def test_pipeline_classifier_gate_requires_published_model(spark, tmp_path):
         prepare_training_corpus(
             docs, CorpusConfig(classifier_model_path=str(tmp_path / "nope"))
         )
+
+
+def test_scores_invariant_to_partitioning(spark):
+    """The decimal-accumulated score must be EXACTLY equal however the
+    corpus is partitioned — the regression guard for the double-sum
+    partition-order drift found at sf0.1."""
+    rows = [
+        (i, " ".join(f"tok{(i * 7 + j) % 13}" for j in range(40)),
+         "en" if i % 3 else "de")
+        for i in range(60)
+    ]
+    docs = _docs(spark, rows)
+    model_rows = C.train_log_odds(
+        docs, F.col("lang") == "en", n_buckets=128
+    ).collect()
+    model = spark.createDataFrame(model_rows, "bucket long, weight double")
+    one = {
+        r["doc_id"]: r["score"]
+        for r in C.score_log_odds(docs.repartition(1), model, n_buckets=128).collect()
+    }
+    many = {
+        r["doc_id"]: r["score"]
+        for r in C.score_log_odds(docs.repartition(16), model, n_buckets=128).collect()
+    }
+    assert one == many
