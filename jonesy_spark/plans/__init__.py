@@ -210,6 +210,11 @@ DRIVER_EXCLUDED = {
     # paths. r7 candidate.
     "variant_props_extract",
     # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # BM25 corpus retrieval (Okapi ranking: smoothed idf, tf
+    # saturation, length normalization, decimal-exact contribution
+    # sum). r7 rotation candidate.
+    "bm25_search",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
     # heavy-hitter key-skew diagnosis (keyed count + broadcast
     # median/total + partial top-N) — the pre-shuffle salting
     # decision's measurement. r7 rotation candidate.

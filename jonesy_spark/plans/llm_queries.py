@@ -2218,3 +2218,57 @@ def assemble_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents
     packed = C.pack_sequences(docs, budget_tokens=512)
     return C.assemble_sequences(docs, packed)
+
+
+@query(
+    "bm25_search",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+    corpus AS (SELECT count(*) AS n_docs, avg(len) AS avg_len FROM lens),
+    hits AS (
+        SELECT doc_id, t FROM toks WHERE t IN ('join', 'spark', 'window')
+    ),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM hits GROUP BY 1, 2),
+    dfx AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+    idf AS (
+        SELECT t, round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 9) AS idf
+        FROM dfx CROSS JOIN corpus
+    ),
+    contrib AS (
+        SELECT tf.doc_id,
+               round(idf.idf * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1.0 - 0.75
+                                       + 0.75 * lens.len / corpus.avg_len)),
+                     9) AS c
+        FROM tf
+        JOIN lens USING (doc_id)
+        JOIN idf USING (t)
+        CROSS JOIN corpus
+    )
+    SELECT doc_id,
+           CAST(round(sum(CAST(c AS DECIMAL(12,9))), 6) AS DOUBLE) AS score,
+           CAST(count(*) AS INT) AS n_hits
+    FROM contrib GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 corpus retrieval (Okapi ranking, public method): top-20
+    documents for the query bag {join, spark, window}. The oracle
+    reproduces idf smoothing, tf saturation, length normalization,
+    the 9-digit per-term contributions, the decimal-exact sum, and
+    the deterministic cut. operators.search has the query-sized
+    aggregation scale notes."""
+    from ..operators.search import bm25_search
+
+    return bm25_search(
+        Catalog(spark, sf_dir).documents, ["join", "spark", "window"], top_k=20
+    )

@@ -1,0 +1,76 @@
+"""BM25 retrieval tests: exact agreement with an independent Python
+reference, length normalization, and ranking semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from jonesy_spark.operators.search import bm25_search
+
+
+def _py_bm25(corpus, terms, k1=1.2, b=0.75):
+    """Independent driver-side reference."""
+    toks = {i: t.lower().split() for i, t in corpus.items()}
+    lens = {i: len(ts) for i, ts in toks.items()}
+    n = len(corpus)
+    avg = sum(lens.values()) / n
+    out = {}
+    for i, ts in toks.items():
+        score = 0.0
+        hits = 0
+        for t in sorted(set(terms)):
+            tf = ts.count(t)
+            if not tf:
+                continue
+            hits += 1
+            df = sum(1 for other in toks.values() if t in other)
+            idf = round(math.log(1 + (n - df + 0.5) / (df + 0.5)), 9)
+            score += round(
+                idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * lens[i] / avg)), 9
+            )
+        if hits:
+            out[i] = (round(score, 6), hits)
+    return out
+
+
+def test_bm25_matches_reference(spark):
+    corpus = {
+        1: "spark join window spark filter",
+        2: "join join join table scan",
+        3: "window sort merge batch",
+        4: "totally unrelated words here",
+    }
+    docs = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["score"], r["n_hits"])
+        for r in bm25_search(docs, ["spark", "join", "window"]).collect()
+    }
+    want = _py_bm25(corpus, ["spark", "join", "window"])
+    assert got == want
+    assert 4 not in got  # no query term -> absent, not zero-scored
+
+
+def test_bm25_length_normalization_and_tf(spark):
+    """Same tf in a shorter doc outranks a longer one; higher tf at
+    equal length outranks lower."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark alpha"),
+            (2, "spark alpha beta gamma delta epsilon zeta eta theta iota"),
+            (3, "spark spark alpha beta"),
+            (4, "spark alpha beta gamma"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_search(docs, ["spark"], top_k=10).collect()
+    scores = {r["doc_id"]: r["score"] for r in rows}
+    assert scores[1] > scores[2]  # shorter doc wins at equal tf
+    assert scores[3] > scores[4]  # higher tf wins at equal length
+
+
+def test_bm25_rejects_empty_query(spark):
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="query term"):
+        bm25_search(docs, ["", "  "])
