@@ -413,3 +413,65 @@ def key_skew_report(
         .orderBy(F.col("n_rows").desc(), "key")
         .limit(top_n)
     )
+
+
+def index_overlap_report(
+    spark: SparkSession,
+    index_path_a: str,
+    index_path_b: str,
+    lg_k: int = DEFAULT_LG_K,
+) -> DataFrame:
+    """Cross-corpus overlap estimate between two persisted digest
+    indexes (``hygiene.write_novel_digests`` layouts) — the governance
+    question "how much of corpus B is already in corpus A" answered
+    WITHOUT joining the two digest sets: per-index HLL sketches over
+    ``content_hash``, union-merged, then inclusion-exclusion::
+
+        |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B)
+        jaccard ≈ |A ∩ B| / est(A ∪ B)
+
+    One row out: ``(est_a, est_b, est_union, est_intersection,
+    est_jaccard, containment_b_in_a)`` (floors at 0 — inclusion-
+    exclusion can go slightly negative at the sketch's error bound
+    when the true overlap is ~zero).
+
+    Scale shape: each index contributes ONE aggregation producing a
+    KB-sized sketch; the merge is register-wise max over two rows.
+    At 10 B digests a side this is two scans and no shuffle wider
+    than a sketch — the exact-join alternative (anti/semi join on
+    32-char digests) shuffles both indexes and is only worth it when
+    the DECISION needs exact counts, not a ratio. Error is the HLL
+    bound (~1.6% rsd at the default lg_k) on each term, so treat
+    single-digit-percent jaccard differences as noise.
+    """
+    from .hygiene import read_digest_index
+
+    a = read_digest_index(spark, index_path_a).agg(
+        F.hll_sketch_agg("content_hash", lg_k).alias("s")
+    )
+    bframe = read_digest_index(spark, index_path_b).agg(
+        F.hll_sketch_agg("content_hash", lg_k).alias("s")
+    )
+    both = a.unionByName(bframe)
+    merged = both.agg(F.hll_union_agg("s", True).alias("u"))
+    ests = (
+        a.select(F.hll_sketch_estimate("s").alias("est_a"))
+        .crossJoin(bframe.select(F.hll_sketch_estimate("s").alias("est_b")))
+        .crossJoin(merged.select(F.hll_sketch_estimate("u").alias("est_union")))
+    )
+    inter = F.greatest(
+        F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+    )
+    return ests.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        F.round(inter, 1).alias("est_intersection"),
+        F.round(inter / F.col("est_union"), 6).alias("est_jaccard"),
+        F.round(
+            F.when(F.col("est_b") > 0, inter / F.col("est_b")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("containment_b_in_a"),
+    )

@@ -335,3 +335,79 @@ def test_key_skew_report_uniform_ratio_one(spark):
     got = key_skew_report(df, "k", top_n=5).collect()
     assert all(r["ratio_to_median"] == 1.0 for r in got)
     assert all(r["share"] == round(3 / 30, 6) for r in got)
+
+
+def test_index_overlap_report_estimates_known_overlap(spark, tmp_path):
+    """Two digest indexes with a planted 50% overlap: the HLL
+    inclusion-exclusion estimate must land within the sketch's error
+    bound of the truth, and disjoint indexes must report ~zero."""
+    from jonesy_spark.operators.hygiene import write_novel_digests
+    from jonesy_spark.operators.stats import index_overlap_report
+
+    a_path, b_path = str(tmp_path / "ia"), str(tmp_path / "ib")
+
+    def digests(lo, hi):
+        return spark.range(lo, hi).select(
+            F.md5(F.col("id").cast("string")).alias("content_hash")
+        )
+
+    # A = [0, 2000), B = [1000, 3000): |A∩B| = 1000, |A∪B| = 3000
+    write_novel_digests(digests(0, 2000), a_path)
+    write_novel_digests(digests(1000, 3000), b_path)
+    row = index_overlap_report(spark, a_path, b_path).collect()[0]
+    assert abs(row["est_a"] - 2000) / 2000 < 0.1
+    assert abs(row["est_intersection"] - 1000) / 1000 < 0.15
+    assert abs(row["est_jaccard"] - 1 / 3) < 0.05
+    assert abs(row["containment_b_in_a"] - 0.5) < 0.08
+
+    c_path = str(tmp_path / "ic")
+    write_novel_digests(digests(5000, 6000), c_path)
+    disjoint = index_overlap_report(spark, a_path, c_path).collect()[0]
+    assert disjoint["est_jaccard"] < 0.05
+
+
+def test_stats_profile_stream_two_waves_fold_to_single_pass(spark, tmp_path):
+    """Streaming ledger: two waves land as epoch subtrees; the folded
+    corpus report equals the single-pass profile over the union
+    (counters add, sketches union — the mergeability invariant)."""
+    from jonesy_spark.operators.stats import (
+        merge_profiles,
+        profile_batch,
+        profile_report,
+    )
+    from jonesy_spark.streaming.incremental import run_stats_profile_stream
+
+    land = tmp_path / "docs"
+    land.mkdir()
+    stats_path, ckpt = str(tmp_path / "stats"), str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string, source string"
+
+    w1 = [(1, "alpha beta gamma", "en", "s0"), (2, "beta beta", "en", "s0")]
+    w2 = [(3, "delta epsilon", "en", "s0"), (4, "omega", "de", "s1")]
+
+    def wave(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{land}/{name}"
+        )
+        stream = spark.readStream.schema(schema).parquet(f"{land}/*")
+        run_stats_profile_stream(stream, stats_path, ckpt)
+
+    wave("w1", w1)
+    wave("w2", w2)
+
+    idx = spark.read.parquet(stats_path)
+    assert idx.select("ingest_batch").distinct().count() == 2
+
+    from jonesy_spark.operators.stats import corpus_stats_report
+
+    folded = {
+        (r["source"], r["lang"]): (r["n_docs"], r["n_tokens"], r["vocab_est"])
+        for r in corpus_stats_report(spark, stats_path).collect()
+    }
+    single = {
+        (r["source"], r["lang"]): (r["n_docs"], r["n_tokens"], r["vocab_est"])
+        for r in profile_report(
+            merge_profiles(profile_batch(spark.createDataFrame(w1 + w2, schema)))
+        ).collect()
+    }
+    assert folded == single
