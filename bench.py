@@ -69,6 +69,8 @@ HEADLINE = [
     # added r6 (continuation): DSIR selection — two class-conditional
     # distributions + Gumbel-top-k cut
     "dsir_select",
+    # added r6 (continuation): BM25 retrieval — query-hit-only shuffle
+    "bm25_search",
 ]
 
 
@@ -171,7 +173,7 @@ def main() -> None:
                     "ann_quantized_topk, repeated_span_removal, "
                     "bpe_token_stats, token_budget_prune and "
                     "prefix_jaccard_join, then quality_classifier and "
-                    "dsir_select — the 29-query set; subtract "
+                    "dsir_select and bm25_search — the 30-query set; subtract "
                     "new rows for cross-round subtotal comparisons"
                 ),
                 "timing": (

@@ -214,6 +214,27 @@ def eval_report(scored: DataFrame, labels: DataFrame, id_col: str = "doc_id") ->
     )
 
 
+def scored_stream_report(scores: DataFrame) -> DataFrame:
+    """Nightly monitoring over a scored-document table (the
+    ``run_scored_doc_stream`` output): per (model_version,
+    ingest_batch) doc counts, positive rate, and mean score — one
+    keyed aggregation over per-row columns, no re-scoring (the
+    ``tokenize.oov_report`` pattern). A pred-rate STEP at a version
+    bump is the expected signature of a retrain taking over; a drift
+    WITHIN a version is the upstream-corpus-changed alarm (compare
+    with ``stats.stats_drift``'s volume view)."""
+    keys = [c for c in ("model_version", "ingest_batch") if c in scores.columns]
+    return (
+        scores.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("pred").cast("int")), 6).alias("pred_rate"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+        )
+        .orderBy(*keys)
+    )
+
+
 def write_model(model: DataFrame, path: str, n_buckets: int = DEFAULT_N_BUCKETS) -> int:
     """Publish a trained model as the next committed version
     (``store.publish_version`` contract: fully durable, then one

@@ -317,3 +317,24 @@ def test_scores_invariant_to_partitioning(spark):
         for r in C.score_log_odds(docs.repartition(16), model, n_buckets=128).collect()
     }
     assert one == many
+
+
+def test_scored_stream_report_rates(spark):
+    scores = spark.createDataFrame(
+        [
+            (1, 0.5, True, 0, "epoch-0"),
+            (2, -1.0, False, 0, "epoch-0"),
+            (3, 2.0, True, 1, "epoch-1"),
+            (4, 4.0, True, 1, "epoch-1"),
+        ],
+        "doc_id long, score double, pred boolean, model_version int, "
+        "ingest_batch string",
+    )
+    got = {
+        (r["model_version"], r["ingest_batch"]): r
+        for r in C.scored_stream_report(scores).collect()
+    }
+    assert got[(0, "epoch-0")]["pred_rate"] == 0.5
+    assert got[(0, "epoch-0")]["mean_score"] == -0.25
+    assert got[(1, "epoch-1")]["pred_rate"] == 1.0
+    assert got[(1, "epoch-1")]["n_docs"] == 2
