@@ -882,3 +882,85 @@ def embedding_health(emb: DataFrame) -> DataFrame:
         F.round(F.percentile_approx(nrm, 0.5), 6).alias("norm_p50"),
         F.round(F.max(nrm), 6).alias("norm_max"),
     )
+
+
+def hash_embed(
+    docs: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-free document embeddings via SIGNED FEATURE HASHING
+    (public method: Weinberger et al. 2009, "Feature Hashing for
+    Large Scale Multitask Learning" — the hashing-trick projection
+    whose inner products approximate bag-of-words inner products):
+    component ``j`` is ``sum over tokens t of tf(t) * s(t, j)`` with
+    ``s in {-1, +1}`` drawn from the house md5 hash of ``t|j``, then
+    L2-normalized. Near-duplicate texts map to near-identical unit
+    vectors, so the output plugs straight into ``embedding_near_dup``
+    / the IVF index — completing the documents -> vectors -> semantic
+    dedup chain without an external model (swap in a real encoder by
+    replacing THIS stage only; every downstream operator reads the
+    same ``(id, embedding)`` shape).
+
+    Output: ``(id, embedding array<double>)`` for documents with at
+    least one token; components rounded to 6 digits. Pre-normalization
+    components are INTEGER sums of signed tf (exact at any partition
+    order), so the only float steps are one sqrt and one division per
+    component — engine-deterministic, oracle-reproducible.
+
+    Scale shape: the token stream aggregates tf per (doc, token) once,
+    explodes by ``dim`` (x``dim`` row inflation of the DISTINCT-token
+    stream, not the corpus), and aggregates per (doc, component) with
+    map-side combine; assembly is the house struct-sort groupBy. Keep
+    ``dim`` small (16-64): this is a sketch, not a semantic space.
+    """
+    from .dedup import CPU_PARTITIONS, element_hash
+
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    toks = docs.repartition(CPU_PARTITIONS, F.col(id_col)).select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("t"),
+    ).filter(F.col("t") != "")
+    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    comp = (
+        tf.select(
+            id_col,
+            "tf",
+            F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("j"),
+            F.col("t"),
+        )
+        .select(
+            id_col,
+            "j",
+            (
+                F.col("tf")
+                * (
+                    F.pmod(
+                        element_hash(F.concat(F.col("t"), F.lit("|"), F.col("j"))),
+                        F.lit(2),
+                    )
+                    * 2
+                    - 1
+                )
+            ).alias("c"),
+        )
+        .groupBy(id_col, "j")
+        .agg(F.sum("c").alias("c"))
+    )
+    vec = comp.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "c"))), lambda s: s["c"]
+        ).alias("raw"),
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("norm"),
+    )
+    return vec.select(
+        id_col,
+        F.when(
+            F.col("norm") > 0,
+            F.transform(F.col("raw"), lambda x: F.round(x / F.col("norm"), 6)),
+        )
+        .otherwise(F.transform(F.col("raw"), lambda x: x * F.lit(0.0)))
+        .alias("embedding"),
+    )

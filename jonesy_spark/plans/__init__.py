@@ -210,6 +210,12 @@ DRIVER_EXCLUDED = {
     # paths. r7 candidate.
     "variant_props_extract",
     # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # signed-feature-hashing document embeddings (integer component
+    # sums -> exact; one sqrt + division per component) — completes
+    # the documents -> vectors -> semantic-dedup chain model-free.
+    # r7 rotation candidate.
+    "hash_embeddings",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
     # BM25 corpus retrieval (Okapi ranking: smoothed idf, tf
     # saturation, length normalization, decimal-exact contribution
     # sum). r7 rotation candidate.

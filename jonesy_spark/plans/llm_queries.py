@@ -2272,3 +2272,46 @@ def bm25_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(
         Catalog(spark, sf_dir).documents, ["join", "spark", "window"], top_k=20
     )
+
+
+@query(
+    "hash_embeddings",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+    comp AS (
+        SELECT doc_id, s.j,
+               sum(tf * (CASE WHEN ('0x' || substr(md5(t || '|'
+                                    || CAST(s.j AS VARCHAR)), 1, 7))::BIGINT
+                              % 2 = 1
+                         THEN 1 ELSE -1 END)) AS c
+        FROM tf CROSS JOIN generate_series(0, 15) s(j)
+        GROUP BY 1, 2
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS norm FROM comp GROUP BY 1)
+    SELECT comp.doc_id,
+           list(CASE WHEN nrm.norm > 0 THEN round(comp.c / nrm.norm, 6)
+                     ELSE 0.0 END
+                ORDER BY comp.j) AS embedding
+    FROM comp JOIN nrm USING (doc_id)
+    GROUP BY comp.doc_id
+    """,
+)
+def hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free document embeddings via signed feature hashing
+    (public method, Weinberger et al. 2009): 16-dim L2-normalized
+    hashed bag-of-words projections — the deterministic stand-in for
+    a neural embedder that completes the documents -> vectors ->
+    semantic-dedup chain. Pre-normalization components are integer
+    sums (exact at any partition order); the oracle reproduces signs,
+    sums, norms, and rounding. operators.similarity.hash_embed has
+    the scale notes."""
+    from ..operators.similarity import hash_embed
+
+    return hash_embed(Catalog(spark, sf_dir).documents, dim=16)

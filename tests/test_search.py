@@ -74,3 +74,42 @@ def test_bm25_rejects_empty_query(spark):
     docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="query term"):
         bm25_search(docs, ["", "  "])
+
+
+def test_hash_embed_geometry(spark):
+    """Signed-feature-hashing embeddings: identical texts map to the
+    same unit vector, near-duplicate texts to high cosine, disjoint
+    vocabularies to low |cosine|; all vectors unit-norm."""
+    import math
+
+    from jonesy_spark.operators.similarity import hash_embed
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                      # exact copy
+            (3, base + " iota"),            # near dup
+            (4, "omega sigma tau rho phi chi psi xi " * 4),  # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    emb = {r["doc_id"]: r["embedding"] for r in hash_embed(docs, dim=32).collect()}
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    for v in emb.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-4
+        assert len(v) == 32
+    assert emb[1] == emb[2]
+    assert cos(emb[1], emb[3]) > 0.95
+    assert abs(cos(emb[1], emb[4])) < 0.5
+
+
+def test_hash_embed_rejects_tiny_dim(spark):
+    from jonesy_spark.operators.similarity import hash_embed
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="dim"):
+        hash_embed(docs, dim=1)
