@@ -115,6 +115,16 @@ class CorpusConfig:
     #: posterior boundary (``pred``), positive values trade recall for
     #: precision.
     classifier_min_score: float = 0.0
+    #: when set, add a SEMANTIC near-dup pass after the lexical one:
+    #: hash-embed the surviving docs (similarity.hash_embed — swap in
+    #: a real encoder by replacing that one stage) and collapse
+    #: embedding-cosine clusters above this threshold to their min-id
+    #: survivor (similarity.embedding_near_dup + connected
+    #: components). Catches reorderings/paraphrases whose token SETS
+    #: overlap but whose shingles don't. None disables (default).
+    semantic_dedup_threshold: float | None = None
+    #: hashed-embedding dimensionality for the semantic pass.
+    semantic_dedup_dim: int = 16
 
 
 def prepare_training_corpus(
@@ -281,6 +291,27 @@ def prepare_training_corpus(
             "expected 'min_id' or 'quality'"
         )
     DD.release_caches(pairs)
+
+    # 4.5 semantic near-dup (opt-in): hash-embed the lexical
+    # survivors, pair by embedding cosine (IVF-blocked), collapse
+    # clusters to the min-id survivor — the same CC resolution as the
+    # lexical stage, so the two passes compose without a second policy.
+    if cfg.semantic_dedup_threshold is not None:
+        from ..operators import similarity as SIM
+
+        emb = SIM.hash_embed(docs, dim=cfg.semantic_dedup_dim).select(
+            F.col("doc_id").alias("vec_id"),
+            "embedding",
+            F.lit("d").alias("label"),
+        )
+        sem_raw = SIM.embedding_near_dup(
+            emb, threshold=cfg.semantic_dedup_threshold
+        )  # cache handles ride THIS frame (release below)
+        sem_pairs = sem_raw.select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+        docs = G.resolve_duplicates(docs, sem_pairs)
+        DD.release_caches(sem_raw)
 
     # 5. mixture sampling (default keeps everything). Explicit rates
     # win; otherwise a temperature knob rebalances domains with

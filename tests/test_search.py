@@ -113,3 +113,36 @@ def test_hash_embed_rejects_tiny_dim(spark):
     docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="dim"):
         hash_embed(docs, dim=1)
+
+
+def test_pipeline_semantic_dedup_collapses_paraphrase_cluster(spark):
+    """CorpusConfig.semantic_dedup_threshold: token-REORDERED copies
+    (which shingle-based LSH misses at high thresholds but bag-of-words
+    embeddings catch) collapse to their min-id survivor; unrelated
+    docs survive. The cache-release contract holds (empty manager)."""
+    from jonesy_spark.pipeline.corpus_job import (
+        CorpusConfig,
+        prepare_training_corpus,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    fwd = " ".join(words)
+    rev = " ".join(reversed(words))  # same bag, different order
+    other = " ".join(f"x{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, fwd, "en", "s0"), (2, rev, "en", "s0"), (3, other, "en", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = prepare_training_corpus(
+        docs,
+        CorpusConfig(
+            near_dup_threshold=0.99,  # lexical pass keeps the reorder
+            semantic_dedup_threshold=0.95,
+            semantic_dedup_dim=32,
+        ),
+    )
+    kept = {r["doc_id"] for r in out["clean"].select("doc_id").collect()}
+    assert kept == {1, 3}
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_mgr.isEmpty()
