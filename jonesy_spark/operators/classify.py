@@ -73,14 +73,43 @@ def token_buckets(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = DEFAULT_N_BUCKETS,
+    ngrams: int = 1,
 ) -> DataFrame:
     """Hashed-feature term frequencies: one ``(id, bucket, tf)`` row
     per document x occupied bucket. The explode is map-side; the tf
-    aggregation is the only shuffle and carries ~20-byte rows."""
-    toks = docs.repartition(CPU_PARTITIONS, F.col(id_col)).select(
+    aggregation is the only shuffle and carries ~20-byte rows.
+
+    ``ngrams=2`` adds word-BIGRAM features next to the unigrams (the
+    fastText trick: order-sensitive evidence — "new york" and "york
+    new" share every unigram but no bigram — at the cost of ~2x the
+    feature stream). Bigrams join their words with ``\\x01`` before
+    hashing so they can never collide with a literal unigram string.
+    All features share one bucket space — the hashing trick absorbs
+    the vocabulary growth at the same ``n_buckets``.
+    """
+    if ngrams not in (1, 2):
+        raise ValueError(f"ngrams must be 1 or 2, got {ngrams}")
+    base = docs.repartition(CPU_PARTITIONS, F.col(id_col)).select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("t"),
-    ).filter(F.col("t") != "")
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda x: x != "",
+        ).alias("arr"),
+    )
+    feats = F.col("arr")
+    if ngrams == 2:
+        n = F.size("arr")
+        bi = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat(
+                    F.element_at("arr", i), F.lit("\x01"), F.element_at("arr", i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feats = F.concat(F.col("arr"), bi)
+    toks = base.select(id_col, F.explode(feats).alias("t"))
     return (
         toks.select(
             id_col, F.pmod(element_hash(F.col("t")), F.lit(n_buckets)).alias("bucket")
@@ -97,6 +126,7 @@ def train_log_odds(
     id_col: str = "doc_id",
     n_buckets: int = DEFAULT_N_BUCKETS,
     alpha: float = 1.0,
+    ngrams: int = 1,
 ) -> DataFrame:
     """Train the linear model: returns one bounded ``(bucket, weight)``
     frame (<= ``n_buckets`` + 2 rows) holding the per-bucket smoothed
@@ -123,7 +153,10 @@ def train_log_odds(
     expression — nothing is collected.
     """
     labeled = docs.withColumn("__pos", label.cast("int"))
-    tf = token_buckets(labeled, text_col=text_col, id_col=id_col, n_buckets=n_buckets)
+    tf = token_buckets(
+        labeled, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, ngrams=ngrams,
+    )
     per_bucket = (
         tf.join(labeled.select(id_col, "__pos"), id_col)
         .groupBy("bucket")
@@ -235,7 +268,12 @@ def scored_stream_report(scores: DataFrame) -> DataFrame:
     )
 
 
-def write_model(model: DataFrame, path: str, n_buckets: int = DEFAULT_N_BUCKETS) -> int:
+def write_model(
+    model: DataFrame,
+    path: str,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    ngrams: int = 1,
+) -> int:
     """Publish a trained model as the next committed version
     (``store.publish_version`` contract: fully durable, then one
     atomic ``_COMMITTED`` create; retraining publishes N+1, never
@@ -248,24 +286,40 @@ def write_model(model: DataFrame, path: str, n_buckets: int = DEFAULT_N_BUCKETS)
     from .store import publish_version
 
     return publish_version(
-        model.withColumn("n_buckets", F.lit(n_buckets).cast("int")), path
+        model.withColumn("n_buckets", F.lit(n_buckets).cast("int")).withColumn(
+            "ngrams", F.lit(ngrams).cast("int")
+        ),
+        path,
     )
 
 
-def read_model(spark, path: str) -> tuple[DataFrame, int, int] | None:
-    """The live ``(model, n_buckets, version)`` triple, or None when
-    nothing is committed. The version number should ride scored
+def read_model(spark, path: str) -> tuple[DataFrame, int, int, int] | None:
+    """The live ``(model, n_buckets, ngrams, version)`` tuple, or None
+    when nothing is committed. The version number should ride scored
     output as lineage — scores are only comparable within one model
-    version (the tokenizer-shard contract)."""
+    version (the tokenizer-shard contract). Feature-space parameters
+    (bucket count AND n-gram order) freeze with the weights: scoring
+    under different ones is silently wrong. Stores written before the
+    ``ngrams`` column existed read back as ngrams=1 (their behavior)."""
     from .store import read_live
 
     got = read_live(spark, path)
     if got is None:
         return None
     (stored,), n = got
-    first = stored.select("n_buckets").head()
-    n_buckets = int(first["n_buckets"]) if first is not None else DEFAULT_N_BUCKETS
-    return stored.drop("n_buckets"), n_buckets, n
+    meta_cols = [c for c in ("n_buckets", "ngrams") if c in stored.columns]
+    first = stored.select(*meta_cols).head() if meta_cols else None
+    n_buckets = (
+        int(first["n_buckets"])
+        if first is not None and "n_buckets" in meta_cols
+        else DEFAULT_N_BUCKETS
+    )
+    ngrams = (
+        int(first["ngrams"])
+        if first is not None and "ngrams" in meta_cols
+        else 1
+    )
+    return stored.drop(*meta_cols), n_buckets, ngrams, n
 
 
 def score_log_odds(
@@ -274,6 +328,7 @@ def score_log_odds(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = DEFAULT_N_BUCKETS,
+    ngrams: int = 1,
 ) -> DataFrame:
     """Apply a :func:`train_log_odds` model: ``(id, n_tokens, score,
     pred)`` for EVERY input document — ``score = bias + sum(tf * w)``
@@ -285,7 +340,10 @@ def score_log_odds(
     feature space. The model broadcasts by construction; scoring adds
     one tf shuffle on (id, bucket) beyond the map-side explode.
     """
-    tf = token_buckets(docs, text_col=text_col, id_col=id_col, n_buckets=n_buckets)
+    tf = token_buckets(
+        docs, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, ngrams=ngrams,
+    )
     sentinels = model.filter(F.col("bucket") < 0)
     weights = model.filter(F.col("bucket") >= 0)
     meta = sentinels.groupBy().pivot("bucket", [BIAS_BUCKET, UNSEEN_BUCKET]).sum(

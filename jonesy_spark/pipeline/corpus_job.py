@@ -204,9 +204,9 @@ def prepare_training_corpus(
                 "classify.write_model (the train_classifier job) or "
                 "unset classifier_model_path"
             )
-        model, n_buckets, _version = got
+        model, n_buckets, ngrams, _version = got
         keep = (
-            CL.score_log_odds(docs, model, n_buckets=n_buckets)
+            CL.score_log_odds(docs, model, n_buckets=n_buckets, ngrams=ngrams)
             .filter(F.col("score") > cfg.classifier_min_score)
             .select("doc_id")
         )

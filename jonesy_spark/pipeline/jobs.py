@@ -206,10 +206,13 @@ def _train_classifier(ctx: JobContext) -> None:
     cfg = layered_config()
     lang = cfg.get("CLASSIFIER_LABEL_LANG", "en")
     n_buckets = int(cfg.get("CLASSIFIER_N_BUCKETS", str(CL.DEFAULT_N_BUCKETS)))
+    ngrams = int(cfg.get("CLASSIFIER_NGRAMS", "1"))
     model = CL.train_log_odds(
-        docs, F.col("lang") == lang, n_buckets=n_buckets
+        docs, F.col("lang") == lang, n_buckets=n_buckets, ngrams=ngrams
     )
-    v = CL.write_model(model, f"{ctx.out_root}/quality_model", n_buckets=n_buckets)
+    v = CL.write_model(
+        model, f"{ctx.out_root}/quality_model", n_buckets=n_buckets, ngrams=ngrams
+    )
     ctx.written.append(f"quality_model/version={v}")
 
 

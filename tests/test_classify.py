@@ -116,15 +116,15 @@ def test_model_store_round_trip_and_version_bump(spark, tmp_path):
     docs = _docs(spark, [(0, "alpha beta", "en"), (1, "omega sigma", "de")])
     m0 = C.train_log_odds(docs, F.col("lang") == "en", n_buckets=64)
     assert C.write_model(m0, path, n_buckets=64) == 0
-    model, n_buckets, v = C.read_model(spark, path)
-    assert (n_buckets, v) == (64, 0)
+    model, n_buckets, ngrams, v = C.read_model(spark, path)
+    assert (n_buckets, ngrams, v) == (64, 1, 0)
     assert "n_buckets" not in model.columns
     got = {r["bucket"]: r["weight"] for r in model.collect()}
     want = {r["bucket"]: r["weight"] for r in m0.collect()}
     assert got == want
     m1 = C.train_log_odds(docs, F.col("lang") == "de", n_buckets=128)
     assert C.write_model(m1, path, n_buckets=128) == 1
-    _, n_buckets, v = C.read_model(spark, path)
+    _, n_buckets, _, v = C.read_model(spark, path)
     assert (n_buckets, v) == (128, 1)
 
 
@@ -211,8 +211,8 @@ def test_train_classifier_job_publishes_versioned_model(
     )
     run_job("train_classifier", ctx)
     assert any(w.startswith("quality_model/version=0") for w in ctx.written)
-    model, n_buckets, v = C.read_model(spark, f"{tmp_path}/quality_model")
-    assert (n_buckets, v) == (4096, 0)
+    model, n_buckets, ngrams, v = C.read_model(spark, f"{tmp_path}/quality_model")
+    assert (n_buckets, ngrams, v) == (4096, 1, 0)
     assert model.count() <= 4096 + 2
     assert {r["bucket"] for r in model.filter(F.col("bucket") < 0).collect()} == {
         C.BIAS_BUCKET,
@@ -338,3 +338,34 @@ def test_scored_stream_report_rates(spark):
     assert got[(0, "epoch-0")]["mean_score"] == -0.25
     assert got[(1, "epoch-1")]["pred_rate"] == 1.0
     assert got[(1, "epoch-1")]["n_docs"] == 2
+
+
+def test_bigram_features_separate_reordered_texts(spark):
+    """ngrams=2: two classes with IDENTICAL unigram bags but different
+    word order are separable only with bigram features."""
+    fwd = "alpha beta gamma delta " * 5
+    rev = "delta gamma beta alpha " * 5
+    rows = [(i, fwd, "en") for i in range(8)] + [
+        (i + 8, rev, "de") for i in range(8)
+    ]
+    docs = _docs(spark, rows)
+    uni = C.train_log_odds(docs, F.col("lang") == "en", n_buckets=512)
+    uni_out = C.score_log_odds(docs, uni, n_buckets=512).collect()
+    # unigram model: identical bags -> identical scores, no separation
+    assert len({r["score"] for r in uni_out}) == 1
+    bi = C.train_log_odds(docs, F.col("lang") == "en", n_buckets=512, ngrams=2)
+    bi_out = {
+        r["doc_id"]: r
+        for r in C.score_log_odds(docs, bi, n_buckets=512, ngrams=2).collect()
+    }
+    assert all(bi_out[i]["pred"] for i in range(8))
+    assert not any(bi_out[i + 8]["pred"] for i in range(8))
+
+
+def test_ngrams_freeze_with_model_store(spark, tmp_path):
+    path = str(tmp_path / "m")
+    docs = _docs(spark, [(0, "a b", "en"), (1, "c d", "de")])
+    m = C.train_log_odds(docs, F.col("lang") == "en", n_buckets=64, ngrams=2)
+    C.write_model(m, path, n_buckets=64, ngrams=2)
+    _, n_buckets, ngrams, v = C.read_model(spark, path)
+    assert (n_buckets, ngrams, v) == (64, 2, 0)
