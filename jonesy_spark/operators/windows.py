@@ -418,3 +418,53 @@ def retention_cohorts(
         "cohort_size",
         F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    top_n: int = 20,
+) -> DataFrame:
+    """Top event-type TRANSITIONS (the path-analysis complement to
+    :func:`funnel_conversion`'s fixed funnel: which step pairs do
+    users actually take?): per key, order events by time and count
+    adjacent (from_type, to_type) pairs corpus-wide; report the
+    ``top_n`` transitions with their share of all transitions.
+
+    Output: ``(from_type, to_type, n_transitions, share)`` descending
+    count, (from, to) tiebreak. Deterministic given unique (key, ts)
+    pairs per key; ties in ts order by type so duplicated timestamps
+    cannot flip adjacent pairs between runs.
+
+    Scale shape: one keyed window (lag over the per-key time order —
+    the SAME key-partitioned exchange every sessionization query
+    uses), then a (from, to)-keyed count whose cardinality is
+    |types|^2 — metadata-sized — with map-side combine, a 1-row total
+    broadcast back, and a partial top-N. Nothing wider than the
+    per-key exchange touches the cluster.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, type_col)
+    paired = events.select(
+        F.col(key_col),
+        F.col(type_col).alias("to_type"),
+        F.lag(F.col(type_col)).over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = paired.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    total = counts.agg(F.sum("n_transitions").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.col("n_transitions").desc(), "from_type", "to_type")
+        .limit(top_n)
+    )

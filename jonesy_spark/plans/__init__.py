@@ -210,6 +210,11 @@ DRIVER_EXCLUDED = {
     # paths. r7 candidate.
     "variant_props_extract",
     # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # event-type transition counts (path analysis: per-key lag window
+    # + types^2 count + broadcast total + partial top-N). r7 rotation
+    # candidate.
+    "event_transitions",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
     # signed-feature-hashing document embeddings (integer component
     # sums -> exact; one sqrt + division per component) — completes
     # the documents -> vectors -> semantic-dedup chain model-free.

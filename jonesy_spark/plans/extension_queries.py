@@ -1206,3 +1206,36 @@ def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.stats import key_skew_report
 
     return key_skew_report(Catalog(spark, sf_dir).events, "user_id", top_n=10)
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH paired AS (
+        SELECT user_id, event_type AS to_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_type
+               ) AS from_type
+        FROM events
+    ),
+    counts AS (
+        SELECT from_type, to_type, count(*) AS n_transitions
+        FROM paired WHERE from_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n_transitions) AS total FROM counts)
+    SELECT from_type, to_type, n_transitions,
+           round(n_transitions / total, 6) AS share
+    FROM counts CROSS JOIN tot
+    ORDER BY n_transitions DESC, from_type, to_type
+    LIMIT 20
+    """,
+)
+def event_transitions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type transitions (path analysis): per-user lag window
+    over the time order, |types|^2-cardinality count, share against
+    the 1-row broadcast total, partial top-N.
+    operators.windows.event_transitions."""
+    from ..operators.windows import event_transitions
+
+    return event_transitions(Catalog(spark, sf_dir).events, top_n=20)

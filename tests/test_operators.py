@@ -1110,3 +1110,31 @@ def test_retention_cohorts_matrix(spark):
     assert got[(c0, 0)]["n_active"] == 2 and got[(c0, 0)]["cohort_size"] == 2
     assert got[(c0, 0)]["retention"] == 1.0
     assert got[(c0, 1)]["n_active"] == 1 and got[(c0, 1)]["retention"] == 0.5
+
+
+def test_event_transitions_semantics(spark):
+    """Constructed paths: A->B twice, B->C once across users; per-key
+    isolation (no cross-user pair); shares sum to 1 over the report."""
+    from datetime import datetime
+
+    from jonesy_spark.operators.windows import event_transitions
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), "A"),
+        (1, datetime(2024, 1, 1, 0, 1), "B"),
+        (1, datetime(2024, 1, 1, 0, 2), "C"),
+        (2, datetime(2024, 1, 1, 0, 0), "A"),
+        (2, datetime(2024, 1, 1, 0, 5), "B"),
+        (3, datetime(2024, 1, 1, 9, 0), "Z"),  # single event: no pair
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["share"])
+        for r in event_transitions(events).collect()
+    }
+    assert got == {
+        ("A", "B"): (2, round(2 / 3, 6)),
+        ("B", "C"): (1, round(1 / 3, 6)),
+    }
