@@ -107,3 +107,146 @@ def bm25_search(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(top_k)
     )
+
+
+def write_search_index(
+    docs: DataFrame,
+    index_path: str,
+    mode: str = "append",
+    run_id: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 2,
+) -> str:
+    """Append a batch's INVERTED INDEX rows to the persisted search
+    index — the retrieval sibling of the digest/MinHash/IVF indexes
+    (same ``ingest_batch=<run_id>/bucket=`` layout, same epoch-
+    overwrite replay idempotence): ``postings/`` holds ``(t, doc_id,
+    tf, len)`` rows bucketed by the term's md5 prefix (so a probe
+    prunes to its query terms' buckets), ``docmeta/`` holds ONE
+    ``(n_docs, total_len)`` row per batch — the mergeable corpus
+    statistics BM25 needs, folded at probe time instead of rescanned.
+    Document length is denormalized onto every posting so probes never
+    join a document table. Returns the run_id used.
+    """
+    if run_id is None:
+        import uuid
+
+        run_id = f"nightly-{uuid.uuid4().hex[:12]}"
+    from .dedup import CPU_PARTITIONS
+
+    toks = docs.repartition(CPU_PARTITIONS, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("t"),
+    ).filter(F.col("t") != "")
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    postings = (
+        toks.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(lens, "doc_id")
+        .withColumn("bucket", F.substring(F.md5("t"), 1, prefix_len))
+    )
+    (
+        postings.repartition("bucket")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(f"{index_path}/postings/ingest_batch={run_id}")
+    )
+    (
+        lens.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("len").alias("total_len")
+        )
+        .coalesce(1)
+        .write.mode(mode)
+        .parquet(f"{index_path}/docmeta/ingest_batch={run_id}")
+    )
+    return run_id
+
+
+def bm25_probe(
+    spark,
+    index_path: str,
+    query_terms: list[str],
+    top_k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    prefix_len: int = 2,
+    exclude_run_id: str | None = None,
+) -> DataFrame:
+    """BM25 top-k against the PERSISTED index — same output contract
+    (and, by construction, exactly the same scores: identical idf/tf/
+    length math on identical rounded grids) as running
+    :func:`bm25_search` over every indexed document, without touching
+    document text: the probe reads ONLY the query terms' ``bucket=``
+    directories (partition pruning — the same contract as the minhash
+    probe), semi-joins the broadcast term list, computes df from the
+    matched postings and N/avg_len from the folded ``docmeta`` rows
+    (batch-count metadata, never a corpus scan). ``exclude_run_id``
+    prunes one ``ingest_batch=`` subtree (replaying writers exclude
+    their own epoch — the house replay-idempotence rule). An absent
+    index raises: probing before any batch landed is a configuration
+    error, as for the tokenizer/model stores.
+    """
+    from pyspark.errors import AnalysisException
+
+    terms = sorted({t.lower() for t in query_terms if t and t.strip()})
+    if not terms:
+        raise ValueError("bm25_probe needs at least one non-empty query term")
+    try:
+        postings = spark.read.parquet(f"{index_path}/postings")
+        docmeta = spark.read.parquet(f"{index_path}/docmeta")
+    except AnalysisException:
+        raise ValueError(
+            f"no search index at {index_path!r}; write one with "
+            "write_search_index before probing"
+        ) from None
+    if exclude_run_id is not None:
+        postings = postings.filter(F.col("ingest_batch") != exclude_run_id)
+        docmeta = docmeta.filter(F.col("ingest_batch") != exclude_run_id)
+    import hashlib
+
+    buckets = sorted(
+        {hashlib.md5(t.encode()).hexdigest()[:prefix_len] for t in terms}
+    )
+    qdf = spark.createDataFrame([(t,) for t in terms], "t string")
+    hits = postings.filter(F.col("bucket").isin(buckets)).join(
+        F.broadcast(qdf), "t"
+    )
+    corpus = docmeta.agg(
+        F.sum("n_docs").alias("n_docs"),
+        (F.sum("total_len") / F.sum("n_docs")).alias("avg_len"),
+    )
+    df_t = hits.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.crossJoin(F.broadcast(corpus)).select(
+        "t",
+        F.round(
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+            9,
+        ).alias("idf"),
+    )
+    contrib = hits.join(F.broadcast(idf), "t").crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        F.round(
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("len") / F.col("avg_len"))
+            ),
+            9,
+        ).alias("c"),
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("c").cast("decimal(12,9)")), 6)
+            .cast("double")
+            .alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_hits"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(top_k)
+    )

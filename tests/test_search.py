@@ -146,3 +146,79 @@ def test_pipeline_semantic_dedup_collapses_paraphrase_cluster(spark):
     assert kept == {1, 3}
     cache_mgr = spark._jsparkSession.sharedState().cacheManager()
     assert cache_mgr.isEmpty()
+
+
+def test_search_index_probe_matches_batch_bm25(spark, tmp_path):
+    """Two-batch persisted index: bm25_probe must return EXACTLY the
+    batch bm25_search result over the union (same rounded grids end to
+    end), and the probe's postings scan must partition-prune to the
+    query terms' buckets."""
+    import contextlib
+    import io
+
+    from jonesy_spark.operators.search import (
+        bm25_probe,
+        bm25_search,
+        write_search_index,
+    )
+
+    path = str(tmp_path / "sx")
+    b1 = spark.createDataFrame(
+        [(1, "spark join window spark"), (2, "join table scan")],
+        ["doc_id", "text"],
+    )
+    b2 = spark.createDataFrame(
+        [(3, "window sort spark"), (4, "unrelated words only")],
+        ["doc_id", "text"],
+    )
+    write_search_index(b1, path)
+    write_search_index(b2, path)
+
+    terms = ["spark", "window"]
+    got = bm25_probe(spark, path, terms, top_k=10)
+    want = bm25_search(b1.unionByName(b2), terms, top_k=10)
+    g = [(r["doc_id"], r["score"], r["n_hits"]) for r in got.collect()]
+    w = [(r["doc_id"], r["score"], r["n_hits"]) for r in want.collect()]
+    assert g == w and len(g) == 2  # docs 2 and 4 match neither term
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    prune_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("bucket" in l for l in prune_lines)
+
+
+def test_search_index_probe_excludes_replaying_epoch(spark, tmp_path):
+    from jonesy_spark.operators.search import (
+        bm25_probe,
+        write_search_index,
+    )
+
+    path = str(tmp_path / "sx")
+    write_search_index(
+        spark.createDataFrame([(1, "spark")], ["doc_id", "text"]),
+        path,
+        run_id="epoch-0",
+        mode="overwrite",
+    )
+    write_search_index(
+        spark.createDataFrame([(2, "spark spark")], ["doc_id", "text"]),
+        path,
+        run_id="epoch-1",
+        mode="overwrite",
+    )
+    all_docs = {r["doc_id"] for r in bm25_probe(spark, path, ["spark"]).collect()}
+    assert all_docs == {1, 2}
+    excl = {
+        r["doc_id"]
+        for r in bm25_probe(spark, path, ["spark"], exclude_run_id="epoch-1").collect()
+    }
+    assert excl == {1}
+
+
+def test_search_index_probe_requires_index(spark, tmp_path):
+    from jonesy_spark.operators.search import bm25_probe
+
+    with pytest.raises(ValueError, match="no search index"):
+        bm25_probe(spark, str(tmp_path / "missing"), ["x"])
