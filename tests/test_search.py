@@ -222,3 +222,48 @@ def test_search_index_probe_requires_index(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no search index"):
         bm25_probe(spark, str(tmp_path / "missing"), ["x"])
+
+
+def test_search_index_stream_two_waves(spark, tmp_path):
+    """Streaming search indexing: two waves land as epoch subtrees and
+    the probe over the accumulated index equals batch BM25 over all
+    streamed documents."""
+    from jonesy_spark.operators.search import bm25_probe, bm25_search
+    from jonesy_spark.streaming.incremental import run_search_index_stream
+
+    land = tmp_path / "docs"
+    land.mkdir()
+    index_path, ckpt = str(tmp_path / "sx"), str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    w1 = [(1, "spark join window"), (2, "table scan join")]
+    w2 = [(3, "spark spark window sort")]
+
+    def wave(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{land}/{name}"
+        )
+        stream = spark.readStream.schema(schema).parquet(f"{land}/*")
+        run_search_index_stream(stream, index_path, ckpt)
+
+    wave("w1", w1)
+    wave("w2", w2)
+
+    got = [
+        (r["doc_id"], r["score"], r["n_hits"])
+        for r in bm25_probe(spark, index_path, ["spark", "window"]).collect()
+    ]
+    want = [
+        (r["doc_id"], r["score"], r["n_hits"])
+        for r in bm25_search(
+            spark.createDataFrame(w1 + w2, schema), ["spark", "window"]
+        ).collect()
+    ]
+    assert got == want and len(got) == 2
+    batches = {
+        r["ingest_batch"]
+        for r in spark.read.parquet(f"{index_path}/postings")
+        .select("ingest_batch")
+        .distinct()
+        .collect()
+    }
+    assert batches == {"epoch-0", "epoch-1"}
