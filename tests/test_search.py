@@ -273,3 +273,43 @@ def test_search_index_stream_two_waves(spark, tmp_path):
         .collect()
     }
     assert batches == {"epoch-0", "epoch-1"}
+
+
+def test_search_index_compaction_preserves_probe(spark, tmp_path):
+    """hygiene.compact_index over the postings root (same
+    ingest_batch=/bucket= layout as the dedup indexes) folds the
+    accumulated epoch subtrees into one and leaves probe results
+    byte-identical; docmeta batches stay as-is (metadata-sized)."""
+    from jonesy_spark.operators.hygiene import compact_index
+    from jonesy_spark.operators.search import (
+        bm25_probe,
+        write_search_index,
+    )
+
+    path = str(tmp_path / "sx")
+    for i in range(3):
+        write_search_index(
+            spark.createDataFrame(
+                [(10 * i + 1, f"spark join doc{i}")], ["doc_id", "text"]
+            ),
+            path,
+            run_id=f"b{i}",
+        )
+    before = [
+        (r["doc_id"], r["score"], r["n_hits"])
+        for r in bm25_probe(spark, path, ["spark"]).collect()
+    ]
+    run = compact_index(spark, f"{path}/postings")
+    assert run.startswith("compact-3-")
+    batches = (
+        spark.read.parquet(f"{path}/postings")
+        .select("ingest_batch")
+        .distinct()
+        .count()
+    )
+    assert batches == 1
+    after = [
+        (r["doc_id"], r["score"], r["n_hits"])
+        for r in bm25_probe(spark, path, ["spark"]).collect()
+    ]
+    assert after == before
