@@ -313,3 +313,71 @@ def test_search_index_compaction_preserves_probe(spark, tmp_path):
         for r in bm25_probe(spark, path, ["spark"]).collect()
     ]
     assert after == before
+
+
+def _py_phrase_counts(corpus, phrase):
+    """Independent reference: sliding-window phrase occurrences over
+    the whitespace token stream."""
+    out = {}
+    k = len(phrase)
+    for i, text in corpus.items():
+        ts = text.lower().split()
+        n = sum(
+            1 for j in range(len(ts) - k + 1) if ts[j : j + k] == phrase
+        )
+        if n:
+            out[i] = n
+    return out
+
+
+def test_phrase_probe_matches_reference(spark, tmp_path):
+    """Positional index: phrase matches equal the sliding-window
+    reference, including overlapping and repeated occurrences; docs
+    with all terms but never adjacent don't match."""
+    from jonesy_spark.operators.search import (
+        phrase_probe,
+        write_positional_index,
+    )
+
+    corpus = {
+        1: "big data spark big data spark",        # phrase twice
+        2: "data big spark",                        # terms, wrong order
+        3: "big data only once here",               # phrase once
+        4: "nothing relevant",
+        5: "big big data",                          # once, offset start
+    }
+    path = str(tmp_path / "px")
+    write_positional_index(
+        spark.createDataFrame(list(corpus.items()), ["doc_id", "text"]), path
+    )
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_probe(spark, path, ["big", "data"]).collect()
+    }
+    assert got == _py_phrase_counts(corpus, ["big", "data"]) == {1: 2, 3: 1, 5: 1}
+    # three-term phrase spanning the repeat boundary
+    got3 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_probe(spark, path, ["big", "data", "spark"]).collect()
+    }
+    assert got3 == _py_phrase_counts(corpus, ["big", "data", "spark"]) == {1: 2}
+    # single term degenerates to occurrence counts
+    got1 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_probe(spark, path, ["big"]).collect()
+    }
+    assert got1 == {1: 2, 2: 1, 3: 1, 5: 2}
+
+
+def test_phrase_probe_rejects_tf_only_index(spark, tmp_path):
+    from jonesy_spark.operators.search import (
+        phrase_probe,
+        write_search_index,
+    )
+
+    path = str(tmp_path / "sx")
+    write_search_index(
+        spark.createDataFrame([(1, "a b")], ["doc_id", "text"]), path
+    )
+    with pytest.raises(ValueError, match="no positions column"):
+        phrase_probe(spark, path, ["a", "b"])
