@@ -221,6 +221,11 @@ DRIVER_EXCLUDED = {
     # r7 rotation candidate.
     "hash_embeddings",
     # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # exact phrase search through the positional index (round-trip
+    # witness pattern; adjacency joins over bucket-pruned occurrence
+    # streams). r7 rotation candidate.
+    "phrase_search",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
     # BM25 corpus retrieval (Okapi ranking: smoothed idf, tf
     # saturation, length normalization, decimal-exact contribution
     # sum). r7 rotation candidate.

@@ -2315,3 +2315,46 @@ def hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import hash_embed
 
     return hash_embed(Catalog(spark, sf_dir).documents, dim=16)
+
+
+#: (applicationId, sf_dir) -> positional-index tmp dir for the
+#: phrase_search row (one seed per session, the _MH_INDEX_MEMO rule).
+_PHRASE_INDEX_MEMO: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "phrase_search",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS arr
+        FROM documents
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_occurrences
+    FROM base, unnest(generate_series(1, len(arr) - 1)) s(i)
+    WHERE arr[i] = 'batch' AND arr[i + 1] = 'batch'
+    GROUP BY doc_id
+    """,
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase matching through the POSITIONAL search index
+    (index round trip, the incremental_near_dup witness pattern): the
+    corpus seeds an on-disk positional-postings index once per
+    session, then the probe counts consecutive-position occurrences
+    of the phrase "batch batch" — overlapping repeats counted the
+    sliding-window way, adjacency chained as (doc_id, position)
+    joins over bucket-pruned occurrence streams. The oracle
+    reproduces the count directly from token positions.
+    operators.search.phrase_probe."""
+    from ..operators import search as SE
+
+    docs = Catalog(spark, sf_dir).documents
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PHRASE_INDEX_MEMO:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="jonesy_phrase_index_")
+        SE.write_positional_index(docs, d, mode="overwrite", run_id="seed")
+        _PHRASE_INDEX_MEMO[key] = d
+    return SE.phrase_probe(spark, _PHRASE_INDEX_MEMO[key], ["batch", "batch"])
