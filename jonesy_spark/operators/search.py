@@ -356,3 +356,102 @@ def phrase_probe(
         .agg(F.count(F.lit(1)).cast("int").alias("n_occurrences"))
         .orderBy("doc_id")
     )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    top_k: int = 20,
+    channel_n: int = 100,
+    rrf_k: int = 60,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval: the lexical channel (:func:`bm25_search`) and
+    a dense channel (cosine against the query's signed-feature-hashing
+    embedding, ``similarity.hash_embed``'s space) fused by RECIPROCAL
+    RANK FUSION (public method, Cormack et al. 2009)::
+
+        rrf(d) = sum over channels of 1 / (rrf_k + rank_channel(d))
+
+    — the standard score-free fusion that needs no cross-channel score
+    calibration, which is exactly why BM25+dense stacks use it. Output:
+    ``(id, rrf_score, bm25_rank, dense_rank)`` top-``top_k`` by fused
+    score (doc-id tiebreak); a doc absent from a channel contributes
+    nothing for it.
+
+    Scale shape: each channel takes its top-``channel_n`` via
+    ``orderBy + limit`` (partial per-partition top-k — never a global
+    sort), and ONLY the <= 2*channel_n fused candidates enter the
+    rank windows and the outer join — bounded by construction. The
+    dense channel is one broadcast-literal dot product over the
+    corpus (the query embedding is computed driver-side from the
+    query terms alone — md5 arithmetic, no data access).
+    """
+    from pyspark.sql import Window
+
+    from .similarity import hash_embed
+
+    terms = [t.lower() for t in query_terms if t and t.strip()]
+    if not terms:
+        raise ValueError("hybrid_search needs at least one non-empty query term")
+    # query embedding: same signed-hashing math as hash_embed, computed
+    # driver-side over the query's own tokens
+    import hashlib
+    import math
+
+    comp = [0] * dim
+    for t in terms:
+        for j in range(dim):
+            h = int(hashlib.md5(f"{t}|{j}".encode()).hexdigest()[:7], 16)
+            comp[j] += 1 if h % 2 == 1 else -1
+    nrm = math.sqrt(sum(c * c for c in comp))
+    if nrm == 0:
+        qv = [0.0] * dim
+    else:
+        qv = [round(c / nrm, 6) for c in comp]
+
+    bm = bm25_search(
+        docs, terms, top_k=channel_n, text_col=text_col, id_col=id_col
+    ).select(id_col, F.col("score").alias("bm_score"))
+    w_bm = Window.orderBy(F.col("bm_score").desc(), F.col(id_col))
+    bm_ranked = bm.select(
+        id_col, F.row_number().over(w_bm).alias("bm25_rank")
+    )
+
+    emb = hash_embed(docs, dim=dim, text_col=text_col, id_col=id_col)
+    qcol = F.array(*[F.lit(x) for x in qv])
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("embedding"), qcol, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    dense = (
+        emb.select(id_col, cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(channel_n)
+    )
+    w_d = Window.orderBy(F.col("cosine").desc(), F.col(id_col))
+    dense_ranked = dense.select(
+        id_col, F.row_number().over(w_d).alias("dense_rank")
+    )
+
+    fused = bm_ranked.join(dense_ranked, id_col, "full_outer").select(
+        id_col,
+        "bm25_rank",
+        "dense_rank",
+        F.round(
+            F.coalesce(1.0 / (rrf_k + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (rrf_k + F.col("dense_rank")), F.lit(0.0)),
+            9,
+        ).alias("rrf_score"),
+    )
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        .limit(top_k)
+        .select(id_col, "rrf_score", "bm25_rank", "dense_rank")
+    )

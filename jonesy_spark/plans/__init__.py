@@ -221,6 +221,11 @@ DRIVER_EXCLUDED = {
     # r7 rotation candidate.
     "hash_embeddings",
     # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # hybrid BM25 + dense retrieval fused by reciprocal rank fusion
+    # (two bounded channels, rank windows over <= 100-row candidate
+    # sets). r7 rotation candidate.
+    "hybrid_search",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
     # exact phrase search through the positional index (round-trip
     # witness pattern; adjacency joins over bucket-pruned occurrence
     # streams). r7 rotation candidate.

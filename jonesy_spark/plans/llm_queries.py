@@ -2358,3 +2358,113 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         SE.write_positional_index(docs, d, mode="overwrite", run_id="seed")
         _PHRASE_INDEX_MEMO[key] = d
     return SE.phrase_probe(spark, _PHRASE_INDEX_MEMO[key], ["batch", "batch"])
+
+
+@query(
+    "hybrid_search",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    lens AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+    corpus AS (SELECT count(*) AS n_docs, avg(len) AS avg_len FROM lens),
+    hits AS (
+        SELECT doc_id, t FROM tok WHERE t IN ('join', 'spark', 'window')
+    ),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM hits GROUP BY 1, 2),
+    dfx AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+    idf AS (
+        SELECT t, round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 9) AS idf
+        FROM dfx CROSS JOIN corpus
+    ),
+    contrib AS (
+        SELECT tf.doc_id,
+               round(idf.idf * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1.0 - 0.75
+                                       + 0.75 * lens.len / corpus.avg_len)),
+                     9) AS c
+        FROM tf JOIN lens USING (doc_id) JOIN idf USING (t) CROSS JOIN corpus
+    ),
+    bm_top AS (
+        SELECT doc_id,
+               CAST(round(sum(CAST(c AS DECIMAL(12,9))), 6) AS DOUBLE) AS bm_score
+        FROM contrib GROUP BY doc_id
+        ORDER BY bm_score DESC, doc_id LIMIT 100
+    ),
+    bm_ranked AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY bm_score DESC, doc_id) AS INT)
+                   AS bm25_rank
+        FROM bm_top
+    ),
+    dtf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+    comp AS (
+        SELECT doc_id, s.j,
+               sum(tf * (CASE WHEN ('0x' || substr(md5(t || '|'
+                                    || CAST(s.j AS VARCHAR)), 1, 7))::BIGINT
+                              % 2 = 1
+                         THEN 1 ELSE -1 END)) AS c
+        FROM dtf CROSS JOIN generate_series(0, 15) s(j)
+        GROUP BY 1, 2
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS norm FROM comp GROUP BY 1),
+    demb AS (
+        SELECT comp.doc_id, comp.j,
+               CASE WHEN nrm.norm > 0 THEN round(comp.c / nrm.norm, 6)
+                    ELSE 0.0 END AS e
+        FROM comp JOIN nrm USING (doc_id)
+    ),
+    qcomp AS (
+        SELECT s.j,
+               sum(CASE WHEN ('0x' || substr(md5(q.t || '|'
+                              || CAST(s.j AS VARCHAR)), 1, 7))::BIGINT % 2 = 1
+                        THEN 1 ELSE -1 END) AS c
+        FROM (VALUES ('join'), ('spark'), ('window')) q(t)
+        CROSS JOIN generate_series(0, 15) s(j)
+        GROUP BY 1
+    ),
+    qnrm AS (SELECT sqrt(sum(c * c)) AS norm FROM qcomp),
+    qemb AS (
+        SELECT j, round(c / norm, 6) AS e FROM qcomp CROSS JOIN qnrm
+    ),
+    dense_top AS (
+        SELECT demb.doc_id, round(sum(demb.e * qemb.e), 6) AS cosine
+        FROM demb JOIN qemb USING (j)
+        GROUP BY demb.doc_id
+        ORDER BY cosine DESC, doc_id LIMIT 100
+    ),
+    dense_ranked AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT)
+                   AS dense_rank
+        FROM dense_top
+    )
+    SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+           round(coalesce(1.0 / (60 + b.bm25_rank), 0.0)
+                 + coalesce(1.0 / (60 + d.dense_rank), 0.0), 9) AS rrf_score,
+           b.bm25_rank, d.dense_rank
+    FROM bm_ranked b FULL OUTER JOIN dense_ranked d ON b.doc_id = d.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def hybrid_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 and dense (signed-feature-hashing
+    cosine) channels fused by reciprocal rank fusion (public method,
+    Cormack et al. 2009) — each channel's top-100 via partial top-k,
+    ranks assigned within the bounded candidate sets, fused score
+    1/(60+rank) summed over present channels. The oracle reproduces
+    both channels end to end plus the fusion arithmetic.
+    operators.search.hybrid_search."""
+    from ..operators.search import hybrid_search
+
+    return hybrid_search(
+        Catalog(spark, sf_dir).documents,
+        ["join", "spark", "window"],
+        top_k=20,
+        dim=16,
+    )

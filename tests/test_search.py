@@ -381,3 +381,40 @@ def test_phrase_probe_rejects_tf_only_index(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no positions column"):
         phrase_probe(spark, path, ["a", "b"])
+
+
+def test_hybrid_search_fuses_channels(spark):
+    """RRF fusion: the doc strong in BOTH channels ranks first; the
+    fused score is exactly 1/(60+bm_rank) + 1/(60+dense_rank) with
+    absent channels contributing zero."""
+    from jonesy_spark.operators.search import hybrid_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window spark window spark"),   # strong in both
+            (2, "spark table scan merge sort"),        # one term, weak
+            (3, "alpha beta gamma delta epsilon"),     # no query term
+        ],
+        ["doc_id", "text"],
+    )
+    rows = hybrid_search(docs, ["spark", "window"], top_k=10, dim=32).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert rows[0]["doc_id"] == 1
+    assert by_id[1]["bm25_rank"] == 1 and by_id[1]["dense_rank"] == 1
+    # doc 3 has no query term: absent from the lexical channel
+    assert by_id[3]["bm25_rank"] is None and by_id[3]["dense_rank"] is not None
+    for r in rows:
+        want = 0.0
+        if r["bm25_rank"] is not None:
+            want += 1.0 / (60 + r["bm25_rank"])
+        if r["dense_rank"] is not None:
+            want += 1.0 / (60 + r["dense_rank"])
+        assert abs(r["rrf_score"] - round(want, 9)) < 1e-9
+
+
+def test_hybrid_search_rejects_empty_query(spark):
+    from jonesy_spark.operators.search import hybrid_search
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="query term"):
+        hybrid_search(docs, [" "])
