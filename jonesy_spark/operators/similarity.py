@@ -964,3 +964,92 @@ def hash_embed(
         .otherwise(F.transform(F.col("raw"), lambda x: x * F.lit(0.0)))
         .alias("embedding"),
     )
+
+
+def cluster_documents(
+    docs: DataFrame,
+    k: int = 8,
+    dim: int = 16,
+    seed: int = 13,
+    max_iter: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus topic clustering: hash-embed the documents
+    (:func:`hash_embed`) and assign each to its nearest trained
+    k-means centroid — the exploration tier's "what's in this corpus"
+    map (swap in a real encoder by replacing the embed stage, as for
+    the semantic-dedup pass). Output: ``(id, cluster_id)`` for every
+    document with at least one token.
+
+    Scale shape: training is MLlib k-means|| (distributed; only K x
+    dim centers reach the driver), assignment is the map-side
+    :func:`ivf_assignments` path with ``probes=1`` — a broadcast
+    centroid array and a sorted-array expression per vector, no
+    shuffle beyond the embedding itself. NOT in the oracle-checked
+    surface (k-means inherits MLlib's seed semantics, not
+    cross-engine determinism); pinned by separation tests instead.
+    """
+    emb = hash_embed(docs, dim=dim, text_col=text_col, id_col=id_col)
+    e = _prepared(
+        emb.select(
+            F.col(id_col).alias("vec_id"), "embedding", F.lit("d").alias("label")
+        )
+    )
+    cents = kmeans_centroids(emb, k=k, seed=seed, max_iter=max_iter)
+    assign = ivf_assignments(e, probes=1, centroids=cents)
+    return assign.select(
+        F.col("vec_id").alias(id_col), F.col("cid").alias("cluster_id")
+    )
+
+
+def cluster_top_terms(
+    docs: DataFrame,
+    assignments: DataFrame,
+    top_n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster labels via c-TF-IDF (public method: the class-based
+    TF-IDF of BERTopic, Grootendorst 2022): treat each cluster's
+    concatenated documents as one pseudo-document, weight term counts
+    by how few clusters contain the term, and keep the ``top_n``
+    highest-scoring terms per cluster — the human-readable answer to
+    "what is cluster 7 about". Output: ``(cluster_id, term, score,
+    rank)``; score rounded to 6.
+
+    Scale shape: one (cluster, term) count aggregation with map-side
+    combine (cardinality <= clusters x vocabulary), a cluster-count
+    document frequency over that same frame, and a rank window
+    partitioned by cluster — nothing document-sized past the first
+    aggregation."""
+    from pyspark.sql import Window
+
+    toks = docs.join(assignments, id_col).select(
+        "cluster_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("t"),
+    )
+    ct = toks.groupBy("cluster_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    n_clusters = assignments.select("cluster_id").distinct().count()
+    dfc = ct.groupBy("t").agg(F.count(F.lit(1)).alias("df_clusters"))
+    scored = ct.join(dfc, "t").select(
+        "cluster_id",
+        F.col("t").alias("term"),
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_clusters)) / F.col("df_clusters") + 1.0),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("cluster_id", "term", "score", "rank")
+    )

@@ -418,3 +418,36 @@ def test_hybrid_search_rejects_empty_query(spark):
     docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="query term"):
         hybrid_search(docs, [" "])
+
+
+def test_cluster_documents_separates_populations(spark):
+    """k=2 over two disjoint-vocabulary populations: each population
+    lands wholly in one cluster, and c-TF-IDF labels each cluster with
+    its own vocabulary."""
+    from jonesy_spark.operators.similarity import (
+        cluster_documents,
+        cluster_top_terms,
+    )
+
+    vocab_a = ["alpha", "beta", "gamma", "delta"]
+    vocab_b = ["omega", "sigma", "tau", "rho"]
+    rows = [
+        (i, " ".join(vocab_a[(i + j) % 4] for j in range(12))) for i in range(10)
+    ] + [
+        (i + 10, " ".join(vocab_b[(i + j) % 4] for j in range(12)))
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    assign = cluster_documents(docs, k=2, dim=32)
+    got = {r["doc_id"]: r["cluster_id"] for r in assign.collect()}
+    a_clusters = {got[i] for i in range(10)}
+    b_clusters = {got[i + 10] for i in range(10)}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
+
+    labels = cluster_top_terms(docs, assign, top_n=4).collect()
+    by_cluster: dict = {}
+    for r in labels:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["term"])
+    assert by_cluster[a_clusters.pop()] == set(vocab_a)
+    assert by_cluster[b_clusters.pop()] == set(vocab_b)
