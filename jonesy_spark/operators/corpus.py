@@ -1011,3 +1011,60 @@ def dsir_select(
         .orderBy(F.col("sample_key").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def diversity_sample(
+    docs: DataFrame,
+    per_bucket_n: int,
+    dim: int = 16,
+    bucket_dims: int = 6,
+    salt: str = "div-v1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Diversity-BALANCED sampling: draw up to ``per_bucket_n``
+    documents from EACH semantic sign-bucket instead of sampling the
+    corpus proportionally — the cluster-balanced selection the
+    data-mixing literature uses to keep rare content families
+    represented (proportional sampling hands the whole budget to the
+    dominant crawl genres; balanced-per-cluster selection caps them).
+    Buckets are the DETERMINISTIC sign-LSH cells over the hashed
+    embeddings (``vectors.sign_bucket`` of :func:`~.similarity.
+    hash_embed` components — no trained centroids, so the draw is
+    exactly reproducible in the oracle), and the within-bucket pick is
+    the house md5 U[0,1) draw with doc-id tiebreak — rerun-stable,
+    resample-able by salt.
+
+    Output: ``(id, div_bucket, draw)`` for the selected docs (join
+    back left-semi for the full rows). Only docs with at least one
+    token participate (``hash_embed``'s domain); run the sampler
+    after the pipeline's empty-doc gates, where zero-token docs are
+    already out of the population.
+
+    Scale shape: the embedding is the only corpus-width work; the
+    bucket key is a map-side expression over it; the per-bucket rank
+    window partitions on 2^``bucket_dims`` cells. Skew note: semantic
+    mass is NOT uniform over sign cells — a dominant genre can fill
+    one cell; that is the point (it gets capped at ``per_bucket_n``),
+    but the window over that hot cell is the operator's cost ceiling —
+    raise ``bucket_dims`` to split cells rather than lowering the cap.
+    """
+    from pyspark.sql import Window
+
+    from ..functions import vectors as VX
+    from .similarity import hash_embed
+
+    if per_bucket_n < 1:
+        raise ValueError(f"per_bucket_n must be >= 1, got {per_bucket_n}")
+    emb = hash_embed(docs, dim=dim, text_col=text_col, id_col=id_col)
+    keyed = emb.select(
+        id_col,
+        VX.sign_bucket(F.col("embedding"), bucket_dims).alias("div_bucket"),
+        F.round(_hash_unit(salt, F.col(id_col)), 6).alias("draw"),
+    )
+    w = Window.partitionBy("div_bucket").orderBy("draw", id_col)
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_bucket_n)
+        .drop("__rn")
+    )

@@ -221,6 +221,11 @@ DRIVER_EXCLUDED = {
     # r7 rotation candidate.
     "hash_embeddings",
     # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # diversity-balanced sampling (sign-LSH cells over hashed
+    # embeddings + md5 draw + per-cell rank cut). r7 rotation
+    # candidate.
+    "diversity_sample",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
     # hybrid BM25 + dense retrieval fused by reciprocal rank fusion
     # (two bounded channels, rank windows over <= 100-row candidate
     # sets). r7 rotation candidate.

@@ -2468,3 +2468,55 @@ def hybrid_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_k=20,
         dim=16,
     )
+
+
+@query(
+    "diversity_sample",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+    comp AS (
+        SELECT doc_id, s.j,
+               sum(tf * (CASE WHEN ('0x' || substr(md5(t || '|'
+                                    || CAST(s.j AS VARCHAR)), 1, 7))::BIGINT
+                              % 2 = 1
+                         THEN 1 ELSE -1 END)) AS c
+        FROM tf CROSS JOIN generate_series(0, 5) s(j)
+        GROUP BY 1, 2
+    ),
+    keyed AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN c >= 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY j) AS div_bucket,
+               round(('0x' || substr(md5('div-v1|' || CAST(doc_id AS VARCHAR)),
+                                     1, 7))::BIGINT / 268435456.0, 6) AS draw
+        FROM comp GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, div_bucket, draw,
+               row_number() OVER (PARTITION BY div_bucket
+                                  ORDER BY draw, doc_id) AS rn
+        FROM keyed
+    )
+    SELECT doc_id, div_bucket, draw FROM ranked WHERE rn <= 8
+    """,
+)
+def diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-balanced sampling: up to 8 docs per deterministic
+    sign-LSH cell over the hashed embeddings — the cluster-balanced
+    selection that keeps rare content families represented. The sign
+    of a normalized component equals the sign of its integer
+    pre-normalization sum, so the oracle buckets on the raw sums and
+    reproduces the md5 draw and the per-cell rank cut exactly.
+    operators.corpus.diversity_sample."""
+    from ..operators import corpus as C
+
+    return C.diversity_sample(
+        Catalog(spark, sf_dir).documents, per_bucket_n=8, dim=16, bucket_dims=6
+    )

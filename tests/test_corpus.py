@@ -730,3 +730,25 @@ def test_dsir_select_is_deterministic_and_exhaustive(spark):
     assert a == b and len(a) == len(set(a)) == 10
     everything = dsir_select(raw, target, k=1000).collect()
     assert len(everything) == 30
+
+
+def test_diversity_sample_balances_buckets(spark):
+    """A corpus dominated 10:1 by one vocabulary family still yields a
+    balanced sample: each family's bucket contributes at most
+    per_bucket_n docs, so the minority family survives selection."""
+    from jonesy_spark.operators.corpus import diversity_sample
+
+    major = "alpha beta gamma delta " * 4
+    minor = "omega sigma tau rho " * 4
+    rows = [(i, major) for i in range(50)] + [(100 + i, minor) for i in range(5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = diversity_sample(docs, per_bucket_n=4, dim=32).collect()
+    by_bucket: dict = {}
+    for r in out:
+        by_bucket.setdefault(r["div_bucket"], []).append(r["doc_id"])
+    assert all(len(v) <= 4 for v in by_bucket.values())
+    minority_kept = [r["doc_id"] for r in out if r["doc_id"] >= 100]
+    assert len(minority_kept) == 4  # capped, not crowded out
+    # determinism: same salt, same selection
+    again = {r["doc_id"] for r in diversity_sample(docs, per_bucket_n=4, dim=32).collect()}
+    assert again == {r["doc_id"] for r in out}
