@@ -468,3 +468,63 @@ def event_transitions(
         .orderBy(F.col("n_transitions").desc(), "from_type", "to_type")
         .limit(top_n)
     )
+
+
+def trailing_anomaly_flags(
+    events: DataFrame,
+    window_seconds: int = 86_400,
+    z: float = 3.0,
+    min_baseline: int = 5,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-event anomaly flags against the key's OWN trailing
+    time-horizon baseline: an event is anomalous when its value sits
+    more than ``z`` sample standard deviations from the mean of the
+    PRECEDING ``window_seconds`` of events (the frame excludes the
+    current row — a value must not dampen the baseline it is judged
+    against), provided the baseline holds at least ``min_baseline``
+    events (a z-score against two points is noise, not evidence).
+    Output: ``(event_id, key, es, value, n_baseline, mean_baseline,
+    z_score, is_anomaly)``; ratios rounded to 6, NULL z where the
+    baseline stddev is zero or the baseline is too thin (flag false —
+    a flat baseline with one differing value is a CHANGE, which
+    stats_drift reports; this operator detects outliers against
+    established variance).
+
+    Scale shape: the same single per-key RANGE-frame shuffle as
+    :func:`trailing_range_stats` — three more frame aggregates on the
+    identical window, zero extra exchanges.
+    """
+    from pyspark.sql import Window as W
+
+    es = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    base = events.select(
+        F.col(id_col),
+        F.col(key_col).alias("k"),
+        es.alias("es"),
+        F.col(value_col).alias("v"),
+    )
+    w = (
+        W.partitionBy("k")
+        .orderBy("es")
+        .rangeBetween(-int(window_seconds), -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    mean = F.avg("v").over(w)
+    sd = F.stddev_samp("v").over(w)
+    zscore = F.when(
+        (n >= min_baseline) & (sd > 0), F.round((F.col("v") - mean) / sd, 6)
+    )
+    return base.select(
+        id_col,
+        F.col("k").alias(key_col),
+        "es",
+        F.col("v").alias(value_col),
+        n.cast("int").alias("n_baseline"),
+        F.round(mean, 6).alias("mean_baseline"),
+        zscore.alias("z_score"),
+        F.coalesce(F.abs(zscore) > z, F.lit(False)).alias("is_anomaly"),
+    )

@@ -221,6 +221,10 @@ DRIVER_EXCLUDED = {
     # r7 rotation candidate.
     "hash_embeddings",
     # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # trailing-baseline anomaly flags (the RANGE frame excluding the
+    # current row + guarded z-score). r7 rotation candidate.
+    "anomaly_flags",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
     # diversity-balanced sampling (sign-LSH cells over hashed
     # embeddings + md5 draw + per-cell rank cut). r7 rotation
     # candidate.

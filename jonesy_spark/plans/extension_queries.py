@@ -1239,3 +1239,42 @@ def event_transitions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import event_transitions
 
     return event_transitions(Catalog(spark, sf_dir).events, top_n=20)
+
+
+@query(
+    "anomaly_flags",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es, value
+        FROM events
+    ),
+    stats AS (
+        SELECT event_id, user_id, es, value,
+               CAST(count(*) OVER w AS INT) AS n_baseline,
+               round(avg(value) OVER w, 6) AS mean_baseline,
+               avg(value) OVER w AS raw_mean,
+               stddev_samp(value) OVER w AS sd
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY es
+                     RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, es, value, n_baseline, mean_baseline,
+           CASE WHEN n_baseline >= 5 AND sd > 0
+                THEN round((value - raw_mean) / sd, 6) END AS z_score,
+           coalesce(abs(CASE WHEN n_baseline >= 5 AND sd > 0
+                             THEN round((value - raw_mean) / sd, 6) END) > 3.0,
+                    false) AS is_anomaly
+    FROM stats
+    """,
+)
+def anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event outlier flags against the key's own trailing 24h
+    baseline (frame excludes the current row; thin or zero-variance
+    baselines yield NULL z and no flag).
+    operators.windows.trailing_anomaly_flags."""
+    from ..operators.windows import trailing_anomaly_flags
+
+    return trailing_anomaly_flags(
+        Catalog(spark, sf_dir).events, window_seconds=86_400, z=3.0
+    )

@@ -1138,3 +1138,36 @@ def test_event_transitions_semantics(spark):
         ("A", "B"): (2, round(2 / 3, 6)),
         ("B", "C"): (1, round(1 / 3, 6)),
     }
+
+
+def test_trailing_anomaly_flags_semantics(spark):
+    """A spike against an established flat-ish baseline flags; early
+    events (thin baseline) and the baseline points themselves don't;
+    the frame excludes the current row so the spike can't dampen its
+    own baseline."""
+    from datetime import datetime, timedelta
+
+    from jonesy_spark.operators.windows import trailing_anomaly_flags
+
+    t0 = datetime(2024, 1, 1)
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 100.0, 10.2]
+    rows = [
+        (i, t0 + timedelta(minutes=i), 1, v) for i, v in enumerate(vals)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {
+        r["event_id"]: r
+        for r in trailing_anomaly_flags(
+            events, window_seconds=3600, z=3.0, min_baseline=5
+        ).collect()
+    }
+    assert got[6]["is_anomaly"]          # the spike
+    assert got[6]["n_baseline"] == 6     # excludes itself
+    assert not any(got[i]["is_anomaly"] for i in range(6))  # baseline rows
+    # the event AFTER the spike: baseline now contains 100.0, stddev
+    # widens, 10.2 is not 3 sigma out
+    assert not got[7]["is_anomaly"]
+    # thin-baseline rows carry NULL z, not a flag
+    assert got[1]["z_score"] is None and not got[1]["is_anomaly"]
