@@ -186,3 +186,30 @@ class MultiTargetSink:
                 self.errors[target] = str(exc)
                 results[target] = False
         return results
+
+
+def backfill_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+) -> str:
+    """Idempotent partition BACKFILL: overwrite only the partitions
+    present in ``df`` (``spark.sql.sources.partitionOverwriteMode=
+    dynamic``), leaving every other partition untouched — the
+    re-run-one-day shape a nightly pipeline needs. The plain
+    ``mode="overwrite"`` of :func:`write_partitioned_parquet` is
+    STATIC: it truncates the whole table root first, so re-running a
+    single day's extract would silently delete the year — exactly the
+    class of operational accident a backfill entry point must make
+    impossible. The session conf is flipped only for this write and
+    restored after (other writers in the same session keep their
+    semantics)."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+    return path

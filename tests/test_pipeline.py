@@ -733,3 +733,29 @@ def test_token_budget_stage_releases_caches(spark):
     out = prepare_training_corpus(docs, CorpusConfig(token_budget=8_000))
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
     assert out["clean"].count() > 0
+
+
+def test_backfill_overwrites_only_touched_partitions(spark, tmp_path):
+    """backfill_partitions replaces exactly the day being re-run; the
+    static-overwrite writer would have truncated the other day too.
+    The session conf is restored afterwards."""
+    from jonesy_spark.pipeline.sinks import backfill_partitions
+
+    path = str(tmp_path / "t")
+    full = spark.createDataFrame(
+        [("2024-01-01", 1, "old-a"), ("2024-01-02", 2, "old-b")],
+        ["day", "id", "v"],
+    )
+    full.write.partitionBy("day").parquet(path)
+
+    redo = spark.createDataFrame([("2024-01-02", 2, "new-b")], ["day", "id", "v"])
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key, "STATIC")
+    backfill_partitions(redo, path, ["day"])
+    assert spark.conf.get(key, "STATIC") == before
+
+    # partition discovery types `day` as DATE; compare as strings
+    got = {
+        (str(r["day"]), r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {("2024-01-01", "old-a"), ("2024-01-02", "new-b")}
