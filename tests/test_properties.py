@@ -409,3 +409,58 @@ def test_prefix_jaccard_exactness_property(spark, docs, threshold):
         .collect()
     }
     assert got == brute
+
+
+# --- retrieval-tier differentials over hypothesis-generated corpora ---
+
+_WORDS = ["spark", "join", "window", "scan", "sort", "batch", "merge", "row"]
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=10).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(texts=corpus_strategy)
+@settings(**SETTINGS)
+def test_bm25_matches_python_reference_on_random_corpora(spark, texts):
+    """BM25 == the independent Python reference on arbitrary small
+    corpora: idf smoothing, tf saturation, length normalization and
+    the rounding grids all reproduced, for every doc that matches."""
+    from test_search import _py_bm25
+
+    from jonesy_spark.operators.search import bm25_search
+
+    corpus = dict(enumerate(texts))
+    docs = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    terms = ["spark", "join"]
+    got = {
+        r["doc_id"]: (r["score"], r["n_hits"])
+        for r in bm25_search(docs, terms, top_k=100).collect()
+    }
+    assert got == _py_bm25(corpus, terms)
+
+
+@given(texts=corpus_strategy)
+@settings(**SETTINGS)
+def test_phrase_probe_matches_sliding_window_on_random_corpora(spark, tmp_path_factory, texts):
+    """Positional phrase matching == the sliding-window reference on
+    arbitrary corpora, including overlapping repeats."""
+    from test_search import _py_phrase_counts
+
+    from jonesy_spark.operators.search import (
+        phrase_probe,
+        write_positional_index,
+    )
+
+    corpus = dict(enumerate(texts))
+    docs = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    path = str(tmp_path_factory.mktemp("px"))
+    write_positional_index(docs, path, mode="overwrite", run_id="seed")
+    phrase = ["spark", "join"]
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_probe(spark, path, phrase).collect()
+    }
+    assert got == _py_phrase_counts(corpus, phrase)
