@@ -464,3 +464,73 @@ def test_phrase_probe_matches_sliding_window_on_random_corpora(spark, tmp_path_f
         for r in phrase_probe(spark, path, phrase).collect()
     }
     assert got == _py_phrase_counts(corpus, phrase)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8).map(" ".join),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=10,
+    ).filter(lambda rs: any(y for _, y in rs) and any(not y for _, y in rs))
+)
+@settings(**SETTINGS)
+def test_classifier_matches_python_nb_on_random_corpora(spark, rows):
+    """train_log_odds + score_log_odds == an independent pure-Python
+    multinomial NB (decimal-exact accumulation) on arbitrary labeled
+    corpora — pins the training math, the sentinel rows, and the
+    decimal score discipline beyond the DuckDB mirror."""
+    import hashlib
+    import math
+    from decimal import Decimal
+
+    from jonesy_spark.operators import classify as C
+
+    B = 64
+    docs = [(i, text, y) for i, (text, y) in enumerate(rows)]
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:7], 16) % B
+
+    # python reference: train
+    pos_c: dict[int, int] = {}
+    neg_c: dict[int, int] = {}
+    n_pos = n_neg = 0
+    for _, text, y in docs:
+        toks = [t for t in text.lower().strip().split() if t]
+        n_pos += y
+        n_neg += not y
+        for t in toks:
+            d = pos_c if y else neg_c
+            d[bucket(t)] = d.get(bucket(t), 0) + 1
+    pos_tot, neg_tot = sum(pos_c.values()), sum(neg_c.values())
+    buckets = set(pos_c) | set(neg_c)
+    w = {
+        b: round(
+            math.log((pos_c.get(b, 0) + 1.0) / (pos_tot + B))
+            - math.log((neg_c.get(b, 0) + 1.0) / (neg_tot + B)),
+            9,
+        )
+        for b in buckets
+    }
+    bias = round(math.log(n_pos / n_neg), 9)
+
+    def score(text: str) -> tuple[int, float, bool]:
+        toks = [t for t in text.lower().strip().split() if t]
+        acc = Decimal(f"{bias:.9f}")
+        for t in toks:
+            acc += Decimal(f"{w[bucket(t)]:.9f}")
+        s = float(round(acc, 6))
+        return len(toks), s, s > 0
+
+    want = {i: score(text) for i, text, _ in docs}
+
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang boolean")
+    model = C.train_log_odds(df, F.col("lang"), n_buckets=B)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score"], r["pred"])
+        for r in C.score_log_odds(df, model, n_buckets=B).collect()
+    }
+    assert got == want
