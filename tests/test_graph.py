@@ -254,3 +254,33 @@ def test_pagerank_validates_inputs(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     with _pytest.raises(ValueError, match="non-empty"):
         G.pagerank(empty)
+
+
+from hypothesis import HealthCheck
+from hypothesis import settings as hsettings
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 5), st.integers(1, 5)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@hsettings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_pagerank_matches_numpy_on_random_graphs(spark, edges):
+    """Relational PageRank == dense numpy power iteration on arbitrary
+    small digraphs (self-loops, dangling sinks, duplicates included)."""
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(df, max_iter=60, tol=1e-12).collect()
+    }
+    want = _np_pagerank(edges, max_iter=60, tol=1e-12)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6
