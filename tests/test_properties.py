@@ -534,3 +534,94 @@ def test_classifier_matches_python_nb_on_random_corpora(spark, rows):
         for r in C.score_log_odds(df, model, n_buckets=B).collect()
     }
     assert got == want
+
+
+@given(
+    raw=corpus_strategy,
+    target=corpus_strategy,
+)
+@settings(**SETTINGS)
+def test_dsir_weights_match_python_reference(spark, raw, target):
+    """dsir_weights == an independent decimal-exact Python computation
+    of the smoothed class-conditional hashed-distribution ratio."""
+    import hashlib
+    import math
+    from decimal import Decimal
+
+    from jonesy_spark.operators.corpus import dsir_weights
+
+    B = 64
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:7], 16) % B
+
+    def counts(texts):
+        out: dict[int, int] = {}
+        for text in texts:
+            for t in text.lower().strip().split():
+                if t:
+                    out[bucket(t)] = out.get(bucket(t), 0) + 1
+        return out
+
+    cr, ct = counts(raw), counts(target)
+    tot_r, tot_t = sum(cr.values()), sum(ct.values())
+    w = {
+        b: round(
+            math.log((ct.get(b, 0) + 1.0) / (tot_t + B))
+            - math.log((cr.get(b, 0) + 1.0) / (tot_r + B)),
+            9,
+        )
+        for b in set(cr) | set(ct)
+    }
+
+    def doc_weight(text):
+        toks = [t for t in text.lower().strip().split() if t]
+        acc = Decimal(0)
+        for t in toks:
+            acc += Decimal(f"{w[bucket(t)]:.9f}")
+        return len(toks), float(round(acc, 6))
+
+    want = {i: doc_weight(text) for i, text in enumerate(raw)}
+    raw_df = spark.createDataFrame(list(enumerate(raw)), ["doc_id", "text"])
+    tgt_df = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(target)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["log_weight"])
+        for r in dsir_weights(raw_df, tgt_df, n_buckets=B).collect()
+    }
+    assert got == want
+
+
+@given(texts=corpus_strategy)
+@settings(**SETTINGS)
+def test_hash_embed_matches_python_reference(spark, texts):
+    """hash_embed == the independent Python signed-hashing projection:
+    integer component sums, one sqrt, per-component rounding."""
+    import hashlib
+    import math
+
+    from jonesy_spark.operators.similarity import hash_embed
+
+    DIM = 8
+
+    def embed(text):
+        comp = [0] * DIM
+        for t in text.lower().strip().split():
+            if not t:
+                continue
+            for j in range(DIM):
+                h = int(hashlib.md5(f"{t}|{j}".encode()).hexdigest()[:7], 16)
+                comp[j] += 1 if h % 2 == 1 else -1
+        nrm = math.sqrt(sum(c * c for c in comp))
+        if nrm == 0:
+            return [0.0] * DIM
+        return [round(c / nrm, 6) for c in comp]
+
+    want = {i: embed(t) for i, t in enumerate(texts)}
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: list(r["embedding"])
+        for r in hash_embed(df, dim=DIM).collect()
+    }
+    assert got == want
