@@ -396,3 +396,137 @@ def score_log_odds(
             ).alias("pred"),
         )
     )
+
+
+def write_classifier_counts(
+    docs: DataFrame,
+    label: Column,
+    path: str,
+    mode: str = "append",
+    run_id: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    ngrams: int = 1,
+) -> str:
+    """Land one batch's SUFFICIENT STATISTICS for the classifier — the
+    per-bucket class counts plus the per-class document counts — under
+    an ``ingest_batch=<run_id>`` subtree (the stats-ledger layout).
+    Naive Bayes is count-based, so these partials are exactly
+    mergeable: :func:`train_from_counts` folds any number of batches
+    into THE SAME model a monolithic :func:`train_log_odds` over the
+    union would produce (integer counts — no float drift in the fold),
+    making the nightly retrain O(new batch) instead of O(corpus).
+    Feature-space parameters ride every row; the fold REFUSES to mix
+    batches written under different (n_buckets, ngrams). Returns the
+    run_id used."""
+    if run_id is None:
+        import uuid
+
+        run_id = f"nightly-{uuid.uuid4().hex[:12]}"
+    labeled = docs.withColumn("__pos", label.cast("int"))
+    tf = token_buckets(
+        labeled, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, ngrams=ngrams,
+    )
+    per_bucket = (
+        tf.join(labeled.select(id_col, "__pos"), id_col)
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("tf") * F.col("__pos")).alias("pos_c"),
+            F.sum(F.col("tf") * (1 - F.col("__pos"))).alias("neg_c"),
+        )
+    )
+    # doc counts ride as a sentinel row (bucket = BIAS_BUCKET): one
+    # frame, one layout, same trick as the model's metadata rows
+    doc_counts = labeled.agg(
+        F.lit(BIAS_BUCKET).cast("long").alias("bucket"),
+        F.sum("__pos").alias("pos_c"),
+        F.sum(1 - F.col("__pos")).alias("neg_c"),
+    )
+    out = (
+        per_bucket.select(F.col("bucket").cast("long"), "pos_c", "neg_c")
+        .unionByName(doc_counts)
+        .withColumn("n_buckets", F.lit(n_buckets).cast("int"))
+        .withColumn("ngrams", F.lit(ngrams).cast("int"))
+    )
+    out.coalesce(1).write.mode(mode).parquet(f"{path}/ingest_batch={run_id}")
+    return run_id
+
+
+def train_from_counts(
+    spark, path: str, alpha: float = 1.0, exclude_run_id: str | None = None
+) -> tuple[DataFrame, int, int]:
+    """Fold the persisted count ledger into a model — EXACTLY the
+    :func:`train_log_odds` model over every ingested document (integer
+    partials sum losslessly; the weight math then runs once over the
+    folded counts). Returns ``(model, n_buckets, ngrams)`` ready for
+    :func:`write_model` / :func:`score_log_odds`. ``exclude_run_id``
+    prunes a replaying writer's own subtree (the house rule). Raises
+    on an absent ledger or on mixed feature-space parameters — a fold
+    across different bucket spaces would be silently meaningless."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        raw = spark.read.parquet(path)
+    except AnalysisException:
+        raise ValueError(
+            f"no classifier count ledger at {path!r}; land one with "
+            "write_classifier_counts before folding"
+        ) from None
+    if exclude_run_id is not None:
+        raw = raw.filter(F.col("ingest_batch") != exclude_run_id)
+    params = raw.select("n_buckets", "ngrams").distinct().collect()
+    if not params:
+        raise ValueError(
+            f"count ledger at {path!r} is empty after exclusions; "
+            "nothing to fold"
+        )
+    if len(params) != 1:
+        raise ValueError(
+            "count ledger mixes feature-space parameters "
+            f"{sorted((p['n_buckets'], p['ngrams']) for p in params)}; "
+            "re-index before folding"
+        )
+    n_buckets, ngrams = int(params[0]["n_buckets"]), int(params[0]["ngrams"])
+    folded = raw.groupBy("bucket").agg(
+        F.sum("pos_c").alias("pos_c"), F.sum("neg_c").alias("neg_c")
+    )
+    dc = folded.filter(F.col("bucket") == BIAS_BUCKET).head()
+    if dc is None or not dc["pos_c"] or not dc["neg_c"]:
+        raise ValueError(
+            "count ledger needs both classes non-empty; got "
+            f"{dc['pos_c'] if dc else 0} positive / "
+            f"{dc['neg_c'] if dc else 0} documents"
+        )
+    per_bucket = folded.filter(F.col("bucket") >= 0)
+    totals = per_bucket.agg(
+        F.sum("pos_c").alias("pos_tot"), F.sum("neg_c").alias("neg_tot")
+    )
+    aB = alpha * n_buckets
+    w = F.round(
+        F.log((F.col("pos_c") + alpha) / (F.col("pos_tot") + aB))
+        - F.log((F.col("neg_c") + alpha) / (F.col("neg_tot") + aB)),
+        9,
+    )
+    weights = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket", w.alias("weight")
+    )
+    unseen = totals.select(
+        F.lit(UNSEEN_BUCKET).cast("long").alias("bucket"),
+        F.round(
+            F.log(F.lit(alpha) / (F.col("pos_tot") + aB))
+            - F.log(F.lit(alpha) / (F.col("neg_tot") + aB)),
+            9,
+        ).alias("weight"),
+    )
+    bias = spark.createDataFrame(
+        [(BIAS_BUCKET,)], "bucket long"
+    ).select(
+        "bucket",
+        F.round(
+            F.log(F.lit(float(dc["pos_c"])) / F.lit(float(dc["neg_c"]))), 9
+        ).alias("weight"),
+    )
+    model = weights.unionByName(bias).unionByName(unseen)
+    return model, n_buckets, ngrams

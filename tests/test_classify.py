@@ -369,3 +369,47 @@ def test_ngrams_freeze_with_model_store(spark, tmp_path):
     C.write_model(m, path, n_buckets=64, ngrams=2)
     _, n_buckets, ngrams, v = C.read_model(spark, path)
     assert (n_buckets, ngrams, v) == (64, 2, 0)
+
+
+def test_count_ledger_fold_equals_monolithic_training(spark, tmp_path):
+    """Two batches landed separately then folded must produce EXACTLY
+    the model a monolithic train over the union produces — integer
+    sufficient statistics merge losslessly."""
+    path = str(tmp_path / "counts")
+    b1 = _docs(
+        spark, [(0, "alpha beta alpha", "en"), (1, "omega sigma", "de")]
+    )
+    b2 = _docs(
+        spark, [(2, "alpha gamma", "en"), (3, "tau rho omega", "de")]
+    )
+    C.write_classifier_counts(b1, F.col("lang") == "en", path, n_buckets=64)
+    C.write_classifier_counts(b2, F.col("lang") == "en", path, n_buckets=64)
+    model, n_buckets, ngrams = C.train_from_counts(spark, path)
+    assert (n_buckets, ngrams) == (64, 1)
+    got = {r["bucket"]: r["weight"] for r in model.collect()}
+    mono = C.train_log_odds(
+        b1.unionByName(b2), F.col("lang") == "en", n_buckets=64
+    )
+    want = {r["bucket"]: r["weight"] for r in mono.collect()}
+    assert got == want
+
+
+def test_count_ledger_guards(spark, tmp_path):
+    """Absent ledger raises; mixed feature-space parameters refuse to
+    fold; a replaying writer's own epoch is excluded."""
+    path = str(tmp_path / "counts")
+    with pytest.raises(ValueError, match="no classifier count ledger"):
+        C.train_from_counts(spark, str(tmp_path / "missing"))
+    docs = _docs(spark, [(0, "alpha", "en"), (1, "omega", "de")])
+    C.write_classifier_counts(docs, F.col("lang") == "en", path, n_buckets=64)
+    C.write_classifier_counts(docs, F.col("lang") == "en", path, n_buckets=128)
+    with pytest.raises(ValueError, match="mixes feature-space"):
+        C.train_from_counts(spark, path)
+
+    path2 = str(tmp_path / "counts2")
+    C.write_classifier_counts(
+        docs, F.col("lang") == "en", path2, n_buckets=64, run_id="epoch-7"
+    )
+    with pytest.raises(ValueError, match="empty after exclusions"):
+        # excluding the only batch leaves an empty fold -> loud error
+        C.train_from_counts(spark, path2, exclude_run_id="epoch-7")
