@@ -413,3 +413,41 @@ def test_count_ledger_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="empty after exclusions"):
         # excluding the only batch leaves an empty fold -> loud error
         C.train_from_counts(spark, path2, exclude_run_id="epoch-7")
+
+
+def test_classifier_counts_stream_folds_to_monolithic(spark, tmp_path):
+    """Streamed count ledger: two waves of labeled docs, then
+    train_from_counts over the accumulated epochs equals monolithic
+    training over everything streamed."""
+    from jonesy_spark.streaming.incremental import run_classifier_counts_stream
+
+    land = tmp_path / "docs"
+    land.mkdir()
+    counts_path, ckpt = str(tmp_path / "counts"), str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, is_en boolean"
+    w1 = [(0, "alpha beta alpha", True), (1, "omega sigma", False)]
+    w2 = [(2, "alpha gamma", True), (3, "tau rho omega", False)]
+
+    def wave(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{land}/{name}"
+        )
+        stream = spark.readStream.schema(schema).parquet(f"{land}/*")
+        run_classifier_counts_stream(
+            stream, "is_en", counts_path, ckpt, n_buckets=64
+        )
+
+    wave("w1", w1)
+    wave("w2", w2)
+
+    model, n_buckets, ngrams = C.train_from_counts(spark, counts_path)
+    got = {r["bucket"]: r["weight"] for r in model.collect()}
+    mono = C.train_log_odds(
+        spark.createDataFrame(w1 + w2, schema), F.col("is_en"), n_buckets=64
+    )
+    want = {r["bucket"]: r["weight"] for r in mono.collect()}
+    assert got == want
+    epochs = (
+        spark.read.parquet(counts_path).select("ingest_batch").distinct().count()
+    )
+    assert epochs == 2
