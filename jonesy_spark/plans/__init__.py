@@ -221,6 +221,11 @@ DRIVER_EXCLUDED = {
     # r7 rotation candidate.
     "hash_embeddings",
     # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # the incremental-training round trip (two-batch count ledger ->
+    # lossless fold -> held-out scoring with the unseen fallback).
+    # r7 rotation candidate.
+    "incremental_classifier",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
     # trailing-baseline anomaly flags (the RANGE frame excluding the
     # current row + guarded z-score). r7 rotation candidate.
     "anomaly_flags",

@@ -2520,3 +2520,103 @@ def diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.diversity_sample(
         Catalog(spark, sf_dir).documents, per_bucket_n=8, dim=16, bucket_dims=6
     )
+
+
+#: (applicationId, sf_dir) -> classifier count-ledger tmp dir for the
+#: incremental_classifier row (one seed per session).
+_CLF_LEDGER_MEMO: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "incremental_classifier",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    tf AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 7))::BIGINT % 32768 AS bucket,
+               count(*) AS tf
+        FROM tok GROUP BY 1, 2
+    ),
+    lab AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    pb AS (
+        SELECT bucket,
+               sum(tf * pos) AS pos_c,
+               sum(tf * (1 - pos)) AS neg_c
+        FROM tf JOIN lab USING (doc_id) GROUP BY bucket
+    ),
+    tot AS (SELECT sum(pos_c) AS pos_tot, sum(neg_c) AS neg_tot FROM pb),
+    w AS (
+        SELECT bucket,
+               round(ln((pos_c + 1.0) / (pos_tot + 32768.0))
+                     - ln((neg_c + 1.0) / (neg_tot + 32768.0)), 9) AS weight
+        FROM pb CROSS JOIN tot
+    ),
+    meta AS (
+        SELECT round(ln(CAST(sum(pos) AS DOUBLE) / sum(1 - pos)), 9) AS bias,
+               (SELECT round(ln(1.0 / (pos_tot + 32768.0))
+                             - ln(1.0 / (neg_tot + 32768.0)), 9)
+                FROM tot) AS unseen
+        FROM lab
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(sum(tf) AS INT) AS n_tokens,
+               CAST(round(CAST(max(meta.bias) AS DECIMAL(12,9))
+                          + sum(tf * CAST(coalesce(w.weight, meta.unseen)
+                                          AS DECIMAL(12,9))), 6)
+                    AS DOUBLE) AS score
+        FROM tf LEFT JOIN w USING (bucket) CROSS JOIN meta
+        WHERE tf.doc_id % 2 = 1
+        GROUP BY tf.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_tokens, 0) AS n_tokens,
+           coalesce(s.score, (SELECT round(bias, 6) FROM meta)) AS score,
+           coalesce(s.score, (SELECT round(bias, 6) FROM meta)) > 0 AS pred
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+)
+def incremental_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-training round trip (the count-ledger family's
+    driver witness, the incremental_near_dup pattern): the EVEN half
+    of documents lands as TWO count-ledger batches (doc_id % 4 == 0
+    and % 4 == 2 — the fold must merge real multi-batch partials),
+    ``train_from_counts`` folds them into the model, and the ODD half
+    scores under it — exercising the unseen-bucket fallback whenever
+    an odd doc carries features the even half never saw. The oracle
+    reproduces the whole chain monolithically, which is the ledger's
+    core theorem: integer sufficient statistics fold losslessly.
+    operators.classify.write_classifier_counts / train_from_counts."""
+    from ..operators import classify as CL
+
+    docs = Catalog(spark, sf_dir).documents
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CLF_LEDGER_MEMO:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="jonesy_clf_ledger_")
+        label = F.col("lang") == "en"
+        CL.write_classifier_counts(
+            docs.filter(F.col("doc_id") % 4 == 0), label, d,
+            mode="overwrite", run_id="seed-a",
+        )
+        CL.write_classifier_counts(
+            docs.filter(F.col("doc_id") % 4 == 2), label, d,
+            mode="overwrite", run_id="seed-b",
+        )
+        _CLF_LEDGER_MEMO[key] = d
+    model, n_buckets, ngrams = CL.train_from_counts(spark, _CLF_LEDGER_MEMO[key])
+    return CL.score_log_odds(
+        docs.filter(F.col("doc_id") % 2 == 1), model,
+        n_buckets=n_buckets, ngrams=ngrams,
+    )
