@@ -221,6 +221,11 @@ DRIVER_EXCLUDED = {
     # r7 rotation candidate.
     "hash_embeddings",
     # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # BM25 against the persisted inverted index (probe == batch
+    # theorem as a hash check; two-batch seed, bucket-pruned read).
+    # r7 rotation candidate.
+    "bm25_index_probe",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
     # the incremental-training round trip (two-batch count ledger ->
     # lossless fold -> held-out scoring with the unseen fallback).
     # r7 rotation candidate.

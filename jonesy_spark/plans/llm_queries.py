@@ -2620,3 +2620,81 @@ def incremental_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 1), model,
         n_buckets=n_buckets, ngrams=ngrams,
     )
+
+
+#: (applicationId, sf_dir) -> search-index tmp dir for the
+#: bm25_index_probe row (one seed per session).
+_SEARCH_INDEX_MEMO: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "bm25_index_probe",
+    # The probe == batch theorem as a driver row: the oracle is the
+    # SAME monolithic BM25 computation as the bm25_search row — the
+    # persisted index must be invisible in the results.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+    corpus AS (SELECT count(*) AS n_docs, avg(len) AS avg_len FROM lens),
+    hits AS (
+        SELECT doc_id, t FROM toks WHERE t IN ('join', 'spark', 'window')
+    ),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM hits GROUP BY 1, 2),
+    dfx AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+    idf AS (
+        SELECT t, round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 9) AS idf
+        FROM dfx CROSS JOIN corpus
+    ),
+    contrib AS (
+        SELECT tf.doc_id,
+               round(idf.idf * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1.0 - 0.75
+                                       + 0.75 * lens.len / corpus.avg_len)),
+                     9) AS c
+        FROM tf
+        JOIN lens USING (doc_id)
+        JOIN idf USING (t)
+        CROSS JOIN corpus
+    )
+    SELECT doc_id,
+           CAST(round(sum(CAST(c AS DECIMAL(12,9))), 6) AS DOUBLE) AS score,
+           CAST(count(*) AS INT) AS n_hits
+    FROM contrib GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 against the PERSISTED inverted index (round-trip witness):
+    the corpus lands as TWO postings/docmeta batches, then the probe
+    reads only the query terms' bucket directories and folds the
+    per-batch corpus statistics — and must return exactly what the
+    monolithic ranker computes (the probe == batch theorem the oracle
+    enforces by computing the batch side).
+    operators.search.write_search_index / bm25_probe."""
+    from ..operators import search as SE
+
+    docs = Catalog(spark, sf_dir).documents
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SEARCH_INDEX_MEMO:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="jonesy_search_index_")
+        SE.write_search_index(
+            docs.filter(F.col("doc_id") % 2 == 0), d,
+            mode="overwrite", run_id="seed-a",
+        )
+        SE.write_search_index(
+            docs.filter(F.col("doc_id") % 2 == 1), d,
+            mode="overwrite", run_id="seed-b",
+        )
+        _SEARCH_INDEX_MEMO[key] = d
+    return SE.bm25_probe(
+        spark, _SEARCH_INDEX_MEMO[key], ["join", "spark", "window"], top_k=20
+    )
