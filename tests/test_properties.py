@@ -484,7 +484,7 @@ def test_classifier_matches_python_nb_on_random_corpora(spark, rows):
     decimal score discipline beyond the DuckDB mirror."""
     import hashlib
     import math
-    from decimal import Decimal
+    from decimal import ROUND_HALF_UP, Decimal
 
     from jonesy_spark.operators import classify as C
 
@@ -522,7 +522,10 @@ def test_classifier_matches_python_nb_on_random_corpora(spark, rows):
         acc = Decimal(f"{bias:.9f}")
         for t in toks:
             acc += Decimal(f"{w[bucket(t)]:.9f}")
-        s = float(round(acc, 6))
+        # Spark rounds decimals HALF_UP; Python's round() on Decimal is
+        # banker's — an exact ...5 at the 7th digit split the two
+        # (hypothesis-found: sum 0.2159205 -> 0.215921 vs 0.21592)
+        s = float(acc.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
         return len(toks), s, s > 0
 
     want = {i: score(text) for i, text, _ in docs}
@@ -546,7 +549,7 @@ def test_dsir_weights_match_python_reference(spark, raw, target):
     of the smoothed class-conditional hashed-distribution ratio."""
     import hashlib
     import math
-    from decimal import Decimal
+    from decimal import ROUND_HALF_UP, Decimal
 
     from jonesy_spark.operators.corpus import dsir_weights
 
@@ -579,7 +582,10 @@ def test_dsir_weights_match_python_reference(spark, raw, target):
         acc = Decimal(0)
         for t in toks:
             acc += Decimal(f"{w[bucket(t)]:.9f}")
-        return len(toks), float(round(acc, 6))
+        # HALF_UP to match Spark's decimal rounding (see the NB test)
+        return len(toks), float(
+            acc.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
 
     want = {i: doc_weight(text) for i, text in enumerate(raw)}
     raw_df = spark.createDataFrame(list(enumerate(raw)), ["doc_id", "text"])
