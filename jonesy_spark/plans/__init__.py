@@ -221,6 +221,10 @@ DRIVER_EXCLUDED = {
     # r7 rotation candidate.
     "hash_embeddings",
     # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
+    # held-out confusion/P/R/F1 of the incrementally-trained model —
+    # the pre-publish gate as a one-row oracle check. r7 candidate.
+    "classifier_eval",
+    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
     # BM25 against the persisted inverted index (probe == batch
     # theorem as a hash check; two-batch seed, bucket-pruned read).
     # r7 rotation candidate.

@@ -2698,3 +2698,115 @@ def bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SE.bm25_probe(
         spark, _SEARCH_INDEX_MEMO[key], ["join", "spark", "window"], top_k=20
     )
+
+
+@query(
+    "classifier_eval",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    tf AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 7))::BIGINT % 32768 AS bucket,
+               count(*) AS tf
+        FROM tok GROUP BY 1, 2
+    ),
+    lab AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    pb AS (
+        SELECT bucket,
+               sum(tf * pos) AS pos_c,
+               sum(tf * (1 - pos)) AS neg_c
+        FROM tf JOIN lab USING (doc_id) GROUP BY bucket
+    ),
+    tot AS (SELECT sum(pos_c) AS pos_tot, sum(neg_c) AS neg_tot FROM pb),
+    w AS (
+        SELECT bucket,
+               round(ln((pos_c + 1.0) / (pos_tot + 32768.0))
+                     - ln((neg_c + 1.0) / (neg_tot + 32768.0)), 9) AS weight
+        FROM pb CROSS JOIN tot
+    ),
+    meta AS (
+        SELECT round(ln(CAST(sum(pos) AS DOUBLE) / sum(1 - pos)), 9) AS bias,
+               (SELECT round(ln(1.0 / (pos_tot + 32768.0))
+                             - ln(1.0 / (neg_tot + 32768.0)), 9)
+                FROM tot) AS unseen
+        FROM lab
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(round(CAST(max(meta.bias) AS DECIMAL(12,9))
+                          + sum(tf * CAST(coalesce(w.weight, meta.unseen)
+                                          AS DECIMAL(12,9))), 6)
+                    AS DOUBLE) AS score
+        FROM tf LEFT JOIN w USING (bucket) CROSS JOIN meta
+        WHERE tf.doc_id % 2 = 1
+        GROUP BY tf.doc_id
+    ),
+    preds AS (
+        SELECT d.doc_id,
+               CASE WHEN coalesce(s.score, (SELECT round(bias, 6) FROM meta))
+                         > 0 THEN 1 ELSE 0 END AS p,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        WHERE d.doc_id % 2 = 1
+    ),
+    agg AS (
+        SELECT CAST(sum(p * y) AS BIGINT) AS tp,
+               CAST(sum(p * (1 - y)) AS BIGINT) AS fp,
+               CAST(sum((1 - p) * y) AS BIGINT) AS fn,
+               CAST(sum((1 - p) * (1 - y)) AS BIGINT) AS tn
+        FROM preds
+    )
+    SELECT tp, fp, fn, tn,
+           round(CASE WHEN tp + fp > 0
+                      THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END, 6)
+               AS precision,
+           round(CASE WHEN tp + fn > 0
+                      THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END, 6)
+               AS recall,
+           round(CASE WHEN (CASE WHEN tp + fp > 0
+                                 THEN CAST(tp AS DOUBLE) / (tp + fp)
+                                 ELSE 0.0 END
+                            + CASE WHEN tp + fn > 0
+                                   THEN CAST(tp AS DOUBLE) / (tp + fn)
+                                   ELSE 0.0 END) > 0
+                      THEN 2 * (CASE WHEN tp + fp > 0
+                                     THEN CAST(tp AS DOUBLE) / (tp + fp)
+                                     ELSE 0.0 END)
+                             * (CASE WHEN tp + fn > 0
+                                     THEN CAST(tp AS DOUBLE) / (tp + fn)
+                                     ELSE 0.0 END)
+                           / ((CASE WHEN tp + fp > 0
+                                    THEN CAST(tp AS DOUBLE) / (tp + fp)
+                                    ELSE 0.0 END)
+                              + (CASE WHEN tp + fn > 0
+                                      THEN CAST(tp AS DOUBLE) / (tp + fn)
+                                      ELSE 0.0 END))
+                      ELSE 0.0 END, 6) AS f1,
+           round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy
+    FROM agg
+    """,
+)
+def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the incrementally-trained classifier:
+    score the ODD half under the even-half count-ledger model (the
+    incremental_classifier chain) and condense against the true weak
+    labels into one confusion/precision/recall/F1 row — the retrain
+    job's pre-publish gate as an oracle-checked query.
+    operators.classify.eval_report."""
+    from ..operators import classify as CL
+
+    docs = Catalog(spark, sf_dir).documents
+    scored = QUERIES["incremental_classifier"](spark, sf_dir)
+    labels = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", (F.col("lang") == "en").alias("label")
+    )
+    return CL.eval_report(scored, labels)
