@@ -72,3 +72,26 @@ def boolean_flag(col: Column, true_value: str = "Y") -> Column:
 def utc_label(ts: Column) -> Column:
     """F18: `%Y-%m-%d %H:%M:%S UTC` rendering (``jonesy/jobs.py:169``)."""
     return F.concat(F.date_format(ts, "yyyy-MM-dd HH:mm:ss"), F.lit(" UTC"))
+
+
+def micro_units(col: Column, digits: int = 6) -> Column:
+    """Fixed-point integer rendering of a computed double: the value
+    scaled by 10**digits, rounded to the nearest integer, as BIGINT.
+
+    Why this exists: the driver hash-compares query output against a
+    DuckDB oracle, and a *computed* double is the one type whose
+    rendering is harness-dependent — Spark's ``round(x, 6)`` goes
+    through BigDecimal HALF_UP on the exact binary expansion while
+    DuckDB's goes through ``std::round(x*1e6)/1e6``, so a near-tie
+    double can round differently per engine *and per DuckDB version*
+    (CORRECTNESS_r06's one red row). Scaling FIRST and rounding ONCE
+    makes both engines round the *same* product double, and the output
+    integer survives any float normalization downstream. Oracle twin:
+    ``CAST(round((expr) * 1e6) AS BIGINT)``.
+
+    Use for every hashed computed-double column (cosines, logprobs,
+    ratios, quality composites); raw pass-through doubles read from
+    parquet are already bit-identical on both engines and don't need
+    it.
+    """
+    return F.round(col * F.lit(10 ** digits)).cast("long")

@@ -58,6 +58,18 @@ def jaccard(a: Column, b: Column, ndigits: int = 6) -> Column:
     return F.round(inter / (F.size(a) + F.size(b) - inter), ndigits)
 
 
+def jaccard_micro(a: Column, b: Column) -> Column:
+    """Set Jaccard of two distinct-element array columns in fixed-point
+    micro-units (BIGINT, value × 1e6) — the hash-stable form for
+    driver-compared outputs (see ``scalars.micro_units``: scale first,
+    round ONCE, so Spark and any DuckDB version round the same product
+    double). Same single-set-operation shape as :func:`jaccard`."""
+    from .scalars import micro_units
+
+    inter = F.size(F.array_intersect(a, b))
+    return micro_units(inter / (F.size(a) + F.size(b) - inter))
+
+
 #: Mersenne prime 2^31-1: modulus of the permuted-hash family. Element
 #: hashes stay < 2^28 and multipliers < 2^31, so products fit a BIGINT
 #: on both engines — no overflow, bit-for-bit reproducible in the oracle.

@@ -30,6 +30,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..functions.scalars import micro_units
+
+
+def _micro_threshold(threshold: float) -> int:
+    """A similarity threshold in the same fixed-point micro-units the
+    pair operators emit (``functions.scalars.micro_units``): filtering
+    on the INTEGER makes the cut boundary bit-identical across engines
+    — the comparison that decides row membership never touches a
+    float."""
+    return int(round(threshold * 1_000_000))
 
 
 def _track_caches(df: DataFrame, *deps: DataFrame) -> DataFrame:
@@ -347,9 +357,11 @@ def minhash_lsh_pairs(
         .join(tb, "doc_b")
     )
     return _track_caches(
-        verified.withColumn("jaccard", TX.jaccard(F.col("toks_a"), F.col("toks_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard"),
+        verified.withColumn(
+            "jaccard_micro", TX.jaccard_micro(F.col("toks_a"), F.col("toks_b"))
+        )
+        .filter(F.col("jaccard_micro") >= _micro_threshold(threshold))
+        .select("doc_a", "doc_b", "jaccard_micro"),
         *persisted,
     )
 
@@ -409,7 +421,7 @@ def estimated_jaccard(mh_a: Column, mh_b: Column, n_hashes: int) -> Column:
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    return F.round(agree / F.lit(float(n_hashes)), 6)
+    return micro_units(agree / F.lit(float(n_hashes)))
 
 
 def simhash_near_dup(
@@ -706,9 +718,11 @@ def ngram_jaccard_pairs(
         pairs.select(
             "doc_a",
             "doc_b",
-            TX.jaccard(F.col("grams_a"), F.col("grams_b")).alias("jaccard"),
+            TX.jaccard_micro(F.col("grams_a"), F.col("grams_b")).alias(
+                "jaccard_micro"
+            ),
         )
-        .filter(F.col("jaccard") >= threshold),
+        .filter(F.col("jaccard_micro") >= _micro_threshold(threshold)),
         *persisted,
     )
 
@@ -783,9 +797,11 @@ def ngram_containment(
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("n_shared") / F.col("n_grams"), 6).alias("containment"),
+            micro_units(F.col("n_shared") / F.col("n_grams")).alias(
+                "containment_micro"
+            ),
         )
-        .filter(F.col("containment") >= threshold)
+        .filter(F.col("containment_micro") >= _micro_threshold(threshold))
     )
 
 
@@ -842,12 +858,14 @@ def lsh_recall_report(
             & (F.col("a.sz") >= threshold * F.col("b.sz"))
             & (F.col("b.sz") >= threshold * F.col("a.sz")),
         )
-        .withColumn("jaccard", TX.jaccard(F.col("a.toks"), F.col("b.toks")))
-        .filter(F.col("jaccard") >= threshold)
+        .withColumn(
+            "jaccard_micro", TX.jaccard_micro(F.col("a.toks"), F.col("b.toks"))
+        )
+        .filter(F.col("jaccard_micro") >= _micro_threshold(threshold))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            "jaccard",
+            "jaccard_micro",
         )
     )
     lsh = minhash_lsh_pairs(
@@ -867,8 +885,8 @@ def lsh_recall_report(
     counts = hit.agg(
         F.count(F.lit(1)).alias("n_true_pairs"),
         F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
-        F.max(F.when(F.col("__hit").isNull(), F.col("jaccard"))).alias(
-            "worst_miss"
+        F.max(F.when(F.col("__hit").isNull(), F.col("jaccard_micro"))).alias(
+            "worst_miss_micro"
         ),
     )
     report = (
@@ -882,13 +900,12 @@ def lsh_recall_report(
             "n_docs",
             "n_true_pairs",
             "n_lsh_pairs",
-            F.round(
-                F.when(F.col("n_true_pairs") == 0, 1.0).otherwise(
-                    F.col("n_hits") / F.col("n_true_pairs")
-                ),
-                6,
-            ).alias("recall"),
-            F.round("worst_miss", 6).alias("worst_miss"),
+            F.when(F.col("n_true_pairs") == 0, F.lit(1_000_000).cast("long"))
+            .otherwise(
+                micro_units(F.col("n_hits") / F.col("n_true_pairs"))
+            )
+            .alias("recall_micro"),
+            F.col("worst_miss_micro"),
         )
     )
     return _track_caches(report, *getattr(lsh, "_jonesy_cached_deps", ()))
@@ -984,8 +1001,10 @@ def prefix_jaccard_pairs(
         cand.repartition(CPU_PARTITIONS)
         .join(ta, "doc_a")
         .join(tb, "doc_b")
-        .withColumn("jaccard", TX.jaccard(F.col("toks_a"), F.col("toks_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .withColumn(
+            "jaccard_micro", TX.jaccard_micro(F.col("toks_a"), F.col("toks_b"))
+        )
+        .filter(F.col("jaccard_micro") >= _micro_threshold(threshold))
+        .select("doc_a", "doc_b", "jaccard_micro")
     )
     return _track_caches(out, *caches)

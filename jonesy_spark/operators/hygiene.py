@@ -290,7 +290,7 @@ def probe_minhash_index(
     observation=None,
 ) -> DataFrame:
     """Near-dup matches of a new batch against the persisted signature
-    index: ``(doc_id, index_doc_id, est_jaccard)`` for every new doc
+    index: ``(doc_id, index_doc_id, est_jaccard_micro)`` for every new doc
     sharing a band bucket with an indexed doc at estimated Jaccard >=
     ``threshold``. ``exclude_run_id`` prunes one ``ingest_batch=``
     subtree (partition filter) — retrying writers exclude their own
@@ -331,7 +331,7 @@ def probe_minhash_index(
 
     from pyspark.errors import AnalysisException
 
-    from .dedup import estimated_jaccard
+    from .dedup import _micro_threshold, estimated_jaccard
 
     def _observed(df: DataFrame, n_buckets: int) -> DataFrame:
         return df.observe(
@@ -347,7 +347,7 @@ def probe_minhash_index(
     except AnalysisException:
         return _observed(
             new_sigs.sparkSession.createDataFrame(
-                [], "doc_id long, index_doc_id long, est_jaccard double"
+                [], "doc_id long, index_doc_id long, est_jaccard_micro long"
             ),
             0,
         )
@@ -400,10 +400,11 @@ def probe_minhash_index(
     )
     return _observed(
         cand.withColumn(
-            "est_jaccard", estimated_jaccard(F.col("mh"), F.col("mh_i"), n_hashes)
+            "est_jaccard_micro",
+            estimated_jaccard(F.col("mh"), F.col("mh_i"), n_hashes),
         )
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("doc_id", "index_doc_id", "est_jaccard"),
+        .filter(F.col("est_jaccard_micro") >= _micro_threshold(threshold))
+        .select("doc_id", "index_doc_id", "est_jaccard_micro"),
         len(buckets),
     )
 
@@ -589,7 +590,7 @@ def near_dup_contamination(
     n_bands: int = 2,
 ) -> DataFrame:
     """Sketch-level benchmark decontamination: ``(doc_id, bench_id,
-    est_jaccard)`` for every corpus document whose MinHash signature
+    est_jaccard_micro)`` for every corpus document whose MinHash signature
     matches a benchmark document's at estimated Jaccard >=
     ``threshold`` — the NEAR-dup complement of :func:`contamination`'s
     exact 13-gram gate. Exact n-gram overlap catches verbatim
@@ -605,7 +606,7 @@ def near_dup_contamination(
     The threshold-implied size-ratio prune runs before the signature
     comparison, exactly as in the batch LSH operators.
     """
-    from .dedup import estimated_jaccard, minhash_banded_sigs
+    from .dedup import _micro_threshold, estimated_jaccard, minhash_banded_sigs
 
     doc_sigs = minhash_banded_sigs(
         docs, text_col=text_col, id_col=id_col,
@@ -631,10 +632,11 @@ def near_dup_contamination(
     )
     return (
         cand.withColumn(
-            "est_jaccard", estimated_jaccard(F.col("mh"), F.col("mh_b"), n_hashes)
+            "est_jaccard_micro",
+            estimated_jaccard(F.col("mh"), F.col("mh_b"), n_hashes),
         )
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("doc_id", "bench_id", "est_jaccard")
+        .filter(F.col("est_jaccard_micro") >= _micro_threshold(threshold))
+        .select("doc_id", "bench_id", "est_jaccard_micro")
     )
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
+from ..functions import scalars as SC
 from ..functions import text as TX
 from ..operators import dedup as DD
 from ..operators import similarity as SIM
@@ -77,7 +78,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: MinHash(16) + LSH(2x8) banding, hot-bucket cap, and Jaccard>=0.8
-#: verification as CTEs ending in ``vpairs(doc_a, doc_b, jaccard)`` —
+#: verification as CTEs ending in ``vpairs(doc_a, doc_b, jaccard_micro)`` —
 #: shared by the dedup_minhash_lsh oracle and the dedup_clusters
 #: oracle's transitive closure so the two can never drift apart.
 _MINHASH_VERIFIED_PAIRS = f"""
@@ -121,14 +122,16 @@ _MINHASH_VERIFIED_PAIRS = f"""
     ),
     vpairs AS (
         SELECT p.doc_a, p.doc_b,
-               round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
-                     / len(list_distinct(list_concat(ta.toks, tb.toks))), 6)
-                   AS jaccard
+               CAST(round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+                          / len(list_distinct(list_concat(ta.toks, tb.toks)))
+                          * 1000000) AS BIGINT)
+                   AS jaccard_micro
         FROM cand p
         JOIN toki ta ON ta.doc_id = p.doc_a
         JOIN toki tb ON tb.doc_id = p.doc_b
-        WHERE len(list_intersect(ta.toks, tb.toks))::DOUBLE
-              / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.8
+        WHERE CAST(round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+                         / len(list_distinct(list_concat(ta.toks, tb.toks)))
+                         * 1000000) AS BIGINT) >= 800000
     )
 """
 
@@ -137,7 +140,7 @@ _MINHASH_VERIFIED_PAIRS = f"""
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_MINHASH_VERIFIED_PAIRS}
-    SELECT doc_a, doc_b, jaccard FROM vpairs
+    SELECT doc_a, doc_b, jaccard_micro FROM vpairs
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,14 +182,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND a.sz >= 0.8 * b.sz AND b.sz >= 0.8 * a.sz
     )
     SELECT c.doc_a, c.doc_b,
-           round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
-                 / len(list_distinct(list_concat(ta.toks, tb.toks))), 6)
-               AS jaccard
+           CAST(round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+                      / len(list_distinct(list_concat(ta.toks, tb.toks)))
+                      * 1000000) AS BIGINT)
+               AS jaccard_micro
     FROM cand c
     JOIN toki ta ON ta.doc_id = c.doc_a
     JOIN toki tb ON tb.doc_id = c.doc_b
-    WHERE len(list_intersect(ta.toks, tb.toks))::DOUBLE
-          / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.8
+    WHERE CAST(round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+                     / len(list_distinct(list_concat(ta.toks, tb.toks)))
+                     * 1000000) AS BIGINT) >= 800000
     """,
 )
 def prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,18 +212,20 @@ def prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_MINHASH_VERIFIED_PAIRS},
     truth AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               round(len(list_intersect(a.toks, b.toks))::DOUBLE
-                     / len(list_distinct(list_concat(a.toks, b.toks))), 6)
-                   AS jaccard
+               CAST(round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                          / len(list_distinct(list_concat(a.toks, b.toks)))
+                          * 1000000) AS BIGINT)
+                   AS jaccard_micro
         FROM toki a JOIN toki b
           ON a.doc_id < b.doc_id
          AND len(a.toks) >= 0.8 * len(b.toks)
          AND len(b.toks) >= 0.8 * len(a.toks)
-        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
-              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+        WHERE CAST(round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                         / len(list_distinct(list_concat(a.toks, b.toks)))
+                         * 1000000) AS BIGINT) >= 800000
     ),
     hit AS (
-        SELECT t.jaccard,
+        SELECT t.jaccard_micro,
                CASE WHEN v.doc_a IS NOT NULL THEN 1 ELSE 0 END AS h
         FROM truth t
         LEFT JOIN vpairs v
@@ -227,9 +234,10 @@ def prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (SELECT count(*) FROM toki) AS n_docs,
            count(*) AS n_true_pairs,
            (SELECT count(*) FROM vpairs) AS n_lsh_pairs,
-           round(CASE WHEN count(*) = 0 THEN 1.0
-                      ELSE sum(h)::DOUBLE / count(*) END, 6) AS recall,
-           round(max(CASE WHEN h = 0 THEN jaccard END), 6) AS worst_miss
+           CAST(CASE WHEN count(*) = 0 THEN 1000000
+                     ELSE round(sum(h)::DOUBLE / count(*) * 1000000)
+                END AS BIGINT) AS recall_micro,
+           max(CASE WHEN h = 0 THEN jaccard_micro END) AS worst_miss_micro
     FROM hit
     """,
 )
@@ -374,14 +382,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     SELECT c.doc_a, c.doc_b,
-           round(len(list_intersect(ga.grams, gb.grams))::DOUBLE
-                 / len(list_distinct(list_concat(ga.grams, gb.grams))), 6) AS jaccard
+           CAST(round(len(list_intersect(ga.grams, gb.grams))::DOUBLE
+                      / len(list_distinct(list_concat(ga.grams, gb.grams)))
+                      * 1000000) AS BIGINT) AS jaccard_micro
     FROM cand c
     JOIN g ga ON ga.doc_id = c.doc_a
     JOIN g gb ON gb.doc_id = c.doc_b
     WHERE ga.lang = gb.lang
-      AND len(list_intersect(ga.grams, gb.grams))::DOUBLE
-          / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.6
+      AND CAST(round(len(list_intersect(ga.grams, gb.grams))::DOUBLE
+                     / len(list_distinct(list_concat(ga.grams, gb.grams)))
+                     * 1000000) AS BIGINT) >= 600000
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1296,40 +1306,42 @@ def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
         SELECT doc_id, source,
-               round(least(1.0, n_tokens / 100.0)
-                     * (1.0 - least(1.0, c_stop::DOUBLE / n_tokens)), 6)
-                   AS quality
+               CAST(round(least(1.0, n_tokens / 100.0)
+                          * (1.0 - least(1.0, c_stop::DOUBLE / n_tokens))
+                          * 1000000) AS BIGINT)
+                   AS quality_micro
         FROM m
     ),
     r AS (
-        SELECT doc_id, source, quality,
+        SELECT doc_id, source, quality_micro,
                percent_rank() OVER (PARTITION BY source
-                                    ORDER BY quality DESC, doc_id) AS pr
+                                    ORDER BY quality_micro DESC, doc_id) AS pr
         FROM q
     )
-    SELECT doc_id, source, quality FROM r WHERE pr <= 0.5
+    SELECT doc_id, source, quality_micro FROM r WHERE pr <= 0.5
     """,
 )
 def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quality-percentile gate (keep the best half of each
-    source by the text_quality_score composite): quality is rounded to
-    6 digits BEFORE ranking on both engines so rank order — and
-    therefore the cut — is bit-identical. percent_rank is (rank-1)/(n-1)
-    on both sides: exact small-int division, deterministic comparison.
+    source by the text_quality_score composite): quality is fixed-point
+    micro-units (scalars.micro_units — scale first, round ONCE) BEFORE
+    ranking on both engines, so rank order, the cut, AND the hashed
+    value are integer-deterministic regardless of the harness's float
+    normalization or DuckDB's round() implementation. percent_rank is
+    (rank-1)/(n-1) on both sides: exact small-int division.
     operators.corpus.quality_percentile_filter has the scale notes."""
     from ..operators import corpus as C
 
     docs = Catalog(spark, sf_dir).documents
     n_tokens = TX.whitespace_token_count(F.col("text"))
     c_stop = TX.occurrences(F.lower(F.col("text")), "the")
-    quality = F.round(
+    quality = SC.micro_units(
         F.least(F.lit(1.0), n_tokens / 100.0)
-        * (1.0 - F.least(F.lit(1.0), c_stop / n_tokens)),
-        6,
+        * (1.0 - F.least(F.lit(1.0), c_stop / n_tokens))
     )
-    scored = docs.select("doc_id", "source", quality.alias("quality"))
+    scored = docs.select("doc_id", "source", quality.alias("quality_micro"))
     return C.quality_percentile_filter(
-        scored, F.col("quality"), keep_frac=0.5, by="source"
+        scored, F.col("quality_micro"), keep_frac=0.5, by="source"
     )
 
 
@@ -1346,40 +1358,46 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
         SELECT doc_id, n_tokens,
-               round(least(1.0, n_tokens / 100.0)
-                     * (1.0 - least(1.0, c_stop::DOUBLE / n_tokens)), 6)
-                   AS quality
+               CAST(round(least(1.0, n_tokens / 100.0)
+                          * (1.0 - least(1.0, c_stop::DOUBLE / n_tokens))
+                          * 1000000) AS BIGINT)
+                   AS quality_micro
         FROM m
     ),
     t AS (
-        SELECT doc_id, quality, n_tokens,
-               sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        SELECT doc_id, quality_micro, n_tokens,
+               sum(n_tokens) OVER (ORDER BY quality_micro DESC, doc_id
                                    ROWS UNBOUNDED PRECEDING) AS cum_tokens
         FROM q
     )
-    SELECT doc_id, quality, n_tokens, cum_tokens
+    SELECT doc_id, quality_micro, n_tokens, cum_tokens
     FROM t WHERE cum_tokens <= 15000
     """,
 )
 def token_budget_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard corpus cut: the best documents (same rounded quality
-    composite as quality_filter, doc_id tiebreak) until a global
-    15k-token budget is exhausted. The ORACLE is the naive global
-    cumulative window; the Spark side is the two-pass range-partition
-    form (per-partition sums -> driver prefix offsets -> partition-local
-    windows) — same exact rows, no global sort task
-    (operators.corpus.token_budget_prune has the scale notes)."""
+    """Hard corpus cut: the best documents (same quality composite as
+    quality_filter, doc_id tiebreak) until a global 15k-token budget is
+    exhausted. The ORACLE is the naive global cumulative window; the
+    Spark side is the two-pass range-partition form (per-partition sums
+    -> driver prefix offsets -> partition-local windows) — same exact
+    rows, no global sort task (operators.corpus.token_budget_prune has
+    the scale notes). The ranking key is integer micro-units
+    (scalars.micro_units) so BOTH the sort order and the hashed value
+    are engine- and harness-version-independent — r06's one red row was
+    this query hashing a rounded double."""
     from ..operators import corpus as C
 
     docs = Catalog(spark, sf_dir).documents
     n_tokens = TX.whitespace_token_count(F.col("text"))
     c_stop = TX.occurrences(F.lower(F.col("text")), "the")
-    quality = F.round(
+    quality = SC.micro_units(
         F.least(F.lit(1.0), n_tokens / 100.0)
-        * (1.0 - F.least(F.lit(1.0), c_stop / n_tokens)),
-        6,
+        * (1.0 - F.least(F.lit(1.0), c_stop / n_tokens))
     )
-    return C.token_budget_prune(docs, budget_tokens=15_000, quality=quality)
+    out = C.token_budget_prune(docs, budget_tokens=15_000, quality=quality)
+    return DD.carry_caches(
+        out.withColumnRenamed("quality", "quality_micro"), out
+    )
 
 
 def _pii_oracle() -> str:
@@ -1755,9 +1773,10 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT i.doc_a, i.doc_b,
-           round(i.n_shared / s.n_grams, 6) AS containment
+           CAST(round(i.n_shared / s.n_grams * 1000000) AS BIGINT)
+               AS containment_micro
     FROM inter i JOIN sz s ON s.doc_id = i.doc_a
-    WHERE round(i.n_shared / s.n_grams, 6) >= 0.8
+    WHERE CAST(round(i.n_shared / s.n_grams * 1000000) AS BIGINT) >= 800000
     """,
 )
 def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1980,8 +1999,8 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shared md5-deterministic sketch CTEs (same tokens/permutations
     # as _MINHASH_VERIFIED_PAIRS), with the benchmark side drawn as the
     # doc_id % 50 subset — mirrors the exact-overlap contamination
-    # query's benchmark construction. est_jaccard = fraction of
-    # agreeing signature components.
+    # query's benchmark construction. est_jaccard_micro = fraction of
+    # agreeing signature components in fixed-point micro-units.
     oracle=f"""
     WITH {_TOK},
     toki AS (
@@ -2014,13 +2033,15 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND sa.sz >= 0.8 * sb.sz AND sb.sz >= 0.8 * sa.sz
     )
     SELECT c.doc_id, c.bench_id,
-           round(sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) / 16.0, 6)
-               AS est_jaccard
+           CAST(round(sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END)
+                      / 16.0 * 1000000) AS BIGINT)
+               AS est_jaccard_micro
     FROM cand c
     JOIN mh ma ON ma.doc_id = c.doc_id
     JOIN mh mb ON mb.doc_id = c.bench_id AND mb.i = ma.i
     GROUP BY c.doc_id, c.bench_id
-    HAVING round(sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) / 16.0, 6) >= 0.8
+    HAVING CAST(round(sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END)
+                      / 16.0 * 1000000) AS BIGINT) >= 800000
     """,
 )
 def near_dup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2128,13 +2149,15 @@ _MH_INDEX_MEMO: dict[tuple[str, str], str] = {}
           AND sp.sz >= 0.8 * si.sz AND si.sz >= 0.8 * sp.sz
     )
     SELECT c.doc_id, c.index_doc_id,
-           round(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) / 16.0, 6)
-               AS est_jaccard
+           CAST(round(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END)
+                      / 16.0 * 1000000) AS BIGINT)
+               AS est_jaccard_micro
     FROM cand c
     JOIN mh a ON a.doc_id = c.doc_id
     JOIN mh b ON b.doc_id = c.index_doc_id AND b.i = a.i
     GROUP BY 1, 2
-    HAVING sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) / 16.0 >= 0.8
+    HAVING CAST(round(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END)
+                      / 16.0 * 1000000) AS BIGINT) >= 800000
     """,
 )
 def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

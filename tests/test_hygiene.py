@@ -252,8 +252,11 @@ def test_incremental_near_dup_two_batches(spark, tmp_path):
     novel2, matches2 = H.incremental_near_dup(
         batch2, spark, idx, threshold=0.8, run_id="n1"
     )
-    got = [(r["doc_id"], r["index_doc_id"], r["est_jaccard"]) for r in matches2.collect()]
-    assert got == [(10, 1, 1.0)]  # identical signature -> estimate exactly 1
+    got = [
+        (r["doc_id"], r["index_doc_id"], r["est_jaccard_micro"])
+        for r in matches2.collect()
+    ]
+    assert got == [(10, 1, 1_000_000)]  # identical signature -> estimate 1
     assert [r["doc_id"] for r in novel2.collect()] == [11]
 
     # the index holds exactly the novel survivors' signatures
@@ -419,7 +422,8 @@ def test_minhash_signature_estimate_matches_duckdb(spark):
             GROUP BY doc_id, r.i
         )
         SELECT a.doc_id AS da, b.doc_id AS db,
-               round(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) / 16.0, 6) AS est
+               CAST(round(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END)
+                          / 16.0 * 1000000) AS BIGINT) AS est
         FROM mh a JOIN mh b ON a.i = b.i AND a.doc_id < b.doc_id
         GROUP BY 1, 2 ORDER BY 1, 2
         """
@@ -466,10 +470,10 @@ def test_near_dup_contamination_catches_reformatted_eval(spark):
     )
     bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
     got = {
-        (r["doc_id"], r["bench_id"]): r["est_jaccard"]
+        (r["doc_id"], r["bench_id"]): r["est_jaccard_micro"]
         for r in H.near_dup_contamination(docs, bench, threshold=0.8).collect()
     }
-    assert (1, 100) in got and got[(1, 100)] >= 0.8
+    assert (1, 100) in got and got[(1, 100)] >= 800_000
     assert not any(d == 2 for d, _ in got)
     # the exact contiguous-gram gate scores the same pair low
     exact = {

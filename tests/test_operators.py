@@ -604,10 +604,10 @@ def test_ngram_containment_asymmetric(spark):
         ["doc_id", "text"],
     ).withColumn("lang", F.lit("en"))
     got = {
-        (r["doc_a"], r["doc_b"]): r["containment"]
+        (r["doc_a"], r["doc_b"]): r["containment_micro"]
         for r in DD.ngram_containment(docs, n=5, threshold=0.8).collect()
     }
-    assert (1, 2) in got and got[(1, 2)] == 1.0  # short fully contained
+    assert (1, 2) in got and got[(1, 2)] == 1_000_000  # short fully contained
     assert (2, 1) not in got  # container is NOT contained in the part
     assert not any(3 in k for k in got)
     # and the symmetric-Jaccard operator indeed misses the pair at the
@@ -880,8 +880,8 @@ def test_lsh_recall_report_planted_duplicates(spark):
     r = rep.collect()[0]
     assert r["n_docs"] == 25
     assert r["n_true_pairs"] == 5
-    assert r["recall"] == 1.0
-    assert r["worst_miss"] is None
+    assert r["recall_micro"] == 1_000_000
+    assert r["worst_miss_micro"] is None
     assert r["n_lsh_pairs"] == 5
     release_caches(rep)
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
@@ -896,7 +896,7 @@ def test_lsh_recall_report_empty_sample(spark):
     rep = lsh_recall_report(docs, sample_frac=1.0)
     r = rep.collect()[0]
     # no true pairs -> vacuous recall 1.0, nothing missed
-    assert r["n_true_pairs"] == 0 and r["recall"] == 1.0
+    assert r["n_true_pairs"] == 0 and r["recall_micro"] == 1_000_000
     release_caches(rep)
 
 
@@ -922,11 +922,11 @@ def test_prefix_jaccard_pairs_exact_vs_brute_force(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
     got = {
-        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        (r["doc_a"], r["doc_b"]): r["jaccard_micro"]
         for r in prefix_jaccard_pairs(docs, threshold=0.8).collect()
     }
     # brute force over hashed token sets
-    from jonesy_spark.functions.text import jaccard as jx
+    from jonesy_spark.functions.text import jaccard_micro as jx
     from jonesy_spark.operators.dedup import element_hash
 
     toks = docs.select(
@@ -947,7 +947,7 @@ def test_prefix_jaccard_pairs_exact_vs_brute_force(spark):
             F.col("b.doc_id").alias("db"),
             jx(F.col("a.toks"), F.col("b.toks")).alias("j"),
         )
-        .filter(F.col("j") >= 0.8)
+        .filter(F.col("j") >= 800_000)
         .collect()
     }
     assert got == brute
