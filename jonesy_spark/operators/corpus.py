@@ -31,6 +31,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..functions.scalars import micro_units
+from .dedup import _micro_threshold
 from .dedup import CPU_PARTITIONS, element_hash
 
 
@@ -48,10 +50,11 @@ def repetition_stats(
 ) -> DataFrame:
     """Gopher-style repetition diagnostics per document.
 
-    Returns (id, n_tokens, dup_token_frac, top_ngram_frac, max_ngram_count):
-      * ``dup_token_frac``  — 1 - distinct/total tokens (word-level
+    Returns (id, n_tokens, dup_token_frac_micro, top_ngram_frac_micro,
+    max_ngram_count) — fractions in fixed-point micro-units:
+      * ``dup_token_frac_micro``  — 1 - distinct/total tokens (word-level
         repetitiveness);
-      * ``top_ngram_frac``  — occurrences of the most frequent word
+      * ``top_ngram_frac_micro``  — occurrences of the most frequent word
         n-gram over total n-grams (boilerplate/loop detector; the
         Gopher rule drops docs above ~0.2 for 2-grams).
 
@@ -71,24 +74,26 @@ def repetition_stats(
     base = docs.repartition(CPU_PARTITIONS, id_col).select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
-        F.round(
+        micro_units(
             (F.size(toks) - F.size(F.array_distinct(toks)))
-            / F.greatest(F.size(toks), F.lit(1)),
-            6,
-        ).alias("dup_token_frac"),
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("dup_token_frac_micro"),
         grams.alias("grams"),
     )
     # explode_outer + null-count-as-zero: docs too short to have any
     # n-gram keep a stats row (top_ngram_frac 0) instead of vanishing.
     per_gram = (
         base.select(
-            id_col, "n_tokens", "dup_token_frac", F.explode_outer("grams").alias("g")
+            id_col,
+            "n_tokens",
+            "dup_token_frac_micro",
+            F.explode_outer("grams").alias("g"),
         )
-        .groupBy(id_col, "n_tokens", "dup_token_frac", "g")
+        .groupBy(id_col, "n_tokens", "dup_token_frac_micro", "g")
         .agg(F.count(F.col("g")).alias("c"))
     )
     return (
-        per_gram.groupBy(id_col, "n_tokens", "dup_token_frac")
+        per_gram.groupBy(id_col, "n_tokens", "dup_token_frac_micro")
         .agg(
             F.max("c").alias("max_ngram_count"),
             F.sum("c").alias("total_ngrams"),
@@ -96,10 +101,11 @@ def repetition_stats(
         .select(
             id_col,
             "n_tokens",
-            "dup_token_frac",
-            F.round(
-                F.col("max_ngram_count") / F.greatest(F.col("total_ngrams"), F.lit(1)), 6
-            ).alias("top_ngram_frac"),
+            "dup_token_frac_micro",
+            micro_units(
+                F.col("max_ngram_count")
+                / F.greatest(F.col("total_ngrams"), F.lit(1))
+            ).alias("top_ngram_frac_micro"),
             F.col("max_ngram_count"),
         )
     )
@@ -117,8 +123,8 @@ def repetition_filter(
     (callers wanting drop reasons join ``repetition_stats`` directly)."""
     stats = repetition_stats(docs, text_col=text_col, id_col=id_col)
     keep = stats.filter(
-        (F.col("dup_token_frac") <= max_dup_token_frac)
-        & (F.col("top_ngram_frac") <= max_top_ngram_frac)
+        (F.col("dup_token_frac_micro") <= _micro_threshold(max_dup_token_frac))
+        & (F.col("top_ngram_frac_micro") <= _micro_threshold(max_top_ngram_frac))
     ).select(id_col)
     return docs.join(keep, id_col, "left_semi")
 

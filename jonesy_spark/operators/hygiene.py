@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..functions.scalars import micro_units
 from .dedup import CPU_PARTITIONS, element_hash
 
 #: Phone shapes, anchored to telephone-like GROUPING rather than "any
@@ -93,7 +94,7 @@ def contamination(
     texts (the standard n-gram-overlap decontamination check; 13-gram
     is the common eval-decontamination window).
 
-    Output: (doc_id, n_grams, n_contaminated, contamination_frac) for
+    Output: (doc_id, n_grams, n_contaminated, contamination_frac_micro) for
     docs with at least one gram — join back `left` for the rest. The
     benchmark gram set is broadcast (eval suites are MBs, not TBs); doc
     grams explode to 28-bit int hashes so the probe rows stay narrow.
@@ -127,8 +128,8 @@ def contamination(
             id_col,
             "n_grams",
             "n_contaminated",
-            F.round(F.col("n_contaminated") / F.col("n_grams"), 6).alias(
-                "contamination_frac"
+            micro_units(F.col("n_contaminated") / F.col("n_grams")).alias(
+                "contamination_frac_micro"
             ),
         )
     )

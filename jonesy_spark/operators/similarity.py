@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as VX
+from ..functions.scalars import micro_units
+from .dedup import _micro_threshold
 
 
 def _prepared(emb: DataFrame, n_partitions: int = 64) -> DataFrame:
@@ -53,17 +55,19 @@ def cosine_topk(
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .withColumn(
-            "cosine",
-            F.round(
-                VX.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+            "cosine_micro",
+            micro_units(
+                VX.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_micro").desc(), F.col("vec_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
+        .select("query_id", "vec_id", "cosine_micro", "rank")
     )
 
 
@@ -97,17 +101,19 @@ def bucketed_topk(
             & (F.col("vec_id") != F.col("query_id")),
         )
         .withColumn(
-            "cosine",
-            F.round(
-                VX.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+            "cosine_micro",
+            micro_units(
+                VX.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_micro").desc(), F.col("vec_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
+        .select("query_id", "vec_id", "cosine_micro", "rank")
     )
 
 
@@ -148,8 +154,8 @@ def ivf_assignments(
         F.col("cents"),
         lambda c: F.struct(
             (
-                -F.round(
-                    VX.dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"]), 6
+                -micro_units(
+                    VX.dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"])
                 )
             ).alias("ncos"),
             c["cid"].alias("cid"),
@@ -270,11 +276,11 @@ def embedding_near_dup(
         .select(
             "vec_a",
             "vec_b",
-            F.round(
-                VX.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-            ).alias("cosine"),
+            micro_units(
+                VX.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cosine_micro"),
         )
-        .filter(F.col("cosine") >= threshold),
+        .filter(F.col("cosine_micro") >= _micro_threshold(threshold)),
         assign,
     )
 
@@ -490,7 +496,7 @@ def probe_ivf_index(
     if cents is None:
         return _observed(
             new_emb.sparkSession.createDataFrame(
-                [], "vec_id long, index_vec_id long, cosine double"
+                [], "vec_id long, index_vec_id long, cosine_micro long"
             )
         )
     e = _prepared(new_emb)
@@ -503,7 +509,7 @@ def probe_ivf_index(
     except AnalysisException:
         return _observed(
             new_emb.sparkSession.createDataFrame(
-                [], "vec_id long, index_vec_id long, cosine double"
+                [], "vec_id long, index_vec_id long, cosine_micro long"
             )
         )
     if exclude_run_id is not None:
@@ -528,11 +534,13 @@ def probe_ivf_index(
     return _observed(
         probe.join(idx, "cid")
         .withColumn(
-            "cosine",
-            F.round(VX.dot(F.col("v"), F.col("iv")) / (F.col("nrm") * F.col("inrm")), 6),
+            "cosine_micro",
+            micro_units(
+                VX.dot(F.col("v"), F.col("iv")) / (F.col("nrm") * F.col("inrm"))
+            ),
         )
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_id", "index_vec_id", "cosine")
+        .filter(F.col("cosine_micro") >= _micro_threshold(threshold))
+        .select("vec_id", "index_vec_id", "cosine_micro")
         .dropDuplicates(["vec_id", "index_vec_id"])
     )
 
@@ -792,14 +800,18 @@ def quantized_topk(
         F.col("nrm").alias("qn"),
     )
     scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).withColumn(
-        "cosine",
-        F.round(VX.dot(F.col("qv_vec"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6),
+        "cosine_micro",
+        micro_units(
+            VX.dot(F.col("qv_vec"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+        ),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_micro").desc(), F.col("vec_id")
+    )
     cand = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= (overfetch * k if rerank else k))
-        .select("query_id", "vec_id", "cosine", "rank")
+        .select("query_id", "vec_id", "cosine_micro", "rank")
     )
     if not rerank:
         return cand
@@ -814,14 +826,16 @@ def quantized_topk(
         fl.join(F.broadcast(cand.select("query_id", "vec_id")), "vec_id")
         .join(F.broadcast(qf.filter(F.col("query_id") < n_queries)), "query_id")
         .withColumn(
-            "cosine",
-            F.round(VX.dot(F.col("qfv"), F.col("fv")) / (F.col("qfn") * F.col("fn")), 6),
+            "cosine_micro",
+            micro_units(
+                VX.dot(F.col("qfv"), F.col("fv")) / (F.col("qfn") * F.col("fn"))
+            ),
         )
     )
     return (
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
+        .select("query_id", "vec_id", "cosine_micro", "rank")
     )
 
 
@@ -850,7 +864,7 @@ def ann_recall(
             query_col,
             "n_exact",
             "n_hit",
-            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+            micro_units(F.col("n_hit") / F.col("n_exact")).alias("recall_micro"),
         )
     )
 
@@ -878,9 +892,9 @@ def embedding_health(emb: DataFrame) -> DataFrame:
         F.max(F.size(v)).alias("dim_max"),
         F.count(F.when(F.col("embedding").isNull(), 1)).alias("n_null_vecs"),
         F.count(F.when(nrm == 0.0, 1)).alias("n_zero_vecs"),
-        F.round(F.min(nrm), 6).alias("norm_min"),
-        F.round(F.percentile_approx(nrm, 0.5), 6).alias("norm_p50"),
-        F.round(F.max(nrm), 6).alias("norm_max"),
+        micro_units(F.min(nrm)).alias("norm_min_micro"),
+        micro_units(F.percentile_approx(nrm, 0.5)).alias("norm_p50_micro"),
+        micro_units(F.max(nrm)).alias("norm_max_micro"),
     )
 
 

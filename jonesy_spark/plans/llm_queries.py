@@ -413,9 +413,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT e.vec_id, c.cid,
-               -round(list_sum(list_transform(range(1, len(e.v)+1),
-                                              i -> e.v[i] * c.cv[i]))
-                      / (e.nrm * c.cnrm), 6) AS ncos
+               -CAST(round(list_sum(list_transform(range(1, len(e.v)+1),
+                                                   i -> e.v[i] * c.cv[i]))
+                           / (e.nrm * c.cnrm) * 1000000) AS BIGINT) AS ncos
         FROM nemb e CROSS JOIN cent c
     ),
     assign AS (
@@ -430,15 +430,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
     )
     SELECT c.vec_a, c.vec_b,
-           round(list_sum(list_transform(range(1, len(ea.v)+1),
-                                         i -> ea.v[i] * eb.v[i]))
-                 / (ea.nrm * eb.nrm), 6) AS cosine
+           CAST(round(list_sum(list_transform(range(1, len(ea.v)+1),
+                                              i -> ea.v[i] * eb.v[i]))
+                      / (ea.nrm * eb.nrm) * 1000000) AS BIGINT) AS cosine_micro
     FROM cand c
     JOIN nemb ea ON ea.vec_id = c.vec_a
     JOIN nemb eb ON eb.vec_id = c.vec_b
-    WHERE round(list_sum(list_transform(range(1, len(ea.v)+1),
-                                        i -> ea.v[i] * eb.v[i]))
-                / (ea.nrm * eb.nrm), 6) >= 0.3
+    WHERE CAST(round(list_sum(list_transform(range(1, len(ea.v)+1),
+                                             i -> ea.v[i] * eb.v[i]))
+                     / (ea.nrm * eb.nrm) * 1000000) AS BIGINT) >= 300000
     """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,14 +459,14 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nemb WHERE vec_id < 10),
     scored AS (
         SELECT q.query_id, e.vec_id,
-               round(list_sum(list_transform(range(1, len(e.v)+1),
-                                             i -> q.qv[i] * e.v[i]))
-                     / (q.qn * e.nrm), 6) AS cosine
+               CAST(round(list_sum(list_transform(range(1, len(e.v)+1),
+                                                  i -> q.qv[i] * e.v[i]))
+                          / (q.qn * e.nrm) * 1000000) AS BIGINT) AS cosine_micro
         FROM nemb e JOIN q ON e.vec_id <> q.query_id
     )
-    SELECT query_id, vec_id, cosine,
+    SELECT query_id, vec_id, cosine_micro,
            CAST(row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+                                   ORDER BY cosine_micro DESC, vec_id) AS BIGINT) AS rank
     FROM scored
     QUALIFY rank <= 10
     """,
@@ -491,14 +491,14 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM be WHERE vec_id < 10),
     scored AS (
         SELECT q.query_id, e.vec_id,
-               round(list_sum(list_transform(range(1, len(e.v)+1),
-                                             i -> q.qv[i] * e.v[i]))
-                     / (q.qn * e.nrm), 6) AS cosine
+               CAST(round(list_sum(list_transform(range(1, len(e.v)+1),
+                                                  i -> q.qv[i] * e.v[i]))
+                          / (q.qn * e.nrm) * 1000000) AS BIGINT) AS cosine_micro
         FROM be e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
     )
-    SELECT query_id, vec_id, cosine,
+    SELECT query_id, vec_id, cosine_micro,
            CAST(row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+                                   ORDER BY cosine_micro DESC, vec_id) AS BIGINT) AS rank
     FROM scored
     QUALIFY rank <= 5
     """,
@@ -664,10 +664,13 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, lang, n_tokens,
-           round(n_nonspace::DOUBLE / n_tokens, 6) AS avg_token_len,
-           round(c_stop::DOUBLE / n_tokens, 6) AS stopword_ratio,
-           round(least(1.0, n_tokens / 100.0)
-                 * (1.0 - least(1.0, c_stop::DOUBLE / n_tokens)), 6) AS quality
+           CAST(round(n_nonspace::DOUBLE / n_tokens * 1000000) AS BIGINT)
+               AS avg_token_len_micro,
+           CAST(round(c_stop::DOUBLE / n_tokens * 1000000) AS BIGINT)
+               AS stopword_ratio_micro,
+           CAST(round(least(1.0, n_tokens / 100.0)
+                      * (1.0 - least(1.0, c_stop::DOUBLE / n_tokens))
+                      * 1000000) AS BIGINT) AS quality_micro
     FROM m
     """,
 )
@@ -690,13 +693,16 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_tokens",
-        F.round(F.col("n_nonspace") / F.col("n_tokens"), 6).alias("avg_token_len"),
-        F.round(F.col("c_stop") / F.col("n_tokens"), 6).alias("stopword_ratio"),
-        F.round(
+        SC.micro_units(F.col("n_nonspace") / F.col("n_tokens")).alias(
+            "avg_token_len_micro"
+        ),
+        SC.micro_units(F.col("c_stop") / F.col("n_tokens")).alias(
+            "stopword_ratio_micro"
+        ),
+        SC.micro_units(
             F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
-            * (1.0 - F.least(F.lit(1.0), F.col("c_stop") / F.col("n_tokens"))),
-            6,
-        ).alias("quality"),
+            * (1.0 - F.least(F.lit(1.0), F.col("c_stop") / F.col("n_tokens")))
+        ).alias("quality_micro"),
     )
 
 
@@ -801,12 +807,13 @@ def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT count(*) AS n FROM documents
     ), scored AS (
         SELECT tf.doc_id, tf.token,
-               round(tf.tf * n_docs.n / df_.df, 6) AS salience
+               CAST(round(tf.tf * n_docs.n / df_.df * 1000000) AS BIGINT)
+                   AS salience_micro
         FROM tf JOIN df_ ON tf.token = df_.token, n_docs
     )
-    SELECT doc_id, token, salience,
+    SELECT doc_id, token, salience_micro,
            CAST(row_number() OVER (PARTITION BY doc_id
-                                   ORDER BY salience DESC, token) AS BIGINT) AS rank
+                                   ORDER BY salience_micro DESC, token) AS BIGINT) AS rank
     FROM scored
     QUALIFY rank <= 3
     """,
@@ -840,10 +847,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "token",
-            F.round(F.col("tf") * F.col("n") / F.col("df"), 6).alias("salience"),
+            SC.micro_units(F.col("tf") * F.col("n") / F.col("df")).alias(
+                "salience_micro"
+            ),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("salience").desc(), F.col("token"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("salience_micro").desc(), F.col("token")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
@@ -1159,8 +1170,9 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     base AS (
         SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
-               round((len(ts) - len(list_distinct(ts)))
-                     / greatest(len(ts), 1), 6) AS dup_token_frac,
+               CAST(round((len(ts) - len(list_distinct(ts)))
+                          / greatest(len(ts), 1) * 1000000) AS BIGINT)
+                   AS dup_token_frac_micro,
                CASE WHEN len(ts) >= 2 THEN list_transform(
                    range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
                ELSE [] END AS grams
@@ -1171,9 +1183,10 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM base, unnest(grams) u(g)
         GROUP BY ALL
     )
-    SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
-           round(coalesce(m.mx, 0) / greatest(coalesce(m.tot, 0), 1), 6)
-               AS top_ngram_frac,
+    SELECT b.doc_id, b.n_tokens, b.dup_token_frac_micro,
+           CAST(round(coalesce(m.mx, 0) / greatest(coalesce(m.tot, 0), 1)
+                      * 1000000) AS BIGINT)
+               AS top_ngram_frac_micro,
            coalesce(m.mx, 0)::BIGINT AS max_ngram_count
     FROM base b
     LEFT JOIN (
@@ -1220,8 +1233,8 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_grams,
            sum(CASE WHEN bg.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
                AS n_contaminated,
-           round(sum(CASE WHEN bg.h IS NOT NULL THEN 1 ELSE 0 END)
-                 / count(*), 6) AS contamination_frac
+           CAST(round(sum(CASE WHEN bg.h IS NOT NULL THEN 1 ELSE 0 END)
+                      / count(*) * 1000000) AS BIGINT) AS contamination_frac_micro
     FROM dg LEFT JOIN bg ON dg.h = bg.h
     GROUP BY dg.doc_id
     """,
@@ -1814,9 +1827,10 @@ def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
         SELECT doc_id,
-               round(least(1.0, n_tokens / 100.0)
-                     * (1.0 - least(1.0, c_stop::DOUBLE / n_tokens)), 6)
-                   AS quality
+               CAST(round(least(1.0, n_tokens / 100.0)
+                          * (1.0 - least(1.0, c_stop::DOUBLE / n_tokens))
+                          * 1000000) AS BIGINT)
+                   AS quality_micro
         FROM (
             SELECT doc_id,
                    len(string_split(trim(text), ' ')) AS n_tokens,
@@ -1828,14 +1842,14 @@ def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lab AS (
         SELECT q.doc_id, coalesce(c.cluster_id, q.doc_id) AS cluster_id,
-               q.quality
+               q.quality_micro
         FROM q LEFT JOIN comp c USING (doc_id)
     )
     SELECT doc_id, cluster_id,
            first_value(doc_id) OVER (PARTITION BY cluster_id
-                                     ORDER BY quality DESC, doc_id)
+                                     ORDER BY quality_micro DESC, doc_id)
                AS survivor_id,
-           quality
+           quality_micro
     FROM lab
     """,
 )
@@ -1851,14 +1865,13 @@ def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents
     n_tokens = TX.whitespace_token_count(F.col("text"))
     c_stop = TX.occurrences(F.lower(F.col("text")), "the")
-    quality = F.round(
+    quality = SC.micro_units(
         F.least(F.lit(1.0), n_tokens / 100.0)
-        * (1.0 - F.least(F.lit(1.0), c_stop / n_tokens)),
-        6,
+        * (1.0 - F.least(F.lit(1.0), c_stop / n_tokens))
     )
-    scored = docs.select("doc_id", quality.alias("quality"))
+    scored = docs.select("doc_id", quality.alias("quality_micro"))
     return G.survivor_assignments(
-        scored, _shared_minhash_pairs(spark, sf_dir), "quality"
+        scored, _shared_minhash_pairs(spark, sf_dir), "quality_micro"
     )
 
 

@@ -35,11 +35,11 @@ def test_repetition_stats_golden(spark):
         ).collect()
     }
     assert len(out) == 4, "short docs must keep a stats row"
-    assert out[1]["dup_token_frac"] == 0.75
-    assert out[1]["top_ngram_frac"] == 1.0
-    assert out[2]["top_ngram_frac"] == 0.6  # 'a b' occurs 3 of 5 grams
-    assert out[3]["dup_token_frac"] == 0.0
-    assert out[4]["top_ngram_frac"] == 0.0 and out[4]["max_ngram_count"] == 0
+    assert out[1]["dup_token_frac_micro"] == 750_000
+    assert out[1]["top_ngram_frac_micro"] == 1_000_000
+    assert out[2]["top_ngram_frac_micro"] == 600_000  # 'a b': 3 of 5 grams
+    assert out[3]["dup_token_frac_micro"] == 0
+    assert out[4]["top_ngram_frac_micro"] == 0 and out[4]["max_ngram_count"] == 0
 
 
 def test_repetition_filter_gates(spark):
@@ -278,7 +278,12 @@ def test_repetition_stats_duckdb_differential(spark):
         map(
             tuple,
             C.repetition_stats(Catalog(spark, SF_DIR).documents)
-            .select("doc_id", "n_tokens", "dup_token_frac", "top_ngram_frac")
+            .select(
+                "doc_id",
+                "n_tokens",
+                "dup_token_frac_micro",
+                "top_ngram_frac_micro",
+            )
             .collect(),
         )
     )
@@ -293,8 +298,9 @@ def test_repetition_stats_duckdb_differential(spark):
                 ),
                 base AS (
                     SELECT doc_id, len(ts) AS n_tokens,
-                           round((len(ts) - len(list_distinct(ts)))
-                                 / greatest(len(ts), 1), 6) AS dup_token_frac,
+                           CAST(round((len(ts) - len(list_distinct(ts)))
+                                 / greatest(len(ts), 1) * 1000000) AS BIGINT)
+                               AS dup_token_frac,
                            CASE WHEN len(ts) >= 2 THEN list_transform(
                                range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
                            ELSE [] END AS grams
@@ -306,8 +312,9 @@ def test_repetition_stats_duckdb_differential(spark):
                     GROUP BY ALL
                 )
                 SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
-                       round(coalesce(m.mx, 0) / greatest(coalesce(m.tot, 0), 1), 6)
-                           AS top_ngram_frac
+                       CAST(round(coalesce(m.mx, 0)
+                                  / greatest(coalesce(m.tot, 0), 1) * 1000000)
+                            AS BIGINT) AS top_ngram_frac
                 FROM base b
                 LEFT JOIN (
                     SELECT doc_id, max(c) AS mx, sum(c) AS tot

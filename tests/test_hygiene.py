@@ -118,8 +118,9 @@ def test_contamination_duckdb_differential(spark):
                        count(*) AS n_grams,
                        sum(CASE WHEN bg.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
                            AS n_contaminated,
-                       round(sum(CASE WHEN bg.h IS NOT NULL THEN 1 ELSE 0 END)
-                             / count(*), 6) AS contamination_frac
+                       CAST(round(sum(CASE WHEN bg.h IS NOT NULL THEN 1 ELSE 0 END)
+                             / count(*) * 1000000) AS BIGINT)
+                           AS contamination_frac
                 FROM dg LEFT JOIN bg ON dg.h = bg.h
                 GROUP BY dg.doc_id
                 """
@@ -129,7 +130,7 @@ def test_contamination_duckdb_differential(spark):
     assert got == want and got
     # benchmark members must read fully contaminated
     full = [t for t in got if t[0] % 50 == 0]
-    assert full and all(t[3] == 1.0 for t in full)
+    assert full and all(t[3] == 1_000_000 for t in full)
 
 
 def test_blocklist_filter(spark):
@@ -477,10 +478,10 @@ def test_near_dup_contamination_catches_reformatted_eval(spark):
     assert not any(d == 2 for d, _ in got)
     # the exact contiguous-gram gate scores the same pair low
     exact = {
-        r["doc_id"]: r["contamination_frac"]
+        r["doc_id"]: r["contamination_frac_micro"]
         for r in H.contamination(docs, bench, n=13).collect()
     }
-    assert exact[1] < 0.5
+    assert exact[1] < 500_000
     plan = (
         H.near_dup_contamination(docs, bench)
         ._jdf.queryExecution()

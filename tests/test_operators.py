@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from conftest import SF_DIR, assert_matches_oracle
 from jonesy_spark.catalog import Catalog
+from jonesy_spark.functions.scalars import micro_units
 from jonesy_spark.operators.joins import asof_topk_pandas, salted_join
 from jonesy_spark.plans import all_queries
 
@@ -84,21 +85,20 @@ def test_ivf_near_dup_recall_vs_brute_force(spark):
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(
+            micro_units(
                 F.aggregate(
                     F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 )
-                / (F.col("a.nrm") * F.col("b.nrm")),
-                6,
-            ).alias("cosine"),
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine_micro"),
         )
-        .filter(F.col("cosine") >= 0.3)
+        .filter(F.col("cosine_micro") >= 300_000)
     )
-    truth = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in brute.collect()}
+    truth = {(r["vec_a"], r["vec_b"]): r["cosine_micro"] for r in brute.collect()}
     found = {
-        (r["vec_a"], r["vec_b"]): r["cosine"]
+        (r["vec_a"], r["vec_b"]): r["cosine_micro"]
         for r in embedding_near_dup(emb, threshold=0.3).collect()
     }
     assert set(found) <= set(truth), "blocking produced a non-true pair"
@@ -747,11 +747,11 @@ def test_quantized_topk_recall_and_exact_scores(spark):
     approx = SIM.quantized_topk(emb, k=10)
     rec = SIM.ann_recall(exact, approx).collect()
     assert len(rec) == 10
-    assert min(r["recall"] for r in rec) >= 0.9
+    assert min(r["recall_micro"] for r in rec) >= 900_000
 
     # overlapping pairs carry identical cosines: the rerank is exact
-    both = exact.select("query_id", "vec_id", F.col("cosine").alias("ce")).join(
-        approx.select("query_id", "vec_id", F.col("cosine").alias("ca")),
+    both = exact.select("query_id", "vec_id", F.col("cosine_micro").alias("ce")).join(
+        approx.select("query_id", "vec_id", F.col("cosine_micro").alias("ca")),
         ["query_id", "vec_id"],
     )
     assert both.filter(F.col("ce") != F.col("ca")).count() == 0
@@ -764,11 +764,11 @@ def test_ann_recall_identity_and_miss(spark):
     emb = Catalog(spark, SF_DIR).embeddings
     exact = SIM.cosine_topk(emb, k=5).persist()
     self_rec = SIM.ann_recall(exact, exact)
-    assert all(r["recall"] == 1.0 for r in self_rec.collect())
+    assert all(r["recall_micro"] == 1_000_000 for r in self_rec.collect())
     # an empty approximation scores recall 0, not a crash or a dropped row
     empty = exact.filter(F.lit(False))
     zero = SIM.ann_recall(exact, empty)
-    assert all(r["recall"] == 0.0 for r in zero.collect())
+    assert all(r["recall_micro"] == 0 for r in zero.collect())
     exact.unpersist()
 
 
