@@ -52,6 +52,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalars import micro_units
+
 from .dedup import CPU_PARTITIONS, element_hash
 
 #: Default feature-space size. 32k buckets keeps the model ~1 MB
@@ -207,8 +209,8 @@ def train_log_odds(
 def eval_report(scored: DataFrame, labels: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One-row quality report of a scored frame against reference
     labels: confusion counts plus precision / recall / F1 / accuracy
-    (6-digit rounded ratios; all-zero denominators report 0.0, not
-    NULL, so alert thresholds compare cleanly). ``labels`` carries
+    (fixed-point micro-unit ratios; all-zero denominators report 0,
+    not NULL, so alert thresholds compare cleanly). ``labels`` carries
     ``(id, label)`` with a boolean/int ``label``; the nightly retrain
     job evaluates on a held-out slice before publishing, and a drop
     vs the previous version is the don't-publish alarm.
@@ -225,8 +227,8 @@ def eval_report(scored: DataFrame, labels: DataFrame, id_col: str = "doc_id") ->
         F.sum((1 - F.col("p")) * (1 - F.col("y"))).alias("tn"),
     )
     tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
-    safe = lambda num, den: F.round(  # noqa: E731
-        F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6
+    safe = lambda num, den: micro_units(  # noqa: E731
+        F.when(den > 0, num / den).otherwise(F.lit(0.0))
     )
     prec = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
     rec = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(0.0))
@@ -235,15 +237,14 @@ def eval_report(scored: DataFrame, labels: DataFrame, id_col: str = "doc_id") ->
         fp.cast("long").alias("fp"),
         fn.cast("long").alias("fn"),
         tn.cast("long").alias("tn"),
-        safe(tp, tp + fp).alias("precision"),
-        safe(tp, tp + fn).alias("recall"),
-        F.round(
+        safe(tp, tp + fp).alias("precision_micro"),
+        safe(tp, tp + fn).alias("recall_micro"),
+        micro_units(
             F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(
                 F.lit(0.0)
-            ),
-            6,
-        ).alias("f1"),
-        safe(tp + tn, tp + fp + fn + tn).alias("accuracy"),
+            )
+        ).alias("f1_micro"),
+        safe(tp + tn, tp + fp + fn + tn).alias("accuracy_micro"),
     )
 
 
@@ -261,8 +262,12 @@ def scored_stream_report(scores: DataFrame) -> DataFrame:
         scores.groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg(F.col("pred").cast("int")), 6).alias("pred_rate"),
-            F.round(F.avg("score"), 6).alias("mean_score"),
+            micro_units(F.avg(F.col("pred").cast("int"))).alias(
+                "pred_rate_micro"
+            ),
+            F.round(F.avg("score_micro")).cast("long").alias(
+                "mean_score_micro"
+            ),
         )
         .orderBy(*keys)
     )
@@ -371,17 +376,23 @@ def score_log_odds(
         .groupBy(id_col)
         .agg(
             F.sum("tf").cast("int").alias("n_tokens"),
-            F.round(
-                dec(F.first("__bias"))
-                + F.sum(
-                    F.col("tf").cast("decimal(9,0)")
-                    * dec(F.coalesce(F.col("weight"), F.col("__unseen")))
-                ),
-                6,
+            (
+                F.round(
+                    dec(F.first("__bias"))
+                    + F.sum(
+                        F.col("tf").cast("decimal(9,0)")
+                        * dec(F.coalesce(F.col("weight"), F.col("__unseen")))
+                    ),
+                    6,
+                )
+                * 1_000_000
             )
-            .cast("double")
-            .alias("score"),
+            .cast("long")
+            .alias("score_micro"),
         )
+    )
+    empty_micro = (F.round(F.col("__bias").cast("decimal(12,9)"), 6) * 1_000_000).cast(
+        "long"
     )
     return (
         docs.select(id_col)
@@ -390,10 +401,8 @@ def score_log_odds(
         .select(
             id_col,
             F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
-            F.coalesce(F.col("score"), F.round(F.col("__bias"), 6)).alias("score"),
-            (
-                F.coalesce(F.col("score"), F.round(F.col("__bias"), 6)) > 0
-            ).alias("pred"),
+            F.coalesce(F.col("score_micro"), empty_micro).alias("score_micro"),
+            (F.coalesce(F.col("score_micro"), empty_micro) > 0).alias("pred"),
         )
     )
 

@@ -503,8 +503,8 @@ def unigram_logprob(
         p(t) = (count(t) + alpha) / (N + alpha * (V + 1))   t in vocab
         p(OOV) = alpha           / (N + alpha * (V + 1))
 
-    Output: ``(doc_id, n_tokens, oov_frac, avg_logprob)`` with the two
-    ratios rounded to 6 digits (per-token logs rounded to 9 first so
+    Output: ``(doc_id, n_tokens, oov_frac_micro, avg_logprob_micro)``
+    in fixed-point micro-units (per-token logs rounded to 9 first so
     libm's 1-ulp ``ln`` differences between engines can never reach the
     comparison digits).
 
@@ -540,8 +540,12 @@ def unigram_logprob(
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("int").alias("n_tokens"),
-        F.round(F.sum("is_oov") / F.count(F.lit(1)), 6).alias("oov_frac"),
-        F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        micro_units(F.sum("is_oov") / F.count(F.lit(1))).alias(
+            "oov_frac_micro"
+        ),
+        micro_units(F.sum("lp") / F.count(F.lit(1))).alias(
+            "avg_logprob_micro"
+        ),
     )
 
 
@@ -808,7 +812,7 @@ def bigram_logprob(
     BOTH model tables broadcast: the collapsed unigram table is <= V+1
     rows by construction, the bigram table is capped (count desc, pair
     tiebreak — deterministic cut). Output per doc: ``(doc_id,
-    n_tokens, unseen_bigram_frac, avg_logprob)`` with the unigram
+    n_tokens, unseen_bigram_frac_micro, avg_logprob_micro)`` with the unigram
     rounding discipline (per-token logs to 9 digits, ratios to 6).
 
     Scale shape: one posexplode pass; the ``lag`` window partitions by
@@ -883,10 +887,12 @@ def bigram_logprob(
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("int").alias("n_tokens"),
-        F.round(F.sum("unseen") / F.count(F.lit(1)), 6).alias(
-            "unseen_bigram_frac"
+        micro_units(F.sum("unseen") / F.count(F.lit(1))).alias(
+            "unseen_bigram_frac_micro"
         ),
-        F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        micro_units(F.sum("lp") / F.count(F.lit(1))).alias(
+            "avg_logprob_micro"
+        ),
     )
 
 

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalars import micro_units
+
 from .dedup import CPU_PARTITIONS
 
 
@@ -99,12 +101,12 @@ def bm25_search(
     return (
         contrib.groupBy(id_col)
         .agg(
-            F.round(F.sum(F.col("c").cast("decimal(12,9)")), 6)
-            .cast("double")
-            .alias("score"),
+            (F.round(F.sum(F.col("c").cast("decimal(12,9)")), 6) * 1_000_000)
+            .cast("long")
+            .alias("score_micro"),
             F.count(F.lit(1)).cast("int").alias("n_hits"),
         )
-        .orderBy(F.col("score").desc(), F.col(id_col))
+        .orderBy(F.col("score_micro").desc(), F.col(id_col))
         .limit(top_k)
     )
 
@@ -242,12 +244,12 @@ def bm25_probe(
     return (
         contrib.groupBy("doc_id")
         .agg(
-            F.round(F.sum(F.col("c").cast("decimal(12,9)")), 6)
-            .cast("double")
-            .alias("score"),
+            (F.round(F.sum(F.col("c").cast("decimal(12,9)")), 6) * 1_000_000)
+            .cast("long")
+            .alias("score_micro"),
             F.count(F.lit(1)).cast("int").alias("n_hits"),
         )
-        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
         .limit(top_k)
     )
 
@@ -377,7 +379,7 @@ def hybrid_search(
 
     — the standard score-free fusion that needs no cross-channel score
     calibration, which is exactly why BM25+dense stacks use it. Output:
-    ``(id, rrf_score, bm25_rank, dense_rank)`` top-``top_k`` by fused
+    ``(id, rrf_score_nano, bm25_rank, dense_rank)`` top-``top_k`` by fused
     score (doc-id tiebreak); a doc absent from a channel contributes
     nothing for it.
 
@@ -414,7 +416,7 @@ def hybrid_search(
 
     bm = bm25_search(
         docs, terms, top_k=channel_n, text_col=text_col, id_col=id_col
-    ).select(id_col, F.col("score").alias("bm_score"))
+    ).select(id_col, F.col("score_micro").alias("bm_score"))
     w_bm = Window.orderBy(F.col("bm_score").desc(), F.col(id_col))
     bm_ranked = bm.select(
         id_col, F.row_number().over(w_bm).alias("bm25_rank")
@@ -422,13 +424,12 @@ def hybrid_search(
 
     emb = hash_embed(docs, dim=dim, text_col=text_col, id_col=id_col)
     qcol = F.array(*[F.lit(x) for x in qv])
-    cos = F.round(
+    cos = micro_units(
         F.aggregate(
             F.zip_with(F.col("embedding"), qcol, lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        ),
-        6,
+        )
     )
     dense = (
         emb.select(id_col, cos.alias("cosine"))
@@ -445,13 +446,17 @@ def hybrid_search(
         "bm25_rank",
         "dense_rank",
         F.round(
-            F.coalesce(1.0 / (rrf_k + F.col("bm25_rank")), F.lit(0.0))
-            + F.coalesce(1.0 / (rrf_k + F.col("dense_rank")), F.lit(0.0)),
-            9,
-        ).alias("rrf_score"),
+            (
+                F.coalesce(1.0 / (rrf_k + F.col("bm25_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (rrf_k + F.col("dense_rank")), F.lit(0.0))
+            )
+            * F.lit(1_000_000_000)
+        )
+        .cast("long")
+        .alias("rrf_score_nano"),
     )
     return (
-        fused.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        fused.orderBy(F.col("rrf_score_nano").desc(), F.col(id_col))
         .limit(top_k)
-        .select(id_col, "rrf_score", "bm25_rank", "dense_rank")
+        .select(id_col, "rrf_score_nano", "bm25_rank", "dense_rank")
     )

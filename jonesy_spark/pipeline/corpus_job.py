@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..operators import corpus as C
 from ..operators import dedup as DD
+from ..operators.dedup import _micro_threshold
 from ..operators import graph as G
 from ..operators import hygiene as H
 
@@ -207,7 +208,7 @@ def prepare_training_corpus(
         model, n_buckets, ngrams, _version = got
         keep = (
             CL.score_log_odds(docs, model, n_buckets=n_buckets, ngrams=ngrams)
-            .filter(F.col("score") > cfg.classifier_min_score)
+            .filter(F.col("score_micro") > _micro_threshold(cfg.classifier_min_score))
             .select("doc_id")
         )
         docs = docs.join(keep, "doc_id", "left_semi")

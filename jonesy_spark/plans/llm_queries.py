@@ -1601,8 +1601,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks LEFT JOIN vocab v ON v.t = toks.t CROSS JOIN tot
     )
     SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
-           round(sum(is_oov) / count(*), 6) AS oov_frac,
-           round(sum(lp) / count(*), 6) AS avg_logprob
+           CAST(round(sum(is_oov) / count(*) * 1000000) AS BIGINT)
+               AS oov_frac_micro,
+           CAST(round(sum(lp) / count(*) * 1000000) AS BIGINT)
+               AS avg_logprob_micro
     FROM scored GROUP BY doc_id
     """,
 )
@@ -1666,8 +1668,10 @@ def doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN tot
     )
     SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
-           round(sum(unseen) / count(*), 6) AS unseen_bigram_frac,
-           round(sum(lp) / count(*), 6) AS avg_logprob
+           CAST(round(sum(unseen) / count(*) * 1000000) AS BIGINT)
+               AS unseen_bigram_frac_micro,
+           CAST(round(sum(lp) / count(*) * 1000000) AS BIGINT)
+               AS avg_logprob_micro
     FROM scored GROUP BY doc_id
     """,
 )
@@ -1676,7 +1680,7 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_logprob: mean log p(t|prev) under the corpus's own
     OOV-collapsed add-0.5 bigram model (top-16 vocab, top-64 bigram
     table — tiny caps to exercise both deterministic cuts on the
-    fixture; production uses the 10k/100k defaults). Same 9-then-6
+    fixture; production uses the 10k/100k defaults). Same 9-then-micro
     rounding discipline. operators.corpus.bigram_logprob has the
     broadcast-table scale notes."""
     from ..operators import corpus as C
@@ -1733,14 +1737,18 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(tf) AS INT) AS n_tokens,
                CAST(round(CAST(max(meta.bias) AS DECIMAL(12,9))
                           + sum(tf * CAST(w.weight AS DECIMAL(12,9))), 6)
-                    AS DOUBLE) AS score
+                    * 1000000 AS BIGINT) AS score_micro
         FROM tf JOIN w USING (bucket) CROSS JOIN meta
         GROUP BY tf.doc_id
+    ),
+    bmicro AS (
+        SELECT CAST(round(CAST(bias AS DECIMAL(12,9)), 6) * 1000000 AS BIGINT)
+                   AS b FROM meta
     )
     SELECT d.doc_id,
            coalesce(s.n_tokens, 0) AS n_tokens,
-           coalesce(s.score, (SELECT round(bias, 6) FROM meta)) AS score,
-           coalesce(s.score, (SELECT round(bias, 6) FROM meta)) > 0 AS pred
+           coalesce(s.score_micro, (SELECT b FROM bmicro)) AS score_micro,
+           coalesce(s.score_micro, (SELECT b FROM bmicro)) > 0 AS pred
     FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
     """,
 )
@@ -2289,10 +2297,11 @@ def assemble_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN corpus
     )
     SELECT doc_id,
-           CAST(round(sum(CAST(c AS DECIMAL(12,9))), 6) AS DOUBLE) AS score,
+           CAST(round(sum(CAST(c AS DECIMAL(12,9))), 6) * 1000000 AS BIGINT)
+               AS score_micro,
            CAST(count(*) AS INT) AS n_hits
     FROM contrib GROUP BY doc_id
-    ORDER BY score DESC, doc_id
+    ORDER BY score_micro DESC, doc_id
     LIMIT 20
     """,
 )
@@ -2468,23 +2477,26 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT j, round(c / norm, 6) AS e FROM qcomp CROSS JOIN qnrm
     ),
     dense_top AS (
-        SELECT demb.doc_id, round(sum(demb.e * qemb.e), 6) AS cosine
+        SELECT demb.doc_id,
+               CAST(round(sum(demb.e * qemb.e) * 1000000) AS BIGINT)
+                   AS cosine_micro
         FROM demb JOIN qemb USING (j)
         GROUP BY demb.doc_id
-        ORDER BY cosine DESC, doc_id LIMIT 100
+        ORDER BY cosine_micro DESC, doc_id LIMIT 100
     ),
     dense_ranked AS (
         SELECT doc_id,
-               CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT)
-                   AS dense_rank
+               CAST(row_number() OVER (ORDER BY cosine_micro DESC, doc_id)
+                    AS INT) AS dense_rank
         FROM dense_top
     )
     SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
-           round(coalesce(1.0 / (60 + b.bm25_rank), 0.0)
-                 + coalesce(1.0 / (60 + d.dense_rank), 0.0), 9) AS rrf_score,
+           CAST(round((coalesce(1.0 / (60 + b.bm25_rank), 0.0)
+                       + coalesce(1.0 / (60 + d.dense_rank), 0.0))
+                      * 1000000000) AS BIGINT) AS rrf_score_nano,
            b.bm25_rank, d.dense_rank
     FROM bm_ranked b FULL OUTER JOIN dense_ranked d ON b.doc_id = d.doc_id
-    ORDER BY rrf_score DESC, doc_id
+    ORDER BY rrf_score_nano DESC, doc_id
     LIMIT 20
     """,
 )
@@ -2609,15 +2621,19 @@ _CLF_LEDGER_MEMO: dict[tuple[str, str], str] = {}
                CAST(round(CAST(max(meta.bias) AS DECIMAL(12,9))
                           + sum(tf * CAST(coalesce(w.weight, meta.unseen)
                                           AS DECIMAL(12,9))), 6)
-                    AS DOUBLE) AS score
+                    * 1000000 AS BIGINT) AS score_micro
         FROM tf LEFT JOIN w USING (bucket) CROSS JOIN meta
         WHERE tf.doc_id % 2 = 1
         GROUP BY tf.doc_id
+    ),
+    bmicro AS (
+        SELECT CAST(round(CAST(bias AS DECIMAL(12,9)), 6) * 1000000 AS BIGINT)
+                   AS b FROM meta
     )
     SELECT d.doc_id,
            coalesce(s.n_tokens, 0) AS n_tokens,
-           coalesce(s.score, (SELECT round(bias, 6) FROM meta)) AS score,
-           coalesce(s.score, (SELECT round(bias, 6) FROM meta)) > 0 AS pred
+           coalesce(s.score_micro, (SELECT b FROM bmicro)) AS score_micro,
+           coalesce(s.score_micro, (SELECT b FROM bmicro)) > 0 AS pred
     FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
     LEFT JOIN scored s ON d.doc_id = s.doc_id
     """,
@@ -2699,10 +2715,11 @@ _SEARCH_INDEX_MEMO: dict[tuple[str, str], str] = {}
         CROSS JOIN corpus
     )
     SELECT doc_id,
-           CAST(round(sum(CAST(c AS DECIMAL(12,9))), 6) AS DOUBLE) AS score,
+           CAST(round(sum(CAST(c AS DECIMAL(12,9))), 6) * 1000000 AS BIGINT)
+               AS score_micro,
            CAST(count(*) AS INT) AS n_hits
     FROM contrib GROUP BY doc_id
-    ORDER BY score DESC, doc_id
+    ORDER BY score_micro DESC, doc_id
     LIMIT 20
     """,
 )
@@ -2802,13 +2819,15 @@ def bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM preds
     )
     SELECT tp, fp, fn, tn,
-           round(CASE WHEN tp + fp > 0
-                      THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END, 6)
-               AS precision,
-           round(CASE WHEN tp + fn > 0
-                      THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END, 6)
-               AS recall,
-           round(CASE WHEN (CASE WHEN tp + fp > 0
+           CAST(round(CASE WHEN tp + fp > 0
+                      THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END
+                      * 1000000) AS BIGINT)
+               AS precision_micro,
+           CAST(round(CASE WHEN tp + fn > 0
+                      THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END
+                      * 1000000) AS BIGINT)
+               AS recall_micro,
+           CAST(round(CASE WHEN (CASE WHEN tp + fp > 0
                                  THEN CAST(tp AS DOUBLE) / (tp + fp)
                                  ELSE 0.0 END
                             + CASE WHEN tp + fn > 0
@@ -2826,8 +2845,9 @@ def bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                               + (CASE WHEN tp + fn > 0
                                       THEN CAST(tp AS DOUBLE) / (tp + fn)
                                       ELSE 0.0 END))
-                      ELSE 0.0 END, 6) AS f1,
-           round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy
+                      ELSE 0.0 END * 1000000) AS BIGINT) AS f1_micro,
+           CAST(round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn)
+                      * 1000000) AS BIGINT) AS accuracy_micro
     FROM agg
     """,
 )

@@ -31,8 +31,8 @@ def test_discriminates_constructed_signal(spark):
     model = C.train_log_odds(docs, F.col("lang") == "en", n_buckets=256)
     out = C.score_log_odds(docs, model, n_buckets=256).collect()
     by_id = {r["doc_id"]: r for r in out}
-    pos_scores = [by_id[i]["score"] for i in range(10)]
-    neg_scores = [by_id[i + 10]["score"] for i in range(10)]
+    pos_scores = [by_id[i]["score_micro"] for i in range(10)]
+    neg_scores = [by_id[i + 10]["score_micro"] for i in range(10)]
     assert all(by_id[i]["pred"] for i in range(10))
     assert not any(by_id[i + 10]["pred"] for i in range(10))
     assert min(pos_scores) > max(neg_scores)
@@ -50,7 +50,7 @@ def test_unseen_buckets_take_sentinel_weight(spark):
     new = _docs(spark, [(7, "zzznovel qqqnovel zzznovel", "en")])
     row = C.score_log_odds(new, model, n_buckets=64).collect()[0]
     assert row["n_tokens"] == 3
-    assert math.isclose(row["score"], round(bias + 3 * unseen, 6), abs_tol=1e-6)
+    assert row["score_micro"] == round(round(bias + 3 * unseen, 6) * 1e6)
 
 
 def test_zero_token_doc_scores_bias(spark):
@@ -66,8 +66,8 @@ def test_zero_token_doc_scores_bias(spark):
         .collect()[0]
     )
     assert row["n_tokens"] == 0
-    assert math.isclose(row["score"], round(bias, 6), abs_tol=1e-6)
-    assert row["pred"] == (round(bias, 6) > 0)
+    assert row["score_micro"] == round(round(bias, 6) * 1e6)
+    assert row["pred"] == (row["score_micro"] > 0)
 
 
 def test_one_class_training_raises(spark):
@@ -167,7 +167,7 @@ def test_scored_doc_stream_two_waves_with_retrain(spark, tmp_path):
     assert got[10]["model_version"] == 0 and got[12]["model_version"] == 1
     assert got[10]["pred"] and not got[11]["pred"]
     # same text, flipped training labels -> mirrored score
-    assert got[12]["score"] == -got[10]["score"]
+    assert got[12]["score_micro"] == -got[10]["score_micro"]
     assert (
         spark.read.parquet(scores).select("ingest_batch").distinct().count() == 2
     )
@@ -232,10 +232,10 @@ def test_eval_report_confusion_and_ratios(spark):
     )
     row = C.eval_report(scored, labels).collect()[0]
     assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (2, 1, 1, 2)
-    assert row["precision"] == round(2 / 3, 6)
-    assert row["recall"] == round(2 / 3, 6)
-    assert row["f1"] == round(2 / 3, 6)
-    assert row["accuracy"] == round(4 / 6, 6)
+    assert row["precision_micro"] == round(2 / 3 * 1e6)
+    assert row["recall_micro"] == round(2 / 3 * 1e6)
+    assert row["f1_micro"] == round(2 / 3 * 1e6)
+    assert row["accuracy_micro"] == round(4 / 6 * 1e6)
 
 
 def test_eval_report_degenerate_all_negative(spark):
@@ -247,8 +247,8 @@ def test_eval_report_degenerate_all_negative(spark):
         [(0, False), (1, False)], "doc_id long, label boolean"
     )
     row = C.eval_report(scored, labels).collect()[0]
-    assert (row["precision"], row["recall"], row["f1"]) == (0.0, 0.0, 0.0)
-    assert row["accuracy"] == 1.0
+    assert (row["precision_micro"], row["recall_micro"], row["f1_micro"]) == (0, 0, 0)
+    assert row["accuracy_micro"] == 1_000_000
 
 
 def test_pipeline_classifier_gate_drops_off_target_docs(spark, tmp_path):
@@ -309,11 +309,11 @@ def test_scores_invariant_to_partitioning(spark):
     ).collect()
     model = spark.createDataFrame(model_rows, "bucket long, weight double")
     one = {
-        r["doc_id"]: r["score"]
+        r["doc_id"]: r["score_micro"]
         for r in C.score_log_odds(docs.repartition(1), model, n_buckets=128).collect()
     }
     many = {
-        r["doc_id"]: r["score"]
+        r["doc_id"]: r["score_micro"]
         for r in C.score_log_odds(docs.repartition(16), model, n_buckets=128).collect()
     }
     assert one == many
@@ -322,21 +322,21 @@ def test_scores_invariant_to_partitioning(spark):
 def test_scored_stream_report_rates(spark):
     scores = spark.createDataFrame(
         [
-            (1, 0.5, True, 0, "epoch-0"),
-            (2, -1.0, False, 0, "epoch-0"),
-            (3, 2.0, True, 1, "epoch-1"),
-            (4, 4.0, True, 1, "epoch-1"),
+            (1, 500_000, True, 0, "epoch-0"),
+            (2, -1_000_000, False, 0, "epoch-0"),
+            (3, 2_000_000, True, 1, "epoch-1"),
+            (4, 4_000_000, True, 1, "epoch-1"),
         ],
-        "doc_id long, score double, pred boolean, model_version int, "
+        "doc_id long, score_micro long, pred boolean, model_version int, "
         "ingest_batch string",
     )
     got = {
         (r["model_version"], r["ingest_batch"]): r
         for r in C.scored_stream_report(scores).collect()
     }
-    assert got[(0, "epoch-0")]["pred_rate"] == 0.5
-    assert got[(0, "epoch-0")]["mean_score"] == -0.25
-    assert got[(1, "epoch-1")]["pred_rate"] == 1.0
+    assert got[(0, "epoch-0")]["pred_rate_micro"] == 500_000
+    assert got[(0, "epoch-0")]["mean_score_micro"] == -250_000
+    assert got[(1, "epoch-1")]["pred_rate_micro"] == 1_000_000
     assert got[(1, "epoch-1")]["n_docs"] == 2
 
 
@@ -352,7 +352,7 @@ def test_bigram_features_separate_reordered_texts(spark):
     uni = C.train_log_odds(docs, F.col("lang") == "en", n_buckets=512)
     uni_out = C.score_log_odds(docs, uni, n_buckets=512).collect()
     # unigram model: identical bags -> identical scores, no separation
-    assert len({r["score"] for r in uni_out}) == 1
+    assert len({r["score_micro"] for r in uni_out}) == 1
     bi = C.train_log_odds(docs, F.col("lang") == "en", n_buckets=512, ngrams=2)
     bi_out = {
         r["doc_id"]: r

@@ -546,7 +546,7 @@ def test_compact_index_digest_and_minhash(spark, tmp_path):
     after_m = sorted(
         map(tuple, H.probe_minhash_index(probe_sigs, spark, midx).collect())
     )
-    assert after_m == before_m and before_m == [(99, 1, 1.0)]
+    assert after_m == before_m and before_m == [(99, 1, 1_000_000)]
 
     # single-tree index: compaction is a no-op returning that run_id
     assert H.compact_index(spark, midx).startswith("compact-")

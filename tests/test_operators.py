@@ -842,7 +842,7 @@ def test_embedding_health_flags_defects(spark):
     assert h["n_rows"] == h["n_distinct_ids"] == 500
     assert h["n_dims_seen"] == 1 and h["dim_min"] == h["dim_max"] == 64
     assert h["n_null_vecs"] == 0 and h["n_zero_vecs"] == 0
-    assert h["norm_min"] > 0
+    assert h["norm_min_micro"] > 0
 
     broken = spark.createDataFrame(
         [
