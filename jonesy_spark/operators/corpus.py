@@ -920,7 +920,7 @@ def dsir_weights(
     (``classify.token_buckets``), so the two tiers share bucket ids
     and the same oracle-reproducibility story.
 
-    Output: ``(id, n_tokens, log_weight)`` for every raw document
+    Output: ``(id, n_tokens, log_weight_micro)`` for every raw document
     (zero-token docs carry log_weight 0 — no evidence, unit ratio).
 
     Scale shape: identical to classifier training — two bounded
@@ -962,15 +962,18 @@ def dsir_weights(
         .groupBy(id_col)
         .agg(
             F.sum("tf").cast("int").alias("n_tokens"),
-            F.round(
-                F.sum(
-                    F.col("tf").cast("decimal(9,0)")
-                    * F.col("weight").cast("decimal(12,9)")
-                ),
-                6,
+            (
+                F.round(
+                    F.sum(
+                        F.col("tf").cast("decimal(9,0)")
+                        * F.col("weight").cast("decimal(12,9)")
+                    ),
+                    6,
+                )
+                * 1_000_000
             )
-            .cast("double")
-            .alias("log_weight"),
+            .cast("long")
+            .alias("log_weight_micro"),
         )
     )
     return (
@@ -979,7 +982,9 @@ def dsir_weights(
         .select(
             id_col,
             F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
-            F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+            F.coalesce(F.col("log_weight_micro"), F.lit(0).cast("long")).alias(
+                "log_weight_micro"
+            ),
         )
     )
 
@@ -1004,7 +1009,7 @@ def dsir_select(
     ``u`` from salt|doc_id), so the selection is rerun-stable,
     resample-able by salt, and oracle-reproducible.
 
-    Output: the selected ``(id, n_tokens, log_weight, sample_key)``
+    Output: the selected ``(id, n_tokens, log_weight_micro, sample_key_micro)``
     rows. Top-k is ``orderBy + limit`` — per-partition partial top-k,
     never a global sort; ties (impossible up to md5 collisions) break
     on ``id_col``.
@@ -1017,10 +1022,13 @@ def dsir_select(
     # u in [0, 1): guard the u == 0 endpoint (ln(0)) by the half-step
     # below the smallest representable draw — deterministic, oracle-safe.
     safe_u = F.greatest(u, F.lit(0.5 / float(1 << 28)))
-    key = F.round(F.col("log_weight") - F.log(-F.log(safe_u)), 6)
+    # integer Gumbel key: both terms are one-step micro roundings, so
+    # the subtraction — and therefore the top-k cut — is exact integer
+    # arithmetic on both engines.
+    key = F.col("log_weight_micro") - micro_units(F.log(-F.log(safe_u)))
     return (
-        weighted.withColumn("sample_key", key)
-        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        weighted.withColumn("sample_key_micro", key)
+        .orderBy(F.col("sample_key_micro").desc(), F.col(id_col))
         .limit(k)
     )
 
@@ -1047,7 +1055,7 @@ def diversity_sample(
     the house md5 U[0,1) draw with doc-id tiebreak — rerun-stable,
     resample-able by salt.
 
-    Output: ``(id, div_bucket, draw)`` for the selected docs (join
+    Output: ``(id, div_bucket, draw_micro)`` for the selected docs (join
     back left-semi for the full rows). Only docs with at least one
     token participate (``hash_embed``'s domain); run the sampler
     after the pipeline's empty-doc gates, where zero-token docs are
@@ -1068,13 +1076,21 @@ def diversity_sample(
 
     if per_bucket_n < 1:
         raise ValueError(f"per_bucket_n must be >= 1, got {per_bucket_n}")
-    emb = hash_embed(docs, dim=dim, text_col=text_col, id_col=id_col)
+    emb = hash_embed(
+        docs, dim=dim, text_col=text_col, id_col=id_col, keep_raw=True
+    )
+    # bucket on the PRE-normalization integer sums (ADVICE r6): a tiny
+    # negative component of a huge doc normalizes and rounds to -0.0,
+    # which the >= 0 sign test reads as positive — the raw integer sign
+    # has no such boundary and matches the oracle for all doc sizes.
     keyed = emb.select(
         id_col,
-        VX.sign_bucket(F.col("embedding"), bucket_dims).alias("div_bucket"),
-        F.round(_hash_unit(salt, F.col(id_col)), 6).alias("draw"),
+        VX.sign_bucket(F.col("raw_components"), bucket_dims).alias(
+            "div_bucket"
+        ),
+        micro_units(_hash_unit(salt, F.col(id_col))).alias("draw_micro"),
     )
-    w = Window.partitionBy("div_bucket").orderBy("draw", id_col)
+    w = Window.partitionBy("div_bucket").orderBy("draw_micro", id_col)
     return (
         keyed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= per_bucket_n)

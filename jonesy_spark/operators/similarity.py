@@ -903,6 +903,7 @@ def hash_embed(
     dim: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_raw: bool = False,
 ) -> DataFrame:
     """Model-free document embeddings via SIGNED FEATURE HASHING
     (public method: Weinberger et al. 2009, "Feature Hashing for
@@ -918,7 +919,8 @@ def hash_embed(
     same ``(id, embedding)`` shape).
 
     Output: ``(id, embedding array<double>)`` for documents with at
-    least one token; components rounded to 6 digits. Pre-normalization
+    least one token; components rounded to 6 digits
+    (plus ``raw_components array<bigint>`` when ``keep_raw``). Pre-normalization
     components are INTEGER sums of signed tf (exact at any partition
     order), so the only float steps are one sqrt and one division per
     component — engine-deterministic, oracle-reproducible.
@@ -969,15 +971,22 @@ def hash_embed(
         ).alias("raw"),
         F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("norm"),
     )
-    return vec.select(
-        id_col,
+    cols = [
+        F.col(id_col),
         F.when(
             F.col("norm") > 0,
             F.transform(F.col("raw"), lambda x: F.round(x / F.col("norm"), 6)),
         )
         .otherwise(F.transform(F.col("raw"), lambda x: x * F.lit(0.0)))
         .alias("embedding"),
-    )
+    ]
+    if keep_raw:
+        # exact integer pre-normalization sums: sign decisions taken on
+        # these can never hit the -0.0-rounds-to-nonnegative trap the
+        # normalized components have (ADVICE r6), and they match the
+        # oracle's raw-sum bucketing bit for bit.
+        cols.append(F.col("raw").alias("raw_components"))
+    return vec.select(*cols)
 
 
 def cluster_documents(

@@ -1007,24 +1007,24 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- DECIMAL accumulation (see the classifier oracle)
         SELECT tf_r.doc_id, CAST(sum(tf) AS INT) AS n_tokens,
                CAST(round(sum(tf * CAST(w.weight AS DECIMAL(12,9))), 6)
-                    AS DOUBLE) AS log_weight
+                    * 1000000 AS BIGINT) AS log_weight_micro
         FROM tf_r JOIN w USING (bucket)
         GROUP BY tf_r.doc_id
     ),
     allr AS (
         SELECT d.doc_id,
                coalesce(s.n_tokens, 0) AS n_tokens,
-               coalesce(s.log_weight, 0.0) AS log_weight
+               coalesce(s.log_weight_micro, 0) AS log_weight_micro
         FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
     )
-    SELECT doc_id, n_tokens, log_weight,
-           round(log_weight
-                 - ln(-ln(greatest(
-                       ('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
-                       / 268435456.0,
-                       0.5 / 268435456.0))), 6) AS sample_key
+    SELECT doc_id, n_tokens, log_weight_micro,
+           log_weight_micro
+           - CAST(round(ln(-ln(greatest(
+                 ('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                 / 268435456.0,
+                 0.5 / 268435456.0))) * 1000000) AS BIGINT) AS sample_key_micro
     FROM allr
-    ORDER BY sample_key DESC, doc_id
+    ORDER BY sample_key_micro DESC, doc_id
     LIMIT 100
     """,
 )
@@ -2341,9 +2341,10 @@ def bm25_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS norm FROM comp GROUP BY 1)
     SELECT comp.doc_id,
-           list(CASE WHEN nrm.norm > 0 THEN round(comp.c / nrm.norm, 6)
-                     ELSE 0.0 END
-                ORDER BY comp.j) AS embedding
+           list(CASE WHEN nrm.norm > 0
+                     THEN CAST(round(comp.c / nrm.norm * 1000000) AS BIGINT)
+                     ELSE 0 END
+                ORDER BY comp.j) AS embedding_micro
     FROM comp JOIN nrm USING (doc_id)
     GROUP BY comp.doc_id
     """,
@@ -2355,11 +2356,38 @@ def hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     a neural embedder that completes the documents -> vectors ->
     semantic-dedup chain. Pre-normalization components are integer
     sums (exact at any partition order); the oracle reproduces signs,
-    sums, norms, and rounding. operators.similarity.hash_embed has
-    the scale notes."""
+    sums, norms, and rounding. The driver-hashed row renders the
+    components in fixed-point micro-units computed from the RAW
+    integer sums (one multiply + one round per component — never a
+    re-rounding of the library's 6-digit doubles), while hash_embed's
+    own array<double> API shape is unchanged for downstream ANN
+    consumers. operators.similarity.hash_embed has the scale notes."""
     from ..operators.similarity import hash_embed
 
-    return hash_embed(Catalog(spark, sf_dir).documents, dim=16)
+    emb = hash_embed(
+        Catalog(spark, sf_dir).documents, dim=16, keep_raw=True
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("raw_components"),
+            F.lit(0.0),
+            lambda acc, x: acc + (x * x).cast("double"),
+        )
+    )
+    return emb.select(
+        "doc_id",
+        F.when(
+            norm > 0,
+            F.transform(
+                F.col("raw_components"),
+                lambda x: F.round(x / norm * 1_000_000).cast("long"),
+            ),
+        )
+        .otherwise(
+            F.transform(F.col("raw_components"), lambda x: F.lit(0).cast("long"))
+        )
+        .alias("embedding_micro"),
+    )
 
 
 #: (applicationId, sf_dir) -> positional-index tmp dir for the
@@ -2542,26 +2570,28 @@ def hybrid_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                string_agg(CASE WHEN c >= 0 THEN '1' ELSE '0' END, ''
                           ORDER BY j) AS div_bucket,
-               round(('0x' || substr(md5('div-v1|' || CAST(doc_id AS VARCHAR)),
-                                     1, 7))::BIGINT / 268435456.0, 6) AS draw
+               CAST(round(('0x' || substr(md5('div-v1|' || CAST(doc_id AS VARCHAR)),
+                                          1, 7))::BIGINT / 268435456.0
+                          * 1000000) AS BIGINT) AS draw_micro
         FROM comp GROUP BY doc_id
     ),
     ranked AS (
-        SELECT doc_id, div_bucket, draw,
+        SELECT doc_id, div_bucket, draw_micro,
                row_number() OVER (PARTITION BY div_bucket
-                                  ORDER BY draw, doc_id) AS rn
+                                  ORDER BY draw_micro, doc_id) AS rn
         FROM keyed
     )
-    SELECT doc_id, div_bucket, draw FROM ranked WHERE rn <= 8
+    SELECT doc_id, div_bucket, draw_micro FROM ranked WHERE rn <= 8
     """,
 )
 def diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-balanced sampling: up to 8 docs per deterministic
     sign-LSH cell over the hashed embeddings — the cluster-balanced
-    selection that keeps rare content families represented. The sign
-    of a normalized component equals the sign of its integer
-    pre-normalization sum, so the oracle buckets on the raw sums and
-    reproduces the md5 draw and the per-cell rank cut exactly.
+    selection that keeps rare content families represented. Both
+    engines bucket on the INTEGER pre-normalization sums (ADVICE r6:
+    the normalized component can round to -0.0 and lie about its
+    sign), so the cell key, the md5 draw and the per-cell rank cut
+    are exact on both sides.
     operators.corpus.diversity_sample."""
     from ..operators import corpus as C
 
