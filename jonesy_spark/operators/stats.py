@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalars import micro_units
+
 from ..functions import text as TX
 
 #: Default Datasketches log2(K): 4 KiB registers, ~1.6 % relative
@@ -292,7 +294,7 @@ def snapshot_diff_summary(diff: DataFrame) -> DataFrame:
     counts = diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").alias("t"))
     return counts.crossJoin(F.broadcast(total)).select(
-        "status", "n", F.round(F.col("n") / F.col("t"), 6).alias("share")
+        "status", "n", micro_units(F.col("n") / F.col("t")).alias("share_micro")
     )
 
 
@@ -302,6 +304,7 @@ def psi_report(
     score: Column,
     n_bins: int = 10,
     eps: float = 1e-6,
+    micro: bool = False,
 ) -> DataFrame:
     """Population Stability Index between two corpus generations over a
     bounded [0, 1) score (quality composite, lang-confidence, OOV rate
@@ -317,7 +320,9 @@ def psi_report(
 
     Engine-portable by construction: fixed-width bins via
     ``least(floor(score * n), n-1)`` (no width_bucket dialect
-    differences), empty bins floored at ``eps`` (the standard PSI
+    differences; pass ``micro=True`` when the score is fixed-point
+    micro-units so binning is exact integer arithmetic), empty bins
+    floored at ``eps`` (the standard PSI
     regularization — and it keeps ``ln`` finite), each log term rounded
     to 9 digits before the 6-digit shares/psi rounding so libm 1-ulp
     drift can never reach the comparison digits (the doc_logprob
@@ -326,11 +331,13 @@ def psi_report(
     are read once each and nothing corpus-sized shuffles.
     """
 
+    scaled = (score * n_bins) / 1_000_000 if micro else score * n_bins
+
     def binned(df: DataFrame, name: str) -> DataFrame:
         return (
             df.select(
                 F.least(
-                    F.floor(score * n_bins).cast("int"), F.lit(n_bins - 1)
+                    F.floor(scaled).cast("int"), F.lit(n_bins - 1)
                 ).alias("bin")
             )
             .groupBy("bin")
@@ -363,12 +370,12 @@ def psi_report(
 
     out = j.select(
         "bin",
-        F.round(share_b, 6).alias("share_base"),
-        F.round(share_c, 6).alias("share_cur"),
-        F.round(term, 6).alias("psi_term"),
-        F.round(
-            F.sum(term).over(Window.partitionBy(F.lit(1))), 6
-        ).alias("psi"),
+        micro_units(share_b).alias("share_base_micro"),
+        micro_units(share_c).alias("share_cur_micro"),
+        micro_units(term).alias("psi_term_micro"),
+        micro_units(
+            F.sum(term).over(Window.partitionBy(F.lit(1)))
+        ).alias("psi_micro"),
     )
     return out
 
@@ -386,7 +393,8 @@ def key_skew_report(
     a key carrying percent-level share is exactly the profile that
     turns a 1000-executor shuffle into one straggler task.
 
-    Output: ``(key, n_rows, share, ratio_to_median)`` — ``top_n`` rows,
+    Output: ``(key, n_rows, share_micro, ratio_to_median_micro)`` —
+    ``top_n`` rows,
     descending count, key-string tiebreak (deterministic, oracle-able).
 
     Scale shape: one keyed count aggregation (map-side combine; the
@@ -407,8 +415,12 @@ def key_skew_report(
         .select(
             "key",
             "n_rows",
-            F.round(F.col("n_rows") / F.col("total"), 6).alias("share"),
-            F.round(F.col("n_rows") / F.col("med"), 6).alias("ratio_to_median"),
+            micro_units(F.col("n_rows") / F.col("total")).alias(
+                "share_micro"
+            ),
+            micro_units(F.col("n_rows") / F.col("med")).alias(
+                "ratio_to_median_micro"
+            ),
         )
         .orderBy(F.col("n_rows").desc(), "key")
         .limit(top_n)

@@ -15,6 +15,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import micro_units
+
 ColumnOrName = Column | str
 
 
@@ -110,7 +112,7 @@ def resample_ffill(
     onto a regular ``step_seconds`` grid spanning [first, last] bucket,
     emit EVERY grid slot, and carry the last observed value across
     empty slots. Output per (key, slot): ``(key, grid_epoch,
-    n_events, last_value, is_gap)`` — ``last_value`` is the slot's
+    n_events, last_value_micro, is_gap)`` — ``last_value`` is the slot's
     final value (deterministic tiebreak on (ts, tiebreak_col)) or the
     forward-filled predecessor for gap slots; epochs stay BIGINT
     seconds so no timezone rendering enters the comparison surface.
@@ -168,8 +170,8 @@ def resample_ffill(
             F.col("k").alias(key_col),
             F.col("bucket").alias("grid_epoch"),
             F.coalesce("n_events", F.lit(0)).cast("int").alias("n_events"),
-            F.round(F.last("v", ignorenulls=True).over(wfill), 6).alias(
-                "last_value"
+            micro_units(F.last("v", ignorenulls=True).over(wfill)).alias(
+                "last_value_micro"
             ),
             F.when(F.col("n_events").isNull(), 1).otherwise(0).alias("is_gap"),
         )
@@ -189,7 +191,7 @@ def trailing_range_stats(
     from every ROWS frame in this module: the frame holds whatever
     events fall in the last ``window_seconds`` SECONDS, not the last N
     rows, so sparse and bursty keys get the same time horizon. Output:
-    ``(event_id, key, es, n_trailing, mean_trailing, max_trailing)``.
+    ``(event_id, key, es, n_trailing, mean_trailing_micro, max_trailing_micro)``.
 
     Scale shape: one keyed window (partition by key, order by epoch) —
     the same single shuffle any per-key ordering pays; RANGE frames
@@ -216,8 +218,8 @@ def trailing_range_stats(
         F.col("k").alias(key_col),
         "es",
         F.count(F.lit(1)).over(w).cast("int").alias("n_trailing"),
-        F.round(F.avg("v").over(w), 6).alias("mean_trailing"),
-        F.round(F.max("v").over(w), 6).alias("max_trailing"),
+        micro_units(F.avg("v").over(w)).alias("mean_trailing_micro"),
+        micro_units(F.max("v").over(w)).alias("max_trailing_micro"),
     )
 
 
@@ -233,7 +235,7 @@ def resample_interpolate(
     ``interpolate()`` gapfill semantics): gap slots take the value on
     the straight line between their two anchor slots (nearest event
     slots before and after on the grid); event slots keep their own
-    last value. Output: ``(key, grid_epoch, n_events, value_interp,
+    last value. Output: ``(key, grid_epoch, n_events, value_interp_micro,
     is_gap)``.
 
     Same grid-generation shape as the ffill twin; the two anchor
@@ -297,7 +299,7 @@ def resample_interpolate(
         F.col("k").alias(key_col),
         F.col("bucket").alias("grid_epoch"),
         F.coalesce("n_events", F.lit(0)).cast("int").alias("n_events"),
-        F.round(interp, 6).alias("value_interp"),
+        micro_units(interp).alias("value_interp_micro"),
         F.when(F.col("n_events").isNull(), 1).otherwise(0).alias("is_gap"),
     )
 
@@ -416,7 +418,9 @@ def retention_cohorts(
         "week_offset",
         "n_active",
         "cohort_size",
-        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        micro_units(F.col("n_active") / F.col("cohort_size")).alias(
+            "retention_micro"
+        ),
     )
 
 
@@ -463,7 +467,9 @@ def event_transitions(
             "from_type",
             "to_type",
             "n_transitions",
-            F.round(F.col("n_transitions") / F.col("total"), 6).alias("share"),
+            micro_units(F.col("n_transitions") / F.col("total")).alias(
+                "share_micro"
+            ),
         )
         .orderBy(F.col("n_transitions").desc(), "from_type", "to_type")
         .limit(top_n)
@@ -487,8 +493,9 @@ def trailing_anomaly_flags(
     current row — a value must not dampen the baseline it is judged
     against), provided the baseline holds at least ``min_baseline``
     events (a z-score against two points is noise, not evidence).
-    Output: ``(event_id, key, es, value, n_baseline, mean_baseline,
-    z_score, is_anomaly)``; ratios rounded to 6, NULL z where the
+    Output: ``(event_id, key, es, value_micro, n_baseline,
+    mean_baseline_micro, z_score_micro, is_anomaly)`` in fixed-point
+    micro-units, NULL z where the
     baseline stddev is zero or the baseline is too thin (flag false —
     a flat baseline with one differing value is a CHANGE, which
     stats_drift reports; this operator detects outliers against
@@ -516,15 +523,18 @@ def trailing_anomaly_flags(
     mean = F.avg("v").over(w)
     sd = F.stddev_samp("v").over(w)
     zscore = F.when(
-        (n >= min_baseline) & (sd > 0), F.round((F.col("v") - mean) / sd, 6)
+        (n >= min_baseline) & (sd > 0),
+        micro_units((F.col("v") - mean) / sd),
     )
     return base.select(
         id_col,
         F.col("k").alias(key_col),
         "es",
-        F.col("v").alias(value_col),
+        micro_units(F.col("v")).alias(f"{value_col}_micro"),
         n.cast("int").alias("n_baseline"),
-        F.round(mean, 6).alias("mean_baseline"),
-        zscore.alias("z_score"),
-        F.coalesce(F.abs(zscore) > z, F.lit(False)).alias("is_anomaly"),
+        micro_units(mean).alias("mean_baseline_micro"),
+        zscore.alias("z_score_micro"),
+        F.coalesce(
+            F.abs(zscore) > int(round(z * 1_000_000)), F.lit(False)
+        ).alias("is_anomaly"),
     )

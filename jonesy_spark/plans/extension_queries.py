@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
+from ..functions.scalars import micro_units
 from ..functions import text as TX
 from ..operators.windows import topk_per_group
 
@@ -659,10 +660,10 @@ def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                         * (1 + l.l_tax) AS DECIMAL(18,6))) AS DOUBLE)
-               AS revenue_with_tax,
-           round(CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-                 / count(*), 6) AS avg_supp_acctbal,
+                         * (1 + l.l_tax) AS DECIMAL(18,6))) * 1000000
+                AS BIGINT) AS revenue_with_tax_micro,
+           CAST(round(CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(*) * 1000000) AS BIGINT) AS avg_supp_acctbal_micro,
            count(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -700,12 +701,13 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cat.nation, F.col("s_nationkey") == F.col("n_nationkey"))
     )
     return joined.groupBy(F.col("n_name").alias("nation")).agg(
-        F.sum(rev.cast("decimal(18,6)")).cast("double").alias("revenue_with_tax"),
-        F.round(
+        (F.sum(rev.cast("decimal(18,6)")) * 1_000_000)
+        .cast("long")
+        .alias("revenue_with_tax_micro"),
+        micro_units(
             F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_supp_acctbal"),
+            / F.count(F.lit(1))
+        ).alias("avg_supp_acctbal_micro"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
 
@@ -746,7 +748,8 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
                AS sum_k,
-           round(avg(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k,
+           CAST(round(avg(CAST(json_extract(props, '$.k') AS INT)) * 1000000)
+                AS BIGINT) AS avg_k_micro,
            max(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
            count(*) FILTER (
                WHERE CAST(json_extract(props, '$.k') AS INT) IS NULL
@@ -769,7 +772,7 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(k).cast("bigint").alias("sum_k"),
-        F.round(F.avg(k), 6).alias("avg_k"),
+        micro_units(F.avg(k)).alias("avg_k_micro"),
         F.max(k).alias("max_k"),
         F.count(F.when(k.isNull(), 1)).alias("n_unparsed"),
     )
@@ -801,7 +804,8 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.cohort_epoch, week_offset
     )
     SELECT a.cohort_epoch, a.week_offset, a.n_active, s.cohort_size,
-           round(a.n_active / s.cohort_size, 6) AS retention
+           CAST(round(a.n_active / s.cohort_size * 1000000) AS BIGINT)
+               AS retention_micro
     FROM active a JOIN sizes s USING (cohort_epoch)
     """,
 )
@@ -900,10 +904,11 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, bucket AS grid_epoch,
            CAST(coalesce(n_events, 0) AS INT) AS n_events,
-           round(CASE WHEN v IS NOT NULL THEN v
+           CAST(round(CASE WHEN v IS NOT NULL THEN v
                  ELSE prev_v + (next_v - prev_v)
-                      * (bucket - prev_b) / (next_b - prev_b) END, 6)
-               AS value_interp,
+                      * (bucket - prev_b) / (next_b - prev_b) END
+                 * 1000000) AS BIGINT)
+               AS value_interp_micro,
            CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS is_gap
     FROM j
     """,
@@ -928,8 +933,10 @@ def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id, user_id, es,
            CAST(count(*) OVER w AS INT) AS n_trailing,
-           round(avg(value) OVER w, 6) AS mean_trailing,
-           round(max(value) OVER w, 6) AS max_trailing
+           CAST(round(avg(value) OVER w * 1000000) AS BIGINT)
+               AS mean_trailing_micro,
+           CAST(round(max(value) OVER w * 1000000) AS BIGINT)
+               AS max_trailing_micro
     FROM ev
     WINDOW w AS (PARTITION BY user_id ORDER BY es
                  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
@@ -974,9 +981,10 @@ def trailing_range_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.user_id,
            g.bucket AS grid_epoch,
            CAST(coalesce(s.n_events, 0) AS INT) AS n_events,
-           round(last_value(s.v IGNORE NULLS)
+           CAST(round(last_value(s.v IGNORE NULLS)
                  OVER (PARTITION BY g.user_id ORDER BY g.bucket
-                       ROWS UNBOUNDED PRECEDING), 6) AS last_value,
+                       ROWS UNBOUNDED PRECEDING) * 1000000) AS BIGINT)
+               AS last_value_micro,
            CASE WHEN s.n_events IS NULL THEN 1 ELSE 0 END AS is_gap
     FROM grid g LEFT JOIN slots s USING (user_id, bucket)
     """,
@@ -1050,18 +1058,21 @@ def snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
         SELECT doc_id,
-               round(least(1.0, n_tokens / 100.0)
-                     * (1.0 - least(1.0, c_stop::DOUBLE / n_tokens)), 6)
-                   AS quality
+               CAST(round(least(1.0, n_tokens / 100.0)
+                          * (1.0 - least(1.0, c_stop::DOUBLE / n_tokens))
+                          * 1000000) AS BIGINT)
+                   AS quality_micro
         FROM m
     ),
     b AS (
-        SELECT CAST(least(floor(quality * 10), 9) AS INTEGER) AS bin,
+        SELECT CAST(least(floor(quality_micro * 10 / 1000000), 9) AS INTEGER)
+                   AS bin,
                count(*) AS n
         FROM q WHERE doc_id % 2 = 0 GROUP BY 1
     ),
     c AS (
-        SELECT CAST(least(floor(quality * 10), 9) AS INTEGER) AS bin,
+        SELECT CAST(least(floor(quality_micro * 10 / 1000000), 9) AS INTEGER)
+                   AS bin,
                count(*) AS n
         FROM q WHERE doc_id % 2 = 1 GROUP BY 1
     ),
@@ -1083,35 +1094,36 @@ def snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s
     )
     SELECT bin,
-           round(sb, 6) AS share_base,
-           round(sc, 6) AS share_cur,
-           round(term9, 6) AS psi_term,
-           round(sum(term9) OVER (), 6) AS psi
+           CAST(round(sb * 1000000) AS BIGINT) AS share_base_micro,
+           CAST(round(sc * 1000000) AS BIGINT) AS share_cur_micro,
+           CAST(round(term9 * 1000000) AS BIGINT) AS psi_term_micro,
+           CAST(round(sum(term9) OVER () * 1000000) AS BIGINT) AS psi_micro
     FROM terms
     """,
 )
 def quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between two corpus halves (even vs
     odd doc_ids) over the quality composite — the distributional-drift
-    monitor (stats.psi_report): fixed-width bins, eps-floored shares,
-    9-then-6-digit log rounding so libm ulp drift never reaches the
-    hash. One map-side bin + one tiny aggregation per side; nothing
+    monitor (stats.psi_report): fixed-width bins over the integer
+    micro-unit score (exact binning on both engines), eps-floored
+    shares, 9-then-micro log rounding so libm ulp drift never reaches
+    the hash. One map-side bin + one tiny aggregation per side; nothing
     corpus-sized shuffles."""
     from ..operators import stats as ST
 
     docs = Catalog(spark, sf_dir).documents
     n_tokens = TX.whitespace_token_count(F.col("text"))
     c_stop = TX.occurrences(F.lower(F.col("text")), "the")
-    quality = F.round(
+    quality = micro_units(
         F.least(F.lit(1.0), n_tokens / 100.0)
-        * (1.0 - F.least(F.lit(1.0), c_stop / n_tokens)),
-        6,
+        * (1.0 - F.least(F.lit(1.0), c_stop / n_tokens))
     )
-    scored = docs.select("doc_id", quality.alias("quality"))
+    scored = docs.select("doc_id", quality.alias("quality_micro"))
     return ST.psi_report(
         scored.filter(F.col("doc_id") % 2 == 0),
         scored.filter(F.col("doc_id") % 2 == 1),
-        F.col("quality"),
+        F.col("quality_micro"),
+        micro=True,
     )
 
 
@@ -1190,8 +1202,9 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (SELECT sum(n_rows) AS total, median(n_rows) AS med FROM counts)
     SELECT key, n_rows,
-           round(n_rows / total, 6) AS share,
-           round(n_rows / med, 6) AS ratio_to_median
+           CAST(round(n_rows / total * 1000000) AS BIGINT) AS share_micro,
+           CAST(round(n_rows / med * 1000000) AS BIGINT)
+               AS ratio_to_median_micro
     FROM counts CROSS JOIN s
     ORDER BY n_rows DESC, key
     LIMIT 10
@@ -1225,7 +1238,8 @@ def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT sum(n_transitions) AS total FROM counts)
     SELECT from_type, to_type, n_transitions,
-           round(n_transitions / total, 6) AS share
+           CAST(round(n_transitions / total * 1000000) AS BIGINT)
+               AS share_micro
     FROM counts CROSS JOIN tot
     ORDER BY n_transitions DESC, from_type, to_type
     LIMIT 20
@@ -1252,18 +1266,23 @@ def event_transitions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AS (
         SELECT event_id, user_id, es, value,
                CAST(count(*) OVER w AS INT) AS n_baseline,
-               round(avg(value) OVER w, 6) AS mean_baseline,
+               CAST(round(avg(value) OVER w * 1000000) AS BIGINT)
+                   AS mean_baseline_micro,
                avg(value) OVER w AS raw_mean,
                stddev_samp(value) OVER w AS sd
         FROM ev
         WINDOW w AS (PARTITION BY user_id ORDER BY es
                      RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
     )
-    SELECT event_id, user_id, es, value, n_baseline, mean_baseline,
+    SELECT event_id, user_id, es,
+           CAST(round(value * 1000000) AS BIGINT) AS value_micro,
+           n_baseline, mean_baseline_micro,
            CASE WHEN n_baseline >= 5 AND sd > 0
-                THEN round((value - raw_mean) / sd, 6) END AS z_score,
+                THEN CAST(round((value - raw_mean) / sd * 1000000) AS BIGINT)
+           END AS z_score_micro,
            coalesce(abs(CASE WHEN n_baseline >= 5 AND sd > 0
-                             THEN round((value - raw_mean) / sd, 6) END) > 3.0,
+                             THEN CAST(round((value - raw_mean) / sd * 1000000)
+                                       AS BIGINT) END) > 3000000,
                     false) AS is_anomaly
     FROM stats
     """,
