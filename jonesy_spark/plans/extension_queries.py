@@ -41,10 +41,14 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-def _dsum(col: str | F.Column, alias: str):
-    """Deterministic double sum: exact decimal accumulation, double cast."""
+def _dsum_micro(col: str | F.Column, alias: str):
+    """Deterministic fixed-point sum: exact decimal accumulation scaled
+    to integer micro-units (hash-stable under any float normalization —
+    see scalars.micro_units)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast("decimal(18,2)")).cast("double").alias(alias)
+    return (
+        (F.sum(c.cast("decimal(18,2)")) * 1_000_000).cast("long").alias(alias)
+    )
 
 
 @query(
@@ -53,11 +57,15 @@ def _dsum(col: str | F.Column, alias: str):
     SELECT
         l_returnflag AS returnflag,
         l_linestatus AS linestatus,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
-            AS sum_disc_price,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 1000000 AS BIGINT)
+            AS sum_qty_micro,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 1000000 AS BIGINT)
+            AS sum_base_price_micro,
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+             * 1000000 AS BIGINT)
+            AS sum_disc_price_micro,
+        CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*) * 1000000) AS BIGINT) AS avg_qty_micro,
         count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -82,13 +90,15 @@ def pricing_summary_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linestatus").alias("linestatus"),
         )
         .agg(
-            _dsum("l_quantity", "sum_qty"),
-            _dsum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price.cast("decimal(18,6)"))
-            .cast("double")
-            .alias("sum_disc_price"),
-            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("*"))
-            .alias("avg_qty"),
+            _dsum_micro("l_quantity", "sum_qty_micro"),
+            _dsum_micro("l_extendedprice", "sum_base_price_micro"),
+            (F.sum(disc_price.cast("decimal(18,6)")) * 1_000_000)
+            .cast("long")
+            .alias("sum_disc_price_micro"),
+            micro_units(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_qty_micro"),
             F.count("*").alias("count_order"),
         )
     )
@@ -97,10 +107,11 @@ def pricing_summary_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "topk_per_group_price",
     oracle="""
-    SELECT returnflag, orderkey, linenumber, price
+    SELECT returnflag, orderkey, linenumber, price_micro
     FROM (
         SELECT l_returnflag AS returnflag, l_orderkey AS orderkey,
-               l_linenumber AS linenumber, l_extendedprice AS price,
+               l_linenumber AS linenumber,
+               CAST(round(l_extendedprice * 1000000) AS BIGINT) AS price_micro,
                row_number() OVER (
                    PARTITION BY l_returnflag
                    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
@@ -128,7 +139,7 @@ def topk_per_group_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("returnflag"),
         F.col("l_orderkey").alias("orderkey"),
         F.col("l_linenumber").alias("linenumber"),
-        F.col("l_extendedprice").alias("price"),
+        micro_units(F.col("l_extendedprice")).alias("price_micro"),
     )
 
 
@@ -139,7 +150,8 @@ def topk_per_group_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         l_returnflag AS returnflag,
         l_linestatus AS linestatus,
         count(*) AS n_rows,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 1000000 AS BIGINT)
+            AS revenue_micro
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -156,7 +168,10 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_returnflag").alias("returnflag"),
             F.col("l_linestatus").alias("linestatus"),
         )
-        .agg(F.count("*").alias("n_rows"), _dsum("l_extendedprice", "revenue"))
+        .agg(
+        F.count("*").alias("n_rows"),
+        _dsum_micro("l_extendedprice", "revenue_micro"),
+    )
     )
 
 
@@ -239,7 +254,7 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             PARTITION BY o_custkey
             ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) AS DOUBLE) AS cumulative_spend,
+        ) * 1000000 AS BIGINT) AS cumulative_spend_micro,
         lag(o_orderkey) OVER w  AS prev_orderkey,
         lead(o_orderkey) OVER w AS next_orderkey,
         CAST(ntile(4) OVER w AS BIGINT) AS recency_quartile
@@ -265,10 +280,9 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderkey").alias("orderkey"),
         F.col("o_orderdate").alias("orderdate"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(wcum)
-        .cast("double")
-        .alias("cumulative_spend"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(wcum) * 1_000_000)
+        .cast("long")
+        .alias("cumulative_spend_micro"),
         F.lag("o_orderkey").over(w).alias("prev_orderkey"),
         F.lead("o_orderkey").over(w).alias("next_orderkey"),
         F.ntile(4).over(w).cast("long").alias("recency_quartile"),
@@ -313,7 +327,8 @@ def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS window_start,
         event_type,
         count(*) AS n_events,
-        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        CAST(sum(CAST(value AS DECIMAL(18,2))) * 1000000 AS BIGINT)
+            AS total_value_micro
     FROM events
     GROUP BY 1, 2
     """,
@@ -331,13 +346,13 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            _dsum("value", "total_value"),
+            _dsum_micro("value", "total_value_micro"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
-            "total_value",
+            "total_value_micro",
         )
     )
 
@@ -509,7 +524,8 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "semi_anti_joins",
     oracle="""
-    SELECT c_custkey AS custkey, c_mktsegment AS segment, c_acctbal AS acctbal
+    SELECT c_custkey AS custkey, c_mktsegment AS segment,
+           CAST(round(c_acctbal * 1000000) AS BIGINT) AS acctbal_micro
     FROM customer c
     WHERE EXISTS (
         SELECT 1 FROM orders o
@@ -539,7 +555,7 @@ def semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("c_custkey").alias("custkey"),
             F.col("c_mktsegment").alias("segment"),
-            F.col("c_acctbal").alias("acctbal"),
+            micro_units(F.col("c_acctbal")).alias("acctbal_micro"),
         )
     )
 
@@ -551,7 +567,8 @@ def semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         l_returnflag AS returnflag,
         l_linestatus AS linestatus,
         count(*) AS n_rows,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 1000000 AS BIGINT)
+            AS revenue_micro
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -563,7 +580,10 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.cube(
         F.col("l_returnflag").alias("returnflag"),
         F.col("l_linestatus").alias("linestatus"),
-    ).agg(F.count("*").alias("n_rows"), _dsum("l_extendedprice", "revenue"))
+    ).agg(
+        F.count("*").alias("n_rows"),
+        _dsum_micro("l_extendedprice", "revenue_micro"),
+    )
 
 
 @query(
@@ -571,9 +591,11 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         l_returnflag AS returnflag,
-        median(l_quantity) AS median_qty,
-        quantile_cont(l_extendedprice, 0.9) AS p90_price,
-        quantile_cont(l_discount, 0.5) AS median_discount
+        CAST(round(median(l_quantity) * 1000000) AS BIGINT) AS median_qty_micro,
+        CAST(round(quantile_cont(l_extendedprice, 0.9) * 1000000) AS BIGINT)
+            AS p90_price_micro,
+        CAST(round(quantile_cont(l_discount, 0.5) * 1000000) AS BIGINT)
+            AS median_discount_micro
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -589,9 +611,13 @@ def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = Catalog(spark, sf_dir).lineitem
     return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
-        F.median("l_quantity").alias("median_qty"),
-        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
-        F.percentile("l_discount", F.lit(0.5)).alias("median_discount"),
+        micro_units(F.median("l_quantity")).alias("median_qty_micro"),
+        micro_units(F.percentile("l_extendedprice", F.lit(0.9))).alias(
+            "p90_price_micro"
+        ),
+        micro_units(F.percentile("l_discount", F.lit(0.5))).alias(
+            "median_discount_micro"
+        ),
     )
 
 
@@ -613,7 +639,9 @@ def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged AS (
         SELECT * FROM base UNION ALL SELECT * FROM updates
     )
-    SELECT user_id, event_type, value AS current_value, ts AS current_ts
+    SELECT user_id, event_type,
+           CAST(round(value * 1000000) AS BIGINT) AS current_value_micro,
+           ts AS current_ts
     FROM merged
     QUALIFY row_number() OVER (PARTITION BY user_id, event_type
                                ORDER BY ts DESC, event_id DESC) = 1
@@ -649,7 +677,7 @@ def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "event_type",
-            F.col("value").alias("current_value"),
+            micro_units(F.col("value")).alias("current_value_micro"),
             F.col("ts").alias("current_ts"),
         )
     )

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
+from ..functions.scalars import micro_units
 from ..functions import scalars as SC
 from ..operators.windows import latest_per_group, paginate
 
@@ -97,7 +98,7 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_custkey AS custkey,
         trim(c_name) AS name,
         c_mktsegment AS segment,
-        c_acctbal AS acctbal
+        CAST(round(c_acctbal * 1000000) AS BIGINT) AS acctbal_micro
     FROM customer
     WHERE c_mktsegment <> 'MACHINERY' AND c_acctbal IS NOT NULL
     ORDER BY c_custkey
@@ -120,7 +121,7 @@ def basic_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey").alias("custkey"),
             F.trim(F.col("c_name")).alias("name"),
             F.col("c_mktsegment").alias("segment"),
-            F.col("c_acctbal").alias("acctbal"),
+            micro_units(F.col("c_acctbal")).alias("acctbal_micro"),
         )
         .orderBy("custkey")
     )
@@ -181,7 +182,7 @@ def current_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.l_orderkey    AS section_id,
         o.o_custkey     AS ldap_uid,
         l.l_linenumber  AS enroll_seq,
-        l.l_quantity    AS units_taken,
+        CAST(round(l.l_quantity * 1000000) AS BIGINT) AS units_taken_micro,
         l.l_returnflag  AS enroll_status,
         l.l_linestatus  AS grading_basis,
         o.o_orderpriority AS course_career,
@@ -212,7 +213,7 @@ def term_enrollments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").alias("section_id"),
             F.col("o_custkey").alias("ldap_uid"),
             F.col("l_linenumber").alias("enroll_seq"),
-            F.col("l_quantity").alias("units_taken"),
+            micro_units(F.col("l_quantity")).alias("units_taken_micro"),
             F.col("l_returnflag").alias("enroll_status"),
             F.col("l_linestatus").alias("grading_basis"),
             F.col("o_orderpriority").alias("course_career"),
@@ -324,7 +325,7 @@ def term_courses(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.c_mktsegment AS dept,
         e.event_type AS change_type,
         e.ts         AS last_updated,
-        e.value      AS amount
+        CAST(round(e.value * 1000000) AS BIGINT) AS amount_micro
     FROM ev e
     JOIN customer c ON e.user_id = c.c_custkey
     WHERE e.event_type IN ('click', 'view', 'purchase')
@@ -361,7 +362,7 @@ def recent_instructor_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("dept"),
             F.col("event_type").alias("change_type"),
             F.col("ts").alias("last_updated"),
-            F.col("value").alias("amount"),
+            micro_units(F.col("value")).alias("amount_micro"),
         )
         .orderBy(F.col("last_updated").desc())
     )
@@ -379,7 +380,8 @@ def recent_instructor_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ps AS (
         SELECT l_partkey, l_suppkey,
                count(*) AS n_lines,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 1000000 AS BIGINT)
+                   AS total_qty_micro
         FROM lineitem
         GROUP BY l_partkey, l_suppkey
     )
@@ -389,7 +391,7 @@ def recent_instructor_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.l_suppkey   AS suppkey,
         l.l_linenumber AS linenumber,
         ps.n_lines    AS n_lines,
-        ps.total_qty  AS total_qty
+        ps.total_qty_micro AS total_qty_micro
     FROM lineitem l
     JOIN ps ON l.l_partkey = ps.l_partkey AND l.l_suppkey = ps.l_suppkey
     WHERE ps.n_lines > 1
@@ -408,9 +410,9 @@ def composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).lineitem
     stats = li.groupBy("l_partkey", "l_suppkey").agg(
         F.count("*").alias("n_lines"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("total_qty"),
+        (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 1_000_000)
+        .cast("long")
+        .alias("total_qty_micro"),
     )
     return (
         li.join(stats, on=["l_partkey", "l_suppkey"], how="inner")
@@ -421,7 +423,7 @@ def composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").alias("suppkey"),
             F.col("l_linenumber").alias("linenumber"),
             F.col("n_lines"),
-            F.col("total_qty"),
+            F.col("total_qty_micro"),
         )
     )
 
@@ -440,7 +442,7 @@ def composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.l_linenumber AS enroll_seq,
         l.l_returnflag AS status,
         l.l_linestatus AS grading_basis,
-        l.l_quantity   AS units
+        CAST(round(l.l_quantity * 1000000) AS BIGINT) AS units_micro
     FROM lineitem l
     WHERE l.l_returnflag <> 'A'
       AND (CASE l.l_linestatus
@@ -487,7 +489,7 @@ def omit_drops_withdrawals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").alias("enroll_seq"),
             F.col("l_returnflag").alias("status"),
             F.col("l_linestatus").alias("grading_basis"),
-            F.col("l_quantity").alias("units"),
+            micro_units(F.col("l_quantity")).alias("units_micro"),
         )
     )
 
@@ -507,7 +509,7 @@ def omit_drops_withdrawals(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.user_id    AS user_id,
         e.event_type AS event_type,
         e.ts         AS version_ts,
-        e.value      AS value
+        CAST(round(e.value * 1000000) AS BIGINT) AS value_micro
     FROM ev e
     WHERE e.ts = (
         SELECT max(e2.ts) FROM ev e2
@@ -543,7 +545,7 @@ def latest_event_version(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id"),
             F.col("event_type"),
             F.col("ts").alias("version_ts"),
-            F.col("value"),
+            micro_units(F.col("value")).alias("value_micro"),
         )
     )
 
@@ -567,7 +569,7 @@ def latest_event_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         regexp_replace(p_name, '[\\n\\r]', '', 'g') AS name_nonl,
         CASE WHEN p_size > 25 THEN 'LARGE' ELSE 'SMALL' END AS size_class,
         CASE WHEN p_retailprice IS NOT NULL THEN 'priced' ELSE 'unpriced' END AS priced,
-        round(p_retailprice, 2)                     AS price
+        CAST(round(p_retailprice * 1000000) AS BIGINT) AS price_micro
     FROM part
     """,
 )
@@ -598,7 +600,7 @@ def scalar_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_retailprice").isNotNull(), "priced")
         .otherwise("unpriced")
         .alias("priced"),
-        F.round("p_retailprice", 2).alias("price"),
+        micro_units(F.col("p_retailprice")).alias("price_micro"),
     )
 
 
@@ -766,7 +768,8 @@ def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         cal.m_start AS month_start,
         count(*)    AS n_shipments,
-        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 1000000 AS BIGINT)
+            AS revenue_micro
     FROM lineitem l
     JOIN cal ON l.l_shipdate >= cal.m_start AND l.l_shipdate <= cal.m_end
     GROUP BY cal.m_start
@@ -805,9 +808,9 @@ def range_join_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("m_start").alias("month_start"))
         .agg(
             F.count("*").alias("n_shipments"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("revenue"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 1_000_000)
+            .cast("long")
+            .alias("revenue_micro"),
         )
     )
 
@@ -827,7 +830,7 @@ def range_join_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_id,
         event_type,
         ts    AS last_seen,
-        value AS last_value
+        CAST(round(value * 1000000) AS BIGINT) AS last_value_micro
     FROM ev
     WHERE ts >= TIMESTAMP '2024-01-26 00:00:00'
     QUALIFY ts = max(ts) OVER (PARTITION BY user_id, event_type)
@@ -851,7 +854,7 @@ def watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.col("ts").alias("last_seen"),
-        F.col("value").alias("last_value"),
+        micro_units(F.col("value")).alias("last_value_micro"),
     )
 
 

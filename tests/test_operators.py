@@ -981,12 +981,12 @@ def test_resample_ffill_gap_semantics(spark):
     u1 = [(1, base), (1, base + 600), (1, base + 1200), (1, base + 1800)]
     assert set(got) == set(u1) | {(2, base + 3600)}
     # bucket 0: two events, last (by ts) wins
-    assert got[(1, base)]["n_events"] == 2 and got[(1, base)]["last_value"] == 20.0
+    assert got[(1, base)]["n_events"] == 2 and got[(1, base)]["last_value_micro"] == 20_000_000
     # holes: flagged gaps, value carried forward
     for e in (base + 600, base + 1200):
-        assert got[(1, e)]["is_gap"] == 1 and got[(1, e)]["last_value"] == 20.0
+        assert got[(1, e)]["is_gap"] == 1 and got[(1, e)]["last_value_micro"] == 20_000_000
         assert got[(1, e)]["n_events"] == 0
-    assert got[(1, base + 1800)]["last_value"] == 30.0
+    assert got[(1, base + 1800)]["last_value_micro"] == 30_000_000
     assert got[(2, base + 3600)]["is_gap"] == 0
 
 
@@ -1007,13 +1007,13 @@ def test_trailing_range_stats_time_horizon(spark):
         rows, "event_id long, user_id long, ts string, value double"
     )
     got = {r["event_id"]: r for r in trailing_range_stats(ev).collect()}
-    assert got[1]["n_trailing"] == 1 and got[1]["mean_trailing"] == 10.0
+    assert got[1]["n_trailing"] == 1 and got[1]["mean_trailing_micro"] == 10_000_000
     # peer rows at the same epoch are BOTH in each other's frame
     assert got[2]["n_trailing"] == 3 and got[3]["n_trailing"] == 3
-    assert got[2]["mean_trailing"] == 20.0  # (10+20+30)/3
+    assert got[2]["mean_trailing_micro"] == 20_000_000  # (10+20+30)/3
     # 24h horizon: event 1 (00:00 day1) aged out by 09:00 day2
-    assert got[4]["n_trailing"] == 3 and got[4]["max_trailing"] == 40.0
-    assert got[5]["n_trailing"] == 2 and got[5]["mean_trailing"] == 45.0
+    assert got[4]["n_trailing"] == 3 and got[4]["max_trailing_micro"] == 40_000_000
+    assert got[5]["n_trailing"] == 2 and got[5]["mean_trailing_micro"] == 45_000_000
 
 
 def test_resample_interpolate_straight_line(spark):
@@ -1033,10 +1033,10 @@ def test_resample_interpolate_straight_line(spark):
         for r in resample_interpolate(ev, step_seconds=600).collect()
     }
     base = 1704067200
-    assert got[base]["value_interp"] == 10.0 and got[base]["is_gap"] == 0
-    assert got[base + 600]["value_interp"] == 20.0
-    assert got[base + 1200]["value_interp"] == 30.0
-    assert got[base + 1800]["value_interp"] == 40.0
+    assert got[base]["value_interp_micro"] == 10_000_000 and got[base]["is_gap"] == 0
+    assert got[base + 600]["value_interp_micro"] == 20_000_000
+    assert got[base + 1200]["value_interp_micro"] == 30_000_000
+    assert got[base + 1800]["value_interp_micro"] == 40_000_000
     assert got[base + 600]["is_gap"] == 1 and got[base + 1200]["is_gap"] == 1
 
 
@@ -1108,8 +1108,8 @@ def test_retention_cohorts_matrix(spark):
     assert set(k[1] for k in got) == {0, 1}
     (c0,) = {k[0] for k in got}
     assert got[(c0, 0)]["n_active"] == 2 and got[(c0, 0)]["cohort_size"] == 2
-    assert got[(c0, 0)]["retention"] == 1.0
-    assert got[(c0, 1)]["n_active"] == 1 and got[(c0, 1)]["retention"] == 0.5
+    assert got[(c0, 0)]["retention_micro"] == 1_000_000
+    assert got[(c0, 1)]["n_active"] == 1 and got[(c0, 1)]["retention_micro"] == 500_000
 
 
 def test_event_transitions_semantics(spark):
@@ -1131,12 +1131,12 @@ def test_event_transitions_semantics(spark):
         rows, "user_id long, ts timestamp, event_type string"
     )
     got = {
-        (r["from_type"], r["to_type"]): (r["n_transitions"], r["share"])
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["share_micro"])
         for r in event_transitions(events).collect()
     }
     assert got == {
-        ("A", "B"): (2, round(2 / 3, 6)),
-        ("B", "C"): (1, round(1 / 3, 6)),
+        ("A", "B"): (2, round(2 / 3 * 1e6)),
+        ("B", "C"): (1, round(1 / 3 * 1e6)),
     }
 
 
@@ -1170,4 +1170,4 @@ def test_trailing_anomaly_flags_semantics(spark):
     # widens, 10.2 is not 3 sigma out
     assert not got[7]["is_anomaly"]
     # thin-baseline rows carry NULL z, not a flag
-    assert got[1]["z_score"] is None and not got[1]["is_anomaly"]
+    assert got[1]["z_score_micro"] is None and not got[1]["is_anomaly"]

@@ -269,10 +269,13 @@ def test_snapshot_diff_statuses(spark):
         5: "unchanged",
         6: "added",
     }
-    s = {r["status"]: (r["n"], r["share"]) for r in snapshot_diff_summary(d).collect()}
+    s = {
+        r["status"]: (r["n"], r["share_micro"])
+        for r in snapshot_diff_summary(d).collect()
+    }
     assert s["unchanged"][0] == 2 and s["changed"][0] == 2
     assert s["added"][0] == 1 and s["removed"][0] == 1
-    assert abs(sum(v[1] for v in s.values()) - 1.0) < 1e-6
+    assert abs(sum(v[1] for v in s.values()) - 1_000_000) <= 2
 
 
 def test_snapshot_diff_multi_column_compare(spark):
@@ -296,7 +299,7 @@ def test_psi_report_identical_and_shifted(spark):
         [(i, (i % 10) / 10.0 + 0.05) for i in range(100)], "id long, s double"
     )
     same = psi_report(a, a, F.col("s")).collect()
-    assert all(r["psi"] == 0.0 for r in same)
+    assert all(r["psi_micro"] == 0 for r in same)
     assert len(same) == 10
 
     # everything shifts into the top bin -> large PSI
@@ -304,12 +307,12 @@ def test_psi_report_identical_and_shifted(spark):
         [(i, 0.95) for i in range(100)], "id long, s double"
     )
     shifted = psi_report(a, b, F.col("s")).collect()
-    psi = shifted[0]["psi"]
-    assert psi > 0.25  # the classic "population shifted" threshold
+    psi = shifted[0]["psi_micro"]
+    assert psi > 250_000  # the classic "population shifted" threshold
     # shares: base uniform 0.1 per bin; cur all in bin 9
     by_bin = {r["bin"]: r for r in shifted}
-    assert abs(by_bin[9]["share_cur"] - 1.0) < 1e-9
-    assert abs(by_bin[0]["share_cur"] - 1e-6) < 1e-12
+    assert by_bin[9]["share_cur_micro"] == 1_000_000
+    assert by_bin[0]["share_cur_micro"] == 1  # the 1e-6 eps floor
 
 
 def test_key_skew_report_flags_heavy_hitter(spark):
@@ -322,9 +325,9 @@ def test_key_skew_report_flags_heavy_hitter(spark):
     got = key_skew_report(df, "k", top_n=3).collect()
     assert got[0]["key"] == "hot"
     assert got[0]["n_rows"] == 50
-    assert got[0]["share"] == 0.5
+    assert got[0]["share_micro"] == 500_000
     # background keys have 2 rows each -> median 2, ratio 25
-    assert got[0]["ratio_to_median"] == 25.0
+    assert got[0]["ratio_to_median_micro"] == 25_000_000
     assert [r["n_rows"] for r in got[1:]] == [2, 2]
 
 
@@ -333,8 +336,8 @@ def test_key_skew_report_uniform_ratio_one(spark):
 
     df = spark.createDataFrame([(f"k{i}",) for i in range(10)] * 3, ["k"])
     got = key_skew_report(df, "k", top_n=5).collect()
-    assert all(r["ratio_to_median"] == 1.0 for r in got)
-    assert all(r["share"] == round(3 / 30, 6) for r in got)
+    assert all(r["ratio_to_median_micro"] == 1_000_000 for r in got)
+    assert all(r["share_micro"] == round(3 / 30 * 1e6) for r in got)
 
 
 def test_index_overlap_report_estimates_known_overlap(spark, tmp_path):

@@ -21,12 +21,12 @@ def test_windowed_counts_match_batch(spark):
     stream = windowed_counts(events_stream(spark, SF_DIR))
     run_to_memory(stream, "stream_windowed", mode="complete")
     got = {
-        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value_micro"])
         for r in spark.sql("SELECT * FROM stream_windowed").collect()
     }
     batch = all_queries()["events_tumbling_window"](spark, SF_DIR)
     want = {
-        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value_micro"])
         for r in batch.collect()
     }
     assert got == want
