@@ -58,6 +58,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalars import micro_units
+
 from ..functions.text import PRETOKEN_PATTERN
 from .dedup import CPU_PARTITIONS
 
@@ -355,9 +357,9 @@ def bpe_token_stats(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-document tokenization report under a trained merge table:
-    ``(doc_id, n_chars, n_pretokens, n_bpe_tokens, chars_per_token)`` —
+    ``(doc_id, n_chars, n_pretokens, n_bpe_tokens, chars_per_token_micro)`` —
     the compression-ratio view that decides whether a vocabulary is
-    worth its size. chars_per_token is rounded to 6 digits; counts are
+    worth its size. chars_per_token is fixed-point micro-units; counts are
     exact. One encode pass; the merge table rides the closure."""
     enc = bpe_encode(docs, merges, text_col=text_col)
     return enc.select(
@@ -365,11 +367,10 @@ def bpe_token_stats(
         F.length(F.col(text_col)).alias("n_chars"),
         F.size(pretokens(F.col(text_col))).alias("n_pretokens"),
         F.size("bpe_tokens").alias("n_bpe_tokens"),
-        F.round(
+        micro_units(
             F.length(F.col(text_col))
-            / F.greatest(F.size("bpe_tokens"), F.lit(1)),
-            6,
-        ).alias("chars_per_token"),
+            / F.greatest(F.size("bpe_tokens"), F.lit(1))
+        ).alias("chars_per_token_micro"),
     )
 
 
@@ -616,13 +617,12 @@ def tokenizer_drift(old_merges: DataFrame, new_merges: DataFrame) -> DataFrame:
         "n_new",
         "n_shared",
         "n_rank_moved",
-        F.round(
+        micro_units(
             F.col("n_shared")
             / F.greatest(
                 F.col("n_old") + F.col("n_new") - F.col("n_shared"), F.lit(1)
-            ),
-            6,
-        ).alias("jaccard"),
+            )
+        ).alias("jaccard_micro"),
         F.coalesce(
             F.col("__first_div"), F.least("n_old", "n_new")
         ).cast("int").alias("prefix_len"),

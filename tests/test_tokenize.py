@@ -350,10 +350,10 @@ def test_tokenizer_drift_report(spark):
     r = T.tokenizer_drift(m4, m8).collect()[0]
     assert (r["n_old"], r["n_new"], r["n_shared"]) == (4, 8, 4)
     assert r["n_rank_moved"] == 0 and r["prefix_len"] == 4
-    assert abs(r["jaccard"] - 0.5) < 1e-9
+    assert r["jaccard_micro"] == 500_000
     # identical tables: full overlap, prefix == length
     r2 = T.tokenizer_drift(m8, m8).collect()[0]
-    assert r2["jaccard"] == 1.0 and r2["prefix_len"] == 8
+    assert r2["jaccard_micro"] == 1_000_000 and r2["prefix_len"] == 8
     # disjoint corpora: divergence at rank 0
     other = spark.createDataFrame(
         [(0, "zzz zzz zzz yyy yyy")], "doc_id long, text string"
