@@ -39,288 +39,195 @@ def all_oracle_sql() -> dict[str, str]:
 # subset of a retained row (documented in PARITY.md).
 DRIVER_QUERY_CAP = 50
 DRIVER_EXCLUDED = {
+    # ---- standing exclusions (strict semantic subsets of retained rows,
+    # or registry-only by design) -------------------------------------
     # Same lag + running-sum sessionization as events_sessionization minus
     # the session_nbr column — green events_sessionization implies it.
     "events_session_native",
-    # Inverse of the retained pivot_event_counts over the same grouping —
-    # the pivot row plus the melt tests keep stack() covered.
+    # Inverse of pivot_event_counts over the same grouping; the pivot
+    # family's Expand/conditional-aggregate plan stays driver-checked via
+    # set_operations (re-admitted r7) and profile_table.
     "unpivot_event_counts",
     # cube_agg's grouping sets are a strict superset of rollup_agg's
-    # hierarchy; the retained cube row exercises the same Expand plan.
+    # hierarchy (cube itself rotates out r7; the Expand plan family stays
+    # driver-checked via set_operations' EXCEPT/INTERSECT lowering and
+    # profile_table's distinct aggregates).
     "rollup_agg",
-    # Rotated out in round 4 to make room for contamination / url_dedup /
-    # repetition_stats (hygiene surface the driver had never checked):
-    # ts parsing/formatting stays driver-checked via scalar_functions_suite
-    # (F.to_timestamp/date_format members) and byte-pinned by the golden
-    # sink tests; the Pacific-reinterpretation rule keeps its golden test.
+    # ts parsing/formatting stays driver-checked via
+    # scalar_functions_suite; Pacific-reinterpretation keeps its golden.
     "timestamp_formats",
-    # left-semi/left-anti plans stay driver-checked: scalar_subquery_filter
-    # (IN-subquery -> semi) and the retained dedup/mixture rows' anti-join
-    # probes; the EXISTS/NOT EXISTS forms keep their pytest oracle.
+    # left-semi/left-anti stay driver-checked via scalar_subquery_filter
+    # and the dedup/mixture anti-join probes; EXISTS forms keep pytest.
     "semi_anti_joins",
-    # both output columns are md5-expression composites over `text` —
-    # the same expression family dedup_exact (normalized-text md5) and
-    # dedup_minhash_lsh (per-element md5 min-aggregates) keep
-    # driver-checked; the winnowing window arithmetic keeps its pytest
-    # oracle.
+    # md5-expression composites over text — family driver-checked via
+    # dedup_exact + dedup_minhash_lsh; winnowing window keeps pytest.
     "doc_fingerprints",
-    # Rotated out for dedup_clusters (connected components — a genuinely
-    # new plan family): whitespace_token_count stays driver-checked via
-    # text_quality_score (n_tokens) and pack_sequences (budget fill);
-    # the remaining member, the ceil(len/4) subtoken bound, keeps its
-    # pytest DuckDB differential (test_queries covers every oracle).
+    # whitespace/subtoken counts — stay driver-checked via
+    # token_budget_prune (whitespace counts feed the budget) and
+    # quality_filter; ceil(len/4) member keeps its pytest differential.
     "token_counts",
-    # Rotated out r5 to make room for quality_filter + pii_stats (their
-    # first driver rows): the day-code CASE chain stays driver-checked
-    # inside scalar_functions_suite, and the collect_set/array_sort/
-    # array_join agg family inside tfidf_top_terms (collect over group
-    # + deterministic ordering); full pytest DuckDB differential kept.
+    # day-code CASE chain inside scalar_functions_suite; collect_set/
+    # array_sort agg family inside phrase_search's position assembly.
     "active_day_codes",
-    # Rotated out r5: the Expand + two-phase distinct-aggregate plan
-    # stays driver-checked via profile_table (countDistinct per column
-    # over lineitem); full pytest DuckDB differential kept.
+    # Expand + two-phase distinct-aggregate stays driver-checked via
+    # profile_table (countDistinct per column); pytest kept.
     "distinct_counts",
-    # Rotated out r6 to make room for doc_logprob / ngram_containment /
-    # dedup_survivors_quality / leakage_safe_split (four genuinely new
-    # plan families: broadcast-vocab LM scoring, posting-list asymmetric
-    # overlap, quality-argmax survivor windows, cluster-keyed split):
-    #
-    # corpus_split's doc-keyed md5 split is strictly subsumed by
-    # leakage_safe_split (same CASE thresholds, same md5-draw family as
-    # the retained mixture_sample; the new query adds the cluster
-    # coalesce on top); pytest DuckDB differential kept.
+    # md5 split thresholds subsumed by quota_sample (admitted r7) and
+    # the mixture family's draw; pytest differential kept.
     "corpus_split",
-    # text_quality_score's composite is recomputed EXPRESSION-FOR-
-    # EXPRESSION inside the retained quality_filter driver row (its
-    # oracle embeds the same length/stopword formula before ranking);
-    # pytest differential kept.
+    # composite recomputed expression-for-expression inside the retained
+    # quality_filter row (and now hashed as integer micro-units there).
     "text_quality_score",
-    # top_tokens_per_lang's explode + group-count + rank-window family
-    # stays driver-checked via tfidf_top_terms (same token explode, same
-    # count aggregate, same per-group rank cut); pytest differential
-    # kept.
+    # explode + group-count + rank-window family driver-checked via
+    # bm25_search (token explode + per-doc aggregation + rank cut).
     "top_tokens_per_lang",
-    # quota_sample is REGISTRY-ONLY by design, not a rotation: its
-    # md5-draw family (mixture_sample, leakage_safe_split) and its
-    # rank-cut window family (topk_per_group_price, quality_filter) are
-    # both already driver-checked; the new CONTRACT (exact per-stratum
-    # counts, superset-on-growth) is pinned by the pytest DuckDB
-    # differential + property tests instead of a driver slot.
-    "quota_sample",
-    # ann_cosine_topk's brute-force scoring is the same rounded
-    # dot-product expression family driver-checked in embedding_near_dup
-    # and ann_bucketed_topk (exact-cosine verification over the probed
-    # cells), and its per-query rank-cut window is topk_per_group_price's
-    # retained plan; pytest DuckDB differential kept. Rotated r6 for
-    # near_dup_contamination (sketch-level eval decontamination — a new
-    # capability, not a new expression family).
+    # brute-force rounded-dot family driver-checked via
+    # embedding_near_dup (exact verification over probed cells); the
+    # per-query rank window via hybrid_search's channel ranks.
     "ann_cosine_topk",
-    # doc_chunking's sequence-explode + substring-window family is the
-    # exact gram-generation shape driver-checked inside
-    # dedup_ngram_jaccard and ngram_containment (explode positions,
-    # substring slices, per-doc agg); the overlap/stride arithmetic
-    # keeps its pytest DuckDB differential. Rotated r6 for line_dedup
-    # (line-level boilerplate removal — a genuinely new df-cap +
-    # reassembly plan family).
+    # sequence-explode + substring-window family inside
+    # dedup_minhash_lsh / contamination gram generation; pytest kept.
     "doc_chunking",
-    # Rotated out r6 to make room for incremental_near_dup (the r5
-    # persisted-index family's FIRST driver witness: index round-trip
-    # probe with bucket cap + size prune + agreement estimate) and
-    # assemble_sequences (ordered-aggregation assembly, VERDICT r5 #8):
-    #
-    # catalog_number_parsing's F8-F13 regexp/substring members stay
-    # driver-checked inside scalar_functions_suite (same expression
-    # family over the same fixture); full pytest DuckDB differential
-    # kept.
+    # F8-F13 regexp/substring members inside scalar_functions_suite.
     "catalog_number_parsing",
-    # pagination_window is byte-compat only (ROWNUM offset+limit
-    # envelope): the row_number window family stays driver-checked via
-    # topk_per_group_price / current_terms_topk / quality_filter, and
-    # the offset+limit arithmetic keeps its pytest oracle.
-    "pagination_window",
-    # running_total's cumulative-window-over-ordered-partition plan —
-    # and the lag/lead members merged into it when lag_lead_analytics
-    # was excluded — stay driver-checked via events_sessionization
-    # (lag + running sum over the same ordered user window) and
-    # pack_sequences (running sum as start_offset); pytest
-    # differential kept.
+    # cumulative-window family driver-checked via events_sessionization
+    # (lag + running sum over the same ordered user window).
     "running_total",
-    # REGISTRY-ONLY by design (not a rotation): the int8-scan +
-    # exact-float-rerank ANN. No DuckDB oracle on purpose — the
-    # round(x/scale) int8 boundary is the one spot engine ulp drift
-    # could flip a candidate; the pytest equalities (rerank scores ==
-    # float scores on every overlapping pair; recall >= 0.9 vs
-    # cosine_topk) pin it instead. Benched for the scan-cost story.
+    # REGISTRY-ONLY by design: int8-scan + exact-float-rerank ANN. No
+    # DuckDB oracle on purpose — the round(x/scale) int8 boundary is
+    # where engine ulp drift could flip a candidate; pytest equalities
+    # (rerank == float scores; recall >= 0.9) pin it. Benched.
     "ann_quantized_topk",
-    # Rotated out r6 (second wave) to make room for mixture_upsample
-    # (row-multiplication explode — a plan family with no prior driver
-    # row) and train_order (epoch shuffle-key expression, VERDICT r5 #8):
-    #
-    # priority_ordered_extract's CASE-priority sort key stays
-    # driver-checked via current_terms_topk (same CASE-ranked ordering
-    # feeding a window cut) and scalar_functions_suite (the CASE
-    # expression family); ordering itself is invisible to the driver's
-    # order-insensitive hash, so the row only ever witnessed the key
-    # expression; pytest DuckDB differential kept.
+    # CASE-priority sort key via current_terms_topk +
+    # scalar_functions_suite; ordering is invisible to the driver's
+    # order-insensitive hash anyway.
     "priority_ordered_extract",
-    # set_operations' UNION/INTERSECT/EXCEPT keep their pytest DuckDB
-    # differential; the Expand/aggregate plan shape the set-ops lower to
-    # stays driver-checked via cube_agg (grouping-set Expand) and the
-    # distinct aggregates in profile_table.
-    "set_operations",
-    # REGISTRY-ONLY by design (not a rotation): BPE vocabulary
-    # induction + tokenization. The iterative merge induction is not
-    # SQL-expressible, so there is no DuckDB oracle to hash against —
-    # a driver slot would only buy a rows-only check, while the pytest
-    # tier pins far more (merge table == independent naive reference;
-    # distributed trainer == driver trainer; encode == sequential merge
-    # replay; exact concat round-trip). Benched for the encode-cost
-    # story.
+    # REGISTRY-ONLY by design: iterative BPE merge induction is not
+    # SQL-expressible; pytest pins far more than a rows-only driver slot
+    # would (naive-reference equality, trainer equivalence, replay
+    # encode, concat round-trip). Benched for the encode-cost story.
     "bpe_token_stats",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # PSI distributional drift between corpus halves — the monitoring
-    # tier's histogram complement to stats_drift's volume ratios.
-    "quality_psi",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # bigram-LM scoring — the conditional-probability upgrade of
-    # doc_logprob (lag window + two broadcast model tables with
-    # deterministic cuts). r7 rotation candidate.
-    "bigram_logprob",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # the LSH banding-recall report at sample_frac=1.0, its oracle
-    # composed from the shared verified-pairs fragment + an all-pairs
-    # truth CTE. r7 rotation candidate.
-    "lsh_recall",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # the interpolate() twin of resample_gapfill (straight-line fill
-    # between anchor slots, three-window shape). r7 candidate.
-    "resample_interpolate",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # weekly cohort retention matrix (per-key cohort min + one distinct
-    # aggregation; matrix output is metadata-sized). r7 candidate.
-    "retention_cohorts",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # declared-schema JSON extraction over the events props payload —
-    # the semi-structured family (from_json, no inference), previously
-    # the one unexercised fixture column. r7 candidate.
-    "json_props_extract",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # the VARIANT-typed twin (Spark 4 parse_json + variant_get) — same
-    # oracle truth as the from_json row, pinning both semi-structured
-    # paths. r7 candidate.
-    "variant_props_extract",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # event-type transition counts (path analysis: per-key lag window
-    # + types^2 count + broadcast total + partial top-N). r7 rotation
-    # candidate.
-    "event_transitions",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # signed-feature-hashing document embeddings (integer component
-    # sums -> exact; one sqrt + division per component) — completes
-    # the documents -> vectors -> semantic-dedup chain model-free.
-    # r7 rotation candidate.
-    "hash_embeddings",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # held-out confusion/P/R/F1 of the incrementally-trained model —
-    # the pre-publish gate as a one-row oracle check. r7 candidate.
-    "classifier_eval",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # BM25 against the persisted inverted index (probe == batch
-    # theorem as a hash check; two-batch seed, bucket-pruned read).
-    # r7 rotation candidate.
-    "bm25_index_probe",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # the incremental-training round trip (two-batch count ledger ->
-    # lossless fold -> held-out scoring with the unseen fallback).
-    # r7 rotation candidate.
-    "incremental_classifier",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # trailing-baseline anomaly flags (the RANGE frame excluding the
-    # current row + guarded z-score). r7 rotation candidate.
-    "anomaly_flags",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # diversity-balanced sampling (sign-LSH cells over hashed
-    # embeddings + md5 draw + per-cell rank cut). r7 rotation
-    # candidate.
-    "diversity_sample",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # hybrid BM25 + dense retrieval fused by reciprocal rank fusion
-    # (two bounded channels, rank windows over <= 100-row candidate
-    # sets). r7 rotation candidate.
-    "hybrid_search",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # exact phrase search through the positional index (round-trip
-    # witness pattern; adjacency joins over bucket-pruned occurrence
-    # streams). r7 rotation candidate.
-    "phrase_search",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # BM25 corpus retrieval (Okapi ranking: smoothed idf, tf
-    # saturation, length normalization, decimal-exact contribution
-    # sum). r7 rotation candidate.
-    "bm25_search",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # heavy-hitter key-skew diagnosis (keyed count + broadcast
-    # median/total + partial top-N) — the pre-shuffle salting
-    # decision's measurement. r7 rotation candidate.
-    "events_key_skew",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # DSIR importance resampling (class-conditional bucket ratio +
-    # md5 Gumbel-top-k — the data-selection step between quality
-    # gating and mixture sampling). r7 rotation candidate.
-    "dsir_select",
-    # REGISTRY-ONLY this round (cap spent), full DuckDB oracle ready:
-    # the hashed bag-of-words linear classifier (train + score in one
-    # plan — the oracle reproduces the TRAINING math: smoothed
-    # log-odds weights and prior bias, not just the scoring join).
-    # r7 rotation candidate with the queue above.
-    "quality_classifier",
-    # Rotated out r6 (third wave) to make room for the queued new-plan
-    # families (repeated_span_removal, snapshot_cdc, token_budget_prune,
-    # prefix_jaccard_join, resample_gapfill, trailing_range_stats,
-    # funnel_steps, local_supplier_volume — all pre-verified hash-green
-    # at sf0.01 via driver_sim this session). Each row below keeps its
-    # full pytest DuckDB differential; only the driver slot moves:
-    #
-    # watermark_incremental: the high-watermark timestamp predicate
-    # stays driver-checked via recent_instructor_updates (same
-    # threshold comparison over the same fixture), and the streaming
-    # twin carries the incremental semantics with batch-parity tests
-    # (PARITY-named rotation-out candidate).
-    "watermark_incremental",
-    # latest_event_version: the conditional-window-max / epoch-sentinel
-    # family stays driver-checked via cdc_upsert (latest-version-wins
-    # over the same events fixture; PARITY-named candidate).
-    "latest_event_version",
-    # topk_per_group_price: the rank-cut window family stays
-    # driver-checked via current_terms_topk (rank over CASE priority)
-    # and quality_filter (rank against a percentile gate).
+    # rank-cut window family via current_terms_topk + quality_filter.
     "topk_per_group_price",
-    # mixture_sample: the md5-deterministic Bernoulli draw stays
-    # driver-checked via leakage_safe_split (same md5-threshold CASE)
-    # and mixture_upsample (the same draw deciding the fractional
-    # copy, plus the per-domain rate join on top).
+    # md5-Bernoulli draw via quota_sample (admitted r7, same draw with
+    # exact per-stratum counts) and diversity_sample's cell draw.
     "mixture_sample",
-    # composite_key_join: the 5-key composite equi-join family stays
-    # driver-checked via term_courses' retained 5-key composite
-    # left-outer chain (J7/J8 — the superset plan of the inner form).
-    "composite_key_join",
-    # events_tumbling_window: the time-bucket arithmetic stays
-    # driver-checked via resample_gapfill (same floor-to-step slot
-    # bucketing over the same events timestamps, plus grid generation
-    # on top); the streaming twin's batch-parity tests keep window()
-    # itself pinned.
+    # time-bucket arithmetic via resample_interpolate (floor-to-step
+    # slots + grid); the streaming twin keeps window() pinned with
+    # batch-parity tests.
     "events_tumbling_window",
-    # quantile_stats: the percentile-aggregate family stays
-    # driver-checked via quality_filter (percentile_approx gate); the
-    # exact-interpolation members (median / percentile vs DuckDB
-    # quantile_cont) keep their pytest differential.
+    # percentile-aggregate family via quality_filter's percentile gate;
+    # exact-interpolation members keep their pytest differential
+    # (micro-unit outputs since r7).
     "quantile_stats",
-    # pivot_event_counts: pivot lowers to one hash aggregate of
-    # CASE-conditional counts — the conditional-aggregate family
-    # pricing_summary_agg and cube_agg keep driver-checked; the pivot
-    # column synthesis and the unpivot/melt twin keep their pytest
-    # differentials.
+    # pivot lowers to conditional-count hash aggregate — family kept
+    # via profile_table; pivot/melt twins keep pytest differentials.
     "pivot_event_counts",
+    # ---- rotated out r7 to burn the ENTIRE 21-row oracle-ready queue
+    # (VERDICT r6 #2: every never-witnessed family gets its first
+    # driver slot) and re-admit the five stale §2 ids (VERDICT r6 #5:
+    # watermark_incremental, latest_event_version, composite_key_join,
+    # set_operations, pagination_window). Every row below keeps its
+    # full pytest DuckDB differential; only the driver slot moves. ----
+    #
+    # snapshot reverse-CDC diff: latest-version-wins family stays via
+    # the re-admitted latest_event_version; the diff's full-outer-join
+    # status CASE keeps pytest.
+    "snapshot_cdc",
+    # step-wise min-epoch funnel: the ordered-event families stay via
+    # events_sessionization (retained) + event_transitions +
+    # retention_cohorts (both admitted r7, the same per-key event-time
+    # machinery).
+    "funnel_steps",
+    # row-multiplication explode: the md5 fractional-copy draw stays
+    # via quota_sample / diversity_sample (admitted r7); explode-by-
+    # sequence stays via dsir_select's corpus-wide scoring chain.
+    "mixture_upsample",
+    # epoch shuffle-key expression family (md5 unit draw + ordering)
+    # stays via diversity_sample's draw + dsir_select's Gumbel key.
+    "train_order",
+    # running-sum budget fill stays via events_sessionization's running
+    # window; boundary arithmetic keeps pytest.
+    "pack_sequences",
+    # ordered collect/slice assembly stays via phrase_search's
+    # position-ordered adjacency assembly; exact round-trip pytest kept.
+    "assemble_sequences",
+    # unigram LM scoring: bigram_logprob (admitted r7) is the strict
+    # conditional superset (same vocab cut, same smoothing, same
+    # micro-unit outputs, plus the lag-pair model).
+    "doc_logprob",
+    # sketch-level est_jaccard decontamination: the agreement-estimate
+    # + banding family stays via incremental_near_dup (retained); the
+    # benchmark-broadcast shape via contamination (retained).
+    "near_dup_contamination",
+    # CASE-dispatch marker counting stays via scalar_functions_suite +
+    # quality_filter's occurrence ratios; 6 straight green witnesses.
+    "lang_id_heuristic",
+    # URL normalize + min-id survivor: the md5-group-min family stays
+    # via dedup_exact (retained); regexp members via
+    # scalar_functions_suite.
+    "url_dedup",
+    # explode + per-doc top-gram counts: family stays via bm25_search
+    # (token explode + per-doc tf) and the retained quality_filter
+    # composite; Gopher-gate thresholds keep pytest.
+    "repetition_stats",
+    # line-level df-cap boilerplate removal: the df-cap complement
+    # family stays via the retained contamination row's broadcast gram
+    # gate; reassembly keeps its injected-banner pytest oracle.
+    "line_dedup",
+    # span-level exact dedup: gram keys + keeper-choice + coverage
+    # reassembly keep pytest; the hot-gram df-cap family stays via
+    # contamination (retained).
+    "repeated_span_removal",
+    # TPC-H Q5 join chain: the multi-join decimal-agg family stays via
+    # range_join_calendar (retained) + composite_key_join (re-admitted).
+    "local_supplier_volume",
+    # TPC-H Q1 multi-aggregate: decimal-sum determinism is now pinned
+    # by the micro-unit rule everywhere; family stays via
+    # range_join_calendar + composite_key_join aggregates.
+    "pricing_summary_agg",
+    # grouping-set Expand: stays via set_operations (re-admitted;
+    # INTERSECT/EXCEPT lower to the same aggregate shapes) +
+    # profile_table.
+    "cube_agg",
+    # upsert merge (union + row_number latest-wins): stays via the
+    # re-admitted latest_event_version (conditional window max over the
+    # same events fixture).
+    "cdc_upsert",
+    # as-of last-before join: the conditional-window-max-before-cutoff
+    # family stays via latest_event_version (re-admitted); the
+    # applyInPandas twin keeps its equality pytest.
+    "asof_join_last_click",
+    # 3-gram jaccard banding: the banded-cap verify family stays via
+    # dedup_minhash_lsh + prefix_jaccard_join (both retained).
+    "dedup_ngram_jaccard",
+    # directional containment: the posting-list join + df-cap exclusion
+    # family stays via prefix_jaccard_join (posting-list prefix join,
+    # retained) and contamination (broadcast gram gate, retained).
+    "ngram_containment",
+    # simhash pigeonhole bands: the hot-bucket-cap banded equi-join is
+    # the same plan family as the retained dedup_minhash_lsh; hamming
+    # verification keeps its pytest differential. 6 straight greens.
+    "dedup_simhash",
+    # quality-argmax survivor window: component construction stays via
+    # dedup_clusters (retained), the quality composite via
+    # quality_filter (retained); first_value window keeps pytest.
+    "dedup_survivors_quality",
+    # cluster-keyed split: the cluster coalesce stays via dedup_clusters
+    # (retained); the md5 split thresholds via quota_sample (admitted).
+    "leakage_safe_split",
+    # IVF-bucketed top-k: the cell-restricted exact-rank family stays
+    # via embedding_near_dup (retained IVF probe + exact verify);
+    # per-query rank window via hybrid_search's channels.
+    "ann_bucketed_topk",
+    # tf*N/df salience ranking: the token tf/df machinery stays via
+    # bm25_search (admitted r7 — idf smoothing, tf saturation, rank
+    # cut: the strict retrieval superset of rational TF-IDF).
+    "tfidf_top_terms",
+    # forward-fill gapfill: resample_interpolate (admitted r7) is the
+    # same grid + anchor-window plan with interpolation on top;
+    # carry-forward member keeps pytest.
+    "resample_gapfill",
 }
 
 

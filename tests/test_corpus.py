@@ -427,13 +427,14 @@ def test_unigram_logprob_oov_floor_and_ranking(spark):
     # token tiebreak) = a, b, qq; N=12, V=3 -> denom = 12 + 0.5*4 = 14
     denom = 14.0
     lp = lambda c: round(math.log((c + 0.5) / denom), 9)
-    assert out[3]["oov_frac"] == 0.75  # qq in vocab, zz/xx/yy OOV
-    assert out[1]["oov_frac"] == 0.0
-    want1 = round((3 * lp(5) + lp(3)) / 4, 6)
-    assert abs(out[1]["avg_logprob"] - want1) < 1e-9
-    want3 = round((lp(1) + 3 * lp(0)) / 4, 6)  # one vocab hit + 3 OOV floors
-    assert abs(out[3]["avg_logprob"] - want3) < 1e-9
-    assert out[1]["avg_logprob"] > out[3]["avg_logprob"]
+    micro = lambda x: round(x * 1e6)
+    assert out[3]["oov_frac_micro"] == 750_000  # qq in vocab, zz/xx/yy OOV
+    assert out[1]["oov_frac_micro"] == 0
+    want1 = micro((3 * lp(5) + lp(3)) / 4)
+    assert out[1]["avg_logprob_micro"] == want1
+    want3 = micro((lp(1) + 3 * lp(0)) / 4)  # one vocab hit + 3 OOV floors
+    assert out[3]["avg_logprob_micro"] == want3
+    assert out[1]["avg_logprob_micro"] > out[3]["avg_logprob_micro"]
 
 
 def test_unigram_logprob_vocab_broadcasts(spark):
@@ -677,11 +678,14 @@ def test_bigram_logprob_discriminates_word_salad(spark):
     rows = [(i, natural) for i in range(8)] + [(100, salad)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
-    uni = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(docs).collect()}
+    uni = {
+        r["doc_id"]: r["avg_logprob_micro"]
+        for r in unigram_logprob(docs).collect()
+    }
     assert uni[0] == uni[100]  # same bag of words -> unigram tie
 
     bi = {
-        r["doc_id"]: r["avg_logprob"]
+        r["doc_id"]: r["avg_logprob_micro"]
         for r in bigram_logprob(docs, vocab_size=50, bigram_size=200).collect()
     }
     assert bi[0] > bi[100]  # conditional model prefers natural order
@@ -704,7 +708,10 @@ def test_dsir_weights_favor_target_population(spark):
         [(1000 + i, "alpha beta gamma delta") for i in range(5)],
         ["doc_id", "text"],
     )
-    w = {r["doc_id"]: r["log_weight"] for r in dsir_weights(raw, target).collect()}
+    w = {
+        r["doc_id"]: r["log_weight_micro"]
+        for r in dsir_weights(raw, target).collect()
+    }
     assert min(w[i] for i in range(20)) > max(w[i + 20] for i in range(20))
     picked = {r["doc_id"] for r in dsir_select(raw, target, k=20).collect()}
     # Gumbel noise can flip a few boundary draws; the bulk must be pop A
@@ -719,7 +726,7 @@ def test_dsir_zero_token_doc_unit_ratio(spark):
     )
     target = spark.createDataFrame([(9, "alpha")], ["doc_id", "text"])
     rows = {r["doc_id"]: r for r in dsir_weights(raw, target).collect()}
-    assert rows[1]["n_tokens"] == 0 and rows[1]["log_weight"] == 0.0
+    assert rows[1]["n_tokens"] == 0 and rows[1]["log_weight_micro"] == 0
 
 
 def test_dsir_select_is_deterministic_and_exhaustive(spark):
