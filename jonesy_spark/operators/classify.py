@@ -147,8 +147,10 @@ def train_log_odds(
         bias = ln(n_pos_docs / n_neg_docs)
 
     Both classes must be non-empty — a one-class "training set" has no
-    decision boundary and raises rather than returning an all-bias
-    model that silently labels everything positive.
+    decision boundary and raises (at action time, via a raise_error
+    guard folded into the bias expression — no eager validation scan)
+    rather than returning an all-bias model that silently labels
+    everything positive.
 
     Two keyed aggregations (per-bucket class counts, per-class doc
     counts); the 1-row totals frame broadcasts into the weight
@@ -170,15 +172,7 @@ def train_log_odds(
     doc_counts = labeled.agg(
         F.sum("__pos").alias("n_pos"),
         F.sum(1 - F.col("__pos")).alias("n_neg"),
-        F.lit(0).alias("__z"),  # guaranteed non-null join anchor below
     )
-    first = doc_counts.head()
-    if first is None or not first["n_pos"] or not first["n_neg"]:
-        raise ValueError(
-            "train_log_odds needs both classes non-empty; got "
-            f"{first['n_pos'] if first else 0} positive / "
-            f"{first['n_neg'] if first else 0} negative documents"
-        )
     totals = per_bucket.agg(
         F.sum("pos_c").alias("pos_tot"), F.sum("neg_c").alias("neg_tot")
     )
@@ -199,9 +193,30 @@ def train_log_odds(
             9,
         ).alias("weight"),
     )
+    # both-classes-non-empty validation rides the bias expression
+    # itself (raise_error at action time) instead of an eager head()
+    # that re-scanned the corpus before training scanned it again
+    # (ADVICE r6): zero extra jobs, same contract.
+    np, nn = F.coalesce(F.col("n_pos"), F.lit(0)), F.coalesce(
+        F.col("n_neg"), F.lit(0)
+    )
     bias = doc_counts.select(
         F.lit(BIAS_BUCKET).cast("long").alias("bucket"),
-        F.round(F.log(F.col("n_pos") / F.col("n_neg")), 9).alias("weight"),
+        F.when(
+            (np > 0) & (nn > 0),
+            F.round(F.log(np / nn), 9),
+        )
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "train_log_odds needs both classes non-empty; got "
+                    "%d positive / %d negative documents",
+                    np,
+                    nn,
+                )
+            )
+        )
+        .alias("weight"),
     )
     return weights.unionByName(bias).unionByName(unseen)
 
@@ -411,7 +426,7 @@ def write_classifier_counts(
     docs: DataFrame,
     label: Column,
     path: str,
-    mode: str = "append",
+    mode: str = "overwrite",
     run_id: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -427,8 +442,12 @@ def write_classifier_counts(
     union would produce (integer counts — no float drift in the fold),
     making the nightly retrain O(new batch) instead of O(corpus).
     Feature-space parameters ride every row; the fold REFUSES to mix
-    batches written under different (n_buckets, ngrams). Returns the
-    run_id used."""
+    batches written under different (n_buckets, ngrams). Default mode
+    is ``overwrite`` — scoped to this run's ``ingest_batch=<run_id>``
+    subtree, so a retried writer replaces its own partial epoch rather
+    than appending duplicate count rows under the same run_id
+    (ADVICE r6; the streaming wrapper already passed overwrite).
+    Returns the run_id used."""
     if run_id is None:
         import uuid
 

@@ -331,6 +331,11 @@ def pagerank(
             .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
             .first()["d"]
         )
+        # the superseded checkpoint is dead after the delta read —
+        # release its executor-storage blocks now instead of letting
+        # max_iter generations accumulate for the life of the job
+        # (ADVICE r6).
+        ranks.unpersist()
         ranks = new_ranks
         if delta < tol:
             break

@@ -114,7 +114,7 @@ def bm25_search(
 def write_search_index(
     docs: DataFrame,
     index_path: str,
-    mode: str = "append",
+    mode: str = "overwrite",
     run_id: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -130,6 +130,17 @@ def write_search_index(
     statistics BM25 needs, folded at probe time instead of rescanned.
     Document length is denormalized onto every posting so probes never
     join a document table. Returns the run_id used.
+
+    Contracts (ADVICE r6): the default write mode is ``overwrite`` —
+    scoped to THIS run's ``ingest_batch=<run_id>`` subtree, so a
+    retried writer replaces its own partial epoch instead of silently
+    appending duplicate postings under the same run_id (the replay-
+    idempotence rule the streaming wrappers already followed). And
+    ingest batches must be DOC-DISJOINT: the same doc_id landing in two
+    batches would split its per-(doc, t) tf across rows (understating
+    tf saturation) and double-count it in ``docmeta`` — dedup upstream
+    (the digest index) before indexing, exactly as a production ingest
+    pipeline orders its stages.
     """
     if run_id is None:
         import uuid
@@ -188,6 +199,11 @@ def bm25_probe(
     their own epoch — the house replay-idempotence rule). An absent
     index raises: probing before any batch landed is a configuration
     error, as for the tokenizer/model stores.
+
+    Equality with :func:`bm25_search` PRESUPPOSES doc-disjoint ingest
+    batches (see ``write_search_index``): a doc_id present in two
+    batches splits its tf rows and inflates df/n_hits — the write path
+    documents the upstream-dedup ordering that guarantees this.
     """
     from pyspark.errors import AnalysisException
 

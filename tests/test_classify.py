@@ -72,8 +72,10 @@ def test_zero_token_doc_scores_bias(spark):
 
 def test_one_class_training_raises(spark):
     docs = _docs(spark, [(0, "alpha", "en"), (1, "beta", "en")])
-    with pytest.raises(ValueError, match="both classes"):
-        C.train_log_odds(docs, F.col("lang") == "en")
+    # the guard rides the bias expression (no eager validation scan),
+    # so it fires at action time
+    with pytest.raises(Exception, match="both classes"):
+        C.train_log_odds(docs, F.col("lang") == "en").collect()
 
 
 def test_model_bounded_and_scoring_broadcasts(spark):
