@@ -31,7 +31,7 @@ def _py_bm25(corpus, terms, k1=1.2, b=0.75):
                 idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * lens[i] / avg)), 9
             )
         if hits:
-            out[i] = (round(score, 6), hits)
+            out[i] = (round(round(score, 6) * 1e6), hits)
     return out
 
 
@@ -44,7 +44,7 @@ def test_bm25_matches_reference(spark):
     }
     docs = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
     got = {
-        r["doc_id"]: (r["score"], r["n_hits"])
+        r["doc_id"]: (r["score_micro"], r["n_hits"])
         for r in bm25_search(docs, ["spark", "join", "window"]).collect()
     }
     want = _py_bm25(corpus, ["spark", "join", "window"])
@@ -65,7 +65,7 @@ def test_bm25_length_normalization_and_tf(spark):
         ["doc_id", "text"],
     )
     rows = bm25_search(docs, ["spark"], top_k=10).collect()
-    scores = {r["doc_id"]: r["score"] for r in rows}
+    scores = {r["doc_id"]: r["score_micro"] for r in rows}
     assert scores[1] > scores[2]  # shorter doc wins at equal tf
     assert scores[3] > scores[4]  # higher tf wins at equal length
 
@@ -183,8 +183,8 @@ def test_search_index_probe_matches_batch_bm25(spark, tmp_path):
     terms = ["spark", "window"]
     got = bm25_probe(spark, path, terms, top_k=10)
     want = bm25_search(b1.unionByName(b2), terms, top_k=10)
-    g = [(r["doc_id"], r["score"], r["n_hits"]) for r in got.collect()]
-    w = [(r["doc_id"], r["score"], r["n_hits"]) for r in want.collect()]
+    g = [(r["doc_id"], r["score_micro"], r["n_hits"]) for r in got.collect()]
+    w = [(r["doc_id"], r["score_micro"], r["n_hits"]) for r in want.collect()]
     assert g == w and len(g) == 2  # docs 2 and 4 match neither term
 
     buf = io.StringIO()
@@ -255,11 +255,11 @@ def test_search_index_stream_two_waves(spark, tmp_path):
     wave("w2", w2)
 
     got = [
-        (r["doc_id"], r["score"], r["n_hits"])
+        (r["doc_id"], r["score_micro"], r["n_hits"])
         for r in bm25_probe(spark, index_path, ["spark", "window"]).collect()
     ]
     want = [
-        (r["doc_id"], r["score"], r["n_hits"])
+        (r["doc_id"], r["score_micro"], r["n_hits"])
         for r in bm25_search(
             spark.createDataFrame(w1 + w2, schema), ["spark", "window"]
         ).collect()
@@ -296,7 +296,7 @@ def test_search_index_compaction_preserves_probe(spark, tmp_path):
             run_id=f"b{i}",
         )
     before = [
-        (r["doc_id"], r["score"], r["n_hits"])
+        (r["doc_id"], r["score_micro"], r["n_hits"])
         for r in bm25_probe(spark, path, ["spark"]).collect()
     ]
     run = compact_index(spark, f"{path}/postings")
@@ -309,7 +309,7 @@ def test_search_index_compaction_preserves_probe(spark, tmp_path):
     )
     assert batches == 1
     after = [
-        (r["doc_id"], r["score"], r["n_hits"])
+        (r["doc_id"], r["score_micro"], r["n_hits"])
         for r in bm25_probe(spark, path, ["spark"]).collect()
     ]
     assert after == before
@@ -409,7 +409,7 @@ def test_hybrid_search_fuses_channels(spark):
             want += 1.0 / (60 + r["bm25_rank"])
         if r["dense_rank"] is not None:
             want += 1.0 / (60 + r["dense_rank"])
-        assert abs(r["rrf_score"] - round(want, 9)) < 1e-9
+        assert r["rrf_score_nano"] == round(want * 1e9)
 
 
 def test_hybrid_search_rejects_empty_query(spark):
