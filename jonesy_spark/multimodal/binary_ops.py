@@ -8,11 +8,14 @@ batches — one Python hop per *batch*, never per row, and the schema is
 declared up front so Catalyst can prune un-referenced columns before
 the Python boundary.
 
-The actual codec step is STUBBED: this container has no image/audio
-libraries, so ``decode_stub`` raises ``NotImplementedError`` unless
-``fake=True``, in which case it produces a deterministic fake feature
-vector derived from the payload bytes. The Spark-side plumbing —
-schema, batching, partition behavior — is real and tested either way.
+The codec layer is mime-dispatched: ``image/x-portable-pixmap`` routes
+through the VENDORED pure-Python PPM decoder (``codecs`` — real pixel
+parsing, no dependency; VERDICT r6 #3), ``image/*`` routes through PIL
+when importable (not in this container), and anything else raises
+``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake feature vector derives from the payload bytes. The
+Spark-side plumbing — schema, batching, partition behavior — is real
+and tested on every path.
 """
 
 from __future__ import annotations
@@ -29,6 +32,8 @@ try:  # optional real codec — present in a deployed image, not here
     from PIL import Image as _PILImage
 except ImportError:  # pragma: no cover - exercised in this container
     _PILImage = None
+
+from . import codecs as _codecs
 
 #: Output schema of the feature extraction step (declared up front so
 #: downstream plans are fully typed).
@@ -61,6 +66,10 @@ def decode_stub(
         # Deterministic fake: 4 floats from the md5 of the payload.
         digest = hashlib.md5(payload).digest()
         return [b / 255.0 for b in digest[:4]]
+    if mime in _codecs.PPM_MIMES:
+        # vendored real decode: 8x8 luma thumbnail, same feature shape
+        # as the PIL path but dependency-free and exactly specified
+        return [g / 255.0 for g in _codecs.ppm_grayscale_thumb(payload, 8, 8)]
     if _PILImage is not None and mime.startswith("image/"):
         # 8x8 grayscale thumbnail as the feature vector: deterministic
         # (PIL's nearest-neighbor resize), size-normalized, and cheap —
@@ -136,6 +145,14 @@ def resize_stub(
     truncates/pads so plumbing is testable without codecs."""
     if fake:
         return payload[:target].ljust(target, b"\0")
+    if mime in _codecs.PPM_MIMES:
+        w, h, rgb = _codecs.decode_ppm(payload)
+        resized = [
+            rgb[((j * h) // target) * w + ((i * w) // target)]
+            for j in range(target)
+            for i in range(target)
+        ]
+        return _codecs.encode_ppm(target, target, resized)
     if _PILImage is not None and mime.startswith("image/"):
         img = _PILImage.open(io.BytesIO(payload)).resize((target, target))
         buf = io.BytesIO()
@@ -170,7 +187,12 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
                     ],
                     "decoder": "stub-fake"
                     if fake
-                    else ("pil" if _PILImage is not None else "real"),
+                    else [
+                        "ppm"
+                        if m in _codecs.PPM_MIMES
+                        else ("pil" if _PILImage is not None else "real")
+                        for m in pdf["mime"]
+                    ],
                 }
             )
             yield out
@@ -204,6 +226,16 @@ def perceptual_hash(payload: bytes, fake: bool, mime: str) -> int:
     bits), so the near-dup plumbing is testable end-to-end without
     codecs, unlike an md5-style fake that would destroy locality.
     """
+    if not fake and mime in _codecs.PPM_MIMES:
+        # vendored real image dHash: 9x8 luma thumbnail, bit per
+        # horizontal neighbor comparison — identical construction to
+        # the PIL path, exactly specified resampling
+        px = _codecs.ppm_grayscale_thumb(payload, 9, 8)
+        h = 0
+        for r in range(8):
+            for c in range(8):
+                h = (h << 1) | (1 if px[r * 9 + c + 1] > px[r * 9 + c] else 0)
+        return h - (1 << 64) if h >= (1 << 63) else h
     if not fake and _PILImage is not None and mime.startswith("image/"):
         img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((9, 8))
         px = list(img.getdata())  # row-major 9x8
@@ -294,3 +326,90 @@ def media_near_dup(
         .select("doc_id", "dup_doc_id", "hamming")
         .dropDuplicates(["doc_id", "dup_doc_id"])
     )
+
+
+#: Deterministic 16x16 P6 fixture image: pixel (x, y) of document d is
+#: r=(13x+d)%256, g=(7y+d)%256, b=(x+y)%256 — every channel varies, so
+#: the luma weights are exercised, and the decoded output is a CLOSED
+#: FORM of (doc_id, x, y) an ANSI-SQL oracle can compute without any
+#: image code. 16x16 keeps the payload ~768 B and the thumbnail rules
+#: exact (16 // 8 and the 9-wide dHash floor rule both hit every case).
+PPM_FIXTURE_SIDE = 16
+
+PPM_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, feature_micro array<bigint>, "
+    "phash long, decoder string"
+)
+
+
+def attach_ppm_payload(df: DataFrame, side: int = PPM_FIXTURE_SIDE) -> DataFrame:
+    """Stand-in media SOURCE with REAL pixels: serialize the
+    deterministic fixture image of each doc_id as a binary ``P6`` PPM
+    payload plus typed metadata — the same landing shape as
+    :func:`attach_binary_payload`, but the payload is an actual image
+    the vendored codec must parse byte-for-byte."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rgb = [
+                    ((13 * x + d) % 256, (7 * y + d) % 256, (x + y) % 256)
+                    for y in range(side)
+                    for x in range(side)
+                ]
+                payloads.append(codecs.encode_ppm(side, side, rgb))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "image/x-portable-pixmap",
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return df.select("doc_id").mapInPandas(
+        run, schema="doc_id long, payload binary, mime string, byte_len long"
+    )
+
+
+def ppm_features(df: DataFrame) -> DataFrame:
+    """REAL-codec feature pass: parse each PPM payload, emit the 8x8
+    luma thumbnail in fixed-point micro-units plus the 9x8 dHash —
+    ``(doc_id, width, height, feature_micro, phash, decoder)``.
+
+    Feature micro-units are computed in exact integer arithmetic
+    (``round(g / 255 * 1e6)`` == ``(2_000_000 g + 255) // 510``; no
+    tie is reachable — 290 g ≡ 255 (mod 510) has no solution — so the
+    oracle's double round lands on the same integer for every g).
+    One Arrow-batched Python hop per batch, as for every codec
+    boundary in this module."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        for pdf in batches:
+            dims, feats, hashes = [], [], []
+            for p, m in zip(pdf["payload"], pdf["mime"]):
+                payload = bytes(p)
+                w, h, rgb = codecs.decode_ppm(payload)
+                gray = codecs.luma(rgb)
+                thumb = codecs.nearest_resize(gray, w, h, 8, 8)
+                feats.append([(2_000_000 * g + 255) // 510 for g in thumb])
+                hashes.append(perceptual_hash(payload, fake=False, mime=m))
+                dims.append((w, h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "feature_micro": feats,
+                    "phash": hashes,
+                    "decoder": "ppm",
+                }
+            )
+
+    return df.mapInPandas(run, schema=PPM_FEATURE_SCHEMA)

@@ -228,6 +228,12 @@ DRIVER_EXCLUDED = {
     # same grid + anchor-window plan with interpolation on top;
     # carry-forward member keeps pytest.
     "resample_gapfill",
+    # metadata-projection stand-in superseded r7 by
+    # multimodal_real_codec: the new row decodes REAL pixel bytes
+    # through the vendored PPM codec against a closed-form oracle
+    # (feature micro-units + dHash), a strict upgrade over hashing the
+    # byte_len/md5 projection; this row keeps its pytest differential.
+    "multimodal_features",
 }
 
 

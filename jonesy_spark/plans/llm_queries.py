@@ -963,6 +963,73 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_real_codec",
+    # Closed-form oracle of the WHOLE vendored decode chain: the PPM
+    # fixture's pixels are an exact function of (doc_id, x, y), so the
+    # oracle recomputes luma, the floor-rule thumbnails, the feature
+    # micro-units and the 64-bit dHash in pure SQL — any byte-level
+    # defect in the encoder, header parser, raster reader, luma
+    # weights or resampler diverges the hash (VERDICT r6 #3: the codec
+    # seam, exercised on real pixel bytes without PIL).
+    oracle="""
+    WITH g8 AS (
+        SELECT d.doc_id, j.j, i.i,
+               ((299 * ((13 * (2 * i.i) + d.doc_id) % 256)
+                 + 587 * ((7 * (2 * j.j) + d.doc_id) % 256)
+                 + 114 * ((2 * i.i + 2 * j.j) % 256)) // 1000) AS g
+        FROM documents d, range(8) j(j), range(8) i(i)
+    ),
+    feat AS (
+        SELECT doc_id,
+               list(CAST(round(g * 1000000.0 / 255) AS BIGINT)
+                    ORDER BY j, i) AS feature_micro
+        FROM g8 GROUP BY doc_id
+    ),
+    g9 AS (
+        SELECT d.doc_id, j.j, i.i,
+               ((299 * ((13 * ((i.i * 16) // 9) + d.doc_id) % 256)
+                 + 587 * ((7 * (2 * j.j) + d.doc_id) % 256)
+                 + 114 * (((i.i * 16) // 9 + 2 * j.j) % 256)) // 1000) AS g
+        FROM documents d, range(8) j(j), range(9) i(i)
+    ),
+    bits AS (
+        SELECT a.doc_id,
+               sum(CASE WHEN b.g > a.g
+                        THEN CAST(1 AS HUGEINT) << (63 - (a.j * 8 + a.i))
+                        ELSE CAST(0 AS HUGEINT) END) AS raw
+        FROM g9 a JOIN g9 b ON b.doc_id = a.doc_id AND b.j = a.j
+                          AND b.i = a.i + 1
+        WHERE a.i < 8
+        GROUP BY a.doc_id
+    ),
+    ph AS (
+        SELECT doc_id,
+               CAST(CASE WHEN raw >= CAST(1 AS HUGEINT) << 63
+                         THEN raw - (CAST(1 AS HUGEINT) << 64)
+                         ELSE raw END AS BIGINT) AS phash
+        FROM bits
+    )
+    SELECT f.doc_id, 16 AS width, 16 AS height,
+           f.feature_micro, ph.phash, 'ppm' AS decoder
+    FROM feat f JOIN ph USING (doc_id)
+    """,
+)
+def multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-pixel media decode, end to end: serialize each doc_id's
+    deterministic 16x16 fixture image as binary P6 PPM
+    (multimodal.binary_ops.attach_ppm_payload), then parse the payload
+    bytes back through the vendored pure-Python codec and emit the 8x8
+    luma feature vector (integer micro-units) and the 9x8 perceptual
+    dHash (multimodal.binary_ops.ppm_features). Two Arrow-batched
+    Python hops (encode, decode) — the codec boundary shape of the
+    module — with everything between them closed-form checkable."""
+    from ..multimodal import binary_ops as MM
+
+    docs = Catalog(spark, sf_dir).documents
+    return MM.ppm_features(MM.attach_ppm_payload(docs))
+
+
+@query(
     "dsir_select",
     oracle="""
     WITH tok_r AS (

@@ -186,3 +186,145 @@ def test_media_near_dup_rejects_bad_hamming(spark):
     df = spark.createDataFrame([], "doc_id long, payload binary, mime string, byte_len long")
     with pytest.raises(ValueError):
         media_near_dup(df, max_hamming=8)
+
+
+# --- vendored PPM codec: real pixel decode without PIL (VERDICT r6 #3) ---
+
+
+def test_ppm_roundtrip_and_p3():
+    from jonesy_spark.multimodal import codecs as C
+
+    rgb = [((13 * x + 5) % 256, (7 * y + 5) % 256, (x + y) % 256)
+           for y in range(16) for x in range(16)]
+    payload = C.encode_ppm(16, 16, rgb)
+    assert payload.startswith(b"P6\n16 16\n255\n")
+    w, h, px = C.decode_ppm(payload)
+    assert (w, h) == (16, 16) and px == rgb
+
+    # ASCII P3 with a header comment parses to the same pixels
+    p3 = ("P3\n# a comment line\n2 2\n255\n"
+          "1 2 3 4 5 6\n7 8 9 10 11 12\n").encode()
+    assert C.decode_ppm(p3) == (
+        2, 2, [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)]
+    )
+
+
+def test_ppm_malformed_payloads_raise():
+    import pytest
+
+    from jonesy_spark.multimodal import codecs as C
+
+    with pytest.raises(ValueError, match="magic"):
+        C.decode_ppm(b"JUNKDATA")
+    with pytest.raises(ValueError, match="truncated P6"):
+        C.decode_ppm(b"P6\n4 4\n255\n\x00\x01")
+    with pytest.raises(ValueError, match="maxval"):
+        C.decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="truncated PPM header"):
+        C.decode_ppm(b"P6\n4")
+
+
+def test_ppm_decode_stub_and_resize_route_through_vendored_codec():
+    """fake=False now WORKS for PPM mimes in this PIL-less container:
+    the codec seam runs real pixel bytes end to end."""
+    from jonesy_spark.multimodal import binary_ops as B
+    from jonesy_spark.multimodal import codecs as C
+
+    rgb = [(x * 16, y * 16, 128) for y in range(16) for x in range(16)]
+    payload = C.encode_ppm(16, 16, rgb)
+    feat = decode_stub(payload, fake=False, mime="image/x-portable-pixmap")
+    assert len(feat) == 64 and all(0.0 <= v <= 1.0 for v in feat)
+    # top-left thumbnail sample is pixel (0,0): luma of (0,0,128)
+    assert feat[0] == ((299 * 0 + 587 * 0 + 114 * 128) // 1000) / 255.0
+    # resize re-encodes a valid, smaller PPM
+    small = B.resize_stub(payload, 4, fake=False, mime="image/x-portable-pixmap")
+    w, h, px = C.decode_ppm(small)
+    assert (w, h) == (4, 4) and px[0] == rgb[0]
+
+
+def test_ppm_dhash_locality_on_real_images():
+    """One brightened pixel flips few dHash bits; unrelated images
+    differ in many — the property media_near_dup banding needs, now on
+    REAL decoded pixels rather than byte-space samples."""
+    from jonesy_spark.multimodal import binary_ops as B
+    from jonesy_spark.multimodal import codecs as C
+
+    base = [((x * 7 + y * 3) % 256,) * 3 for y in range(16) for x in range(16)]
+    tweaked = list(base)
+    tweaked[40] = (255, 255, 255)
+    unrelated = [((x * 31 + y * 17 + 97) % 256,) * 3
+                 for y in range(16) for x in range(16)]
+    mime = "image/x-portable-pixmap"
+    h = lambda px: B.perceptual_hash(C.encode_ppm(16, 16, px), False, mime)
+    d = lambda a, b: bin((h(a) ^ h(b)) & ((1 << 64) - 1)).count("1")
+    assert d(base, base) == 0
+    assert d(base, tweaked) <= 6
+    assert d(base, unrelated) > 10
+
+
+def test_media_near_dup_on_real_ppm_payloads(spark):
+    """The banded near-dup operator over REAL decoded images: a
+    brightened copy pairs with its original; an unrelated image
+    doesn't."""
+    from jonesy_spark.multimodal import binary_ops as B
+    from jonesy_spark.multimodal import codecs as C
+
+    base = [((x * 7 + y * 3) % 256,) * 3 for y in range(16) for x in range(16)]
+    tweaked = list(base)
+    tweaked[40] = (255, 255, 255)
+    unrelated = [((x * 31 + y * 17 + 97) % 256,) * 3
+                 for y in range(16) for x in range(16)]
+    rows = [
+        (1, C.encode_ppm(16, 16, base)),
+        (2, C.encode_ppm(16, 16, tweaked)),
+        (3, C.encode_ppm(16, 16, unrelated)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").selectExpr(
+        "doc_id", "payload", "'image/x-portable-pixmap' AS mime",
+        "octet_length(payload) AS byte_len",
+    )
+    pairs = {
+        (r["doc_id"], r["dup_doc_id"])
+        for r in B.media_near_dup(df, max_hamming=6, fake=False).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_ppm_features_closed_form(spark):
+    """ppm_features (the driver row's operator) equals the closed form
+    of the fixture image for feature micro-units AND the dHash."""
+    from jonesy_spark.multimodal import binary_ops as B
+
+    docs = spark.createDataFrame([(0,), (7,), (123,)], "doc_id long")
+    got = {
+        r["doc_id"]: r
+        for r in B.ppm_features(B.attach_ppm_payload(docs)).collect()
+    }
+
+    def closed_form(d):
+        lum = lambda x, y: (
+            299 * ((13 * x + d) % 256)
+            + 587 * ((7 * y + d) % 256)
+            + 114 * ((x + y) % 256)
+        ) // 1000
+        feat = [
+            (2_000_000 * lum(2 * i, 2 * j) + 255) // 510
+            for j in range(8)
+            for i in range(8)
+        ]
+        raw = 0
+        for r in range(8):
+            for c in range(8):
+                raw = (raw << 1) | (
+                    1 if lum(((c + 1) * 16) // 9, 2 * r) > lum((c * 16) // 9, 2 * r)
+                    else 0
+                )
+        return feat, (raw - (1 << 64) if raw >= (1 << 63) else raw)
+
+    for d in (0, 7, 123):
+        feat, ph = closed_form(d)
+        assert list(got[d]["feature_micro"]) == feat
+        assert got[d]["phash"] == ph
+        assert (got[d]["width"], got[d]["height"]) == (16, 16)
+        assert got[d]["decoder"] == "ppm"
