@@ -361,3 +361,24 @@ def test_tokenizer_drift_report(spark):
     mo = T.bpe_train(other, n_merges=3)
     r3 = T.tokenizer_drift(m8, mo).collect()[0]
     assert r3["n_shared"] == 0 and r3["prefix_len"] == 0
+
+
+def test_bpe_train_distributed_batches_merge_rounds(spark):
+    """VERDICT r6 #4: the distributed trainer must emit MORE THAN ONE
+    merge per pair-count round (the exact-prefix batching rule) while
+    staying merge-for-merge equal to the sequential trainer — and a
+    batch budget of 1 must degenerate to the old one-merge-per-round
+    behavior, also exactly."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    drv = [tuple(r) for r in T.bpe_train(docs, n_merges=12).orderBy("rank").collect()]
+
+    batched = T.bpe_train_distributed(docs, n_merges=12, checkpoint_every=5)
+    assert [tuple(r) for r in batched.orderBy("rank").collect()] == drv
+    rounds = batched._jonesy_train_rounds
+    assert rounds < 12, f"batching emitted 1 merge/round ({rounds} rounds)"
+
+    single = T.bpe_train_distributed(
+        docs, n_merges=12, checkpoint_every=5, batch_candidates=1
+    )
+    assert [tuple(r) for r in single.orderBy("rank").collect()] == drv
+    assert single._jonesy_train_rounds == 12
