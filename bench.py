@@ -71,6 +71,33 @@ HEADLINE = [
     "dsir_select",
     # added r6 (continuation): BM25 retrieval — query-hit-only shuffle
     "bm25_search",
+    # added r7: real-pixel PPM decode + feature/dHash extraction —
+    # prices the Arrow codec boundary (two mapInPandas hops)
+    "multimodal_real_codec",
+    # added r7: two-channel retrieval + reciprocal rank fusion
+    "hybrid_search",
+]
+
+#: The r5-era 21-query set — every HEADLINE row that existed before the
+#: r6 additions. Its subtotal is emitted per run so cross-round
+#: comparisons stop needing manual subtraction (VERDICT r6 #6).
+R5_COMPARABLE = [
+    q
+    for q in HEADLINE
+    if q
+    not in {
+        "incremental_near_dup",
+        "ann_quantized_topk",
+        "repeated_span_removal",
+        "bpe_token_stats",
+        "token_budget_prune",
+        "prefix_jaccard_join",
+        "quality_classifier",
+        "dsir_select",
+        "bm25_search",
+        "multimodal_real_codec",
+        "hybrid_search",
+    }
 ]
 
 
@@ -141,15 +168,17 @@ def main() -> None:
         steady[name] = round(min(runs), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Key order is deliberate: the driver's capture of this line has
+    # been observed TAIL-truncated (BENCH_r06 lost most steady rows),
+    # so the diagnostic steady-state numbers come LAST — metadata and
+    # cold first, then the steady dict, subtotals and headline value at
+    # the very end where a tail-kept capture preserves them
+    # (VERDICT r6 #6).
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": round(sum(steady.values()), 3),
                 "unit": "sec",
-                "queries": steady,
-                "queries_cold": cold,
-                "value_cold": round(sum(cold.values()), 3),
                 "sf": float(sf),
                 "runs_per_query": RUNS,
                 "calibration_sec": {
@@ -173,14 +202,24 @@ def main() -> None:
                     "ann_quantized_topk, repeated_span_removal, "
                     "bpe_token_stats, token_budget_prune and "
                     "prefix_jaccard_join, then quality_classifier and "
-                    "dsir_select and bm25_search — the 30-query set; subtract "
-                    "new rows for cross-round subtotal comparisons"
+                    "dsir_select and bm25_search; r7 added "
+                    "multimodal_real_codec and hybrid_search — the "
+                    "32-query set. subtotal_r5_comparable is the "
+                    "cross-round-stable 21-query subtotal"
                 ),
                 "timing": (
                     f"queries/value = min-of-{RUNS} steady-state (excludes "
                     "one-time JIT/codegen warm-up); queries_cold/value_cold = "
                     "first run per plan shape; cache cleared before every run"
                 ),
+                "queries_cold": cold,
+                "value_cold": round(sum(cold.values()), 3),
+                "queries": steady,
+                "subtotal_r5_comparable": round(
+                    sum(steady[q] for q in R5_COMPARABLE), 3
+                ),
+                "n_r5_comparable": len(R5_COMPARABLE),
+                "value": round(sum(steady.values()), 3),
             }
         )
     )
