@@ -216,6 +216,56 @@ def _train_classifier(ctx: JobContext) -> None:
     ctx.written.append(f"quality_model/version={v}")
 
 
+def _maintain_indexes(ctx: JobContext) -> None:
+    """Nightly index maintenance (VERDICT r6 #7): compact every
+    incremental index family's accumulated ``ingest_batch=`` subtrees
+    into one (``hygiene.compact_index`` — the small-files pass an
+    append-heavy layout needs: a year of 15-minute epochs is millions
+    of tiny files whose listing dominates probe planning), then
+    compact + vacuum the IVF vector store's assignments and stale
+    versions. Runs on the same operational rails as ingest/train — the
+    cron wrapper schedules it in the maintenance window, AFTER the
+    streaming bridges quiesce (compaction's standing contract: a
+    crashed epoch must replay before its rows fold into ``compact-*``,
+    or the replay's own-run exclusion no longer reaches them).
+
+    Paths are config-layered so a site maintains exactly the indexes
+    its pipelines create: ``MAINTAIN_INDEX_PATHS`` (comma-separated,
+    relative to ``out_root``; ``<path>:<partition-col>`` overrides the
+    default ``bucket``) and ``MAINTAIN_IVF_PATH``. Missing paths are
+    skipped — maintenance is idempotent and shape-tolerant by design.
+    """
+    from ..operators import hygiene as H
+    from ..operators import similarity as SIM
+
+    cfg = layered_config()
+    spec = cfg.get(
+        "MAINTAIN_INDEX_PATHS",
+        "digest_index,minhash_index,search_index/postings,classifier_counts",
+    )
+    for entry in [e.strip() for e in spec.split(",") if e.strip()]:
+        rel, _, part_col = entry.partition(":")
+        path = f"{ctx.out_root}/{rel}"
+        try:
+            rid = H.compact_index(
+                ctx.spark, path, part_col=part_col or "bucket"
+            )
+        except ValueError:
+            continue  # index not created yet at this site — skip
+        ctx.written.append(f"{rel}/ingest_batch={rid}")
+    ivf = f"{ctx.out_root}/{cfg.get('MAINTAIN_IVF_PATH', 'ivf_index')}"
+    try:
+        rid = SIM.compact_ivf_assignments(ctx.spark, ivf)
+        ctx.written.append(f"ivf assignments/ingest_batch={rid}")
+    except Exception as exc:  # noqa: BLE001 — absent store is fine
+        from pyspark.errors import AnalysisException
+
+        if not isinstance(exc, (ValueError, AnalysisException)):
+            raise
+    for gone in SIM.vacuum_ivf_versions(ctx.spark, ivf):
+        ctx.written.append(f"vacuumed {gone}")
+
+
 JOBS: dict[str, Callable[[JobContext], None]] = {
     "upload_advisors": upload_advisors,
     "upload_snapshot": upload_snapshot,
@@ -224,6 +274,7 @@ JOBS: dict[str, Callable[[JobContext], None]] = {
     "ingest_corpus": _ingest_corpus,
     "train_tokenizer": _train_tokenizer,
     "train_classifier": _train_classifier,
+    "maintain_indexes": _maintain_indexes,
 }
 
 

@@ -759,3 +759,59 @@ def test_backfill_overwrites_only_touched_partitions(spark, tmp_path):
         (str(r["day"]), r["v"]) for r in spark.read.parquet(path).collect()
     }
     assert got == {("2024-01-01", "old-a"), ("2024-01-02", "new-b")}
+
+
+def test_maintain_indexes_job_compacts_and_preserves_probes(spark, tmp_path, monkeypatch):
+    """VERDICT r6 #7: the maintenance job on the operational rails —
+    two-batch digest AND minhash indexes collapse to one ingest_batch
+    subtree each, probes are unchanged, absent families are skipped."""
+    import glob
+
+    from jonesy_spark.operators import hygiene as H
+    from jonesy_spark.pipeline.jobs import JOBS, JobContext, run_job
+
+    out_root = str(tmp_path)
+    didx = f"{out_root}/digest_index"
+    midx = f"{out_root}/minhash_index"
+
+    def seed(batch_rows, run_id):
+        df = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+        novel, _ = H.incremental_dedup(df, H.read_digest_index(spark, didx))
+        H.write_novel_digests(novel, didx, run_id=run_id)
+        # appends the novel docs' signatures to the minhash index itself
+        H.incremental_near_dup(df, spark, midx, run_id=run_id)
+
+    seed([(1, "alpha beta gamma"), (2, "delta epsilon")], "b1")
+    seed([(3, "zeta eta theta")], "b2")
+    assert len(glob.glob(f"{didx}/ingest_batch=*")) == 2
+    assert len(glob.glob(f"{midx}/ingest_batch=*")) == 2
+    digests_before = sorted(
+        r["content_hash"] for r in H.read_digest_index(spark, didx).collect()
+    )
+    probe = spark.createDataFrame([(9, "alpha beta gamma")], ["doc_id", "text"])
+    sigs = __import__(
+        "jonesy_spark.operators.dedup", fromlist=["minhash_banded_sigs"]
+    ).minhash_banded_sigs(probe)
+    matches_before = sorted(
+        map(tuple, H.probe_minhash_index(sigs, spark, midx).collect())
+    )
+
+    assert "maintain_indexes" in JOBS
+    ctx = run_job(
+        "maintain_indexes",
+        JobContext(spark=spark, sf_dir="unused", out_root=out_root, targets=[]),
+    )
+    # both families collapsed to ONE consolidated subtree
+    assert len(glob.glob(f"{didx}/ingest_batch=*")) == 1
+    assert len(glob.glob(f"{midx}/ingest_batch=*")) == 1
+    assert any("digest_index" in w for w in ctx.written)
+    assert any("minhash_index" in w for w in ctx.written)
+    # probes read identically through the compacted layout
+    assert sorted(
+        r["content_hash"] for r in H.read_digest_index(spark, didx).collect()
+    ) == digests_before
+    assert sorted(
+        map(tuple, H.probe_minhash_index(sigs, spark, midx).collect())
+    ) == matches_before
+    # absent families (search/classifier/IVF) were skipped, not fatal
+    assert not any("search_index" in w for w in ctx.written)
