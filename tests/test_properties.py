@@ -436,7 +436,7 @@ def test_bm25_matches_python_reference_on_random_corpora(spark, texts):
     docs = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
     terms = ["spark", "join"]
     got = {
-        r["doc_id"]: (r["score"], r["n_hits"])
+        r["doc_id"]: (r["score_micro"], r["n_hits"])
         for r in bm25_search(docs, terms, top_k=100).collect()
     }
     assert got == _py_bm25(corpus, terms)
@@ -525,15 +525,16 @@ def test_classifier_matches_python_nb_on_random_corpora(spark, rows):
         # Spark rounds decimals HALF_UP; Python's round() on Decimal is
         # banker's — an exact ...5 at the 7th digit split the two
         # (hypothesis-found: sum 0.2159205 -> 0.215921 vs 0.21592)
-        s = float(acc.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
-        return len(toks), s, s > 0
+        s = acc.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        micro = int(s * 1_000_000)
+        return len(toks), micro, micro > 0
 
     want = {i: score(text) for i, text, _ in docs}
 
     df = spark.createDataFrame(docs, "doc_id long, text string, lang boolean")
     model = C.train_log_odds(df, F.col("lang"), n_buckets=B)
     got = {
-        r["doc_id"]: (r["n_tokens"], r["score"], r["pred"])
+        r["doc_id"]: (r["n_tokens"], r["score_micro"], r["pred"])
         for r in C.score_log_odds(df, model, n_buckets=B).collect()
     }
     assert got == want
@@ -583,8 +584,9 @@ def test_dsir_weights_match_python_reference(spark, raw, target):
         for t in toks:
             acc += Decimal(f"{w[bucket(t)]:.9f}")
         # HALF_UP to match Spark's decimal rounding (see the NB test)
-        return len(toks), float(
+        return len(toks), int(
             acc.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            * 1_000_000
         )
 
     want = {i: doc_weight(text) for i, text in enumerate(raw)}
@@ -593,7 +595,7 @@ def test_dsir_weights_match_python_reference(spark, raw, target):
         [(1000 + i, t) for i, t in enumerate(target)], ["doc_id", "text"]
     )
     got = {
-        r["doc_id"]: (r["n_tokens"], r["log_weight"])
+        r["doc_id"]: (r["n_tokens"], r["log_weight_micro"])
         for r in dsir_weights(raw_df, tgt_df, n_buckets=B).collect()
     }
     assert got == want
@@ -630,4 +632,42 @@ def test_hash_embed_matches_python_reference(spark, texts):
         r["doc_id"]: list(r["embedding"])
         for r in hash_embed(df, dim=DIM).collect()
     }
+    assert got == want
+
+
+@given(texts=corpus_strategy)
+@settings(**SETTINGS)
+def test_bm25_probe_equals_one_pass_on_random_corpora(
+    spark, tmp_path_factory, texts
+):
+    """Probe == batch theorem under hypothesis (VERDICT r6 #8): for ANY
+    corpus, splitting the ingest into doc-disjoint batches and probing
+    the persisted inverted index returns exactly the one-pass
+    bm25_search rows — scores, hit counts, ordering and the top-k cut.
+    The equivalence previously rested on one two-batch fixture."""
+    from jonesy_spark.operators.search import (
+        bm25_probe,
+        bm25_search,
+        write_search_index,
+    )
+
+    corpus = dict(enumerate(texts))
+    docs = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    path = str(tmp_path_factory.mktemp("bm25x"))
+    # doc-disjoint batches (the write path's documented precondition)
+    write_search_index(
+        docs.filter("doc_id % 2 = 0"), path, run_id="even"
+    )
+    write_search_index(
+        docs.filter("doc_id % 2 = 1"), path, run_id="odd"
+    )
+    terms = ["spark", "join"]
+    want = [
+        (r["doc_id"], r["score_micro"], r["n_hits"])
+        for r in bm25_search(docs, terms, top_k=100).collect()
+    ]
+    got = [
+        (r["doc_id"], r["score_micro"], r["n_hits"])
+        for r in bm25_probe(spark, path, terms, top_k=100).collect()
+    ]
     assert got == want
