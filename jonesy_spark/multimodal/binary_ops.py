@@ -226,6 +226,12 @@ def perceptual_hash(payload: bytes, fake: bool, mime: str) -> int:
     bits), so the near-dup plumbing is testable end-to-end without
     codecs, unlike an md5-style fake that would destroy locality.
     """
+    if not fake and mime in _codecs.WAV_MIMES:
+        # vendored real waveform dHash: 65 nearest-resampled int16
+        # samples, bit per neighbor comparison — the audio twin of the
+        # image dHash (locality-preserving over the loudness contour)
+        _rate, samples = _codecs.decode_wav(payload)
+        return _dhash_bits(_codecs.waveform_resample(samples, 65))
     if not fake and mime in _codecs.PPM_MIMES:
         # vendored real image dHash: 9x8 luma thumbnail, bit per
         # horizontal neighbor comparison — identical construction to
@@ -413,3 +419,84 @@ def ppm_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=PPM_FEATURE_SCHEMA)
+
+
+#: Deterministic 256-sample PCM fixture clip: sample i of document d is
+#: ``((7 i + d) % 256) * 16 - 2048`` — a full-swing int16 sawtooth whose
+#: phase depends on doc_id, so decoded loudness frames and the waveform
+#: dHash are closed forms of (doc_id, i) an ANSI-SQL oracle computes
+#: without any audio code.
+WAV_FIXTURE_SAMPLES = 256
+
+WAV_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples int, "
+    "loudness array<bigint>, whash long, decoder string"
+)
+
+
+def attach_wav_payload(
+    df: DataFrame, n_samples: int = WAV_FIXTURE_SAMPLES
+) -> DataFrame:
+    """Stand-in audio SOURCE with REAL samples: serialize the
+    deterministic fixture clip of each doc_id as a binary RIFF/WAVE
+    payload plus typed metadata — the audio twin of
+    :func:`attach_ppm_payload`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                samples = [
+                    ((7 * i + d) % 256) * 16 - 2048 for i in range(n_samples)
+                ]
+                payloads.append(codecs.encode_wav(samples))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "audio/x-wav",
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return df.select("doc_id").mapInPandas(
+        run, schema="doc_id long, payload binary, mime string, byte_len long"
+    )
+
+
+def wav_features(df: DataFrame, n_frames: int = 8) -> DataFrame:
+    """REAL-codec audio feature pass: parse each WAVE payload and emit
+    the integer per-frame loudness envelope (mean absolute amplitude,
+    floor division — exact on both engines, no float RMS) plus the
+    65-point waveform dHash — ``(doc_id, sample_rate, n_samples,
+    loudness, whash, decoder)``. One Arrow-batched Python hop per
+    batch, the module's codec-boundary shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        for pdf in batches:
+            rates, counts, louds, hashes = [], [], [], []
+            for p in pdf["payload"]:
+                rate, samples = codecs.decode_wav(bytes(p))
+                rates.append(rate)
+                counts.append(len(samples))
+                louds.append(codecs.frame_mean_abs(samples, n_frames))
+                hashes.append(
+                    _dhash_bits(codecs.waveform_resample(samples, 65))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": rates,
+                    "n_samples": counts,
+                    "loudness": louds,
+                    "whash": hashes,
+                    "decoder": "wav",
+                }
+            )
+
+    return df.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)

@@ -1,4 +1,4 @@
-"""Vendored pure-Python image codecs for the multimodal tier.
+"""Vendored pure-Python image and audio codecs for the multimodal tier.
 
 The container has no PIL/av, so until r6 every driver-checked media row
 ran the deterministic *fake* decode path and the codec seam itself was
@@ -11,7 +11,9 @@ while PIL remains the dispatch target for compressed formats when
 importable.
 
 Scope: PPM ``P6`` (binary) and ``P3`` (ASCII), maxval <= 255, plus the
-grayscale/nearest-resize primitives the feature and dHash paths need.
+grayscale/nearest-resize primitives the feature and dHash paths need;
+and RIFF/WAVE PCM 16-bit mono for the audio modality (chunk-walking
+parser, integer loudness envelope, waveform dHash front end).
 All arithmetic is integer (BT.601 luma in parts-per-thousand, floor
 division resampling), so every output is bit-reproducible in an ANSI
 SQL oracle — which is what lets the real-codec driver row hash-compare
@@ -124,3 +126,96 @@ def ppm_grayscale_thumb(payload: bytes, tw: int, th: int) -> list[int]:
     of the feature and dHash paths."""
     width, height, rgb = decode_ppm(payload)
     return nearest_resize(luma(rgb), width, height, tw, th)
+
+
+# --- WAV / PCM: the audio modality's vendored codec -----------------
+
+#: Mimes the vendored WAV decoder owns.
+WAV_MIMES = frozenset({"audio/wav", "audio/x-wav", "audio/wave"})
+
+
+def encode_wav(samples: list[int], sample_rate: int = 8_000) -> bytes:
+    """Serialize 16-bit signed mono PCM samples as a canonical RIFF/WAVE
+    payload (fmt chunk + data chunk, little-endian)."""
+    import struct
+
+    n = len(samples)
+    data = struct.pack(f"<{n}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(data))
+    return (
+        b"RIFF"
+        + struct.pack("<I", riff_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, list[int]]:
+    """Parse a RIFF/WAVE payload into ``(sample_rate, int16 samples)``.
+    Supports the format this engine's pipelines contract on — PCM
+    (format tag 1), 16-bit, mono — and walks the chunk list (so extra
+    chunks like LIST/INFO are skipped, not fatal). Malformed or
+    unsupported payloads raise ``ValueError`` loudly (the quarantine
+    philosophy), never yield garbage samples."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(
+            f"not a RIFF/WAVE payload (magic {payload[:4]!r}/{payload[8:12]!r})"
+        )
+    pos, end = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk: {len(body)} < {size}")
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt / data chunk in WAVE payload")
+    tag, channels, rate, _brate, _align, bits = fmt
+    if (tag, channels, bits) != (1, 1, 16):
+        raise ValueError(
+            f"unsupported WAVE format (tag={tag}, channels={channels}, "
+            f"bits={bits}); this codec contracts PCM 16-bit mono"
+        )
+    n = len(data) // 2
+    return rate, list(struct.unpack(f"<{n}h", data[: 2 * n]))
+
+
+def frame_mean_abs(samples: list[int], n_frames: int) -> list[int]:
+    """Per-frame mean ABSOLUTE amplitude (floor division) over
+    ``n_frames`` equal contiguous frames — the integer loudness
+    envelope the audio feature path emits (exactly reproducible in an
+    ANSI-SQL oracle, unlike float RMS)."""
+    n = len(samples)
+    if n == 0:
+        return [0] * n_frames
+    out = []
+    for j in range(n_frames):
+        lo, hi = (j * n) // n_frames, ((j + 1) * n) // n_frames
+        frame = samples[lo:hi] or [0]
+        out.append(sum(abs(s) for s in frame) // len(frame))
+    return out
+
+
+def waveform_resample(samples: list[int], n_points: int) -> list[int]:
+    """Nearest-sample resample of the waveform to ``n_points`` with the
+    same floor rule as :func:`nearest_resize` — the front end of the
+    waveform dHash."""
+    n = len(samples)
+    if n == 0:
+        return [0] * n_points
+    return [samples[(i * n) // n_points] for i in range(n_points)]

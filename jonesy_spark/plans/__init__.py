@@ -228,6 +228,12 @@ DRIVER_EXCLUDED = {
     # same grid + anchor-window plan with interpolation on top;
     # carry-forward member keeps pytest.
     "resample_gapfill",
+    # REGISTRY-ONLY this round (cap spent at 50 by the queue burn),
+    # full closed-form oracle ready: the vendored WAV/PCM codec's
+    # end-to-end row (loudness envelope + waveform dHash) — the audio
+    # twin of the admitted multimodal_real_codec. r8 rotation
+    # candidate.
+    "multimodal_audio_codec",
     # metadata-projection stand-in superseded r7 by
     # multimodal_real_codec: the new row decodes REAL pixel bytes
     # through the vendored PPM codec against a closed-form oracle

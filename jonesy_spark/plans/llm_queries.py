@@ -1030,6 +1030,68 @@ def multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_codec",
+    # Closed-form oracle of the vendored WAV decode chain — the audio
+    # twin of multimodal_real_codec: the fixture clip's samples are an
+    # exact function of (doc_id, i), so the oracle recomputes the
+    # integer loudness envelope and the 65-point waveform dHash in
+    # pure SQL; any defect in the RIFF writer, chunk walker, PCM
+    # reader, framing or resampling diverges the hash.
+    oracle="""
+    WITH loud AS (
+        SELECT d.doc_id, j.j,
+               (sum(abs(((7 * i.i + d.doc_id) % 256) * 16 - 2048))
+                // 32) AS la
+        FROM documents d, range(8) j(j), range(32) f(f),
+             LATERAL (SELECT j.j * 32 + f.f AS i) i
+        GROUP BY d.doc_id, j.j
+    ),
+    feat AS (
+        SELECT doc_id, list(CAST(la AS BIGINT) ORDER BY j) AS loudness
+        FROM loud GROUP BY doc_id
+    ),
+    pts AS (
+        SELECT d.doc_id, k.k,
+               ((7 * ((k.k * 256) // 65) + d.doc_id) % 256) * 16 - 2048 AS v
+        FROM documents d, range(65) k(k)
+    ),
+    bits AS (
+        SELECT a.doc_id,
+               sum(CASE WHEN b.v > a.v
+                        THEN CAST(1 AS HUGEINT) << (63 - a.k)
+                        ELSE CAST(0 AS HUGEINT) END) AS raw
+        FROM pts a JOIN pts b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+        WHERE a.k < 64
+        GROUP BY a.doc_id
+    ),
+    wh AS (
+        SELECT doc_id,
+               CAST(CASE WHEN raw >= CAST(1 AS HUGEINT) << 63
+                         THEN raw - (CAST(1 AS HUGEINT) << 64)
+                         ELSE raw END AS BIGINT) AS whash
+        FROM bits
+    )
+    SELECT f.doc_id, 8000 AS sample_rate, 256 AS n_samples,
+           f.loudness, wh.whash, 'wav' AS decoder
+    FROM feat f JOIN wh USING (doc_id)
+    """,
+)
+def multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-sample audio decode, end to end: serialize each doc_id's
+    deterministic 256-sample PCM clip as binary RIFF/WAVE
+    (multimodal.binary_ops.attach_wav_payload), then parse the payload
+    bytes back through the vendored chunk-walking codec and emit the
+    integer per-frame loudness envelope plus the 65-point waveform
+    dHash (multimodal.binary_ops.wav_features) — the audio modality's
+    twin of multimodal_real_codec, same two-Arrow-hop shape, same
+    closed-form checkability."""
+    from ..multimodal import binary_ops as MM
+
+    docs = Catalog(spark, sf_dir).documents
+    return MM.wav_features(MM.attach_wav_payload(docs))
+
+
+@query(
     "dsir_select",
     oracle="""
     WITH tok_r AS (

@@ -328,3 +328,107 @@ def test_ppm_features_closed_form(spark):
         assert got[d]["phash"] == ph
         assert (got[d]["width"], got[d]["height"]) == (16, 16)
         assert got[d]["decoder"] == "ppm"
+
+
+# --- vendored WAV codec: real PCM decode (audio twin of the PPM work) ---
+
+
+def test_wav_roundtrip_and_chunk_walking():
+    import struct
+
+    from jonesy_spark.multimodal import codecs as C
+
+    samples = [((7 * i + 3) % 256) * 16 - 2048 for i in range(256)]
+    payload = C.encode_wav(samples, sample_rate=16_000)
+    rate, got = C.decode_wav(payload)
+    assert rate == 16_000 and got == samples
+
+    # an extra LIST chunk between fmt and data is skipped, not fatal
+    head, data_chunk = payload[:36], payload[36:]
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    rate2, got2 = C.decode_wav(head + extra + data_chunk)
+    assert (rate2, got2) == (rate, samples)
+
+
+def test_wav_malformed_payloads_raise():
+    import struct
+
+    import pytest
+
+    from jonesy_spark.multimodal import codecs as C
+
+    with pytest.raises(ValueError, match="RIFF"):
+        C.decode_wav(b"NOTAWAVEFILE")
+    good = C.encode_wav([0, 100, -100])
+    with pytest.raises(ValueError, match="truncated"):
+        C.decode_wav(good[:-2])
+    # stereo rejected: this codec contracts PCM 16-bit mono
+    stereo_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    bad = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + stereo_fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="mono"):
+        C.decode_wav(bad)
+
+
+def test_wav_features_closed_form(spark):
+    """wav_features (the audio driver row's operator) equals the closed
+    form of the fixture clip for the loudness envelope AND the
+    waveform dHash."""
+    from jonesy_spark.multimodal import binary_ops as B
+
+    docs = spark.createDataFrame([(0,), (5,), (250,)], "doc_id long")
+    got = {
+        r["doc_id"]: r
+        for r in B.wav_features(B.attach_wav_payload(docs)).collect()
+    }
+    for d in (0, 5, 250):
+        s = lambda i: ((7 * i + d) % 256) * 16 - 2048
+        loud = [
+            sum(abs(s(i)) for i in range(32 * j, 32 * j + 32)) // 32
+            for j in range(8)
+        ]
+        pts = [s((k * 256) // 65) for k in range(65)]
+        raw = 0
+        for k in range(64):
+            raw = (raw << 1) | (1 if pts[k + 1] > pts[k] else 0)
+        wh = raw - (1 << 64) if raw >= (1 << 63) else raw
+        assert list(got[d]["loudness"]) == loud
+        assert got[d]["whash"] == wh
+        assert got[d]["sample_rate"] == 8000 and got[d]["n_samples"] == 256
+        assert got[d]["decoder"] == "wav"
+
+
+def test_waveform_dhash_locality_and_media_near_dup_audio(spark):
+    """A slightly perturbed clip stays within a few dHash bits of its
+    original and pairs in media_near_dup; an unrelated clip doesn't."""
+    from jonesy_spark.multimodal import binary_ops as B
+    from jonesy_spark.multimodal import codecs as C
+
+    base = [((7 * i) % 256) * 16 - 2048 for i in range(256)]
+    tweaked = list(base)
+    tweaked[100] += 8  # sub-LSB-of-dHash perturbation
+    unrelated = [((31 * i + 97) % 256) * 16 - 2048 for i in range(256)]
+    mime = "audio/x-wav"
+    h = lambda sm: B.perceptual_hash(C.encode_wav(sm), False, mime)
+    d = lambda a, b: bin((h(a) ^ h(b)) & ((1 << 64) - 1)).count("1")
+    assert d(base, base) == 0
+    assert d(base, tweaked) <= 4
+    assert d(base, unrelated) > 6
+
+    rows = [
+        (1, C.encode_wav(base)),
+        (2, C.encode_wav(tweaked)),
+        (3, C.encode_wav(unrelated)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").selectExpr(
+        "doc_id", "payload", "'audio/x-wav' AS mime",
+        "octet_length(payload) AS byte_len",
+    )
+    pairs = {
+        (r["doc_id"], r["dup_doc_id"])
+        for r in B.media_near_dup(df, max_hamming=4, fake=False).collect()
+    }
+    assert (1, 2) in pairs and not any(3 in p for p in pairs)
