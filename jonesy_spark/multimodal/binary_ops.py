@@ -500,3 +500,103 @@ def wav_features(df: DataFrame, n_frames: int = 8) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
+
+
+#: Deterministic 4-frame 16x16 fixture clip: frame f of document d has
+#: pixel (x, y) = (r, g, b) = ((13x + 5f + d) % 256, (7y + 3f + d) %
+#: 256, (x + y + f) % 256) — every frame differs, every channel varies,
+#: and the decoded outputs are closed forms of (doc_id, f, x, y).
+PPM_VIDEO_FRAMES = 4
+
+VIDEO_FEATURE_SCHEMA = (
+    "doc_id long, n_frames int, frame_hashes array<bigint>, "
+    "mean_luma array<bigint>, decoder string"
+)
+
+
+def attach_ppm_video_payload(
+    df: DataFrame,
+    n_frames: int = PPM_VIDEO_FRAMES,
+    side: int = PPM_FIXTURE_SIDE,
+) -> DataFrame:
+    """Stand-in video SOURCE with REAL frames: serialize each doc_id's
+    deterministic clip as a concatenated-P6 stream (the Netpbm
+    animation convention) plus typed metadata."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                chunks = []
+                for f in range(n_frames):
+                    rgb = [
+                        (
+                            (13 * x + 5 * f + d) % 256,
+                            (7 * y + 3 * f + d) % 256,
+                            (x + y + f) % 256,
+                        )
+                        for y in range(side)
+                        for x in range(side)
+                    ]
+                    chunks.append(codecs.encode_ppm(side, side, rgb))
+                payloads.append(b"".join(chunks))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "video/x-ppm-stream",
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return df.select("doc_id").mapInPandas(
+        run, schema="doc_id long, payload binary, mime string, byte_len long"
+    )
+
+
+def video_features(df: DataFrame) -> DataFrame:
+    """REAL-codec video feature pass: walk each concatenated-P6 stream,
+    decode every frame, and emit the per-frame 9x8 dHash sequence plus
+    the per-frame mean luma (floor) — ``(doc_id, n_frames,
+    frame_hashes, mean_luma, decoder)``. The frame-hash SEQUENCE is
+    what temporal near-dup blocks on (shot-level banding: two clips
+    sharing any frame band pair); the mean-luma track is the scene-cut
+    / black-frame diagnostic. One Arrow hop, the codec-boundary shape.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        for pdf in batches:
+            counts, hashes, lumas = [], [], []
+            for p in pdf["payload"]:
+                frames = codecs.decode_ppm_stream(bytes(p))
+                fh, ml = [], []
+                for w, h, rgb in frames:
+                    gray = codecs.luma(rgb)
+                    px = codecs.nearest_resize(gray, w, h, 9, 8)
+                    hv = 0
+                    for r in range(8):
+                        for c in range(8):
+                            hv = (hv << 1) | (
+                                1 if px[r * 9 + c + 1] > px[r * 9 + c] else 0
+                            )
+                    fh.append(hv - (1 << 64) if hv >= (1 << 63) else hv)
+                    ml.append(sum(gray) // len(gray))
+                counts.append(len(frames))
+                hashes.append(fh)
+                lumas.append(ml)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": counts,
+                    "frame_hashes": hashes,
+                    "mean_luma": lumas,
+                    "decoder": "ppm-stream",
+                }
+            )
+
+    return df.mapInPandas(run, schema=VIDEO_FEATURE_SCHEMA)

@@ -219,3 +219,45 @@ def waveform_resample(samples: list[int], n_points: int) -> list[int]:
     if n == 0:
         return [0] * n_points
     return [samples[(i * n) // n_points] for i in range(n_points)]
+
+
+# --- multi-frame PPM streams: the video modality -------------------
+
+#: House mime for a concatenated-P6 frame stream (the Netpbm
+#: convention: consecutive binary PPM images in one payload form an
+#: animation; each frame is self-describing via its own header).
+PPM_STREAM_MIMES = frozenset({"video/x-ppm-stream"})
+
+
+def decode_ppm_stream(
+    payload: bytes,
+) -> list[tuple[int, int, list[tuple[int, int, int]]]]:
+    """Parse a concatenated-P6 frame stream into a list of decoded
+    frames. Each frame's header declares its own dimensions, so the
+    walker re-parses from the byte after each raster; a malformed
+    frame fails the whole payload loudly (one corrupt frame poisons
+    the clip — the quarantine rule, per-document granularity)."""
+    frames = []
+    pos = 0
+    while pos < len(payload):
+        chunk = payload[pos:]
+        if chunk[:2] != b"P6":
+            raise ValueError(
+                f"frame {len(frames)}: not a P6 frame at offset {pos} "
+                f"(magic {chunk[:2]!r})"
+            )
+        (w, h, maxval), offset = _read_header_tokens(chunk, 3)
+        if not 0 < maxval <= 255:
+            raise ValueError(f"frame {len(frames)}: bad maxval {maxval}")
+        end = offset + 3 * w * h
+        if len(chunk) < end:
+            raise ValueError(
+                f"frame {len(frames)}: truncated raster "
+                f"({len(chunk)} < {end})"
+            )
+        _, _, pixels = decode_ppm(chunk[:end])
+        frames.append((w, h, pixels))
+        pos += end
+    if not frames:
+        raise ValueError("empty PPM stream")
+    return frames

@@ -234,6 +234,11 @@ DRIVER_EXCLUDED = {
     # twin of the admitted multimodal_real_codec. r8 rotation
     # candidate.
     "multimodal_audio_codec",
+    # REGISTRY-ONLY this round (cap spent), full closed-form oracle
+    # ready: the multi-frame PPM-stream video row (per-frame dHash
+    # sequence + mean-luma track) — completes the real-codec trio.
+    # r8 rotation candidate.
+    "multimodal_video_codec",
     # metadata-projection stand-in superseded r7 by
     # multimodal_real_codec: the new row decodes REAL pixel bytes
     # through the vendored PPM codec against a closed-form oracle

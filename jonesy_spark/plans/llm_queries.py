@@ -1092,6 +1092,76 @@ def multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_codec",
+    # Closed-form oracle of the multi-frame decode chain — the video
+    # member of the real-codec trio: per-frame 9x8 dHash sequence +
+    # per-frame mean luma, recomputed in pure SQL from the fixture
+    # clip's (doc_id, frame, x, y) closed form. Any defect in the
+    # stream walker (frame boundaries!), per-frame parse, luma or
+    # resampling diverges the hash.
+    oracle="""
+    WITH g AS (
+        SELECT d.doc_id, f.f, y.y, x.x,
+               ((299 * ((13 * x.x + 5 * f.f + d.doc_id) % 256)
+                 + 587 * ((7 * y.y + 3 * f.f + d.doc_id) % 256)
+                 + 114 * ((x.x + y.y + f.f) % 256)) // 1000) AS g
+        FROM documents d, range(4) f(f), range(16) y(y), range(16) x(x)
+    ),
+    ml AS (
+        SELECT doc_id, f, (sum(g) // 256) AS m
+        FROM g GROUP BY doc_id, f
+    ),
+    luma_track AS (
+        SELECT doc_id, list(CAST(m AS BIGINT) ORDER BY f) AS mean_luma
+        FROM ml GROUP BY doc_id
+    ),
+    g9 AS (
+        SELECT d.doc_id, f.f, j.j, i.i,
+               ((299 * ((13 * ((i.i * 16) // 9) + 5 * f.f + d.doc_id) % 256)
+                 + 587 * ((7 * (2 * j.j) + 3 * f.f + d.doc_id) % 256)
+                 + 114 * (((i.i * 16) // 9 + 2 * j.j + f.f) % 256)) // 1000)
+                   AS g
+        FROM documents d, range(4) f(f), range(8) j(j), range(9) i(i)
+    ),
+    bits AS (
+        SELECT a.doc_id, a.f,
+               sum(CASE WHEN b.g > a.g
+                        THEN CAST(1 AS HUGEINT) << (63 - (a.j * 8 + a.i))
+                        ELSE CAST(0 AS HUGEINT) END) AS raw
+        FROM g9 a JOIN g9 b ON b.doc_id = a.doc_id AND b.f = a.f
+                          AND b.j = a.j AND b.i = a.i + 1
+        WHERE a.i < 8
+        GROUP BY a.doc_id, a.f
+    ),
+    fh AS (
+        SELECT doc_id,
+               list(CAST(CASE WHEN raw >= CAST(1 AS HUGEINT) << 63
+                              THEN raw - (CAST(1 AS HUGEINT) << 64)
+                              ELSE raw END AS BIGINT) ORDER BY f)
+                   AS frame_hashes
+        FROM bits GROUP BY doc_id
+    )
+    SELECT l.doc_id, 4 AS n_frames, fh.frame_hashes, l.mean_luma,
+           'ppm-stream' AS decoder
+    FROM luma_track l JOIN fh USING (doc_id)
+    """,
+)
+def multimodal_video_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-frame video decode, end to end: serialize each
+    doc_id's deterministic 4-frame clip as a concatenated-P6 stream
+    (multimodal.binary_ops.attach_ppm_video_payload — the Netpbm
+    animation convention), then walk the stream back through the
+    vendored codec and emit the per-frame dHash sequence + mean-luma
+    track (multimodal.binary_ops.video_features). Completes the
+    image/audio/video real-codec trio, same two-Arrow-hop shape, same
+    closed-form checkability."""
+    from ..multimodal import binary_ops as MM
+
+    docs = Catalog(spark, sf_dir).documents
+    return MM.video_features(MM.attach_ppm_video_payload(docs))
+
+
+@query(
     "dsir_select",
     oracle="""
     WITH tok_r AS (

@@ -432,3 +432,61 @@ def test_waveform_dhash_locality_and_media_near_dup_audio(spark):
         for r in B.media_near_dup(df, max_hamming=4, fake=False).collect()
     }
     assert (1, 2) in pairs and not any(3 in p for p in pairs)
+
+
+# --- PPM-stream video: the real-codec trio's third member ---
+
+
+def test_ppm_stream_roundtrip_and_malformed():
+    import pytest
+
+    from jonesy_spark.multimodal import codecs as C
+
+    f1 = [(x, x, x) for x in range(4)]
+    f2 = [(255 - x, 0, x) for x in range(4)]
+    payload = C.encode_ppm(2, 2, f1) + C.encode_ppm(2, 2, f2)
+    frames = C.decode_ppm_stream(payload)
+    assert [fr[2] for fr in frames] == [f1, f2]
+    # frames may differ in size — each header is self-describing
+    mixed = C.encode_ppm(2, 2, f1) + C.encode_ppm(1, 4, f2)
+    assert [(w, h) for w, h, _ in C.decode_ppm_stream(mixed)] == [(2, 2), (1, 4)]
+    with pytest.raises(ValueError, match="empty"):
+        C.decode_ppm_stream(b"")
+    with pytest.raises(ValueError, match="frame 1"):
+        C.decode_ppm_stream(payload[:-3])  # truncated second raster
+    with pytest.raises(ValueError, match="not a P6"):
+        C.decode_ppm_stream(payload + b"JUNK")
+
+
+def test_video_features_closed_form(spark):
+    """video_features equals the closed form of the fixture clip for
+    the per-frame dHash sequence and the mean-luma track."""
+    from jonesy_spark.multimodal import binary_ops as B
+
+    docs = spark.createDataFrame([(0,), (3,), (77,)], "doc_id long")
+    got = {
+        r["doc_id"]: r
+        for r in B.video_features(B.attach_ppm_video_payload(docs)).collect()
+    }
+
+    for d in (0, 3, 77):
+        lum = lambda x, y, f: (
+            299 * ((13 * x + 5 * f + d) % 256)
+            + 587 * ((7 * y + 3 * f + d) % 256)
+            + 114 * ((x + y + f) % 256)
+        ) // 1000
+        want_ml, want_fh = [], []
+        for f in range(4):
+            gray = [lum(x, y, f) for y in range(16) for x in range(16)]
+            want_ml.append(sum(gray) // 256)
+            raw = 0
+            for r in range(8):
+                for c in range(8):
+                    a = lum((c * 16) // 9, 2 * r, f)
+                    b = lum(((c + 1) * 16) // 9, 2 * r, f)
+                    raw = (raw << 1) | (1 if b > a else 0)
+            want_fh.append(raw - (1 << 64) if raw >= (1 << 63) else raw)
+        assert got[d]["n_frames"] == 4
+        assert list(got[d]["mean_luma"]) == want_ml
+        assert list(got[d]["frame_hashes"]) == want_fh
+        assert got[d]["decoder"] == "ppm-stream"
