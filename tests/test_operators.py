@@ -247,10 +247,12 @@ def test_oracle_sql_carries_operator_bucket_cap():
     """The dedup oracles interpolate the SHARED cap constant; a literal
     that drifted from BUCKET_CAP would silently diverge the two engines
     on corpora with buckets between the two values (ADVICE r3)."""
-    import __spark_entry__ as entrymod
     import jonesy_spark.operators.dedup as DD
+    from jonesy_spark.plans import all_oracle_sql
 
-    oracles = entrymod.oracle_sql()
+    # full registry, not the rotating driver surface: the invariant is
+    # about the oracle TEXT wherever the row currently lives
+    oracles = all_oracle_sql()
     for name in ("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard"):
         sql = oracles[name]
         assert f"<= {DD.BUCKET_CAP}" in sql, name
