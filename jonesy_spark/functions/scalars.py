@@ -93,5 +93,11 @@ def micro_units(col: Column, digits: int = 6) -> Column:
     ratios, quality composites); raw pass-through doubles read from
     parquet are already bit-identical on both engines and don't need
     it.
+
+    Contracts: NULL passes through as NULL; ties round HALF_UP away
+    from zero on both engines; and a non-finite input FAILS LOUDLY
+    (ANSI CAST_OVERFLOW) rather than hashing a silent sentinel — a
+    NaN/Infinity reaching a hashed output is an upstream bug, the
+    quarantine rule at expression level.
     """
     return F.round(col * F.lit(10 ** digits)).cast("long")

@@ -185,3 +185,25 @@ def test_snapshot_diff_shuffles_digests_not_text(spark):
     assert blocks, "no exchange detail blocks parsed"
     for cols in blocks:
         assert "text#" not in cols, cols
+
+
+def test_micro_units_contracts(spark):
+    """The fixed-point helper every hashed computed-double goes
+    through: NULL passthrough, away-from-zero ties, loud non-finite
+    failure (ANSI overflow, never a silent 0)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.functions.scalars import micro_units
+
+    rows = spark.createDataFrame(
+        [(-2.5e-6,), (2.5e-6,), (None,), (1.25,)], "x double"
+    )
+    got = [
+        r["m"]
+        for r in rows.select(micro_units(F.col("x")).alias("m")).collect()
+    ]
+    assert got == [-3, 3, None, 1_250_000]
+    bad = spark.createDataFrame([(float("nan"),)], "x double")
+    with pytest.raises(Exception, match="CAST_OVERFLOW|overflow"):
+        bad.select(micro_units(F.col("x")).alias("m")).collect()
