@@ -239,6 +239,10 @@ DRIVER_EXCLUDED = {
     # sequence + mean-luma track) — completes the real-codec trio.
     # r8 rotation candidate.
     "multimodal_video_codec",
+    # REGISTRY-ONLY this round (cap spent), identity oracle ready: the
+    # WARC crawl-archive round trip (gzip-member framing + record
+    # walker — pipeline/warc.py). r8 rotation candidate.
+    "warc_ingest_roundtrip",
     # metadata-projection stand-in superseded r7 by
     # multimodal_real_codec: the new row decodes REAL pixel bytes
     # through the vendored PPM codec against a closed-form oracle

@@ -1162,6 +1162,66 @@ def multimodal_video_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "warc_ingest_roundtrip",
+    # Identity oracle: the WARC writer + parser must be inverses, so
+    # parsing the archives built from `documents` must return exactly
+    # the documents' own (doc_id, byte length, text) — any framing,
+    # Content-Length, gzip-member or decode defect diverges the hash.
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           text
+    FROM documents
+    """,
+)
+def warc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest round trip: pack the documents table into
+    per-record-GZIPPED WARC archives (8 archives, one applyInPandas
+    group each — the Common Crawl layout and the format's natural
+    parallelism unit, since WARC is not splittable mid-file), then
+    explode them back through the vendored record walker
+    (pipeline.warc.warc_text_records) and recover every document's
+    bytes exactly. Two Arrow hops (pack, walk) — the crawl-corpus
+    front door's codec boundary, closed-form checkable as identity."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..pipeline import warc as W
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "text", (F.col("doc_id") % 8).alias("__archive")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        payload = W.encode_warc(
+            [
+                (f"https://corpus.example/{int(d)}", "2024-01-01T00:00:00Z",
+                 t.encode("utf-8"))
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ],
+            gzip_members=True,
+        )
+        return pd.DataFrame(
+            {"archive_id": [f"arc-{int(pdf['__archive'].iloc[0])}"],
+             "payload": [payload]}
+        )
+
+    archives = docs.groupBy("__archive").applyInPandas(
+        pack, schema="archive_id string, payload binary"
+    )
+    recs = W.warc_text_records(archives)
+    return recs.select(
+        F.regexp_extract("record_url", r"/(\d+)$", 1).cast("long").alias(
+            "doc_id"
+        ),
+        "n_bytes",
+        "text",
+    )
+
+
+@query(
     "dsir_select",
     oracle="""
     WITH tok_r AS (
