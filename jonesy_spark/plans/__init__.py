@@ -66,9 +66,9 @@ DRIVER_EXCLUDED = {
     # token_budget_prune (whitespace counts feed the budget) and
     # quality_filter; ceil(len/4) member keeps its pytest differential.
     "token_counts",
-    # day-code CASE chain inside scalar_functions_suite; collect_set/
-    # array_sort agg family inside phrase_search's position assembly.
-    "active_day_codes",
+    # (active_day_codes re-admitted r8 per the two-round §2 cadence —
+    # r4-stale; see the r8 section at the bottom for this round's
+    # rotations out.)
     # Expand + two-phase distinct-aggregate stays driver-checked via
     # profile_table (countDistinct per column); pytest kept.
     "distinct_counts",
@@ -88,11 +88,8 @@ DRIVER_EXCLUDED = {
     # sequence-explode + substring-window family inside
     # dedup_minhash_lsh / contamination gram generation; pytest kept.
     "doc_chunking",
-    # F8-F13 regexp/substring members inside scalar_functions_suite.
-    "catalog_number_parsing",
-    # cumulative-window family driver-checked via events_sessionization
-    # (lag + running sum over the same ordered user window).
-    "running_total",
+    # (catalog_number_parsing and running_total re-admitted r8 per the
+    # two-round §2 cadence — r4/r5-stale.)
     # REGISTRY-ONLY by design: int8-scan + exact-float-rerank ANN. No
     # DuckDB oracle on purpose — the round(x/scale) int8 boundary is
     # where engine ulp drift could flip a candidate; pytest equalities
@@ -107,8 +104,8 @@ DRIVER_EXCLUDED = {
     # would (naive-reference equality, trainer equivalence, replay
     # encode, concat round-trip). Benched for the encode-cost story.
     "bpe_token_stats",
-    # rank-cut window family via current_terms_topk + quality_filter.
-    "topk_per_group_price",
+    # (topk_per_group_price re-admitted r8 per the two-round §2
+    # cadence — r5-stale.)
     # md5-Bernoulli draw via quota_sample (admitted r7, same draw with
     # exact per-stratum counts) and diversity_sample's cell draw.
     "mixture_sample",
@@ -228,27 +225,49 @@ DRIVER_EXCLUDED = {
     # same grid + anchor-window plan with interpolation on top;
     # carry-forward member keeps pytest.
     "resample_gapfill",
-    # REGISTRY-ONLY this round (cap spent at 50 by the queue burn),
-    # full closed-form oracle ready: the vendored WAV/PCM codec's
-    # end-to-end row (loudness envelope + waveform dHash) — the audio
-    # twin of the admitted multimodal_real_codec. r8 rotation
-    # candidate.
-    "multimodal_audio_codec",
-    # REGISTRY-ONLY this round (cap spent), full closed-form oracle
-    # ready: the multi-frame PPM-stream video row (per-frame dHash
-    # sequence + mean-luma track) — completes the real-codec trio.
-    # r8 rotation candidate.
-    "multimodal_video_codec",
-    # REGISTRY-ONLY this round (cap spent), identity oracle ready: the
-    # WARC crawl-archive round trip (gzip-member framing + record
-    # walker — pipeline/warc.py). r8 rotation candidate.
-    "warc_ingest_roundtrip",
+    # (multimodal_audio_codec, multimodal_video_codec and
+    # warc_ingest_roundtrip admitted r8 — the never-witnessed queue
+    # goes to zero; their loudness/frame arrays are flattened to
+    # scalar rows per the r7 verdict's scalar-only roster rule.)
     # metadata-projection stand-in superseded r7 by
     # multimodal_real_codec: the new row decodes REAL pixel bytes
     # through the vendored PPM codec against a closed-form oracle
     # (feature micro-units + dHash), a strict upgrade over hashing the
     # byte_len/md5 projection; this row keeps its pytest differential.
     "multimodal_features",
+    # ---- rotated out r8: the five §2 ids re-admitted r7 took their
+    # fresh driver greens (all green in CORRECTNESS_r07) and rotate
+    # out again per PARITY.md's two-round cadence — each keeps its
+    # full pytest DuckDB differential; their §2 witnesses stay no
+    # older than two rounds and the r8 re-admission batch
+    # (running_total, topk_per_group_price, catalog_number_parsing,
+    # active_day_codes — r4/r5-stale) takes their slots. ------------
+    #
+    # J2 5-key composite inner join: witness r7; family stays via
+    # term_courses' composite left-outers + range_join_calendar.
+    "composite_key_join",
+    # P9 watermark incremental: witness r7; the streaming twin keeps
+    # its batch-parity + restart tests; cutoff-filter family via
+    # recent_instructor_updates (retained).
+    "watermark_incremental",
+    # S3/O6 ROWNUM offset+limit window: witness r7; rank-cut family
+    # back under driver check via the re-admitted topk_per_group_price
+    # + retained current_terms_topk.
+    "pagination_window",
+    # §2.7 UNION/INTERSECT/EXCEPT: witness r7; the Expand/aggregate
+    # lowering family stays via profile_table (retained).
+    "set_operations",
+    # J10 latest-version epoch sentinel: witness r7; the conditional
+    # window-max family stays via latest_order_per_customer (flagship,
+    # retained) + events_sessionization.
+    "latest_event_version",
+    # get_json_object chain: witness r7; twin of variant_props_extract
+    # — both keep their pytest differentials; the JSON-path family's
+    # scalar members stay via scalar_functions_suite (retained).
+    "json_props_extract",
+    # variant/open-schema twin of the above: witness r7; same family
+    # note, pytest kept.
+    "variant_props_extract",
 }
 
 

@@ -255,8 +255,10 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         ) * 1000000 AS BIGINT) AS cumulative_spend_micro,
-        lag(o_orderkey) OVER w  AS prev_orderkey,
-        lead(o_orderkey) OVER w AS next_orderkey,
+        coalesce(lag(o_orderkey) OVER w, CAST(-1 AS BIGINT))
+            AS prev_orderkey,
+        coalesce(lead(o_orderkey) OVER w, CAST(-1 AS BIGINT))
+            AS next_orderkey,
         CAST(ntile(4) OVER w AS BIGINT) AS recency_quartile
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -271,7 +273,12 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     The frame order includes the unique orderkey so ties are total;
     decimal accumulation keeps the running values exact at any prefix.
     All four functions share the same (partition, order) so Catalyst
-    plans a single exchange + sort.
+    plans a single exchange + sort. The boundary lag/lead NULLs are
+    coalesced to -1 (orderkeys are positive): a nullable BIGINT
+    becomes float64 in pandas on both engines, which the driver's
+    canonicalizer hashes asymmetrically one NULL-skew away (the
+    r07 dtype-gate rule: roster rows are non-null integer/string
+    scalars only).
     """
     orders = Catalog(spark, sf_dir).orders
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -283,8 +290,12 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(wcum) * 1_000_000)
         .cast("long")
         .alias("cumulative_spend_micro"),
-        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
-        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.coalesce(F.lag("o_orderkey").over(w), F.lit(-1).cast("long")).alias(
+            "prev_orderkey"
+        ),
+        F.coalesce(
+            F.lead("o_orderkey").over(w), F.lit(-1).cast("long")
+        ).alias("next_orderkey"),
         F.ntile(4).over(w).cast("long").alias("recency_quartile"),
     )
 
@@ -1304,10 +1315,14 @@ def event_transitions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id, user_id, es,
            CAST(round(value * 1000000) AS BIGINT) AS value_micro,
-           n_baseline, mean_baseline_micro,
-           CASE WHEN n_baseline >= 5 AND sd > 0
-                THEN CAST(round((value - raw_mean) / sd * 1000000) AS BIGINT)
-           END AS z_score_micro,
+           n_baseline,
+           coalesce(mean_baseline_micro, CAST(0 AS BIGINT))
+               AS mean_baseline_micro,
+           coalesce(CASE WHEN n_baseline >= 5 AND sd > 0
+                         THEN CAST(round((value - raw_mean) / sd * 1000000)
+                                   AS BIGINT) END,
+                    CAST(0 AS BIGINT)) AS z_score_micro,
+           (n_baseline >= 5 AND coalesce(sd > 0, false)) AS has_z,
            coalesce(abs(CASE WHEN n_baseline >= 5 AND sd > 0
                              THEN CAST(round((value - raw_mean) / sd * 1000000)
                                        AS BIGINT) END) > 3000000,
@@ -1319,9 +1334,32 @@ def anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event outlier flags against the key's own trailing 24h
     baseline (frame excludes the current row; thin or zero-variance
     baselines yield NULL z and no flag).
-    operators.windows.trailing_anomaly_flags."""
+
+    The DRIVER row coalesces the two nullable micro columns to 0 and
+    carries an explicit ``has_z`` flag instead: a nullable BIGINT
+    becomes float64 in pandas on BOTH engines (NULL promotion), which
+    was symmetric-but-fragile under the driver's pandas canonicalizer
+    (r07 verdict #4) — one NULL asymmetry away from a hash-red. The
+    operator itself keeps semantic NULLs
+    (operators.windows.trailing_anomaly_flags); n_baseline=0
+    disambiguates the coalesced mean, has_z the coalesced z."""
     from ..operators.windows import trailing_anomaly_flags
 
-    return trailing_anomaly_flags(
+    out = trailing_anomaly_flags(
         Catalog(spark, sf_dir).events, window_seconds=86_400, z=3.0
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "es",
+        "value_micro",
+        "n_baseline",
+        F.coalesce(F.col("mean_baseline_micro"), F.lit(0).cast("long")).alias(
+            "mean_baseline_micro"
+        ),
+        F.coalesce(F.col("z_score_micro"), F.lit(0).cast("long")).alias(
+            "z_score_micro"
+        ),
+        F.col("z_score_micro").isNotNull().alias("has_z"),
+        "is_anomaly",
     )

@@ -237,7 +237,8 @@ def prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN count(*) = 0 THEN 1000000
                      ELSE round(sum(h)::DOUBLE / count(*) * 1000000)
                 END AS BIGINT) AS recall_micro,
-           max(CASE WHEN h = 0 THEN jaccard_micro END) AS worst_miss_micro
+           coalesce(max(CASE WHEN h = 0 THEN jaccard_micro END),
+                    CAST(-1 AS BIGINT)) AS worst_miss_micro
     FROM hit
     """,
 )
@@ -980,10 +981,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, range(8) j(j), range(8) i(i)
     ),
     feat AS (
-        SELECT doc_id,
-               list(CAST(round(g * 1000000.0 / 255) AS BIGINT)
-                    ORDER BY j, i) AS feature_micro
-        FROM g8 GROUP BY doc_id
+        SELECT doc_id, CAST(j * 8 + i AS BIGINT) AS j,
+               CAST(round(g * 1000000.0 / 255) AS BIGINT) AS component_micro
+        FROM g8
     ),
     g9 AS (
         SELECT d.doc_id, j.j, i.i,
@@ -1010,7 +1010,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bits
     )
     SELECT f.doc_id, 16 AS width, 16 AS height,
-           f.feature_micro, ph.phash, 'ppm' AS decoder
+           f.j, f.component_micro, ph.phash, 'ppm' AS decoder
     FROM feat f JOIN ph USING (doc_id)
     """,
 )
@@ -1022,11 +1022,30 @@ def multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     luma feature vector (integer micro-units) and the 9x8 perceptual
     dHash (multimodal.binary_ops.ppm_features). Two Arrow-batched
     Python hops (encode, decode) — the codec boundary shape of the
-    module — with everything between them closed-form checkable."""
+    module — with everything between them closed-form checkable.
+    The driver row FLATTENS feature_micro to one scalar row per
+    (doc_id, j) — the driver's pandas canonicalizer cannot sort
+    list-valued cells (r07 ERR); ppm_features keeps the array API."""
     from ..multimodal import binary_ops as MM
 
     docs = Catalog(spark, sf_dir).documents
-    return MM.ppm_features(MM.attach_ppm_payload(docs))
+    out = MM.ppm_features(MM.attach_ppm_payload(docs))
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.posexplode("feature_micro").alias("j", "component_micro"),
+        "phash",
+        "decoder",
+    ).select(
+        "doc_id",
+        "width",
+        "height",
+        F.col("j").cast("long").alias("j"),
+        "component_micro",
+        "phash",
+        "decoder",
+    )
 
 
 @query(
@@ -1047,8 +1066,9 @@ def multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.doc_id, j.j
     ),
     feat AS (
-        SELECT doc_id, list(CAST(la AS BIGINT) ORDER BY j) AS loudness
-        FROM loud GROUP BY doc_id
+        SELECT doc_id, CAST(j AS BIGINT) AS frame,
+               CAST(la AS BIGINT) AS loudness
+        FROM loud
     ),
     pts AS (
         SELECT d.doc_id, k.k,
@@ -1072,7 +1092,7 @@ def multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bits
     )
     SELECT f.doc_id, 8000 AS sample_rate, 256 AS n_samples,
-           f.loudness, wh.whash, 'wav' AS decoder
+           f.frame, f.loudness, wh.whash, 'wav' AS decoder
     FROM feat f JOIN wh USING (doc_id)
     """,
 )
@@ -1084,11 +1104,30 @@ def multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer per-frame loudness envelope plus the 65-point waveform
     dHash (multimodal.binary_ops.wav_features) — the audio modality's
     twin of multimodal_real_codec, same two-Arrow-hop shape, same
-    closed-form checkability."""
+    closed-form checkability. The driver row FLATTENS the loudness
+    envelope to one scalar row per (doc_id, frame) — roster
+    projections are scalar-only (the driver's pandas canonicalizer
+    cannot sort list cells); wav_features keeps the array API."""
     from ..multimodal import binary_ops as MM
 
     docs = Catalog(spark, sf_dir).documents
-    return MM.wav_features(MM.attach_wav_payload(docs))
+    out = MM.wav_features(MM.attach_wav_payload(docs))
+    return out.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.posexplode("loudness").alias("frame", "loudness"),
+        "whash",
+        "decoder",
+    ).select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.col("frame").cast("long").alias("frame"),
+        "loudness",
+        "whash",
+        "decoder",
+    )
 
 
 @query(
@@ -1111,10 +1150,6 @@ def multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, f, (sum(g) // 256) AS m
         FROM g GROUP BY doc_id, f
     ),
-    luma_track AS (
-        SELECT doc_id, list(CAST(m AS BIGINT) ORDER BY f) AS mean_luma
-        FROM ml GROUP BY doc_id
-    ),
     g9 AS (
         SELECT d.doc_id, f.f, j.j, i.i,
                ((299 * ((13 * ((i.i * 16) // 9) + 5 * f.f + d.doc_id) % 256)
@@ -1134,16 +1169,16 @@ def multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.doc_id, a.f
     ),
     fh AS (
-        SELECT doc_id,
-               list(CAST(CASE WHEN raw >= CAST(1 AS HUGEINT) << 63
-                              THEN raw - (CAST(1 AS HUGEINT) << 64)
-                              ELSE raw END AS BIGINT) ORDER BY f)
-                   AS frame_hashes
-        FROM bits GROUP BY doc_id
+        SELECT doc_id, f,
+               CAST(CASE WHEN raw >= CAST(1 AS HUGEINT) << 63
+                         THEN raw - (CAST(1 AS HUGEINT) << 64)
+                         ELSE raw END AS BIGINT) AS frame_hash
+        FROM bits
     )
-    SELECT l.doc_id, 4 AS n_frames, fh.frame_hashes, l.mean_luma,
+    SELECT m.doc_id, 4 AS n_frames, CAST(m.f AS BIGINT) AS f,
+           fh.frame_hash, CAST(m.m AS BIGINT) AS mean_luma,
            'ppm-stream' AS decoder
-    FROM luma_track l JOIN fh USING (doc_id)
+    FROM ml m JOIN fh ON fh.doc_id = m.doc_id AND fh.f = m.f
     """,
 )
 def multimodal_video_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1154,11 +1189,29 @@ def multimodal_video_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     vendored codec and emit the per-frame dHash sequence + mean-luma
     track (multimodal.binary_ops.video_features). Completes the
     image/audio/video real-codec trio, same two-Arrow-hop shape, same
-    closed-form checkability."""
+    closed-form checkability. The driver row FLATTENS the two
+    frame-indexed arrays to one scalar row per (doc_id, f) via
+    arrays_zip + posexplode — roster projections are scalar-only;
+    video_features keeps the array API."""
     from ..multimodal import binary_ops as MM
 
     docs = Catalog(spark, sf_dir).documents
-    return MM.video_features(MM.attach_ppm_video_payload(docs))
+    out = MM.video_features(MM.attach_ppm_video_payload(docs))
+    return out.select(
+        "doc_id",
+        "n_frames",
+        F.posexplode(F.arrays_zip("frame_hashes", "mean_luma")).alias(
+            "f", "z"
+        ),
+        "decoder",
+    ).select(
+        "doc_id",
+        "n_frames",
+        F.col("f").cast("long").alias("f"),
+        F.col("z.frame_hashes").alias("frame_hash"),
+        F.col("z.mean_luma").alias("mean_luma"),
+        "decoder",
+    )
 
 
 @query(
@@ -1642,7 +1695,8 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ROWS UNBOUNDED PRECEDING) AS cum_tokens
         FROM q
     )
-    SELECT doc_id, quality_micro, n_tokens, cum_tokens
+    SELECT doc_id, quality_micro, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM t WHERE cum_tokens <= 15000
     """,
 )
@@ -1656,7 +1710,10 @@ def token_budget_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale notes). The ranking key is integer micro-units
     (scalars.micro_units) so BOTH the sort order and the hashed value
     are engine- and harness-version-independent — r06's one red row was
-    this query hashing a rounded double."""
+    this query hashing a rounded double. The oracle's cum_tokens window
+    sum is CAST to BIGINT because DuckDB's sum(BIGINT) returns HUGEINT,
+    which the driver's pandas canonicalizer renders as float64 (99.0)
+    while Spark renders int64 (99) — the r07 hash-red root cause."""
     from ..operators import corpus as C
 
     docs = Catalog(spark, sf_dir).documents
@@ -2600,12 +2657,11 @@ def bm25_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS norm FROM comp GROUP BY 1)
     SELECT comp.doc_id,
-           list(CASE WHEN nrm.norm > 0
-                     THEN CAST(round(comp.c / nrm.norm * 1000000) AS BIGINT)
-                     ELSE 0 END
-                ORDER BY comp.j) AS embedding_micro
+           CAST(comp.j AS BIGINT) AS j,
+           CASE WHEN nrm.norm > 0
+                THEN CAST(round(comp.c / nrm.norm * 1000000) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS component_micro
     FROM comp JOIN nrm USING (doc_id)
-    GROUP BY comp.doc_id
     """,
 )
 def hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2620,7 +2676,11 @@ def hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sums (one multiply + one round per component — never a
     re-rounding of the library's 6-digit doubles), while hash_embed's
     own array<double> API shape is unchanged for downstream ANN
-    consumers. operators.similarity.hash_embed has the scale notes."""
+    consumers. The driver row is FLATTENED to one scalar row per
+    (doc_id, j) — the driver's pandas canonicalizer cannot sort
+    list-valued cells (r07 ERR: unhashable type 'list'); arrays stay
+    internal, roster projections are scalar-only.
+    operators.similarity.hash_embed has the scale notes."""
     from ..operators.similarity import hash_embed
 
     emb = hash_embed(
@@ -2633,19 +2693,19 @@ def hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + (x * x).cast("double"),
         )
     )
+    arr = F.when(
+        norm > 0,
+        F.transform(
+            F.col("raw_components"),
+            lambda x: F.round(x / norm * 1_000_000).cast("long"),
+        ),
+    ).otherwise(
+        F.transform(F.col("raw_components"), lambda x: F.lit(0).cast("long"))
+    )
     return emb.select(
-        "doc_id",
-        F.when(
-            norm > 0,
-            F.transform(
-                F.col("raw_components"),
-                lambda x: F.round(x / norm * 1_000_000).cast("long"),
-            ),
-        )
-        .otherwise(
-            F.transform(F.col("raw_components"), lambda x: F.lit(0).cast("long"))
-        )
-        .alias("embedding_micro"),
+        "doc_id", F.posexplode(arr).alias("j", "component_micro")
+    ).select(
+        "doc_id", F.col("j").cast("long").alias("j"), "component_micro"
     )
 
 

@@ -7,12 +7,30 @@ queries() entry at sf0.01 side-by-side with its oracle_sql() in DuckDB
 and compares row-count + sorted-column schema + an order-insensitive
 value hash — the same contract as CORRECTNESS_r{N}.json.
 
+CANONICALIZATION MIRRORS THE DRIVER (r07 verdict #3): both result sets
+go through a pandas frame — Spark via ``toPandas()``, DuckDB via
+``.df()`` — then ``sort_values`` over all columns (which CRASHES on
+list-valued cells exactly like the driver's canonicalizer did on
+``multimodal_real_codec``/``hash_embeddings`` in r07) and a per-cell
+render in which pandas dtypes are VISIBLE: an int64 ``99`` and a
+float64 ``99.0`` hash differently (the r06/r07 ``token_budget_prune``
+HUGEINT→float64 miss). The earlier fetchall()-based sim normalized
+both hazards away and was structurally blind to this failure class.
+
+On top of the hash, a HARD DTYPE GATE fails any driver-facing row
+whose Spark OR DuckDB pandas frame contains a float column or an
+object column holding non-string scalars (lists, Decimals, floats) —
+dates/timestamps are allowed (the driver is green on date rows). The
+gate turns the whole representation-hazard class into a local error
+before submission.
+
 Usage: python scripts/driver_sim.py [--sf-dir /root/testdata/sf0.01] [name ...]
 """
 
 from __future__ import annotations
 
 import argparse
+import datetime as _dt
 import hashlib
 import math
 import sys
@@ -20,23 +38,79 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+#: object-dtype cell types the driver demonstrably handles (green rows
+#: carry date/timestamp columns); everything else non-string is a
+#: representation hazard.
+_SAFE_OBJECT_TYPES = (str, bytes, bool, _dt.date, _dt.datetime)
 
-def norm_value(v):
+
+def dtype_hazards(pdf, engine: str) -> list[str]:
+    """Columns whose pandas representation is one engine-quirk away
+    from a driver hash-red: floats (NULL-promoted BIGINTs, HUGEINT
+    downcasts) and object cells that are not strings/dates (lists
+    crash sort_values; Decimals/None-mixed ints render differently
+    per engine)."""
+    out = []
+    for c in pdf.columns:
+        dt = pdf[c].dtype
+        kind = getattr(dt, "kind", None)
+        if kind == "f":
+            out.append(f"{engine}.{c}:{dt}")
+        elif kind == "O":
+            bad = pdf[c].map(
+                lambda v: not (
+                    v is None
+                    or isinstance(v, _SAFE_OBJECT_TYPES)
+                    # numpy bool_/integer scalars render like Python's
+                    or getattr(getattr(v, "dtype", None), "kind", "")
+                    in ("b", "i", "u")
+                    or (isinstance(v, float) and math.isnan(v))
+                )
+            )
+            if bad.any():
+                sample = pdf[c][bad].iloc[0]
+                out.append(f"{engine}.{c}:object({type(sample).__name__})")
+    return out
+
+
+def _render(v) -> str:
+    """Driver-style cell render: dtype-visible (int64 99 != float64
+    99.0), NULL-stable, ISO dates."""
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{round(v, 6):.6f}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_value(x) for x in v) + "]"
-    return str(v)
+            return "NULL"
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        if v != v:  # NaT
+            return "NULL"
+        # a midnight timestamp and a date render identically: duckdb
+        # widens DATE to datetime64 while Spark keeps datetime.date
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    # numpy scalars / pandas NA
+    s = str(v)
+    return "NULL" if s in ("NaT", "<NA>", "None") else s
 
 
-def value_hash(rows, cols):
+def canon_hash(pdf) -> str:
+    """The driver's canonicalization: sort columns by name, sort rows
+    by all columns (raises TypeError on unhashable cells — a faithful
+    reproduction of the driver's r07 array crash), hash the rendered
+    cells."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    if len(pdf):
+        pdf = pdf.sort_values(by=cols, kind="mergesort").reset_index(
+            drop=True
+        )
     h = hashlib.md5()
-    for row in sorted("|".join(norm_value(v) for v in row) for row in rows):
-        h.update(row.encode())
+    for row in pdf.itertuples(index=False, name=None):
+        h.update("|".join(_render(v) for v in row).encode())
         h.update(b"\n")
     return h.hexdigest()
 
@@ -44,6 +118,11 @@ def value_hash(rows, cols):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--no-gate",
+        action="store_true",
+        help="report dtype hazards without failing the row",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -84,22 +163,32 @@ def main() -> int:
         t0 = time.time()
         try:
             df = queries[name](spark, args.sf_dir)
-            cols = sorted(df.columns)
-            srows = [[r[c] for c in cols] for r in df.collect()]
-            shash = value_hash(srows, cols)
+            spdf = df.toPandas()
+            hazards = dtype_hazards(spdf, "spark")
+            shash = canon_hash(spdf)
             if name not in oracles:
-                print(f"  {name}: rows-only check, {len(srows)} rows [{time.time()-t0:.1f}s]")
+                gate = ""
+                if hazards and not args.no_gate:
+                    failures.append(name)
+                    gate = f"  DTYPE HAZARDS: {hazards}"
+                print(
+                    f"  {'FAIL' if gate else 'OK '} {name}: rows-only check, "
+                    f"{len(spdf)} rows [{time.time()-t0:.1f}s]{gate}"
+                )
                 continue
-            res = con.execute(oracles[name])
-            dcols_raw = [d[0] for d in res.description]
-            dcols = sorted(dcols_raw)
-            idx = [dcols_raw.index(c) for c in dcols]
-            drows = [[r[i] for i in idx] for r in res.fetchall()]
-            dhash = value_hash(drows, dcols)
-            ok = (len(srows) == len(drows)) and (cols == dcols) and (shash == dhash)
+            dpdf = con.execute(oracles[name]).df()
+            hazards += dtype_hazards(dpdf, "duckdb")
+            dhash = canon_hash(dpdf)
+            cols, dcols = sorted(spdf.columns), sorted(dpdf.columns)
+            ok = (
+                (len(spdf) == len(dpdf))
+                and (cols == dcols)
+                and (shash == dhash)
+                and (not hazards or args.no_gate)
+            )
             status = "OK " if ok else "FAIL"
             print(
-                f"  {status} {name}: spark={len(srows)} oracle={len(drows)} "
+                f"  {status} {name}: spark={len(spdf)} oracle={len(dpdf)} "
                 f"hash={'match' if shash == dhash else f'{shash[:8]}!={dhash[:8]}'} "
                 f"[{time.time()-t0:.1f}s]"
             )
@@ -107,6 +196,8 @@ def main() -> int:
                 failures.append(name)
                 if cols != dcols:
                     print(f"       schema: spark={cols} oracle={dcols}")
+                if hazards:
+                    print(f"       dtype hazards: {hazards}")
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"  ERR  {name}: {type(exc).__name__}: {exc}")
