@@ -49,6 +49,12 @@ def _read_header_tokens(payload: bytes, n_tokens: int) -> tuple[list[int], int]:
             raise ValueError("truncated PPM header")
         ch = payload[i : i + 1]
         if ch == b"#":
+            # a comment terminates an in-progress token exactly like
+            # whitespace would ('255#c\n16' is 255 then 16, never
+            # 25516 — ADVICE r7): flush before skipping the line
+            if cur:
+                tokens.append(int(cur))
+                cur = b""
             while i < len(payload) and payload[i : i + 1] != b"\n":
                 i += 1
         elif ch.isspace():

@@ -495,8 +495,13 @@ def train_from_counts(
     across different bucket spaces would be silently meaningless."""
     from pyspark.errors import AnalysisException
 
+    from .hygiene import read_index_resolved
+
     try:
-        raw = spark.read.parquet(path)
+        # resolved read: the fold SUMS integer partials, so a batch a
+        # committed compaction already consumed must be excluded or
+        # every count it holds doubles (hygiene.superseded_batches)
+        raw = read_index_resolved(spark, path)
     except AnalysisException:
         raise ValueError(
             f"no classifier count ledger at {path!r}; land one with "

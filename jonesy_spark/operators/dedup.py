@@ -815,6 +815,7 @@ def lsh_recall_report(
     n_hashes: int = 16,
     n_bands: int = 2,
     bucket_cap: int | None = BUCKET_CAP,
+    max_truth_pairs: int = 5_000_000,
 ) -> DataFrame:
     """Banding-recall tuning report for :func:`minhash_lsh_pairs` — the
     text-dedup twin of ``similarity.ann_recall``: measure, don't guess,
@@ -831,11 +832,30 @@ def lsh_recall_report(
     cross join is the point and the budget: ``sample_frac`` bounds it
     exactly like ann_recall's sampled query set; precision is
     structurally 1.0 (the op verifies exactly), so it is not reported.
+
+    ``max_truth_pairs`` is the HARD guard on that budget (VERDICT r7
+    #8): the sampled doc count is checked up front (one columnar count
+    of the id column — negligible next to the O(sample²) join it
+    protects) and the op raises if the truth set would exceed the
+    bound, so a ``sample_frac`` typo at corpus scale becomes a loud
+    config error instead of a scheduled all-pairs join.
+    ``worst_miss_micro`` is -1 (not NULL) when the bands missed
+    nothing: a NULL BIGINT renders float64 in pandas, which the driver
+    roster's scalar-integer rule forbids.
     """
     draw = element_hash(
         F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))
     ) / F.lit(float(1 << 28))
     sample = df.filter(draw < sample_frac)
+    n_sampled = sample.select(id_col).count()
+    if n_sampled * (n_sampled - 1) // 2 > max_truth_pairs:
+        raise ValueError(
+            f"lsh_recall_report: sample of {n_sampled} docs implies "
+            f"{n_sampled * (n_sampled - 1) // 2} exact truth pairs, over "
+            f"the max_truth_pairs={max_truth_pairs} budget — lower "
+            "sample_frac (the report needs a sample, not the corpus) or "
+            "raise the budget explicitly"
+        )
 
     toks = (
         sample.repartition(CPU_PARTITIONS, F.col(id_col))
@@ -905,7 +925,9 @@ def lsh_recall_report(
                 micro_units(F.col("n_hits") / F.col("n_true_pairs"))
             )
             .alias("recall_micro"),
-            F.col("worst_miss_micro"),
+            F.coalesce(
+                F.col("worst_miss_micro"), F.lit(-1).cast("long")
+            ).alias("worst_miss_micro"),
         )
     )
     return _track_caches(report, *getattr(lsh, "_jonesy_cached_deps", ()))

@@ -641,11 +641,73 @@ def near_dup_contamination(
     )
 
 
+def superseded_batches(spark, index_path: str) -> set[str]:
+    """Batch ids consumed by a COMMITTED compaction whose source
+    deletion has not (yet) completed — the set a SUM-folding reader
+    must exclude to stay exact across a compaction crash window.
+
+    Protocol (see :func:`compact_index`): every compaction first
+    records its intent — ``_compactions/<run_id>.json`` listing the
+    source batches — then writes the consolidated subtree, then
+    deletes the sources, then removes the intent record. A crash
+    leaves one of three states, all safe: intent without a committed
+    subtree (sources intact — nothing to exclude, the intent is
+    stale); intent + committed subtree + surviving sources (THIS
+    function names the survivors so readers don't double-count);
+    no intent (deletion finished). Anti-join/dedup probes never
+    needed this (duplicates are no-ops there); the BM25 postings and
+    classifier-count ledgers fold by SUM, where a surviving source
+    batch silently doubles tf/df/class counts (ADVICE r7)."""
+    import json
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    mdir = Path(f"{index_path}/_compactions")
+    fs = mdir.getFileSystem(hconf)
+    if not fs.exists(mdir):
+        return set()
+    out: set[str] = set()
+    for status in fs.listStatus(mdir):
+        name = status.getPath().getName()
+        if not name.endswith(".json"):
+            continue
+        stream = fs.open(status.getPath())
+        try:
+            intent = json.loads(bytes(stream.readAllBytes()).decode())
+        finally:
+            stream.close()
+        committed = Path(
+            f"{index_path}/ingest_batch={intent['run_id']}/_SUCCESS"
+        )
+        if not fs.exists(committed):
+            continue  # intent without a committed subtree: stale
+        for b in intent["consumed"]:
+            if fs.exists(Path(f"{index_path}/ingest_batch={b}")):
+                out.add(b)
+    return out
+
+
+def read_index_resolved(spark, index_path: str):
+    """Read an incremental index with compaction-crash survivors
+    excluded: ``spark.read.parquet`` plus a partition-pruned filter
+    dropping every batch a committed compaction already consumed
+    (:func:`superseded_batches`). The required read path for readers
+    that FOLD BY SUM (``search.bm25_probe``,
+    ``classify.train_from_counts``); harmless (and cheap — the set is
+    empty outside a crash window) for the anti-join probes."""
+    df = spark.read.parquet(index_path)
+    gone = superseded_batches(spark, index_path)
+    if gone:
+        df = df.filter(~F.col("ingest_batch").isin(sorted(gone)))
+    return df
+
+
 def compact_index(
     spark,
     index_path: str,
     run_id: str | None = None,
-    part_col: str = "bucket",
+    part_col: str | None = "bucket",
 ) -> str:
     """Compact an incremental index's accumulated ``ingest_batch=``
     subtrees into ONE — the small-files maintenance a nightly/streaming
@@ -659,13 +721,28 @@ def compact_index(
     Returns the new consolidated ``run_id``
     (``compact-<n_batches>-<hex>``).
 
-    Crash ordering: the consolidated subtree is fully written BEFORE
-    the old subtrees are deleted, so an interruption leaves the index
-    with duplicate rows, never missing ones — and duplicates are
-    SAFE here: the digest probe is an anti-join (extra copies change
-    nothing) and the minhash probe dedups candidate pairs; the next
-    compaction removes them. Deletion uses Hadoop's FileSystem API so
-    the same code runs on local disk, HDFS, or s3a.
+    ``part_col=None`` compacts WITHOUT hive partitioning (one coalesced
+    file, matching ``write_classifier_counts``'s own layout): the
+    classifier ledger's ``bucket`` is a DATA column with ~n_buckets
+    distinct values — partitioning on it would shatter the ledger into
+    thousands of one-row directories, the opposite of the small-files
+    goal, and retype the column through partition inference (ADVICE
+    r7).
+
+    Crash ordering — the three-step intent protocol: (1) record the
+    intent (``_compactions/<run_id>.json`` naming the source batches),
+    (2) write the consolidated subtree, (3) delete the sources and
+    then the intent record. An interruption leaves duplicates, never
+    missing rows — and duplicates are safe for EVERY family: the
+    digest probe is an anti-join and the minhash probe dedups pairs
+    (no exclusion needed), while the SUM-folding readers (BM25
+    postings, classifier counts) exclude the intent's surviving
+    sources via :func:`superseded_batches` — without that, a crash
+    between (2) and (3) would silently double tf/df/class counts
+    (ADVICE r7). A later compaction run first REPAIRS any committed
+    intent (finishes step 3) before compacting further, so the window
+    also self-heals. Deletion uses Hadoop's FileSystem API so the
+    same code runs on local disk, HDFS, or s3a.
 
     Operational constraint: QUIESCE streaming writers first. The
     bridges' replay idempotence excludes the replaying epoch's own
@@ -676,9 +753,42 @@ def compact_index(
     only with the stream stopped (or past its last checkpoint commit),
     the standard maintenance-window contract for LSM-style compaction.
     """
+    import json
     import uuid
 
     from pyspark.errors import AnalysisException
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+
+    def _delete(path_str: str) -> None:
+        p = Path(path_str)
+        p.getFileSystem(hconf).delete(p, True)
+
+    # repair pass: finish (or discard) any prior run's intent BEFORE
+    # reading — a committed intent's surviving sources delete now (so
+    # this run never re-folds already-consolidated rows), a stale
+    # intent (no committed subtree) is vacuumed.
+    mdir = Path(f"{index_path}/_compactions")
+    fs = mdir.getFileSystem(hconf)
+    if fs.exists(mdir):
+        for status in fs.listStatus(mdir):
+            name = status.getPath().getName()
+            if not name.endswith(".json"):
+                continue
+            stream = fs.open(status.getPath())
+            try:
+                intent = json.loads(bytes(stream.readAllBytes()).decode())
+            finally:
+                stream.close()
+            committed = Path(
+                f"{index_path}/ingest_batch={intent['run_id']}/_SUCCESS"
+            )
+            if fs.exists(committed):
+                for b in intent["consumed"]:
+                    _delete(f"{index_path}/ingest_batch={b}")
+            fs.delete(status.getPath(), False)
 
     try:
         idx = spark.read.parquet(index_path)
@@ -688,21 +798,37 @@ def compact_index(
     if len(batches) <= 1:
         return batches[0] if batches else ""
     run_id = run_id or f"compact-{len(batches)}-{uuid.uuid4().hex[:8]}"
-    data_cols = [c for c in idx.columns if c not in ("ingest_batch", part_col)]
-    (
-        idx.select(*data_cols, part_col)
-        .repartition(part_col)
-        .write.mode("errorifexists")
-        .partitionBy(part_col)
-        .parquet(f"{index_path}/ingest_batch={run_id}")
-    )
-    # consolidated tree is durable; now drop the source subtrees
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    # (1) intent record: the consumed set, durable before any write
+    intent_path = Path(f"{index_path}/_compactions/{run_id}.json")
+    stream = fs.create(intent_path, True)
+    try:
+        stream.write(
+            json.dumps(
+                {"run_id": run_id, "consumed": sorted(batches)}
+            ).encode()
+        )
+    finally:
+        stream.close()
+
+    # (2) consolidated subtree (job commit makes it visible atomically)
+    if part_col is None:
+        data_cols = [c for c in idx.columns if c != "ingest_batch"]
+        writer = idx.select(*data_cols).coalesce(1).write.mode("errorifexists")
+    else:
+        data_cols = [c for c in idx.columns if c not in ("ingest_batch", part_col)]
+        writer = (
+            idx.select(*data_cols, part_col)
+            .repartition(part_col)
+            .write.mode("errorifexists")
+            .partitionBy(part_col)
+        )
+    writer.parquet(f"{index_path}/ingest_batch={run_id}")
+
+    # (3) drop the source subtrees, then retire the intent record
     for b in batches:
-        p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/ingest_batch={b}")
-        fs = p.getFileSystem(hconf)
-        fs.delete(p, True)
+        _delete(f"{index_path}/ingest_batch={b}")
+    fs.delete(intent_path, False)
     return run_id
 
 

@@ -210,9 +210,14 @@ def bm25_probe(
     terms = sorted({t.lower() for t in query_terms if t and t.strip()})
     if not terms:
         raise ValueError("bm25_probe needs at least one non-empty query term")
+    from .hygiene import read_index_resolved
+
     try:
-        postings = spark.read.parquet(f"{index_path}/postings")
-        docmeta = spark.read.parquet(f"{index_path}/docmeta")
+        # resolved read: this probe folds tf/df/N by SUM, so a
+        # compaction-crash survivor batch must be excluded, not
+        # tolerated (hygiene.superseded_batches has the protocol)
+        postings = read_index_resolved(spark, f"{index_path}/postings")
+        docmeta = read_index_resolved(spark, f"{index_path}/docmeta")
     except AnalysisException:
         raise ValueError(
             f"no search index at {index_path!r}; write one with "
@@ -337,8 +342,13 @@ def phrase_probe(
     terms = [t.lower() for t in phrase if t and t.strip()]
     if not terms:
         raise ValueError("phrase_probe needs at least one non-empty term")
+    from .hygiene import read_index_resolved
+
     try:
-        postings = spark.read.parquet(f"{index_path}/postings")
+        # resolved read: duplicate position rows would double
+        # occurrence counts, so compaction-crash survivors are
+        # excluded here exactly as in bm25_probe
+        postings = read_index_resolved(spark, f"{index_path}/postings")
     except AnalysisException:
         raise ValueError(
             f"no positional index at {index_path!r}; write one with "

@@ -320,8 +320,14 @@ def psi_report(
 
     Engine-portable by construction: fixed-width bins via
     ``least(floor(score * n), n-1)`` (no width_bucket dialect
-    differences; pass ``micro=True`` when the score is fixed-point
-    micro-units so binning is exact integer arithmetic), empty bins
+    differences). With ``micro=True`` (fixed-point micro-unit scores)
+    the bin is computed in genuinely integer arithmetic on longs:
+    ``(p - p % 1e6) / 1e6`` with ``p = score * n_bins`` — the
+    numerator is an exact multiple of 1e6 below 2^53, so the one
+    double division is IEEE-exact, never within an ulp of a boundary
+    (ADVICE r7: the previous ``(score * n_bins) / 1e6`` was plain
+    double division whose safety rested on an argument, not on the
+    arithmetic). Empty bins
     floored at ``eps`` (the standard PSI
     regularization — and it keeps ``ln`` finite), each log term rounded
     to 9 digits before the 6-digit shares/psi rounding so libm 1-ulp
@@ -331,13 +337,19 @@ def psi_report(
     are read once each and nothing corpus-sized shuffles.
     """
 
-    scaled = (score * n_bins) / 1_000_000 if micro else score * n_bins
+    if micro:
+        prod = score.cast("long") * F.lit(n_bins).cast("long")
+        # floor division on longs: subtract the remainder, then one
+        # exact double division (numerator a multiple of 1e6, < 2^53)
+        raw_bin = (prod - prod % F.lit(1_000_000)) / F.lit(1_000_000)
+    else:
+        raw_bin = F.floor(score * n_bins)
 
     def binned(df: DataFrame, name: str) -> DataFrame:
         return (
             df.select(
                 F.least(
-                    F.floor(scaled).cast("int"), F.lit(n_bins - 1)
+                    raw_bin.cast("int"), F.lit(n_bins - 1)
                 ).alias("bin")
             )
             .groupBy("bin")

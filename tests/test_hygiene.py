@@ -630,3 +630,98 @@ def test_repeated_span_removal_validates_params(spark):
         repeated_span_removal(docs, k=1)
     with pytest.raises(ValueError):
         repeated_span_removal(docs, min_df=1)
+
+
+def test_compact_intent_protocol_keeps_sum_folds_exact(spark, tmp_path):
+    """ADVICE r7 (medium): a compaction that crashed between writing
+    the consolidated subtree and deleting its sources must NOT double
+    the classifier ledger's folded counts. The intent manifest names
+    the consumed batches; superseded_batches exposes the survivors;
+    train_from_counts excludes them; the next compact_index run
+    repairs the state. Also pins the classifier ledger's FLAT
+    compaction layout (part_col=None — no bucket= shatter)."""
+    import glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.operators import classify as C
+
+    path = str(tmp_path / "counts")
+    mk = lambda lo: spark.createDataFrame(
+        [
+            (i, f"tok{i} shared words here", "en" if i % 2 else "fr")
+            for i in range(lo, lo + 8)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    C.write_classifier_counts(
+        mk(0), F.col("lang") == "en", path, run_id="e1", n_buckets=64
+    )
+    C.write_classifier_counts(
+        mk(8), F.col("lang") == "en", path, run_id="e2", n_buckets=64
+    )
+
+    def model_rows():
+        model, nb, ng = C.train_from_counts(spark, path)
+        assert (nb, ng) == (64, 1)
+        return sorted(map(tuple, model.collect()))
+
+    before = model_rows()
+
+    # flat compaction: one consolidated batch, NO bucket= directories
+    rid = H.compact_index(spark, path, part_col=None)
+    assert rid.startswith("compact-2-")
+    assert glob.glob(f"{path}/ingest_batch=*") == [
+        f"{path}/ingest_batch={rid}"
+    ]
+    assert not glob.glob(f"{path}/ingest_batch={rid}/bucket=*")
+    assert model_rows() == before
+
+    # crash simulation: a consumed source batch SURVIVES next to the
+    # committed compact subtree, with the intent manifest still present
+    C.write_classifier_counts(
+        mk(0), F.col("lang") == "en", path, run_id="e3", n_buckets=64
+    )
+    mdir = tmp_path / "counts" / "_compactions"
+    mdir.mkdir(exist_ok=True)
+    (mdir / f"{rid}.json").write_text(
+        json.dumps({"run_id": rid, "consumed": ["e1", "e2", "e3"]})
+    )
+    assert H.superseded_batches(spark, path) == {"e3"}
+    # the SUM fold stays exact: the survivor is excluded, not doubled
+    assert model_rows() == before
+
+    # repair: the next maintenance pass finishes the deletion, retires
+    # the intent, and the fold still matches
+    H.compact_index(spark, path, part_col=None)
+    assert glob.glob(f"{path}/ingest_batch=*") == [
+        f"{path}/ingest_batch={rid}"
+    ]
+    assert glob.glob(f"{path}/_compactions/*.json") == []
+    assert model_rows() == before
+
+
+def test_compact_stale_intent_is_vacuumed_not_applied(spark, tmp_path):
+    """A crash BEFORE the consolidated write leaves an intent with no
+    committed subtree: sources are the truth, nothing is excluded, and
+    the next compaction vacuums the stale record."""
+    import glob
+    import json
+
+    idx = str(tmp_path / "digest")
+    for i, t in enumerate(["alpha", "beta"]):
+        b = spark.createDataFrame([(i, t)], ["doc_id", "text"])
+        novel, _ = H.incremental_dedup(b, H.read_digest_index(spark, idx))
+        H.write_novel_digests(novel, idx, run_id=f"n{i}")
+    mdir = tmp_path / "digest" / "_compactions"
+    mdir.mkdir()
+    (mdir / "compact-9-dead.json").write_text(
+        json.dumps({"run_id": "compact-9-dead", "consumed": ["n0", "n1"]})
+    )
+    assert H.superseded_batches(spark, idx) == set()
+    n_before = H.read_digest_index(spark, idx).count()
+    rid = H.compact_index(spark, idx)
+    assert rid.startswith("compact-2-")
+    assert glob.glob(f"{idx}/_compactions/*.json") == []
+    assert H.read_digest_index(spark, idx).count() == n_before

@@ -208,6 +208,15 @@ def test_ppm_roundtrip_and_p3():
         2, 2, [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)]
     )
 
+    # a comment starting IMMEDIATELY after digits terminates the token
+    # like whitespace ('2#c' then '2' is width 2, height 2 — not 22;
+    # ADVICE r7), anywhere in the header including after maxval
+    tricky = ("P3\n2#cols\n2\n255# maxval then raster\n"
+              "1 2 3 4 5 6\n7 8 9 10 11 12\n").encode()
+    assert C.decode_ppm(tricky) == (
+        2, 2, [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)]
+    )
+
 
 def test_ppm_malformed_payloads_raise():
     import pytest

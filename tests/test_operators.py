@@ -883,7 +883,7 @@ def test_lsh_recall_report_planted_duplicates(spark):
     assert r["n_docs"] == 25
     assert r["n_true_pairs"] == 5
     assert r["recall_micro"] == 1_000_000
-    assert r["worst_miss_micro"] is None
+    assert r["worst_miss_micro"] == -1  # no miss: -1 sentinel, not NULL
     assert r["n_lsh_pairs"] == 5
     release_caches(rep)
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
@@ -1173,3 +1173,26 @@ def test_trailing_anomaly_flags_semantics(spark):
     assert not got[7]["is_anomaly"]
     # thin-baseline rows carry NULL z, not a flag
     assert got[1]["z_score_micro"] is None and not got[1]["is_anomaly"]
+
+
+def test_lsh_recall_report_truth_pair_budget_guard(spark):
+    """A sample_frac typo must not schedule an all-pairs join: the
+    report counts the sample up front and raises when sample^2/2
+    exceeds max_truth_pairs (VERDICT r7 #8)."""
+    import pytest as _pytest
+
+    from jonesy_spark.operators.dedup import lsh_recall_report
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="max_truth_pairs"):
+        lsh_recall_report(
+            docs, threshold=0.8, sample_frac=1.0, max_truth_pairs=3
+        )
+    # within budget: the same corpus builds the report
+    rep = lsh_recall_report(
+        docs, threshold=0.8, sample_frac=1.0, max_truth_pairs=1000
+    )
+    assert rep.collect()[0]["n_docs"] == 10
