@@ -528,7 +528,6 @@ def write_corpus_manifest(
     as the IVF ``_COMMITTED`` marker).
     """
     import dataclasses
-    import json
 
     manifest = {
         "config": dataclasses.asdict(cfg),
@@ -540,15 +539,25 @@ def write_corpus_manifest(
         "stats_run_id": stats_run_id,
         "output_counts": output_counts,
     }
+    return write_json_manifest(spark, f"{workdir}/_MANIFEST.json", manifest)
+
+
+def write_json_manifest(spark, path_str: str, payload: dict) -> str:
+    """Write a JSON manifest through the Hadoop FileSystem API so the
+    destination resolves the same schemes (local/hdfs/s3a) as every
+    Spark-written sibling artifact — shared by the corpus and WARC
+    front doors (and the IVF ``_COMMITTED`` marker pattern)."""
+    import json
+
     sc = spark.sparkContext
     Path = sc._jvm.org.apache.hadoop.fs.Path
-    path = Path(f"{workdir}/_MANIFEST.json")
+    path = Path(path_str)
     fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
     stream = fs.create(path, True)
     try:
         stream.write(
-            json.dumps(manifest, indent=2, sort_keys=True).encode("utf-8")
+            json.dumps(payload, indent=2, sort_keys=True).encode("utf-8")
         )
     finally:
         stream.close()
-    return f"{workdir}/_MANIFEST.json"
+    return path_str

@@ -174,6 +174,47 @@ def _ingest_corpus(ctx: JobContext) -> None:
     )
 
 
+def _ingest_warc(ctx: JobContext) -> None:
+    """Crawl-archive front door as a cron job (VERDICT r7 #6): WARC
+    archives under ``$WARC_SRC`` (config-layered) through the
+    per-archive-quarantine walker into the documents parquet contract
+    at ``{out_root}/warc_run/documents`` (+ ``_quarantine`` + a
+    ``_MANIFEST.json`` reproducibility record with the ingest
+    accounting). With no ``WARC_SRC`` configured the job seeds real
+    ``.warc.gz`` fixture archives first — the same e2e path, runnable
+    from cron and tests without a crawl feed (the ``_ingest_corpus``
+    pattern)."""
+    from . import warc as W
+    from .corpus_job import write_json_manifest
+
+    dest = f"{ctx.out_root}/warc_run"
+    src = layered_config().get("WARC_SRC")
+    if not src:
+        src = f"{dest}/raw_archives"
+        W.write_fixture_archives(
+            Catalog(ctx.spark, ctx.sf_dir).documents, src
+        )
+    report = W.ingest_warc_corpus(ctx.spark, src, f"{dest}/documents")
+    write_json_manifest(
+        ctx.spark,
+        f"{dest}/_MANIFEST.json",
+        {
+            "src": src,
+            "ingest": {
+                "rows_clean": report.rows_clean,
+                "archives_failed": report.archives_failed,
+            },
+        },
+    )
+    ctx.written.extend(
+        [
+            "warc_run/documents",
+            "warc_run/documents/_quarantine",
+            "warc_run/_MANIFEST.json",
+        ]
+    )
+
+
 def _train_tokenizer(ctx: JobContext) -> None:
     """Nightly vocabulary training: learn a BPE merge table on the
     corpus (``TOKENIZER_MERGES`` via the layered config, default 256)
@@ -232,8 +273,17 @@ def _maintain_indexes(ctx: JobContext) -> None:
     Paths are config-layered so a site maintains exactly the indexes
     its pipelines create: ``MAINTAIN_INDEX_PATHS`` (comma-separated,
     relative to ``out_root``; ``<path>:<partition-col>`` overrides the
-    default ``bucket``) and ``MAINTAIN_IVF_PATH``. Missing paths are
+    default ``bucket``, and ``<path>:flat`` compacts without hive
+    partitioning — the classifier ledger's layout, whose ``bucket`` is
+    a DATA column that partitioning would shatter into one-row
+    directories) and ``MAINTAIN_IVF_PATH``. Missing paths are
     skipped — maintenance is idempotent and shape-tolerant by design.
+    The SUM-folding families (BM25 postings, classifier counts) are
+    crash-safe under compaction via the intent-manifest protocol
+    (``hygiene.compact_index`` / ``superseded_batches``): their
+    readers exclude consumed batches that survive a crash, so the
+    default list can include them without double-count risk
+    (ADVICE r7).
     """
     from ..operators import hygiene as H
     from ..operators import similarity as SIM
@@ -241,18 +291,40 @@ def _maintain_indexes(ctx: JobContext) -> None:
     cfg = layered_config()
     spec = cfg.get(
         "MAINTAIN_INDEX_PATHS",
-        "digest_index,minhash_index,search_index/postings,classifier_counts",
+        "digest_index,minhash_index,search_index/postings,"
+        "classifier_counts:flat",
     )
+    sc = ctx.spark.sparkContext
+    Path = sc._jvm.org.apache.hadoop.fs.Path
+
+    def _n_batches(path: str) -> int:
+        p = Path(path)
+        fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return 0
+        return sum(
+            1
+            for s in fs.listStatus(p)
+            if s.getPath().getName().startswith("ingest_batch=")
+        )
+
     for entry in [e.strip() for e in spec.split(",") if e.strip()]:
         rel, _, part_col = entry.partition(":")
         path = f"{ctx.out_root}/{rel}"
+        had_work = _n_batches(path) > 1
         try:
             rid = H.compact_index(
-                ctx.spark, path, part_col=part_col or "bucket"
+                ctx.spark,
+                path,
+                part_col=None if part_col == "flat" else part_col or "bucket",
             )
         except ValueError:
             continue  # index not created yet at this site — skip
-        ctx.written.append(f"{rel}/ingest_batch={rid}")
+        if had_work and rid:
+            # a no-op pass (<=1 batch) returns the existing batch id or
+            # '' — logging it as a compaction would be a false claim
+            # (ADVICE r7)
+            ctx.written.append(f"{rel}/ingest_batch={rid}")
     ivf = f"{ctx.out_root}/{cfg.get('MAINTAIN_IVF_PATH', 'ivf_index')}"
     try:
         rid = SIM.compact_ivf_assignments(ctx.spark, ivf)
@@ -272,6 +344,7 @@ JOBS: dict[str, Callable[[JobContext], None]] = {
     "upload_recent_refresh": upload_recent_refresh,
     "prepare_corpus": _prepare_corpus,
     "ingest_corpus": _ingest_corpus,
+    "ingest_warc": _ingest_warc,
     "train_tokenizer": _train_tokenizer,
     "train_classifier": _train_classifier,
     "maintain_indexes": _maintain_indexes,

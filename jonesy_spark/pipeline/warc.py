@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import zlib
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 CRLF = b"\r\n"
 
@@ -186,3 +187,233 @@ def warc_text_records(df):
             )
 
     return df.mapInPandas(run, schema=schema)
+
+
+def warc_records_quarantined(df):
+    """:func:`warc_text_records` with PER-ARCHIVE error isolation —
+    the job-grade walker. A mis-framed archive yields ONE row with
+    ``error`` set (and null record fields) instead of failing the
+    whole stage: at 100 TB one corrupt shard among tens of thousands
+    must quarantine, not kill the nightly run (the D7 per-sink
+    isolation rule applied to the source side). Clean archives
+    explode exactly as :func:`warc_text_records` does; rows with
+    ``error IS NULL`` are records, rows with it set are archive-level
+    parse failures carrying the framing diagnosis."""
+    import pandas as pd
+
+    schema = (
+        "archive_id string, record_url string, record_ts string, "
+        "text string, n_bytes long, error string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf["archive_id"], pdf["payload"]):
+                try:
+                    recs = parse_warc(bytes(p))
+                except ValueError as exc:
+                    rows.append((aid, None, None, None, None, str(exc)))
+                    continue
+                for rec in recs:
+                    if rec["type"] != "response":
+                        continue
+                    rows.append(
+                        (
+                            aid,
+                            rec["url"],
+                            rec["ts"],
+                            rec["body"].decode("utf-8", "replace"),
+                            len(rec["body"]),
+                            None,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "archive_id",
+                    "record_url",
+                    "record_ts",
+                    "text",
+                    "n_bytes",
+                    "error",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def write_fixture_archives(
+    docs, dest_dir: str, n_archives: int = 8
+) -> list[str]:
+    """Seed a directory of REAL ``.warc.gz`` files from the documents
+    fixture — the no-external-input path of the ``ingest_warc`` job
+    (the ``_ingest_corpus`` pattern: same e2e pipeline, runnable from
+    cron and tests without a crawl feed).
+
+    Archives are packed DISTRIBUTED (one applyInPandas group per
+    archive, exactly the round-trip query's layout); only the finished
+    payloads come back to the driver — ``n_archives`` rows, bounded at
+    16 by contract — and land as files through the Hadoop FileSystem
+    API so the destination scheme (local/hdfs/s3a) resolves the same
+    way as every other artifact. Real deployments set ``WARC_SRC`` to
+    an existing archive tree and never run this."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    if n_archives > 16:
+        raise ValueError(
+            f"n_archives={n_archives} exceeds the fixture writer's "
+            "16-archive driver-collect bound; point WARC_SRC at a real "
+            "archive tree instead of scaling the seed path"
+        )
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        recs = [
+            (
+                f"https://fixture.invalid/doc/{int(d)}",
+                "2024-01-01T00:00:00Z",
+                t.encode("utf-8"),
+            )
+            for d, t in sorted(zip(pdf["doc_id"], pdf["text"]))
+        ]
+        return pd.DataFrame(
+            {
+                "archive_nbr": [int(key[0])],
+                "payload": [encode_warc(recs, gzip_members=True)],
+            }
+        )
+
+    packed = (
+        docs.select(
+            (F.col("doc_id") % n_archives).alias("archive_nbr"),
+            "doc_id",
+            "text",
+        )
+        .groupBy("archive_nbr")
+        .applyInPandas(pack, schema="archive_nbr long, payload binary")
+        .collect()  # bounded: exactly n_archives rows (<= 16)
+    )
+
+    sc = docs.sparkSession.sparkContext
+    Path = sc._jvm.org.apache.hadoop.fs.Path
+    written = []
+    for row in packed:
+        path = Path(f"{dest_dir}/fixture-{row['archive_nbr']:05d}.warc.gz")
+        fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+        stream = fs.create(path, True)
+        try:
+            stream.write(bytes(row["payload"]))
+        finally:
+            stream.close()
+        written.append(str(path))
+    return written
+
+
+@dataclass(frozen=True)
+class WarcIngestReport:
+    """Row accounting for one WARC ingest run — the source-side twin
+    of ``ingest.IngestReport``: a step change in ``archives_failed``
+    means the upstream crawler changed its framing, not that the web
+    shrank."""
+
+    rows_clean: int
+    archives_failed: int
+    clean_path: str
+    quarantine_path: str
+
+
+def ingest_warc_corpus(
+    spark,
+    src_path: str,
+    dest_path: str,
+    pattern: str = "*.warc.gz",
+    normalize: bool = True,
+    max_records_per_file: int = 1_000_000,
+) -> WarcIngestReport:
+    """WARC archive tree -> validated ``documents`` parquet, under the
+    same quarantine/NFC contract as the JSONL front door
+    (``ingest.ingest_jsonl_corpus``):
+
+    * ``binaryFile`` scan over ``src_path`` — one task per archive
+      (the format's split unit; Common Crawl ships tens of thousands
+      of ~1 GB files, so parallelism is the archive count).
+    * per-archive error isolation: mis-framed archives land in
+      ``dest_path/_quarantine`` with the framing diagnosis; clean
+      archives explode into response records.
+    * the documents contract: ``doc_id`` is the 64-bit content hash of
+      (archive, url, ts, text) — deterministic across reruns, and
+      byte-identical crawl duplicates collapse to one id, which is
+      exactly what exact-dedup downstream would do anyway; ``source``
+      is the archive file name; provenance columns (``archive_id``,
+      ``record_url``, ``record_ts``) ride along for lineage.
+    * ``normalize=True`` applies the same control-strip + Unicode NFC
+      as the JSONL door — composed/decomposed forms digest identically
+      downstream; quarantined payloads stay raw as evidence.
+
+    Counters ride the writes as observed metrics — no extra pass."""
+    import os
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(src_path)
+        .select(
+            F.col("path").alias("archive_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    recs = warc_records_quarantined(raw).persist()
+    try:
+        quarantine_path = os.path.join(dest_path, "_quarantine")
+        text = F.col("text")
+        if normalize:
+            from ..functions.text import nfc_normalize, strip_control_chars
+
+            text = nfc_normalize(strip_control_chars(text))
+        clean = recs.filter(F.col("error").isNull()).select(
+            F.xxhash64("archive_id", "record_url", "record_ts", "text").alias(
+                "doc_id"
+            ),
+            text.alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+            F.element_at(F.split(F.col("archive_id"), "/"), -1).alias(
+                "source"
+            ),
+            F.length(text).cast("long").alias("n_chars"),
+            "archive_id",
+            "record_url",
+            "record_ts",
+        )
+        quarantine = recs.filter(F.col("error").isNotNull()).select(
+            "archive_id",
+            "error",
+            F.lit("archive_parse_error").alias("reason"),
+        )
+
+        clean_obs = Observation("warc_clean")
+        bad_obs = Observation("warc_quarantine")
+        (
+            clean.observe(clean_obs, F.count(F.lit(1)).alias("rows"))
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .parquet(dest_path)
+        )
+        (
+            quarantine.observe(
+                bad_obs, F.count(F.lit(1)).alias("archives")
+            )
+            .write.mode("overwrite")
+            .parquet(quarantine_path)
+        )
+        return WarcIngestReport(
+            rows_clean=clean_obs.get["rows"],
+            archives_failed=bad_obs.get["archives"],
+            clean_path=dest_path,
+            quarantine_path=quarantine_path,
+        )
+    finally:
+        recs.unpersist()

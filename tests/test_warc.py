@@ -69,3 +69,107 @@ def test_warc_text_records_explodes_archives(spark):
         ("a1", "https://example.org/b", "unicode é中", 13),
         ("a2", "https://example.org/c", "", 0),
     ]
+
+
+def test_warc_records_quarantined_isolates_bad_archives(spark):
+    """The job-grade walker: a mis-framed archive becomes ONE error
+    row; the sibling archive's records still explode."""
+    good = W.encode_warc(RECS[:2], gzip_members=True)
+    bad = b"NOT-WARC" + b"\x00" * 16
+    df = spark.createDataFrame(
+        [("good", bytearray(good)), ("bad", bytearray(bad))],
+        "archive_id string, payload binary",
+    )
+    rows = W.warc_records_quarantined(df).collect()
+    errs = [r for r in rows if r["error"] is not None]
+    recs = [r for r in rows if r["error"] is None]
+    assert len(errs) == 1 and errs[0]["archive_id"] == "bad"
+    assert "unterminated header" in errs[0]["error"]
+    assert sorted(r["record_url"] for r in recs) == [
+        "https://example.org/a",
+        "https://example.org/b",
+    ]
+
+
+def test_ingest_warc_corpus_end_to_end(spark, tmp_path):
+    """Archive dir -> quarantined + clean parquet + report: the good
+    archives' records land under the documents contract (deterministic
+    content-hash doc_id, NFC'd text, archive-name source, provenance
+    columns); the corrupt archive lands in _quarantine with the
+    framing diagnosis."""
+    src = tmp_path / "archives"
+    src.mkdir()
+    (src / "shard-0.warc.gz").write_bytes(
+        W.encode_warc(RECS[:2], gzip_members=True)
+    )
+    (src / "shard-1.warc.gz").write_bytes(W.encode_warc(RECS[2:]))
+    (src / "shard-2.warc.gz").write_bytes(b"\x1f\x8b" + b"\x00" * 10)
+    dest = str(tmp_path / "docs")
+
+    report = W.ingest_warc_corpus(spark, str(src), dest)
+    assert report.rows_clean == 3
+    assert report.archives_failed == 1
+
+    docs = spark.read.parquet(dest)
+    assert sorted(docs.columns) == sorted(
+        [
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+            "archive_id",
+            "record_url",
+            "record_ts",
+        ]
+    )
+    by_url = {r["record_url"]: r for r in docs.collect()}
+    assert by_url["https://example.org/a"]["text"] == "hello world"
+    assert by_url["https://example.org/a"]["source"] == "shard-0.warc.gz"
+    assert by_url["https://example.org/a"]["n_chars"] == 11
+    assert len({r["doc_id"] for r in docs.collect()}) == 3
+
+    quar = spark.read.parquet(f"{dest}/_quarantine").collect()
+    assert len(quar) == 1
+    assert quar[0]["reason"] == "archive_parse_error"
+    assert "corrupt gzip" in quar[0]["error"]
+
+    # determinism: rerun reproduces the same doc_ids (the resumability
+    # contract — reruns over the same bytes are byte-identical)
+    report2 = W.ingest_warc_corpus(spark, str(src), str(tmp_path / "d2"))
+    docs2 = spark.read.parquet(str(tmp_path / "d2"))
+    assert {r["doc_id"] for r in docs2.collect()} == set(
+        r["doc_id"] for r in docs.collect()
+    )
+    assert report2.rows_clean == 3
+
+
+def test_ingest_warc_job_seeds_fixtures_and_writes_manifest(
+    spark, tmp_path
+):
+    """The cron-registered job end-to-end with no WARC_SRC: seeds real
+    .warc.gz fixture archives from the documents table, ingests them
+    through the quarantine contract, writes the manifest."""
+    import json
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.pipeline.jobs import JobContext, run_job
+
+    ctx = JobContext(spark, "/root/testdata/sf0.001", str(tmp_path), [])
+    run_job("ingest_warc", ctx)
+
+    n_docs = Catalog(spark, "/root/testdata/sf0.001").documents.count()
+    docs = spark.read.parquet(str(tmp_path / "warc_run" / "documents"))
+    assert docs.count() == n_docs
+    assert (
+        spark.read.parquet(
+            str(tmp_path / "warc_run" / "documents" / "_quarantine")
+        ).count()
+        == 0
+    )
+    manifest = json.loads(
+        (tmp_path / "warc_run" / "_MANIFEST.json").read_text()
+    )
+    assert manifest["ingest"]["rows_clean"] == n_docs
+    assert manifest["ingest"]["archives_failed"] == 0
+    assert "warc_run/documents" in ctx.written
