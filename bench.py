@@ -76,6 +76,14 @@ HEADLINE = [
     "multimodal_real_codec",
     # added r7: two-channel retrieval + reciprocal rank fusion
     "hybrid_search",
+    # added r8: the audio + video members of the real-codec trio
+    # (RIFF/WAVE chunk walk; concatenated-P6 frame stream) — same
+    # two-Arrow-hop boundary as the image row
+    "multimodal_audio_codec",
+    "multimodal_video_codec",
+    # added r8: WARC pack + record-walk round trip — prices the
+    # crawl-archive front door's codec boundary
+    "warc_ingest_roundtrip",
 ]
 
 #: The r5-era 21-query set — every HEADLINE row that existed before the
@@ -97,6 +105,9 @@ R5_COMPARABLE = [
         "bm25_search",
         "multimodal_real_codec",
         "hybrid_search",
+        "multimodal_audio_codec",
+        "multimodal_video_codec",
+        "warc_ingest_roundtrip",
     }
 ]
 
