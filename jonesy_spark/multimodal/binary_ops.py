@@ -557,6 +557,175 @@ def attach_ppm_video_payload(
     )
 
 
+def attach_shifted_video_payload(
+    df: DataFrame,
+    n_frames: int = PPM_VIDEO_FRAMES,
+    side: int = PPM_FIXTURE_SIDE,
+) -> DataFrame:
+    """Video fixture with PLANTED temporal near-duplicates: documents
+    pair up on ``base = doc_id - doc_id % 2``, and the odd member's
+    clip is the even member's underlying frame sequence advanced by
+    one — frame ``f`` of doc ``d`` renders underlying frame
+    ``f + d % 2`` of sequence ``base``. So (2k, 2k+1) overlap on 3 of
+    4 frames at alignment shift -1 with ZERO pixel difference, while
+    cross-pair clips share nothing — the ground truth
+    :func:`video_near_dup` must recover, as a closed form of
+    (doc_id, f, x, y) an ANSI-SQL oracle computes without any video
+    code."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                base, delta = d - d % 2, d % 2
+                chunks = []
+                for f in range(n_frames):
+                    u = f + delta
+                    # blue carries a base-keyed x*y interference term:
+                    # adjacent-pixel luma comparisons (the dHash bits)
+                    # decorrelate ACROSS sequences, while a pair's two
+                    # clips (same base) stay pixel-identical on their
+                    # overlapping underlying frames
+                    rgb = [
+                        (
+                            (13 * x + 5 * u + base) % 256,
+                            (7 * y + 3 * u + base) % 256,
+                            (x * y + base * x + u) % 256,
+                        )
+                        for y in range(side)
+                        for x in range(side)
+                    ]
+                    chunks.append(codecs.encode_ppm(side, side, rgb))
+                payloads.append(b"".join(chunks))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "video/x-ppm-stream",
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return df.select("doc_id").mapInPandas(
+        run, schema="doc_id long, payload binary, mime string, byte_len long"
+    )
+
+
+def video_near_dup(
+    df: DataFrame,
+    max_hamming: int = 7,
+    min_overlap: int = 2,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Temporal video near-duplicate pairs — the shot-level member of
+    the media near-dup family: two clips are near-dups at alignment
+    ``shift`` when at least ``min_overlap`` frame pairs overlap under
+    that shift and EVERY overlapping pair's 9x8 dHash is within
+    ``max_hamming`` bits. The all-pairs-within-h contract (max, not
+    mean) is what makes the banding EXACT: each overlapping frame
+    pair within ``h < 8`` bits must agree on one of the 8 pigeonhole
+    bands (:func:`media_near_dup`'s theorem, applied per frame), so
+    every qualifying (pair, shift) surfaces from the band join —
+    recall 1.0 by construction, verified by brute force in the
+    driver oracle.
+
+    Output: ``(doc_a, doc_b, shift, n_overlap, hamming_total)`` with
+    ``shift`` = frame index of ``doc_b`` minus frame index of
+    ``doc_a`` at the matched alignment — integer columns only
+    (``hamming_total`` is the exact summed distance; divide by
+    ``n_overlap`` downstream if a mean is wanted).
+
+    Scale shape: frames explode to ``n_docs * n_frames`` narrow
+    (long, long, long) rows; the 8-way band explode rides map-side;
+    the ONE corpus-wide shuffle is the (band_id, band_key) equi-join
+    — never all-pairs. Distinct candidate (pair, shift) triples then
+    re-join the frame table twice on (doc, frame) for exact
+    verification, candidate-bounded. ``bucket_cap`` (optional)
+    drops degenerate band buckets larger than the cap riding the
+    join's own shuffle — the house hot-bucket rule for adversarial
+    corpora (constant-color frames); it trades the recall proof for
+    boundedness, so the default keeps it off and the driver row runs
+    exact."""
+    from pyspark.sql import Window as W
+
+    feats = video_features(df)
+    frames = feats.select(
+        "doc_id", F.posexplode("frame_hashes").alias("f", "fh")
+    )
+    banded = frames.select(
+        "doc_id",
+        "f",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftrightunsigned(F.col("fh"), 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_key"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "f", "b.band_id", "b.band_key")
+    if bucket_cap is not None:
+        w = W.partitionBy("band_id", "band_key")
+        banded = banded.withColumn(
+            "__n", F.count(F.lit(1)).over(w)
+        ).filter(F.col("__n") <= bucket_cap).drop("__n")
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("f").alias("f_b"),
+        "band_id",
+        "band_key",
+    )
+    cand = (
+        banded.join(right, ["band_id", "band_key"])
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("doc_b"),
+            (F.col("f_b") - F.col("f")).alias("shift"),
+        )
+        .distinct()
+    )
+    fa = frames.select(
+        F.col("doc_id").alias("doc_a"), F.col("f").alias("f_a"),
+        F.col("fh").alias("fh_a"),
+    )
+    fb = frames.select(
+        F.col("doc_id").alias("doc_b"), F.col("f").alias("f_b"),
+        F.col("fh").alias("fh_b"),
+    )
+    d = F.bit_count(F.col("fh_a").bitwiseXOR(F.col("fh_b")))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .filter(F.col("f_b") == F.col("f_a") + F.col("shift"))
+        .groupBy("doc_a", "doc_b", "shift")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.sum(d).alias("hamming_total"),
+            F.max(d).alias("hamming_max"),
+        )
+        .filter(
+            (F.col("hamming_max") <= max_hamming)
+            & (F.col("n_overlap") >= min_overlap)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shift").cast("long").alias("shift"),
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            F.col("hamming_total").cast("long").alias("hamming_total"),
+        )
+    )
+
+
 def video_features(df: DataFrame) -> DataFrame:
     """REAL-codec video feature pass: walk each concatenated-P6 stream,
     decode every frame, and emit the per-frame 9x8 dHash sequence plus

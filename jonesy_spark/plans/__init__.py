@@ -235,6 +235,12 @@ DRIVER_EXCLUDED = {
     # (feature micro-units + dHash), a strict upgrade over hashing the
     # byte_len/md5 projection; this row keeps its pytest differential.
     "multimodal_features",
+    # REGISTRY-ONLY this round (roster full at 50), full brute-force
+    # oracle ready: temporal video near-dup — banded per-frame dHash
+    # alignment join vs the oracle's exact all-pairs/all-shifts
+    # verification (the banding-recall proof as a hash match). r9
+    # rotation candidate.
+    "video_near_dup",
     # ---- rotated out r8: the five §2 ids re-admitted r7 took their
     # fresh driver greens (all green in CORRECTNESS_r07) and rotate
     # out again per PARITY.md's two-round cadence — each keeps its

@@ -1215,6 +1215,82 @@ def multimodal_video_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "video_near_dup",
+    # Brute-force oracle of the banded temporal near-dup: per-frame
+    # dHashes from the shifted fixture's closed form, then ALL pairs x
+    # ALL alignments verified exactly (bit_count(xor)) — no banding.
+    # The operator's pigeonhole recall claim (every all-pairs-within-h
+    # alignment shares a band per overlapping frame) is therefore
+    # PROVEN by the hash match, not asserted: banded Spark == exact
+    # SQL. Planted ground truth: (2k, 2k+1) overlap 3 frames at
+    # shift -1 with hamming 0 (attach_shifted_video_payload).
+    oracle="""
+    WITH g9 AS (
+        SELECT d.doc_id, f.f, j.j, i.i,
+               ((299 * ((13 * ((i.i * 16) // 9)
+                         + 5 * (f.f + d.doc_id % 2)
+                         + (d.doc_id - d.doc_id % 2)) % 256)
+                 + 587 * ((7 * (2 * j.j) + 3 * (f.f + d.doc_id % 2)
+                           + (d.doc_id - d.doc_id % 2)) % 256)
+                 + 114 * ((((i.i * 16) // 9) * (2 * j.j)
+                           + (d.doc_id - d.doc_id % 2) * ((i.i * 16) // 9)
+                           + (f.f + d.doc_id % 2)) % 256)) // 1000)
+                   AS g
+        FROM documents d, range(4) f(f), range(8) j(j), range(9) i(i)
+    ),
+    bits AS (
+        SELECT a.doc_id, a.f,
+               sum(CASE WHEN b.g > a.g
+                        THEN CAST(1 AS HUGEINT) << (63 - (a.j * 8 + a.i))
+                        ELSE CAST(0 AS HUGEINT) END) AS raw
+        FROM g9 a JOIN g9 b ON b.doc_id = a.doc_id AND b.f = a.f
+                          AND b.j = a.j AND b.i = a.i + 1
+        WHERE a.i < 8
+        GROUP BY a.doc_id, a.f
+    ),
+    fh AS (
+        SELECT doc_id, f,
+               CAST(CASE WHEN raw >= CAST(1 AS HUGEINT) << 63
+                         THEN raw - (CAST(1 AS HUGEINT) << 64)
+                         ELSE raw END AS BIGINT) AS frame_hash
+        FROM bits
+    ),
+    align AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, s.s AS shift,
+               count(*) AS n_overlap,
+               sum(bit_count(xor(a.frame_hash, b.frame_hash))) AS ht,
+               max(bit_count(xor(a.frame_hash, b.frame_hash))) AS hmax
+        FROM range(-3, 4) s(s)
+        CROSS JOIN fh a
+        JOIN fh b ON b.doc_id > a.doc_id AND b.f = a.f + s.s
+        GROUP BY 1, 2, 3
+    )
+    SELECT doc_a, doc_b, CAST(shift AS BIGINT) AS shift,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           CAST(ht AS BIGINT) AS hamming_total
+    FROM align WHERE hmax <= 3 AND n_overlap >= 2
+    """,
+)
+def video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (shot-level) video near-dup over REAL decoded frames:
+    the shifted fixture clips (odd doc = even doc's sequence advanced
+    one frame) go through the vendored stream codec, per-frame 9x8
+    dHashes band into 8 pigeonhole buckets, candidate (pair, shift)
+    alignments come off the band equi-join, and exact
+    bit_count(xor) verification enforces the all-overlapping-frames
+    <= 3 bits contract (multimodal.binary_ops.video_near_dup has the
+    recall theorem and scale notes). The oracle brute-forces every
+    pair and alignment from the closed form — banded == exact is the
+    row's claim."""
+    from ..multimodal import binary_ops as MM
+
+    docs = Catalog(spark, sf_dir).documents
+    return MM.video_near_dup(
+        MM.attach_shifted_video_payload(docs), max_hamming=3, min_overlap=2
+    )
+
+
+@query(
     "warc_ingest_roundtrip",
     # Identity oracle: the WARC writer + parser must be inverses, so
     # parsing the archives built from `documents` must return exactly

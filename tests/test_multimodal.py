@@ -499,3 +499,63 @@ def test_video_features_closed_form(spark):
         assert list(got[d]["mean_luma"]) == want_ml
         assert list(got[d]["frame_hashes"]) == want_fh
         assert got[d]["decoder"] == "ppm-stream"
+
+
+def test_video_near_dup_recovers_planted_shifts_exactly(spark):
+    """Temporal near-dup: banded alignment recovery must equal an
+    independent Python brute force over every pair and shift (the
+    operator's pigeonhole recall claim), and the planted shifted
+    copies (odd doc = even doc's sequence advanced one frame) must
+    surface at shift -1 with 3 overlapping frames and zero distance."""
+    from jonesy_spark.multimodal import binary_ops as B
+    from jonesy_spark.multimodal import codecs as C
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id long"
+    )
+    clips = B.attach_shifted_video_payload(docs)
+    got = {
+        (r["doc_a"], r["doc_b"], r["shift"]): (
+            r["n_overlap"],
+            r["hamming_total"],
+        )
+        for r in B.video_near_dup(
+            clips, max_hamming=3, min_overlap=2
+        ).collect()
+    }
+
+    # independent reference: decode every payload through the codec,
+    # recompute per-frame dHashes, brute-force all pairs x shifts
+    def dhash(gray):
+        px = C.nearest_resize(gray, 16, 16, 9, 8)
+        hv = 0
+        for r in range(8):
+            for c in range(8):
+                hv = (hv << 1) | (1 if px[r * 9 + c + 1] > px[r * 9 + c] else 0)
+        return hv - (1 << 64) if hv >= (1 << 63) else hv
+
+    frames = {}
+    for row in clips.collect():
+        fhs = []
+        for w, h, rgb in C.decode_ppm_stream(bytes(row["payload"])):
+            fhs.append(dhash(C.luma(rgb)))
+        frames[row["doc_id"]] = fhs
+
+    want = {}
+    for a in range(12):
+        for b in range(a + 1, 12):
+            for s in range(-3, 4):
+                pairs = [
+                    (frames[a][fa], frames[b][fa + s])
+                    for fa in range(4)
+                    if 0 <= fa + s < 4
+                ]
+                if len(pairs) < 2:
+                    continue
+                ds = [bin((x ^ y) & ((1 << 64) - 1)).count("1") for x, y in pairs]
+                if max(ds) <= 3:
+                    want[(a, b, s)] = (len(pairs), sum(ds))
+    assert got == want
+    # the planted ground truth is inside it, exactly
+    for k in range(6):
+        assert want[(2 * k, 2 * k + 1, -1)] == (3, 0)
