@@ -310,6 +310,43 @@ def write_fixture_archives(
     return written
 
 
+def split_warc_records(recs, normalize: bool = True):
+    """Split :func:`warc_records_quarantined` output into the
+    ``(clean, quarantine)`` pair under the documents contract — the
+    shared projection of the batch job and the streaming bridge so
+    the two front doors can never drift. ``clean``: content-hash
+    ``doc_id`` (deterministic across reruns; byte-identical crawl
+    duplicates collapse, which exact-dedup would do anyway),
+    control-stripped NFC text when ``normalize``, archive-name
+    ``source``, provenance columns. ``quarantine``: one diagnosed row
+    per mis-framed archive."""
+    from pyspark.sql import functions as F
+
+    text = F.col("text")
+    if normalize:
+        from ..functions.text import nfc_normalize, strip_control_chars
+
+        text = nfc_normalize(strip_control_chars(text))
+    clean = recs.filter(F.col("error").isNull()).select(
+        F.xxhash64("archive_id", "record_url", "record_ts", "text").alias(
+            "doc_id"
+        ),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.element_at(F.split(F.col("archive_id"), "/"), -1).alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+        "archive_id",
+        "record_url",
+        "record_ts",
+    )
+    quarantine = recs.filter(F.col("error").isNotNull()).select(
+        "archive_id",
+        "error",
+        F.lit("archive_parse_error").alias("reason"),
+    )
+    return clean, quarantine
+
+
 @dataclass(frozen=True)
 class WarcIngestReport:
     """Row accounting for one WARC ingest run — the source-side twin
@@ -369,30 +406,7 @@ def ingest_warc_corpus(
     recs = warc_records_quarantined(raw).persist()
     try:
         quarantine_path = os.path.join(dest_path, "_quarantine")
-        text = F.col("text")
-        if normalize:
-            from ..functions.text import nfc_normalize, strip_control_chars
-
-            text = nfc_normalize(strip_control_chars(text))
-        clean = recs.filter(F.col("error").isNull()).select(
-            F.xxhash64("archive_id", "record_url", "record_ts", "text").alias(
-                "doc_id"
-            ),
-            text.alias("text"),
-            F.lit(None).cast("string").alias("lang"),
-            F.element_at(F.split(F.col("archive_id"), "/"), -1).alias(
-                "source"
-            ),
-            F.length(text).cast("long").alias("n_chars"),
-            "archive_id",
-            "record_url",
-            "record_ts",
-        )
-        quarantine = recs.filter(F.col("error").isNotNull()).select(
-            "archive_id",
-            "error",
-            F.lit("archive_parse_error").alias("reason"),
-        )
+        clean, quarantine = split_warc_records(recs, normalize=normalize)
 
         clean_obs = Observation("warc_clean")
         bad_obs = Observation("warc_quarantine")

@@ -567,3 +567,61 @@ def test_tokenized_shard_stream_requires_tokenizer(spark, tmp_path):
             str(tmp_path / "shards"),
             str(tmp_path / "ckpt"),
         )
+
+
+def test_warc_ingest_stream_two_waves_with_quarantine(spark, tmp_path):
+    """The crawl front door as a stream: archives dropped in two waves
+    land as epoch-scoped clean/quarantine subtrees under the same
+    documents contract as the batch job; the corrupt archive of wave
+    two quarantines without touching wave one's epoch; resuming from
+    the same checkpoint never reprocesses wave one."""
+    from jonesy_spark.pipeline import warc as W
+    from jonesy_spark.streaming.incremental import run_warc_ingest_stream
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    dest = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+
+    recs1 = [
+        ("https://a.example/1", "2024-01-01T00:00:00Z", b"first doc"),
+        ("https://a.example/2", "2024-01-01T00:00:01Z", b"second doc"),
+    ]
+    (src / "wave1.warc.gz").write_bytes(W.encode_warc(recs1, gzip_members=True))
+    run_warc_ingest_stream(spark, str(src), dest, ckpt)
+
+    clean1 = spark.read.parquet(dest)
+    assert sorted(r["text"] for r in clean1.collect()) == [
+        "first doc",
+        "second doc",
+    ]
+    assert set(clean1.select("ingest_batch").distinct().toPandas()["ingest_batch"]) == {
+        "epoch-0"
+    }
+
+    recs2 = [("https://b.example/3", "2024-01-02T00:00:00Z", b"third doc")]
+    (src / "wave2.warc.gz").write_bytes(W.encode_warc(recs2, gzip_members=True))
+    (src / "corrupt.warc.gz").write_bytes(b"\x1f\x8b" + b"\x00" * 8)
+    run_warc_ingest_stream(spark, str(src), dest, ckpt)
+
+    clean = spark.read.parquet(dest)
+    assert sorted(r["text"] for r in clean.collect()) == [
+        "first doc",
+        "second doc",
+        "third doc",
+    ]
+    # wave two landed in its own epoch; wave one was not reprocessed
+    epochs = set(clean.select("ingest_batch").distinct().toPandas()["ingest_batch"])
+    assert epochs == {"epoch-0", "epoch-1"}
+    quar = spark.read.parquet(f"{dest}/_quarantine").collect()
+    assert len(quar) == 1 and quar[0]["reason"] == "archive_parse_error"
+    assert quar[0]["archive_id"].endswith("corrupt.warc.gz")
+    # contract parity with the batch door: same doc_id for same bytes
+    batch_dest = str(tmp_path / "batch_docs")
+    W.ingest_warc_corpus(spark, str(src), batch_dest)
+    batch_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(batch_dest).collect()
+    }
+    stream_ids = {r["doc_id"] for r in clean.collect()}
+    assert stream_ids == batch_ids
