@@ -382,6 +382,53 @@ def attach_ppm_payload(df: DataFrame, side: int = PPM_FIXTURE_SIDE) -> DataFrame
     )
 
 
+def attach_ppm_near_dup_payload(
+    df: DataFrame, side: int = PPM_FIXTURE_SIDE
+) -> DataFrame:
+    """Image fixture with PLANTED near-duplicates: documents pair on
+    ``base = doc_id - doc_id % 2``; the odd member's image is the even
+    member's with ONE blue-channel perturbation at pixel (0, 0)
+    (+200, mod-wrapped), so a pair's dHashes differ by at most the one
+    comparison bit that touches that corner, while a base-keyed
+    ``x*y + base*x`` interference term decorrelates unrelated images.
+    Everything is a closed form of (doc_id, x, y) an ANSI-SQL oracle
+    recomputes without image code — the ground truth
+    :func:`media_near_dup` (real codec) must recover."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                base, delta = d - d % 2, d % 2
+                rgb = [
+                    (
+                        (13 * x + base) % 256,
+                        (7 * y + base) % 256,
+                        (x * y + base * x
+                         + (200 * delta if x == 0 and y == 0 else 0))
+                        % 256,
+                    )
+                    for y in range(side)
+                    for x in range(side)
+                ]
+                payloads.append(codecs.encode_ppm(side, side, rgb))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "image/x-portable-pixmap",
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return df.select("doc_id").mapInPandas(
+        run, schema="doc_id long, payload binary, mime string, byte_len long"
+    )
+
+
 def ppm_features(df: DataFrame) -> DataFrame:
     """REAL-codec feature pass: parse each PPM payload, emit the 8x8
     luma thumbnail in fixed-point micro-units plus the 9x8 dHash —

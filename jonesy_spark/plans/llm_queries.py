@@ -1215,6 +1215,74 @@ def multimodal_video_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "image_near_dup",
+    # Brute-force oracle of the banded perceptual-hash near-dup over
+    # REAL decoded pixels: per-doc 9x8 dHashes from the planted-pair
+    # fixture's closed form, then ALL pairs verified exactly
+    # (bit_count(xor) <= h) with no banding — media_near_dup's
+    # pigeonhole recall (any two hashes within h < 8 bits share one
+    # of 8 disjoint bands) is proven by the hash match. Ground truth:
+    # (2k, 2k+1) differ by one corner-pixel perturbation -> at most
+    # one dHash bit (attach_ppm_near_dup_payload).
+    oracle="""
+    WITH g9 AS (
+        SELECT d.doc_id, j.j, i.i,
+               ((299 * ((13 * ((i.i * 16) // 9)
+                         + (d.doc_id - d.doc_id % 2)) % 256)
+                 + 587 * ((7 * (2 * j.j)
+                           + (d.doc_id - d.doc_id % 2)) % 256)
+                 + 114 * ((((i.i * 16) // 9) * (2 * j.j)
+                           + (d.doc_id - d.doc_id % 2) * ((i.i * 16) // 9)
+                           + CASE WHEN i.i = 0 AND j.j = 0
+                                  THEN 200 * (d.doc_id % 2) ELSE 0 END)
+                          % 256)) // 1000) AS g
+        FROM documents d, range(8) j(j), range(9) i(i)
+    ),
+    bits AS (
+        SELECT a.doc_id,
+               sum(CASE WHEN b.g > a.g
+                        THEN CAST(1 AS HUGEINT) << (63 - (a.j * 8 + a.i))
+                        ELSE CAST(0 AS HUGEINT) END) AS raw
+        FROM g9 a JOIN g9 b ON b.doc_id = a.doc_id AND b.j = a.j
+                          AND b.i = a.i + 1
+        WHERE a.i < 8
+        GROUP BY a.doc_id
+    ),
+    ph AS (
+        SELECT doc_id,
+               CAST(CASE WHEN raw >= CAST(1 AS HUGEINT) << 63
+                         THEN raw - (CAST(1 AS HUGEINT) << 64)
+                         ELSE raw END AS BIGINT) AS phash
+        FROM bits
+    )
+    SELECT a.doc_id, b.doc_id AS dup_doc_id,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM ph a JOIN ph b ON b.doc_id > a.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
+)
+def image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup over REAL decoded pixels: the
+    planted-pair fixture (odd doc = even doc with one corner-pixel
+    perturbation) goes through the vendored PPM codec to 9x8 dHashes,
+    8-band pigeonhole blocking proposes candidates, exact
+    bit_count(xor) verifies (multimodal.binary_ops.media_near_dup).
+    The oracle brute-forces every pair from the closed form with no
+    banding — banded == exact is the row's claim, the image member of
+    the media near-dup verification trio (video_near_dup is the
+    temporal one)."""
+    from ..multimodal import binary_ops as MM
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = MM.media_near_dup(
+        MM.attach_ppm_near_dup_payload(docs), max_hamming=3, fake=False
+    )
+    return pairs.select(
+        "doc_id", "dup_doc_id", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@query(
     "video_near_dup",
     # Brute-force oracle of the banded temporal near-dup: per-frame
     # dHashes from the shifted fixture's closed form, then ALL pairs x

@@ -559,3 +559,40 @@ def test_video_near_dup_recovers_planted_shifts_exactly(spark):
     # the planted ground truth is inside it, exactly
     for k in range(6):
         assert want[(2 * k, 2 * k + 1, -1)] == (3, 0)
+
+
+def test_image_near_dup_real_codec_matches_brute_force(spark):
+    """media_near_dup over real decoded pixels must equal an
+    independent brute force over all pairs (the pigeonhole recall
+    claim for h < 8), and the planted corner-perturbation pairs must
+    surface within 1 bit."""
+    from jonesy_spark.multimodal import binary_ops as B
+    from jonesy_spark.multimodal import codecs as C
+
+    docs = spark.createDataFrame([(i,) for i in range(14)], "doc_id long")
+    payloads = B.attach_ppm_near_dup_payload(docs)
+    got = {
+        (r["doc_id"], r["dup_doc_id"]): r["hamming"]
+        for r in B.media_near_dup(
+            payloads, max_hamming=3, fake=False
+        ).collect()
+    }
+
+    hashes = {}
+    for row in payloads.collect():
+        w, h, rgb = C.decode_ppm(bytes(row["payload"]))
+        px = C.nearest_resize(C.luma(rgb), w, h, 9, 8)
+        hv = 0
+        for r in range(8):
+            for c in range(8):
+                hv = (hv << 1) | (1 if px[r * 9 + c + 1] > px[r * 9 + c] else 0)
+        hashes[row["doc_id"]] = hv
+    want = {}
+    for a in range(14):
+        for b in range(a + 1, 14):
+            d = bin(hashes[a] ^ hashes[b]).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want
+    for k in range(7):
+        assert want[(2 * k, 2 * k + 1)] <= 1
