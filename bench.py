@@ -84,6 +84,9 @@ HEADLINE = [
     # added r8: WARC pack + record-walk round trip — prices the
     # crawl-archive front door's codec boundary
     "warc_ingest_roundtrip",
+    # added r8: product-quantized ADC top-k (codebook train + encode +
+    # LUT scoring + exact rerank) — prices the 32x-compressed scan tier
+    "ann_pq_topk",
 ]
 
 #: The r5-era 21-query set — every HEADLINE row that existed before the
@@ -108,6 +111,7 @@ R5_COMPARABLE = [
         "multimodal_audio_codec",
         "multimodal_video_codec",
         "warc_ingest_roundtrip",
+        "ann_pq_topk",
     }
 ]
 

@@ -95,6 +95,11 @@ DRIVER_EXCLUDED = {
     # where engine ulp drift could flip a candidate; pytest equalities
     # (rerank == float scores; recall >= 0.9) pin it. Benched.
     "ann_quantized_topk",
+    # REGISTRY-ONLY by design, the IVF-PQ tier next to it: per-subspace
+    # k-means codebooks are iterative, so correctness is pytest-pinned
+    # (ADC rerank exact-equality, recall floor, code determinism).
+    # Benched for the 32x scan-compression story.
+    "ann_pq_topk",
     # CASE-priority sort key via current_terms_topk +
     # scalar_functions_suite; ordering is invisible to the driver's
     # order-insensitive hash anyway.

@@ -584,6 +584,23 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.quantized_topk(Catalog(spark, sf_dir).embeddings, k=10)
 
 
+@query("ann_pq_topk")
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by product quantization + asymmetric distance — the
+    IVF-PQ billion-scale recipe (Jégou 2011): the corpus scans as
+    8-byte PQ codes (32x fewer bytes than float32 at dim 64), each
+    query's m x k lookup table broadcasts, ADC ranks, and the exact
+    float re-rank of the overfetched tail makes every reported score
+    exact (similarity.pq_topk). REGISTRY-ONLY, deliberately no DuckDB
+    oracle: the per-subspace k-means codebooks are iterative (the
+    kmeans_centroids class) — correctness is pinned by the pytest
+    equalities instead (re-ranked scores EXACTLY equal the brute-force
+    float scores for every reported pair; recall floor vs cosine_topk
+    on the near-isotropic fixture; identical vectors share code words;
+    test_operators.py). Benched for the scan-compression cost story."""
+    return SIM.pq_topk(Catalog(spark, sf_dir).embeddings, k=10)
+
+
 @query("bpe_token_stats")
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a 64-merge BPE table on the corpus (one distributed

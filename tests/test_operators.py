@@ -1196,3 +1196,72 @@ def test_lsh_recall_report_truth_pair_budget_guard(spark):
         docs, threshold=0.8, sample_frac=1.0, max_truth_pairs=1000
     )
     assert rep.collect()[0]["n_docs"] == 10
+
+
+def test_pq_topk_reranked_scores_exact_and_recall_floor(spark):
+    """IVF-PQ's ADC tier: reranked scores must EQUAL the brute-force
+    float scores for every reported (query, vec) pair (the re-rank is
+    exact by construction), PQ recall must clear a floor on the
+    near-isotropic fixture (the hardest regime), and the code table
+    must be m small ints per vector (the 32x scan-compression claim)."""
+    from jonesy_spark.operators import similarity as SIM
+
+    emb = Catalog(spark, SF_DIR).embeddings
+    books = SIM.pq_codebooks(emb, m=8, k=16)
+    assert books.count() == 8 * 16
+    codes = SIM.pq_encode(emb, books)
+    crow = codes.first()
+    assert len(crow["codes"]) == 8
+    assert all(0 <= c < 16 for c in crow["codes"])
+    assert codes.count() == emb.count()
+
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cosine_micro"]
+        for r in SIM.cosine_topk(emb, k=10, n_queries=8).collect()
+    }
+    pq = {
+        (r["query_id"], r["vec_id"]): r["cosine_micro"]
+        for r in SIM.pq_topk(
+            emb, k=10, n_queries=8, overfetch=4,
+            codebooks=books, codes=codes,
+        ).collect()
+    }
+    # every reported PQ score is the exact float score
+    all_scores = {
+        (r["query_id"], r["vec_id"]): r["cosine_micro"]
+        for r in SIM.cosine_topk(
+            emb, k=emb.count(), n_queries=8
+        ).collect()
+    }
+    for pair, score in pq.items():
+        assert score == all_scores[pair], pair
+    recall = len(set(pq) & set(exact)) / len(exact)
+    assert recall >= 0.5, f"PQ recall {recall:.3f} below floor"
+
+
+def test_pq_encode_identical_vectors_share_codes(spark):
+    """Two identical embeddings must encode to identical code words
+    (determinism of the argmin incl. its tie-break), and ADC distance
+    between a vector and itself through the no-rerank path must rank
+    it first."""
+    from jonesy_spark.operators import similarity as SIM
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0], 0),  # copy of 0
+        (2, [0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0], 1),
+        (3, [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    books = SIM.pq_codebooks(emb, m=2, k=4)
+    codes = {r["vec_id"]: r["codes"] for r in SIM.pq_encode(emb, books).collect()}
+    assert codes[0] == codes[1]
+    top = SIM.pq_topk(
+        emb, k=1, n_queries=1, rerank=False, m=2, n_codes=4,
+        codebooks=books, codes=SIM.pq_encode(emb, books),
+    ).collect()
+    by_q = {r["query_id"]: r["vec_id"] for r in top if r["rank"] == 1}
+    assert by_q[0] == 1  # the identical copy wins at ADC distance 0
