@@ -986,6 +986,8 @@ def pq_topk(
     rerank: bool = True,
     codebooks: DataFrame | None = None,
     codes: DataFrame | None = None,
+    n_cells: int | None = None,
+    probes: int = 3,
 ) -> DataFrame:
     """Product-quantized top-k by asymmetric distance (ADC), the
     billion-scale ANN recipe: queries stay float, the corpus is
@@ -1000,11 +1002,22 @@ def pq_topk(
     schema matches :func:`cosine_topk` so :func:`ann_recall` compares
     all three tiers directly.
 
+    ``n_cells`` switches on the FULL IVFPQ composition: database
+    vectors land in one IVF cell each (:func:`ivf_assignments`,
+    ``probes=1``), queries probe their ``probes`` nearest cells, and
+    ADC scores ONLY code words inside probed cells — candidate volume
+    drops from n to ~``probes * n / n_cells`` per query, which is
+    what makes a billion-vector scan a thousand-vector one. With
+    ``probes >= n_cells`` every cell is probed and the output equals
+    the unrestricted scan exactly (pytest pins this).
+
     Scale shape: the scan side reads ``m`` ints per vector (32x
     fewer bytes than float32 at dim 64); the LUT is
     ``n_queries * m * k`` rows — broadcast; scoring explodes codes
     map-side and folds per (query, vec) with map-side combine; the
-    only corpus-wide exchange is that keyed agg, and the re-rank
+    only corpus-wide exchange is that keyed agg (plus, under
+    ``n_cells``, one vec_id-co-keyed join tagging each code row with
+    its cell — the query-cell mask is a broadcast); the re-rank
     touches ``n_queries * overfetch * k`` rows. Pass precomputed
     ``codebooks``/``codes`` (the persisted-store path) to skip
     training and encoding."""
@@ -1048,12 +1061,36 @@ def pq_topk(
     exploded = codes.select(
         "vec_id", F.posexplode("codes").alias("sub", "code")
     ).withColumn("sub", F.col("sub").cast("int"))
-    adc = (
-        exploded.join(F.broadcast(lut), ["sub", "code"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("d2").alias("adc_d2"))
-    )
+    if n_cells is not None:
+        e = _prepared(emb)
+        db_cells = ivf_assignments(e, n_centroids=n_cells, probes=1)
+        q_cells = ivf_assignments(
+            e.filter(F.col("vec_id") < n_queries),
+            n_centroids=n_cells,
+            probes=probes,
+            centroids=e.filter(F.col("vec_id") < n_cells).select(
+                F.col("vec_id").alias("cid"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cnrm"),
+            ),
+        ).withColumnsRenamed({"vec_id": "query_id"})
+        # tag each code row with its one cell (vec_id-co-keyed join),
+        # then keep only rows inside a probed cell of each query
+        exploded = exploded.join(db_cells, "vec_id")
+        adc = (
+            exploded.join(F.broadcast(lut), ["sub", "code"])
+            .join(F.broadcast(q_cells), ["query_id", "cid"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum("d2").alias("adc_d2"))
+        )
+    else:
+        adc = (
+            exploded.join(F.broadcast(lut), ["sub", "code"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum("d2").alias("adc_d2"))
+        )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc_d2").asc(), F.col("vec_id")
     )

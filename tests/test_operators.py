@@ -1265,3 +1265,50 @@ def test_pq_encode_identical_vectors_share_codes(spark):
     ).collect()
     by_q = {r["query_id"]: r["vec_id"] for r in top if r["rank"] == 1}
     assert by_q[0] == 1  # the identical copy wins at ADC distance 0
+
+
+def test_ivfpq_cell_restriction_and_full_probe_equality(spark):
+    """The composed IVFPQ path: with probes >= n_cells every cell is
+    probed and the output must EQUAL the unrestricted PQ scan row for
+    row; with few probes the reported scores must still be exact float
+    scores (the re-rank contract) at a sane recall."""
+    from jonesy_spark.operators import similarity as SIM
+
+    emb = Catalog(spark, SF_DIR).embeddings
+    books = SIM.pq_codebooks(emb, m=8, k=16)
+    codes = SIM.pq_encode(emb, books)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["cosine_micro"], r["rank"])
+            for r in df.collect()
+        )
+
+    plain = rows(
+        SIM.pq_topk(emb, k=5, n_queries=6, codebooks=books, codes=codes)
+    )
+    all_probed = rows(
+        SIM.pq_topk(
+            emb, k=5, n_queries=6, codebooks=books, codes=codes,
+            n_cells=16, probes=16,
+        )
+    )
+    assert all_probed == plain
+
+    restricted = SIM.pq_topk(
+        emb, k=5, n_queries=6, codebooks=books, codes=codes,
+        n_cells=16, probes=4,
+    ).collect()
+    exact_all = {
+        (r["query_id"], r["vec_id"]): r["cosine_micro"]
+        for r in SIM.cosine_topk(emb, k=emb.count(), n_queries=6).collect()
+    }
+    for r in restricted:
+        assert r["cosine_micro"] == exact_all[(r["query_id"], r["vec_id"])]
+    exact_top = {
+        (r["query_id"], r["vec_id"])
+        for r in SIM.cosine_topk(emb, k=5, n_queries=6).collect()
+    }
+    got = {(r["query_id"], r["vec_id"]) for r in restricted}
+    recall = len(got & exact_top) / len(exact_top)
+    assert recall >= 0.3, f"IVFPQ recall {recall:.3f} below floor"
