@@ -297,7 +297,12 @@ def media_near_dup(
     """
     if not 0 <= max_hamming < 8:
         raise ValueError(f"max_hamming must be in [0, 8) for 8 bands, got {max_hamming}")
-    sketches = perceptual_hashes(df, fake=fake)
+    from ..operators.dedup import _track_caches
+
+    # persist the hash table: it feeds both band-join sides, and
+    # without the persist each side re-runs the Arrow decode of the
+    # whole corpus; released via the house release_caches handle
+    sketches = perceptual_hashes(df, fake=fake).persist()
     banded = sketches.select(
         "doc_id",
         "phash",
@@ -321,7 +326,7 @@ def media_near_dup(
         "band_id",
         "band_key",
     )
-    return (
+    out = (
         banded.join(right, ["band_id", "band_key"])
         .filter(F.col("doc_id") < F.col("dup_doc_id"))
         .withColumn(
@@ -332,6 +337,7 @@ def media_near_dup(
         .select("doc_id", "dup_doc_id", "hamming")
         .dropDuplicates(["doc_id", "dup_doc_id"])
     )
+    return _track_caches(out, sketches)
 
 
 #: Deterministic 16x16 P6 fixture image: pixel (x, y) of document d is
@@ -698,10 +704,17 @@ def video_near_dup(
     exact."""
     from pyspark.sql import Window as W
 
+    from ..operators.dedup import _track_caches
+
     feats = video_features(df)
+    # persist the decoded per-frame hash table: it feeds FOUR plan
+    # references (both band-join sides + both verification sides), and
+    # without the persist each reference re-runs the Arrow decode of
+    # the whole corpus (plan audit showed 8 MapInPandas). Released via
+    # the house release_caches handle on the returned frame.
     frames = feats.select(
         "doc_id", F.posexplode("frame_hashes").alias("f", "fh")
-    )
+    ).persist()
     banded = frames.select(
         "doc_id",
         "f",
@@ -749,7 +762,7 @@ def video_near_dup(
         F.col("fh").alias("fh_b"),
     )
     d = F.bit_count(F.col("fh_a").bitwiseXOR(F.col("fh_b")))
-    return (
+    out = (
         cand.join(fa, "doc_a")
         .join(fb, "doc_b")
         .filter(F.col("f_b") == F.col("f_a") + F.col("shift"))
@@ -771,6 +784,7 @@ def video_near_dup(
             F.col("hamming_total").cast("long").alias("hamming_total"),
         )
     )
+    return _track_caches(out, frames)
 
 
 def video_features(df: DataFrame) -> DataFrame:

@@ -1139,6 +1139,74 @@ def pq_topk(
     )
 
 
+def write_pq_index(
+    emb: DataFrame,
+    index_path: str,
+    m: int = 8,
+    k: int = 16,
+    run_id: str | None = None,
+    mode: str = "append",
+) -> str:
+    """Append a batch of vectors to the persisted PQ index; creates
+    the index (freezing its codebooks) on first call. Returns the
+    ``run_id`` used — the fifth member of the incremental-index
+    family (digest, minhash, IVF, classifier counts, PQ), same
+    ledger layout and maintenance rails.
+
+    Layout: ``codebooks/`` (immutable ``(sub, code, sv)`` — frozen at
+    creation exactly like the IVF centroid table, because codes
+    encoded under different codebooks are mutually meaningless) +
+    ``codes/ingest_batch=<run_id>/`` holding ``(vec_id, codes, label)``
+    — ``m`` ints per vector, the 32x-compressed scan side
+    :func:`pq_topk` consumes via its ``codebooks``/``codes``
+    parameters. Batches append; ``hygiene.compact_index`` (flat,
+    ``part_col=None``) handles the small-files pass, and readers go
+    through ``hygiene.read_index_resolved`` because duplicate code
+    rows are NOT harmless here: the ADC fold sums ``m`` partial
+    distances per vector, so a compaction-crash survivor batch would
+    double every affected distance (the same SUM-folding hazard as
+    the BM25/classifier ledgers)."""
+    from pyspark.errors import AnalysisException
+
+    spark = emb.sparkSession
+    if run_id is None:
+        import uuid
+
+        run_id = f"nightly-{uuid.uuid4().hex[:12]}"
+    try:
+        books = spark.read.parquet(f"{index_path}/codebooks")
+    except AnalysisException:
+        books = pq_codebooks(emb, m=m, k=k)
+        books.write.mode("errorifexists").parquet(f"{index_path}/codebooks")
+        books = spark.read.parquet(f"{index_path}/codebooks")
+    codes = pq_encode(emb, books)
+    codes.write.mode(mode).parquet(
+        f"{index_path}/codes/ingest_batch={run_id}"
+    )
+    return run_id
+
+
+def read_pq_index(spark, index_path: str):
+    """Read the persisted PQ index back as ``(codebooks, codes)`` —
+    plug both straight into :func:`pq_topk`. Codes read through
+    ``hygiene.read_index_resolved`` (compaction-crash survivors
+    excluded — see :func:`write_pq_index` for why duplicates corrupt
+    ADC distances); raises on an absent index, the house probe rule."""
+    from pyspark.errors import AnalysisException
+
+    from .hygiene import read_index_resolved
+
+    try:
+        books = spark.read.parquet(f"{index_path}/codebooks")
+        codes = read_index_resolved(spark, f"{index_path}/codes")
+    except AnalysisException:
+        raise ValueError(
+            f"no PQ index at {index_path!r}; write one with "
+            "write_pq_index before probing"
+        ) from None
+    return books, codes.drop("ingest_batch")
+
+
 def ann_recall(
     exact: DataFrame,
     approx: DataFrame,

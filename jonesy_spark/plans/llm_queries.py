@@ -1294,8 +1294,13 @@ def image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = MM.media_near_dup(
         MM.attach_ppm_near_dup_payload(docs), max_hamming=3, fake=False
     )
-    return pairs.select(
-        "doc_id", "dup_doc_id", F.col("hamming").cast("long").alias("hamming")
+    return DD.carry_caches(
+        pairs.select(
+            "doc_id",
+            "dup_doc_id",
+            F.col("hamming").cast("long").alias("hamming"),
+        ),
+        pairs,
     )
 
 

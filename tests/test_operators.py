@@ -1312,3 +1312,58 @@ def test_ivfpq_cell_restriction_and_full_probe_equality(spark):
     got = {(r["query_id"], r["vec_id"]) for r in restricted}
     recall = len(got & exact_top) / len(exact_top)
     assert recall >= 0.3, f"IVFPQ recall {recall:.3f} below floor"
+
+
+def test_pq_index_store_round_trip_and_compaction(spark, tmp_path):
+    """The PQ store: two appended batches probe identically to a fresh
+    encode under the frozen codebook; flat compaction collapses the
+    ledger without changing the probe; duplicate-batch crash survivors
+    are excluded (the ADC SUM-folding hazard)."""
+    import glob
+    import json
+
+    from jonesy_spark.operators import hygiene as H
+    from jonesy_spark.operators import similarity as SIM
+
+    emb = Catalog(spark, SF_DIR).embeddings
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "pq")
+    SIM.write_pq_index(half1, path, run_id="b1")
+    SIM.write_pq_index(half2, path, run_id="b2")
+
+    books, codes = SIM.read_pq_index(spark, path)
+    fresh = SIM.pq_encode(emb, books)
+    assert sorted(
+        (r["vec_id"], tuple(r["codes"])) for r in codes.collect()
+    ) == sorted((r["vec_id"], tuple(r["codes"])) for r in fresh.collect())
+
+    def probe():
+        return sorted(
+            (r["query_id"], r["vec_id"], r["cosine_micro"], r["rank"])
+            for r in SIM.pq_topk(
+                emb, k=5, n_queries=5, codebooks=books, codes=codes
+            ).collect()
+        )
+
+    before = probe()
+
+    # flat compaction: one subtree, probe unchanged
+    rid = H.compact_index(spark, f"{path}/codes", part_col=None)
+    assert rid.startswith("compact-2-")
+    assert glob.glob(f"{path}/codes/ingest_batch=*") == [
+        f"{path}/codes/ingest_batch={rid}"
+    ]
+    books, codes = SIM.read_pq_index(spark, path)
+    assert probe() == before
+
+    # crash survivor: a consumed batch resurfaces next to the intent —
+    # the resolved read must exclude it or every ADC distance doubles
+    SIM.write_pq_index(half1, path, run_id="b3")
+    mdir = tmp_path / "pq" / "codes" / "_compactions"
+    mdir.mkdir(exist_ok=True)
+    (mdir / f"{rid}.json").write_text(
+        json.dumps({"run_id": rid, "consumed": ["b1", "b2", "b3"]})
+    )
+    books, codes = SIM.read_pq_index(spark, path)
+    assert probe() == before
