@@ -625,3 +625,48 @@ def test_warc_ingest_stream_two_waves_with_quarantine(spark, tmp_path):
     }
     stream_ids = {r["doc_id"] for r in clean.collect()}
     assert stream_ids == batch_ids
+
+
+def test_pq_index_stream_two_waves_probe_matches_batch(spark, tmp_path):
+    """The PQ store as a stream: epoch 0 freezes the codebook, later
+    epochs encode under it, and probing the streamed store equals a
+    batch probe over the same vectors with the same codebook."""
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.operators import similarity as SIM
+    from jonesy_spark.streaming.incremental import run_pq_index_stream
+
+    emb = Catalog(spark, "/root/testdata/sf0.001").embeddings
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+    stage = str(tmp_path / "stage")
+    idx = str(tmp_path / "pq")
+    ckpt = str(tmp_path / "ckpt")
+
+    half1.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(emb.schema).parquet(stage)
+    run_pq_index_stream(stream, idx, ckpt)
+    books, codes = SIM.read_pq_index(spark, idx)
+    assert codes.count() == half1.count()
+
+    half2.write.mode("append").parquet(stage)
+    stream = spark.readStream.schema(emb.schema).parquet(stage)
+    run_pq_index_stream(stream, idx, ckpt)
+
+    books, codes = SIM.read_pq_index(spark, idx)
+    assert codes.count() == emb.count()
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["cosine_micro"], r["rank"])
+        for r in SIM.pq_topk(
+            emb, k=5, n_queries=4, codebooks=books, codes=codes
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["vec_id"], r["cosine_micro"], r["rank"])
+        for r in SIM.pq_topk(
+            emb, k=5, n_queries=4, codebooks=books,
+            codes=SIM.pq_encode(emb, books),
+        ).collect()
+    )
+    assert got == want

@@ -173,3 +173,52 @@ def test_ingest_warc_job_seeds_fixtures_and_writes_manifest(
     assert manifest["ingest"]["rows_clean"] == n_docs
     assert manifest["ingest"]["archives_failed"] == 0
     assert "warc_run/documents" in ctx.written
+
+
+def test_warc_to_training_corpus_chain(spark, tmp_path):
+    """The 100 TB story end to end: crawl archives -> quarantined
+    ingest -> the full corpus pipeline (dedup, gates, split, packing)
+    -> training sequences. The WARC front door's output is a first-
+    class documents table for every downstream stage."""
+    from jonesy_spark.pipeline.corpus_job import prepare_training_corpus
+
+    src = tmp_path / "archives"
+    src.mkdir()
+    recs = [
+        (
+            f"https://site{i % 3}.example/page/{i}",
+            "2024-03-01T00:00:00Z",
+            (
+                f"document {i} body with some shared words and token{i} "
+                f"plus filler {' '.join(str(i * 7 + j) for j in range(10))}"
+            ).encode(),
+        )
+        for i in range(24)
+    ]
+    # plant one exact duplicate pair across archives
+    recs.append(("https://dup.example/a", "2024-03-01T00:00:01Z", recs[0][2]))
+    (src / "s0.warc.gz").write_bytes(W.encode_warc(recs[:12], gzip_members=True))
+    (src / "s1.warc.gz").write_bytes(W.encode_warc(recs[12:], gzip_members=True))
+
+    dest = str(tmp_path / "docs")
+    report = W.ingest_warc_corpus(spark, str(src), dest)
+    assert report.rows_clean == 25
+
+    docs = spark.read.parquet(dest)
+    out = prepare_training_corpus(docs)
+    clean_ids = {r["doc_id"] for r in out["clean"].select("doc_id").collect()}
+    # the cross-archive exact duplicate collapsed to one survivor
+    dup_ids = {
+        r["doc_id"]
+        for r in docs.filter(
+            docs.record_url.isin(
+                "https://site0.example/page/0", "https://dup.example/a"
+            )
+        ).collect()
+    }
+    assert len(dup_ids & clean_ids) == 1
+    split = {r["split"] for r in out["split"].collect()}
+    assert split <= {"train", "val", "test"}
+    seqs = out["sequences"].collect()
+    assert len(seqs) >= 1
+    assert all(r["n_docs"] >= 1 and r["seq_tokens"] > 0 for r in seqs)
