@@ -520,6 +520,50 @@ def attach_wav_payload(
     )
 
 
+def attach_wav_near_dup_payload(
+    df: DataFrame, n_samples: int = WAV_FIXTURE_SAMPLES
+) -> DataFrame:
+    """Audio fixture with PLANTED near-duplicates — the audio member
+    of the verification trio (:func:`attach_ppm_near_dup_payload`,
+    :func:`attach_shifted_video_payload`): documents pair on
+    ``base = doc_id - doc_id % 2``; the odd member's clip is the even
+    member's with ONE perturbed sample (sample 0, +173), so the pair's
+    waveform dHashes differ by at most the one comparison bit reading
+    that sample, while a base-keyed sawtooth SLOPE (``7 + base % 5``)
+    moves the wrap positions across clips and decorrelates unrelated
+    waveforms. A closed form of (doc_id, i) an ANSI-SQL oracle
+    recomputes without audio code."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                base, delta = d - d % 2, d % 2
+                slope = 7 + base % 5
+                samples = [
+                    ((slope * i + base) % 256) * 16
+                    - 2048
+                    + (173 * delta if i == 0 else 0)
+                    for i in range(n_samples)
+                ]
+                payloads.append(codecs.encode_wav(samples))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "audio/x-wav",
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return df.select("doc_id").mapInPandas(
+        run, schema="doc_id long, payload binary, mime string, byte_len long"
+    )
+
+
 def wav_features(df: DataFrame, n_frames: int = 8) -> DataFrame:
     """REAL-codec audio feature pass: parse each WAVE payload and emit
     the integer per-frame loudness envelope (mean absolute amplitude,

@@ -251,6 +251,10 @@ DRIVER_EXCLUDED = {
     # media_near_dup over real decoded pixels vs exact all-pairs
     # verification. r9 rotation candidate.
     "image_near_dup",
+    # REGISTRY-ONLY this round (roster full), full brute-force oracle
+    # ready: the audio member of the trio — waveform dHash banding vs
+    # exact all-pairs verification. r9 rotation candidate.
+    "audio_near_dup",
     # ---- rotated out r8: the five §2 ids re-admitted r7 took their
     # fresh driver greens (all green in CORRECTNESS_r07) and rotate
     # out again per PARITY.md's two-round cadence — each keeps its

@@ -1305,6 +1305,71 @@ def image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audio_near_dup",
+    # Brute-force oracle of the banded waveform near-dup over REAL
+    # decoded samples — the audio member of the verification trio:
+    # 65-point waveform dHashes from the planted-pair fixture's
+    # closed form, ALL pairs verified exactly with no banding.
+    # Ground truth: (2k, 2k+1) differ by one perturbed sample ->
+    # at most one comparison bit (attach_wav_near_dup_payload).
+    oracle="""
+    WITH pts AS (
+        SELECT d.doc_id, k.k,
+               (((7 + (d.doc_id - d.doc_id % 2) % 5) * ((k.k * 256) // 65)
+                 + (d.doc_id - d.doc_id % 2)) % 256) * 16 - 2048
+               + CASE WHEN k.k = 0 THEN 173 * (d.doc_id % 2) ELSE 0 END
+                   AS v
+        FROM documents d, range(65) k(k)
+    ),
+    bits AS (
+        SELECT a.doc_id,
+               sum(CASE WHEN b.v > a.v
+                        THEN CAST(1 AS HUGEINT) << (63 - a.k)
+                        ELSE CAST(0 AS HUGEINT) END) AS raw
+        FROM pts a JOIN pts b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+        WHERE a.k < 64
+        GROUP BY a.doc_id
+    ),
+    wh AS (
+        SELECT doc_id,
+               CAST(CASE WHEN raw >= CAST(1 AS HUGEINT) << 63
+                         THEN raw - (CAST(1 AS HUGEINT) << 64)
+                         ELSE raw END AS BIGINT) AS whash
+        FROM bits
+    )
+    SELECT a.doc_id, b.doc_id AS dup_doc_id,
+           CAST(bit_count(xor(a.whash, b.whash)) AS BIGINT) AS hamming
+    FROM wh a JOIN wh b ON b.doc_id > a.doc_id
+    WHERE bit_count(xor(a.whash, b.whash)) <= 3
+    """,
+)
+def audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform near-dup over REAL decoded samples: the planted-pair
+    clips (odd doc = even doc with one perturbed sample; base-keyed
+    sawtooth slope decorrelates unrelated clips) go through the
+    vendored RIFF/WAVE codec to 65-point waveform dHashes, 8-band
+    pigeonhole blocking proposes candidates, exact bit_count(xor)
+    verifies (multimodal.binary_ops.media_near_dup — the WAV mime
+    dispatch). The oracle brute-forces every pair from the closed
+    form with no banding — banded == exact, completing the
+    image/audio/video verification trio."""
+    from ..multimodal import binary_ops as MM
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = MM.media_near_dup(
+        MM.attach_wav_near_dup_payload(docs), max_hamming=3, fake=False
+    )
+    return DD.carry_caches(
+        pairs.select(
+            "doc_id",
+            "dup_doc_id",
+            F.col("hamming").cast("long").alias("hamming"),
+        ),
+        pairs,
+    )
+
+
+@query(
     "video_near_dup",
     # Brute-force oracle of the banded temporal near-dup: per-frame
     # dHashes from the shifted fixture's closed form, then ALL pairs x

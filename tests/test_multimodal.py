@@ -596,3 +596,39 @@ def test_image_near_dup_real_codec_matches_brute_force(spark):
     assert got == want
     for k in range(7):
         assert want[(2 * k, 2 * k + 1)] <= 1
+
+
+def test_audio_near_dup_real_codec_matches_brute_force(spark):
+    """The audio member of the trio: banded waveform near-dup over
+    real decoded samples must equal an independent brute force over
+    all pairs; the planted one-sample perturbation pairs surface
+    within 1 bit."""
+    from jonesy_spark.multimodal import binary_ops as B
+    from jonesy_spark.multimodal import codecs as C
+
+    docs = spark.createDataFrame([(i,) for i in range(14)], "doc_id long")
+    payloads = B.attach_wav_near_dup_payload(docs)
+    got = {
+        (r["doc_id"], r["dup_doc_id"]): r["hamming"]
+        for r in B.media_near_dup(
+            payloads, max_hamming=3, fake=False
+        ).collect()
+    }
+
+    hashes = {}
+    for row in payloads.collect():
+        _rate, samples = C.decode_wav(bytes(row["payload"]))
+        pts = C.waveform_resample(samples, 65)
+        hv = 0
+        for i in range(64):
+            hv = (hv << 1) | (1 if pts[i + 1] > pts[i] else 0)
+        hashes[row["doc_id"]] = hv - (1 << 64) if hv >= (1 << 63) else hv
+    want = {}
+    for a in range(14):
+        for b in range(a + 1, 14):
+            d = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want
+    for k in range(7):
+        assert want[(2 * k, 2 * k + 1)] <= 1
