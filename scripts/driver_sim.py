@@ -123,6 +123,13 @@ def main() -> int:
         action="store_true",
         help="report dtype hazards without failing the row",
     )
+    ap.add_argument(
+        "--registry",
+        action="store_true",
+        help="run the FULL registry (rotation pre-verification), not "
+        "just the driver-facing roster; oracle-less rows get the "
+        "rows-only check",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -146,6 +153,10 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if args.registry:
+        from jonesy_spark.plans import all_oracle_sql, all_queries
+
+        queries, oracles = all_queries(), all_oracle_sql()
     if args.names:
         # registry-only queries (driver-excluded) are drivable by name:
         # fall back to the full registry, rows-only when no oracle
@@ -167,13 +178,12 @@ def main() -> int:
             hazards = dtype_hazards(spdf, "spark")
             shash = canon_hash(spdf)
             if name not in oracles:
-                gate = ""
-                if hazards and not args.no_gate:
-                    failures.append(name)
-                    gate = f"  DTYPE HAZARDS: {hazards}"
+                # rows-only rows are never hashed by the driver, so a
+                # float column is harmless — report, don't fail
+                note = f"  (dtype hazards: {hazards})" if hazards else ""
                 print(
-                    f"  {'FAIL' if gate else 'OK '} {name}: rows-only check, "
-                    f"{len(spdf)} rows [{time.time()-t0:.1f}s]{gate}"
+                    f"  OK  {name}: rows-only check, "
+                    f"{len(spdf)} rows [{time.time()-t0:.1f}s]{note}"
                 )
                 continue
             dpdf = con.execute(oracles[name]).df()
