@@ -21,6 +21,10 @@ def test_every_query_has_oracle_or_is_flagged():
         # int8 rounding boundary is engine-ulp-sensitive; pinned by
         # pytest equalities instead (see plans/llm_queries.py)
         "ann_quantized_topk",
+        # iterative per-subspace k-means codebooks (the same class);
+        # pinned by ADC rerank exact-equality + recall floor + code
+        # determinism (test_operators.py)
+        "ann_pq_topk",
         # iterative BPE merge induction is not SQL-expressible; pinned
         # by the test_tokenize differentials (naive reference, trainer
         # equivalence, sequential-replay encode, concat round-trip)
