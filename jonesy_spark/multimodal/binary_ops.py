@@ -281,7 +281,10 @@ def perceptual_hashes(df: DataFrame, fake: bool = True) -> DataFrame:
 
 
 def media_near_dup(
-    df: DataFrame, max_hamming: int = 7, fake: bool = True
+    df: DataFrame,
+    max_hamming: int = 7,
+    fake: bool = True,
+    sketches: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate media pairs by perceptual hash: ``(doc_id,
     dup_doc_id, hamming)`` for every payload pair within
@@ -301,8 +304,12 @@ def media_near_dup(
 
     # persist the hash table: it feeds both band-join sides, and
     # without the persist each side re-runs the Arrow decode of the
-    # whole corpus; released via the house release_caches handle
-    sketches = perceptual_hashes(df, fake=fake).persist()
+    # whole corpus; released via the house release_caches handle.
+    # A caller that already holds (and owns) the sketch table passes
+    # it in — incremental_media_dedup shares one hash pass this way.
+    own_sketches = sketches is None
+    if own_sketches:
+        sketches = perceptual_hashes(df, fake=fake).persist()
     banded = sketches.select(
         "doc_id",
         "phash",
@@ -337,7 +344,209 @@ def media_near_dup(
         .select("doc_id", "dup_doc_id", "hamming")
         .dropDuplicates(["doc_id", "dup_doc_id"])
     )
-    return _track_caches(out, sketches)
+    return _track_caches(out, sketches if own_sketches else None)
+
+
+def _pigeonhole_bands(hash_col):
+    """The 8x8-bit pigeonhole band explode shared by every banded
+    perceptual-hash consumer: ``array<struct<band_id, band_key>>`` of
+    the hash's 8 disjoint bytes. Two 64-bit hashes within h < 8 bits
+    must agree on at least one band (h+1 disjoint bands can't all
+    differ) — the recall theorem the near-dup joins and the persisted
+    phash index ride."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftrightunsigned(hash_col, 8 * i)
+                .bitwiseAND(F.lit(255))
+                .alias("band_key"),
+            )
+            for i in range(8)
+        ]
+    )
+
+
+def write_phash_index(
+    sketches: DataFrame,
+    index_path: str,
+    mode: str = "append",
+    run_id: str | None = None,
+) -> str:
+    """Append a batch's perceptual hashes to the on-disk MEDIA
+    near-dup index — the sixth incremental-index family member
+    (digest, minhash, IVF, classifier counts, PQ, phash), same ledger
+    contract: ``ingest_batch=<run_id>/bucket=<band_key>/`` rows of
+    ``(doc_id, phash, band_id)`` — 8 rows of 3 longs per payload, the
+    index never stores media bytes. ``bucket`` IS the band key
+    (0..255), so a probe reads only the batch's touched band
+    directories — the digest index's partition-pruning contract.
+    Append only the docs :func:`incremental_media_dedup` reports as
+    novel, so the index holds one surviving representative per
+    near-dup cluster."""
+    if run_id is None:
+        import uuid
+
+        run_id = f"nightly-{uuid.uuid4().hex[:12]}"
+    (
+        sketches.select(
+            "doc_id", "phash", F.explode(_pigeonhole_bands(F.col("phash"))).alias("b")
+        )
+        .select(
+            "doc_id",
+            "phash",
+            F.col("b.band_id").alias("band_id"),
+            F.col("b.band_key").alias("bucket"),
+        )
+        .repartition("bucket")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(f"{index_path}/ingest_batch={run_id}")
+    )
+    return run_id
+
+
+def probe_phash_index(
+    new_sketches: DataFrame,
+    spark,
+    index_path: str,
+    max_hamming: int = 7,
+    bucket_cap: int | None = 256,
+    exclude_run_id: str | None = None,
+) -> DataFrame:
+    """Media near-dup matches of a new batch against the persisted
+    phash index: ``(doc_id, index_doc_id, hamming)`` for every new
+    payload within ``max_hamming`` bits of an indexed one (lossless
+    for ``max_hamming < 8`` — the pigeonhole theorem, per band).
+
+    The probe is the minhash probe's shape exactly: the batch's
+    touched band keys collect driver-side (<= 256 ints) and prune the
+    index scan to those ``bucket=`` directories; a broadcast
+    semi-join on (band_id, bucket) drops untouched rows before the
+    cap window, whose partitioning the join's own shuffle reuses;
+    verification is JVM bit arithmetic. ``exclude_run_id`` prunes a
+    replaying writer's own subtree (the house replay-idempotence
+    rule). An absent index (first run) yields no matches."""
+    from pyspark.sql import Window
+    from pyspark.errors import AnalysisException
+
+    if not 0 <= max_hamming < 8:
+        raise ValueError(
+            f"max_hamming must be in [0, 8) for 8 bands, got {max_hamming}"
+        )
+    try:
+        idx = spark.read.parquet(index_path)
+    except AnalysisException:
+        return new_sketches.sparkSession.createDataFrame(
+            [], "doc_id long, index_doc_id long, hamming int"
+        )
+    if exclude_run_id is not None:
+        idx = idx.filter(F.col("ingest_batch") != exclude_run_id)
+    banded = new_sketches.select(
+        "doc_id",
+        "phash",
+        F.explode(_pigeonhole_bands(F.col("phash"))).alias("b"),
+    ).select(
+        "doc_id",
+        "phash",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_key").alias("bucket"),
+    )
+    buckets = [
+        r["bucket"] for r in banded.select("bucket").distinct().collect()
+    ]
+    idx = idx.filter(F.col("bucket").isin(buckets))
+    touched = banded.select("band_id", "bucket").distinct()
+    idx = idx.join(F.broadcast(touched), ["band_id", "bucket"], "left_semi")
+    if bucket_cap is not None:
+        w = Window.partitionBy("band_id", "bucket").orderBy("doc_id")
+        idx = (
+            idx.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= bucket_cap)
+            .drop("__rn")
+        )
+    idx = idx.select(
+        F.col("doc_id").alias("index_doc_id"),
+        F.col("phash").alias("phash_i"),
+        "band_id",
+        "bucket",
+    )
+    return (
+        banded.join(idx, ["band_id", "bucket"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("phash").bitwiseXOR(F.col("phash_i"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id", "index_doc_id", "hamming")
+        .dropDuplicates(["doc_id", "index_doc_id"])
+    )
+
+
+def incremental_media_dedup(
+    new_media: DataFrame,
+    spark,
+    index_path: str,
+    max_hamming: int = 7,
+    run_id: str | None = None,
+    mode: str = "append",
+    fake: bool = True,
+    novel_sink=None,
+):
+    """Media near-dup dedup of a new batch against the already-
+    ingested corpus without recomputing historical hashes — the MEDIA
+    sibling of ``hygiene.incremental_near_dup``, same contract:
+    returns ``(novel_media, matches)``, appends only novel hashes
+    (O(novel) write; nightly cost = hash(new batch) + band probe,
+    never O(corpus)). Within-batch duplicates collapse first at
+    cluster level (:func:`media_near_dup` pairs + connected
+    components, min-id survivor); the survivors probe the persisted
+    index; cross-batch matches drop.
+
+    Replay idempotence: with ``run_id`` given the probe EXCLUDES that
+    run's own subtree, and ``novel_sink`` runs BEFORE the index write
+    — the digest/minhash bridges' crash ordering."""
+    from ..operators import graph as G
+    from ..operators.dedup import _track_caches, release_caches
+
+    if run_id is None:
+        import uuid
+
+        run_id = f"nightly-{uuid.uuid4().hex[:12]}"
+    sketches = perceptual_hashes(new_media, fake=fake).persist()
+    pairs = media_near_dup(
+        new_media, max_hamming=max_hamming, fake=fake, sketches=sketches
+    )
+    survivors_ids = G.resolve_duplicates(
+        sketches.select("doc_id"), pairs.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("dup_doc_id").alias("doc_b"),
+        )
+    )
+    release_caches(pairs)
+    surv_sketches = sketches.join(survivors_ids, "doc_id", "left_semi")
+    matches = probe_phash_index(
+        surv_sketches,
+        spark,
+        index_path,
+        max_hamming=max_hamming,
+        exclude_run_id=run_id,
+    ).persist()
+    novel_sketches = surv_sketches.join(
+        matches.select("doc_id"), "doc_id", "left_anti"
+    ).persist()
+    novel = new_media.join(
+        novel_sketches.select("doc_id"), "doc_id", "left_semi"
+    )
+    if novel_sink is not None:
+        novel_sink(novel)
+    write_phash_index(
+        novel_sketches, index_path, mode=mode, run_id=run_id
+    )
+    return (
+        _track_caches(novel, sketches, matches, novel_sketches),
+        matches,
+    )
 
 
 #: Deterministic 16x16 P6 fixture image: pixel (x, y) of document d is

@@ -632,3 +632,88 @@ def test_audio_near_dup_real_codec_matches_brute_force(spark):
     assert got == want
     for k in range(7):
         assert want[(2 * k, 2 * k + 1)] <= 1
+
+
+def _fake_media_batch(spark, items):
+    """(doc_id, payload) rows in the binary-payload landing shape."""
+    return spark.createDataFrame(
+        [(i, bytes(p), "image/png", len(p)) for i, p in items],
+        "doc_id long, payload binary, mime string, byte_len long",
+    )
+
+
+def test_incremental_media_dedup_index_round_trip(spark, tmp_path):
+    """The sixth incremental-index family member: batch one collapses
+    its within-batch duplicate and seeds the phash index; batch two's
+    cross-batch near-copy drops against the index while novel payloads
+    append; a replay of batch two excludes its own epoch and
+    reproduces the same novel set."""
+    import random
+
+    from jonesy_spark.multimodal import binary_ops as B
+    from jonesy_spark.operators.dedup import release_caches
+
+    rnd = random.Random(41)
+
+    def payload():
+        return bytes(rnd.randrange(256) for _ in range(640))
+
+    def corrupt(p):
+        c = bytearray(p)
+        c[100] = (c[100] + 97) % 256
+        return bytes(c)
+
+    originals = [payload() for _ in range(6)]
+    idx = str(tmp_path / "phash_idx")
+
+    # absent index: probe yields no matches
+    sk = B.perceptual_hashes(
+        _fake_media_batch(spark, [(0, originals[0])]), fake=True
+    )
+    assert B.probe_phash_index(sk, spark, idx).count() == 0
+
+    # batch 1: originals 0-5 plus a within-batch near-copy of 0
+    b1 = _fake_media_batch(
+        spark,
+        [(i, p) for i, p in enumerate(originals)]
+        + [(100, corrupt(originals[0]))],
+    )
+    novel1, matches1 = B.incremental_media_dedup(
+        b1, spark, idx, run_id="b1", fake=True
+    )
+    got1 = sorted(r["doc_id"] for r in novel1.select("doc_id").collect())
+    assert matches1.count() == 0  # nothing indexed yet
+    assert got1 == [0, 1, 2, 3, 4, 5]  # 100 collapsed onto 0
+    release_caches(novel1)
+
+    # batch 2: a near-copy of indexed doc 3 (drops) + two novel docs
+    b2 = _fake_media_batch(
+        spark,
+        [(200, corrupt(originals[3])), (201, payload()), (202, payload())],
+    )
+    novel2, matches2 = B.incremental_media_dedup(
+        b2, spark, idx, run_id="b2", fake=True
+    )
+    m = {(r["doc_id"], r["index_doc_id"]) for r in matches2.collect()}
+    assert (200, 3) in m
+    got2 = sorted(r["doc_id"] for r in novel2.select("doc_id").collect())
+    assert got2 == [201, 202]
+    release_caches(novel2)
+
+    # replay of batch 2 (same run_id, overwrite): the probe excludes
+    # the crashed attempt's own subtree, so the novel set is identical
+    novel2r, matches2r = B.incremental_media_dedup(
+        b2, spark, idx, run_id="b2", mode="overwrite", fake=True
+    )
+    assert sorted(
+        r["doc_id"] for r in novel2r.select("doc_id").collect()
+    ) == [201, 202]
+    assert {(r["doc_id"], r["index_doc_id"]) for r in matches2r.collect()} == m
+    release_caches(novel2r)
+
+    # the index holds exactly the surviving representatives
+    idx_docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
+    }
+    assert idx_docs == {0, 1, 2, 3, 4, 5, 201, 202}
