@@ -670,3 +670,57 @@ def test_pq_index_stream_two_waves_probe_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_incremental_media_stream_two_waves(spark, tmp_path):
+    """The media-dedup bridge: wave one seeds the phash index, wave
+    two's near-copy of an indexed payload drops while its novel
+    payload lands — and both the novel sink and the index stay
+    epoch-scoped."""
+    import random
+
+    from jonesy_spark.streaming.incremental import (
+        run_incremental_media_stream,
+    )
+
+    rnd = random.Random(97)
+
+    def payload():
+        return bytes(rnd.randrange(256) for _ in range(640))
+
+    originals = [payload() for _ in range(4)]
+
+    def write_wave(rows, mode):
+        df = spark.createDataFrame(
+            [(i, bytes(p), "image/png", len(p)) for i, p in rows],
+            "doc_id long, payload binary, mime string, byte_len long",
+        )
+        df.write.mode(mode).parquet(stage)
+
+    stage = str(tmp_path / "landing")
+    idx = str(tmp_path / "phash_idx")
+    novel = str(tmp_path / "novel")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, payload binary, mime string, byte_len long"
+
+    write_wave(list(enumerate(originals)), "overwrite")
+    run_incremental_media_stream(
+        spark.readStream.schema(schema).parquet(stage), idx, novel, ckpt
+    )
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(novel).collect()
+    ) == [0, 1, 2, 3]
+
+    near = bytearray(originals[2])
+    near[50] = (near[50] + 97) % 256
+    write_wave([(300, bytes(near)), (301, payload())], "append")
+    run_incremental_media_stream(
+        spark.readStream.schema(schema).parquet(stage), idx, novel, ckpt
+    )
+    got = sorted(r["doc_id"] for r in spark.read.parquet(novel).collect())
+    assert got == [0, 1, 2, 3, 301]  # 300 dropped against indexed 2
+    idx_docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
+    }
+    assert idx_docs == {0, 1, 2, 3, 301}
