@@ -499,3 +499,88 @@ def index_overlap_report(
             6,
         ).alias("containment_b_in_a"),
     )
+
+
+def rollup_batch(
+    events: DataFrame,
+    bucket_seconds: int = 3600,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """One batch's time-bucket rollup PARTIALS — the hypertable
+    continuous-aggregate shape, built mergeable: ``(key, bucket_es,
+    n_events, sum_value_micro, min_value_micro, max_value_micro)``
+    where the value is fixed-point micro-units PER ROW before
+    aggregation, so count/sum/min/max are all EXACTLY associative —
+    partials from any batch split fold to bit-identical totals (the
+    classifier-counts property, applied to time series). Output
+    cardinality is |keys| x |buckets| — metadata-sized; one keyed
+    aggregation with map-side combine is the only exchange."""
+    es = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    bucket = (es - es % F.lit(int(bucket_seconds))).alias("bucket_es")
+    v = micro_units(F.col(value_col))
+    return (
+        events.select(F.col(key_col).alias("key"), bucket, v.alias("vm"))
+        .groupBy("key", "bucket_es")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vm").alias("sum_value_micro"),
+            F.min("vm").alias("min_value_micro"),
+            F.max("vm").alias("max_value_micro"),
+        )
+    )
+
+
+def write_rollup_index(
+    partials: DataFrame,
+    index_path: str,
+    mode: str = "append",
+    run_id: str | None = None,
+) -> str:
+    """Land one batch's rollup partials under the
+    ``ingest_batch=<run_id>`` ledger — the SEVENTH incremental-index
+    family member: the events table is read once per batch, forever;
+    every later windowed question folds the metadata-sized ledger
+    instead (``rollup_report``). Partials are coalesced to one file
+    (metadata-sized by construction); compaction uses the flat path
+    (``compact_index(part_col=None)``) and reads resolve through
+    ``read_index_resolved`` because the fold SUMS — a compaction-crash
+    survivor batch would double counts (the BM25/classifier/PQ hazard
+    class)."""
+    if run_id is None:
+        import uuid
+
+        run_id = f"nightly-{uuid.uuid4().hex[:12]}"
+    partials.coalesce(1).write.mode(mode).parquet(
+        f"{index_path}/ingest_batch={run_id}"
+    )
+    return run_id
+
+
+def rollup_report(spark, index_path: str) -> DataFrame:
+    """Fold the rollup ledger into current totals — EXACTLY the
+    single-pass :func:`rollup_batch` over the union of every ingested
+    batch (integer partials: sum-of-sums, min-of-mins, max-of-maxes
+    are associative with zero drift). Raises on an absent ledger, the
+    house probe rule."""
+    from pyspark.errors import AnalysisException
+
+    from .hygiene import read_index_resolved
+
+    try:
+        raw = read_index_resolved(spark, index_path)
+    except AnalysisException:
+        raise ValueError(
+            f"no rollup ledger at {index_path!r}; land one with "
+            "write_rollup_index before folding"
+        ) from None
+    return (
+        raw.groupBy("key", "bucket_es")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_micro").alias("sum_value_micro"),
+            F.min("min_value_micro").alias("min_value_micro"),
+            F.max("max_value_micro").alias("max_value_micro"),
+        )
+    )

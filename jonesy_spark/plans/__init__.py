@@ -255,6 +255,10 @@ DRIVER_EXCLUDED = {
     # ready: the audio member of the trio — waveform dHash banding vs
     # exact all-pairs verification. r9 rotation candidate.
     "audio_near_dup",
+    # REGISTRY-ONLY this round (roster full), full oracle ready: the
+    # materialized hypertable rollup — ledger fold == direct aggregate
+    # (exact mergeability as a hash match). r9 rotation candidate.
+    "events_rollup",
     # ---- rotated out r8: the five §2 ids re-admitted r7 took their
     # fresh driver greens (all green in CORRECTNESS_r07) and rotate
     # out again per PARITY.md's two-round cadence — each keeps its

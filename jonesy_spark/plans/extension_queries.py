@@ -1363,3 +1363,68 @@ def anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z_score_micro").isNotNull().alias("has_z"),
         "is_anomaly",
     )
+
+
+#: (applicationId, sf_dir) -> tmp rollup-ledger dir seeded with the
+#: events table split into two batches (the one seed per session rule,
+#: as for the minhash/phrase index rows).
+_ROLLUP_INDEX_MEMO: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "events_rollup",
+    # The ledger fold collapses to pure relational algebra: partials
+    # from ANY batch split sum/min/max to the single-pass aggregate
+    # (per-row micro-units make every merge integer-exact), so the
+    # oracle is simply the DIRECT rollup over events — fold == direct
+    # IS the row's mergeability claim, checked as a hash match.
+    oracle="""
+    WITH ev AS (
+        SELECT event_type AS key,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+               CAST(round(value * 1000000) AS BIGINT) AS vm
+        FROM events
+    )
+    SELECT key, es - es % 3600 AS bucket_es,
+           count(*) AS n_events,
+           CAST(sum(vm) AS BIGINT) AS sum_value_micro,
+           min(vm) AS min_value_micro,
+           max(vm) AS max_value_micro
+    FROM ev GROUP BY 1, 2
+    """,
+)
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized hypertable rollup, round-tripped through the
+    persisted ledger (the incremental_near_dup witness pattern): the
+    events table lands as TWO rollup-partial batches (even/odd
+    event_id) under a session-memoized ledger, and the driver row is
+    the FOLD of that ledger (operators.stats.rollup_report). The
+    oracle computes the rollup DIRECTLY from events, so the hash match
+    proves the partials' exact mergeability — count/sum/min/max over
+    per-row micro-units fold associatively with zero drift, whatever
+    the batch cut. The events table is read once per batch forever;
+    every later windowed question is a fold of the metadata-sized
+    ledger."""
+    from ..operators import stats as ST
+
+    cat = Catalog(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ROLLUP_INDEX_MEMO:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="jonesy_rollup_")
+        events = cat.events
+        ST.write_rollup_index(
+            ST.rollup_batch(events.filter(F.col("event_id") % 2 == 0)),
+            d,
+            mode="overwrite",
+            run_id="even",
+        )
+        ST.write_rollup_index(
+            ST.rollup_batch(events.filter(F.col("event_id") % 2 == 1)),
+            d,
+            mode="overwrite",
+            run_id="odd",
+        )
+        _ROLLUP_INDEX_MEMO[key] = d
+    return ST.rollup_report(spark, _ROLLUP_INDEX_MEMO[key])

@@ -414,3 +414,38 @@ def test_stats_profile_stream_two_waves_fold_to_single_pass(spark, tmp_path):
         ).collect()
     }
     assert folded == single
+
+
+def test_rollup_ledger_fold_equals_direct_and_compacts(spark, tmp_path):
+    """The hypertable rollup's mergeability contract: partials from an
+    arbitrary 3-way batch split fold to EXACTLY the single-pass
+    rollup (per-row micro-units make count/sum/min/max associative
+    with zero drift); flat compaction collapses the ledger without
+    changing the fold; an absent ledger raises."""
+    import pytest as _pytest
+
+    from jonesy_spark.operators import hygiene as H
+    from jonesy_spark.operators import stats as ST
+
+    events = Catalog(spark, SF_DIR).events
+    path = str(tmp_path / "rollup")
+
+    with _pytest.raises(ValueError, match="no rollup ledger"):
+        ST.rollup_report(spark, str(tmp_path / "missing"))
+
+    for i in range(3):
+        ST.write_rollup_index(
+            ST.rollup_batch(events.filter(F.col("event_id") % 3 == i)),
+            path,
+            run_id=f"b{i}",
+        )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    direct = rows(ST.rollup_batch(events))
+    assert rows(ST.rollup_report(spark, path)) == direct
+
+    rid = H.compact_index(spark, path, part_col=None)
+    assert rid.startswith("compact-3-")
+    assert rows(ST.rollup_report(spark, path)) == direct
