@@ -724,3 +724,33 @@ def test_incremental_media_stream_two_waves(spark, tmp_path):
         for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
     }
     assert idx_docs == {0, 1, 2, 3, 301}
+
+
+def test_rollup_stream_fold_equals_batch(spark, tmp_path):
+    """The continuous aggregate: two streamed waves of events fold to
+    exactly the single-pass rollup over their union."""
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.operators import stats as ST
+    from jonesy_spark.streaming.incremental import run_rollup_stream
+
+    events = Catalog(spark, "/root/testdata/sf0.001").events
+    stage = str(tmp_path / "stage")
+    idx = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    half1.write.mode("overwrite").parquet(stage)
+    run_rollup_stream(
+        spark.readStream.schema(events.schema).parquet(stage), idx, ckpt
+    )
+    half2.write.mode("append").parquet(stage)
+    run_rollup_stream(
+        spark.readStream.schema(events.schema).parquet(stage), idx, ckpt
+    )
+
+    got = sorted(map(tuple, ST.rollup_report(spark, idx).collect()))
+    want = sorted(map(tuple, ST.rollup_batch(events).collect()))
+    assert got == want
