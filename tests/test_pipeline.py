@@ -815,3 +815,50 @@ def test_maintain_indexes_job_compacts_and_preserves_probes(spark, tmp_path, mon
     ) == matches_before
     # absent families (search/classifier/IVF) were skipped, not fatal
     assert not any("search_index" in w for w in ctx.written)
+
+
+def test_maintain_indexes_flat_family_via_config(spark, tmp_path, monkeypatch):
+    """The ':flat' partition-spec parsing end to end (ADVICE r7): a
+    classifier count ledger compacts through the job WITHOUT bucket=
+    shatter, and train_from_counts folds identically after."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.operators import classify as C
+    from jonesy_spark.pipeline.jobs import JobContext, run_job
+
+    out_root = str(tmp_path)
+    path = f"{out_root}/classifier_counts"
+    docs = Catalog(spark, "/root/testdata/sf0.001").documents.limit(40)
+    C.write_classifier_counts(
+        docs, F.col("lang") == "en", path, run_id="e1", n_buckets=64
+    )
+    C.write_classifier_counts(
+        docs, F.col("lang") == "fr", path, run_id="e2", n_buckets=64
+    )
+    model_before = sorted(
+        map(tuple, C.train_from_counts(spark, path)[0].collect())
+    )
+
+    monkeypatch.setenv("MAINTAIN_INDEX_PATHS", "classifier_counts:flat")
+    ctx = run_job(
+        "maintain_indexes",
+        JobContext(spark=spark, sf_dir="unused", out_root=out_root, targets=[]),
+    )
+    trees = glob.glob(f"{path}/ingest_batch=*")
+    assert len(trees) == 1
+    assert not glob.glob(f"{path}/ingest_batch=*/bucket=*")
+    assert any("classifier_counts" in w for w in ctx.written)
+    assert (
+        sorted(map(tuple, C.train_from_counts(spark, path)[0].collect()))
+        == model_before
+    )
+
+    # a second pass is a no-op and must not log a false compaction
+    ctx2 = run_job(
+        "maintain_indexes",
+        JobContext(spark=spark, sf_dir="unused", out_root=out_root, targets=[]),
+    )
+    assert not any("classifier_counts" in w for w in ctx2.written)
