@@ -259,6 +259,11 @@ DRIVER_EXCLUDED = {
     # materialized hypertable rollup — ledger fold == direct aggregate
     # (exact mergeability as a hash match). r9 rotation candidate.
     "events_rollup",
+    # REGISTRY-ONLY this round (roster full), full oracle ready: the
+    # persisted phash index's probe verified against banding-free
+    # odd x even brute force (the index-round-trip witness pattern).
+    # r9 rotation candidate.
+    "media_index_probe",
     # ---- rotated out r8: the five §2 ids re-admitted r7 took their
     # fresh driver greens (all green in CORRECTNESS_r07) and rotate
     # out again per PARITY.md's two-round cadence — each keeps its

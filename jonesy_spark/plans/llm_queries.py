@@ -3446,3 +3446,97 @@ def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("lang") == "en").alias("label")
     )
     return CL.eval_report(scored, labels)
+
+
+#: (applicationId, sf_dir) -> tmp phash-index dir seeded with the EVEN
+#: docs' real-codec perceptual hashes (one seed per session — the
+#: _MH_INDEX_MEMO rule).
+_PHASH_INDEX_MEMO: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "media_index_probe",
+    # The persisted-probe semantics collapse to relational algebra:
+    # probing the odd docs against an index of the even docs' hashes
+    # is, for max_hamming < 8 and an uncapped bucket, EXACTLY the
+    # odd x even brute-force pairs within h bits (the pigeonhole
+    # theorem, as for the near-dup rows) — so the oracle recomputes
+    # both sides' dHashes from the planted-pair closed form and
+    # filters pairs directly, no files needed.
+    oracle="""
+    WITH g9 AS (
+        SELECT d.doc_id, j.j, i.i,
+               ((299 * ((13 * ((i.i * 16) // 9)
+                         + (d.doc_id - d.doc_id % 2)) % 256)
+                 + 587 * ((7 * (2 * j.j)
+                           + (d.doc_id - d.doc_id % 2)) % 256)
+                 + 114 * ((((i.i * 16) // 9) * (2 * j.j)
+                           + (d.doc_id - d.doc_id % 2) * ((i.i * 16) // 9)
+                           + CASE WHEN i.i = 0 AND j.j = 0
+                                  THEN 200 * (d.doc_id % 2) ELSE 0 END)
+                          % 256)) // 1000) AS g
+        FROM documents d, range(8) j(j), range(9) i(i)
+    ),
+    bits AS (
+        SELECT a.doc_id,
+               sum(CASE WHEN b.g > a.g
+                        THEN CAST(1 AS HUGEINT) << (63 - (a.j * 8 + a.i))
+                        ELSE CAST(0 AS HUGEINT) END) AS raw
+        FROM g9 a JOIN g9 b ON b.doc_id = a.doc_id AND b.j = a.j
+                          AND b.i = a.i + 1
+        WHERE a.i < 8
+        GROUP BY a.doc_id
+    ),
+    ph AS (
+        SELECT doc_id,
+               CAST(CASE WHEN raw >= CAST(1 AS HUGEINT) << 63
+                         THEN raw - (CAST(1 AS HUGEINT) << 64)
+                         ELSE raw END AS BIGINT) AS phash
+        FROM bits
+    )
+    SELECT o.doc_id, e.doc_id AS index_doc_id,
+           CAST(bit_count(xor(o.phash, e.phash)) AS BIGINT) AS hamming
+    FROM ph o JOIN ph e
+      ON o.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+    WHERE bit_count(xor(o.phash, e.phash)) <= 3
+    """,
+)
+def media_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted MEDIA index's probe, driver-witnessed (the
+    incremental_near_dup index-round-trip pattern): the even docs'
+    real-codec perceptual hashes seed an on-disk phash index once per
+    session (multimodal.binary_ops.write_phash_index — band-bucket
+    partitions), the odd docs probe it
+    (probe_phash_index, uncapped so the pigeonhole theorem gives
+    recall 1.0), and the oracle reproduces the probe as the odd x
+    even brute-force pairs from the planted-pair closed form — the
+    band-pruned, partition-pruned probe machinery verified against
+    banding-free SQL."""
+    from ..multimodal import binary_ops as MM
+
+    docs = Catalog(spark, sf_dir).documents
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PHASH_INDEX_MEMO:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="jonesy_phash_index_")
+        even = MM.perceptual_hashes(
+            MM.attach_ppm_near_dup_payload(
+                docs.filter(F.col("doc_id") % 2 == 0)
+            ),
+            fake=False,
+        )
+        MM.write_phash_index(even, d, mode="overwrite", run_id="seed")
+        _PHASH_INDEX_MEMO[key] = d
+    odd = MM.perceptual_hashes(
+        MM.attach_ppm_near_dup_payload(docs.filter(F.col("doc_id") % 2 == 1)),
+        fake=False,
+    )
+    out = MM.probe_phash_index(
+        odd, spark, _PHASH_INDEX_MEMO[key], max_hamming=3, bucket_cap=None
+    )
+    return out.select(
+        "doc_id",
+        "index_doc_id",
+        F.col("hamming").cast("long").alias("hamming"),
+    )
