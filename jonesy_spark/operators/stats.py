@@ -584,3 +584,162 @@ def rollup_report(spark, index_path: str) -> DataFrame:
             F.max("max_value_micro").alias("max_value_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# KMV distinct-count sketch — the ORACLE-ABLE twin of the HLL profile
+# tier, and the EIGHTH incremental-index family member. COUNT DISTINCT
+# is the one aggregate the rollup ledger cannot fold (two batches'
+# exact distinct counts don't add); the HLL tier answers it but its
+# register state is library-internal, so no SQL oracle can reproduce
+# it bit-for-bit. KMV (Bar-Yossef 2002, "Counting distinct elements in
+# a data stream") is the deterministic alternative: keep the k
+# SMALLEST distinct hash values per group. min-k sets union exactly
+# (the k smallest hashes of a union are each within the k smallest of
+# their own batch — pigeonhole), so partials from ANY batch cut fold
+# to the bit-identical single-pass sketch, and the whole chain —
+# hash, rank, estimator — is plain integer SQL both engines run.
+# --------------------------------------------------------------------
+
+KMV_DEFAULT_K = 64
+
+#: 48-bit hash space: 12 md5 hex chars parse identically in Spark
+#: (``conv(.., 16, 10)``) and DuckDB (``('0x' || substr(..))::BIGINT``),
+#: stay positive in a BIGINT, and keep (k-1)*2^48 well under 2^63 so
+#: the estimator is EXACT integer division on longs in both engines.
+KMV_HASH_HEX = 12
+KMV_SPACE = 1 << (4 * KMV_HASH_HEX)
+
+
+def kmv_hash(col: Column) -> Column:
+    """48-bit value hash from the leading 12 md5 hex chars — the house
+    cross-engine idiom (``dedup.token_hash``), widened to 48 bits so
+    birthday collisions stay negligible at corpus cardinalities."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, KMV_HASH_HEX), 16, 10
+    ).cast("long")
+
+
+def _min_k(
+    hashes: DataFrame,
+    key_cols: list[str],
+    k: int,
+    n_salts: int,
+) -> DataFrame:
+    """k smallest DISTINCT ``h`` per key group, as rows. Two-level
+    rank: per-(group, h % n_salts) min-k first, then min-k of the
+    survivors — equal to the single-window result by pigeonhole, but a
+    hot group's distinct hashes rank n_salts-ways in parallel instead
+    of through one task (the salting rule for skewed keys), and the
+    final window ranks at most n_salts*k rows per group."""
+    from pyspark.sql.window import Window
+
+    distinct = hashes.distinct()
+    w1 = Window.partitionBy(
+        *key_cols, (F.col("h") % F.lit(int(n_salts)))
+    ).orderBy("h")
+    pre = (
+        distinct.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy("h")
+    return (
+        pre.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def kmv_sketch_batch(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = KMV_DEFAULT_K,
+    n_salts: int = 32,
+) -> DataFrame:
+    """One batch's KMV sketch partial: per key group, the ``k``
+    smallest distinct 48-bit hashes of non-NULL ``value_col``, as
+    scalar rows ``(*key_cols, h)`` — at most k longs per group,
+    metadata-sized, and trivially drivable (no array columns, the
+    driver-canon rule). The distinct on (keys, h) is the only
+    corpus-wide exchange; ranking then works on the deduplicated
+    residue. NULL values are excluded, matching SQL
+    ``count(DISTINCT ..)``."""
+    hashes = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*key_cols, kmv_hash(F.col(value_col)).alias("h"))
+    )
+    return _min_k(hashes, key_cols, k, n_salts)
+
+
+def write_kmv_index(
+    partials: DataFrame,
+    index_path: str,
+    mode: str = "append",
+    run_id: str | None = None,
+) -> str:
+    """Land one batch's KMV partials under the ``ingest_batch=<run>``
+    ledger — family member #8 (digest, minhash, IVF, classifier
+    counts, PQ, phash, rollup, KMV). Rows are (keys, h) longs, ≤ k per
+    group — coalesced to one file. Compaction uses the flat path
+    (``compact_index(part_col=None)``); the fold is a distinct-union
+    min-k, so — uniquely in the family — duplicate rows from a
+    compaction crash are SAFE (distinct absorbs them), but reads still
+    resolve through ``read_index_resolved`` for uniformity."""
+    if run_id is None:
+        import uuid
+
+        run_id = f"nightly-{uuid.uuid4().hex[:12]}"
+    partials.coalesce(1).write.mode(mode).parquet(
+        f"{index_path}/ingest_batch={run_id}"
+    )
+    return run_id
+
+
+def kmv_fold(
+    spark: SparkSession,
+    index_path: str,
+    key_cols: list[str],
+    k: int = KMV_DEFAULT_K,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Fold the KMV ledger to the current sketch — bit-identical to
+    :func:`kmv_sketch_batch` over the union of every ingested batch
+    (min-k of a union of per-batch min-k sets IS the union's min-k).
+    Raises on an absent ledger, the house probe rule."""
+    from pyspark.errors import AnalysisException
+
+    from .hygiene import read_index_resolved
+
+    try:
+        raw = read_index_resolved(spark, index_path)
+    except AnalysisException:
+        raise ValueError(
+            f"no KMV ledger at {index_path!r}; land one with "
+            "write_kmv_index before folding"
+        ) from None
+    return _min_k(raw.select(*key_cols, "h"), key_cols, k, n_salts)
+
+
+def kmv_estimate(
+    sketch: DataFrame, key_cols: list[str], k: int = KMV_DEFAULT_K
+) -> DataFrame:
+    """Distinct-count estimates from a sketch: per group,
+    ``n_kept`` (< k means the group is in the EXACT regime — the
+    sketch holds every distinct hash) and the Bar-Yossef estimator
+    ``(k-1) * 2^48 div kth_hash`` otherwise, as exact integer
+    division on longs (both engines agree bit-for-bit; with k ≥ 2
+    distinct non-negative hashes the kth is ≥ 1, so the division is
+    total). Relative error is ~1/sqrt(k-2) — k=64 gives ~13 %."""
+    agg = sketch.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+    )
+    numer = (k - 1) * KMV_SPACE
+    return agg.withColumn(
+        "est_distinct",
+        F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
+            F.expr(f"CAST({numer} DIV kth_hash AS BIGINT)")
+        ),
+    )

@@ -264,6 +264,13 @@ DRIVER_EXCLUDED = {
     # odd x even brute force (the index-round-trip witness pattern).
     # r9 rotation candidate.
     "media_index_probe",
+    # REGISTRY-ONLY this round (roster full), full oracle ready: the
+    # KMV distinct-sketch ledger fold vs the oracle's direct one-pass
+    # sketch (exact min-k mergeability as a hash match, estimator in
+    # integer SQL, exact distinct joined for an err_ppm report). The
+    # distinct-count complement of events_rollup. r9 rotation
+    # candidate.
+    "kmv_distinct_users",
     # ---- rotated out r8: the five §2 ids re-admitted r7 took their
     # fresh driver greens (all green in CORRECTNESS_r07) and rotate
     # out again per PARITY.md's two-round cadence — each keeps its

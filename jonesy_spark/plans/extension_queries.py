@@ -1428,3 +1428,110 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _ROLLUP_INDEX_MEMO[key] = d
     return ST.rollup_report(spark, _ROLLUP_INDEX_MEMO[key])
+
+
+#: (applicationId, sf_dir) -> tmp KMV-ledger dir seeded with the events
+#: table split into two batches (the events_rollup seed pattern).
+_KMV_INDEX_MEMO: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "kmv_distinct_users",
+    # COUNT DISTINCT is the aggregate the rollup ledger CANNOT fold —
+    # per-batch distinct counts don't add. The KMV sketch (k smallest
+    # distinct 48-bit hashes per group) does fold exactly: min-k of a
+    # union of per-batch min-k sets IS the union's min-k. The oracle
+    # computes the sketch DIRECTLY from events in one pass — fold ==
+    # direct is the mergeability claim, checked as a hash match — and
+    # carries the exact distinct count beside the estimate so the
+    # estimator's integer arithmetic is witnessed too.
+    oracle="""
+    WITH ev AS (
+        SELECT event_type AS key,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+               user_id
+        FROM events
+        WHERE user_id IS NOT NULL
+    ), bucketed AS (
+        SELECT key, es - es % 86400 AS bucket_es, user_id FROM ev
+    ), dh AS (
+        SELECT DISTINCT key, bucket_es,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        FROM bucketed
+    ), rk AS (
+        SELECT key, bucket_es, h,
+               row_number() OVER (PARTITION BY key, bucket_es ORDER BY h) AS rk
+        FROM dh
+    ), sk AS (
+        SELECT key, bucket_es,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               max(h) AS kth_hash
+        FROM rk WHERE rk <= 64 GROUP BY 1, 2
+    ), ex AS (
+        SELECT key, bucket_es,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM bucketed GROUP BY 1, 2
+    ), est AS (
+        SELECT s.key, s.bucket_es, s.n_kept, s.kth_hash,
+               CASE WHEN s.n_kept < 64 THEN s.n_kept
+                    ELSE CAST(63 * 281474976710656 // s.kth_hash AS BIGINT)
+               END AS est_distinct,
+               e.exact_distinct
+        FROM sk s JOIN ex e ON s.key = e.key AND s.bucket_es = e.bucket_es
+    )
+    SELECT key, bucket_es, n_kept, kth_hash, est_distinct, exact_distinct,
+           CAST(abs(est_distinct - exact_distinct) * 1000000
+                // exact_distinct AS BIGINT) AS err_ppm
+    FROM est
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per (event_type, day), answered from the KMV
+    sketch LEDGER (operators.stats.kmv_*) — family member #8, the
+    oracle-able twin of the HLL profile tier. The events table lands
+    as TWO sketch-partial batches (even/odd event_id) under a
+    session-memoized ledger; the driver row folds the ledger,
+    estimates, and joins the exact distinct count for an error report
+    in integer ppm. Groups under k=64 distinct users are in the EXACT
+    regime (n_kept < k, err_ppm = 0 by construction); larger groups
+    witness the Bar-Yossef estimator's ~13 % band. Everything — hash,
+    rank, estimator — is integer SQL both engines run bit-identically."""
+    from ..operators import stats as ST
+
+    cat = Catalog(spark, sf_dir)
+    es = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    ev = cat.events.filter(F.col("user_id").isNotNull()).select(
+        "event_id",
+        F.col("event_type").alias("key"),
+        (es - es % 86_400).alias("bucket_es"),
+        "user_id",
+    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _KMV_INDEX_MEMO:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="jonesy_kmv_")
+        for rid, parity in (("even", 0), ("odd", 1)):
+            ST.write_kmv_index(
+                ST.kmv_sketch_batch(
+                    ev.filter(F.col("event_id") % 2 == parity),
+                    ["key", "bucket_es"],
+                    "user_id",
+                ),
+                d,
+                mode="overwrite",
+                run_id=rid,
+            )
+        _KMV_INDEX_MEMO[key] = d
+    sketch = ST.kmv_fold(spark, _KMV_INDEX_MEMO[key], ["key", "bucket_es"])
+    est = ST.kmv_estimate(sketch, ["key", "bucket_es"])
+    exact = ev.groupBy("key", "bucket_es").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, ["key", "bucket_es"]).withColumn(
+        "err_ppm",
+        F.expr(
+            "CAST(abs(est_distinct - exact_distinct) * 1000000"
+            " DIV exact_distinct AS BIGINT)"
+        ),
+    )

@@ -449,3 +449,72 @@ def test_rollup_ledger_fold_equals_direct_and_compacts(spark, tmp_path):
     rid = H.compact_index(spark, path, part_col=None)
     assert rid.startswith("compact-3-")
     assert rows(ST.rollup_report(spark, path)) == direct
+
+
+def test_kmv_ledger_fold_equals_direct_and_compacts(spark, tmp_path):
+    """The KMV sketch's mergeability contract: min-k partials from an
+    arbitrary 3-way batch split fold to the BIT-IDENTICAL single-pass
+    sketch (min-k of a union of per-batch min-k sets is the union's
+    min-k, by pigeonhole); flat compaction leaves the fold unchanged;
+    an absent ledger raises; the salted two-level rank equals the
+    unsalted single-window result."""
+    import pytest as _pytest
+
+    from jonesy_spark.operators import hygiene as H
+    from jonesy_spark.operators import stats as ST
+
+    events = Catalog(spark, SF_DIR).events
+    keys = ["key"]
+    ev = events.filter(F.col("user_id").isNotNull()).select(
+        "event_id", F.col("event_type").alias("key"), "user_id"
+    )
+    path = str(tmp_path / "kmv")
+
+    with _pytest.raises(ValueError, match="no KMV ledger"):
+        ST.kmv_fold(spark, str(tmp_path / "missing"), keys)
+
+    for i in range(3):
+        ST.write_kmv_index(
+            ST.kmv_sketch_batch(
+                ev.filter(F.col("event_id") % 3 == i), keys, "user_id", k=16
+            ),
+            path,
+            run_id=f"b{i}",
+        )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    direct = rows(ST.kmv_sketch_batch(ev, keys, "user_id", k=16))
+    assert rows(ST.kmv_fold(spark, path, keys, k=16)) == direct
+    # salting is a pure execution detail: n_salts must not change rows
+    assert (
+        rows(ST.kmv_sketch_batch(ev, keys, "user_id", k=16, n_salts=1))
+        == direct
+    )
+
+    rid = H.compact_index(spark, path, part_col=None)
+    assert rid.startswith("compact-3-")
+    assert rows(ST.kmv_fold(spark, path, keys, k=16)) == direct
+
+
+def test_kmv_estimate_regimes(spark):
+    """Exact regime: a group with fewer than k distinct values keeps
+    every hash (n_kept < k) and estimates EXACTLY. Estimation regime:
+    with k distinct hashes kept, the Bar-Yossef integer estimator
+    lands within its ~1/sqrt(k-2) band of the true cardinality."""
+    from jonesy_spark.operators import stats as ST
+
+    rows = [("small", i % 7) for i in range(200)] + [
+        ("big", i) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    sk = ST.kmv_sketch_batch(df, ["grp"], "v", k=64)
+    est = {
+        r["grp"]: (r["n_kept"], r["est_distinct"])
+        for r in ST.kmv_estimate(sk, ["grp"], k=64).collect()
+    }
+    assert est["small"] == (7, 7)
+    n_kept, e = est["big"]
+    assert n_kept == 64
+    assert abs(e - 5000) / 5000 < 0.5  # ~13 % expected; 4-sigma bound

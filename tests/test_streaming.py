@@ -754,3 +754,58 @@ def test_rollup_stream_fold_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, ST.rollup_report(spark, idx).collect()))
     want = sorted(map(tuple, ST.rollup_batch(events).collect()))
     assert got == want
+
+
+def test_kmv_stream_fold_equals_batch(spark, tmp_path):
+    """The continuously-maintained COUNT DISTINCT: two streamed waves
+    of events land KMV partials that fold to exactly the single-pass
+    sketch over their union — the aggregate the rollup stream cannot
+    carry, maintained by the same epoch-ledger contract."""
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.operators import stats as ST
+    from jonesy_spark.streaming.incremental import run_kmv_stream
+
+    events = Catalog(spark, "/root/testdata/sf0.001").events
+    stage = str(tmp_path / "stage")
+    idx = str(tmp_path / "kmv")
+    ckpt = str(tmp_path / "ckpt")
+    keys = ["event_type"]
+
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    half1.write.mode("overwrite").parquet(stage)
+    run_kmv_stream(
+        spark.readStream.schema(events.schema).parquet(stage),
+        idx,
+        ckpt,
+        keys,
+        "user_id",
+        k=16,
+    )
+    half2.write.mode("append").parquet(stage)
+    run_kmv_stream(
+        spark.readStream.schema(events.schema).parquet(stage),
+        idx,
+        ckpt,
+        keys,
+        "user_id",
+        k=16,
+    )
+
+    got = sorted(map(tuple, ST.kmv_fold(spark, idx, keys, k=16).collect()))
+    want = sorted(
+        map(
+            tuple,
+            ST.kmv_sketch_batch(
+                events.filter(F.col("user_id").isNotNull()).select(
+                    "event_type", "user_id"
+                ),
+                keys,
+                "user_id",
+                k=16,
+            ).collect(),
+        )
+    )
+    assert got == want
