@@ -625,25 +625,30 @@ def _min_k(
     key_cols: list[str],
     k: int,
     n_salts: int,
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """k smallest DISTINCT ``h`` per key group, as rows. Two-level
-    rank: per-(group, h % n_salts) min-k first, then min-k of the
-    survivors — equal to the single-window result by pigeonhole, but a
-    hot group's distinct hashes rank n_salts-ways in parallel instead
-    of through one task (the salting rule for skewed keys), and the
-    final window ranks at most n_salts*k rows per group."""
+    """k smallest DISTINCT rows per key group by ``h`` (then
+    ``tiebreak_cols`` — needed when carried columns can repeat an
+    ``h``; pure-hash sketches have distinct ``h`` by construction).
+    Two-level rank: per-(group, h % n_salts) min-k first, then min-k
+    of the survivors — equal to the single-window result by
+    pigeonhole, but a hot group's distinct hashes rank n_salts-ways in
+    parallel instead of through one task (the salting rule for skewed
+    keys), and the final window ranks at most n_salts*k rows per
+    group."""
     from pyspark.sql.window import Window
 
+    order = ["h", *tiebreak_cols]
     distinct = hashes.distinct()
     w1 = Window.partitionBy(
         *key_cols, (F.col("h") % F.lit(int(n_salts)))
-    ).orderBy("h")
+    ).orderBy(*order)
     pre = (
         distinct.withColumn("rk", F.row_number().over(w1))
         .filter(F.col("rk") <= k)
         .drop("rk")
     )
-    w2 = Window.partitionBy(*key_cols).orderBy("h")
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         pre.withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= k)
@@ -742,4 +747,99 @@ def kmv_estimate(
         F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
             F.expr(f"CAST({numer} DIV kth_hash AS BIGINT)")
         ),
+    )
+
+
+def bottomk_sample_batch(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    value_col: str,
+    k: int = 256,
+    n_salts: int = 32,
+) -> DataFrame:
+    """One batch's deterministic uniform row sample per group — the
+    VALUE-CARRYING variant of the KMV partial, and the mergeable
+    answer to quantile questions: the k rows whose ID hashes are
+    smallest, as ``(*key_cols, h, v)`` where ``v`` is the value in
+    integer micro-units. Hashing the ID (not the value) makes the
+    draw uniform over ROWS whatever the value distribution; min-k by
+    (h, v) is a total order, so partials from any batch cut fold to
+    the bit-identical union sample (the KMV pigeonhole argument), and
+    replays are absorbed by the distinct. Groups under k rows are
+    sampled EXHAUSTIVELY — their quantiles come out exact."""
+    rows = (
+        df.filter(F.col(id_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            *key_cols,
+            kmv_hash(F.col(id_col)).alias("h"),
+            micro_units(F.col(value_col)).alias("v"),
+        )
+    )
+    return _min_k(rows, key_cols, k, n_salts, tiebreak_cols=("v",))
+
+
+def sample_fold(
+    spark: SparkSession,
+    index_path: str,
+    key_cols: list[str],
+    k: int = 256,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Fold a bottom-k sample ledger (written with
+    :func:`write_kmv_index` — same writer, rows just carry ``v``) to
+    the current union sample, bit-identical to
+    :func:`bottomk_sample_batch` over the union of every batch."""
+    from pyspark.errors import AnalysisException
+
+    from .hygiene import read_index_resolved
+
+    try:
+        raw = read_index_resolved(spark, index_path)
+    except AnalysisException:
+        raise ValueError(
+            f"no sample ledger at {index_path!r}; land one with "
+            "write_kmv_index before folding"
+        ) from None
+    return _min_k(
+        raw.select(*key_cols, "h", "v"), key_cols, k, n_salts,
+        tiebreak_cols=("v",),
+    )
+
+
+def sample_quantiles(
+    sample: DataFrame,
+    key_cols: list[str],
+    q_pcts: tuple[int, ...] = (25, 50, 75, 90, 99),
+) -> DataFrame:
+    """Nearest-rank quantiles of a bottom-k sample, per group and
+    requested integer percentile: rank the sample by (v, h) — a total
+    order, so the pick is deterministic — and take the value at rank
+    ``ceil(q * n / 100)`` computed as ``(q*n + 99) div 100``, all
+    integer arithmetic both engines reproduce exactly. For a group
+    sampled exhaustively (n_sample = group size) this IS the exact
+    nearest-rank quantile; otherwise it converges at the usual
+    O(1/sqrt(k)) rank error. The q table is a broadcast-by-
+    construction literal explode; the rank window is the only
+    exchange over the (metadata-sized) sample."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy("v", "h")
+    wn = Window.partitionBy(*key_cols)
+    ranked = (
+        sample.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_sample", F.count(F.lit(1)).over(wn))
+    )
+    qs = F.explode(
+        F.array(*[F.lit(int(q)).cast("long") for q in q_pcts])
+    ).alias("q_pct")
+    return (
+        ranked.select(*key_cols, "rk", "n_sample", "v", qs)
+        .filter(F.col("rk") == F.expr("(q_pct * n_sample + 99) DIV 100"))
+        .select(
+            *key_cols,
+            "q_pct",
+            "n_sample",
+            F.col("v").alias("q_value_micro"),
+        )
     )

@@ -271,6 +271,12 @@ DRIVER_EXCLUDED = {
     # distinct-count complement of events_rollup. r9 rotation
     # candidate.
     "kmv_distinct_users",
+    # REGISTRY-ONLY this round (roster full), full oracle ready: the
+    # value-carrying KMV variant — nearest-rank quantiles off the
+    # persisted bottom-k sample ledger, folded bit-identically across
+    # batch cuts, with true population quantiles joined for an
+    # err_micro report. r9 rotation candidate.
+    "sampled_quantiles",
     # ---- rotated out r8: the five §2 ids re-admitted r7 took their
     # fresh driver greens (all green in CORRECTNESS_r07) and rotate
     # out again per PARITY.md's two-round cadence — each keeps its

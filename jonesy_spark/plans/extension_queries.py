@@ -1535,3 +1535,126 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV exact_distinct AS BIGINT)"
         ),
     )
+
+
+#: (applicationId, sf_dir) -> tmp bottom-k sample-ledger dir (two
+#: batches, even/odd event_id — the KMV seed pattern).
+_SAMPLE_INDEX_MEMO: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "sampled_quantiles",
+    # Quantiles answered from the PERSISTED bottom-k sample ledger —
+    # the value-carrying KMV variant: the k rows with smallest ID
+    # hashes per group union exactly across any batch cut (min-k by
+    # (h, v) is a total order), so the ledger fold is bit-identical to
+    # the one-pass sample and nearest-rank quantiles over it are
+    # deterministic integer picks both engines reproduce. The oracle
+    # recomputes sample AND exact population quantiles directly; the
+    # row joins them with the absolute error in micro-units. Ties in
+    # (v, h) cannot perturb the output: tied rows share v, and v is
+    # what the quantile emits.
+    oracle="""
+    WITH ev AS (
+        SELECT event_type AS key,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS h,
+               CAST(round(value * 1000000) AS BIGINT) AS v
+        FROM events
+        WHERE event_id IS NOT NULL AND value IS NOT NULL
+    ), smp AS (
+        SELECT key, h, v FROM (
+            SELECT key, h, v,
+                   row_number() OVER (PARTITION BY key ORDER BY h, v) AS rk
+            FROM (SELECT DISTINCT key, h, v FROM ev)
+        ) WHERE rk <= 128
+    ), ranked AS (
+        SELECT key, v, h,
+               row_number() OVER (PARTITION BY key ORDER BY v, h) AS rk,
+               CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n_sample
+        FROM smp
+    ), qq AS (
+        SELECT CAST(unnest([25, 50, 75, 90, 99]) AS BIGINT) AS q_pct
+    ), sq AS (
+        SELECT r.key, q.q_pct, r.n_sample, r.v AS q_value_micro
+        FROM ranked r CROSS JOIN qq q
+        WHERE r.rk = (q.q_pct * r.n_sample + 99) // 100
+    ), full_ranked AS (
+        SELECT key, v, h,
+               row_number() OVER (PARTITION BY key ORDER BY v, h) AS rk,
+               CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n_group
+        FROM ev
+    ), exq AS (
+        SELECT r.key, q.q_pct, r.n_group, r.v AS exact_q_micro
+        FROM full_ranked r CROSS JOIN qq q
+        WHERE r.rk = (q.q_pct * r.n_group + 99) // 100
+    )
+    SELECT s.key, s.q_pct, s.n_sample, s.q_value_micro,
+           e.n_group, e.exact_q_micro,
+           abs(s.q_value_micro - e.exact_q_micro) AS err_micro
+    FROM sq s JOIN exq e ON s.key = e.key AND s.q_pct = e.q_pct
+    """,
+)
+def sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles (p25/50/75/90/99) answered from
+    the persisted bottom-k SAMPLE ledger (operators.stats.
+    bottomk_sample_batch / sample_fold / sample_quantiles) — the
+    value-carrying variant of the KMV family: events land as TWO
+    sample-partial batches (even/odd event_id) under a
+    session-memoized ledger, the driver row folds the ledger
+    (bit-identical to the one-pass sample, the min-k union theorem)
+    and reads nearest-rank quantiles off it with exact integer
+    arithmetic, then joins the TRUE population quantiles for an error
+    report in value micro-units. Groups under k=128 sampled rows are
+    exhaustive — err_micro 0 by construction; larger groups witness
+    the O(1/sqrt(k)) rank-error band. The events table is read once
+    per batch forever; every later quantile question folds the
+    metadata-sized ledger."""
+    from ..operators import stats as ST
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.filter(
+        F.col("event_id").isNotNull() & F.col("value").isNotNull()
+    ).select("event_id", F.col("event_type").alias("key"), "value")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SAMPLE_INDEX_MEMO:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="jonesy_sample_")
+        for rid, parity in (("even", 0), ("odd", 1)):
+            ST.write_kmv_index(
+                ST.bottomk_sample_batch(
+                    ev.filter(F.col("event_id") % 2 == parity),
+                    ["key"],
+                    "event_id",
+                    "value",
+                    k=128,
+                ),
+                d,
+                mode="overwrite",
+                run_id=rid,
+            )
+        _SAMPLE_INDEX_MEMO[key] = d
+    sample = ST.sample_fold(spark, _SAMPLE_INDEX_MEMO[key], ["key"], k=128)
+    sq = ST.sample_quantiles(sample, ["key"], (25, 50, 75, 90, 99))
+
+    evh = ev.select(
+        "key",
+        ST.kmv_hash(F.col("event_id")).alias("h"),
+        micro_units(F.col("value")).alias("v"),
+    )
+    w = Window.partitionBy("key").orderBy("v", "h")
+    wn = Window.partitionBy("key")
+    ranked = evh.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_group", F.count(F.lit(1)).over(wn)
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q).cast("long") for q in (25, 50, 75, 90, 99)])
+    ).alias("q_pct")
+    exact = (
+        ranked.select("key", "rk", "n_group", "v", qs)
+        .filter(F.col("rk") == F.expr("(q_pct * n_group + 99) DIV 100"))
+        .select("key", "q_pct", "n_group", F.col("v").alias("exact_q_micro"))
+    )
+    return sq.join(exact, ["key", "q_pct"]).withColumn(
+        "err_micro", F.expr("abs(q_value_micro - exact_q_micro)")
+    )

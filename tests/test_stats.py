@@ -518,3 +518,53 @@ def test_kmv_estimate_regimes(spark):
     n_kept, e = est["big"]
     assert n_kept == 64
     assert abs(e - 5000) / 5000 < 0.5  # ~13 % expected; 4-sigma bound
+
+
+def test_bottomk_sample_ledger_and_quantiles(spark, tmp_path):
+    """The value-carrying KMV variant: 3-way-split sample partials
+    fold to the bit-identical one-pass sample; a group under k rows is
+    sampled exhaustively, so its sample quantiles EQUAL the exact
+    nearest-rank population quantiles; a large group's sampled median
+    lands within the O(1/sqrt(k)) rank band."""
+    from jonesy_spark.operators import stats as ST
+
+    rows = [("small", i, 10.0 * i) for i in range(40)] + [
+        ("big", 1000 + i, float(i)) for i in range(8000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, rid long, value double")
+    path = str(tmp_path / "sample")
+
+    for i in range(3):
+        ST.write_kmv_index(
+            ST.bottomk_sample_batch(
+                df.filter(F.col("rid") % 3 == i), ["grp"], "rid", "value", k=64
+            ),
+            path,
+            run_id=f"b{i}",
+        )
+
+    def srt(d):
+        return sorted(map(tuple, d.collect()))
+
+    direct = srt(ST.bottomk_sample_batch(df, ["grp"], "rid", "value", k=64))
+    assert srt(ST.sample_fold(spark, path, ["grp"], k=64)) == direct
+    assert (
+        srt(ST.bottomk_sample_batch(df, ["grp"], "rid", "value", k=64, n_salts=1))
+        == direct
+    )
+
+    sample = ST.sample_fold(spark, path, ["grp"], k=64)
+    q = {
+        (r["grp"], r["q_pct"]): (r["n_sample"], r["q_value_micro"])
+        for r in ST.sample_quantiles(sample, ["grp"], (50, 90)).collect()
+    }
+    # exhaustive regime: 40 rows < k=64 -> exact nearest-rank picks
+    # over values {0, 10, .., 390}: rank ceil(.5*40)=20 -> 190;
+    # rank ceil(.9*40)=36 -> 350 (micro-units x1e6)
+    assert q[("small", 50)] == (40, 190_000_000)
+    assert q[("small", 90)] == (40, 350_000_000)
+    # estimation regime: true median of 0..7999 is ~4000; k=64 gives
+    # a ~1/sqrt(64) rank band — assert a generous 4-sigma envelope
+    n_sample, med = q[("big", 50)]
+    assert n_sample == 64
+    assert abs(med / 1_000_000 - 4000) < 2000
