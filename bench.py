@@ -87,6 +87,13 @@ HEADLINE = [
     # added r8: product-quantized ADC top-k (codebook train + encode +
     # LUT scoring + exact rerank) — prices the 32x-compressed scan tier
     "ann_pq_topk",
+    # added r8 (late): the KMV sketch tier — distinct-count ledger
+    # fold + estimator with the exact-distinct comparison join, and
+    # nearest-rank quantiles off the bottom-k sample ledger; cold pays
+    # the one-time two-batch ledger seed (session memo), steady prices
+    # the fold alone
+    "kmv_distinct_users",
+    "sampled_quantiles",
 ]
 
 #: The r5-era 21-query set — every HEADLINE row that existed before the
@@ -112,6 +119,8 @@ R5_COMPARABLE = [
         "multimodal_video_codec",
         "warc_ingest_roundtrip",
         "ann_pq_topk",
+        "kmv_distinct_users",
+        "sampled_quantiles",
     }
 ]
 
