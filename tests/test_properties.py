@@ -671,3 +671,62 @@ def test_bm25_probe_equals_one_pass_on_random_corpora(
         for r in bm25_probe(spark, path, terms, top_k=100).collect()
     ]
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),    # group key
+            st.integers(0, 40),   # value (cardinality straddles k)
+            st.integers(0, 3),    # batch assignment
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(2, 12),
+)
+@settings(**SETTINGS)
+def test_kmv_fold_matches_python_model(spark, rows, k):
+    """KMV mergeability under ARBITRARY batch cuts: per-batch min-k
+    partials fold to the single-pass sketch, and both equal an
+    independent pure-Python model of (md5-48bit-hash, distinct, sort,
+    take k) — so the window rank, the salting and the fold are all
+    pinned to the estimator's definition, not to each other."""
+    import hashlib
+
+    from jonesy_spark.operators import stats as ST
+
+    df = spark.createDataFrame(rows, ["grp", "v", "batch"])
+
+    # pure-Python model over the union
+    def h48(v: int) -> int:
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16)
+
+    want = set()
+    by_grp: dict[int, set[int]] = {}
+    for grp, v, _ in rows:
+        by_grp.setdefault(grp, set()).add(h48(v))
+    for grp, hs in by_grp.items():
+        want.update((grp, h) for h in sorted(hs)[:k])
+
+    direct = {
+        (r["grp"], r["h"])
+        for r in ST.kmv_sketch_batch(df, ["grp"], "v", k=k, n_salts=3).collect()
+    }
+    assert direct == want
+
+    # fold of per-batch partials == direct (mergeability)
+    parts = [
+        ST.kmv_sketch_batch(
+            df.filter(F.col("batch") == b), ["grp"], "v", k=k, n_salts=3
+        )
+        for b in range(4)
+    ]
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    folded = {
+        (r["grp"], r["h"])
+        for r in ST._min_k(union.select("grp", "h"), ["grp"], k, 3).collect()
+    }
+    assert folded == want
