@@ -862,3 +862,51 @@ def test_maintain_indexes_flat_family_via_config(spark, tmp_path, monkeypatch):
         JobContext(spark=spark, sf_dir="unused", out_root=out_root, targets=[]),
     )
     assert not any("classifier_counts" in w for w in ctx2.written)
+
+
+def test_maintain_indexes_kmv_ledger_via_config(spark, tmp_path, monkeypatch):
+    """Family member #8 rides the same maintenance rails: a KMV
+    distinct-sketch ledger configured as a ':flat' family compacts
+    through the job and folds identically after — the mergeability
+    theorem surviving the cron path, not just the operator test."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.operators import stats as ST
+    from jonesy_spark.pipeline.jobs import JobContext, run_job
+
+    out_root = str(tmp_path)
+    path = f"{out_root}/kmv_distinct"
+    ev = (
+        Catalog(spark, "/root/testdata/sf0.001")
+        .events.filter(F.col("user_id").isNotNull())
+        .select("event_id", F.col("event_type").alias("key"), "user_id")
+    )
+    for rid, parity in (("e1", 0), ("e2", 1)):
+        ST.write_kmv_index(
+            ST.kmv_sketch_batch(
+                ev.filter(F.col("event_id") % 2 == parity),
+                ["key"],
+                "user_id",
+                k=16,
+            ),
+            path,
+            run_id=rid,
+        )
+    fold_before = sorted(
+        map(tuple, ST.kmv_fold(spark, path, ["key"], k=16).collect())
+    )
+
+    monkeypatch.setenv("MAINTAIN_INDEX_PATHS", "kmv_distinct:flat")
+    ctx = run_job(
+        "maintain_indexes",
+        JobContext(spark=spark, sf_dir="unused", out_root=out_root, targets=[]),
+    )
+    assert len(glob.glob(f"{path}/ingest_batch=*")) == 1
+    assert any("kmv_distinct" in w for w in ctx.written)
+    assert (
+        sorted(map(tuple, ST.kmv_fold(spark, path, ["key"], k=16).collect()))
+        == fold_before
+    )
