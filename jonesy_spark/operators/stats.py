@@ -638,6 +638,9 @@ def _min_k(
     group."""
     from pyspark.sql.window import Window
 
+    if k < 1 or n_salts < 1:
+        raise ValueError(f"min-k needs k >= 1 and n_salts >= 1, got {k=} {n_salts=}")
+
     order = ["h", *tiebreak_cols]
     distinct = hashes.distinct()
     w1 = Window.partitionBy(
@@ -736,7 +739,14 @@ def kmv_estimate(
     ``(k-1) * 2^48 div kth_hash`` otherwise, as exact integer
     division on longs (both engines agree bit-for-bit; with k ≥ 2
     distinct non-negative hashes the kth is ≥ 1, so the division is
-    total). Relative error is ~1/sqrt(k-2) — k=64 gives ~13 %."""
+    total). Relative error is ~1/sqrt(k-2) — k=64 gives ~13 %.
+
+    CONTRACT: ``k`` must equal the k the sketch was BUILT with — a
+    larger k here reads a saturated group (n_kept == built-k) as the
+    exact regime and undercounts silently; a smaller one applies the
+    estimator to a group the sketch actually holds exhaustively. The
+    ledger carries no k column by design (rows are pure (keys, h));
+    callers own the pairing, as they own the hash width."""
     agg = sketch.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.max("h").alias("kth_hash"),
@@ -821,8 +831,16 @@ def sample_quantiles(
     nearest-rank quantile; otherwise it converges at the usual
     O(1/sqrt(k)) rank error. The q table is a broadcast-by-
     construction literal explode; the rank window is the only
-    exchange over the (metadata-sized) sample."""
+    exchange over the (metadata-sized) sample. Percentiles must be
+    integers in [1, 100] — rank 0 would silently emit nothing, so it
+    is a loud config error instead."""
     from pyspark.sql.window import Window
+
+    bad = [q for q in q_pcts if not (1 <= int(q) <= 100)]
+    if bad or not q_pcts:
+        raise ValueError(
+            f"q_pcts must be non-empty integers in [1, 100], got {q_pcts!r}"
+        )
 
     w = Window.partitionBy(*key_cols).orderBy("v", "h")
     wn = Window.partitionBy(*key_cols)
