@@ -836,7 +836,7 @@ def sample_quantiles(
     is a loud config error instead."""
     from pyspark.sql.window import Window
 
-    bad = [q for q in q_pcts if not (1 <= int(q) <= 100)]
+    bad = [q for q in q_pcts if q != int(q) or not (1 <= q <= 100)]
     if bad or not q_pcts:
         raise ValueError(
             f"q_pcts must be non-empty integers in [1, 100], got {q_pcts!r}"
