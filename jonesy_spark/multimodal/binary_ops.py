@@ -313,19 +313,7 @@ def media_near_dup(
     banded = sketches.select(
         "doc_id",
         "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_id"),
-                        F.shiftrightunsigned(F.col("phash"), 8 * i)
-                        .bitwiseAND(F.lit(255))
-                        .alias("band_key"),
-                    )
-                    for i in range(8)
-                ]
-            )
-        ).alias("b"),
+        F.explode(_pigeonhole_bands(F.col("phash"))).alias("b"),
     ).select("doc_id", "phash", "b.band_id", "b.band_key")
     right = banded.select(
         F.col("doc_id").alias("dup_doc_id"),
@@ -507,13 +495,16 @@ def incremental_media_dedup(
     run's own subtree, and ``novel_sink`` runs BEFORE the index write
     — the digest/minhash bridges' crash ordering."""
     from ..operators import graph as G
-    from ..operators.dedup import _track_caches, release_caches
+    from ..operators.dedup import _track_caches
 
     if run_id is None:
         import uuid
 
         run_id = f"nightly-{uuid.uuid4().hex[:12]}"
     sketches = perceptual_hashes(new_media, fake=fake).persist()
+    # media_near_dup tracks NO cache deps here (we own `sketches` and
+    # pass it in); the shared sketch table must stay persisted through
+    # the index probe below and is released via the handle on `novel`
     pairs = media_near_dup(
         new_media, max_hamming=max_hamming, fake=fake, sketches=sketches
     )
@@ -523,7 +514,6 @@ def incremental_media_dedup(
             F.col("dup_doc_id").alias("doc_b"),
         )
     )
-    release_caches(pairs)
     surv_sketches = sketches.join(survivors_ids, "doc_id", "left_semi")
     matches = probe_phash_index(
         surv_sketches,
@@ -971,19 +961,7 @@ def video_near_dup(
     banded = frames.select(
         "doc_id",
         "f",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_id"),
-                        F.shiftrightunsigned(F.col("fh"), 8 * i)
-                        .bitwiseAND(F.lit(255))
-                        .alias("band_key"),
-                    )
-                    for i in range(8)
-                ]
-            )
-        ).alias("b"),
+        F.explode(_pigeonhole_bands(F.col("fh"))).alias("b"),
     ).select("doc_id", "f", "b.band_id", "b.band_key")
     if bucket_cap is not None:
         w = W.partitionBy("band_id", "band_key")

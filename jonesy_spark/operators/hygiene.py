@@ -641,50 +641,76 @@ def near_dup_contamination(
     )
 
 
+def _scan_intents(fs, index_path: str, Path):
+    """Yield ``(file_status, intent_dict_or_None)`` for every
+    ``_compactions/*.json`` — the ONE intent-scan loop both the
+    reader-side exclusion (:func:`superseded_batches`) and the
+    writer-side repair pass (:func:`compact_index`) walk, so the
+    crash protocol cannot drift between them. A torn/empty record
+    (crash during the intent write itself) yields ``None``: by the
+    protocol the consolidated write only starts after the intent
+    record closes, so a torn intent implies no subtree was written —
+    it is vacuum-able noise, never a crash on the read path."""
+    import json
+
+    mdir = Path(f"{index_path}/_compactions")
+    if not fs.exists(mdir):
+        return
+    for status in fs.listStatus(mdir):
+        if not status.getPath().getName().endswith(".json"):
+            continue
+        stream = fs.open(status.getPath())
+        try:
+            raw = bytes(stream.readAllBytes()).decode()
+        finally:
+            stream.close()
+        try:
+            intent = json.loads(raw)
+        except ValueError:
+            intent = None
+        yield status, intent
+
+
 def superseded_batches(spark, index_path: str) -> set[str]:
-    """Batch ids consumed by a COMMITTED compaction whose source
-    deletion has not (yet) completed — the set a SUM-folding reader
-    must exclude to stay exact across a compaction crash window.
+    """Batch ids a folding reader must exclude to stay exact across a
+    compaction crash window — consumed sources of a COMMITTED
+    compaction whose deletion has not finished, plus the PARTIAL
+    subtree of an uncommitted one.
 
     Protocol (see :func:`compact_index`): every compaction first
     records its intent — ``_compactions/<run_id>.json`` listing the
     source batches — then writes the consolidated subtree, then
     deletes the sources, then removes the intent record. A crash
-    leaves one of three states, all safe: intent without a committed
-    subtree (sources intact — nothing to exclude, the intent is
-    stale); intent + committed subtree + surviving sources (THIS
-    function names the survivors so readers don't double-count);
-    no intent (deletion finished). Anti-join/dedup probes never
-    needed this (duplicates are no-ops there); the BM25 postings and
-    classifier-count ledgers fold by SUM, where a surviving source
-    batch silently doubles tf/df/class counts (ADVICE r7)."""
-    import json
-
+    leaves one of four states, all safe: torn intent record (the
+    consolidated write never started — nothing to exclude); intent
+    without a committed subtree's ``_SUCCESS`` (sources intact, but a
+    PARTIAL subtree may already be visible to parquet readers — THIS
+    function excludes the subtree itself); intent + committed subtree
+    + surviving sources (exclude the survivors so readers don't
+    double-count); no intent (deletion finished). Anti-join/dedup
+    probes never needed this (duplicates are no-ops there); the BM25
+    postings and classifier-count ledgers fold by SUM, where either a
+    surviving source batch or a half-written consolidated subtree
+    silently corrupts tf/df/class counts (ADVICE r7)."""
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     Path = jvm.org.apache.hadoop.fs.Path
-    mdir = Path(f"{index_path}/_compactions")
-    fs = mdir.getFileSystem(hconf)
-    if not fs.exists(mdir):
-        return set()
+    fs = Path(index_path).getFileSystem(hconf)
     out: set[str] = set()
-    for status in fs.listStatus(mdir):
-        name = status.getPath().getName()
-        if not name.endswith(".json"):
-            continue
-        stream = fs.open(status.getPath())
-        try:
-            intent = json.loads(bytes(stream.readAllBytes()).decode())
-        finally:
-            stream.close()
-        committed = Path(
-            f"{index_path}/ingest_batch={intent['run_id']}/_SUCCESS"
-        )
-        if not fs.exists(committed):
-            continue  # intent without a committed subtree: stale
-        for b in intent["consumed"]:
-            if fs.exists(Path(f"{index_path}/ingest_batch={b}")):
-                out.add(b)
+    for _status, intent in _scan_intents(fs, index_path, Path):
+        if intent is None:
+            continue  # torn record: the subtree write never started
+        subtree = Path(f"{index_path}/ingest_batch={intent['run_id']}")
+        if fs.exists(Path(f"{subtree}/_SUCCESS")):
+            for b in intent["consumed"]:
+                if fs.exists(Path(f"{index_path}/ingest_batch={b}")):
+                    out.add(b)
+        elif fs.exists(subtree):
+            # crash DURING the consolidated write: part files are
+            # visible to parquet readers but the job never committed —
+            # the sources are still the truth, the partial subtree is
+            # the duplicate to drop
+            out.add(intent["run_id"])
     return out
 
 
@@ -736,11 +762,16 @@ def compact_index(
     missing rows — and duplicates are safe for EVERY family: the
     digest probe is an anti-join and the minhash probe dedups pairs
     (no exclusion needed), while the SUM-folding readers (BM25
-    postings, classifier counts) exclude the intent's surviving
-    sources via :func:`superseded_batches` — without that, a crash
-    between (2) and (3) would silently double tf/df/class counts
-    (ADVICE r7). A later compaction run first REPAIRS any committed
-    intent (finishes step 3) before compacting further, so the window
+    postings, classifier counts) exclude BOTH hazards via
+    :func:`superseded_batches` — a committed intent's surviving
+    sources (a crash between (2) and (3) would otherwise double
+    tf/df/class counts, ADVICE r7) and an UNCOMMITTED intent's
+    partial subtree (part files from a crash inside (2) are visible
+    to parquet readers before the job commit). A torn intent record
+    (crash inside (1)) parses as stale and is tolerated everywhere. A
+    later compaction run first REPAIRS every prior intent before
+    reading — finishing step (3) for committed ones, vacuuming the
+    partial subtree plus record for uncommitted ones — so the window
     also self-heals. Deletion uses Hadoop's FileSystem API so the
     same code runs on local disk, HDFS, or s3a.
 
@@ -767,28 +798,26 @@ def compact_index(
         p.getFileSystem(hconf).delete(p, True)
 
     # repair pass: finish (or discard) any prior run's intent BEFORE
-    # reading — a committed intent's surviving sources delete now (so
-    # this run never re-folds already-consolidated rows), a stale
-    # intent (no committed subtree) is vacuumed.
+    # reading, walking the same _scan_intents the readers use — a
+    # committed intent's surviving sources delete now (so this run
+    # never re-folds already-consolidated rows); an UNCOMMITTED
+    # intent's possibly-partial consolidated subtree is vacuumed along
+    # with the record (deleting only the record would bake the partial
+    # rows into the next compaction as permanent duplicates); a torn
+    # record (no run_id recoverable) implies the subtree write never
+    # started, so the record alone is the garbage.
     mdir = Path(f"{index_path}/_compactions")
     fs = mdir.getFileSystem(hconf)
-    if fs.exists(mdir):
-        for status in fs.listStatus(mdir):
-            name = status.getPath().getName()
-            if not name.endswith(".json"):
-                continue
-            stream = fs.open(status.getPath())
-            try:
-                intent = json.loads(bytes(stream.readAllBytes()).decode())
-            finally:
-                stream.close()
-            committed = Path(
-                f"{index_path}/ingest_batch={intent['run_id']}/_SUCCESS"
-            )
-            if fs.exists(committed):
+    for status, intent in _scan_intents(fs, index_path, Path):
+        if intent is not None:
+            if fs.exists(
+                Path(f"{index_path}/ingest_batch={intent['run_id']}/_SUCCESS")
+            ):
                 for b in intent["consumed"]:
                     _delete(f"{index_path}/ingest_batch={b}")
-            fs.delete(status.getPath(), False)
+            else:
+                _delete(f"{index_path}/ingest_batch={intent['run_id']}")
+        fs.delete(status.getPath(), False)
 
     try:
         idx = spark.read.parquet(index_path)

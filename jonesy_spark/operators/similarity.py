@@ -868,7 +868,12 @@ def pq_codebooks(
     :func:`quantized_topk`, never the oracle-checked one."""
     import numpy as np
 
-    dim = len(emb.select("embedding").first()["embedding"])
+    first = emb.select("embedding").first()
+    if first is None:
+        raise ValueError(
+            "pq_codebooks needs a non-empty embeddings frame to train on"
+        )
+    dim = len(first["embedding"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     d = dim // m
@@ -931,6 +936,13 @@ def pq_encode(emb: DataFrame, codebooks: DataFrame) -> DataFrame:
     corpus-wide anything but the one vec_id-keyed agg."""
     m = codebooks.select(F.max("sub")).first()[0] + 1
     dim_row = emb.select(F.size("embedding").alias("s")).first()
+    if dim_row is None:
+        # an empty batch encodes to an empty frame — the streaming
+        # writer's isEmpty() guard made this case real; the batch API
+        # must not die with an opaque NoneType subscript
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id long, label string, codes array<int>"
+        )
     d = dim_row["s"] // m
     unit = _prepared(emb).select(
         "vec_id",

@@ -113,14 +113,7 @@ def write_stats_index(
     O(groups) bytes per batch; ``overwrite`` + an epoch run_id gives
     replay idempotence (same contract as the digest/minhash/IVF
     indexes). Returns the run_id used."""
-    if run_id is None:
-        import uuid
-
-        run_id = f"nightly-{uuid.uuid4().hex[:12]}"
-    profile.coalesce(1).write.mode(mode).parquet(
-        f"{index_path}/ingest_batch={run_id}"
-    )
-    return run_id
+    return _write_ledger(profile, index_path, mode, run_id)
 
 
 #: Schema of a profile row under the default GROUP_COLS — what an
@@ -501,6 +494,40 @@ def index_overlap_report(
     )
 
 
+def _write_ledger(
+    partials: DataFrame, index_path: str, mode: str, run_id: str | None
+) -> str:
+    """The ONE ledger writer every metadata-sized partial family
+    shares: coalesce to a single file (the partials are group-level by
+    construction) and land under ``ingest_batch=<run_id>`` — overwrite
+    of a replayed epoch's own subtree keeps writers idempotent."""
+    if run_id is None:
+        import uuid
+
+        run_id = f"nightly-{uuid.uuid4().hex[:12]}"
+    partials.coalesce(1).write.mode(mode).parquet(
+        f"{index_path}/ingest_batch={run_id}"
+    )
+    return run_id
+
+
+def _read_ledger(spark, index_path: str, noun: str, writer: str):
+    """Resolved read of a partial ledger, raising the house absent-
+    probe error (naming the writer to call first) instead of a raw
+    AnalysisException."""
+    from pyspark.errors import AnalysisException
+
+    from .hygiene import read_index_resolved
+
+    try:
+        return read_index_resolved(spark, index_path)
+    except AnalysisException:
+        raise ValueError(
+            f"no {noun} ledger at {index_path!r}; land one with "
+            f"{writer} before folding"
+        ) from None
+
+
 def rollup_batch(
     events: DataFrame,
     bucket_seconds: int = 3600,
@@ -518,7 +545,10 @@ def rollup_batch(
     cardinality is |keys| x |buckets| — metadata-sized; one keyed
     aggregation with map-side combine is the only exchange."""
     es = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
-    bucket = (es - es % F.lit(int(bucket_seconds))).alias("bucket_es")
+    # pmod, not %: Spark's % takes the dividend's sign, so a pre-epoch
+    # timestamp (es < 0) would round TOWARD zero and merge into the
+    # wrong (next-higher) bucket; pmod floors for all signs
+    bucket = (es - F.pmod(es, F.lit(int(bucket_seconds)))).alias("bucket_es")
     v = micro_units(F.col(value_col))
     return (
         events.select(F.col(key_col).alias("key"), bucket, v.alias("vm"))
@@ -548,14 +578,7 @@ def write_rollup_index(
     ``read_index_resolved`` because the fold SUMS — a compaction-crash
     survivor batch would double counts (the BM25/classifier/PQ hazard
     class)."""
-    if run_id is None:
-        import uuid
-
-        run_id = f"nightly-{uuid.uuid4().hex[:12]}"
-    partials.coalesce(1).write.mode(mode).parquet(
-        f"{index_path}/ingest_batch={run_id}"
-    )
-    return run_id
+    return _write_ledger(partials, index_path, mode, run_id)
 
 
 def rollup_report(spark, index_path: str) -> DataFrame:
@@ -564,17 +587,7 @@ def rollup_report(spark, index_path: str) -> DataFrame:
     batch (integer partials: sum-of-sums, min-of-mins, max-of-maxes
     are associative with zero drift). Raises on an absent ledger, the
     house probe rule."""
-    from pyspark.errors import AnalysisException
-
-    from .hygiene import read_index_resolved
-
-    try:
-        raw = read_index_resolved(spark, index_path)
-    except AnalysisException:
-        raise ValueError(
-            f"no rollup ledger at {index_path!r}; land one with "
-            "write_rollup_index before folding"
-        ) from None
+    raw = _read_ledger(spark, index_path, "rollup", "write_rollup_index")
     return (
         raw.groupBy("key", "bucket_es")
         .agg(
@@ -695,14 +708,7 @@ def write_kmv_index(
     min-k, so — uniquely in the family — duplicate rows from a
     compaction crash are SAFE (distinct absorbs them), but reads still
     resolve through ``read_index_resolved`` for uniformity."""
-    if run_id is None:
-        import uuid
-
-        run_id = f"nightly-{uuid.uuid4().hex[:12]}"
-    partials.coalesce(1).write.mode(mode).parquet(
-        f"{index_path}/ingest_batch={run_id}"
-    )
-    return run_id
+    return _write_ledger(partials, index_path, mode, run_id)
 
 
 def kmv_fold(
@@ -716,17 +722,7 @@ def kmv_fold(
     :func:`kmv_sketch_batch` over the union of every ingested batch
     (min-k of a union of per-batch min-k sets IS the union's min-k).
     Raises on an absent ledger, the house probe rule."""
-    from pyspark.errors import AnalysisException
-
-    from .hygiene import read_index_resolved
-
-    try:
-        raw = read_index_resolved(spark, index_path)
-    except AnalysisException:
-        raise ValueError(
-            f"no KMV ledger at {index_path!r}; land one with "
-            "write_kmv_index before folding"
-        ) from None
+    raw = _read_ledger(spark, index_path, "KMV", "write_kmv_index")
     return _min_k(raw.select(*key_cols, "h"), key_cols, k, n_salts)
 
 
@@ -800,17 +796,7 @@ def sample_fold(
     :func:`write_kmv_index` — same writer, rows just carry ``v``) to
     the current union sample, bit-identical to
     :func:`bottomk_sample_batch` over the union of every batch."""
-    from pyspark.errors import AnalysisException
-
-    from .hygiene import read_index_resolved
-
-    try:
-        raw = read_index_resolved(spark, index_path)
-    except AnalysisException:
-        raise ValueError(
-            f"no sample ledger at {index_path!r}; land one with "
-            "write_kmv_index before folding"
-        ) from None
+    raw = _read_ledger(spark, index_path, "sample", "write_kmv_index")
     return _min_k(
         raw.select(*key_cols, "h", "v"), key_cols, k, n_salts,
         tiebreak_cols=("v",),

@@ -297,21 +297,21 @@ def _maintain_indexes(ctx: JobContext) -> None:
     sc = ctx.spark.sparkContext
     Path = sc._jvm.org.apache.hadoop.fs.Path
 
-    def _n_batches(path: str) -> int:
+    def _batch_names(path: str) -> set[str]:
         p = Path(path)
         fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
         if not fs.exists(p):
-            return 0
-        return sum(
-            1
+            return set()
+        return {
+            s.getPath().getName().removeprefix("ingest_batch=")
             for s in fs.listStatus(p)
             if s.getPath().getName().startswith("ingest_batch=")
-        )
+        }
 
     for entry in [e.strip() for e in spec.split(",") if e.strip()]:
         rel, _, part_col = entry.partition(":")
         path = f"{ctx.out_root}/{rel}"
-        had_work = _n_batches(path) > 1
+        before = _batch_names(path)
         try:
             rid = H.compact_index(
                 ctx.spark,
@@ -320,10 +320,12 @@ def _maintain_indexes(ctx: JobContext) -> None:
             )
         except ValueError:
             continue  # index not created yet at this site — skip
-        if had_work and rid:
-            # a no-op pass (<=1 batch) returns the existing batch id or
-            # '' — logging it as a compaction would be a false claim
-            # (ADVICE r7)
+        if rid and rid not in before:
+            # only a FRESH consolidated id is a real compaction: a
+            # no-op pass returns the pre-existing batch id or '', and
+            # a repair pass that merely finishes a prior deletion can
+            # shrink the ledger to one pre-existing batch — logging
+            # either as a compaction would be a false claim (ADVICE r7)
             ctx.written.append(f"{rel}/ingest_batch={rid}")
     ivf = f"{ctx.out_root}/{cfg.get('MAINTAIN_IVF_PATH', 'ivf_index')}"
     try:

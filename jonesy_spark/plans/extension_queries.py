@@ -1385,7 +1385,7 @@ _ROLLUP_INDEX_MEMO: dict[tuple[str, str], str] = {}
                CAST(round(value * 1000000) AS BIGINT) AS vm
         FROM events
     )
-    SELECT key, es - es % 3600 AS bucket_es,
+    SELECT key, es - ((es % 3600) + 3600) % 3600 AS bucket_es,
            count(*) AS n_events,
            CAST(sum(vm) AS BIGINT) AS sum_value_micro,
            min(vm) AS min_value_micro,
@@ -1453,7 +1453,8 @@ _KMV_INDEX_MEMO: dict[tuple[str, str], str] = {}
         FROM events
         WHERE user_id IS NOT NULL
     ), bucketed AS (
-        SELECT key, es - es % 86400 AS bucket_es, user_id FROM ev
+        SELECT key, es - ((es % 86400) + 86400) % 86400 AS bucket_es, user_id
+        FROM ev
     ), dh AS (
         SELECT DISTINCT key, bucket_es,
                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
@@ -1503,7 +1504,7 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = cat.events.filter(F.col("user_id").isNotNull()).select(
         "event_id",
         F.col("event_type").alias("key"),
-        (es - es % 86_400).alias("bucket_es"),
+        (es - F.pmod(es, F.lit(86_400))).alias("bucket_es"),
         "user_id",
     )
     key = (spark.sparkContext.applicationId, sf_dir)

@@ -725,3 +725,118 @@ def test_compact_stale_intent_is_vacuumed_not_applied(spark, tmp_path):
     assert rid.startswith("compact-2-")
     assert glob.glob(f"{idx}/_compactions/*.json") == []
     assert H.read_digest_index(spark, idx).count() == n_before
+
+
+def test_compact_partial_subtree_is_excluded_and_vacuumed(spark, tmp_path):
+    """A crash DURING the consolidated write leaves part files visible
+    to parquet readers under an uncommitted (no ``_SUCCESS``) compact
+    subtree, next to intact sources. SUM-folding readers must exclude
+    the PARTIAL SUBTREE (the sources are the truth), and the repair
+    pass must vacuum the subtree with the intent record — deleting
+    only the record would bake the partial rows into the next
+    compaction as permanent duplicates."""
+    import glob
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.operators import stats as ST
+
+    path = str(tmp_path / "rollup")
+    events = Catalog(spark, "/root/testdata/sf0.001").events
+    for rid, parity in (("b0", 0), ("b1", 1)):
+        ST.write_rollup_index(
+            ST.rollup_batch(events.filter(F.col("event_id") % 2 == parity)),
+            path,
+            run_id=rid,
+        )
+    before = sorted(map(tuple, ST.rollup_report(spark, path).collect()))
+
+    # crash simulation: half-written consolidated subtree (one part
+    # file, NO _SUCCESS) + the intent record naming the sources
+    dead = f"{path}/ingest_batch=compact-9-dead"
+    (tmp_path / "rollup" / "ingest_batch=compact-9-dead").mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "key": ["view"],
+                "bucket_es": [0],
+                "n_events": [999_999],
+                "sum_value_micro": [999_999],
+                "min_value_micro": [0],
+                "max_value_micro": [0],
+            },
+            schema=pa.schema(
+                [
+                    ("key", pa.string()),
+                    ("bucket_es", pa.int64()),
+                    ("n_events", pa.int64()),
+                    ("sum_value_micro", pa.int64()),
+                    ("min_value_micro", pa.int64()),
+                    ("max_value_micro", pa.int64()),
+                ]
+            ),
+        ),
+        f"{dead}/part-00000.parquet",
+    )
+    mdir = tmp_path / "rollup" / "_compactions"
+    mdir.mkdir()
+    (mdir / "compact-9-dead.json").write_text(
+        json.dumps({"run_id": "compact-9-dead", "consumed": ["b0", "b1"]})
+    )
+
+    assert H.superseded_batches(spark, path) == {"compact-9-dead"}
+    # the fold ignores the partial rows: sources are the truth
+    assert sorted(map(tuple, ST.rollup_report(spark, path).collect())) == before
+
+    # repair: the partial subtree AND its record are vacuumed, the
+    # fresh compaction folds only the sources
+    rid = H.compact_index(spark, path, part_col=None)
+    assert rid.startswith("compact-2-")
+    assert glob.glob(f"{path}/ingest_batch=*") == [f"{path}/ingest_batch={rid}"]
+    assert glob.glob(f"{path}/_compactions/*.json") == []
+    assert sorted(map(tuple, ST.rollup_report(spark, path).collect())) == before
+
+
+def test_compact_torn_intent_record_is_tolerated(spark, tmp_path):
+    """A crash during the intent write itself leaves a torn/empty
+    record. By the protocol no subtree was written yet, so readers
+    must treat it as stale (not raise), and the repair pass vacuums
+    the record alone."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.operators import stats as ST
+
+    path = str(tmp_path / "kmv")
+    ev = (
+        Catalog(spark, "/root/testdata/sf0.001")
+        .events.filter(F.col("user_id").isNotNull())
+        .select("event_id", F.col("event_type").alias("key"), "user_id")
+    )
+    for rid, parity in (("b0", 0), ("b1", 1)):
+        ST.write_kmv_index(
+            ST.kmv_sketch_batch(
+                ev.filter(F.col("event_id") % 2 == parity), ["key"], "user_id", k=8
+            ),
+            path,
+            run_id=rid,
+        )
+    before = sorted(map(tuple, ST.kmv_fold(spark, path, ["key"], k=8).collect()))
+
+    mdir = tmp_path / "kmv" / "_compactions"
+    mdir.mkdir()
+    (mdir / "compact-torn.json").write_text("")  # crash mid-intent-write
+
+    assert H.superseded_batches(spark, path) == set()
+    assert sorted(map(tuple, ST.kmv_fold(spark, path, ["key"], k=8).collect())) == before
+    rid = H.compact_index(spark, path, part_col=None)
+    assert rid.startswith("compact-2-")
+    assert glob.glob(f"{path}/_compactions/*.json") == []
+    assert sorted(map(tuple, ST.kmv_fold(spark, path, ["key"], k=8).collect())) == before

@@ -451,6 +451,25 @@ def test_rollup_ledger_fold_equals_direct_and_compacts(spark, tmp_path):
     assert rows(ST.rollup_report(spark, path)) == direct
 
 
+def test_rollup_floors_pre_epoch_timestamps(spark):
+    """Bucketing must FLOOR for all signs: Spark's % takes the
+    dividend's sign, so a naive es - es % b would round a pre-epoch
+    event toward zero and merge it into the wrong (next-higher)
+    bucket. 1969-12-31T23:30Z (es = -1800) belongs to bucket -3600,
+    not 0."""
+    from jonesy_spark.operators import stats as ST
+
+    df = spark.createDataFrame(
+        [("x", "1969-12-31 23:30:00", 1.0), ("x", "1970-01-01 00:30:00", 1.0)],
+        "event_type string, ts string, value double",
+    )
+    got = {
+        r["bucket_es"]: r["n_events"]
+        for r in ST.rollup_batch(df, bucket_seconds=3600).collect()
+    }
+    assert got == {-3600: 1, 0: 1}
+
+
 def test_kmv_ledger_fold_equals_direct_and_compacts(spark, tmp_path):
     """The KMV sketch's mergeability contract: min-k partials from an
     arbitrary 3-way batch split fold to the BIT-IDENTICAL single-pass
