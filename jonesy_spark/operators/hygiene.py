@@ -683,11 +683,15 @@ def superseded_batches(spark, index_path: str) -> set[str]:
     deletes the sources, then removes the intent record. A crash
     leaves one of four states, all safe: torn intent record (the
     consolidated write never started — nothing to exclude); intent
-    without a committed subtree's ``_SUCCESS`` (sources intact, but a
-    PARTIAL subtree may already be visible to parquet readers — THIS
-    function excludes the subtree itself); intent + committed subtree
-    + surviving sources (exclude the survivors so readers don't
-    double-count); no intent (deletion finished). Anti-join/dedup
+    with no commit WITNESS (sources all intact, but a PARTIAL subtree
+    may already be visible to parquet readers — THIS function
+    excludes the subtree itself); intent + committed subtree +
+    surviving sources (exclude the survivors so readers don't
+    double-count); no intent (deletion finished). The commit witness
+    is the ``_SUCCESS`` marker OR any consumed source already gone —
+    step (3) only starts after step (2) commits, so a missing source
+    proves completion even where success markers are disabled (object
+    stores). Anti-join/dedup
     probes never needed this (duplicates are no-ops there); the BM25
     postings and classifier-count ledgers fold by SUM, where either a
     surviving source batch or a half-written consolidated subtree
@@ -701,15 +705,23 @@ def superseded_batches(spark, index_path: str) -> set[str]:
         if intent is None:
             continue  # torn record: the subtree write never started
         subtree = Path(f"{index_path}/ingest_batch={intent['run_id']}")
-        if fs.exists(Path(f"{subtree}/_SUCCESS")):
-            for b in intent["consumed"]:
-                if fs.exists(Path(f"{index_path}/ingest_batch={b}")):
-                    out.add(b)
+        survivors = [
+            b
+            for b in intent["consumed"]
+            if fs.exists(Path(f"{index_path}/ingest_batch={b}"))
+        ]
+        committed = fs.exists(Path(f"{subtree}/_SUCCESS")) or len(
+            survivors
+        ) < len(intent["consumed"])
+        # commit witness: the _SUCCESS marker, OR any consumed source
+        # already gone — step (3) deletion only starts after step (2)
+        # commits, so a missing source proves the subtree is complete
+        # even where success markers are disabled/stripped (object
+        # stores). Without that proof, intact sources are the truth
+        # and a visible subtree is a possibly-partial duplicate.
+        if committed:
+            out.update(survivors)
         elif fs.exists(subtree):
-            # crash DURING the consolidated write: part files are
-            # visible to parquet readers but the job never committed —
-            # the sources are still the truth, the partial subtree is
-            # the duplicate to drop
             out.add(intent["run_id"])
     return out
 
@@ -810,10 +822,21 @@ def compact_index(
     fs = mdir.getFileSystem(hconf)
     for status, intent in _scan_intents(fs, index_path, Path):
         if intent is not None:
-            if fs.exists(
+            survivors = [
+                b
+                for b in intent["consumed"]
+                if fs.exists(Path(f"{index_path}/ingest_batch={b}"))
+            ]
+            committed = fs.exists(
                 Path(f"{index_path}/ingest_batch={intent['run_id']}/_SUCCESS")
-            ):
-                for b in intent["consumed"]:
+            ) or len(survivors) < len(intent["consumed"])
+            # same commit witness as superseded_batches: a missing
+            # consumed source proves step (2) committed even with
+            # success markers disabled — in that state the subtree may
+            # be the ONLY copy of the already-deleted sources' rows,
+            # so vacuuming it would be data loss, never repair
+            if committed:
+                for b in survivors:
                     _delete(f"{index_path}/ingest_batch={b}")
             else:
                 _delete(f"{index_path}/ingest_batch={intent['run_id']}")

@@ -922,6 +922,20 @@ def pq_codebooks(
     )
 
 
+def _pq_m(codebooks: DataFrame) -> int:
+    """Subspace count from a codebook frame, raising the house
+    ValueError on an empty one — max('sub') is NULL there, and
+    ``None + 1`` would surface as the opaque NoneType TypeError the
+    empty-frame guards exist to prevent."""
+    top = codebooks.select(F.max("sub")).first()[0]
+    if top is None:
+        raise ValueError(
+            "empty PQ codebooks frame — train one with pq_codebooks "
+            "(or read a store that has landed its codebook) first"
+        )
+    return top + 1
+
+
 def pq_encode(emb: DataFrame, codebooks: DataFrame) -> DataFrame:
     """Encode unit-normalized embeddings under a PQ codebook:
     ``(vec_id, codes array<int>, label)`` with ``codes[j]`` the
@@ -934,7 +948,7 @@ def pq_encode(emb: DataFrame, codebooks: DataFrame) -> DataFrame:
     codes-array assembly are two keyed aggregations with map-side
     combine (ties break to the lowest code, deterministically). No
     corpus-wide anything but the one vec_id-keyed agg."""
-    m = codebooks.select(F.max("sub")).first()[0] + 1
+    m = _pq_m(codebooks)
     dim_row = emb.select(F.size("embedding").alias("s")).first()
     if dim_row is None:
         # an empty batch encodes to an empty frame — the streaming
@@ -1038,7 +1052,7 @@ def pq_topk(
     if codes is None:
         codes = pq_encode(emb, codebooks)
 
-    mm = codebooks.select(F.max("sub")).first()[0] + 1
+    mm = _pq_m(codebooks)
     dsub = emb.select(F.size("embedding").alias("s")).first()["s"] // mm
     unit = _prepared(emb).select(
         "vec_id", F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u")

@@ -543,7 +543,14 @@ def rollup_batch(
     partials from any batch split fold to bit-identical totals (the
     classifier-counts property, applied to time series). Output
     cardinality is |keys| x |buckets| — metadata-sized; one keyed
-    aggregation with map-side combine is the only exchange."""
+    aggregation with map-side combine is the only exchange.
+
+    The bucket function (floor to ``bucket_seconds``, pmod-based so
+    pre-epoch timestamps floor instead of rounding toward zero) is
+    PART OF THE LEDGER CONTRACT: partials bucketed under a different
+    rule do not merge with these — changing it means rebuilding any
+    ledger that holds affected rows, the same immutability rule as
+    the IVF centroids and PQ codebooks."""
     es = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
     # pmod, not %: Spark's % takes the dividend's sign, so a pre-epoch
     # timestamp (es < 0) would round TOWARD zero and merge into the

@@ -802,6 +802,60 @@ def test_compact_partial_subtree_is_excluded_and_vacuumed(spark, tmp_path):
     assert sorted(map(tuple, ST.rollup_report(spark, path).collect())) == before
 
 
+def test_compact_commit_witnessed_by_missing_source_without_marker(
+    spark, tmp_path
+):
+    """Object-store reality: success markers can be disabled or
+    stripped. A compaction that committed and began deleting sources
+    (one consumed batch already gone) then crashed must NOT have its
+    consolidated subtree treated as partial — the missing source IS
+    the commit witness (step 3 only starts after step 2 commits), and
+    the subtree may be the only copy of the deleted source's rows.
+    Readers exclude the SURVIVING source; repair deletes it and keeps
+    the subtree."""
+    import glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.operators import stats as ST
+
+    path = str(tmp_path / "rollup")
+    events = Catalog(spark, "/root/testdata/sf0.001").events
+    halves = {
+        rid: ST.rollup_batch(events.filter(F.col("event_id") % 2 == p))
+        for rid, p in (("b0", 0), ("b1", 1))
+    }
+    for rid, part in halves.items():
+        ST.write_rollup_index(part, path, run_id=rid)
+    before = sorted(map(tuple, ST.rollup_report(spark, path).collect()))
+
+    rid = H.compact_index(spark, path, part_col=None)
+    # crash reconstruction: marker stripped, deletion of b1 done,
+    # b0 still present, intent record still present
+    (tmp_path / "rollup" / f"ingest_batch={rid}" / "_SUCCESS").unlink()
+    ST.write_rollup_index(halves["b0"], path, run_id="b0")
+    mdir = tmp_path / "rollup" / "_compactions"
+    mdir.mkdir(exist_ok=True)
+    (mdir / f"{rid}.json").write_text(
+        json.dumps({"run_id": rid, "consumed": ["b0", "b1"]})
+    )
+
+    # the missing b1 witnesses the commit: exclude the survivor, not
+    # the (complete, marker-less) subtree
+    assert H.superseded_batches(spark, path) == {"b0"}
+    assert sorted(map(tuple, ST.rollup_report(spark, path).collect())) == before
+
+    # repair keeps the subtree (the only copy of b1's rows), deletes
+    # the survivor, retires the record
+    rid2 = H.compact_index(spark, path, part_col=None)
+    assert rid2 == rid
+    assert glob.glob(f"{path}/ingest_batch=*") == [f"{path}/ingest_batch={rid}"]
+    assert glob.glob(f"{path}/_compactions/*.json") == []
+    assert sorted(map(tuple, ST.rollup_report(spark, path).collect())) == before
+
+
 def test_compact_torn_intent_record_is_tolerated(spark, tmp_path):
     """A crash during the intent write itself leaves a torn/empty
     record. By the protocol no subtree was written yet, so readers
