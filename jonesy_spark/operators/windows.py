@@ -538,3 +538,52 @@ def trailing_anomaly_flags(
             F.abs(zscore) > int(round(z * 1_000_000)), F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+def sliding_window_rollup(
+    events: DataFrame,
+    window_seconds: int = 3600,
+    slide_seconds: int = 900,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hopping-window aggregates — the SLIDING complement of the
+    tumbling ``stats.rollup_batch``: each event lands in
+    ``window_seconds / slide_seconds`` overlapping windows and every
+    window reports ``(key, window_es, n_events, sum_value_micro)``.
+    The Spark side is the NATIVE ``F.window(ts, size, slide)``
+    lowering (one Expand + one keyed aggregation with map-side
+    combine — Catalyst's own hop explosion, no UDF, no self-join);
+    values go to integer micro-units per row first, so the output is
+    exact and hash-comparable. ``window_seconds`` must be a multiple
+    of ``slide_seconds`` (the aligned-hop contract an ANSI oracle can
+    reproduce with a constant hop list).
+
+    Scale shape: row volume multiplies by the hop count W/S BEFORE
+    the aggregation's map-side combine, which collapses it back to
+    |keys| x |windows| — the same metadata-sized output as the
+    tumbling rollup; the one corpus-wide exchange is the keyed agg.
+    """
+    if window_seconds % slide_seconds != 0:
+        raise ValueError(
+            f"window_seconds={window_seconds} must be a multiple of "
+            f"slide_seconds={slide_seconds} (aligned hops)"
+        )
+    win = F.window(
+        F.col(ts_col).cast("timestamp"),
+        f"{int(window_seconds)} seconds",
+        f"{int(slide_seconds)} seconds",
+    )
+    return (
+        events.select(
+            F.col(key_col).alias("key"),
+            win.alias("w"),
+            micro_units(F.col(value_col)).alias("vm"),
+        )
+        .groupBy("key", F.col("w.start").cast("long").alias("window_es"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vm").alias("sum_value_micro"),
+        )
+    )

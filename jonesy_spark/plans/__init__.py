@@ -277,6 +277,12 @@ DRIVER_EXCLUDED = {
     # batch cuts, with true population quantiles joined for an
     # err_micro report. r9 rotation candidate.
     "sampled_quantiles",
+    # REGISTRY-ONLY this round (roster full), full oracle ready:
+    # Catalyst's NATIVE hopping-window lowering (window(ts, size,
+    # slide) -> Expand + keyed agg) vs the closed-form hop set in
+    # ANSI SQL — the sliding complement of events_rollup. r9
+    # rotation candidate.
+    "events_sliding_window",
     # ---- rotated out r8: the five §2 ids re-admitted r7 took their
     # fresh driver greens (all green in CORRECTNESS_r07) and rotate
     # out again per PARITY.md's two-round cadence — each keeps its

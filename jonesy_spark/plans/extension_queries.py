@@ -1538,6 +1538,51 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_sliding_window",
+    # Catalyst's native hopping-window lowering (F.window with a slide
+    # = one Expand into W/S hops + one keyed aggregation) pinned
+    # against the closed form an ANSI engine can compute: an event at
+    # epoch es lands in the windows starting at floor_S(es) - k*S for
+    # k in 0..W/S-1 (pmod flooring so pre-epoch events hop correctly —
+    # verified equal to Spark's own alignment). Counts and micro-unit
+    # sums make the comparison exact.
+    oracle="""
+    WITH ev AS (
+        SELECT event_type AS key,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+               CAST(round(value * 1000000) AS BIGINT) AS vm
+        FROM events
+    ), hopped AS (
+        SELECT key,
+               (es - ((es % 900) + 900) % 900) - h.k * 900 AS window_es,
+               vm
+        FROM ev CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) h
+    )
+    SELECT key, window_es,
+           count(*) AS n_events,
+           CAST(sum(vm) AS BIGINT) AS sum_value_micro
+    FROM hopped GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregates over events — 1-hour windows sliding
+    every 15 minutes, each event counted in its 4 overlapping windows
+    (operators.windows.sliding_window_rollup): the SLIDING complement
+    of the tumbling events_rollup, via Spark's NATIVE window(ts, size,
+    slide) lowering rather than a hand explode. The oracle reproduces
+    the hop set from the closed form, so the hash match pins
+    Catalyst's window alignment (including its pre-epoch flooring)
+    against ANSI SQL."""
+    from ..operators.windows import sliding_window_rollup
+
+    return sliding_window_rollup(
+        Catalog(spark, sf_dir).events,
+        window_seconds=3600,
+        slide_seconds=900,
+    )
+
+
 #: (applicationId, sf_dir) -> tmp bottom-k sample-ledger dir (two
 #: batches, even/odd event_id — the KMV seed pattern).
 _SAMPLE_INDEX_MEMO: dict[tuple[str, str], str] = {}

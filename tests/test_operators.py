@@ -1367,3 +1367,59 @@ def test_pq_index_store_round_trip_and_compaction(spark, tmp_path):
     )
     books, codes = SIM.read_pq_index(spark, path)
     assert probe() == before
+
+
+def test_sliding_window_rollup_matches_explicit_hops(spark):
+    """Catalyst's native window(ts, size, slide) lowering equals the
+    closed-form hop explode — floor_S(es) - k*S for k in 0..W/S-1 —
+    including PRE-EPOCH timestamps (pmod flooring, the rollup_batch
+    sign rule); the misaligned-hop config is a loud error."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.operators.windows import sliding_window_rollup
+
+    rows = [
+        ("x", "1969-12-31 23:50:00", 2.5),
+        ("x", "1970-01-01 00:05:00", 1.0),
+        ("y", "1970-01-01 01:00:00", -3.0),
+        ("y", "1970-01-01 01:59:59", 0.25),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts string, value double")
+
+    got = sorted(
+        map(tuple, sliding_window_rollup(df, 3600, 900).collect())
+    )
+
+    es = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    floor_s = es - F.pmod(es, F.lit(900))
+    hops = F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("k")
+    want = sorted(
+        map(
+            tuple,
+            df.select(
+                F.col("event_type").alias("key"),
+                floor_s.alias("fs"),
+                (F.col("value") * 1_000_000).cast("long").alias("vm"),
+                hops,
+            )
+            .select(
+                "key",
+                (F.col("fs") - F.col("k") * 900).alias("window_es"),
+                "vm",
+            )
+            .groupBy("key", "window_es")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("vm").alias("sum_value_micro"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    # every event in exactly W/S = 4 windows
+    assert sum(r[2] for r in got) == 4 * len(rows)
+
+    with _pytest.raises(ValueError, match="multiple"):
+        sliding_window_rollup(df, 3600, 1000)
