@@ -32,6 +32,29 @@ def test_windowed_counts_match_batch(spark):
     assert got == want
 
 
+def test_sliding_counts_match_batch(spark):
+    """The streaming hopping window must agree with the batch
+    sliding_window_rollup once the stream drains — same hop set, same
+    micro-unit sums (SURVEY §2.10: the sliding member of the windowed
+    family, state bounded by the watermark)."""
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.operators.windows import sliding_window_rollup
+    from jonesy_spark.streaming.incremental import sliding_counts
+
+    stream = sliding_counts(events_stream(spark, SF_DIR))
+    run_to_memory(stream, "stream_sliding", mode="complete")
+    got = {
+        (r["key"], r["window_es"]): (r["n_events"], r["sum_value_micro"])
+        for r in spark.sql("SELECT * FROM stream_sliding").collect()
+    }
+    batch = sliding_window_rollup(Catalog(spark, SF_DIR).events)
+    want = {
+        (r["key"], r["window_es"]): (r["n_events"], r["sum_value_micro"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
 def test_latest_state_dedup_one_per_key(spark):
     stream = latest_state_dedup(events_stream(spark, SF_DIR))
     run_to_memory(stream, "stream_dedup", mode="append")
