@@ -94,6 +94,9 @@ HEADLINE = [
     # the fold alone
     "kmv_distinct_users",
     "sampled_quantiles",
+    # added r8 (late): Catalyst's native hopping-window lowering
+    # (Expand into 4 hops + one keyed agg, Exchange=1)
+    "events_sliding_window",
 ]
 
 #: The r5-era 21-query set — every HEADLINE row that existed before the
@@ -121,6 +124,7 @@ R5_COMPARABLE = [
         "ann_pq_topk",
         "kmv_distinct_users",
         "sampled_quantiles",
+        "events_sliding_window",
     }
 ]
 
