@@ -854,3 +854,119 @@ def sample_quantiles(
             F.col("v").alias("q_value_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Count-min sketch — the FREQUENCY member of the sketch tier
+# (Cormode-Muthukrishnan 2005, public method). The rollup ledger
+# answers per-KEY totals only for keys you group by; at 100 TB the
+# interesting frequency questions are over cardinalities too large to
+# materialize (every user, every URL, every token). A CMS is d x w
+# integer counters: point estimates are upper bounds with error
+# <= corpus_size * e/w at confidence 1 - (1/e)^d, the partials FOLD BY
+# SUM (exactly mergeable, the classifier-counts property), and with
+# md5-derived row hashes the whole sketch is deterministic integer SQL
+# both engines reproduce bit-for-bit — unlike library CMS
+# implementations whose hash families are internal.
+# --------------------------------------------------------------------
+
+CMS_DEFAULT_D = 4
+CMS_DEFAULT_W = 1024
+
+
+def cms_hash(col: Column, row: int, w: int) -> Column:
+    """Row-``row`` counter column for a value: 48 bits of
+    md5(row || ':' || value) reduced mod w — the salt makes the d
+    rows pairwise-independent in the CMS sense, and the md5 hex
+    parses identically in DuckDB."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{row}:"), col.cast("string"))),
+            1,
+            KMV_HASH_HEX,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(int(w)))
+
+
+def cms_sketch_batch(
+    df: DataFrame,
+    value_col: str,
+    d: int = CMS_DEFAULT_D,
+    w: int = CMS_DEFAULT_W,
+) -> DataFrame:
+    """One batch's count-min partial: ``(r, c, cnt)`` — for each
+    non-NULL value occurrence, one increment per row r at column
+    ``cms_hash(value, r, w)``. At most d*w rows per batch whatever
+    the corpus (metadata-sized); the explode multiplies rows d ways
+    BEFORE the keyed aggregation's map-side combine collapses them.
+    Partials from any batch cut fold by SUM to the bit-identical
+    single-pass sketch (counter addition is associative)."""
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("_v")
+    )
+    rows = vals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("r"),
+                        cms_hash(F.col("_v"), r, w).alias("c"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rc")
+    )
+    return (
+        rows.select("rc.r", "rc.c")
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_fold(spark: SparkSession, index_path: str) -> DataFrame:
+    """Fold a CMS ledger (written with :func:`write_kmv_index` — the
+    shared ledger writer) into the current sketch: SUM per counter,
+    EXACTLY the single-pass sketch over the union. The fold SUMS, so
+    reads resolve through ``read_index_resolved`` (the BM25/classifier
+    crash-window hazard class) and compaction uses the flat path."""
+    raw = _read_ledger(spark, index_path, "CMS", "write_kmv_index")
+    return raw.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_point_estimates(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    d: int = CMS_DEFAULT_D,
+    w: int = CMS_DEFAULT_W,
+) -> DataFrame:
+    """Frequency upper bounds for the queried values: each value reads
+    its d counters (broadcast of the explode side rides the join) and
+    takes the MIN — never below the true count, above it only through
+    collisions (+<= N*e/w with prob 1-(1/e)^d per query). Values
+    absent from every batch still return their collision floor — CMS
+    semantics, documented here rather than special-cased. Output:
+    ``(value, est_count)``, integers."""
+    q = queries.select(F.col(value_col).cast("string").alias("value")).distinct()
+    qrc = q.select(
+        "value",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("r"),
+                        cms_hash(F.col("value"), r, w).alias("c"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rc"),
+    ).select("value", "rc.r", "rc.c")
+    joined = qrc.join(sketch, ["r", "c"], "left").select(
+        "value", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy("value").agg(F.min("cnt").alias("est_count"))

@@ -283,6 +283,12 @@ DRIVER_EXCLUDED = {
     # ANSI SQL — the sliding complement of events_rollup. r9
     # rotation candidate.
     "events_sliding_window",
+    # REGISTRY-ONLY this round (roster full), full oracle ready: the
+    # count-min frequency sketch ledger — SUM-folded d x w counters,
+    # md5-salted deterministic rows, point estimates joined with
+    # exact counts so the upper-bound property is data (overcount
+    # >= 0). r9 rotation candidate.
+    "cms_frequencies",
     # ---- rotated out r8: the five §2 ids re-admitted r7 took their
     # fresh driver greens (all green in CORRECTNESS_r07) and rotate
     # out again per PARITY.md's two-round cadence — each keeps its

@@ -1583,6 +1583,95 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (applicationId, sf_dir) -> tmp CMS-ledger dir (two batches,
+#: even/odd event_id — the KMV seed pattern).
+_CMS_INDEX_MEMO: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "cms_frequencies",
+    # Count-min partials FOLD BY SUM (counter addition is associative)
+    # and the md5-salted row hashes are deterministic integer SQL, so
+    # the ledger fold's point estimates are reproducible bit-for-bit:
+    # the oracle rebuilds the d x w sketch in one pass, reads the same
+    # min-of-d counters, and joins exact counts — the overcount column
+    # witnesses the upper-bound property (never negative) as data.
+    oracle="""
+    WITH vals AS (
+        SELECT CAST(user_id AS VARCHAR) AS v
+        FROM events WHERE user_id IS NOT NULL
+    ), hops AS (
+        SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS r
+    ), sketch AS (
+        SELECT h.r,
+               (('0x' || substr(md5(CAST(h.r AS VARCHAR) || ':' || v),
+                               1, 12))::BIGINT) % 1024 AS c,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM vals CROSS JOIN hops h
+        GROUP BY 1, 2
+    ), q AS (
+        SELECT DISTINCT v FROM vals
+    ), qrc AS (
+        SELECT q.v, h.r,
+               (('0x' || substr(md5(CAST(h.r AS VARCHAR) || ':' || q.v),
+                               1, 12))::BIGINT) % 1024 AS c
+        FROM q CROSS JOIN hops h
+    ), est AS (
+        SELECT qrc.v AS value,
+               CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est_count
+        FROM qrc LEFT JOIN sketch s ON qrc.r = s.r AND qrc.c = s.c
+        GROUP BY 1
+    ), ex AS (
+        SELECT v AS value, CAST(count(*) AS BIGINT) AS exact_count
+        FROM vals GROUP BY 1
+    )
+    SELECT e.value, e.est_count, x.exact_count,
+           e.est_count - x.exact_count AS overcount
+    FROM est e JOIN ex x ON e.value = x.value
+    """,
+)
+def cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event frequencies answered from the count-min LEDGER
+    (operators.stats.cms_*) — the FREQUENCY member of the sketch tier:
+    events land as TWO d x w counter partials (even/odd event_id)
+    under a session-memoized ledger; the driver row folds them by SUM
+    (exactly the single-pass sketch), reads every user's min-of-d
+    counters, and joins the exact counts so the CMS upper-bound
+    property is witnessed as a non-negative overcount column. At 100
+    TB the sketch answers frequency questions over cardinalities too
+    large to materialize in d*w integers; here w=1024 >> 150 users
+    keeps most estimates exact and the collisions visible."""
+    from ..operators import stats as ST
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.filter(F.col("user_id").isNotNull()).select(
+        "event_id", "user_id"
+    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CMS_INDEX_MEMO:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="jonesy_cms_")
+        for rid, parity in (("even", 0), ("odd", 1)):
+            ST.write_kmv_index(
+                ST.cms_sketch_batch(
+                    ev.filter(F.col("event_id") % 2 == parity), "user_id"
+                ),
+                d,
+                mode="overwrite",
+                run_id=rid,
+            )
+        _CMS_INDEX_MEMO[key] = d
+    sketch = ST.cms_fold(spark, _CMS_INDEX_MEMO[key])
+    est = ST.cms_point_estimates(sketch, ev, "user_id")
+    exact = ev.groupBy(F.col("user_id").cast("string").alias("value")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return est.join(exact, "value").withColumn(
+        "overcount", F.col("est_count") - F.col("exact_count")
+    )
+
+
 #: (applicationId, sf_dir) -> tmp bottom-k sample-ledger dir (two
 #: batches, even/odd event_id — the KMV seed pattern).
 _SAMPLE_INDEX_MEMO: dict[tuple[str, str], str] = {}

@@ -587,3 +587,54 @@ def test_bottomk_sample_ledger_and_quantiles(spark, tmp_path):
     n_sample, med = q[("big", 50)]
     assert n_sample == 64
     assert abs(med / 1_000_000 - 4000) < 2000
+
+
+def test_cms_ledger_fold_and_upper_bound(spark, tmp_path):
+    """Count-min mergeability and correctness: 3-way-split counter
+    partials fold by SUM to the bit-identical single-pass sketch
+    (through flat compaction too); point estimates are NEVER below the
+    true count (the CMS guarantee) even on a deliberately
+    collision-heavy sketch (w=16 << 120 distinct values), and with
+    w >> distinct values every estimate is exact."""
+    from jonesy_spark.operators import hygiene as H
+    from jonesy_spark.operators import stats as ST
+
+    rows = [(i, f"u{i % 120}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "event_id long, uid string")
+
+    # collision-heavy regime: upper bound must still hold everywhere
+    path = str(tmp_path / "cms")
+    for i in range(3):
+        ST.write_kmv_index(
+            ST.cms_sketch_batch(
+                df.filter(F.col("event_id") % 3 == i), "uid", d=4, w=16
+            ),
+            path,
+            run_id=f"b{i}",
+        )
+
+    def srt(d):
+        return sorted(map(tuple, d.collect()))
+
+    direct = srt(ST.cms_sketch_batch(df, "uid", d=4, w=16))
+    assert srt(ST.cms_fold(spark, path)) == direct
+    rid = H.compact_index(spark, path, part_col=None)
+    assert rid.startswith("compact-3-")
+    assert srt(ST.cms_fold(spark, path)) == direct
+
+    est = {
+        r["value"]: r["est_count"]
+        for r in ST.cms_point_estimates(
+            ST.cms_fold(spark, path), df, "uid", d=4, w=16
+        ).collect()
+    }
+    exact = {f"u{k}": len([1 for i in range(2000) if i % 120 == k]) for k in range(120)}
+    assert set(est) == set(exact)
+    assert all(est[v] >= exact[v] for v in exact)  # never undercounts
+
+    # sparse regime: w >> distinct -> exact for every value
+    wide = ST.cms_point_estimates(
+        ST.cms_sketch_batch(df, "uid", d=4, w=65536), df, "uid", d=4, w=65536
+    )
+    got = {r["value"]: r["est_count"] for r in wide.collect()}
+    assert got == exact
