@@ -97,6 +97,9 @@ HEADLINE = [
     # added r8 (late): Catalyst's native hopping-window lowering
     # (Expand into 4 hops + one keyed agg, Exchange=1)
     "events_sliding_window",
+    # added r8 (late): count-min ledger fold + point estimates with
+    # the exact-count comparison join
+    "cms_frequencies",
 ]
 
 #: The r5-era 21-query set — every HEADLINE row that existed before the
@@ -125,6 +128,7 @@ R5_COMPARABLE = [
         "kmv_distinct_users",
         "sampled_quantiles",
         "events_sliding_window",
+        "cms_frequencies",
     }
 ]
 
