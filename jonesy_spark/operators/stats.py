@@ -970,3 +970,109 @@ def cms_point_estimates(
         "value", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )
     return joined.groupBy("value").agg(F.min("cnt").alias("est_count"))
+
+
+# --------------------------------------------------------------------
+# Misra-Gries heavy hitters — the TOP-KEYS member of the sketch tier
+# (Misra-Gries 1982; merge rule and error bound from Agarwal 2012,
+# "Mergeable summaries"). The CMS answers "how often is THIS value";
+# MG answers "WHICH values are frequent" in k rows per batch — the
+# ledger stores k counters instead of |keys|, and summaries merge
+# with the additive guarantee true - N/(k+1) <= est <= true
+# preserved across ANY merge tree. Every step (count, two-level
+# rank, offset subtraction) is deterministic integer SQL.
+# --------------------------------------------------------------------
+
+MG_DEFAULT_K = 64
+
+
+def _top_counts(counts: DataFrame, k: int, n_salts: int) -> DataFrame:
+    """Top-``k`` rows of a ``(value, cnt)`` frame by (cnt DESC, value
+    ASC) — the deterministic tiebreak both engines reproduce. Same
+    two-level salted rank as the KMV min-k (salt on the value hash):
+    a batch with billions of distinct keys ranks n_salts-ways in
+    parallel, and the final window sees at most n_salts*k rows."""
+    from pyspark.sql.window import Window
+
+    if k < 1 or n_salts < 1:
+        raise ValueError(f"top-k needs k >= 1 and n_salts >= 1, got {k=} {n_salts=}")
+    salt = F.pmod(kmv_hash(F.col("value")), F.lit(int(n_salts)))
+    w1 = Window.partitionBy(salt).orderBy(F.col("cnt").desc(), "value")
+    pre = (
+        counts.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+    w2 = Window.orderBy(F.col("cnt").desc(), "value")
+    return (
+        pre.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def _mg_truncate(counts: DataFrame, k: int, n_salts: int) -> DataFrame:
+    """The MG truncation: keep the top k counters minus the (k+1)-th
+    largest count (0 when there are <= k keys — the exact regime),
+    dropping rows the subtraction zeroes out. Applying this to exact
+    batch counts yields the batch summary; applying it to summed
+    summaries IS the Agarwal-2012 merge."""
+    top = _top_counts(counts, k + 1, n_salts)
+    # the offset is the (k+1)-th largest count: with k+1 rows ranked,
+    # that is exactly min(cnt) over the top set; <= k rows means no
+    # (k+1)-th exists and the summary is exact (offset 0)
+    offset = F.broadcast(
+        top.groupBy()
+        .agg(F.count(F.lit(1)).alias("n"), F.min("cnt").alias("m"))
+        .select(
+            F.when(F.col("n") > k, F.col("m"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_off")
+        )
+    )
+    # at most k rows survive by construction: with k+1 rows ranked the
+    # offset zeroes the (k+1)-th (and every row tied with it); with
+    # <= k rows the offset is 0 — no extra sort-limit needed
+    return (
+        top.crossJoin(offset)
+        .select("value", (F.col("cnt") - F.col("_off")).alias("est"))
+        .filter(F.col("est") > 0)
+    )
+
+
+def mg_summary_batch(
+    df: DataFrame,
+    value_col: str,
+    k: int = MG_DEFAULT_K,
+    n_salts: int = 32,
+) -> DataFrame:
+    """One batch's Misra-Gries summary: ``(value, est)`` — at most k
+    rows with true_count - N_batch/(k+1) <= est <= true_count. One
+    keyed count (the only corpus-wide exchange) then the salted
+    two-level rank over the count table; with <= k distinct values
+    the summary is the exact count table (offset 0)."""
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return _mg_truncate(counts, k, n_salts)
+
+
+def mg_fold(
+    spark: SparkSession,
+    index_path: str,
+    k: int = MG_DEFAULT_K,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Merge a ledger of MG summaries (written with
+    :func:`write_kmv_index`): sum per value, then the same truncation
+    — the Agarwal-2012 merge, which preserves the additive guarantee
+    est <= true <= est + N_total/(k+1) across ANY merge tree. Unlike
+    the KMV/CMS folds this is NOT bit-equal to the single-pass
+    summary (MG output depends on the cut — the documented contract);
+    the guarantee is what merges exactly."""
+    raw = _read_ledger(spark, index_path, "MG", "write_kmv_index")
+    summed = raw.groupBy("value").agg(F.sum("est").alias("cnt"))
+    return _mg_truncate(summed, k, n_salts)

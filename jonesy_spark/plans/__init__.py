@@ -289,6 +289,12 @@ DRIVER_EXCLUDED = {
     # exact counts so the upper-bound property is data (overcount
     # >= 0). r9 rotation candidate.
     "cms_frequencies",
+    # REGISTRY-ONLY this round (roster full), full oracle ready: the
+    # Misra-Gries heavy-hitter ledger — k-row batch summaries merged
+    # by the Agarwal rule, oracle replicating the exact two-batch
+    # merge, exact counts joined so the additive guarantee shows as
+    # a bounded undercount column. r9 rotation candidate.
+    "mg_heavy_hitters",
     # ---- rotated out r8: the five §2 ids re-admitted r7 took their
     # fresh driver greens (all green in CORRECTNESS_r07) and rotate
     # out again per PARITY.md's two-round cadence — each keeps its

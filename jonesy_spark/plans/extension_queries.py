@@ -1672,6 +1672,111 @@ def cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (applicationId, sf_dir) -> tmp MG-ledger dir (two batches,
+#: even/odd event_id — the KMV seed pattern).
+_MG_INDEX_MEMO: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "mg_heavy_hitters",
+    # Misra-Gries summaries are NOT cut-invariant (unlike KMV/CMS),
+    # so the oracle replicates the exact two-batch structure — per-
+    # parity summary (top k+1 counts, subtract the (k+1)-th, keep
+    # positive) then the Agarwal merge (sum ests, truncate again) —
+    # witnessing the merge rule itself as a hash match, with exact
+    # counts joined so the additive guarantee (0 <= undercount <=
+    # N/(k+1)) is visible as data. Deterministic tiebreak everywhere:
+    # (count DESC, value ASC).
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, CAST(user_id AS VARCHAR) AS value
+        FROM events WHERE user_id IS NOT NULL
+    ), bc AS (
+        SELECT event_id % 2 AS parity, value, CAST(count(*) AS BIGINT) AS cnt
+        FROM ev GROUP BY 1, 2
+    ), br AS (
+        SELECT parity, value, cnt,
+               row_number() OVER (
+                   PARTITION BY parity ORDER BY cnt DESC, value
+               ) AS rk
+        FROM bc
+    ), btop AS (
+        SELECT parity, value, cnt FROM br WHERE rk <= 17
+    ), boff AS (
+        SELECT parity,
+               CASE WHEN count(*) > 16 THEN min(cnt) ELSE 0 END AS off
+        FROM btop GROUP BY 1
+    ), bsum AS (
+        SELECT t.value, t.cnt - o.off AS est
+        FROM btop t JOIN boff o ON t.parity = o.parity
+        WHERE t.cnt - o.off > 0
+    ), summed AS (
+        SELECT value, CAST(sum(est) AS BIGINT) AS cnt FROM bsum GROUP BY 1
+    ), mr AS (
+        SELECT value, cnt,
+               row_number() OVER (ORDER BY cnt DESC, value) AS rk
+        FROM summed
+    ), mtop AS (
+        SELECT value, cnt FROM mr WHERE rk <= 17
+    ), moff AS (
+        SELECT CASE WHEN count(*) > 16 THEN min(cnt) ELSE 0 END AS off
+        FROM mtop
+    ), mg AS (
+        SELECT value, cnt - (SELECT off FROM moff) AS est_count
+        FROM mtop WHERE cnt - (SELECT off FROM moff) > 0
+    ), ex AS (
+        SELECT value, CAST(count(*) AS BIGINT) AS exact_count
+        FROM ev GROUP BY 1
+    )
+    SELECT m.value, CAST(m.est_count AS BIGINT) AS est_count,
+           e.exact_count, e.exact_count - m.est_count AS undercount
+    FROM mg m JOIN ex e ON m.value = e.value
+    """,
+)
+def mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent users from the Misra-Gries LEDGER
+    (operators.stats.mg_summary_batch / mg_fold, k=16) — the TOP-KEYS
+    member of the sketch tier: events land as TWO k-row summaries
+    (even/odd event_id) under a session-memoized ledger; the driver
+    row merges them (sum ests, re-truncate — the Agarwal-2012 rule,
+    which preserves est <= true <= est + N/(k+1) across any merge
+    tree) and joins exact counts so the guarantee shows as a
+    non-negative bounded undercount column. k=16 < the 150 distinct
+    users, so the truncation path is genuinely exercised. The ledger
+    stores k rows per batch whatever the key cardinality — the
+    100 TB point of the summary."""
+    from ..operators import stats as ST
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.filter(F.col("user_id").isNotNull()).select(
+        "event_id", "user_id"
+    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MG_INDEX_MEMO:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="jonesy_mg_")
+        for rid, parity in (("even", 0), ("odd", 1)):
+            ST.write_kmv_index(
+                ST.mg_summary_batch(
+                    ev.filter(F.col("event_id") % 2 == parity), "user_id", k=16
+                ),
+                d,
+                mode="overwrite",
+                run_id=rid,
+            )
+        _MG_INDEX_MEMO[key] = d
+    mg = ST.mg_fold(spark, _MG_INDEX_MEMO[key], k=16).withColumnRenamed(
+        "est", "est_count"
+    )
+    exact = ev.groupBy(F.col("user_id").cast("string").alias("value")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return mg.join(exact, "value").withColumn(
+        "undercount", F.col("exact_count") - F.col("est_count")
+    )
+
+
 #: (applicationId, sf_dir) -> tmp bottom-k sample-ledger dir (two
 #: batches, even/odd event_id — the KMV seed pattern).
 _SAMPLE_INDEX_MEMO: dict[tuple[str, str], str] = {}

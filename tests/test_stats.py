@@ -638,3 +638,52 @@ def test_cms_ledger_fold_and_upper_bound(spark, tmp_path):
     )
     got = {r["value"]: r["est_count"] for r in wide.collect()}
     assert got == exact
+
+
+def test_mg_heavy_hitters_guarantee_across_fold(spark, tmp_path):
+    """Misra-Gries contract through the ledger: with <= k distinct
+    values the summary IS the exact count table; on a skewed fixture
+    folded from a 3-way batch cut, every reported estimate satisfies
+    est <= true <= est + N/(k+1), and every key with true count >
+    N/(k+1) is present (no false negatives) — the Agarwal-2012 merge
+    guarantee as assertions."""
+    from jonesy_spark.operators import stats as ST
+
+    # exact regime
+    small = spark.createDataFrame(
+        [(i, f"u{i % 5}") for i in range(100)], "event_id long, uid string"
+    )
+    got = {
+        r["value"]: r["est"]
+        for r in ST.mg_summary_batch(small, "uid", k=16).collect()
+    }
+    assert got == {f"u{j}": 20 for j in range(5)}
+
+    # skewed fixture: u0 is ~38% of 2600 rows, far above N/(k+1)
+    rows = [(i, "u0") for i in range(1000)] + [
+        (1000 + i, f"u{1 + i % 80}") for i in range(1600)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, uid string")
+    n_total = len(rows)
+    k = 16
+    path = str(tmp_path / "mg")
+    for b in range(3):
+        ST.write_kmv_index(
+            ST.mg_summary_batch(
+                df.filter(F.col("event_id") % 3 == b), "uid", k=k
+            ),
+            path,
+            run_id=f"b{b}",
+        )
+    merged = {
+        r["value"]: r["est"] for r in ST.mg_fold(spark, path, k=k).collect()
+    }
+    exact = {"u0": 1000, **{f"u{1 + j}": 20 for j in range(80)}}
+    bound = n_total // (k + 1)
+    assert len(merged) <= k
+    for v, est in merged.items():
+        assert est <= exact[v] <= est + bound
+    # no false negatives above the bound
+    for v, true in exact.items():
+        if true > bound:
+            assert v in merged
