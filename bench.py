@@ -100,6 +100,8 @@ HEADLINE = [
     # added r8 (late): count-min ledger fold + point estimates with
     # the exact-count comparison join
     "cms_frequencies",
+    # added r8 (late): Misra-Gries ledger merge + exact comparison
+    "mg_heavy_hitters",
 ]
 
 #: The r5-era 21-query set — every HEADLINE row that existed before the
@@ -129,6 +131,7 @@ R5_COMPARABLE = [
         "sampled_quantiles",
         "events_sliding_window",
         "cms_frequencies",
+        "mg_heavy_hitters",
     }
 ]
 
