@@ -832,3 +832,53 @@ def test_kmv_stream_fold_equals_batch(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_sketch_stream_cms_and_mg(spark, tmp_path):
+    """The generic sketch-ledger stream: CMS counter partials streamed
+    over two waves fold to exactly the single-pass sketch (SUM folds
+    are cut-invariant), and streamed MG summaries merge within the
+    additive guarantee on every reported key."""
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.operators import stats as ST
+    from jonesy_spark.streaming.incremental import run_sketch_stream
+
+    events = Catalog(spark, "/root/testdata/sf0.001").events.filter(
+        F.col("user_id").isNotNull()
+    )
+    n_total = events.count()
+    stage = str(tmp_path / "stage")
+    events.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(stage)
+
+    cms_idx, mg_idx = str(tmp_path / "cms"), str(tmp_path / "mg")
+    for wave in range(2):
+        if wave:
+            events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(stage)
+        src = lambda: spark.readStream.schema(events.schema).parquet(stage)
+        run_sketch_stream(
+            src(), cms_idx, str(tmp_path / "ck_cms"),
+            lambda b: ST.cms_sketch_batch(b, "user_id", d=4, w=256),
+        )
+        run_sketch_stream(
+            src(), mg_idx, str(tmp_path / "ck_mg"),
+            lambda b: ST.mg_summary_batch(b, "user_id", k=8),
+        )
+
+    got = sorted(map(tuple, ST.cms_fold(spark, cms_idx).collect()))
+    want = sorted(
+        map(tuple, ST.cms_sketch_batch(events, "user_id", d=4, w=256).collect())
+    )
+    assert got == want
+
+    exact = {
+        r["value"]: r["n"]
+        for r in events.groupBy(
+            F.col("user_id").cast("string").alias("value")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    merged = {r["value"]: r["est"] for r in ST.mg_fold(spark, mg_idx, k=8).collect()}
+    assert merged  # k=8 << 150 users: truncation exercised, rows survive
+    for v, est in merged.items():
+        assert est <= exact[v] <= est + n_total // 9
