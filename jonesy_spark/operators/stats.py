@@ -1076,3 +1076,65 @@ def mg_fold(
     raw = _read_ledger(spark, index_path, "MG", "write_kmv_index")
     summed = raw.groupBy("value").agg(F.sum("est").alias("cnt"))
     return _mg_truncate(summed, k, n_salts)
+
+
+def kmv_overlap_report(
+    sketches: DataFrame, k: int = KMV_DEFAULT_K
+) -> DataFrame:
+    """Pairwise distinct-set overlap between every two groups,
+    computed from their KMV sketches ALONE (Beyer 2007's coincidence
+    method) — the sketch-algebra payoff: corpus-slice overlap
+    questions (shared users, shared vocabulary, contamination between
+    sources) answered from the metadata-sized ledger with no rescan.
+
+    For each unordered pair (a, b): the union's min-k is the k
+    smallest distinct hashes of both sides' sketch rows, and for any
+    hash in that set, membership in EITHER side's stored sketch is
+    EXACT (h <= kth(union) <= kth(side), so a side's sketch cannot
+    have evicted it — the coincidence trick). ``n_common`` of the
+    union's kept hashes in both sides estimates the intersection as
+    ``est_union * n_common div k``; in the exact regime
+    (n_kept < k) the union sketch holds every distinct hash and the
+    output IS exact. Input is G groups x <= k rows; every frame here
+    is metadata-sized, so plain per-pair windows suffice."""
+    from pyspark.sql.window import Window
+
+    keys = sketches.select("key").distinct()
+    pairs = (
+        keys.withColumnRenamed("key", "a")
+        .join(keys.withColumnRenamed("key", "b"))
+        .filter(F.col("a") < F.col("b"))
+    )
+    m = sketches.select("key", "h")
+    ua = pairs.join(m.withColumnRenamed("key", "a"), "a").select(
+        "a", "b", "h", F.lit(True).alias("ia"), F.lit(False).alias("ib")
+    )
+    ub = pairs.join(m.withColumnRenamed("key", "b"), "b").select(
+        "a", "b", "h", F.lit(False).alias("ia"), F.lit(True).alias("ib")
+    )
+    per = (
+        ua.unionByName(ub)
+        .groupBy("a", "b", "h")
+        .agg(F.max("ia").alias("in_a"), F.max("ib").alias("in_b"))
+    )
+    w = Window.partitionBy("a", "b").orderBy("h")
+    kept = per.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+    agg = kept.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+        F.sum(
+            (F.col("in_a") & F.col("in_b")).cast("long")
+        ).alias("n_common"),
+    )
+    numer = (k - 1) * KMV_SPACE
+    est_union = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
+        F.expr(f"CAST({numer} DIV kth_hash AS BIGINT)")
+    )
+    return agg.withColumn("est_union", est_union).withColumn(
+        "est_intersection",
+        F.when(F.col("n_kept") < k, F.col("n_common")).otherwise(
+            F.expr("CAST(est_union * n_common DIV " + str(k) + " AS BIGINT)")
+        ),
+    )

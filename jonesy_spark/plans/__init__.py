@@ -295,6 +295,12 @@ DRIVER_EXCLUDED = {
     # merge, exact counts joined so the additive guarantee shows as
     # a bounded undercount column. r9 rotation candidate.
     "mg_heavy_hitters",
+    # REGISTRY-ONLY this round (roster full), full oracle ready: the
+    # KMV sketch algebra — pairwise distinct-set intersections from
+    # per-group sketches alone (union min-k + exact-membership
+    # coincidence trick), exact intersections joined. r9 rotation
+    # candidate.
+    "kmv_overlap_users",
     # ---- rotated out r8: the five §2 ids re-admitted r7 took their
     # fresh driver greens (all green in CORRECTNESS_r07) and rotate
     # out again per PARITY.md's two-round cadence — each keeps its

@@ -1672,6 +1672,112 @@ def cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "kmv_overlap_users",
+    # The sketch-algebra payoff: pairwise distinct-set intersections
+    # from the per-group KMV sketches ALONE (Beyer 2007 coincidence
+    # method) — membership of a union-top-k hash in a side's stored
+    # sketch is EXACT (h <= kth(union) <= kth(side)), so n_common is
+    # deterministic and the whole estimate chain is integer SQL. The
+    # oracle recomputes sketches, union ranks, membership and the
+    # exact intersections in one pass.
+    oracle="""
+    WITH ev AS (
+        SELECT event_type AS key, user_id
+        FROM events WHERE user_id IS NOT NULL
+    ), dh AS (
+        SELECT DISTINCT key,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        FROM ev
+    ), sk AS (
+        SELECT key, h FROM (
+            SELECT key, h,
+                   row_number() OVER (PARTITION BY key ORDER BY h) AS rk
+            FROM dh
+        ) WHERE rk <= 64
+    ), keys AS (
+        SELECT DISTINCT key FROM sk
+    ), pairs AS (
+        SELECT x.key AS a, y.key AS b FROM keys x JOIN keys y ON x.key < y.key
+    ), per AS (
+        SELECT p.a, p.b, s.h,
+               max(CASE WHEN s.key = p.a THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN s.key = p.b THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p JOIN sk s ON s.key = p.a OR s.key = p.b
+        GROUP BY 1, 2, 3
+    ), kept AS (
+        SELECT * FROM (
+            SELECT a, b, h, in_a, in_b,
+                   row_number() OVER (PARTITION BY a, b ORDER BY h) AS rk
+            FROM per
+        ) WHERE rk <= 64
+    ), agg AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n_kept,
+               max(h) AS kth_hash,
+               CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_common
+        FROM kept GROUP BY 1, 2
+    ), est AS (
+        SELECT a, b, n_kept, kth_hash, n_common,
+               CASE WHEN n_kept < 64 THEN n_kept
+                    ELSE CAST(63 * 281474976710656 // kth_hash AS BIGINT)
+               END AS est_union
+        FROM agg
+    ), est2 AS (
+        SELECT a, b, n_kept, kth_hash, n_common, est_union,
+               CASE WHEN n_kept < 64 THEN n_common
+                    ELSE CAST(est_union * n_common // 64 AS BIGINT)
+               END AS est_intersection
+        FROM est
+    ), du AS (
+        SELECT DISTINCT key, user_id FROM ev
+    ), exact AS (
+        SELECT ua.key AS a, ub.key AS b,
+               CAST(count(*) AS BIGINT) AS exact_intersection
+        FROM du ua JOIN du ub
+          ON ua.user_id = ub.user_id AND ua.key < ub.key
+        GROUP BY 1, 2
+    )
+    SELECT e.a, e.b, e.n_kept, e.kth_hash, e.n_common, e.est_union,
+           e.est_intersection,
+           coalesce(x.exact_intersection, 0) AS exact_intersection
+    FROM est2 e LEFT JOIN exact x ON e.a = x.a AND e.b = x.b
+    """,
+)
+def kmv_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-audience report between every pair of event types,
+    answered from per-type KMV sketches alone
+    (operators.stats.kmv_overlap_report): the union's min-k plus the
+    exact-membership coincidence trick estimate |A ∩ B| without
+    touching the raw events again — the corpus-slice overlap /
+    decontamination question at ledger cost. Exact intersections are
+    joined so the estimate's error is visible; the exact regime
+    (union under k) reproduces them identically."""
+    from ..operators import stats as ST
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.filter(F.col("user_id").isNotNull()).select(
+        F.col("event_type").alias("key"), "user_id"
+    )
+    sketches = ST.kmv_sketch_batch(ev, ["key"], "user_id", k=64)
+    report = ST.kmv_overlap_report(sketches, k=64)
+    du = ev.distinct()
+    exact = (
+        du.alias("ua")
+        .join(
+            du.alias("ub"),
+            (F.col("ua.user_id") == F.col("ub.user_id"))
+            & (F.col("ua.key") < F.col("ub.key")),
+        )
+        .groupBy(F.col("ua.key").alias("a"), F.col("ub.key").alias("b"))
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return report.join(exact, ["a", "b"], "left").withColumn(
+        "exact_intersection",
+        F.coalesce(F.col("exact_intersection"), F.lit(0).cast("long")),
+    )
+
+
 #: (applicationId, sf_dir) -> tmp MG-ledger dir (two batches,
 #: even/odd event_id — the KMV seed pattern).
 _MG_INDEX_MEMO: dict[tuple[str, str], str] = {}

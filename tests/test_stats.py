@@ -687,3 +687,39 @@ def test_mg_heavy_hitters_guarantee_across_fold(spark, tmp_path):
     for v, true in exact.items():
         if true > bound:
             assert v in merged
+
+
+def test_kmv_overlap_regimes(spark):
+    """Sketch-algebra overlap: in the exact regime (union under k)
+    the intersection comes out EXACT, including a zero-overlap pair;
+    in the estimation regime the estimate lands within a generous
+    band of the planted 50% overlap."""
+    from jonesy_spark.operators import stats as ST
+
+    # exact regime: |A|=30, |B|=30, |A ∩ B|=10, C disjoint from both
+    rows = (
+        [("A", v) for v in range(30)]
+        + [("B", v) for v in range(20, 50)]
+        + [("C", v) for v in range(1000, 1020)]
+    )
+    df = spark.createDataFrame(rows, "key string, v long")
+    sk = ST.kmv_sketch_batch(df, ["key"], "v", k=64)
+    rep = {
+        (r["a"], r["b"]): (r["est_union"], r["est_intersection"])
+        for r in ST.kmv_overlap_report(sk, k=64).collect()
+    }
+    assert rep[("A", "B")] == (50, 10)
+    assert rep[("A", "C")] == (50, 0)
+    assert rep[("B", "C")] == (50, 0)
+
+    # estimation regime: 3000-value sets overlapping in 1500
+    big = [("X", v) for v in range(3000)] + [
+        ("Y", v) for v in range(1500, 4500)
+    ]
+    bsk = ST.kmv_sketch_batch(
+        spark.createDataFrame(big, "key string, v long"), ["key"], "v", k=64
+    )
+    (row,) = ST.kmv_overlap_report(bsk, k=64).collect()
+    assert row["n_kept"] == 64
+    assert abs(row["est_union"] - 4500) / 4500 < 0.5
+    assert abs(row["est_intersection"] - 1500) / 1500 < 0.8  # coarse band
