@@ -102,6 +102,8 @@ HEADLINE = [
     "cms_frequencies",
     # added r8 (late): Misra-Gries ledger merge + exact comparison
     "mg_heavy_hitters",
+    # added r8 (late): sketch-algebra pairwise overlap + exact join
+    "kmv_overlap_users",
 ]
 
 #: The r5-era 21-query set — every HEADLINE row that existed before the
@@ -132,6 +134,7 @@ R5_COMPARABLE = [
         "events_sliding_window",
         "cms_frequencies",
         "mg_heavy_hitters",
+        "kmv_overlap_users",
     }
 ]
 
