@@ -1138,3 +1138,83 @@ def kmv_overlap_report(
             F.expr("CAST(est_union * n_common DIV " + str(k) + " AS BIGINT)")
         ),
     )
+
+
+# --------------------------------------------------------------------
+# Bloom-filter ledger — the MEMBERSHIP member of the sketch tier
+# (Bloom 1970). The digest index answers membership EXACTLY at
+# O(corpus) ledger size; a Bloom filter answers "definitely new vs
+# probably seen" in a FIXED m bits — the pre-filter that lets a
+# 100 TB ingest skip the expensive exact anti-join for the
+# overwhelmingly-new majority. Set bits are rows (bit), so the fold
+# is a distinct union (the OR monoid — exactly mergeable, replay- and
+# duplicate-absorbing like KMV), and with the cms_hash construction
+# every bit position is integer SQL both engines reproduce.
+# --------------------------------------------------------------------
+
+BLOOM_DEFAULT_M = 8192
+BLOOM_DEFAULT_D = 4
+
+
+def bloom_batch(
+    df: DataFrame,
+    value_col: str,
+    d: int = BLOOM_DEFAULT_D,
+    m: int = BLOOM_DEFAULT_M,
+) -> DataFrame:
+    """One batch's set bits: ``(bit)`` rows — the d md5-salted
+    positions (``cms_hash``, the shared construction) of every
+    non-NULL value, distinct. At most m rows per batch however large
+    the input; one distinct is the only exchange."""
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("string").alias("_v")
+    )
+    return (
+        vals.select(
+            F.explode(
+                F.array(*[cms_hash(F.col("_v"), r, m) for r in range(d)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_fold(spark: SparkSession, index_path: str) -> DataFrame:
+    """Fold a Bloom ledger (written with :func:`write_kmv_index`) to
+    the current filter — distinct union of set bits, bit-identical to
+    the single-pass filter over every batch (the OR monoid), with
+    duplicate ledger rows absorbed (compaction crashes harmless, as
+    for KMV)."""
+    raw = _read_ledger(spark, index_path, "bloom", "write_kmv_index")
+    return raw.select("bit").distinct()
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    d: int = BLOOM_DEFAULT_D,
+    m: int = BLOOM_DEFAULT_M,
+) -> DataFrame:
+    """Membership verdicts: ``(value, maybe_present)`` — true iff ALL
+    d of the value's bits are set. False negatives are impossible
+    (every inserted value's bits are set by construction); false
+    positives occur at the standard (1 - e^{-dn/m})^d rate and are
+    DETERMINISTIC here (both engines compute identical bits, so the
+    same values collide). The sketch side broadcasts (<= m rows);
+    the probe is per-query-row work with one keyed aggregation."""
+    q = queries.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("string").alias("value")
+    ).distinct()
+    qbits = q.select(
+        "value",
+        F.explode(
+            F.array(*[cms_hash(F.col("value"), r, m) for r in range(d)])
+        ).alias("bit"),
+    )
+    hits = qbits.join(F.broadcast(sketch), "bit", "left_semi")
+    n_set = hits.groupBy("value").agg(F.count(F.lit(1)).alias("n"))
+    return q.join(n_set, "value", "left").select(
+        "value",
+        (F.coalesce(F.col("n"), F.lit(0)) == d).alias("maybe_present"),
+    )

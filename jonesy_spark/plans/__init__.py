@@ -301,6 +301,12 @@ DRIVER_EXCLUDED = {
     # coincidence trick), exact intersections joined. r9 rotation
     # candidate.
     "kmv_overlap_users",
+    # REGISTRY-ONLY this round (roster full), full oracle ready: the
+    # Bloom membership pre-filter — OR-monoid bit ledger, md5-salted
+    # deterministic positions, exact membership joined so
+    # no-false-negatives and the deterministic false positives are
+    # data. r9 rotation candidate.
+    "bloom_membership",
     # ---- rotated out r8: the five §2 ids re-admitted r7 took their
     # fresh driver greens (all green in CORRECTNESS_r07) and rotate
     # out again per PARITY.md's two-round cadence — each keeps its

@@ -1778,6 +1778,76 @@ def kmv_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bloom_membership",
+    # Bloom bits are md5-salted integer positions (the cms_hash
+    # construction), so false positives are DETERMINISTIC — the same
+    # values collide in both engines — and the whole filter is
+    # reproducible SQL: the oracle rebuilds the even-docs filter,
+    # probes the odd docs, and joins exact membership so the
+    # no-false-negatives guarantee and the (deterministic) false
+    # positives are both visible as data.
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS dg
+        FROM documents
+    ), hops AS (
+        SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS r
+    ), evens AS (
+        SELECT DISTINCT dg FROM docs WHERE doc_id % 2 = 0
+    ), bits AS (
+        SELECT DISTINCT
+               (('0x' || substr(md5(CAST(h.r AS VARCHAR) || ':' || dg),
+                               1, 12))::BIGINT) % 8192 AS bit
+        FROM evens CROSS JOIN hops h
+    ), odds AS (
+        SELECT DISTINCT dg AS value FROM docs WHERE doc_id % 2 = 1
+    ), qb AS (
+        SELECT value,
+               (('0x' || substr(md5(CAST(h.r AS VARCHAR) || ':' || value),
+                               1, 12))::BIGINT) % 8192 AS bit
+        FROM odds CROSS JOIN hops h
+    ), nn AS (
+        SELECT q.value, count(b.bit) AS n
+        FROM qb q LEFT JOIN bits b ON q.bit = b.bit
+        GROUP BY 1
+    )
+    SELECT n.value, n.n = 4 AS maybe_present,
+           n.value IN (SELECT dg FROM evens) AS actually_present
+    FROM nn n
+    """,
+)
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership pre-filter over content digests
+    (operators.stats.bloom_batch / bloom_probe, m=8192, d=4): the
+    even docs' digests seed the filter, the odd docs probe it — the
+    100 TB ingest shape where "definitely new" skips the exact
+    anti-join entirely and only "probably seen" pays it. Exact
+    membership is joined so the Bloom contract shows as data: no row
+    has actually_present true with maybe_present false (false
+    negatives impossible), and any maybe-without-actually rows are
+    the deterministic false positives both engines agree on
+    bit-for-bit. The planted duplicate pairs in the documents
+    fixture make actually_present genuinely non-empty."""
+    from ..operators import hygiene as H
+    from ..operators import stats as ST
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", H.content_digest(F.col("text")).alias("dg")
+    )
+    evens = docs.filter(F.col("doc_id") % 2 == 0).select("dg")
+    odds = docs.filter(F.col("doc_id") % 2 == 1).select("dg")
+    filt = ST.bloom_batch(evens, "dg")
+    probed = ST.bloom_probe(filt, odds, "dg")
+    exact = evens.distinct().select(F.col("dg").alias("value")).withColumn(
+        "actually_present", F.lit(True)
+    )
+    return probed.join(exact, "value", "left").withColumn(
+        "actually_present", F.coalesce(F.col("actually_present"), F.lit(False))
+    )
+
+
 #: (applicationId, sf_dir) -> tmp MG-ledger dir (two batches,
 #: even/odd event_id — the KMV seed pattern).
 _MG_INDEX_MEMO: dict[tuple[str, str], str] = {}

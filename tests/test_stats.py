@@ -723,3 +723,58 @@ def test_kmv_overlap_regimes(spark):
     assert row["n_kept"] == 64
     assert abs(row["est_union"] - 4500) / 4500 < 0.5
     assert abs(row["est_intersection"] - 1500) / 1500 < 0.8  # coarse band
+
+
+def test_bloom_ledger_no_false_negatives(spark, tmp_path):
+    """Bloom contract through the ledger: 3-way-split bit partials
+    fold to the bit-identical single-pass filter (OR monoid); every
+    inserted value probes maybe_present (no false negatives); a
+    disjoint probe set on a roomy filter is overwhelmingly rejected;
+    and a deliberately tiny filter (m=64) shows deterministic false
+    positives without ever undercounting membership."""
+    from jonesy_spark.operators import hygiene as H
+    from jonesy_spark.operators import stats as ST
+
+    df = spark.createDataFrame(
+        [(i, f"val{i}") for i in range(300)], "rid long, v string"
+    )
+    path = str(tmp_path / "bloom")
+    for b in range(3):
+        ST.write_kmv_index(
+            ST.bloom_batch(df.filter(F.col("rid") % 3 == b), "v"),
+            path,
+            run_id=f"b{b}",
+        )
+
+    def srt(d):
+        return sorted(map(tuple, d.collect()))
+
+    direct = srt(ST.bloom_batch(df, "v"))
+    assert srt(ST.bloom_fold(spark, path)) == direct
+    rid = H.compact_index(spark, path, part_col=None)
+    assert rid.startswith("compact-3-")
+    assert srt(ST.bloom_fold(spark, path)) == direct
+
+    filt = ST.bloom_fold(spark, path)
+    inserted = {
+        r["value"]: r["maybe_present"]
+        for r in ST.bloom_probe(filt, df, "v").collect()
+    }
+    assert all(inserted.values())  # no false negatives, ever
+
+    others = spark.createDataFrame(
+        [(i, f"other{i}") for i in range(300)], "rid long, v string"
+    )
+    rejected = [
+        r["maybe_present"]
+        for r in ST.bloom_probe(filt, others, "v").collect()
+    ]
+    # m=8192, d=4, n=300 -> fpr ~ 1e-4; allow a couple of collisions
+    assert sum(rejected) <= 3
+
+    tiny = ST.bloom_batch(df, "v", m=64)
+    tiny_probe = {
+        r["value"]: r["maybe_present"]
+        for r in ST.bloom_probe(tiny, df, "v", m=64).collect()
+    }
+    assert all(tiny_probe.values())  # saturated, but still no misses
