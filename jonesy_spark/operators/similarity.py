@@ -1053,7 +1053,15 @@ def pq_topk(
         codes = pq_encode(emb, codebooks)
 
     mm = _pq_m(codebooks)
-    dsub = emb.select(F.size("embedding").alias("s")).first()["s"] // mm
+    dim_row = emb.select(F.size("embedding").alias("s")).first()
+    if dim_row is None:
+        # mirror pq_encode's empty-frame guard: no vectors means no
+        # queries and no candidates — an empty result, not a NoneType
+        # subscript
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cosine_micro long, rank int"
+        )
+    dsub = dim_row["s"] // mm
     unit = _prepared(emb).select(
         "vec_id", F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u")
     )

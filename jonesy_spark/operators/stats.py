@@ -750,6 +750,11 @@ def kmv_estimate(
     estimator to a group the sketch actually holds exhaustively. The
     ledger carries no k column by design (rows are pure (keys, h));
     callers own the pairing, as they own the hash width."""
+    if k < 2:
+        raise ValueError(
+            f"kmv_estimate needs k >= 2 (the Bar-Yossef estimator divides "
+            f"by the kth hash, which k=1 lets be 0), got {k=}"
+        )
     agg = sketch.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.max("h").alias("kth_hash"),
@@ -1098,6 +1103,12 @@ def kmv_overlap_report(
     output IS exact. Input is G groups x <= k rows; every frame here
     is metadata-sized, so plain per-pair windows suffice."""
     from pyspark.sql.window import Window
+
+    if k < 2:
+        raise ValueError(
+            f"kmv_overlap_report needs k >= 2 (the union estimator divides "
+            f"by the kth hash, which k=1 lets be 0), got {k=}"
+        )
 
     keys = sketches.select("key").distinct()
     pairs = (

@@ -328,7 +328,12 @@ def split_warc_records(recs, normalize: bool = True):
 
         text = nfc_normalize(strip_control_chars(text))
     clean = recs.filter(F.col("error").isNull()).select(
-        F.xxhash64("archive_id", "record_url", "record_ts", "text").alias(
+        # hash the NORMALIZED text expression, not the raw column:
+        # doc_id is a content hash of the STORED document, so records
+        # differing only in Unicode form collapse to one id and
+        # toggling ``normalize`` cannot silently change content under
+        # an unchanged id
+        F.xxhash64("archive_id", "record_url", "record_ts", text).alias(
             "doc_id"
         ),
         text.alias("text"),

@@ -53,11 +53,13 @@ DRIVER_EXCLUDED = {
     # driver-checked via set_operations' EXCEPT/INTERSECT lowering and
     # profile_table's distinct aggregates).
     "rollup_agg",
-    # ts parsing/formatting stays driver-checked via
-    # scalar_functions_suite; Pacific-reinterpretation keeps its golden.
-    "timestamp_formats",
-    # left-semi/left-anti stay driver-checked via scalar_subquery_filter
-    # and the dedup/mixture anti-join probes; EXISTS forms keep pytest.
+    # (timestamp_formats re-admitted r9 per the two-round §2 cadence —
+    # F3/F18/F19's own row was r3-stale, the oldest witness in the
+    # registry; see the r9 block at the bottom for this round's
+    # rotations out.)
+    # left-semi/left-anti stay driver-checked via the dedup/mixture
+    # anti-join probes (contamination, quota_sample retained); EXISTS
+    # forms keep pytest.
     "semi_anti_joins",
     # md5-expression composites over text — family driver-checked via
     # dedup_exact + dedup_minhash_lsh; winnowing window keeps pytest.
@@ -100,10 +102,8 @@ DRIVER_EXCLUDED = {
     # (ADC rerank exact-equality, recall floor, code determinism).
     # Benched for the 32x scan-compression story.
     "ann_pq_topk",
-    # CASE-priority sort key via current_terms_topk +
-    # scalar_functions_suite; ordering is invisible to the driver's
-    # order-insensitive hash anyway.
-    "priority_ordered_extract",
+    # (priority_ordered_extract re-admitted r9 per the two-round §2
+    # cadence — O4's own row was r5-stale.)
     # REGISTRY-ONLY by design: iterative BPE merge induction is not
     # SQL-expressible; pytest pins far more than a rows-only driver slot
     # would (naive-reference equality, trainer equivalence, replay
@@ -240,73 +240,13 @@ DRIVER_EXCLUDED = {
     # (feature micro-units + dHash), a strict upgrade over hashing the
     # byte_len/md5 projection; this row keeps its pytest differential.
     "multimodal_features",
-    # REGISTRY-ONLY this round (roster full at 50), full brute-force
-    # oracle ready: temporal video near-dup — banded per-frame dHash
-    # alignment join vs the oracle's exact all-pairs/all-shifts
-    # verification (the banding-recall proof as a hash match). r9
-    # rotation candidate.
-    "video_near_dup",
-    # REGISTRY-ONLY this round (roster full), full brute-force oracle
-    # ready: the image member of the same verification trio —
-    # media_near_dup over real decoded pixels vs exact all-pairs
-    # verification. r9 rotation candidate.
-    "image_near_dup",
-    # REGISTRY-ONLY this round (roster full), full brute-force oracle
-    # ready: the audio member of the trio — waveform dHash banding vs
-    # exact all-pairs verification. r9 rotation candidate.
-    "audio_near_dup",
-    # REGISTRY-ONLY this round (roster full), full oracle ready: the
-    # materialized hypertable rollup — ledger fold == direct aggregate
-    # (exact mergeability as a hash match). r9 rotation candidate.
-    "events_rollup",
-    # REGISTRY-ONLY this round (roster full), full oracle ready: the
-    # persisted phash index's probe verified against banding-free
-    # odd x even brute force (the index-round-trip witness pattern).
-    # r9 rotation candidate.
-    "media_index_probe",
-    # REGISTRY-ONLY this round (roster full), full oracle ready: the
-    # KMV distinct-sketch ledger fold vs the oracle's direct one-pass
-    # sketch (exact min-k mergeability as a hash match, estimator in
-    # integer SQL, exact distinct joined for an err_ppm report). The
-    # distinct-count complement of events_rollup. r9 rotation
-    # candidate.
-    "kmv_distinct_users",
-    # REGISTRY-ONLY this round (roster full), full oracle ready: the
-    # value-carrying KMV variant — nearest-rank quantiles off the
-    # persisted bottom-k sample ledger, folded bit-identically across
-    # batch cuts, with true population quantiles joined for an
-    # err_micro report. r9 rotation candidate.
-    "sampled_quantiles",
-    # REGISTRY-ONLY this round (roster full), full oracle ready:
-    # Catalyst's NATIVE hopping-window lowering (window(ts, size,
-    # slide) -> Expand + keyed agg) vs the closed-form hop set in
-    # ANSI SQL — the sliding complement of events_rollup. r9
-    # rotation candidate.
-    "events_sliding_window",
-    # REGISTRY-ONLY this round (roster full), full oracle ready: the
-    # count-min frequency sketch ledger — SUM-folded d x w counters,
-    # md5-salted deterministic rows, point estimates joined with
-    # exact counts so the upper-bound property is data (overcount
-    # >= 0). r9 rotation candidate.
-    "cms_frequencies",
-    # REGISTRY-ONLY this round (roster full), full oracle ready: the
-    # Misra-Gries heavy-hitter ledger — k-row batch summaries merged
-    # by the Agarwal rule, oracle replicating the exact two-batch
-    # merge, exact counts joined so the additive guarantee shows as
-    # a bounded undercount column. r9 rotation candidate.
-    "mg_heavy_hitters",
-    # REGISTRY-ONLY this round (roster full), full oracle ready: the
-    # KMV sketch algebra — pairwise distinct-set intersections from
-    # per-group sketches alone (union min-k + exact-membership
-    # coincidence trick), exact intersections joined. r9 rotation
-    # candidate.
-    "kmv_overlap_users",
-    # REGISTRY-ONLY this round (roster full), full oracle ready: the
-    # Bloom membership pre-filter — OR-monoid bit ledger, md5-salted
-    # deterministic positions, exact membership joined so
-    # no-false-negatives and the deterministic false positives are
-    # data. r9 rotation candidate.
-    "bloom_membership",
+    # (The entire r8 never-witnessed queue — video_near_dup,
+    # image_near_dup, audio_near_dup, events_rollup, media_index_probe,
+    # kmv_distinct_users, sampled_quantiles, events_sliding_window,
+    # cms_frequencies, mg_heavy_hitters, kmv_overlap_users,
+    # bloom_membership — admitted r9 per VERDICT r8 #1: 12 first-time
+    # driver slots, all pre-verified via driver_sim at sf0.01 and
+    # sf0.1 before the swap.)
     # ---- rotated out r8: the five §2 ids re-admitted r7 took their
     # fresh driver greens (all green in CORRECTNESS_r07) and rotate
     # out again per PARITY.md's two-round cadence — each keeps its
@@ -340,6 +280,68 @@ DRIVER_EXCLUDED = {
     # variant/open-schema twin of the above: witness r7; same family
     # note, pytest kept.
     "variant_props_extract",
+    # ---- rotated out r9: 14 slots freed for the 12-row
+    # never-witnessed queue (VERDICT r8 #1) plus the two stale §2-own
+    # re-admissions timestamp_formats / priority_ordered_extract
+    # (VERDICT r8 #2). Every row below holds a FRESH r8 driver green
+    # and keeps its full pytest DuckDB differential; per PARITY.md's
+    # cadence each is due for re-admission by r10/r11. --------------
+    #
+    # §2.5 cumsum+lag+lead+ntile own row: witness r8 (re-admitted r8
+    # after r5 staleness); the window family stays driver-checked via
+    # trailing_range_stats + events_sessionization (both retained).
+    "running_total",
+    # rank-cut per-group top-k: witness r8; rank-cut family stays via
+    # current_terms_topk (retained) + the incoming media_index_probe /
+    # kmv_overlap_users rank windows.
+    "topk_per_group_price",
+    # F-tier regexp capture/split: witness r8; the scalar-function
+    # family stays via scalar_functions_suite (retained) + the
+    # re-admitted timestamp_formats.
+    "catalog_number_parsing",
+    # F-tier date/dayofweek codes: witness r8; same family note —
+    # scalar_functions_suite + timestamp_formats cover it.
+    "active_day_codes",
+    # first witness r8; the vendored-WAV decode boundary stays driver-
+    # checked via the incoming audio_near_dup (same codec, decoded
+    # waveform dHash vs brute-force oracle — a strict superset of the
+    # loudness-feature projection).
+    "multimodal_audio_codec",
+    # first witness r8; the vendored frame-container decode stays via
+    # the incoming video_near_dup (same codec, per-frame dHash
+    # alignment vs all-shifts oracle).
+    "multimodal_video_codec",
+    # first witness r8 (identity oracle); the WARC mapInPandas reader
+    # keeps its record-level pytest goldens + the registered job test;
+    # the shared documents contract stays via dedup_exact (retained).
+    "warc_ingest_roundtrip",
+    # P7/A-tier scalar subquery: 8 straight greens r1-r8; the 1-row
+    # broadcast scalar-subquery family stays via omit_drops_withdrawals
+    # + current_terms_topk (both retained).
+    "scalar_subquery_filter",
+    # A7 row-count/profile: 8 straight greens r1-r8; distinct/count
+    # aggregate family stays via term_enrollments + dedup_exact
+    # (retained); due back r10 to keep A7's own witness fresh.
+    "profile_table",
+    # conditional bigram LM: witnesses r7+r8; strict superset of
+    # doc_logprob, and the vocab-cut + smoothing family stays via
+    # quality_classifier (retained log-odds scoring).
+    "bigram_logprob",
+    # BM25+embedding fusion: witnesses r7+r8; a pure composition of
+    # bm25_search + hash_embeddings (both retained).
+    "hybrid_search",
+    # per-key ordered transition pairs: witnesses r7+r8; the lag-over-
+    # event-time family stays via events_sessionization +
+    # retention_cohorts (both retained).
+    "event_transitions",
+    # grid resample + linear interpolation: witnesses r7+r8; the
+    # time-bucket anchor-window family stays via trailing_range_stats
+    # (retained) + the incoming events_sliding_window hop windows.
+    "resample_interpolate",
+    # LSH recall report: witnesses r7+r8; the banded-join recall
+    # machinery stays via dedup_minhash_lsh + prefix_jaccard_join
+    # (both retained, the truth-pair budget guard keeps its pytest).
+    "lsh_recall",
 }
 
 
