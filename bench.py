@@ -104,6 +104,10 @@ HEADLINE = [
     "mg_heavy_hitters",
     # added r8 (late): sketch-algebra pairwise overlap + exact join
     "kmv_overlap_users",
+    # added r9: unigram-LM (SentencePiece-style) train + Viterbi
+    # encode — prices the EM/driver-loop + Arrow encode boundary next
+    # to bpe_token_stats' merge-loop equivalent
+    "unigram_token_stats",
 ]
 
 #: The r5-era 21-query set — every HEADLINE row that existed before the
@@ -135,6 +139,7 @@ R5_COMPARABLE = [
         "cms_frequencies",
         "mg_heavy_hitters",
         "kmv_overlap_users",
+        "unigram_token_stats",
     }
 ]
 
@@ -205,13 +210,25 @@ def main() -> None:
         cold[name] = round(runs[0], 3)
         steady[name] = round(min(runs), 3)
 
+    calibration_after = calibrate()
+    # min of the two markers: the machine's best fixed-yardstick speed
+    # this run — dividing the comparable subtotal by it cancels
+    # machine/window drift, so cross-round regressions separate from
+    # environment noise (VERDICT r8 #4: the r8 driver artifact showed
+    # a uniform 1.25x "slowdown" that a calibrated re-run contradicted).
+    calibration = min(calibration_before, calibration_after)
+    subtotal_r5 = round(sum(steady[q] for q in R5_COMPARABLE), 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    # Key order is deliberate: the driver's capture of this line has
-    # been observed TAIL-truncated (BENCH_r06 lost most steady rows),
-    # so the diagnostic steady-state numbers come LAST — metadata and
-    # cold first, then the steady dict, subtotals and headline value at
-    # the very end where a tail-kept capture preserves them
-    # (VERDICT r6 #6).
+    # Key order is deliberate: the driver's capture of this line keeps
+    # only the LAST ~2000 chars (BENCH_r06 lost most steady rows;
+    # BENCH_r08 lost the head-positioned calibration block and with it
+    # cross-round comparability), so everything a reader needs to
+    # compare rounds comes LAST — metadata and cold first, then the
+    # steady dict, then subtotals, CALIBRATION markers, the
+    # calibration-normalized subtotal, and the headline value at the
+    # very end where a tail-kept capture preserves them (VERDICT r6 #6,
+    # r8 #4).
     print(
         json.dumps(
             {
@@ -219,14 +236,6 @@ def main() -> None:
                 "unit": "sec",
                 "sf": float(sf),
                 "runs_per_query": RUNS,
-                "calibration_sec": {
-                    "before": calibration_before,
-                    "after": calibrate(),
-                    "what": (
-                        "min-of-3 lineitem scan+groupBy count — a fixed "
-                        "yardstick for machine-speed drift across rounds"
-                    ),
-                },
                 "headline_set": (
                     f"{len(HEADLINE)} queries; r4 added dedup_clusters "
                     "(connected components) — totals are NOT comparable "
@@ -241,9 +250,13 @@ def main() -> None:
                     "bpe_token_stats, token_budget_prune and "
                     "prefix_jaccard_join, then quality_classifier and "
                     "dsir_select and bm25_search; r7 added "
-                    "multimodal_real_codec and hybrid_search — the "
-                    "32-query set. subtotal_r5_comparable is the "
-                    "cross-round-stable 21-query subtotal"
+                    "multimodal_real_codec and hybrid_search; r8 added "
+                    "the audio/video codecs, WARC round trip, PQ, and "
+                    "the six sketch-ledger rows — the 42-query set. "
+                    "subtotal_r5_comparable is the cross-round-stable "
+                    "21-query subtotal; subtotal_r5_per_calib divides "
+                    "it by the calibration marker so machine drift "
+                    "cancels"
                 ),
                 "timing": (
                     f"queries/value = min-of-{RUNS} steady-state (excludes "
@@ -253,10 +266,15 @@ def main() -> None:
                 "queries_cold": cold,
                 "value_cold": round(sum(cold.values()), 3),
                 "queries": steady,
-                "subtotal_r5_comparable": round(
-                    sum(steady[q] for q in R5_COMPARABLE), 3
-                ),
+                "subtotal_r5_comparable": subtotal_r5,
                 "n_r5_comparable": len(R5_COMPARABLE),
+                # fixed yardstick: min-of-3 lineitem scan+groupBy count,
+                # timed before and after the query loop
+                "calibration_before": calibration_before,
+                "calibration_after": calibration_after,
+                # dimensionless: subtotal over the machine's yardstick
+                # speed this run — compare THIS across rounds
+                "subtotal_r5_per_calib": round(subtotal_r5 / calibration, 1),
                 "value": round(sum(steady.values()), 3),
             }
         )

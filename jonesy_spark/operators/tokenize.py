@@ -706,3 +706,340 @@ def tokenizer_drift(old_merges: DataFrame, new_merges: DataFrame) -> DataFrame:
             F.col("__first_div"), F.least("n_old", "n_new")
         ).cast("int").alias("prefix_len"),
     )
+
+
+# ---------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018, "Subword Regularization"; the
+# SentencePiece unigram trainer) — the public alternative real
+# pipelines toggle against BPE. Same engine shape as bpe_train: ONE
+# corpus-scale word_counts pass, then EM + pruning over the Zipf-capped
+# (word, count) table on the driver (the table is MBs however large
+# the corpus, and the EM state is vocab-sized — the k-means-centroid
+# boundedness argument). Encode is the sanctioned Arrow boundary:
+# Viterbi per distinct pretoken segment, memoized per batch, scores an
+# integer micro-unit dict riding the closure (KBs).
+# ---------------------------------------------------------------------
+
+PIECES_SCHEMA = "piece string, logprob_micro long"
+
+#: Viterbi score for a character absent from the vocabulary — harsh
+#: enough that any in-vocab segmentation beats it, but finite so the
+#: DP is total and ``concat(tokens) == text`` holds for ANY input.
+UNK_LOGPROB_MICRO = -40_000_000
+
+
+def _logsumexp(xs: list[float]) -> float:
+    import math
+
+    m = max(xs)
+    if m == float("-inf"):
+        return m
+    return m + math.log(sum(math.exp(x - m) for x in xs))
+
+
+def _seed_unigram_py(
+    words: list[tuple[str, int]], max_piece_len: int, seed_size: int
+) -> dict[str, float]:
+    """Candidate pieces: every substring up to ``max_piece_len`` of the
+    capped word table, scored by count * len (the SentencePiece seed
+    heuristic — favor long frequent substrings); ALL single characters
+    are kept unconditionally (they make every segmentation total), plus
+    the top ``seed_size`` multi-char candidates by (score desc, piece).
+    Initial probabilities are the normalized scores."""
+    from collections import Counter
+
+    sub_counts: Counter = Counter()
+    for w, c in words:
+        n = len(w)
+        for i in range(n):
+            for j in range(i + 1, min(i + max_piece_len, n) + 1):
+                sub_counts[w[i:j]] += c
+    singles = {p: c for p, c in sub_counts.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c * len(p)) for p, c in sub_counts.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )[:seed_size]
+    import math
+
+    scores = {p: float(c) for p, c in singles.items()}
+    scores.update({p: float(s) for p, s in multi})
+    total = sum(scores.values())
+    return {p: math.log(s / total) for p, s in scores.items()}
+
+
+def _em_step_py(
+    words: list[tuple[str, int]],
+    logp: dict[str, float],
+    max_piece_len: int,
+) -> tuple[dict[str, float], float]:
+    """One EM iteration over the word table: per word, forward-backward
+    over the segmentation lattice (alpha[i] = log-marginal of prefix
+    w[:i], beta[i] of suffix w[i:]); a piece spanning (j, i) contributes
+    exp(alpha[j] + logp + beta[i] - alpha[n]) expected occurrences,
+    weighted by the word's corpus count. Returns (expected counts,
+    corpus log-likelihood) — the M-step is normalization."""
+    from collections import defaultdict
+    import math
+
+    neg_inf = float("-inf")
+    expected: defaultdict = defaultdict(float)
+    ll = 0.0
+    for w, c in words:
+        n = len(w)
+        alpha = [neg_inf] * (n + 1)
+        alpha[0] = 0.0
+        for i in range(1, n + 1):
+            terms = []
+            for j in range(max(0, i - max_piece_len), i):
+                lp = logp.get(w[j:i])
+                if lp is not None and alpha[j] != neg_inf:
+                    terms.append(alpha[j] + lp)
+            if terms:
+                alpha[i] = _logsumexp(terms)
+        if alpha[n] == neg_inf:
+            continue  # unreachable while singles stay in the vocab
+        beta = [neg_inf] * (n + 1)
+        beta[n] = 0.0
+        for i in range(n - 1, -1, -1):
+            terms = []
+            for j in range(i + 1, min(i + max_piece_len, n) + 1):
+                lp = logp.get(w[i:j])
+                if lp is not None and beta[j] != neg_inf:
+                    terms.append(lp + beta[j])
+            if terms:
+                beta[i] = _logsumexp(terms)
+        z = alpha[n]
+        ll += c * z
+        for i in range(n):
+            if beta[i] == neg_inf or alpha[i] == neg_inf:
+                continue
+            for j in range(i + 1, min(i + max_piece_len, n) + 1):
+                lp = logp.get(w[i:j])
+                if lp is not None and beta[j] != neg_inf:
+                    expected[w[i:j]] += c * math.exp(
+                        alpha[i] + lp + beta[j] - z
+                    )
+    return expected, ll
+
+
+def _train_unigram_py(
+    words: list[tuple[str, int]],
+    vocab_size: int,
+    max_piece_len: int,
+    seed_size: int,
+    em_iters_per_round: int = 2,
+    shrink: float = 0.75,
+) -> tuple[list[tuple[str, float]], list[float]]:
+    """In-driver unigram-LM training: seed → (EM x k → prune) rounds
+    until the vocabulary fits ``vocab_size``. Pruning keeps every
+    single character (totality) plus the top multi-char pieces by
+    (probability desc, piece) — SentencePiece's shrink schedule with
+    its deterministic tie replaced by an explicit lexicographic one.
+    Returns (pieces with RENORMALIZED log-probs, the corpus
+    log-likelihood after each EM step — non-decreasing within a round,
+    the EM monotonicity property the tests pin)."""
+    import math
+
+    logp = _seed_unigram_py(words, max_piece_len, seed_size)
+    ll_history: list[float] = []
+    while True:
+        for _ in range(em_iters_per_round):
+            expected, ll = _em_step_py(words, logp, max_piece_len)
+            ll_history.append(ll)
+            floor = 1e-12
+            total = sum(expected.values())
+            new = {}
+            for p in logp:
+                e = expected.get(p, 0.0)
+                if e <= 0.0 and len(p) > 1:
+                    continue  # a multi-char piece no path uses: drop
+                new[p] = math.log(max(e, floor) / total)
+            logp = new
+        multi = [(p, lp) for p, lp in logp.items() if len(p) > 1]
+        n_singles = len(logp) - len(multi)
+        if n_singles + len(multi) <= vocab_size:
+            break
+        keep = max(vocab_size - n_singles, 0)
+        target = max(keep, int(len(multi) * shrink))
+        if target < len(multi):
+            multi = sorted(multi, key=lambda t: (-t[1], t[0]))[:target]
+        logp = {p: lp for p, lp in logp.items() if len(p) == 1}
+        logp.update(dict(multi))
+        if target == keep:
+            expected, ll = _em_step_py(words, logp, max_piece_len)
+            ll_history.append(ll)
+            total = sum(expected.values())
+            floor = 1e-12
+            logp = {
+                p: math.log(max(expected.get(p, 0.0), floor) / total)
+                for p in logp
+            }
+            break
+    # renormalize exactly once at the end so emitted probs sum to 1
+    z = _logsumexp(list(logp.values()))
+    pieces = sorted(
+        ((p, lp - z) for p, lp in logp.items()), key=lambda t: (-t[1], t[0])
+    )
+    return pieces, ll_history
+
+
+def unigram_train(
+    docs: DataFrame,
+    vocab_size: int = 512,
+    text_col: str = "text",
+    max_words: int = 100_000,
+    max_piece_len: int = 8,
+    seed_size: int = 4096,
+) -> DataFrame:
+    """Learn a unigram-LM piece table from the corpus — the
+    SentencePiece-style alternative to :func:`bpe_train`, same
+    bounded-statistic path: one distributed :func:`word_counts` pass,
+    the top ``max_words`` words by (count desc, word) to the driver
+    (Zipf-bounded collect), EM + shrink rounds in-process. Returns a
+    :data:`PIECES_SCHEMA` DataFrame — ``vocab_size`` rows at most,
+    log-probs in integer micro-units so downstream Viterbi ties are
+    deterministic across engines and rounds."""
+    wc = word_counts(docs, text_col)
+    top = wc.orderBy(F.col("count").desc(), "word").limit(max_words).collect()
+    pieces, _ = _train_unigram_py(
+        [(r["word"], r["count"]) for r in top],
+        vocab_size,
+        max_piece_len,
+        seed_size,
+    )
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [(p, int(round(lp * 1_000_000))) for p, lp in pieces], PIECES_SCHEMA
+    )
+
+
+def _viterbi_py(
+    word: str, scores: dict[str, int], max_piece_len: int
+) -> list[str]:
+    """Best segmentation under integer micro-unit piece scores —
+    maximize total score, then FEWER pieces, then the longest-piece-
+    first split (smallest start index per cell): a total order, so the
+    result is deterministic for any score table. Characters absent
+    from the vocabulary segment as single-char UNK pieces at
+    :data:`UNK_LOGPROB_MICRO` — the DP is total and concatenation is
+    exact for any input."""
+    n = len(word)
+    # dp[i] = (score, -n_pieces, start_j, piece) best for prefix w[:i]
+    dp: list[tuple[int, int, int, str] | None] = [None] * (n + 1)
+    dp[0] = (0, 0, 0, "")
+    for i in range(1, n + 1):
+        best = None
+        for j in range(max(0, i - max_piece_len), i):
+            if dp[j] is None:
+                continue
+            piece = word[j:i]
+            sc = scores.get(piece)
+            if sc is None:
+                if i - j > 1:
+                    continue
+                sc = UNK_LOGPROB_MICRO
+            cand = (dp[j][0] + sc, dp[j][1] - 1, j, piece)
+            if best is None or (cand[0], cand[1], -cand[2]) > (
+                best[0], best[1], -best[2]
+            ):
+                best = cand
+        dp[i] = best
+    out: list[str] = []
+    i = n
+    while i > 0:
+        _, _, j, piece = dp[i]
+        out.append(piece)
+        i = j
+    out.reverse()
+    return out
+
+
+def unigram_encode(
+    docs: DataFrame,
+    pieces,
+    text_col: str = "text",
+    out_col: str = "unigram_tokens",
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Tokenize ``text_col`` under a trained piece table: adds
+    ``out_col array<string>``. Pre-tokenization stays JVM-side
+    (:func:`pretokens`, the same tiling segmentation BPE uses, so the
+    two tokenizers are toggleable over identical segment streams); the
+    Arrow-batched pandas UDF runs Viterbi per DISTINCT segment with a
+    per-batch memo. ``concat_ws('', out_col) == text`` exactly for any
+    piece table (tested property, same as BPE's)."""
+    from pyspark.sql.functions import pandas_udf
+
+    if isinstance(pieces, DataFrame):
+        rows = pieces.collect()
+    else:
+        rows = list(pieces)
+    scores = {r["piece"]: int(r["logprob_micro"]) for r in rows}
+
+    @pandas_udf("array<string>")
+    def _enc(segs):  # pragma: no cover - executed on workers
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+        out = []
+        for seg_list in segs:
+            toks: list[str] = []
+            for w in seg_list:
+                got = memo.get(w)
+                if got is None:
+                    got = _viterbi_py(w, scores, max_piece_len)
+                    memo[w] = got
+                toks.extend(got)
+            out.append(toks)
+        return pd.Series(out)
+
+    return docs.withColumn(out_col, _enc(pretokens(F.col(text_col))))
+
+
+def unigram_token_stats(
+    docs: DataFrame,
+    pieces,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document tokenization report under a trained piece table —
+    the unigram twin of :func:`bpe_token_stats`, column-for-column, so
+    the two vocabularies compare on one dashboard:
+    ``(doc_id, n_chars, n_pretokens, n_unigram_tokens,
+    chars_per_token_micro)``."""
+    enc = unigram_encode(docs, pieces, text_col=text_col)
+    return enc.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.size(pretokens(F.col(text_col))).alias("n_pretokens"),
+        F.size("unigram_tokens").alias("n_unigram_tokens"),
+        micro_units(
+            F.length(F.col(text_col))
+            / F.greatest(F.size("unigram_tokens"), F.lit(1))
+        ).alias("chars_per_token_micro"),
+    )
+
+
+def write_unigram_tokenizer(pieces: DataFrame, path: str) -> int:
+    """Publish a trained piece table as one atomically-committed
+    ``version=N`` subtree — the same versioned-immutable contract as
+    :func:`write_bpe_tokenizer` (one ``_COMMITTED`` marker), so BPE
+    and unigram artifacts version identically and shards carry
+    comparable lineage."""
+    from .store import publish_version
+
+    return publish_version({"pieces": pieces}, path)
+
+
+def read_unigram_tokenizer(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, int] | None:
+    """The live (pieces, version) pair, or None when no version is
+    committed."""
+    from .store import read_live
+
+    got = read_live(spark, path, names=("pieces",))
+    if got is None:
+        return None
+    (pieces,), n = got
+    return pieces, n

@@ -109,6 +109,11 @@ DRIVER_EXCLUDED = {
     # would (naive-reference equality, trainer equivalence, replay
     # encode, concat round-trip). Benched for the encode-cost story.
     "bpe_token_stats",
+    # REGISTRY-ONLY by design, its r9 unigram-LM twin (Kudo 2018):
+    # EM over the segmentation lattice is not SQL-expressible; pytest
+    # pins Viterbi == exhaustive-enumeration argmax, EM monotonicity,
+    # singles retention, and the exact concat round-trip.
+    "unigram_token_stats",
     # (topk_per_group_price re-admitted r8 per the two-round §2
     # cadence — r5-stale.)
     # md5-Bernoulli draw via quota_sample (admitted r7, same draw with
@@ -342,6 +347,11 @@ DRIVER_EXCLUDED = {
     # machinery stays via dedup_minhash_lsh + prefix_jaccard_join
     # (both retained, the truth-pair budget guard keeps its pytest).
     "lsh_recall",
+    # precision/recall/F1 confusion report: witnesses r7+r8; the
+    # trainable-classifier family stays via quality_classifier +
+    # incremental_classifier (both retained) — freed the 50th slot
+    # for the new cross-ledger sketch_dashboard row (VERDICT r8 #8).
+    "classifier_eval",
 }
 
 

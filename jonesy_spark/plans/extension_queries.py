@@ -1371,6 +1371,34 @@ def anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROLLUP_INDEX_MEMO: dict[tuple[str, str], str] = {}
 
 
+def _rollup_ledger_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The session's seeded rollup ledger — shared by events_rollup
+    and the cross-ledger dashboard row, so the two-batch seed is paid
+    once per session however many rows read it."""
+    from ..operators import stats as ST
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ROLLUP_INDEX_MEMO:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="jonesy_rollup_")
+        events = Catalog(spark, sf_dir).events
+        ST.write_rollup_index(
+            ST.rollup_batch(events.filter(F.col("event_id") % 2 == 0)),
+            d,
+            mode="overwrite",
+            run_id="even",
+        )
+        ST.write_rollup_index(
+            ST.rollup_batch(events.filter(F.col("event_id") % 2 == 1)),
+            d,
+            mode="overwrite",
+            run_id="odd",
+        )
+        _ROLLUP_INDEX_MEMO[key] = d
+    return _ROLLUP_INDEX_MEMO[key]
+
+
 @query(
     "events_rollup",
     # The ledger fold collapses to pure relational algebra: partials
@@ -1407,32 +1435,55 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ledger."""
     from ..operators import stats as ST
 
-    cat = Catalog(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _ROLLUP_INDEX_MEMO:
-        import tempfile
-
-        d = tempfile.mkdtemp(prefix="jonesy_rollup_")
-        events = cat.events
-        ST.write_rollup_index(
-            ST.rollup_batch(events.filter(F.col("event_id") % 2 == 0)),
-            d,
-            mode="overwrite",
-            run_id="even",
-        )
-        ST.write_rollup_index(
-            ST.rollup_batch(events.filter(F.col("event_id") % 2 == 1)),
-            d,
-            mode="overwrite",
-            run_id="odd",
-        )
-        _ROLLUP_INDEX_MEMO[key] = d
-    return ST.rollup_report(spark, _ROLLUP_INDEX_MEMO[key])
+    return ST.rollup_report(spark, _rollup_ledger_dir(spark, sf_dir))
 
 
 #: (applicationId, sf_dir) -> tmp KMV-ledger dir seeded with the events
 #: table split into two batches (the events_rollup seed pattern).
 _KMV_INDEX_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _kmv_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (event_id, key, day-bucket, user_id) projection the KMV
+    rows sketch — shared so the ledger and its readers can never
+    disagree on the bucket floor."""
+    es = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    return (
+        Catalog(spark, sf_dir)
+        .events.filter(F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            F.col("event_type").alias("key"),
+            (es - F.pmod(es, F.lit(86_400))).alias("bucket_es"),
+            "user_id",
+        )
+    )
+
+
+def _kmv_ledger_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The session's seeded per-(event_type, day) KMV user ledger —
+    shared by kmv_distinct_users and the cross-ledger dashboard row."""
+    from ..operators import stats as ST
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _KMV_INDEX_MEMO:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="jonesy_kmv_")
+        ev = _kmv_daily_events(spark, sf_dir)
+        for rid, parity in (("even", 0), ("odd", 1)):
+            ST.write_kmv_index(
+                ST.kmv_sketch_batch(
+                    ev.filter(F.col("event_id") % 2 == parity),
+                    ["key", "bucket_es"],
+                    "user_id",
+                ),
+                d,
+                mode="overwrite",
+                run_id=rid,
+            )
+        _KMV_INDEX_MEMO[key] = d
+    return _KMV_INDEX_MEMO[key]
 
 
 @query(
@@ -1499,32 +1550,10 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank, estimator — is integer SQL both engines run bit-identically."""
     from ..operators import stats as ST
 
-    cat = Catalog(spark, sf_dir)
-    es = F.unix_timestamp(F.col("ts").cast("timestamp"))
-    ev = cat.events.filter(F.col("user_id").isNotNull()).select(
-        "event_id",
-        F.col("event_type").alias("key"),
-        (es - F.pmod(es, F.lit(86_400))).alias("bucket_es"),
-        "user_id",
+    ev = _kmv_daily_events(spark, sf_dir)
+    sketch = ST.kmv_fold(
+        spark, _kmv_ledger_dir(spark, sf_dir), ["key", "bucket_es"]
     )
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _KMV_INDEX_MEMO:
-        import tempfile
-
-        d = tempfile.mkdtemp(prefix="jonesy_kmv_")
-        for rid, parity in (("even", 0), ("odd", 1)):
-            ST.write_kmv_index(
-                ST.kmv_sketch_batch(
-                    ev.filter(F.col("event_id") % 2 == parity),
-                    ["key", "bucket_es"],
-                    "user_id",
-                ),
-                d,
-                mode="overwrite",
-                run_id=rid,
-            )
-        _KMV_INDEX_MEMO[key] = d
-    sketch = ST.kmv_fold(spark, _KMV_INDEX_MEMO[key], ["key", "bucket_es"])
     est = ST.kmv_estimate(sketch, ["key", "bucket_es"])
     exact = ev.groupBy("key", "bucket_es").agg(
         F.countDistinct("user_id").alias("exact_distinct")
@@ -1534,6 +1563,109 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(abs(est_distinct - exact_distinct) * 1000000"
             " DIV exact_distinct AS BIGINT)"
+        ),
+    )
+
+
+@query(
+    "sketch_dashboard",
+    # TWO ledger families read in ONE query — the monitoring
+    # dashboard's actual access pattern (VERDICT r8 #8). The oracle
+    # computes both answers DIRECTLY from events: the day-level
+    # volume aggregate (what the hourly rollup ledger re-folds to)
+    # and the one-pass daily KMV user sketch (what the KMV ledger
+    # folds to), joined. A hash match therefore witnesses three
+    # claims at once: the rollup partials' exact mergeability, their
+    # exact HIERARCHICAL re-aggregation (hour buckets re-fold to day
+    # buckets with zero drift — sums/counts/mins/maxes compose), and
+    # the KMV fold == direct-sketch theorem, all through the shared
+    # ingest_batch= layout.
+    oracle="""
+    WITH ev AS (
+        SELECT event_type AS key,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+               CAST(round(value * 1000000) AS BIGINT) AS vm,
+               user_id
+        FROM events
+    ), day AS (
+        SELECT key, es - ((es % 86400) + 86400) % 86400 AS bucket_es,
+               vm, user_id
+        FROM ev
+    ), agg AS (
+        SELECT key, bucket_es,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(vm) AS BIGINT) AS sum_value_micro,
+               min(vm) AS min_value_micro,
+               max(vm) AS max_value_micro
+        FROM day GROUP BY 1, 2
+    ), dh AS (
+        SELECT DISTINCT key, bucket_es,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        FROM day WHERE user_id IS NOT NULL
+    ), rk AS (
+        SELECT key, bucket_es, h,
+               row_number() OVER (PARTITION BY key, bucket_es ORDER BY h) AS rk
+        FROM dh
+    ), sk AS (
+        SELECT key, bucket_es,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               max(h) AS kth_hash
+        FROM rk WHERE rk <= 64 GROUP BY 1, 2
+    ), est AS (
+        SELECT key, bucket_es,
+               CASE WHEN n_kept < 64 THEN n_kept
+                    ELSE CAST(63 * 281474976710656 // kth_hash AS BIGINT)
+               END AS est_distinct_users
+        FROM sk
+    )
+    SELECT a.key, a.bucket_es, a.n_events, a.sum_value_micro,
+           a.min_value_micro, a.max_value_micro, e.est_distinct_users,
+           CAST(a.n_events * 1000000 // e.est_distinct_users AS BIGINT)
+               AS events_per_user_micro
+    FROM agg a JOIN est e
+      ON a.key = e.key AND a.bucket_es = e.bucket_es
+    """,
+)
+def sketch_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-ledger monitoring panel: per (event_type, day), event
+    volume/value from the ROLLUP ledger re-folded from its hour
+    buckets to day buckets (hierarchical re-aggregation — the
+    hypertable property that makes one hourly ledger answer every
+    coarser question), joined with estimated distinct users from the
+    KMV ledger, plus an events-per-user rate in integer micro-units.
+    Both ledgers are the session-memoized two-batch seeds the
+    single-family rows use (shared ``ingest_batch=`` layout, seeded
+    once); events itself is never rescanned — the whole dashboard
+    reads metadata-sized ledgers, which is the point at 100 TB."""
+    from ..operators import stats as ST
+
+    hour = ST.rollup_report(spark, _rollup_ledger_dir(spark, sf_dir))
+    day = (
+        hour.groupBy(
+            "key",
+            (
+                F.col("bucket_es") - F.pmod(F.col("bucket_es"), F.lit(86_400))
+            ).alias("bucket_es"),
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_micro").alias("sum_value_micro"),
+            F.min("min_value_micro").alias("min_value_micro"),
+            F.max("max_value_micro").alias("max_value_micro"),
+        )
+    )
+    sketch = ST.kmv_fold(
+        spark, _kmv_ledger_dir(spark, sf_dir), ["key", "bucket_es"]
+    )
+    users = ST.kmv_estimate(sketch, ["key", "bucket_es"]).select(
+        "key",
+        "bucket_es",
+        F.col("est_distinct").alias("est_distinct_users"),
+    )
+    return day.join(users, ["key", "bucket_es"]).withColumn(
+        "events_per_user_micro",
+        F.expr(
+            "CAST(n_events * 1000000 DIV est_distinct_users AS BIGINT)"
         ),
     )
 

@@ -619,6 +619,27 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TOK.bpe_token_stats(docs, merges)
 
 
+@query("unigram_token_stats")
+def unigram_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 256-piece unigram-LM vocabulary on the corpus (Kudo
+    2018 / the SentencePiece trainer: one distributed word-count pass
+    + bounded driver EM/shrink rounds), then Viterbi-tokenize every
+    document under it: (doc_id, n_chars, n_pretokens,
+    n_unigram_tokens, chars_per_token_micro) — column-for-column the
+    BPE report, so the two vocabularies the public tooling toggles
+    between compare on one dashboard. REGISTRY-ONLY, deliberately no
+    DuckDB oracle: EM over the segmentation lattice is not
+    SQL-expressible — correctness is pinned by the pytest
+    differentials instead (Viterbi == exhaustive-enumeration argmax
+    under the declared total order; EM likelihood monotone; every
+    single character retained; exact concat round-trip)."""
+    from ..operators import tokenize as TOK
+
+    docs = Catalog(spark, sf_dir).documents
+    pieces = TOK.unigram_train(docs, vocab_size=256, seed_size=2048)
+    return TOK.unigram_token_stats(docs, pieces)
+
+
 @query(
     "lang_id_heuristic",
     oracle="""

@@ -21,8 +21,17 @@ Also counted per query (informational, not failures):
   * ``BroadcastNestedLoopJoin``   — accepted ONLY for the deliberate
                                     1-row/bounded-side cross joins
                                     (totals frames, centroid arrays,
-                                    model metadata); listed so a new
-                                    unbounded one is visible;
+                                    model metadata). Since r9 this is
+                                    MACHINE-CHECKED, not just listed:
+                                    every BNLJ's build side must be
+                                    provably bounded — a grouping-free
+                                    aggregate (1 row), an explicit
+                                    limit, or a driver-materialized
+                                    local table, reached through
+                                    row-count-preserving unary nodes —
+                                    or the audit FAILS (the one gap an
+                                    unbounded O(n*m) regression could
+                                    previously slip through);
   * ``ArrowEvalPython`` / ``MapInPandas`` — the sanctioned Python
                                     boundary (codec/as-of), listed to
                                     keep its footprint visible.
@@ -59,6 +68,90 @@ WATCH = (
 )
 
 
+#: Query names whose BNLJ build side is bounded for reasons the
+#: structural rule cannot see (none today — add with a justification
+#: comment, never silently).
+BNLJ_WHITELIST: set[str] = set()
+
+#: Unary nodes that preserve (or reduce) row count — safe to descend
+#: through when proving a build side bounded.
+_PASS_THROUGH = (
+    "Filter",
+    "Project",
+    "BroadcastExchange",
+    "Exchange",
+    "Sort",
+    "InputAdapter",
+    "ColumnarToRow",
+    "AQEShuffleRead",
+    "Coalesce",
+    "Window",
+    "WholeStageCodegen",
+)
+#: Subtree roots that bound their output by construction: an explicit
+#: limit, or a table already materialized on the driver.
+_BOUNDED_ROOTS = (
+    "GlobalLimit",
+    "CollectLimit",
+    "TakeOrderedAndProject",
+    "LocalTableScan",
+)
+_AGGS = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+
+
+def _plan_children(node):
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        return [node.inputPlan()]
+    if name.startswith("ReusedExchange"):
+        return [node.child()]
+    return [node.children().apply(i) for i in range(node.children().size())]
+
+
+def _is_bounded(node) -> bool:
+    """True iff this physical subtree provably produces a bounded
+    (metadata-sized) row count: a grouping-free aggregate (exactly one
+    row), an explicit limit, or a driver-materialized local table —
+    reached only through nodes that never increase row count. A keyed
+    aggregate reduces rows but does not bound them; scans, joins,
+    Generate/Expand/Union can all be corpus-sized, so they fail."""
+    name = node.nodeName()
+    if any(name.startswith(a) for a in _AGGS):
+        try:
+            return node.groupingExpressions().size() == 0
+        except Exception:  # noqa: BLE001 — py4j API drift: be strict
+            return False
+    if any(name.startswith(b) for b in _BOUNDED_ROOTS):
+        return True
+    if any(name.startswith(p) for p in _PASS_THROUGH):
+        kids = _plan_children(node)
+        return len(kids) == 1 and _is_bounded(kids[0])
+    return False
+
+
+def bnlj_violations(df) -> list[str]:
+    """Every BroadcastNestedLoopJoin in the plan whose BUILD side is
+    not provably bounded (see :func:`_is_bounded`) — each one is a
+    potential O(n*m) blow-up at corpus scale and fails the audit."""
+    out: list[str] = []
+
+    def walk(n):
+        if n.nodeName().startswith("BroadcastNestedLoopJoin"):
+            kids = _plan_children(n)
+            side = n.buildSide().toString()
+            build = kids[1] if side == "BuildRight" else kids[0]
+            if not _is_bounded(build):
+                out.append(
+                    f"BNLJ {side} build rooted at {build.nodeName()} "
+                    "is not provably bounded"
+                )
+        for c in _plan_children(n):
+            walk(c)
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
 def plan_of(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -92,17 +185,25 @@ def main() -> int:
     rows = []
     for name in names:
         try:
-            counts = audit(plan_of(queries[name](spark, args.sf_dir)))
+            df = queries[name](spark, args.sf_dir)
+            counts = audit(plan_of(df))
+            unbounded = (
+                bnlj_violations(df)
+                if counts["BroadcastNestedLoopJoin"]
+                and name not in BNLJ_WHITELIST
+                else []
+            )
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"ERR  {name}: {type(exc).__name__}: {exc}")
             continue
         bad = {k: v for k, v in counts.items() if k in HARD and v}
-        if bad:
+        if bad or unbounded:
             failures.append(name)
         rows.append({"query": name, **counts})
         flags = " ".join(f"{k}={v}" for k, v in counts.items() if v)
-        print(f"{'FAIL' if bad else 'ok  '} {name}: {flags}")
+        tail = ("  " + "; ".join(unbounded)) if unbounded else ""
+        print(f"{'FAIL' if bad or unbounded else 'ok  '} {name}: {flags}{tail}")
 
     total = {k: sum(r[k] for r in rows) for k in HARD + WATCH}
     print(json.dumps({"queries": len(rows), "totals": total, "failures": failures}))

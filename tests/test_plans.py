@@ -207,3 +207,53 @@ def test_micro_units_contracts(spark):
     bad = spark.createDataFrame([(float("nan"),)], "x double")
     with pytest.raises(Exception, match="CAST_OVERFLOW|overflow"):
         bad.select(micro_units(F.col("x")).alias("m")).collect()
+
+
+def test_query_catalog_in_sync():
+    """QUERIES.md is how a user finds an operator, so it must be
+    regenerated whenever the registry changes (the r8 staleness rule):
+    every registered query has a catalog row, no ghost rows linger,
+    and the header count matches the live registry."""
+    import pathlib
+
+    catalog = (
+        pathlib.Path(__file__).resolve().parent.parent / "QUERIES.md"
+    ).read_text()
+    rows = set(re.findall(r"^\| `([a-z0-9_]+)` \|", catalog, flags=re.M))
+    registered = set(all_queries())
+    assert rows == registered, (
+        f"QUERIES.md is stale — run scripts/gen_query_catalog.py "
+        f"(missing: {sorted(registered - rows)}; "
+        f"ghost: {sorted(rows - registered)})"
+    )
+    assert f"{len(registered)} queries;" in catalog
+
+
+def test_bnlj_boundedness_rule(spark):
+    """The plan audit's r9 BNLJ rule closes the one gap a regression
+    could slip through: a sanctioned 1-row scalar-subquery cross join
+    passes (grouping-free aggregate build side), while a deliberate
+    broadcast cross join against an unbounded parquet scan trips it."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit",
+        pathlib.Path(__file__).resolve().parents[1]
+        / "scripts"
+        / "plan_audit.py",
+    )
+    plan_audit = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(plan_audit)
+
+    lineitem = Catalog(spark, SF_DIR).lineitem
+    total = lineitem.agg(F.sum("l_quantity").alias("t"))
+    sanctioned = lineitem.crossJoin(F.broadcast(total))
+    assert plan_audit.bnlj_violations(sanctioned) == []
+
+    orders = Catalog(spark, SF_DIR).orders
+    unbounded = lineitem.crossJoin(F.broadcast(orders.select("o_orderkey")))
+    assert plan_audit.bnlj_violations(unbounded), (
+        "broadcasting an unbounded scan into a cross join must be "
+        "flagged"
+    )

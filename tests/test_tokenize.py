@@ -382,3 +382,137 @@ def test_bpe_train_distributed_batches_merge_rounds(spark):
     )
     assert [tuple(r) for r in single.orderBy("rank").collect()] == drv
     assert single._jonesy_train_rounds == 12
+
+
+# --- unigram-LM tokenizer (Kudo 2018 / SentencePiece-style) -----------
+
+
+def _all_segmentations(word, scores, max_piece_len):
+    """Exhaustive enumeration — the independent oracle for Viterbi:
+    every way to tile ``word`` with vocab pieces or single-char UNKs,
+    scored identically, argmax under the operator's declared total
+    order (score desc, fewer pieces, longest-piece-first)."""
+    if word == "":
+        return [([], 0, 0)]
+    out = []
+    for ln in range(1, min(max_piece_len, len(word)) + 1):
+        head, rest = word[:ln], word[ln:]
+        sc = scores.get(head)
+        if sc is None:
+            if ln > 1:
+                continue
+            sc = T.UNK_LOGPROB_MICRO
+        for toks, s, n in _all_segmentations(rest, scores, max_piece_len):
+            out.append(([head] + toks, s + sc, n + 1))
+    return out
+
+
+def _naive_viterbi(word, scores, max_piece_len):
+    segs = _all_segmentations(word, scores, max_piece_len)
+    # the DP resolves ties right-to-left (longest LAST piece per cell;
+    # equal last-piece length forces the same backpointer), so the
+    # induced total order on tied segmentations is lexicographic-max
+    # over the REVERSED piece-length sequence
+    best = max(
+        segs,
+        key=lambda t: (t[1], -t[2], [len(p) for p in reversed(t[0])]),
+    )
+    return best[0]
+
+
+def test_unigram_viterbi_matches_exhaustive_enumeration():
+    scores = {
+        "h": -5_000_000, "e": -5_000_000, "l": -4_000_000,
+        "o": -4_500_000, "w": -6_000_000,
+        "he": -3_000_000, "ll": -3_500_000, "lo": -3_200_000,
+        "hell": -2_000_000, "hello": -1_500_000, "low": -1_800_000,
+    }
+    for w in ["hello", "hellolow", "owl", "lll", "zzhello", "w", ""]:
+        got = T._viterbi_py(w, scores, 8)
+        assert "".join(got) == w
+        if w:
+            assert got == _naive_viterbi(w, scores, 8), w
+
+
+def test_unigram_em_is_monotone_and_keeps_singles():
+    import math
+
+    words = [("hello", 50), ("help", 30), ("low", 40), ("lower", 25),
+             ("banana", 35), ("bandana", 5)]
+    logp = T._seed_unigram_py(words, 6, 64)
+    assert all(len(c) == 1 and c in logp for w, _ in words for c in w)
+    lls = []
+    for _ in range(4):
+        expected, ll = T._em_step_py(words, logp, 6)
+        lls.append(ll)
+        total = sum(expected.values())
+        logp = {
+            p: math.log(max(expected.get(p, 0.0), 1e-12) / total)
+            for p in logp
+            if len(p) == 1 or expected.get(p, 0.0) > 0.0
+        }
+    assert all(b >= a - 1e-9 for a, b in zip(lls, lls[1:])), lls
+    pieces, hist = T._train_unigram_py(words, 24, 6, 64)
+    assert len(pieces) <= 24
+    singles = {p for p, _ in pieces if len(p) == 1}
+    assert {c for w, _ in words for c in w} <= singles
+
+
+def test_unigram_encode_roundtrip_and_stats(spark):
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    pieces = T.unigram_train(docs, vocab_size=128, max_piece_len=6,
+                             seed_size=512)
+    n_pieces = pieces.count()
+    assert n_pieces <= 128
+    enc = T.unigram_encode(docs, pieces)
+    bad = enc.filter(
+        F.concat_ws("", F.col("unigram_tokens")) != F.col("text")
+    ).count()
+    assert bad == 0  # exact concat round-trip, any piece table
+    stats = T.unigram_token_stats(docs, pieces)
+    row = stats.agg(
+        F.min("n_unigram_tokens").alias("mn"),
+        F.max("n_unigram_tokens").alias("mx"),
+        F.min(F.col("n_unigram_tokens") >= F.col("n_pretokens")).alias(
+            "ge_pre"
+        ),
+        F.min(F.col("n_chars") >= F.col("n_unigram_tokens")).alias(
+            "le_chars"
+        ),
+    ).first()
+    # each pretoken yields >= 1 piece; each piece covers >= 1 char
+    assert row["ge_pre"] and row["le_chars"] and row["mn"] >= 0
+
+
+def test_unigram_encode_beats_chars_on_repetitive_text(spark):
+    """The LM property worth the training cost: on text the vocabulary
+    models, Viterbi picks multi-char pieces, so tokens << chars."""
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 6) for i in range(8)],
+        "doc_id long, text string",
+    )
+    pieces = T.unigram_train(docs, vocab_size=64, max_piece_len=6,
+                             seed_size=256)
+    got = T.unigram_token_stats(docs, pieces).first()
+    assert got["n_unigram_tokens"] < got["n_chars"] / 2
+
+
+def test_unigram_tokenizer_store_roundtrip(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "aba abab ab"), (2, "baba ab")], "doc_id long, text string"
+    )
+    pieces = T.unigram_train(docs, vocab_size=16, max_piece_len=4,
+                             seed_size=64)
+    path = str(tmp_path / "uni")
+    v1 = T.write_unigram_tokenizer(pieces, path)
+    got, ver = T.read_unigram_tokenizer(spark, path)
+    assert ver == v1
+    assert sorted(got.collect()) == sorted(pieces.collect())
+    # encode under the read-back table is identical to the in-session one
+    a = T.unigram_encode(docs, pieces).select("doc_id", "unigram_tokens")
+    b = T.unigram_encode(docs, got).select("doc_id", "unigram_tokens")
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
