@@ -45,10 +45,15 @@ def cosine_topk(
     and deterministic across engines.
     """
     e = _prepared(emb)
+    # the limit after each filter is a semantic no-op (vec_id is
+    # unique, so the filter already yields at most that many rows) but
+    # plants the structural boundedness proof the plan audit's BNLJ
+    # rule checks — the broadcast side is bounded BY THE PLAN, not by
+    # a data property a regression could silently change
     if query_ids is not None:
-        q = e.filter(F.col("vec_id").isin(query_ids))
+        q = e.filter(F.col("vec_id").isin(query_ids)).limit(len(query_ids))
     else:
-        q = e.filter(F.col("vec_id") < n_queries)
+        q = e.filter(F.col("vec_id") < n_queries).limit(n_queries)
     q = q.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -794,7 +799,9 @@ def quantized_topk(
     store = quantize_embeddings(emb).repartition(64)
     dq = VX.dequantize_int8(F.col("qv"))
     e = store.select("vec_id", dq.alias("v")).withColumn("nrm", VX.norm(F.col("v")))
-    q = e.filter(F.col("vec_id") < n_queries).select(
+    # limit = structural boundedness proof for the plan audit's BNLJ
+    # rule; a no-op since vec_id is unique (see cosine_topk)
+    q = e.filter(F.col("vec_id") < n_queries).limit(n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv_vec"),
         F.col("nrm").alias("qn"),

@@ -69,9 +69,21 @@ WATCH = (
 
 
 #: Query names whose BNLJ build side is bounded for reasons the
-#: structural rule cannot see (none today — add with a justification
-#: comment, never silently).
-BNLJ_WHITELIST: set[str] = set()
+#: structural rule cannot see — add with a justification comment,
+#: never silently.
+BNLJ_WHITELIST: set[str] = {
+    # pairwise sketch algebra (stats.kmv_overlap_report): the non-equi
+    # pair join enumerates G x G group pairs where G is the distinct
+    # group count of a <= k-rows-per-group sketch LEDGER —
+    # metadata-sized by the ledger's own construction; the bound lives
+    # in the ledger contract, not in any plan shape.
+    "kmv_overlap_users",
+    # the truth-pair self-join is budget-guarded at RUNTIME:
+    # dedup.lsh_recall_report counts the sample up front and raises
+    # when the implied pair count exceeds max_truth_pairs (the r7 #8
+    # guard) — a checked count, not a plan shape.
+    "lsh_recall",
+}
 
 #: Unary nodes that preserve (or reduce) row count — safe to descend
 #: through when proving a build side bounded.
@@ -123,6 +135,11 @@ def _is_bounded(node) -> bool:
             return False
     if any(name.startswith(b) for b in _BOUNDED_ROOTS):
         return True
+    if name.startswith("BroadcastNestedLoopJoin"):
+        # a cross join of two bounded sides is a bounded product
+        # (the nested 1-row x 1-row totals frames)
+        kids = _plan_children(node)
+        return len(kids) == 2 and all(_is_bounded(k) for k in kids)
     if any(name.startswith(p) for p in _PASS_THROUGH):
         kids = _plan_children(node)
         return len(kids) == 1 and _is_bounded(kids[0])
