@@ -632,11 +632,17 @@ def oov_report(shards: DataFrame) -> DataFrame:
     keys = [
         c for c in ("tokenizer_version", "ingest_batch") if c in shards.columns
     ]
+    # the shard schema names its token count for its family; read either
+    tok_col = (
+        "n_bpe_tokens"
+        if "n_bpe_tokens" in shards.columns
+        else "n_unigram_tokens"
+    )
     return (
         shards.groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_bpe_tokens").alias("n_tokens"),
+            F.sum(tok_col).alias("n_tokens"),
             F.sum("n_oov").alias("n_oov"),
         )
         .withColumn(
@@ -1043,3 +1049,67 @@ def read_unigram_tokenizer(
         return None
     (pieces,), n = got
     return pieces, n
+
+
+def unigram_vocab(pieces) -> DataFrame:
+    """The id-assigning view of a trained piece table:
+    ``(token_id, piece, logprob_micro)`` with ids in the table's own
+    deterministic order (logprob desc, piece) — a PURE FUNCTION of the
+    pieces, assigned on a vocab-sized driver pass, so the single
+    published table is the complete artifact (unlike BPE, whose vocab
+    ids additionally depend on the corpus's base-alphabet pass)."""
+    if isinstance(pieces, DataFrame):
+        spark = pieces.sparkSession
+        rows = pieces.collect()
+    else:
+        raise TypeError("unigram_vocab takes the pieces DataFrame")
+    ordered = sorted(rows, key=lambda r: (-r["logprob_micro"], r["piece"]))
+    return spark.createDataFrame(
+        [(i, r["piece"], r["logprob_micro"]) for i, r in enumerate(ordered)],
+        "token_id int, piece string, logprob_micro long",
+    )
+
+
+def unigram_encode_ids(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    out_col: str = "token_ids",
+    oov_id: int = -1,
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Tokenize straight to integer ids under a frozen
+    :func:`unigram_vocab` — the unigram twin of :func:`bpe_encode_ids`
+    and what a training shard stores. Same Viterbi as
+    :func:`unigram_encode` (the scores ride the same table), so the id
+    sequence is the string sequence mapped: in-vocab pieces get their
+    ids; the single-char UNK fallback (a character the vocab never
+    saw) maps to ``oov_id`` rather than failing the shard job — count
+    downstream and re-train, the BPE contract."""
+    from pyspark.sql.functions import pandas_udf
+
+    rows = vocab.collect()
+    scores = {r["piece"]: int(r["logprob_micro"]) for r in rows}
+    ids = {r["piece"]: r["token_id"] for r in rows}
+
+    @pandas_udf("array<int>")
+    def _enc(segs):  # pragma: no cover - executed on workers
+        import pandas as pd
+
+        memo: dict[str, list[int]] = {}
+        out = []
+        for seg_list in segs:
+            toks: list[int] = []
+            for w in seg_list:
+                got = memo.get(w)
+                if got is None:
+                    got = [
+                        ids.get(p, oov_id)
+                        for p in _viterbi_py(w, scores, max_piece_len)
+                    ]
+                    memo[w] = got
+                toks.extend(got)
+            out.append(toks)
+        return pd.Series(out)
+
+    return docs.withColumn(out_col, _enc(pretokens(F.col(text_col))))

@@ -216,16 +216,37 @@ def _ingest_warc(ctx: JobContext) -> None:
 
 
 def _train_tokenizer(ctx: JobContext) -> None:
-    """Nightly vocabulary training: learn a BPE merge table on the
-    corpus (``TOKENIZER_MERGES`` via the layered config, default 256)
-    and publish the (merges, vocab) pair as the next committed version
-    under ``{out_root}/tokenizer`` — consumers (the shard stream, the
-    corpus pipeline) re-resolve the live version per run/batch, so
-    publishing IS the rollout."""
+    """Nightly vocabulary training: learn a tokenizer on the corpus
+    and publish it as the next committed version — consumers (the
+    shard stream, the corpus pipeline) re-resolve the live version per
+    run/batch, so publishing IS the rollout. ``TOKENIZER_FAMILY``
+    (layered config) picks the algorithm: ``bpe`` (default; merge
+    count via ``TOKENIZER_MERGES``) publishes the (merges, vocab) pair
+    under ``{out_root}/tokenizer``; ``unigram`` (SentencePiece-style;
+    size via ``TOKENIZER_VOCAB_SIZE``) publishes the piece table under
+    ``{out_root}/unigram_tokenizer`` — separate stores because the
+    layouts differ and a rollback of one family must not roll back the
+    other."""
     from ..operators import tokenize as TOK
 
     docs = Catalog(ctx.spark, ctx.sf_dir).documents
-    n_merges = int(layered_config().get("TOKENIZER_MERGES", "256"))
+    cfg = layered_config()
+    family = cfg.get("TOKENIZER_FAMILY", "bpe")
+    if family == "unigram":
+        # the SentencePiece-style alternative: same corpus pass, its
+        # own versioned store (piece-table layout != merges+vocab pair)
+        vocab_size = int(cfg.get("TOKENIZER_VOCAB_SIZE", "512"))
+        pieces = TOK.unigram_train(docs, vocab_size=vocab_size)
+        v = TOK.write_unigram_tokenizer(
+            pieces, f"{ctx.out_root}/unigram_tokenizer"
+        )
+        ctx.written.append(f"unigram_tokenizer/version={v}")
+        return
+    if family != "bpe":
+        raise ValueError(
+            f"TOKENIZER_FAMILY must be 'bpe' or 'unigram', got {family!r}"
+        )
+    n_merges = int(cfg.get("TOKENIZER_MERGES", "256"))
     merges = TOK.bpe_train(docs, n_merges=n_merges)
     vocab = TOK.bpe_vocab(docs, merges)
     v = TOK.write_bpe_tokenizer(merges, vocab, f"{ctx.out_root}/tokenizer")

@@ -295,6 +295,51 @@ def test_train_tokenizer_job_publishes_versioned_pair(spark, tmp_path, monkeypat
     assert v == 0 and merges.count() == 8 and vocab.count() > 8
 
 
+def test_train_tokenizer_job_unigram_family(spark, tmp_path, monkeypatch):
+    from jonesy_spark.pipeline.jobs import JobContext, run_job
+
+    monkeypatch.setenv("TOKENIZER_FAMILY", "unigram")
+    monkeypatch.setenv("TOKENIZER_VOCAB_SIZE", "64")
+    ctx = JobContext(
+        spark=spark,
+        sf_dir=SF_DIR,
+        out_root=str(tmp_path),
+        targets=[str(tmp_path / "t0")],
+    )
+    run_job("train_tokenizer", ctx)
+    assert any(
+        w.startswith("unigram_tokenizer/version=0") for w in ctx.written
+    )
+    pieces, v = T.read_unigram_tokenizer(spark, f"{tmp_path}/unigram_tokenizer")
+    assert v == 0 and pieces.count() <= 64
+    # the published table drives a working encoder end to end
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    enc = T.unigram_encode(docs, pieces)
+    from pyspark.sql import functions as F
+    assert (
+        enc.filter(
+            F.concat_ws("", F.col("unigram_tokens")) != F.col("text")
+        ).count()
+        == 0
+    )
+
+
+def test_train_tokenizer_job_rejects_unknown_family(spark, tmp_path, monkeypatch):
+    import pytest
+
+    from jonesy_spark.pipeline.jobs import JobContext, run_job
+
+    monkeypatch.setenv("TOKENIZER_FAMILY", "wordpiece")
+    ctx = JobContext(
+        spark=spark,
+        sf_dir=SF_DIR,
+        out_root=str(tmp_path),
+        targets=[str(tmp_path / "t0")],
+    )
+    with pytest.raises(ValueError, match="TOKENIZER_FAMILY"):
+        run_job("train_tokenizer", ctx)
+
+
 def test_oov_report_rates(spark):
     shards = spark.createDataFrame(
         [
@@ -516,3 +561,81 @@ def test_unigram_tokenizer_store_roundtrip(spark, tmp_path):
     a = T.unigram_encode(docs, pieces).select("doc_id", "unigram_tokens")
     b = T.unigram_encode(docs, got).select("doc_id", "unigram_tokens")
     assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+
+def test_unigram_encode_ids_roundtrip_and_oov(spark):
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, "newest widest")], "doc_id long, text string"
+    )
+    pieces = T.unigram_train(docs, vocab_size=48, max_piece_len=6,
+                             seed_size=128)
+    vocab = T.unigram_vocab(pieces)
+    ids = vocab.collect()
+    assert [r["token_id"] for r in sorted(ids, key=lambda r: r["token_id"])] \
+        == list(range(len(ids)))
+    enc = T.unigram_encode_ids(docs, vocab)
+    id2p = {r["token_id"]: r["piece"] for r in ids}
+    for r in enc.select("text", "token_ids").collect():
+        assert "".join(id2p[i] for i in r["token_ids"]) == r["text"]
+    # unseen characters land as the OOV sentinel, never fail the job
+    unseen = spark.createDataFrame([(9, "zq")], "doc_id long, text string")
+    got = T.unigram_encode_ids(unseen, vocab).first()
+    assert got["token_ids"] == [-1, -1]
+
+
+def test_unigram_shard_stream_and_oov_report(spark, tmp_path):
+    from jonesy_spark.streaming.incremental import run_tokenized_shard_stream
+
+    land = tmp_path / "docs"
+    land.mkdir()
+    shards, ckpt = str(tmp_path / "shards"), str(tmp_path / "ckpt")
+    tok_path = str(tmp_path / "uni_tok")
+
+    train = spark.createDataFrame(
+        [(1, "low lower"), (2, "newest widest")], "doc_id long, text string"
+    )
+    pieces = T.unigram_train(train, vocab_size=48, max_piece_len=6,
+                             seed_size=128)
+    assert T.write_unigram_tokenizer(pieces, tok_path) == 0
+
+    def wave(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(f"{land}/{name}")
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            f"{land}/*"
+        )
+        run_tokenized_shard_stream(
+            stream, tok_path, shards, ckpt, family="unigram"
+        )
+
+    wave("w1", [(1, "low lower"), (2, "newest widest")])
+    wave("w2", [(3, "low zq")])
+
+    got = spark.read.parquet(shards)
+    rows = {r["doc_id"]: r for r in got.collect()}
+    assert sorted(rows) == [1, 2, 3]
+    assert rows[1]["n_oov"] == 0 and rows[2]["n_oov"] == 0
+    assert rows[3]["n_oov"] == 2  # z and q never seen by the vocab
+    assert all(r["tokenizer_version"] == 0 for r in rows.values())
+    # the report reads the family-named count column transparently
+    # (one row per (version, ingest_batch) — two epochs here)
+    rep = T.oov_report(got).collect()
+    assert len(rep) == 2
+    assert sum(r["n_oov"] for r in rep) == 2
+    assert sum(r["n_tokens"] for r in rep) == sum(
+        r["n_unigram_tokens"] for r in rows.values()
+    )
+
+
+def test_unigram_stream_rejects_unknown_family(spark, tmp_path):
+    from jonesy_spark.streaming.incremental import run_tokenized_shard_stream
+
+    (tmp_path / "empty").mkdir()
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(tmp_path / "empty")
+    )
+    with pytest.raises(ValueError, match="family"):
+        run_tokenized_shard_stream(
+            stream, "x", "y", "z", family="wordpiece"
+        )
