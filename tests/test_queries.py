@@ -29,6 +29,10 @@ def test_every_query_has_oracle_or_is_flagged():
         # by the test_tokenize differentials (naive reference, trainer
         # equivalence, sequential-replay encode, concat round-trip)
         "bpe_token_stats",
+        # unigram-LM lattice EM is the same class; pinned by the
+        # exhaustive-enumeration Viterbi oracle, EM monotonicity,
+        # singles retention, and the concat round-trip (test_tokenize)
+        "unigram_token_stats",
     }
     assert missing <= allowed_missing, f"queries without oracle: {missing}"
 
