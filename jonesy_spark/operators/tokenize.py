@@ -1113,3 +1113,48 @@ def unigram_encode_ids(
         return pd.Series(out)
 
     return docs.withColumn(out_col, _enc(pretokens(F.col(text_col))))
+
+
+def unigram_drift(old_pieces: DataFrame, new_pieces: DataFrame) -> DataFrame:
+    """One-row drift report between two unigram piece tables — the
+    unigram twin of :func:`tokenizer_drift` and the same re-ship
+    decision input: ``(n_old, n_new, n_shared, n_id_moved,
+    jaccard_micro, mean_abs_dlogprob_micro)``. Unlike BPE merges,
+    pieces are ORDER-FREE (ids are a pure rank of the table itself),
+    so instead of a common-prefix length the report carries the mean
+    absolute log-prob movement over shared pieces — the quantity that
+    actually moves Viterbi segmentations. ``n_id_moved`` counts shared
+    pieces whose :func:`unigram_vocab` id changed (shard
+    id-compatibility at a glance). Vocab-sized inputs by definition;
+    one join, no corpus access."""
+    o = unigram_vocab(old_pieces).select(
+        "piece",
+        F.col("token_id").alias("id_old"),
+        F.col("logprob_micro").alias("lp_old"),
+    )
+    n = unigram_vocab(new_pieces).select(
+        "piece",
+        F.col("token_id").alias("id_new"),
+        F.col("logprob_micro").alias("lp_new"),
+    )
+    j = o.join(n, "piece", "full_outer")
+    shared = F.col("id_old").isNotNull() & F.col("id_new").isNotNull()
+    return j.agg(
+        F.count(F.when(F.col("id_old").isNotNull(), 1)).alias("n_old"),
+        F.count(F.when(F.col("id_new").isNotNull(), 1)).alias("n_new"),
+        F.count(F.when(shared, 1)).alias("n_shared"),
+        F.count(
+            F.when(shared & (F.col("id_old") != F.col("id_new")), 1)
+        ).alias("n_id_moved"),
+        micro_units(
+            F.count(F.when(shared, 1))
+            / F.greatest(
+                F.count(F.lit(1)),
+                F.lit(1),
+            )
+        ).alias("jaccard_micro"),
+        F.coalesce(
+            F.avg(F.when(shared, F.abs(F.col("lp_old") - F.col("lp_new")))),
+            F.lit(0.0),
+        ).cast("long").alias("mean_abs_dlogprob_micro"),
+    )

@@ -730,3 +730,62 @@ def test_kmv_fold_matches_python_model(spark, rows, k):
         for r in ST._min_k(union.select("grp", "h"), ["grp"], k, 3).collect()
     }
     assert folded == want
+
+
+# --- unigram Viterbi: property pin against exhaustive enumeration ----
+
+
+@st.composite
+def _viterbi_case(draw):
+    alphabet = "abc"
+    word = draw(st.text(alphabet=alphabet, min_size=0, max_size=7))
+    n_pieces = draw(st.integers(min_value=0, max_value=8))
+    pieces = draw(
+        st.lists(
+            st.text(alphabet=alphabet, min_size=1, max_size=3),
+            min_size=n_pieces,
+            max_size=n_pieces,
+            unique=True,
+        )
+    )
+    scores = {
+        p: draw(st.integers(min_value=-9_000_000, max_value=-1))
+        for p in pieces
+    }
+    return word, scores
+
+
+@given(_viterbi_case())
+@settings(max_examples=200, deadline=None)
+def test_unigram_viterbi_property_matches_enumeration(case):
+    """For ANY word and ANY integer score table (unknown chars falling
+    back to the UNK sentinel), the DP equals the exhaustive-enumeration
+    argmax under the declared total order, and concatenation is exact."""
+    from jonesy_spark.operators.tokenize import UNK_LOGPROB_MICRO, _viterbi_py
+
+    word, scores = case
+    got = _viterbi_py(word, scores, 3)
+    assert "".join(got) == word
+    if not word:
+        return
+
+    def enumerate_all(w):
+        if w == "":
+            return [([], 0, 0)]
+        out = []
+        for ln in range(1, min(3, len(w)) + 1):
+            head, rest = w[:ln], w[ln:]
+            sc = scores.get(head)
+            if sc is None:
+                if ln > 1:
+                    continue
+                sc = UNK_LOGPROB_MICRO
+            for toks, s, n in enumerate_all(rest):
+                out.append(([head] + toks, s + sc, n + 1))
+        return out
+
+    best = max(
+        enumerate_all(word),
+        key=lambda t: (t[1], -t[2], [len(p) for p in reversed(t[0])]),
+    )
+    assert got == best[0]

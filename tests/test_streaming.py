@@ -882,3 +882,80 @@ def test_sketch_stream_cms_and_mg(spark, tmp_path):
     assert merged  # k=8 << 150 users: truncation exercised, rows survive
     for v, est in merged.items():
         assert est <= exact[v] <= est + n_total // 9
+
+
+def test_streamed_ledgers_feed_cross_ledger_dashboard(spark, tmp_path):
+    """The monitoring dashboard's end-to-end streaming story: TWO
+    continuously-maintained ledgers (hourly rollup, daily KMV users)
+    fed by the same two-wave event stream, then the cross-ledger
+    dashboard join (the sketch_dashboard shape: rollup re-folded from
+    hour to day buckets x KMV distinct estimate) computed purely from
+    the streamed ledgers — equal to the same join computed directly
+    from the full events table in one batch pass."""
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.operators import stats as ST
+    from jonesy_spark.streaming.incremental import (
+        run_kmv_stream,
+        run_rollup_stream,
+    )
+
+    events = Catalog(spark, "/root/testdata/sf0.001").events
+    stage = str(tmp_path / "stage")
+    r_idx, r_ckpt = str(tmp_path / "rollup"), str(tmp_path / "rck")
+    k_idx, k_ckpt = str(tmp_path / "kmv"), str(tmp_path / "kck")
+
+    es = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    day_rows = lambda df: (  # noqa: E731 - local shaping helper
+        df.filter(F.col("user_id").isNotNull()).select(
+            F.col("event_type").alias("key"),
+            (es - F.pmod(es, F.lit(86_400))).alias("bucket_es"),
+            "user_id",
+        )
+    )
+
+    for parity, mode in ((0, "overwrite"), (1, "append")):
+        events.filter(F.col("event_id") % 2 == parity).write.mode(
+            mode
+        ).parquet(stage)
+        src = spark.readStream.schema(events.schema).parquet(stage)
+        run_rollup_stream(src, r_idx, r_ckpt)
+        run_kmv_stream(
+            day_rows(
+                spark.readStream.schema(events.schema).parquet(stage)
+            ),
+            k_idx,
+            k_ckpt,
+            key_cols=["key", "bucket_es"],
+            value_col="user_id",
+        )
+
+    def dashboard(hour_rollup, sketch):
+        day = hour_rollup.groupBy(
+            "key",
+            (
+                F.col("bucket_es") - F.pmod(F.col("bucket_es"), F.lit(86_400))
+            ).alias("bucket_es"),
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_micro").alias("sum_value_micro"),
+        )
+        users = ST.kmv_estimate(sketch, ["key", "bucket_es"]).select(
+            "key", "bucket_es", "est_distinct"
+        )
+        return day.join(users, ["key", "bucket_es"])
+
+    streamed = dashboard(
+        ST.rollup_report(spark, r_idx),
+        ST.kmv_fold(spark, k_idx, ["key", "bucket_es"]),
+    )
+    direct = dashboard(
+        ST.rollup_batch(events),
+        ST.kmv_sketch_batch(
+            day_rows(events), ["key", "bucket_es"], "user_id"
+        ),
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

@@ -639,3 +639,23 @@ def test_unigram_stream_rejects_unknown_family(spark, tmp_path):
         run_tokenized_shard_stream(
             stream, "x", "y", "z", family="wordpiece"
         )
+
+
+def test_unigram_drift_identity_and_movement(spark):
+    a = spark.createDataFrame(
+        [(1, "low lower"), (2, "newest widest")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(1, "low lowest"), (2, "newer wide zq")], "doc_id long, text string"
+    )
+    pa = T.unigram_train(a, vocab_size=48, max_piece_len=6, seed_size=128)
+    pb = T.unigram_train(b, vocab_size=48, max_piece_len=6, seed_size=128)
+    same = T.unigram_drift(pa, pa).first()
+    assert same["n_old"] == same["n_new"] == same["n_shared"]
+    assert same["n_id_moved"] == 0
+    assert same["jaccard_micro"] == 1_000_000
+    assert same["mean_abs_dlogprob_micro"] == 0
+    diff = T.unigram_drift(pa, pb).first()
+    assert 0 < diff["n_shared"] < diff["n_old"] + diff["n_new"]
+    assert diff["jaccard_micro"] < 1_000_000
+    assert diff["mean_abs_dlogprob_micro"] > 0
