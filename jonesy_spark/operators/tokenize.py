@@ -51,6 +51,16 @@ Scale shape (100 TB):
     repeats the same frequent pretokens, so the memo turns the common
     case into a dict hit. The merge-rank dict rides the UDF closure
     (``n_merges`` entries, KBs — broadcast-sized by construction).
+  * The UNIGRAM-LM family (Kudo 2018, the SentencePiece trainer —
+    the public alternative pipelines toggle) shares the same shapes:
+    ``unigram_train`` runs EM + shrink driver-side over the capped
+    word table; ``unigram_train_distributed`` is its unbounded twin
+    (substring seed and every E-step are distributed over the FULL
+    word-count table, only vocab-sized state reaches the driver; the
+    control loop is shared verbatim, so the trainers agree to float-
+    summation-order tolerance — tested); ``unigram_encode`` /
+    ``unigram_encode_ids`` run deterministic integer-micro Viterbi
+    behind the same Arrow memo boundary as ``bpe_encode``.
 """
 
 from __future__ import annotations
@@ -844,13 +854,36 @@ def _train_unigram_py(
     Returns (pieces with RENORMALIZED log-probs, the corpus
     log-likelihood after each EM step — non-decreasing within a round,
     the EM monotonicity property the tests pin)."""
+    logp = _seed_unigram_py(words, max_piece_len, seed_size)
+    return _train_unigram_loop(
+        lambda lp: _em_step_py(words, lp, max_piece_len),
+        logp,
+        vocab_size,
+        em_iters_per_round=em_iters_per_round,
+        shrink=shrink,
+    )
+
+
+def _train_unigram_loop(
+    em_step,
+    logp: dict[str, float],
+    vocab_size: int,
+    em_iters_per_round: int = 2,
+    shrink: float = 0.75,
+) -> tuple[list[tuple[str, float]], list[float]]:
+    """The trainer's driver-side control loop, shared verbatim by the
+    in-driver and the distributed trainer — only the E-step
+    (``em_step(logp) -> (expected counts, corpus ll)``) differs, so
+    the two trainers can only disagree where float summation order
+    does (tested to micro tolerance). State (``logp``) is vocab-sized
+    throughout: the loop never touches the corpus or the word table
+    except through ``em_step``."""
     import math
 
-    logp = _seed_unigram_py(words, max_piece_len, seed_size)
     ll_history: list[float] = []
     while True:
         for _ in range(em_iters_per_round):
-            expected, ll = _em_step_py(words, logp, max_piece_len)
+            expected, ll = em_step(logp)
             ll_history.append(ll)
             floor = 1e-12
             total = sum(expected.values())
@@ -872,7 +905,7 @@ def _train_unigram_py(
         logp = {p: lp for p, lp in logp.items() if len(p) == 1}
         logp.update(dict(multi))
         if target == keep:
-            expected, ll = _em_step_py(words, logp, max_piece_len)
+            expected, ll = em_step(logp)
             ll_history.append(ll)
             total = sum(expected.values())
             floor = 1e-12
@@ -1157,4 +1190,134 @@ def unigram_drift(old_pieces: DataFrame, new_pieces: DataFrame) -> DataFrame:
             F.avg(F.when(shared, F.abs(F.col("lp_old") - F.col("lp_new")))),
             F.lit(0.0),
         ).cast("long").alias("mean_abs_dlogprob_micro"),
+    )
+
+
+def _seed_unigram_distributed(
+    wc: DataFrame, max_piece_len: int, seed_size: int
+) -> dict[str, float]:
+    """The distributed twin of :func:`_seed_unigram_py`: substring
+    candidates enumerated JVM-side (a nested ``transform`` over
+    position x length sequences — map-only, whole-stage codegen), one
+    keyed aggregation for the weighted substring counts, singles kept
+    unconditionally, the top ``seed_size`` multi-char candidates by
+    (count*len desc, piece) via orderBy+limit. Only the RESULT —
+    alphabet + seed_size rows — reaches the driver, so the seed is
+    computable over a word table no driver could hold. Same multiset
+    semantics as the in-driver seed (overlapping repeats inside one
+    word each count), so on a shared word table the two seeds are
+    IDENTICAL up to float division."""
+    import math
+
+    subs = (
+        wc.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(word)), i -> "
+                    f"transform(sequence(i, least(i + {int(max_piece_len)}"
+                    " - 1, length(word))), j -> "
+                    "substring(word, i, j - i + 1))))"
+                )
+            ).alias("piece"),
+            F.col("count"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("count").alias("c"))
+    )
+    singles = subs.filter(F.length("piece") == 1).collect()
+    multi = (
+        subs.filter(F.length("piece") > 1)
+        .withColumn("score", F.col("c") * F.length("piece"))
+        .orderBy(F.col("score").desc(), "piece")
+        .limit(seed_size)
+        .collect()
+    )
+    scores = {r["piece"]: float(r["c"]) for r in singles}
+    scores.update({r["piece"]: float(r["score"]) for r in multi})
+    total = sum(scores.values())
+    return {p: math.log(s / total) for p, s in scores.items()}
+
+
+#: Sentinel piece name carrying a word's log-likelihood contribution
+#: through the distributed E-step's single Arrow pass (NUL prefix —
+#: no real piece can collide: pieces come from real text substrings).
+_LL_SENTINEL = "\x00__ll__"
+
+
+def unigram_em_step_distributed(
+    wc: DataFrame, logp: dict[str, float], max_piece_len: int
+) -> tuple[dict[str, float], float]:
+    """One distributed EM iteration: the forward-backward lattice runs
+    per word inside an Arrow-batched ``mapInPandas`` (the vocab-sized
+    ``logp`` dict rides the closure, the broadcast-dict contract), each
+    word emits its per-piece expected counts plus one log-likelihood
+    sentinel row, and ONE keyed aggregation folds them corpus-wide —
+    the word table is the only distributed input, never collected.
+    Numerically identical to :func:`_em_step_py` per word; corpus sums
+    differ only in float addition order (tested to micro tolerance)."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pieces: list[str] = []
+            exps: list[float] = []
+            for w, c in zip(pdf["word"], pdf["count"]):
+                expected, ll = _em_step_py([(w, int(c))], logp, max_piece_len)
+                for p, e in expected.items():
+                    pieces.append(p)
+                    exps.append(e)
+                pieces.append(_LL_SENTINEL)
+                exps.append(ll)
+            yield pd.DataFrame({"piece": pieces, "exp": exps})
+
+    folded = (
+        wc.select("word", "count")
+        .mapInPandas(gen, schema="piece string, exp double")
+        .groupBy("piece")
+        .agg(F.sum("exp").alias("exp"))
+        .collect()  # bounded: vocab + 1 sentinel rows
+    )
+    expected = {
+        r["piece"]: r["exp"] for r in folded if r["piece"] != _LL_SENTINEL
+    }
+    ll = next(
+        (r["exp"] for r in folded if r["piece"] == _LL_SENTINEL), 0.0
+    )
+    return expected, ll
+
+
+def unigram_train_distributed(
+    docs: DataFrame,
+    vocab_size: int = 512,
+    text_col: str = "text",
+    max_piece_len: int = 8,
+    seed_size: int = 4096,
+) -> DataFrame:
+    """The unbounded-word-table unigram trainer — the
+    :func:`bpe_train_distributed` complement: no ``max_words`` cap
+    anywhere. The seed aggregates substrings distributedly
+    (:func:`_seed_unigram_distributed`), every E-step is one Arrow
+    pass + one keyed fold over the full word-count table
+    (:func:`unigram_em_step_distributed`), and only vocab-sized state
+    (the ``logp`` dict, the folded expected counts) ever reaches the
+    driver — the same control loop as :func:`unigram_train`, shared
+    verbatim (``_train_unigram_loop``), so the two trainers can only
+    diverge where float summation order does (pinned to micro
+    tolerance in tests). Output schema matches :func:`unigram_train`.
+
+    Scale note: each EM round re-reads the word-count table; persist
+    it upstream (or let the parquet cache serve it) when training
+    many rounds — the table is Heaps-bounded, orders of magnitude
+    smaller than the corpus."""
+    wc = word_counts(docs, text_col)
+    logp = _seed_unigram_distributed(wc, max_piece_len, seed_size)
+    pieces, _ = _train_unigram_loop(
+        lambda lp: unigram_em_step_distributed(wc, lp, max_piece_len),
+        logp,
+        vocab_size,
+    )
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [(p, int(round(lp * 1_000_000))) for p, lp in pieces], PIECES_SCHEMA
     )

@@ -659,3 +659,40 @@ def test_unigram_drift_identity_and_movement(spark):
     assert 0 < diff["n_shared"] < diff["n_old"] + diff["n_new"]
     assert diff["jaccard_micro"] < 1_000_000
     assert diff["mean_abs_dlogprob_micro"] > 0
+
+
+def test_unigram_train_distributed_equals_driver(spark):
+    """The unbounded-word-table trainer reproduces the in-driver
+    trainer: identical piece set, log-probs within float-summation-
+    order tolerance (the loop is shared verbatim; only E-step addition
+    order differs), and identical per-doc token counts end to end."""
+    docs = _tiny_docs(spark)
+    drv = T.unigram_train(docs, vocab_size=24, max_piece_len=6,
+                          seed_size=64)
+    dist = T.unigram_train_distributed(docs, vocab_size=24,
+                                       max_piece_len=6, seed_size=64)
+    d = {r["piece"]: r["logprob_micro"] for r in drv.collect()}
+    g = {r["piece"]: r["logprob_micro"] for r in dist.collect()}
+    assert set(d) == set(g)
+    assert all(abs(d[p] - g[p]) <= 2 for p in d), {
+        p: (d[p], g[p]) for p in d if abs(d[p] - g[p]) > 2
+    }
+    a = T.unigram_token_stats(docs, drv).select(
+        "doc_id", F.col("n_unigram_tokens").alias("na")
+    )
+    b = T.unigram_token_stats(docs, dist).select(
+        "doc_id", F.col("n_unigram_tokens").alias("nb")
+    )
+    assert a.join(b, "doc_id").filter(F.col("na") != F.col("nb")).count() == 0
+
+
+def test_unigram_train_distributed_equals_driver_on_fixture(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    drv = T.unigram_train(docs, vocab_size=96, max_piece_len=6,
+                          seed_size=256)
+    dist = T.unigram_train_distributed(docs, vocab_size=96,
+                                       max_piece_len=6, seed_size=256)
+    d = {r["piece"]: r["logprob_micro"] for r in drv.collect()}
+    g = {r["piece"]: r["logprob_micro"] for r in dist.collect()}
+    assert set(d) == set(g)
+    assert all(abs(d[p] - g[p]) <= 2 for p in d)
