@@ -108,6 +108,10 @@ HEADLINE = [
     # encode — prices the EM/driver-loop + Arrow encode boundary next
     # to bpe_token_stats' merge-loop equivalent
     "unigram_token_stats",
+    # added r9: the cross-ledger dashboard (rollup day-refold x KMV
+    # users) — cold pays both ledger seeds (session memo), steady
+    # prices the two folds + join, the monitoring access pattern
+    "sketch_dashboard",
 ]
 
 #: The r5-era 21-query set — every HEADLINE row that existed before the
@@ -140,6 +144,7 @@ R5_COMPARABLE = [
         "mg_heavy_hitters",
         "kmv_overlap_users",
         "unigram_token_stats",
+        "sketch_dashboard",
     }
 ]
 
