@@ -114,6 +114,12 @@ DRIVER_EXCLUDED = {
     # pins Viterbi == exhaustive-enumeration argmax, EM monotonicity,
     # singles retention, and the exact concat round-trip.
     "unigram_token_stats",
+    # REGISTRY-ONLY this round (roster full at 50), full oracle ready:
+    # the per-source data card (volume, whitespace tokens, exact-dup
+    # load via the dedup_exact normalization, mean quality micro, en
+    # share) — every column a shared oracle fragment, one hash match
+    # witnesses the whole panel. r10 rotation candidate.
+    "corpus_card",
     # (topk_per_group_price re-admitted r8 per the two-round §2
     # cadence — r5-stale.)
     # md5-Bernoulli draw via quota_sample (admitted r7, same draw with
