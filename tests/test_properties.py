@@ -789,3 +789,104 @@ def test_unigram_viterbi_property_matches_enumeration(case):
         key=lambda t: (t[1], -t[2], [len(p) for p in reversed(t[0])]),
     )
     assert got == best[0]
+
+
+# --- sketch-ledger mergeability: ANY batch cut folds bit-identically --
+
+
+@st.composite
+def _cut_case(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    values = draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 2),      # group key
+                st.integers(0, 15),     # value (distinct-count domain)
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    batch_of = draw(
+        st.lists(st.integers(0, 3), min_size=n, max_size=n)
+    )
+    return values, batch_of
+
+
+@given(_cut_case())
+@settings(**SETTINGS)
+def test_kmv_fold_cut_invariance_property(spark, case):
+    """The KMV pigeonhole theorem over ARBITRARY batch cuts: min-k of
+    the union of per-batch min-k partials equals the single-pass
+    sketch, bit for bit, for any grouping of rows into batches — the
+    fixed 3-way-split unit test generalized by hypothesis."""
+    from jonesy_spark.operators import stats as ST
+
+    values, batch_of = case
+    rows = [(k, f"u{v}", b) for (k, v), b in zip(values, batch_of)]
+    df = spark.createDataFrame(rows, "key int, user string, batch int")
+
+    single = sorted(
+        map(
+            tuple,
+            ST.kmv_sketch_batch(df, ["key"], "user", k=4, n_salts=2)
+            .collect(),
+        )
+    )
+    partials = [
+        ST.kmv_sketch_batch(
+            df.filter(F.col("batch") == b), ["key"], "user", k=4, n_salts=2
+        )
+        for b in sorted({b for *_, b in rows})
+    ]
+    union = partials[0]
+    for p in partials[1:]:
+        union = union.unionByName(p)
+    from jonesy_spark.operators.stats import _min_k
+
+    folded = sorted(
+        map(tuple, _min_k(union.select("key", "h"), ["key"], 4, 2).collect())
+    )
+    assert folded == single
+
+
+@given(_cut_case())
+@settings(**SETTINGS)
+def test_rollup_fold_cut_invariance_property(spark, case):
+    """Rollup partial mergeability over ARBITRARY batch cuts:
+    sum-of-sums / min-of-mins / max-of-maxes of per-batch partials
+    equals the single-pass rollup exactly (integer micro-units make
+    the sums associative with zero drift)."""
+    from jonesy_spark.operators import stats as ST
+
+    values, batch_of = case
+    rows = [
+        (k, f"2024-01-0{1 + (v % 5)} 0{v % 10}:00:00", float(v) / 7, b)
+        for (k, v), b in zip(values, batch_of)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type int, ts string, value double, batch int"
+    ).withColumn("event_type", F.col("event_type").cast("string"))
+
+    single = sorted(map(tuple, ST.rollup_batch(df).collect()))
+    partials = [
+        ST.rollup_batch(df.filter(F.col("batch") == b))
+        for b in sorted({r[3] for r in rows})
+    ]
+    union = partials[0]
+    for p in partials[1:]:
+        union = union.unionByName(p)
+    folded = sorted(
+        map(
+            tuple,
+            union.groupBy("key", "bucket_es")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value_micro").alias("sum_value_micro"),
+                F.min("min_value_micro").alias("min_value_micro"),
+                F.max("max_value_micro").alias("max_value_micro"),
+            )
+            .collect(),
+        )
+    )
+    assert folded == single
