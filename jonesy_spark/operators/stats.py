@@ -1229,3 +1229,142 @@ def bloom_probe(
         "value",
         (F.coalesce(F.col("n"), F.lit(0)) == d).alias("maybe_present"),
     )
+
+
+# --------------------------------------------------------------------
+# Incremental corpus card — the data-card panel answered from LEDGERS
+# instead of a corpus rescan: exact sum partials per (source, lang)
+# on the shared ingest_batch= rails (counts/chars/tokens/quality-sums
+# fold associatively with zero drift, the rollup property), and the
+# per-source distinct-content column from a KMV sketch of the
+# dedup-normalized digests (exact below k, ~1/sqrt(k-2) above — the
+# honest 100 TB answer: exact sums + sketched distincts, everything
+# metadata-sized). The scan-based twin is the `corpus_card` registry
+# row; the fixture test pins ledger == scan exactly (fixture sources
+# sit in the KMV exact regime).
+# --------------------------------------------------------------------
+
+
+def doc_quality_micro(text: Column) -> Column:
+    """The standard document-quality composite in integer micro-units —
+    the same expression the `quality_filter` / `corpus_card` oracles
+    pin (length saturation x stopword-ratio complement), factored here
+    so the incremental card cannot drift from the scan-based one."""
+    from ..functions.scalars import micro_units
+    from ..functions.text import occurrences, whitespace_token_count
+
+    n_tokens = whitespace_token_count(text)
+    c_stop = occurrences(F.lower(text), "the")
+    return micro_units(
+        F.least(F.lit(1.0), n_tokens / 100.0)
+        * (1.0 - F.least(F.lit(1.0), c_stop / n_tokens))
+    )
+
+
+def doc_stats_batch(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One batch's corpus-card partials: per (source, lang) —
+    ``(source, lang, n_docs, n_chars, n_ws_tokens, q_sum_micro,
+    n_en_docs)``, every column an exact integer SUM so partials from
+    any batch cut fold bit-identically (the rollup mergeability
+    argument). One keyed aggregation with map-side combine; group
+    count is (sources x langs)-sized — metadata."""
+    from ..functions.text import whitespace_token_count
+
+    t = F.col(text_col)
+    return (
+        docs.select(
+            "source",
+            "lang",
+            F.length(t).cast("long").alias("n_chars"),
+            whitespace_token_count(t).cast("long").alias("n_tokens"),
+            doc_quality_micro(t).alias("q_micro"),
+            (F.col("lang") == "en").cast("long").alias("is_en"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tokens").alias("n_ws_tokens"),
+            F.sum("q_micro").alias("q_sum_micro"),
+            F.sum("is_en").alias("n_en_docs"),
+        )
+    )
+
+
+def write_doc_stats_index(
+    partials: DataFrame,
+    index_path: str,
+    mode: str = "append",
+    run_id: str | None = None,
+) -> str:
+    """Land one batch's card partials under the shared
+    ``ingest_batch=<run>`` rails (family member #9). SUM-folding
+    reader — crash-surviving duplicate batches are excluded via the
+    resolved-read protocol like every SUM family member."""
+    return _write_ledger(partials, index_path, mode, run_id)
+
+
+def doc_stats_fold(spark: SparkSession, index_path: str) -> DataFrame:
+    """Fold the card ledger to current per-(source, lang) totals —
+    exactly :func:`doc_stats_batch` over the union of every ingested
+    batch. Raises on an absent ledger, the house probe rule."""
+    raw = _read_ledger(spark, index_path, "doc-stats", "write_doc_stats_index")
+    return raw.groupBy("source", "lang").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_ws_tokens").alias("n_ws_tokens"),
+        F.sum("q_sum_micro").alias("q_sum_micro"),
+        F.sum("n_en_docs").alias("n_en_docs"),
+    )
+
+
+def corpus_card_report(
+    spark: SparkSession,
+    stats_index_path: str,
+    kmv_index_path: str,
+    k: int = KMV_DEFAULT_K,
+) -> DataFrame:
+    """The nightly data card WITHOUT a corpus rescan: per source, the
+    exact volume/quality columns folded from the doc-stats ledger
+    joined with the estimated distinct-content count from a KMV
+    ledger of dedup-normalized digests (build its batches with
+    ``kmv_sketch_batch(docs.select('source',
+    hygiene.content_digest(text)), ['source'], ...)``). Output matches
+    the scan-based `corpus_card` row column-for-column, with
+    ``n_exact_dup_docs`` carrying the sketch estimate — EXACT whenever
+    a source holds fewer than k distinct documents, ~13 % banded at
+    k=64 beyond (use a larger k at ingest time for tighter cards)."""
+    per_lang = doc_stats_fold(spark, stats_index_path)
+    per_source = per_lang.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_ws_tokens").alias("n_ws_tokens"),
+        F.sum("q_sum_micro").alias("__qsum"),
+        F.sum("n_en_docs").alias("n_en_docs"),
+    )
+    sketch = kmv_fold(spark, kmv_index_path, ["source"], k=k)
+    est = kmv_estimate(sketch, ["source"], k=k).select(
+        "source", F.col("est_distinct").alias("__est_distinct")
+    )
+    return (
+        per_source.join(est, "source")
+        .withColumn(
+            "n_exact_dup_docs",
+            F.greatest(
+                F.col("n_docs") - F.col("__est_distinct"), F.lit(0)
+            ).cast("long"),
+        )
+        .withColumn(
+            "mean_quality_micro",
+            F.expr("CAST(__qsum DIV n_docs AS BIGINT)"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            "n_ws_tokens",
+            "n_exact_dup_docs",
+            "mean_quality_micro",
+            "n_en_docs",
+        )
+    )

@@ -778,3 +778,53 @@ def test_bloom_ledger_no_false_negatives(spark, tmp_path):
         for r in ST.bloom_probe(tiny, df, "v", m=64).collect()
     }
     assert all(tiny_probe.values())  # saturated, but still no misses
+
+
+def test_corpus_card_report_from_ledgers_equals_scan(spark, tmp_path):
+    """The incremental data card: exact sum partials + a KMV digest
+    sketch, both landed as two-batch ledgers, reproduce the scan-based
+    corpus_card registry row column-for-column — exactly, because every
+    fixture source holds fewer distinct documents than k (the sketch's
+    exact regime), and the sum columns are exact by mergeability."""
+    from jonesy_spark.operators import stats as ST
+    from jonesy_spark.operators.hygiene import content_digest
+    from jonesy_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    stats_idx = str(tmp_path / "stats")
+    kmv_idx = str(tmp_path / "kmv")
+
+    for rid, parity in (("even", 0), ("odd", 1)):
+        half = docs.filter(F.col("doc_id") % 2 == parity)
+        ST.write_doc_stats_index(
+            ST.doc_stats_batch(half), stats_idx, mode="overwrite", run_id=rid
+        )
+        ST.write_kmv_index(
+            ST.kmv_sketch_batch(
+                half.select(
+                    "source", content_digest(F.col("text")).alias("digest")
+                ),
+                ["source"],
+                "digest",
+            ),
+            kmv_idx,
+            mode="overwrite",
+            run_id=rid,
+        )
+
+    incremental = ST.corpus_card_report(spark, stats_idx, kmv_idx)
+    scan = all_queries()["corpus_card"](spark, sf)
+    cols = scan.columns
+    got = sorted(map(tuple, incremental.select(*cols).collect()))
+    want = sorted(map(tuple, scan.collect()))
+    assert got == want
+
+
+def test_corpus_card_report_absent_ledger_raises(spark, tmp_path):
+    import pytest
+
+    from jonesy_spark.operators import stats as ST
+
+    with pytest.raises(ValueError, match="doc-stats"):
+        ST.doc_stats_fold(spark, str(tmp_path / "missing"))
