@@ -959,3 +959,48 @@ def test_streamed_ledgers_feed_cross_ledger_dashboard(spark, tmp_path):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_streamed_doc_stats_feed_incremental_corpus_card(spark, tmp_path):
+    """The ninth ledger family on the generic stream rails: doc-stats
+    partials and content-digest KMV partials both maintained by
+    run_sketch_stream over a two-wave document stream, then the
+    incremental corpus card from the streamed ledgers equals the
+    scan-based corpus_card registry row exactly (fixture sources sit
+    in the KMV exact regime; the sum columns are exact always)."""
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.operators import stats as ST
+    from jonesy_spark.operators.hygiene import content_digest
+    from jonesy_spark.plans import all_queries
+    from jonesy_spark.streaming.incremental import run_sketch_stream
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    stage = str(tmp_path / "stage")
+    s_idx, s_ckpt = str(tmp_path / "stats"), str(tmp_path / "sck")
+    k_idx, k_ckpt = str(tmp_path / "kmv"), str(tmp_path / "kck")
+
+    def kmv_fn(batch):
+        return ST.kmv_sketch_batch(
+            batch.select(
+                "source", content_digest(F.col("text")).alias("digest")
+            ),
+            ["source"],
+            "digest",
+        )
+
+    for parity, mode in ((0, "overwrite"), (1, "append")):
+        docs.filter(F.col("doc_id") % 2 == parity).write.mode(mode).parquet(
+            stage
+        )
+        src = lambda: spark.readStream.schema(docs.schema).parquet(stage)  # noqa: E731
+        run_sketch_stream(src(), s_idx, s_ckpt, ST.doc_stats_batch)
+        run_sketch_stream(src(), k_idx, k_ckpt, kmv_fn)
+
+    incremental = ST.corpus_card_report(spark, s_idx, k_idx)
+    scan = all_queries()["corpus_card"](spark, sf)
+    cols = scan.columns
+    assert sorted(map(tuple, incremental.select(*cols).collect())) == sorted(
+        map(tuple, scan.collect())
+    )
