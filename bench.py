@@ -257,11 +257,12 @@ def main() -> None:
                     "dsir_select and bm25_search; r7 added "
                     "multimodal_real_codec and hybrid_search; r8 added "
                     "the audio/video codecs, WARC round trip, PQ, and "
-                    "the six sketch-ledger rows — the 42-query set. "
-                    "subtotal_r5_comparable is the cross-round-stable "
-                    "21-query subtotal; subtotal_r5_per_calib divides "
-                    "it by the calibration marker so machine drift "
-                    "cancels"
+                    "the six sketch-ledger rows; r9 added "
+                    "unigram_token_stats and sketch_dashboard — the "
+                    "44-query set. subtotal_r5_comparable is the "
+                    "cross-round-stable 21-query subtotal; "
+                    "subtotal_r5_per_calib divides it by the "
+                    "calibration marker so machine drift cancels"
                 ),
                 "timing": (
                     f"queries/value = min-of-{RUNS} steady-state (excludes "

@@ -1346,6 +1346,29 @@ def corpus_card_report(
     est = kmv_estimate(sketch, ["source"], k=k).select(
         "source", F.col("est_distinct").alias("__est_distinct")
     )
+    # the two ledgers are written by separate calls with no shared
+    # transaction, so a source present in only one is a REAL ingest
+    # gap — and this card is exactly the inventory artifact that must
+    # surface it: fail loudly instead of inner-joining it away
+    asym = (
+        per_source.select("source")
+        .join(est.select("source"), "source", "full_outer")
+        .join(per_source.select("source", F.lit(1).alias("__s")), "source", "left")
+        .join(est.select("source", F.lit(1).alias("__k")), "source", "left")
+        .filter(F.col("__s").isNull() | F.col("__k").isNull())
+        .select("source", F.col("__s").isNotNull().alias("in_stats"))
+        .collect()  # bounded: source-cardinality metadata
+    )
+    if asym:
+        missing = {
+            r["source"]: "kmv" if r["in_stats"] else "doc-stats"
+            for r in asym
+        }
+        raise ValueError(
+            "corpus_card_report: sources present in only one ledger "
+            f"(source -> missing ledger): {missing} — land both the "
+            "doc-stats and the digest-KMV batch for every ingest run"
+        )
     return (
         per_source.join(est, "source")
         .withColumn(

@@ -642,12 +642,20 @@ def oov_report(shards: DataFrame) -> DataFrame:
     keys = [
         c for c in ("tokenizer_version", "ingest_batch") if c in shards.columns
     ]
-    # the shard schema names its token count for its family; read either
-    tok_col = (
-        "n_bpe_tokens"
-        if "n_bpe_tokens" in shards.columns
-        else "n_unigram_tokens"
-    )
+    # the shard schema names its token count for its family; read
+    # either — but a table carrying BOTH is two families written to one
+    # path (schema-merged parquet with nulls in each half), whose token
+    # totals are not comparable: reject it instead of silently summing
+    # one family's column against every row's doc count
+    has_bpe = "n_bpe_tokens" in shards.columns
+    has_uni = "n_unigram_tokens" in shards.columns
+    if has_bpe and has_uni:
+        raise ValueError(
+            "shards table carries both n_bpe_tokens and "
+            "n_unigram_tokens — mixed tokenizer families in one shards "
+            "path; give each family its own path"
+        )
+    tok_col = "n_bpe_tokens" if has_bpe else "n_unigram_tokens"
     return (
         shards.groupBy(*keys)
         .agg(
@@ -880,6 +888,19 @@ def _train_unigram_loop(
     except through ``em_step``."""
     import math
 
+    if not logp:
+        raise ValueError(
+            "unigram training needs a non-empty corpus: the substring "
+            "seed produced zero candidate pieces"
+        )
+    n_singles_total = sum(1 for p in logp if len(p) == 1)
+    if n_singles_total > vocab_size:
+        raise ValueError(
+            f"vocab_size={vocab_size} is smaller than the corpus "
+            f"alphabet ({n_singles_total} distinct characters) — every "
+            "single character must stay in the vocabulary for "
+            "segmentation to be total; raise vocab_size"
+        )
     ll_history: list[float] = []
     while True:
         for _ in range(em_iters_per_round):
@@ -998,7 +1019,7 @@ def unigram_encode(
     pieces,
     text_col: str = "text",
     out_col: str = "unigram_tokens",
-    max_piece_len: int = 8,
+    max_piece_len: int | None = None,
 ) -> DataFrame:
     """Tokenize ``text_col`` under a trained piece table: adds
     ``out_col array<string>``. Pre-tokenization stays JVM-side
@@ -1006,7 +1027,10 @@ def unigram_encode(
     two tokenizers are toggleable over identical segment streams); the
     Arrow-batched pandas UDF runs Viterbi per DISTINCT segment with a
     per-batch memo. ``concat_ws('', out_col) == text`` exactly for any
-    piece table (tested property, same as BPE's)."""
+    piece table (tested property, same as BPE's). ``max_piece_len``
+    defaults to the longest piece IN THE TABLE — the artifact carries
+    its own span bound, so an encoder can never silently ignore pieces
+    longer than an uncoupled constant."""
     from pyspark.sql.functions import pandas_udf
 
     if isinstance(pieces, DataFrame):
@@ -1014,6 +1038,8 @@ def unigram_encode(
     else:
         rows = list(pieces)
     scores = {r["piece"]: int(r["logprob_micro"]) for r in rows}
+    if max_piece_len is None:
+        max_piece_len = max((len(p) for p in scores), default=1)
 
     @pandas_udf("array<string>")
     def _enc(segs):  # pragma: no cover - executed on workers
@@ -1109,21 +1135,24 @@ def unigram_encode_ids(
     text_col: str = "text",
     out_col: str = "token_ids",
     oov_id: int = -1,
-    max_piece_len: int = 8,
+    max_piece_len: int | None = None,
 ) -> DataFrame:
     """Tokenize straight to integer ids under a frozen
     :func:`unigram_vocab` — the unigram twin of :func:`bpe_encode_ids`
     and what a training shard stores. Same Viterbi as
-    :func:`unigram_encode` (the scores ride the same table), so the id
-    sequence is the string sequence mapped: in-vocab pieces get their
-    ids; the single-char UNK fallback (a character the vocab never
-    saw) maps to ``oov_id`` rather than failing the shard job — count
-    downstream and re-train, the BPE contract."""
+    :func:`unigram_encode` (the scores ride the same table, and
+    ``max_piece_len`` likewise defaults to the table's own longest
+    piece), so the id sequence is the string sequence mapped: in-vocab
+    pieces get their ids; the single-char UNK fallback (a character
+    the vocab never saw) maps to ``oov_id`` rather than failing the
+    shard job — count downstream and re-train, the BPE contract."""
     from pyspark.sql.functions import pandas_udf
 
     rows = vocab.collect()
     scores = {r["piece"]: int(r["logprob_micro"]) for r in rows}
     ids = {r["piece"]: r["token_id"] for r in rows}
+    if max_piece_len is None:
+        max_piece_len = max((len(p) for p in scores), default=1)
 
     @pandas_udf("array<int>")
     def _enc(segs):  # pragma: no cover - executed on workers
@@ -1238,12 +1267,6 @@ def _seed_unigram_distributed(
     return {p: math.log(s / total) for p, s in scores.items()}
 
 
-#: Sentinel piece name carrying a word's log-likelihood contribution
-#: through the distributed E-step's single Arrow pass (NUL prefix —
-#: no real piece can collide: pieces come from real text substrings).
-_LL_SENTINEL = "\x00__ll__"
-
-
 def unigram_em_step_distributed(
     wc: DataFrame, logp: dict[str, float], max_piece_len: int
 ) -> tuple[dict[str, float], float]:
@@ -1251,10 +1274,13 @@ def unigram_em_step_distributed(
     per word inside an Arrow-batched ``mapInPandas`` (the vocab-sized
     ``logp`` dict rides the closure, the broadcast-dict contract), each
     word emits its per-piece expected counts plus one log-likelihood
-    sentinel row, and ONE keyed aggregation folds them corpus-wide —
-    the word table is the only distributed input, never collected.
-    Numerically identical to :func:`_em_step_py` per word; corpus sums
-    differ only in float addition order (tested to micro tolerance)."""
+    row flagged by an explicit ``is_ll`` column (a typed flag, not a
+    name sentinel — a real piece containing any byte sequence can
+    never collide with it), and ONE keyed aggregation folds them
+    corpus-wide — the word table is the only distributed input, never
+    collected. Numerically identical to :func:`_em_step_py` per word;
+    corpus sums differ only in float addition order (tested to micro
+    tolerance)."""
 
     def gen(batches):
         import pandas as pd
@@ -1262,28 +1288,29 @@ def unigram_em_step_distributed(
         for pdf in batches:
             pieces: list[str] = []
             exps: list[float] = []
+            is_ll: list[bool] = []
             for w, c in zip(pdf["word"], pdf["count"]):
                 expected, ll = _em_step_py([(w, int(c))], logp, max_piece_len)
                 for p, e in expected.items():
                     pieces.append(p)
                     exps.append(e)
-                pieces.append(_LL_SENTINEL)
+                    is_ll.append(False)
+                pieces.append("")
                 exps.append(ll)
-            yield pd.DataFrame({"piece": pieces, "exp": exps})
+                is_ll.append(True)
+            yield pd.DataFrame(
+                {"piece": pieces, "exp": exps, "is_ll": is_ll}
+            )
 
     folded = (
         wc.select("word", "count")
-        .mapInPandas(gen, schema="piece string, exp double")
-        .groupBy("piece")
+        .mapInPandas(gen, schema="piece string, exp double, is_ll boolean")
+        .groupBy("piece", "is_ll")
         .agg(F.sum("exp").alias("exp"))
-        .collect()  # bounded: vocab + 1 sentinel rows
+        .collect()  # bounded: vocab + 1 log-likelihood rows
     )
-    expected = {
-        r["piece"]: r["exp"] for r in folded if r["piece"] != _LL_SENTINEL
-    }
-    ll = next(
-        (r["exp"] for r in folded if r["piece"] == _LL_SENTINEL), 0.0
-    )
+    expected = {r["piece"]: r["exp"] for r in folded if not r["is_ll"]}
+    ll = next((r["exp"] for r in folded if r["is_ll"]), 0.0)
     return expected, ll
 
 

@@ -1972,21 +1972,20 @@ def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboard row a 100 TB corpus prints nightly next to the sketch
     ledgers' incremental answers. Registry row now; r10 roster
     candidate (roster full at 50)."""
+    from ..operators.hygiene import content_digest
+    from ..operators.stats import doc_quality_micro
+
     docs = Catalog(spark, sf_dir).documents
-    n_tokens = TX.whitespace_token_count(F.col("text"))
-    c_stop = TX.occurrences(F.lower(F.col("text")), "the")
-    quality = SC.micro_units(
-        F.least(F.lit(1.0), n_tokens / 100.0)
-        * (1.0 - F.least(F.lit(1.0), c_stop / n_tokens))
-    )
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     m = docs.select(
         "source",
         "lang",
         F.length("text").cast("long").alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        quality.alias("quality_micro"),
-        F.md5(norm).alias("content_hash"),
+        TX.whitespace_token_count(F.col("text")).alias("n_tokens"),
+        # the SHARED composite (stats.doc_quality_micro) — the same
+        # expression the incremental card folds, so the two cards
+        # cannot drift
+        doc_quality_micro(F.col("text")).alias("quality_micro"),
+        content_digest(F.col("text")).alias("content_hash"),
     )
     return (
         m.groupBy("source")

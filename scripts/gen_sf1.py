@@ -74,13 +74,18 @@ def main() -> None:
 
     for name, keys in id_cols.items():
         src = spark.read.parquet(f"{SRC}/{name}.parquet")
-        mx = src.select(
-            *[F.max(k).alias(k) for k in keys]
+        bounds = src.select(
+            *[F.min(k).alias(f"mn_{k}") for k in keys],
+            *[F.max(k).alias(f"mx_{k}") for k in keys],
         ).first()
-        assert all(mx[k] is None or mx[k] < STRIDE for k in keys), (
-            name,
-            dict(mx.asDict()),
-        )
+        # replica ranges [min + r*STRIDE, max + r*STRIDE] must not
+        # overlap: require non-negative ids strictly under the stride
+        # (a signed content-hash id tier would need a rebase first)
+        assert all(
+            bounds[f"mx_{k}"] is None
+            or (0 <= bounds[f"mn_{k}"] and bounds[f"mx_{k}"] < STRIDE)
+            for k in keys
+        ), (name, dict(bounds.asDict()))
         parts = []
         for r in range(REPLICAS):
             rep = src

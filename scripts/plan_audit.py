@@ -99,6 +99,9 @@ _PASS_THROUGH = (
     "Coalesce",
     "Window",
     "WholeStageCodegen",
+    # a reused broadcast of a bounded side is as bounded as the
+    # original — _plan_children resolves its child()
+    "ReusedExchange",
 )
 #: Subtree roots that bound their output by construction: an explicit
 #: limit, or a table already materialized on the driver.

@@ -257,3 +257,11 @@ def test_bnlj_boundedness_rule(spark):
         "broadcasting an unbounded scan into a cross join must be "
         "flagged"
     )
+
+    # the SAME bounded aggregate broadcast twice: Catalyst replaces the
+    # second BroadcastExchange with ReusedExchange, which the rule must
+    # descend (the review finding: it previously fell through to False)
+    reused = lineitem.crossJoin(F.broadcast(total)).crossJoin(
+        F.broadcast(total.select(F.col("t").alias("t2")))
+    )
+    assert plan_audit.bnlj_violations(reused) == []

@@ -828,3 +828,38 @@ def test_corpus_card_report_absent_ledger_raises(spark, tmp_path):
 
     with pytest.raises(ValueError, match="doc-stats"):
         ST.doc_stats_fold(spark, str(tmp_path / "missing"))
+
+
+def test_corpus_card_report_rejects_asymmetric_ledgers(spark, tmp_path):
+    """A source present in only one of the two card ledgers is an
+    ingest gap the inventory artifact must SURFACE, not inner-join
+    away (the review finding)."""
+    import pytest
+
+    from jonesy_spark.operators import stats as ST
+    from jonesy_spark.operators.hygiene import content_digest
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(200)
+    stats_idx, kmv_idx = str(tmp_path / "s"), str(tmp_path / "k")
+    ST.write_doc_stats_index(
+        ST.doc_stats_batch(docs), stats_idx, mode="overwrite", run_id="b0"
+    )
+    one_source = docs.filter(
+        F.col("source") == docs.select("source").first()["source"]
+    )
+    ST.write_kmv_index(
+        ST.kmv_sketch_batch(
+            one_source.select(
+                "source", content_digest(F.col("text")).alias("d")
+            ),
+            ["source"],
+            "d",
+        ),
+        kmv_idx,
+        mode="overwrite",
+        run_id="b0",
+    )
+    with pytest.raises(ValueError, match="only one ledger"):
+        ST.corpus_card_report(spark, stats_idx, kmv_idx)

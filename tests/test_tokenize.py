@@ -696,3 +696,44 @@ def test_unigram_train_distributed_equals_driver_on_fixture(spark):
     g = {r["piece"]: r["logprob_micro"] for r in dist.collect()}
     assert set(d) == set(g)
     assert all(abs(d[p] - g[p]) <= 2 for p in d)
+
+
+def test_unigram_encoder_honors_trained_piece_length(spark):
+    """The encoder's span bound comes from the TABLE, not a constant:
+    a vocabulary trained with max_piece_len=12 produces 9+-char pieces
+    that the default encoder must match (the review finding: an
+    uncoupled max_piece_len=8 silently made long pieces unreachable)."""
+    docs = spark.createDataFrame(
+        [(i, "abcdefghij " * 4) for i in range(6)],
+        "doc_id long, text string",
+    )
+    pieces = T.unigram_train(docs, vocab_size=64, max_piece_len=12,
+                             seed_size=256)
+    longest = max(len(r["piece"]) for r in pieces.collect())
+    assert longest > 8  # the 10-char word is the corpus's whole mass
+    enc = T.unigram_encode(docs, pieces).first()
+    assert any(len(t) == longest for t in enc["unigram_tokens"])
+    # and ids through the stream-default path see it too
+    got = T.unigram_encode_ids(docs, T.unigram_vocab(pieces)).first()
+    assert -1 not in got["token_ids"]
+
+
+def test_unigram_train_rejects_small_vocab_and_empty_corpus(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnop")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="alphabet"):
+        T.unigram_train(docs, vocab_size=4)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty corpus"):
+        T.unigram_train(empty, vocab_size=16)
+
+
+def test_oov_report_rejects_mixed_family_shards(spark):
+    mixed = spark.createDataFrame(
+        [(1, 5, 4, 0, 0), (2, 3, 0, 2, 0)],
+        "doc_id long, n_bpe_tokens long, n_unigram_tokens long, "
+        "n_oov long, tokenizer_version int",
+    )
+    with pytest.raises(ValueError, match="mixed tokenizer families"):
+        T.oov_report(mixed)
