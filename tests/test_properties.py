@@ -890,3 +890,64 @@ def test_rollup_fold_cut_invariance_property(spark, case):
         )
     )
     assert folded == single
+
+
+@given(_cut_case())
+@settings(**SETTINGS)
+def test_cms_fold_cut_invariance_property(spark, case):
+    """Count-min partials are SUM-mergeable over ARBITRARY batch cuts:
+    summing per-batch (r, c, cnt) counters equals the single-pass
+    sketch bit for bit (counter addition is associative)."""
+    from jonesy_spark.operators import stats as ST
+
+    values, batch_of = case
+    rows = [(f"u{v}", b) for (_, v), b in zip(values, batch_of)]
+    df = spark.createDataFrame(rows, "user string, batch int")
+
+    single = sorted(
+        map(tuple, ST.cms_sketch_batch(df, "user", d=2, w=8).collect())
+    )
+    partials = [
+        ST.cms_sketch_batch(
+            df.filter(F.col("batch") == b), "user", d=2, w=8
+        )
+        for b in sorted({b for _, b in rows})
+    ]
+    union = partials[0]
+    for p in partials[1:]:
+        union = union.unionByName(p)
+    folded = sorted(
+        map(
+            tuple,
+            union.groupBy("r", "c").agg(F.sum("cnt").alias("cnt")).collect(),
+        )
+    )
+    assert folded == single
+
+
+@given(_cut_case())
+@settings(**SETTINGS)
+def test_bloom_fold_cut_invariance_property(spark, case):
+    """Bloom set bits are OR-mergeable over ARBITRARY batch cuts:
+    the distinct union of per-batch bit sets equals the single-pass
+    filter exactly (and duplicate ledger rows are absorbed)."""
+    from jonesy_spark.operators import stats as ST
+
+    values, batch_of = case
+    rows = [(f"u{v}", b) for (_, v), b in zip(values, batch_of)]
+    df = spark.createDataFrame(rows, "user string, batch int")
+
+    single = sorted(
+        r["bit"] for r in ST.bloom_batch(df, "user", d=2, m=64).collect()
+    )
+    partials = [
+        ST.bloom_batch(df.filter(F.col("batch") == b), "user", d=2, m=64)
+        for b in sorted({b for _, b in rows})
+    ]
+    union = partials[0]
+    for p in partials[1:]:
+        union = union.unionByName(p)
+    # duplicate a partial deliberately: the OR monoid absorbs replays
+    union = union.unionByName(partials[0])
+    folded = sorted(r["bit"] for r in union.distinct().collect())
+    assert folded == single
