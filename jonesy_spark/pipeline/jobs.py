@@ -361,6 +361,17 @@ def _maintain_indexes(ctx: JobContext) -> None:
         ctx.written.append(f"vacuumed {gone}")
 
 
+def _corpus_card(ctx: JobContext) -> None:
+    """Nightly data card: the per-source corpus panel (docs/chars/
+    tokens, exact-dup load, mean quality micro, reference-language
+    share — the `corpus_card` registry row) emitted through the gzip
+    CSV sink and uploaded under the daily prefix — the release
+    artifact next to the extract CSVs. Deterministically ordered by
+    source (the O4 single-file ordering contract)."""
+    card = all_queries()["corpus_card"](ctx.spark, ctx.sf_dir)
+    _emit(ctx, card, "corpus_card", order_by=["source"])
+
+
 JOBS: dict[str, Callable[[JobContext], None]] = {
     "upload_advisors": upload_advisors,
     "upload_snapshot": upload_snapshot,
@@ -371,6 +382,7 @@ JOBS: dict[str, Callable[[JobContext], None]] = {
     "train_tokenizer": _train_tokenizer,
     "train_classifier": _train_classifier,
     "maintain_indexes": _maintain_indexes,
+    "corpus_card": _corpus_card,
 }
 
 

@@ -863,3 +863,39 @@ def test_corpus_card_report_rejects_asymmetric_ledgers(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="only one ledger"):
         ST.corpus_card_report(spark, stats_idx, kmv_idx)
+
+
+def test_corpus_card_job_emits_gzip_csv(spark, tmp_path):
+    """The card as a registered nightly job: one gzip CSV under the
+    job root, uploaded under the daily prefix, source-ordered."""
+    import csv
+    import gzip
+    import os
+
+    from jonesy_spark.pipeline.jobs import JobContext, run_job
+
+    ctx = JobContext(
+        spark=spark,
+        sf_dir="/root/testdata/sf0.001",
+        out_root=str(tmp_path),
+        targets=[str(tmp_path / "t0")],
+    )
+    run_job("corpus_card", ctx)
+    assert "corpus_card" in ctx.written
+    # the sink uploads under <target>/<daily_prefix>/<key> — the key
+    # names the object, the payload is the gzip bytes
+    [path] = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(tmp_path / "t0")
+        for f in fs
+        if f == "corpus_card"
+    ]
+    with gzip.open(path, "rt") as fh:
+        rows = list(csv.reader(fh))
+    sources = [r[0] for r in rows]
+    assert sources == sorted(sources) and len(sources) > 1
+    wrapper = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "cron", "corpus-card.sh"
+    )
+    assert os.access(wrapper, os.X_OK)
+    assert "corpus_card" in open(wrapper).read()
