@@ -53,7 +53,13 @@ def cosine_topk(
     if query_ids is not None:
         q = e.filter(F.col("vec_id").isin(query_ids)).limit(len(query_ids))
     else:
-        q = e.filter(F.col("vec_id") < n_queries).limit(n_queries)
+        # the lower bound makes the no-op PROVABLE: without it, any
+        # negative vec_ids would let more than n_queries rows through
+        # the filter and the unordered limit would drop query rows
+        # nondeterministically
+        q = e.filter(
+            (F.col("vec_id") >= 0) & (F.col("vec_id") < n_queries)
+        ).limit(n_queries)
     q = q.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -800,8 +806,11 @@ def quantized_topk(
     dq = VX.dequantize_int8(F.col("qv"))
     e = store.select("vec_id", dq.alias("v")).withColumn("nrm", VX.norm(F.col("v")))
     # limit = structural boundedness proof for the plan audit's BNLJ
-    # rule; a no-op since vec_id is unique (see cosine_topk)
-    q = e.filter(F.col("vec_id") < n_queries).limit(n_queries).select(
+    # rule; the >= 0 bound makes the no-op provable for any unique
+    # vec_ids, not just non-negative ones (see cosine_topk)
+    q = e.filter(
+        (F.col("vec_id") >= 0) & (F.col("vec_id") < n_queries)
+    ).limit(n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv_vec"),
         F.col("nrm").alias("qn"),

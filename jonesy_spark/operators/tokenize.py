@@ -655,6 +655,12 @@ def oov_report(shards: DataFrame) -> DataFrame:
             "n_unigram_tokens — mixed tokenizer families in one shards "
             "path; give each family its own path"
         )
+    if not has_bpe and not has_uni:
+        raise ValueError(
+            "shards table carries neither n_bpe_tokens nor "
+            "n_unigram_tokens — not a tokenized shards table (expected "
+            f"one family token column; got {shards.columns})"
+        )
     tok_col = "n_bpe_tokens" if has_bpe else "n_unigram_tokens"
     return (
         shards.groupBy(*keys)
@@ -1238,6 +1244,12 @@ def _seed_unigram_distributed(
     IDENTICAL up to float division."""
     import math
 
+    # guard: sequence(1, length(word)) on a zero-length word yields a
+    # DESCENDING [1, 0] sequence whose empty-string pieces would linger
+    # in logp (len('') escapes both pruning paths); pretokens never
+    # emits empty segments today, but arbitrary word-count inputs must
+    # not depend on that
+    wc = wc.filter(F.length("word") > 0)
     subs = (
         wc.select(
             F.explode(

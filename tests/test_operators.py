@@ -1423,3 +1423,22 @@ def test_sliding_window_rollup_matches_explicit_hops(spark):
 
     with _pytest.raises(ValueError, match="multiple"):
         sliding_window_rollup(df, 3600, 1000)
+
+
+def test_cosine_topk_ignores_negative_vec_ids_as_queries(spark):
+    # with negative unique vec_ids present, the default query cut must
+    # still select exactly [0, n_queries) — before the r9 ADVICE fix,
+    # filter(vec_id < n) passed the negatives too and the unordered
+    # limit(n) dropped query rows nondeterministically
+    from jonesy_spark.operators import similarity as SIM
+
+    rows = [
+        (i, [float(i), 1.0, float(i % 3)], 0) for i in (-3, -2, -1, 0, 1, 2, 3)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = SIM.cosine_topk(emb, k=3, n_queries=2)
+    assert set(r["query_id"] for r in got.collect()) == {0, 1}
+    q = SIM.quantized_topk(emb, k=3, n_queries=2)
+    assert set(r["query_id"] for r in q.collect()) == {0, 1}

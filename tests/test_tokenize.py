@@ -737,3 +737,30 @@ def test_oov_report_rejects_mixed_family_shards(spark):
     )
     with pytest.raises(ValueError, match="mixed tokenizer families"):
         T.oov_report(mixed)
+
+
+def test_oov_report_rejects_untokenized_shards(spark):
+    # neither family column: fail with a named-column ValueError, not a
+    # downstream unresolved-column AnalysisException (r9 ADVICE)
+    plain = spark.createDataFrame(
+        [(1, 0, 0)], "doc_id long, n_oov long, tokenizer_version int"
+    )
+    with pytest.raises(ValueError, match="neither n_bpe_tokens nor"):
+        T.oov_report(plain)
+
+
+def test_seed_unigram_distributed_ignores_empty_words(spark):
+    # a zero-length word must not plant '' pieces via the descending
+    # sequence(1, 0) enumeration (r9 ADVICE); the seed over a table
+    # containing an empty word equals the driver seed over the
+    # non-empty rows exactly
+    words = [("abab", 3), ("ba", 2)]
+    wc = spark.createDataFrame(
+        words + [("", 7)], "word string, count long"
+    )
+    got = T._seed_unigram_distributed(wc, max_piece_len=3, seed_size=4)
+    want = T._seed_unigram_py(words, max_piece_len=3, seed_size=4)
+    assert "" not in got
+    assert set(got) == set(want)
+    for p in want:
+        assert abs(got[p] - want[p]) < 1e-9
