@@ -910,3 +910,34 @@ def test_maintain_indexes_kmv_ledger_via_config(spark, tmp_path, monkeypatch):
         sorted(map(tuple, ST.kmv_fold(spark, path, ["key"], k=16).collect()))
         == fold_before
     )
+
+
+def test_cron_wrapper_set_matches_job_registries():
+    """Wrappers and registries can't drift (r9 verdict #6): every name
+    in JOBS (∪ SIS_JOBS — the SIS trio is registered in both) has
+    exactly one executable cron wrapper dispatching it through
+    run-job.sh, and every wrapper dispatches a registered name."""
+    import re
+
+    from jonesy_spark.pipeline.jobs import JOBS
+    from jonesy_spark.pipeline.sis_jobs import SIS_JOBS
+
+    registered = set(JOBS) | set(SIS_JOBS)
+    root = os.path.join(os.path.dirname(__file__), "..", "scripts", "cron")
+    dispatched = set()
+    for name in sorted(os.listdir(root)):
+        if not name.endswith(".sh") or name == "run-job.sh":
+            continue
+        path = os.path.join(root, name)
+        assert os.access(path, os.X_OK), path
+        m = re.search(r"run-job\.sh\"?\s+(\S+)", open(path).read())
+        assert m, f"{name} does not dispatch through run-job.sh"
+        job = m.group(1).strip('"')
+        assert job in registered, f"{name} dispatches unregistered {job!r}"
+        assert job not in dispatched, f"{job!r} dispatched by two wrappers"
+        dispatched.add(job)
+    assert dispatched == set(JOBS), (
+        f"wrapperless jobs: {sorted(set(JOBS) - dispatched)}; "
+        f"extra wrappers: {sorted(dispatched - set(JOBS))}"
+    )
+    assert set(SIS_JOBS) <= set(JOBS)
