@@ -1091,6 +1091,83 @@ def unigram_token_stats(
     )
 
 
+def _ratio_micro(num: Column, den: Column) -> Column:
+    """floor(num * 1e6 / den) as BIGINT via exact decimal(38) rational
+    arithmetic — safe where a long intermediate (num * 1_000_000)
+    would overflow on 100 TB corpus totals (~1e13 tokens)."""
+    return (
+        F.floor(num.cast("decimal(38,0)") * F.lit(1_000_000) / den)
+        .cast("long")
+    )
+
+
+def tokenizer_family_compare(
+    docs: DataFrame,
+    n_merges: int = 64,
+    vocab_size: int = 256,
+    seed_size: int = 2048,
+    text_col: str = "text",
+) -> DataFrame:
+    """The family-toggle decision frame a pipeline owner actually
+    reads: train BOTH vocabularies on the same corpus (BPE merge
+    induction and unigram-LM EM — each deterministic for a fixed
+    corpus), tokenize every document under each, and fold to one row
+    per family: ``(family, vocab_rows, n_docs, n_tokens,
+    tokens_per_doc_micro, chars_per_token_micro)``. All columns are
+    non-null integers/strings (driver-roster canon); the per-family
+    ratios are exact decimal rationals floored to micro-units, so the
+    comparison is bit-stable across runs and engines.
+
+    Scale shape: two :func:`word_counts` passes (one per trainer —
+    Zipf-bounded driver collects), two Arrow-batched encode passes,
+    and two single-row hash aggregates; nothing corpus-sized ever
+    reaches the driver. The per-family stats frames themselves are
+    pytest-pinned (Viterbi/merge-replay differentials); this fold is
+    their pure composition."""
+    merges = bpe_train(docs, n_merges=n_merges, text_col=text_col)
+    pieces = unigram_train(
+        docs, vocab_size=vocab_size, seed_size=seed_size, text_col=text_col
+    )
+
+    def fold(stats: DataFrame, tok_col: str, family: str, vocab_rows: int):
+        return (
+            stats.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(tok_col).alias("n_tokens"),
+                F.sum("n_chars").alias("n_chars"),
+            )
+            .select(
+                F.lit(family).alias("family"),
+                F.lit(vocab_rows).cast("long").alias("vocab_rows"),
+                F.col("n_docs"),
+                F.col("n_tokens"),
+                _ratio_micro(
+                    F.col("n_tokens"), F.greatest(F.col("n_docs"), F.lit(1))
+                ).alias("tokens_per_doc_micro"),
+                _ratio_micro(
+                    F.col("n_chars"), F.greatest(F.col("n_tokens"), F.lit(1))
+                ).alias("chars_per_token_micro"),
+            )
+        )
+
+    # vocab_rows: trained-artifact sizes — both tables are driver-sized
+    # by construction (merge cap / shrink target), so count() is a
+    # bounded metadata read, not a data scan
+    bpe = fold(
+        bpe_token_stats(docs, merges, text_col=text_col),
+        "n_bpe_tokens",
+        "bpe",
+        merges.count(),
+    )
+    uni = fold(
+        unigram_token_stats(docs, pieces, text_col=text_col),
+        "n_unigram_tokens",
+        "unigram",
+        pieces.count(),
+    )
+    return bpe.unionByName(uni)
+
+
 def write_unigram_tokenizer(pieces: DataFrame, path: str) -> int:
     """Publish a trained piece table as one atomically-committed
     ``version=N`` subtree — the same versioned-immutable contract as

@@ -114,12 +114,9 @@ DRIVER_EXCLUDED = {
     # pins Viterbi == exhaustive-enumeration argmax, EM monotonicity,
     # singles retention, and the exact concat round-trip.
     "unigram_token_stats",
-    # REGISTRY-ONLY this round (roster full at 50), full oracle ready:
-    # the per-source data card (volume, whitespace tokens, exact-dup
-    # load via the dedup_exact normalization, mean quality micro, en
-    # share) — every column a shared oracle fragment, one hash match
-    # witnesses the whole panel. r10 rotation candidate.
-    "corpus_card",
+    # (corpus_card admitted r10 per VERDICT r9 #1 — the last
+    # oracle-ready row without a driver green takes its first slot;
+    # never-witnessed stays at zero.)
     # (topk_per_group_price re-admitted r8 per the two-round §2
     # cadence — r5-stale.)
     # md5-Bernoulli draw via quota_sample (admitted r7, same draw with
@@ -266,24 +263,10 @@ DRIVER_EXCLUDED = {
     # (running_total, topk_per_group_price, catalog_number_parsing,
     # active_day_codes — r4/r5-stale) takes their slots. ------------
     #
-    # J2 5-key composite inner join: witness r7; family stays via
-    # term_courses' composite left-outers + range_join_calendar.
-    "composite_key_join",
-    # P9 watermark incremental: witness r7; the streaming twin keeps
-    # its batch-parity + restart tests; cutoff-filter family via
-    # recent_instructor_updates (retained).
-    "watermark_incremental",
-    # S3/O6 ROWNUM offset+limit window: witness r7; rank-cut family
-    # back under driver check via the re-admitted topk_per_group_price
-    # + retained current_terms_topk.
-    "pagination_window",
-    # §2.7 UNION/INTERSECT/EXCEPT: witness r7; the Expand/aggregate
-    # lowering family stays via profile_table (retained).
-    "set_operations",
-    # J10 latest-version epoch sentinel: witness r7; the conditional
-    # window-max family stays via latest_order_per_customer (flagship,
-    # retained) + events_sessionization.
-    "latest_event_version",
+    # (composite_key_join J2, watermark_incremental P9,
+    # pagination_window S3/O6, set_operations §2.7 and
+    # latest_event_version J10 re-admitted r10 per VERDICT r9 #2 —
+    # their r7 witnesses aged out of the two-round §2 cadence.)
     # get_json_object chain: witness r7; twin of variant_props_extract
     # — both keep their pytest differentials; the JSON-path family's
     # scalar members stay via scalar_functions_suite (retained).
@@ -358,6 +341,136 @@ DRIVER_EXCLUDED = {
     # incremental_classifier (both retained) — freed the 50th slot
     # for the new cross-ledger sketch_dashboard row (VERDICT r8 #8).
     "classifier_eval",
+    # ---- rotated out r10: seven slots freed for the corpus_card
+    # first witness, the five r7-stale §2 re-admissions (VERDICT r9
+    # #1/#2) and the new tokenizer_family_compare row (VERDICT r9 #7).
+    # Every row below took its FIRST driver green in r9 and keeps its
+    # full pytest DuckDB differential (plus, for the sketch tier,
+    # the hypothesis bit-identity merge properties); per PARITY.md's
+    # cadence each is due for re-admission by r11/r12. --------------
+    #
+    # Bloom membership sketch: witness r9; the hash-sketch fold family
+    # stays driver-checked via kmv_distinct_users (retained) and the
+    # cross-ledger sketch_dashboard (retained); exact-below-capacity
+    # and merge bit-identity keep hypothesis pytest.
+    "bloom_membership",
+    # hour→day hierarchical rollup: witness r9; the re-fold is
+    # driver-checked INSIDE the retained sketch_dashboard row (its
+    # day panel is this rollup's fold); fold bit-identity keeps
+    # hypothesis pytest.
+    "events_rollup",
+    # phash index probe: witness r9; the banded hamming probe family
+    # stays via incremental_near_dup (retained, same band-bucket
+    # pruning) and image/audio/video_near_dup (retained, same
+    # decoded-dHash machinery); crash-safe compaction keeps pytest.
+    "media_index_probe",
+    # KMV set-overlap estimate: witness r9; the KMV machinery stays
+    # driver-checked via kmv_distinct_users (retained — same sketch,
+    # same estimator) and sketch_dashboard's KMV panel; the overlap
+    # combinator keeps its exact-below-k pytest differential.
+    "kmv_overlap_users",
+    # bottom-k quantile sample: witness r9; the order-statistic family
+    # stays via trailing_range_stats (retained percentile windows) and
+    # quality_filter's percentile gate; sample determinism keeps
+    # pytest.
+    "sampled_quantiles",
+    # count-min frequencies: witness r9; the hashed-counter fold
+    # family stays via mg-style heavy hitters' pytest + the retained
+    # sketch_dashboard; point-query overestimate bound + merge
+    # bit-identity keep hypothesis pytest.
+    "cms_frequencies",
+    # Misra-Gries heavy hitters: witness r9; the salted pre-reduced
+    # top-k window family stays via current_terms_topk (retained
+    # rank-cut) and the sketch tier's dashboard; the ±n/k error bound
+    # and merge fold keep their pytest differentials.
+    "mg_heavy_hitters",
+}
+
+#: Excluded rows whose correctness is pinned by pytest ALONE, by
+#: design (iterative training / engine-ulp boundaries — documented on
+#: each row above); the staleness rule's cover check does not apply.
+PYTEST_ONLY_BY_DESIGN = {
+    "ann_quantized_topk",
+    "ann_pq_topk",
+    "bpe_token_stats",
+    "unigram_token_stats",
+}
+
+#: The machine-readable half of each DRIVER_EXCLUDED justification
+#: (r9 verdict #8): for every excluded row, the retained rows whose
+#: driver greens keep its plan family witnessed. The staleness test
+#: (tests/test_rotation.py) asserts each excluded row has at least one
+#: cover that is on the CURRENT roster or driver-green within the
+#: two-round cadence — so a justification silently invalidated by a
+#: later rotation fails a test instead of aging into prose.
+EXCLUSION_COVERS: dict[str, tuple[str, ...]] = {
+    "events_session_native": ("events_sessionization",),
+    "unpivot_event_counts": ("set_operations", "profile_table"),
+    "rollup_agg": ("set_operations", "profile_table"),
+    "semi_anti_joins": ("contamination", "quota_sample"),
+    "doc_fingerprints": ("dedup_exact", "dedup_minhash_lsh"),
+    "token_counts": ("token_budget_prune", "quality_filter"),
+    "distinct_counts": ("profile_table",),
+    "corpus_split": ("quota_sample", "diversity_sample"),
+    "text_quality_score": ("quality_filter",),
+    "top_tokens_per_lang": ("bm25_search",),
+    "ann_cosine_topk": ("embedding_near_dup", "hybrid_search"),
+    "doc_chunking": ("dedup_minhash_lsh", "contamination"),
+    "mixture_sample": ("quota_sample", "diversity_sample"),
+    "events_tumbling_window": ("resample_interpolate", "trailing_range_stats"),
+    "quantile_stats": ("quality_filter",),
+    "pivot_event_counts": ("profile_table",),
+    "snapshot_cdc": ("latest_event_version",),
+    "funnel_steps": ("events_sessionization", "retention_cohorts"),
+    "mixture_upsample": ("quota_sample", "diversity_sample", "dsir_select"),
+    "train_order": ("diversity_sample", "dsir_select"),
+    "pack_sequences": ("events_sessionization",),
+    "assemble_sequences": ("phrase_search",),
+    "doc_logprob": ("bigram_logprob",),
+    "near_dup_contamination": ("incremental_near_dup", "contamination"),
+    "lang_id_heuristic": ("scalar_functions_suite", "quality_filter"),
+    "url_dedup": ("dedup_exact", "scalar_functions_suite"),
+    "repetition_stats": ("bm25_search", "quality_filter"),
+    "line_dedup": ("contamination",),
+    "repeated_span_removal": ("contamination",),
+    "local_supplier_volume": ("range_join_calendar", "composite_key_join"),
+    "pricing_summary_agg": ("range_join_calendar", "composite_key_join"),
+    "cube_agg": ("set_operations", "profile_table"),
+    "cdc_upsert": ("latest_event_version",),
+    "asof_join_last_click": ("latest_event_version",),
+    "dedup_ngram_jaccard": ("dedup_minhash_lsh", "prefix_jaccard_join"),
+    "ngram_containment": ("prefix_jaccard_join", "contamination"),
+    "dedup_simhash": ("dedup_minhash_lsh",),
+    "dedup_survivors_quality": ("dedup_clusters", "quality_filter"),
+    "leakage_safe_split": ("dedup_clusters", "quota_sample"),
+    "ann_bucketed_topk": ("embedding_near_dup", "hybrid_search"),
+    "tfidf_top_terms": ("bm25_search",),
+    "resample_gapfill": ("resample_interpolate", "trailing_range_stats"),
+    "multimodal_features": ("multimodal_real_codec",),
+    "running_total": ("trailing_range_stats", "events_sessionization"),
+    "topk_per_group_price": ("current_terms_topk",),
+    "catalog_number_parsing": ("scalar_functions_suite", "timestamp_formats"),
+    "active_day_codes": ("scalar_functions_suite", "timestamp_formats"),
+    "multimodal_audio_codec": ("audio_near_dup",),
+    "multimodal_video_codec": ("video_near_dup",),
+    "warc_ingest_roundtrip": ("dedup_exact",),
+    "scalar_subquery_filter": ("omit_drops_withdrawals", "current_terms_topk"),
+    "profile_table": ("term_enrollments", "dedup_exact"),
+    "bigram_logprob": ("quality_classifier",),
+    "hybrid_search": ("bm25_search", "hash_embeddings"),
+    "event_transitions": ("events_sessionization", "retention_cohorts"),
+    "resample_interpolate": ("trailing_range_stats",),
+    "lsh_recall": ("dedup_minhash_lsh", "prefix_jaccard_join"),
+    "classifier_eval": ("quality_classifier", "incremental_classifier"),
+    "json_props_extract": ("scalar_functions_suite",),
+    "variant_props_extract": ("scalar_functions_suite",),
+    "bloom_membership": ("kmv_distinct_users", "sketch_dashboard"),
+    "events_rollup": ("sketch_dashboard",),
+    "media_index_probe": ("incremental_near_dup", "image_near_dup"),
+    "kmv_overlap_users": ("kmv_distinct_users", "sketch_dashboard"),
+    "sampled_quantiles": ("trailing_range_stats", "quality_filter"),
+    "cms_frequencies": ("sketch_dashboard",),
+    "mg_heavy_hitters": ("current_terms_topk", "sketch_dashboard"),
 }
 
 

@@ -640,6 +640,30 @@ def unigram_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TOK.unigram_token_stats(docs, pieces)
 
 
+@query("tokenizer_family_compare")
+def tokenizer_family_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-vs-unigram toggle decision on one frame (r9 verdict #7):
+    train both families on the same corpus with the pinned row params
+    (64 merges / 256 pieces) and fold each family's token_stats to one
+    scalar row — (family, vocab_rows, n_docs, n_tokens,
+    tokens_per_doc_micro, chars_per_token_micro), exact decimal
+    rationals floored to micro-units. DRIVER-FACING WITHOUT an oracle
+    (rows-only check), deliberately: both trainers are iterative (merge
+    induction / lattice EM) and not SQL-expressible — the driver
+    witnesses the composed frame's shape and stability while the
+    underlying per-family stats keep their pytest differentials
+    (Viterbi == exhaustive enumeration, merge replay, concat
+    round-trips), and the fold itself is pinned equal to independently
+    aggregating the two pytest-pinned stats frames
+    (tests/test_tokenize.py)."""
+    from ..operators import tokenize as TOK
+
+    docs = Catalog(spark, sf_dir).documents
+    return TOK.tokenizer_family_compare(
+        docs, n_merges=64, vocab_size=256, seed_size=2048
+    )
+
+
 @query(
     "lang_id_heuristic",
     oracle="""

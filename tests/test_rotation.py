@@ -1,0 +1,95 @@
+"""Roster-rotation bookkeeping stays machine-checked (r9 verdict #8).
+
+The 50-slot driver roster rotates over a 121-row registry, so every
+exclusion carries a justification naming the retained rows that keep
+its plan family driver-witnessed. These tests turn that prose into
+invariants: the covers exist, point at witnessed rows, and every
+excluded row's family holds a witness within the cadence — a rotation
+that silently invalidates a justification fails here instead of aging
+into stale prose.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import pathlib
+
+_ROOT = pathlib.Path(__file__).resolve().parent.parent
+_SPEC = importlib.util.spec_from_file_location(
+    "coverage_ledger", _ROOT / "scripts" / "coverage_ledger.py"
+)
+coverage_ledger = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(coverage_ledger)
+
+from jonesy_spark.plans import (  # noqa: E402
+    DRIVER_EXCLUDED,
+    EXCLUSION_COVERS,
+    PYTEST_ONLY_BY_DESIGN,
+    all_queries,
+    driver_queries,
+)
+
+#: A cover keeps an exclusion justified if it will be driver-checked
+#: this round (on roster) or its last green is at most this many
+#: rounds old — PARITY.md's two-round witness cadence.
+CADENCE = 2
+
+
+def _last_green() -> dict[str, int]:
+    out: dict[str, int] = {}
+    for name, rounds in coverage_ledger.collect_witnesses().items():
+        out[name] = max(int(r.removeprefix("r")) for r in rounds)
+    return out
+
+
+def test_every_exclusion_has_covers_or_is_pytest_only_by_design():
+    uncovered = DRIVER_EXCLUDED - set(EXCLUSION_COVERS) - PYTEST_ONLY_BY_DESIGN
+    assert not uncovered, f"excluded rows without a covers entry: {sorted(uncovered)}"
+    # no dangling bookkeeping for rows that are not excluded (or gone)
+    extra = set(EXCLUSION_COVERS) - DRIVER_EXCLUDED
+    assert not extra, f"covers for non-excluded rows: {sorted(extra)}"
+    assert PYTEST_ONLY_BY_DESIGN <= DRIVER_EXCLUDED
+
+
+def test_covers_point_at_real_registry_rows():
+    registry = set(all_queries())
+    for name, covers in EXCLUSION_COVERS.items():
+        assert covers, f"{name}: empty covers tuple"
+        missing = [c for c in covers if c not in registry]
+        assert not missing, f"{name}: covers name unknown rows {missing}"
+        assert name not in covers, f"{name} cannot cover itself"
+
+
+def test_every_excluded_family_is_witnessed_within_cadence():
+    """The staleness rule, mechanized: each excluded row needs >= 1
+    cover that is on the CURRENT roster (green this round) or whose
+    last driver green is within the two-round cadence."""
+    roster = set(driver_queries())
+    last = _last_green()
+    current, _ = coverage_ledger.staleness_rows()
+    stale = {}
+    for name, covers in EXCLUSION_COVERS.items():
+        ok = any(
+            c in roster or (c in last and current - last[c] <= CADENCE)
+            for c in covers
+        )
+        if not ok:
+            stale[name] = {
+                c: (f"r{last[c]}" if c in last else "never") for c in covers
+            }
+    assert not stale, (
+        "excluded rows whose covering family has NO within-cadence "
+        f"driver witness — re-admit a cover or update the covers: {stale}"
+    )
+
+
+def test_roster_is_exactly_at_cap_with_oracles():
+    from jonesy_spark.plans import DRIVER_QUERY_CAP, all_oracle_sql
+
+    roster = driver_queries()
+    assert len(roster) == DRIVER_QUERY_CAP
+    oracles = set(all_oracle_sql())
+    # rows-only roster rows are deliberate and rare: each must be a
+    # non-SQL-expressible op documented in its builder docstring
+    rows_only = sorted(set(roster) - oracles)
+    assert rows_only == ["tokenizer_family_compare"], rows_only

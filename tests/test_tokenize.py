@@ -764,3 +764,48 @@ def test_seed_unigram_distributed_ignores_empty_words(spark):
     assert set(got) == set(want)
     for p in want:
         assert abs(got[p] - want[p]) < 1e-9
+
+
+def test_tokenizer_family_compare_equals_composed_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog ate the cat food"),
+            (3, "banana banana banana split"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["family"]: r
+        for r in T.tokenizer_family_compare(
+            docs, n_merges=8, vocab_size=32, seed_size=64
+        ).collect()
+    }
+    assert set(got) == {"bpe", "unigram"}
+
+    # the fold is the pure composition of the two pinned stats frames
+    merges = T.bpe_train(docs, n_merges=8)
+    pieces = T.unigram_train(docs, vocab_size=32, seed_size=64)
+    for family, stats, tok_col, vocab in [
+        ("bpe", T.bpe_token_stats(docs, merges), "n_bpe_tokens", merges),
+        (
+            "unigram",
+            T.unigram_token_stats(docs, pieces),
+            "n_unigram_tokens",
+            pieces,
+        ),
+    ]:
+        rows = stats.collect()
+        n_docs = len(rows)
+        n_tokens = sum(r[tok_col] for r in rows)
+        n_chars = sum(r["n_chars"] for r in rows)
+        r = got[family]
+        assert r["n_docs"] == n_docs
+        assert r["n_tokens"] == n_tokens
+        assert r["vocab_rows"] == vocab.count()
+        assert r["tokens_per_doc_micro"] == n_tokens * 1_000_000 // n_docs
+        assert (
+            r["chars_per_token_micro"] == n_chars * 1_000_000 // n_tokens
+        )
+        # driver-roster canon: non-null scalar ints/strings only
+        assert all(v is not None for v in r.asDict().values())
