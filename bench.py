@@ -112,6 +112,12 @@ HEADLINE = [
     # users) — cold pays both ledger seeds (session memo), steady
     # prices the two folds + join, the monitoring access pattern
     "sketch_dashboard",
+    # added r10: the per-source data card — one scan + one hash
+    # aggregate, the nightly release artifact (now roster-witnessed)
+    "corpus_card",
+    # added r10: train BOTH tokenizer families + encode the corpus
+    # twice + fold — prices the family-toggle decision frame end to end
+    "tokenizer_family_compare",
 ]
 
 #: The r5-era 21-query set — every HEADLINE row that existed before the
@@ -145,6 +151,8 @@ R5_COMPARABLE = [
         "kmv_overlap_users",
         "unigram_token_stats",
         "sketch_dashboard",
+        "corpus_card",
+        "tokenizer_family_compare",
     }
 ]
 

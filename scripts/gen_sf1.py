@@ -47,6 +47,20 @@ STRIDE = 100_000_000
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dest", default="/tmp/jonesy_sf1")
+    ap.add_argument(
+        "--replicas",
+        type=int,
+        default=REPLICAS,
+        help="replica count (default 10 = sf1); the incremental probe "
+        "uses larger tiers to show rebuild growing while probe stays "
+        "flat",
+    )
+    ap.add_argument(
+        "--tables",
+        nargs="*",
+        default=None,
+        help="subset of fact tables to synthesize (default: all)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -66,13 +80,16 @@ def main() -> None:
         "embeddings": ["vec_id"],
     }
 
-    for name in ("region", "nation"):
+    if args.tables is None or "region" in args.tables or "nation" in args.tables:
+      for name in ("region", "nation"):
         spark.read.parquet(f"{SRC}/{name}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{args.dest}/{name}.parquet")
-        print(f"copied {name}")
+        print(f"copied {name}")  # noqa: E999-indent (guarded block)
 
     for name, keys in id_cols.items():
+        if args.tables is not None and name not in args.tables:
+            continue
         src = spark.read.parquet(f"{SRC}/{name}.parquet")
         bounds = src.select(
             *[F.min(k).alias(f"mn_{k}") for k in keys],
@@ -87,7 +104,7 @@ def main() -> None:
             for k in keys
         ), (name, dict(bounds.asDict()))
         parts = []
-        for r in range(REPLICAS):
+        for r in range(args.replicas):
             rep = src
             for k in keys:
                 rep = rep.withColumn(k, F.col(k) + F.lit(r * STRIDE))
