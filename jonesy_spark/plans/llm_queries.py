@@ -1994,8 +1994,8 @@ def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, one hash-aggregate keyed by source (the digest distinct rides
     the same aggregation); every column integer or string — the
     dashboard row a 100 TB corpus prints nightly next to the sketch
-    ledgers' incremental answers. Registry row now; r10 roster
-    candidate (roster full at 50)."""
+    ledgers' incremental answers. On the driver roster since r10
+    (VERDICT r9 #1)."""
     from ..operators.hygiene import content_digest
     from ..operators.stats import doc_quality_micro
 
