@@ -561,18 +561,24 @@ def attach_ppm_payload(df: DataFrame, side: int = PPM_FIXTURE_SIDE) -> DataFrame
     the vendored codec must parse byte-for-byte."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         from . import codecs
 
+        # closed forms of (doc_id, x, y) — vectorized, byte-identical
+        # to the per-pixel encode_ppm path (test-pinned)
+        ys, xs = np.mgrid[0:side, 0:side]
         for pdf in batches:
             payloads = []
             for d in pdf["doc_id"]:
                 d = int(d)
-                rgb = [
-                    ((13 * x + d) % 256, (7 * y + d) % 256, (x + y) % 256)
-                    for y in range(side)
-                    for x in range(side)
-                ]
-                payloads.append(codecs.encode_ppm(side, side, rgb))
+                raster = np.stack(
+                    [(13 * xs + d) % 256, (7 * ys + d) % 256, (xs + ys) % 256],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(
+                    codecs.encode_ppm_raw(side, side, raster.tobytes())
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -601,25 +607,29 @@ def attach_ppm_near_dup_payload(
     :func:`media_near_dup` (real codec) must recover."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         from . import codecs
 
+        ys, xs = np.mgrid[0:side, 0:side]
         for pdf in batches:
             payloads = []
             for d in pdf["doc_id"]:
                 d = int(d)
                 base, delta = d - d % 2, d % 2
-                rgb = [
-                    (
-                        (13 * x + base) % 256,
-                        (7 * y + base) % 256,
-                        (x * y + base * x
-                         + (200 * delta if x == 0 and y == 0 else 0))
-                        % 256,
-                    )
-                    for y in range(side)
-                    for x in range(side)
-                ]
-                payloads.append(codecs.encode_ppm(side, side, rgb))
+                blue = (xs * ys + base * xs) % 256
+                raster = np.stack(
+                    [(13 * xs + base) % 256, (7 * ys + base) % 256, blue],
+                    axis=-1,
+                ).astype(np.uint8)
+                # the odd member's single blue-channel perturbation at
+                # pixel (0, 0), mod-wrapped — same closed form as the
+                # per-pixel path
+                if delta:
+                    raster[0, 0, 2] = (int(raster[0, 0, 2]) + 200) % 256
+                payloads.append(
+                    codecs.encode_ppm_raw(side, side, raster.tobytes())
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -653,10 +663,11 @@ def ppm_features(df: DataFrame) -> DataFrame:
             dims, feats, hashes = [], [], []
             for p, m in zip(pdf["payload"], pdf["mime"]):
                 payload = bytes(p)
-                w, h, rgb = codecs.decode_ppm(payload)
-                gray = codecs.luma(rgb)
-                thumb = codecs.nearest_resize(gray, w, h, 8, 8)
-                feats.append([(2_000_000 * g + 255) // 510 for g in thumb])
+                w, h, grid = codecs.ppm_luma_grid(payload)
+                thumb = codecs.resize_grid(grid, w, h, 8, 8).ravel()
+                feats.append(
+                    ((2_000_000 * thumb.astype("int64") + 255) // 510).tolist()
+                )
                 hashes.append(perceptual_hash(payload, fake=False, mime=m))
                 dims.append((w, h))
             yield pd.DataFrame(
@@ -820,24 +831,28 @@ def attach_ppm_video_payload(
     animation convention) plus typed metadata."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         from . import codecs
 
+        ys, xs = np.mgrid[0:side, 0:side]
         for pdf in batches:
             payloads = []
             for d in pdf["doc_id"]:
                 d = int(d)
                 chunks = []
                 for f in range(n_frames):
-                    rgb = [
-                        (
-                            (13 * x + 5 * f + d) % 256,
-                            (7 * y + 3 * f + d) % 256,
-                            (x + y + f) % 256,
-                        )
-                        for y in range(side)
-                        for x in range(side)
-                    ]
-                    chunks.append(codecs.encode_ppm(side, side, rgb))
+                    raster = np.stack(
+                        [
+                            (13 * xs + 5 * f + d) % 256,
+                            (7 * ys + 3 * f + d) % 256,
+                            (xs + ys + f) % 256,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    chunks.append(
+                        codecs.encode_ppm_raw(side, side, raster.tobytes())
+                    )
                 payloads.append(b"".join(chunks))
             yield pd.DataFrame(
                 {
@@ -870,8 +885,11 @@ def attach_shifted_video_payload(
     code."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         from . import codecs
 
+        ys, xs = np.mgrid[0:side, 0:side]
         for pdf in batches:
             payloads = []
             for d in pdf["doc_id"]:
@@ -885,16 +903,17 @@ def attach_shifted_video_payload(
                     # decorrelate ACROSS sequences, while a pair's two
                     # clips (same base) stay pixel-identical on their
                     # overlapping underlying frames
-                    rgb = [
-                        (
-                            (13 * x + 5 * u + base) % 256,
-                            (7 * y + 3 * u + base) % 256,
-                            (x * y + base * x + u) % 256,
-                        )
-                        for y in range(side)
-                        for x in range(side)
-                    ]
-                    chunks.append(codecs.encode_ppm(side, side, rgb))
+                    raster = np.stack(
+                        [
+                            (13 * xs + 5 * u + base) % 256,
+                            (7 * ys + 3 * u + base) % 256,
+                            (xs * ys + base * xs + u) % 256,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    chunks.append(
+                        codecs.encode_ppm_raw(side, side, raster.tobytes())
+                    )
                 payloads.append(b"".join(chunks))
             yield pd.DataFrame(
                 {
@@ -1031,22 +1050,25 @@ def video_features(df: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import codecs
 
+        import numpy as np
+
         for pdf in batches:
             counts, hashes, lumas = [], [], []
             for p in pdf["payload"]:
-                frames = codecs.decode_ppm_stream(bytes(p))
+                frames = codecs.ppm_stream_luma_grids(bytes(p))
                 fh, ml = [], []
-                for w, h, rgb in frames:
-                    gray = codecs.luma(rgb)
-                    px = codecs.nearest_resize(gray, w, h, 9, 8)
-                    hv = 0
-                    for r in range(8):
-                        for c in range(8):
-                            hv = (hv << 1) | (
-                                1 if px[r * 9 + c + 1] > px[r * 9 + c] else 0
-                            )
+                for w, h, grid in frames:
+                    px = codecs.resize_grid(grid, w, h, 9, 8)
+                    # vectorized dHash: the 8x8 right-neighbor
+                    # comparisons packed MSB-first in row-major order —
+                    # bit-identical to the shift loop (packbits fills
+                    # each byte MSB-first, bytes concatenate big-endian)
+                    bits = (px[:, 1:9] > px[:, 0:8]).reshape(-1)
+                    hv = int.from_bytes(
+                        np.packbits(bits.astype(np.uint8)).tobytes(), "big"
+                    )
                     fh.append(hv - (1 << 64) if hv >= (1 << 63) else hv)
-                    ml.append(sum(gray) // len(gray))
+                    ml.append(int(grid.sum(dtype=np.int64)) // (w * h))
                 counts.append(len(frames))
                 hashes.append(fh)
                 lumas.append(ml)

@@ -36,6 +36,18 @@ def encode_ppm(width: int, height: int, rgb: list[tuple[int, int, int]]) -> byte
     return header + body
 
 
+def encode_ppm_raw(width: int, height: int, raster: bytes) -> bytes:
+    """Serialize an already-packed row-major RGB raster as binary
+    ``P6`` — the zero-copy sibling of :func:`encode_ppm` for callers
+    that build the raster as a numpy array (``.tobytes()``); both emit
+    byte-identical payloads for the same pixels (test-pinned)."""
+    if len(raster) != 3 * width * height:
+        raise ValueError(
+            f"expected {3 * width * height} raster bytes, got {len(raster)}"
+        )
+    return f"P6\n{width} {height}\n255\n".encode() + raster
+
+
 def _read_header_tokens(payload: bytes, n_tokens: int) -> tuple[list[int], int]:
     """Read ``n_tokens`` whitespace-separated integer tokens after the
     magic, honoring ``#`` comment lines (the Netpbm header grammar).
@@ -112,6 +124,97 @@ def luma(rgb: list[tuple[int, int, int]]) -> list[int]:
     return [(299 * r + 587 * g + 114 * b) // 1000 for r, g, b in rgb]
 
 
+# --- vectorized luma-grid fast path ---------------------------------
+#
+# The per-pixel Python above is exact but was the throughput ceiling
+# at the Arrow codec boundary (a 32x32 frame is 3 072 bytes; the tuple
+# list + three list comprehensions per frame dominated the
+# multimodal_* bench rows). The helpers below compute the SAME
+# integers — BT.601 parts-per-thousand floor luma, floor-rule nearest
+# resize, identical validation errors — on numpy int arrays, and the
+# equality is pinned per payload class in tests/test_multimodal.py.
+
+
+def _p6_luma_grid(payload: bytes):
+    """(width, height, int32 luma grid [h, w]) for one validated P6
+    payload — same header parsing, truncation and maxval errors as
+    :func:`decode_ppm`, no per-pixel tuples."""
+    import numpy as np
+
+    (width, height, maxval), offset = _read_header_tokens(payload, 3)
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad PPM dimensions {width}x{height}")
+    if not 0 < maxval <= 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (need 1..255)")
+    n = width * height
+    raster = np.frombuffer(payload, dtype=np.uint8, offset=offset)
+    if raster.size < 3 * n:
+        raise ValueError(
+            f"truncated P6 raster: need {3 * n} bytes, got {raster.size}"
+        )
+    px = raster[: 3 * n].reshape(n, 3).astype(np.int32)
+    if maxval < 255:
+        over = (px > maxval).any(axis=1)
+        if over.any():
+            bad = tuple(int(v) for v in px[int(np.argmax(over))])
+            raise ValueError(f"pixel {bad} exceeds declared maxval {maxval}")
+    gray = (299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2]) // 1000
+    return width, height, gray.reshape(height, width)
+
+
+def ppm_luma_grid(payload: bytes):
+    """(width, height, int32 luma grid) for a PPM payload: the numpy
+    fast path for P6, the tuple decoder for P3 (ASCII payloads are a
+    quarantine-edge format, never the volume path)."""
+    import numpy as np
+
+    magic = payload[:2]
+    if magic == b"P6":
+        return _p6_luma_grid(payload)
+    w, h, rgb = decode_ppm(payload)  # validates magic too
+    return w, h, np.asarray(luma(rgb), dtype=np.int32).reshape(h, w)
+
+
+def resize_grid(grid, w: int, h: int, tw: int, th: int):
+    """Vectorized :func:`nearest_resize` — the identical floor rule
+    ``src = (dst * src_dim) // dst_dim`` as fancy indexing."""
+    import numpy as np
+
+    rows = (np.arange(th) * h) // th
+    cols = (np.arange(tw) * w) // tw
+    return grid[np.ix_(rows, cols)]
+
+
+def ppm_stream_luma_grids(payload: bytes):
+    """The concatenated-P6 frame walker on the fast path:
+    ``[(w, h, int32 luma grid)]`` with :func:`decode_ppm_stream`'s
+    exact error surface (offset-stamped magic check, per-frame maxval
+    and truncation, empty-stream rejection)."""
+    frames = []
+    pos = 0
+    while pos < len(payload):
+        chunk = payload[pos:]
+        if chunk[:2] != b"P6":
+            raise ValueError(
+                f"frame {len(frames)}: not a P6 frame at offset {pos} "
+                f"(magic {chunk[:2]!r})"
+            )
+        (w, h, maxval), offset = _read_header_tokens(chunk, 3)
+        if not 0 < maxval <= 255:
+            raise ValueError(f"frame {len(frames)}: bad maxval {maxval}")
+        end = offset + 3 * w * h
+        if len(chunk) < end:
+            raise ValueError(
+                f"frame {len(frames)}: truncated raster "
+                f"({len(chunk)} < {end})"
+            )
+        frames.append(_p6_luma_grid(chunk[:end]))
+        pos += end
+    if not frames:
+        raise ValueError("empty PPM stream")
+    return frames
+
+
 def nearest_resize(
     gray: list[int], width: int, height: int, tw: int, th: int
 ) -> list[int]:
@@ -129,9 +232,11 @@ def nearest_resize(
 
 def ppm_grayscale_thumb(payload: bytes, tw: int, th: int) -> list[int]:
     """Decode + luma + nearest-resize in one call: the shared front end
-    of the feature and dHash paths."""
-    width, height, rgb = decode_ppm(payload)
-    return nearest_resize(luma(rgb), width, height, tw, th)
+    of the feature and dHash paths. Rides the vectorized luma-grid
+    path (same integers as decode_ppm + luma + nearest_resize — the
+    equality is test-pinned)."""
+    width, height, grid = ppm_luma_grid(payload)
+    return resize_grid(grid, width, height, tw, th).ravel().tolist()
 
 
 # --- WAV / PCM: the audio modality's vendored codec -----------------

@@ -717,3 +717,74 @@ def test_incremental_media_dedup_index_round_trip(spark, tmp_path):
         for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
     }
     assert idx_docs == {0, 1, 2, 3, 4, 5, 201, 202}
+
+
+def test_vectorized_luma_grid_equals_tuple_decoder():
+    """The numpy fast path (r10) computes the SAME integers as
+    decode_ppm + luma + nearest_resize, P6 and P3 alike, including the
+    validation error surface — pixel work moved off per-pixel Python
+    without moving a single bit."""
+    from jonesy_spark.multimodal import codecs as C
+
+    # non-square P6 with varied channels
+    w, h = 7, 5
+    rgb = [((13 * i) % 256, (7 * i + 3) % 256, (251 * i) % 256)
+           for i in range(w * h)]
+    p6 = C.encode_ppm(w, h, rgb)
+    gw, gh, grid = C.ppm_luma_grid(p6)
+    assert (gw, gh) == (w, h)
+    assert grid.reshape(-1).tolist() == C.luma(rgb)
+    for tw, th in ((8, 8), (9, 8), (3, 2)):
+        assert (
+            C.resize_grid(grid, w, h, tw, th).reshape(-1).tolist()
+            == C.nearest_resize(C.luma(rgb), w, h, tw, th)
+        )
+        assert C.ppm_grayscale_thumb(p6, tw, th) == C.nearest_resize(
+            C.luma(rgb), w, h, tw, th
+        )
+
+    # P3 falls back to the tuple decoder with identical output
+    p3 = ("P3\n%d %d\n255\n" % (w, h)).encode() + " ".join(
+        str(c) for px in rgb for c in px
+    ).encode()
+    _, _, grid3 = C.ppm_luma_grid(p3)
+    assert grid3.tolist() == grid.tolist()
+
+    # error surface parity
+    with pytest.raises(ValueError, match="truncated P6"):
+        C.ppm_luma_grid(p6[:-2])
+    low = b"P6\n2 1\n10\n" + bytes([5, 5, 5, 11, 5, 5])
+    with pytest.raises(ValueError, match="exceeds declared maxval"):
+        C.ppm_luma_grid(low)
+    with pytest.raises(ValueError, match="not a PPM payload"):
+        C.ppm_luma_grid(b"XX rubbish")
+
+
+def test_vectorized_stream_walker_equals_tuple_walker():
+    from jonesy_spark.multimodal import codecs as C
+
+    frames = []
+    for f in range(3):
+        rgb = [((i + f) % 256, (2 * i) % 256, f) for i in range(12)]
+        frames.append(C.encode_ppm(4, 3, rgb))
+    stream = b"".join(frames)
+    fast = C.ppm_stream_luma_grids(stream)
+    slow = C.decode_ppm_stream(stream)
+    assert len(fast) == len(slow) == 3
+    for (fw, fh, grid), (sw, sh, rgb) in zip(fast, slow):
+        assert (fw, fh) == (sw, sh)
+        assert grid.reshape(-1).tolist() == C.luma(rgb)
+    with pytest.raises(ValueError, match="truncated raster"):
+        C.ppm_stream_luma_grids(stream[:-3])
+    with pytest.raises(ValueError, match="empty PPM stream"):
+        C.ppm_stream_luma_grids(b"")
+
+
+def test_encode_ppm_raw_matches_tuple_encoder():
+    from jonesy_spark.multimodal import codecs as C
+
+    rgb = [(i % 256, (3 * i) % 256, (5 * i) % 256) for i in range(6)]
+    raw = bytes(c for px in rgb for c in px)
+    assert C.encode_ppm_raw(3, 2, raw) == C.encode_ppm(3, 2, rgb)
+    with pytest.raises(ValueError, match="raster bytes"):
+        C.encode_ppm_raw(3, 2, raw[:-1])
