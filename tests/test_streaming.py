@@ -1004,3 +1004,57 @@ def test_streamed_doc_stats_feed_incremental_corpus_card(spark, tmp_path):
     assert sorted(map(tuple, incremental.select(*cols).collect())) == sorted(
         map(tuple, scan.collect())
     )
+
+
+def test_sketch_stream_available_now_rate_limited_backfill(spark, tmp_path):
+    """The bounded-backfill drain (r10): a landing directory holding
+    several files drains under Trigger.AvailableNow with
+    maxFilesPerTrigger=1 — one idempotent ledger epoch PER FILE rather
+    than one history-sized batch, the query stops itself when caught
+    up, the fold equals the single-pass sketch (cut-invariance makes
+    the epoch granularity a free choice), and an immediate re-run
+    drains nothing new."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.catalog import Catalog
+    from jonesy_spark.operators import stats as ST
+    from jonesy_spark.streaming.incremental import dir_stream, run_sketch_stream
+
+    events = Catalog(spark, "/root/testdata/sf0.001").events.filter(
+        F.col("user_id").isNotNull()
+    )
+    stage = str(tmp_path / "stage")
+    events.repartition(4).write.mode("overwrite").parquet(stage)
+    n_files = len(glob.glob(f"{stage}/part-*.parquet"))
+    assert n_files == 4
+
+    idx, ckpt = str(tmp_path / "cms"), str(tmp_path / "ck")
+    batch_fn = lambda b: ST.cms_sketch_batch(b, "user_id", d=4, w=256)
+    run_sketch_stream(
+        dir_stream(spark, stage, events.schema, max_files_per_trigger=1),
+        idx, ckpt, batch_fn, available_now=True,
+    )
+    epochs = {
+        p.split("ingest_batch=")[1].split("/")[0]
+        for p in glob.glob(f"{idx}/ingest_batch=*")
+    }
+    assert len(epochs) == n_files, epochs  # one rate-limited epoch per file
+
+    got = sorted(map(tuple, ST.cms_fold(spark, idx).collect()))
+    want = sorted(
+        map(tuple, ST.cms_sketch_batch(events, "user_id", d=4, w=256).collect())
+    )
+    assert got == want
+
+    # caught up: a re-run terminates on its own and lands nothing new
+    run_sketch_stream(
+        dir_stream(spark, stage, events.schema, max_files_per_trigger=1),
+        idx, ckpt, batch_fn, available_now=True,
+    )
+    after = {
+        p.split("ingest_batch=")[1].split("/")[0]
+        for p in glob.glob(f"{idx}/ingest_batch=*")
+    }
+    assert after == epochs
