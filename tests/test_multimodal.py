@@ -788,3 +788,46 @@ def test_encode_ppm_raw_matches_tuple_encoder():
     assert C.encode_ppm_raw(3, 2, raw) == C.encode_ppm(3, 2, rgb)
     with pytest.raises(ValueError, match="raster bytes"):
         C.encode_ppm_raw(3, 2, raw[:-1])
+
+
+def test_vectorized_codec_property_equals_tuple_decoder():
+    """Hypothesis pin for the r10 fast path: on ARBITRARY image
+    dimensions, pixel values and thumb targets, the numpy luma grid +
+    vectorized resize compute byte-for-byte what decode_ppm + luma +
+    nearest_resize compute — including through a multi-frame stream."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jonesy_spark.multimodal import codecs as C
+
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        tw=st.integers(1, 10),
+        th=st.integers(1, 10),
+        data=st.data(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def prop(w, h, tw, th, data):
+        rgb = [
+            tuple(data.draw(st.integers(0, 255)) for _ in range(3))
+            for _ in range(w * h)
+        ]
+        payload = C.encode_ppm(w, h, rgb)
+        gw, gh, grid = C.ppm_luma_grid(payload)
+        assert (gw, gh) == (w, h)
+        assert grid.reshape(-1).tolist() == C.luma(rgb)
+        assert (
+            C.resize_grid(grid, w, h, tw, th).reshape(-1).tolist()
+            == C.nearest_resize(C.luma(rgb), w, h, tw, th)
+        )
+        # two-frame stream: walker parity with the tuple walker
+        stream = payload + payload
+        fast = C.ppm_stream_luma_grids(stream)
+        slow = C.decode_ppm_stream(stream)
+        assert len(fast) == len(slow) == 2
+        for (fw, fh, g), (_, _, srgb) in zip(fast, slow):
+            assert (fw, fh) == (w, h)
+            assert g.reshape(-1).tolist() == C.luma(srgb)
+
+    prop()
