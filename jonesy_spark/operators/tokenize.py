@@ -1118,15 +1118,37 @@ def tokenizer_family_compare(
     ratios are exact decimal rationals floored to micro-units, so the
     comparison is bit-stable across runs and engines.
 
-    Scale shape: two :func:`word_counts` passes (one per trainer —
-    Zipf-bounded driver collects), two Arrow-batched encode passes,
-    and two single-row hash aggregates; nothing corpus-sized ever
-    reaches the driver. The per-family stats frames themselves are
-    pytest-pinned (Viterbi/merge-replay differentials); this fold is
-    their pure composition."""
-    merges = bpe_train(docs, n_merges=n_merges, text_col=text_col)
-    pieces = unigram_train(
-        docs, vocab_size=vocab_size, seed_size=seed_size, text_col=text_col
+    Scale shape: ONE shared :func:`word_counts` pass (both trainers
+    consume the same Zipf-capped top-words collect — the job path's
+    sharing, and exactly the table each trainer would have built
+    alone, so the trained artifacts are identical to separate
+    training; the composition test pins that), two Arrow-batched
+    encode passes, and two single-row hash aggregates; nothing
+    corpus-sized ever reaches the driver. The per-family stats frames
+    themselves are pytest-pinned (Viterbi/merge-replay
+    differentials); this fold is their pure composition."""
+    spark = docs.sparkSession
+    top = (
+        word_counts(docs, text_col)
+        .orderBy(F.col("count").desc(), "word")
+        .limit(100_000)
+        .collect()
+    )
+    merges = spark.createDataFrame(
+        _train_bpe_py(
+            [(list(r["word"]), r["count"]) for r in top], n_merges, 2
+        ),
+        MERGES_SCHEMA,
+    )
+    uni_pieces, _ = _train_unigram_py(
+        [(r["word"], r["count"]) for r in top],
+        vocab_size,
+        8,
+        seed_size,
+    )
+    pieces = spark.createDataFrame(
+        [(p, int(round(lp * 1_000_000))) for p, lp in uni_pieces],
+        PIECES_SCHEMA,
     )
 
     def fold(stats: DataFrame, tok_col: str, family: str, vocab_rows: int):
