@@ -1155,8 +1155,11 @@ def tokenizer_family_compare(
         return (
             stats.agg(
                 F.count(F.lit(1)).alias("n_docs"),
-                F.sum(tok_col).alias("n_tokens"),
-                F.sum("n_chars").alias("n_chars"),
+                # coalesce: SUM over zero rows is NULL, and the driver
+                # roster canon requires every column non-null — an
+                # empty corpus must fold to 0-token rows, not nulls
+                F.coalesce(F.sum(tok_col), F.lit(0)).alias("n_tokens"),
+                F.coalesce(F.sum("n_chars"), F.lit(0)).alias("n_chars"),
             )
             .select(
                 F.lit(family).alias("family"),

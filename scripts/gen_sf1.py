@@ -80,12 +80,13 @@ def main() -> None:
         "embeddings": ["vec_id"],
     }
 
-    if args.tables is None or "region" in args.tables or "nation" in args.tables:
-      for name in ("region", "nation"):
+    for name in ("region", "nation"):
+        if args.tables is not None and name not in args.tables:
+            continue
         spark.read.parquet(f"{SRC}/{name}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{args.dest}/{name}.parquet")
-        print(f"copied {name}")  # noqa: E999-indent (guarded block)
+        print(f"copied {name}")
 
     for name, keys in id_cols.items():
         if args.tables is not None and name not in args.tables:

@@ -766,6 +766,17 @@ def test_seed_unigram_distributed_ignores_empty_words(spark):
         assert abs(got[p] - want[p]) < 1e-9
 
 
+def test_tokenizer_family_compare_rejects_empty_corpus(spark):
+    # r10 ADVICE: the fold's sums are coalesced to 0 so the frame can
+    # never carry null counters; the trainers additionally fail fast
+    # with a named error before an all-empty corpus reaches the fold
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty corpus"):
+        T.tokenizer_family_compare(
+            empty, n_merges=4, vocab_size=16, seed_size=32
+        )
+
+
 def test_tokenizer_family_compare_equals_composed_stats(spark):
     docs = spark.createDataFrame(
         [
