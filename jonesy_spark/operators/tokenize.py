@@ -1101,6 +1101,46 @@ def _ratio_micro(num: Column, den: Column) -> Column:
     )
 
 
+def tokenizer_family_fold(stats: DataFrame) -> DataFrame:
+    """Fold a family-tagged per-document stats frame — ``(family,
+    vocab_rows, doc_id, n_tokens, n_chars)`` — to the one-row-per-family
+    decision frame ``(family, vocab_rows, n_docs, n_tokens,
+    tokens_per_doc_micro, chars_per_token_micro)``.
+
+    This is the EXACT aggregation :func:`tokenizer_family_compare`
+    applies to its freshly-trained stats (the compare calls this), split
+    out so the fold is independently checkable: given pinned stats
+    frames (the trainers are deterministic, so pytest pins them as
+    parquet fixtures), the fold is plain SQL and carries a DuckDB oracle
+    on the driver roster (``plans.llm_queries.tokenizer_family_fold``),
+    while iterative training itself stays pytest-pinned. One hash
+    aggregate, |families| output rows; ratios are exact decimal
+    rationals floored to micro-units (bit-stable across engines)."""
+    return (
+        stats.groupBy("family")
+        .agg(
+            F.min("vocab_rows").cast("long").alias("vocab_rows"),
+            F.count(F.lit(1)).alias("n_docs"),
+            # coalesce: SUM over zero rows is NULL; the roster canon
+            # requires non-null integer columns (r10 ADVICE)
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).alias("n_chars"),
+        )
+        .select(
+            "family",
+            "vocab_rows",
+            "n_docs",
+            "n_tokens",
+            _ratio_micro(
+                F.col("n_tokens"), F.greatest(F.col("n_docs"), F.lit(1))
+            ).alias("tokens_per_doc_micro"),
+            _ratio_micro(
+                F.col("n_chars"), F.greatest(F.col("n_tokens"), F.lit(1))
+            ).alias("chars_per_token_micro"),
+        )
+    )
+
+
 def tokenizer_family_compare(
     docs: DataFrame,
     n_merges: int = 64,
@@ -1123,10 +1163,12 @@ def tokenizer_family_compare(
     sharing, and exactly the table each trainer would have built
     alone, so the trained artifacts are identical to separate
     training; the composition test pins that), two Arrow-batched
-    encode passes, and two single-row hash aggregates; nothing
-    corpus-sized ever reaches the driver. The per-family stats frames
-    themselves are pytest-pinned (Viterbi/merge-replay
-    differentials); this fold is their pure composition."""
+    encode passes, and one 2-group hash aggregate
+    (:func:`tokenizer_family_fold`); nothing corpus-sized ever reaches
+    the driver. The per-family stats frames themselves are
+    pytest-pinned (Viterbi/merge-replay differentials); the fold is
+    their pure composition and is additionally oracle-checked over
+    pinned stats fixtures via ``plans.llm_queries``."""
     spark = docs.sparkSession
     top = (
         word_counts(docs, text_col)
@@ -1151,46 +1193,31 @@ def tokenizer_family_compare(
         PIECES_SCHEMA,
     )
 
-    def fold(stats: DataFrame, tok_col: str, family: str, vocab_rows: int):
-        return (
-            stats.agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                # coalesce: SUM over zero rows is NULL, and the driver
-                # roster canon requires every column non-null — an
-                # empty corpus must fold to 0-token rows, not nulls
-                F.coalesce(F.sum(tok_col), F.lit(0)).alias("n_tokens"),
-                F.coalesce(F.sum("n_chars"), F.lit(0)).alias("n_chars"),
-            )
-            .select(
-                F.lit(family).alias("family"),
-                F.lit(vocab_rows).cast("long").alias("vocab_rows"),
-                F.col("n_docs"),
-                F.col("n_tokens"),
-                _ratio_micro(
-                    F.col("n_tokens"), F.greatest(F.col("n_docs"), F.lit(1))
-                ).alias("tokens_per_doc_micro"),
-                _ratio_micro(
-                    F.col("n_chars"), F.greatest(F.col("n_tokens"), F.lit(1))
-                ).alias("chars_per_token_micro"),
-            )
+    def tag(stats: DataFrame, tok_col: str, family: str, vocab_rows: int):
+        return stats.select(
+            F.lit(family).alias("family"),
+            F.lit(vocab_rows).cast("long").alias("vocab_rows"),
+            "doc_id",
+            F.col(tok_col).alias("n_tokens"),
+            "n_chars",
         )
 
     # vocab_rows: trained-artifact sizes — both tables are driver-sized
     # by construction (merge cap / shrink target), so count() is a
     # bounded metadata read, not a data scan
-    bpe = fold(
+    bpe = tag(
         bpe_token_stats(docs, merges, text_col=text_col),
         "n_bpe_tokens",
         "bpe",
         merges.count(),
     )
-    uni = fold(
+    uni = tag(
         unigram_token_stats(docs, pieces, text_col=text_col),
         "n_unigram_tokens",
         "unigram",
         pieces.count(),
     )
-    return bpe.unionByName(uni)
+    return tokenizer_family_fold(bpe.unionByName(uni))
 
 
 def write_unigram_tokenizer(pieces: DataFrame, path: str) -> int:

@@ -41,55 +41,27 @@ DRIVER_QUERY_CAP = 50
 DRIVER_EXCLUDED = {
     # ---- standing exclusions (strict semantic subsets of retained rows,
     # or registry-only by design) -------------------------------------
-    # Same lag + running-sum sessionization as events_sessionization minus
-    # the session_nbr column — green events_sessionization implies it.
-    "events_session_native",
-    # Inverse of pivot_event_counts over the same grouping; the pivot
-    # family's Expand/conditional-aggregate plan stays driver-checked via
-    # set_operations (re-admitted r7) and profile_table.
-    "unpivot_event_counts",
-    # cube_agg's grouping sets are a strict superset of rollup_agg's
-    # hierarchy (cube itself rotates out r7; the Expand plan family stays
-    # driver-checked via set_operations' EXCEPT/INTERSECT lowering and
-    # profile_table's distinct aggregates).
-    "rollup_agg",
+    # (events_session_native, unpivot_event_counts, rollup_agg,
+    # semi_anti_joins, doc_fingerprints, token_counts, distinct_counts,
+    # corpus_split, ann_cosine_topk, doc_chunking, events_tumbling_window
+    # and mixture_sample re-admitted r11: the rotation-floor rule
+    # (VERDICT r10 #1, mechanized in coverage_ledger.floor_due +
+    # tests/test_rotation.py) puts the FLOOR_K oldest-witnessed
+    # oracle-ready rows back on the roster every round — this batch is
+    # the r1/r3/r4/r5 cohort, all pre-verified via driver_sim at sf0.01
+    # and sf0.1 before the swap.)
     # (timestamp_formats re-admitted r9 per the two-round §2 cadence —
     # F3/F18/F19's own row was r3-stale, the oldest witness in the
-    # registry; see the r9 block at the bottom for this round's
-    # rotations out.)
-    # left-semi/left-anti stay driver-checked via the dedup/mixture
-    # anti-join probes (contamination, quota_sample retained); EXISTS
-    # forms keep pytest.
-    "semi_anti_joins",
-    # md5-expression composites over text — family driver-checked via
-    # dedup_exact + dedup_minhash_lsh; winnowing window keeps pytest.
-    "doc_fingerprints",
-    # whitespace/subtoken counts — stay driver-checked via
-    # token_budget_prune (whitespace counts feed the budget) and
-    # quality_filter; ceil(len/4) member keeps its pytest differential.
-    "token_counts",
+    # registry; rotated out again r11 after fresh r9+r10 greens.)
     # (active_day_codes re-admitted r8 per the two-round §2 cadence —
     # r4-stale; see the r8 section at the bottom for this round's
     # rotations out.)
-    # Expand + two-phase distinct-aggregate stays driver-checked via
-    # profile_table (countDistinct per column); pytest kept.
-    "distinct_counts",
-    # md5 split thresholds subsumed by quota_sample (admitted r7) and
-    # the mixture family's draw; pytest differential kept.
-    "corpus_split",
     # composite recomputed expression-for-expression inside the retained
     # quality_filter row (and now hashed as integer micro-units there).
     "text_quality_score",
     # explode + group-count + rank-window family driver-checked via
     # bm25_search (token explode + per-doc aggregation + rank cut).
     "top_tokens_per_lang",
-    # brute-force rounded-dot family driver-checked via
-    # embedding_near_dup (exact verification over probed cells); the
-    # per-query rank window via hybrid_search's channel ranks.
-    "ann_cosine_topk",
-    # sequence-explode + substring-window family inside
-    # dedup_minhash_lsh / contamination gram generation; pytest kept.
-    "doc_chunking",
     # (catalog_number_parsing and running_total re-admitted r8 per the
     # two-round §2 cadence — r4/r5-stale.)
     # REGISTRY-ONLY by design: int8-scan + exact-float-rerank ANN. No
@@ -119,13 +91,6 @@ DRIVER_EXCLUDED = {
     # never-witnessed stays at zero.)
     # (topk_per_group_price re-admitted r8 per the two-round §2
     # cadence — r5-stale.)
-    # md5-Bernoulli draw via quota_sample (admitted r7, same draw with
-    # exact per-stratum counts) and diversity_sample's cell draw.
-    "mixture_sample",
-    # time-bucket arithmetic via resample_interpolate (floor-to-step
-    # slots + grid); the streaming twin keeps window() pinned with
-    # batch-parity tests.
-    "events_tumbling_window",
     # percentile-aggregate family via quality_filter's percentile gate;
     # exact-interpolation members keep their pytest differential
     # (micro-unit outputs since r7).
@@ -384,6 +349,72 @@ DRIVER_EXCLUDED = {
     # rank-cut) and the sketch tier's dashboard; the ±n/k error bound
     # and merge fold keep their pytest differentials.
     "mg_heavy_hitters",
+    # ---- rotated out r11: 14 slots freed for the rotation-floor batch
+    # (the 12 oldest-witnessed rows, VERDICT r10 #1) plus the two new
+    # rows tokenizer_family_fold (oracle-backed fold companion, VERDICT
+    # r10 #6) and skew_salted_join (salted skew-join witness, VERDICT
+    # r10 #7). Every row below holds a FRESH r10 driver green (the five
+    # §2 re-admissions took the greens the r9 verdict ordered) and
+    # keeps its full pytest DuckDB differential; per the cadence each
+    # is due back by r13. ------------------------------------------
+    #
+    # rows-only training row: its FOLD is now oracle-checked on the
+    # roster as tokenizer_family_fold (same aggregate over the pinned
+    # stats fixture); training keeps its pytest differentials (merge
+    # replay, Viterbi == exhaustive, concat round-trips), so the
+    # driver-checkable surface strictly grew.
+    "tokenizer_family_compare",
+    # J2 5-key composite inner join: witness r10; the composite-key
+    # equi-join family stays via term_courses (retained — the J7/J8
+    # 5-key composite left-outer chain) + range_join_calendar.
+    "composite_key_join",
+    # J10 latest-version epoch sentinel: witness r10; the
+    # latest-wins-window family stays via latest_order_per_customer
+    # (retained flagship greatest-n-per-group).
+    "latest_event_version",
+    # P9 watermark incremental: witness r10; the watermark predicate
+    # family stays via recent_instructor_updates (retained — the same
+    # last-N-days incremental shape over the SIS fixtures); streaming
+    # twin keeps batch-parity tests.
+    "watermark_incremental",
+    # S3/O6 ROWNUM offset+limit window: witness r10; the rank/limit
+    # window family stays via current_terms_topk (retained rank cut).
+    "pagination_window",
+    # §2.7 UNION/INTERSECT/EXCEPT: witness r10; the set-op lowering
+    # (Expand/aggregate dedup shapes) stays via the re-admitted
+    # rollup_agg + distinct_counts Expand-family rows.
+    "set_operations",
+    # corpus card: first witness r10; the one-scan doc-stats hash-agg
+    # stays via token_budget_prune (retained whitespace/token counts)
+    # and the ledger twin via sketch_dashboard (retained).
+    "corpus_card",
+    # F18/F19 ts formats: witnesses r9+r10; the scalar timestamp family
+    # stays via scalar_functions_suite (retained).
+    "timestamp_formats",
+    # O4 CASE priority ordering: witnesses r9+r10; ordering family
+    # stays via basic_attributes + recent_instructor_updates (both
+    # retained, O1-O5 witnesses).
+    "priority_ordered_extract",
+    # vendored-WAV decoded near-dup: witnesses r9+r10; the decoded
+    # media dHash machinery stays via image_near_dup +
+    # multimodal_real_codec (both retained).
+    "audio_near_dup",
+    # frame-container decoded near-dup: witnesses r9+r10; same family
+    # note — image_near_dup + multimodal_real_codec retained.
+    "video_near_dup",
+    # hopping-window agg: witness r10; the hop/range window family
+    # stays via trailing_range_stats (retained range frames) and
+    # sketch_dashboard's windowed panels; streaming twin keeps
+    # batch-parity tests.
+    "events_sliding_window",
+    # rolling z-score flags: witnesses r9+r10; the per-key rolling
+    # mean/std range-window family stays via trailing_range_stats
+    # (retained — the same RANGE BETWEEN frames).
+    "anomaly_flags",
+    # population-stability index: witness r10; the binned-share compare
+    # family stays via quality_filter + quality_classifier (both
+    # retained; the classifier row carries the same score-binning).
+    "quality_psi",
 }
 
 #: Excluded rows whose correctness is pinned by pytest ALONE, by
@@ -404,29 +435,17 @@ PYTEST_ONLY_BY_DESIGN = {
 #: two-round cadence — so a justification silently invalidated by a
 #: later rotation fails a test instead of aging into prose.
 EXCLUSION_COVERS: dict[str, tuple[str, ...]] = {
-    "events_session_native": ("events_sessionization",),
-    "unpivot_event_counts": ("set_operations", "profile_table"),
-    "rollup_agg": ("set_operations", "profile_table"),
-    "semi_anti_joins": ("contamination", "quota_sample"),
-    "doc_fingerprints": ("dedup_exact", "dedup_minhash_lsh"),
-    "token_counts": ("token_budget_prune", "quality_filter"),
-    "distinct_counts": ("profile_table",),
-    "corpus_split": ("quota_sample", "diversity_sample"),
     "text_quality_score": ("quality_filter",),
     "top_tokens_per_lang": ("bm25_search",),
-    "ann_cosine_topk": ("embedding_near_dup", "hybrid_search"),
-    "doc_chunking": ("dedup_minhash_lsh", "contamination"),
-    "mixture_sample": ("quota_sample", "diversity_sample"),
-    "events_tumbling_window": ("resample_interpolate", "trailing_range_stats"),
     "quantile_stats": ("quality_filter",),
-    "pivot_event_counts": ("profile_table",),
+    "pivot_event_counts": ("profile_table", "rollup_agg"),
     "snapshot_cdc": ("latest_event_version",),
     "funnel_steps": ("events_sessionization", "retention_cohorts"),
     "mixture_upsample": ("quota_sample", "diversity_sample", "dsir_select"),
     "train_order": ("diversity_sample", "dsir_select"),
     "pack_sequences": ("events_sessionization",),
     "assemble_sequences": ("phrase_search",),
-    "doc_logprob": ("bigram_logprob",),
+    "doc_logprob": ("bigram_logprob", "quality_classifier"),
     "near_dup_contamination": ("incremental_near_dup", "contamination"),
     "lang_id_heuristic": ("scalar_functions_suite", "quality_filter"),
     "url_dedup": ("dedup_exact", "scalar_functions_suite"),
@@ -471,6 +490,20 @@ EXCLUSION_COVERS: dict[str, tuple[str, ...]] = {
     "sampled_quantiles": ("trailing_range_stats", "quality_filter"),
     "cms_frequencies": ("sketch_dashboard",),
     "mg_heavy_hitters": ("current_terms_topk", "sketch_dashboard"),
+    "tokenizer_family_compare": ("tokenizer_family_fold",),
+    "composite_key_join": ("term_courses", "range_join_calendar"),
+    "latest_event_version": ("latest_order_per_customer",),
+    "watermark_incremental": ("recent_instructor_updates",),
+    "pagination_window": ("current_terms_topk",),
+    "set_operations": ("rollup_agg", "distinct_counts"),
+    "corpus_card": ("token_budget_prune", "sketch_dashboard"),
+    "timestamp_formats": ("scalar_functions_suite",),
+    "priority_ordered_extract": ("basic_attributes", "recent_instructor_updates"),
+    "audio_near_dup": ("image_near_dup", "multimodal_real_codec"),
+    "video_near_dup": ("image_near_dup", "multimodal_real_codec"),
+    "events_sliding_window": ("trailing_range_stats", "sketch_dashboard"),
+    "anomaly_flags": ("trailing_range_stats",),
+    "quality_psi": ("quality_filter", "quality_classifier"),
 }
 
 

@@ -1261,6 +1261,65 @@ def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_salted_join",
+    oracle="""
+    WITH ev AS (
+        SELECT CASE WHEN user_id % 3 < 2 THEN 7 ELSE user_id END AS uid,
+               value
+        FROM events
+    )
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           coalesce(CAST(sum(CAST(ev.value AS DECIMAL(18,2))) * 1000000
+                         AS BIGINT), 0) AS sum_value_micro
+    FROM ev JOIN customer c ON c.c_custkey = ev.uid
+    GROUP BY 1
+    """,
+)
+def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join THROUGH a pathologically hot key and aggregate — the
+    end-to-end witness for the explicit-salt skew strategy that
+    events_key_skew only diagnoses.
+
+    Two thirds of events are remapped onto one customer key (a planted
+    ~100x heavy hitter relative to the median key), then joined to the
+    customer dimension via operators.joins.salted_join: the fact side
+    gets salt = pmod(hash(id), 16), the dimension is exploded 16 ways,
+    and the join key becomes (key, salt) — so the hot key's rows spread
+    over 16 shuffle partitions instead of one straggler. The dimension
+    carries a merge hint: at 100 TB the interesting case is the dim too
+    big to broadcast (a broadcast join has no skew problem), and the
+    hint pins the sort-merge path so the salted plan is what the test
+    asserts on. Salting never changes semantics, so the oracle is the
+    plain unsalted join + aggregate.
+    """
+    from ..operators.joins import salted_join
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select(
+        F.when(F.col("user_id") % 3 < 2, F.lit(7))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("c_custkey"),
+        "value",
+    )
+    dim = cat.customer.select("c_custkey", "c_mktsegment").hint("merge")
+    joined = salted_join(ev, dim, on="c_custkey", salt_buckets=16)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(
+                (
+                    F.sum(F.col("value").cast("decimal(18,2)")) * 1_000_000
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("sum_value_micro"),
+        )
+    )
+
+
+@query(
     "event_transitions",
     oracle="""
     WITH paired AS (

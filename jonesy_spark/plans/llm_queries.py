@@ -664,6 +664,56 @@ def tokenizer_family_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Pinned per-document tokenizer stats — (family, vocab_rows, doc_id,
+#: n_tokens, n_chars) for both families trained on the sf0.001 corpus
+#: with the compare row's params. Committed, regenerated by
+#: scripts/gen_tokenizer_fixture.py, and content-pinned against a fresh
+#: training run by tests/test_tokenize.py — the trainers are
+#: deterministic, so drift fails the suite.
+import pathlib as _pathlib  # noqa: E402
+
+TOKENIZER_STATS_FIXTURE = str(
+    _pathlib.Path(__file__).resolve().parent
+    / "fixtures"
+    / "tokenizer_family_stats.parquet"
+)
+
+
+@query(
+    "tokenizer_family_fold",
+    oracle=f"""
+    SELECT family,
+           CAST(min(vocab_rows) AS BIGINT) AS vocab_rows,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(n_tokens) * 1000000 // greatest(count(*), 1)
+                AS BIGINT) AS tokens_per_doc_micro,
+           CAST(sum(n_chars) * 1000000 // greatest(sum(n_tokens), 1)
+                AS BIGINT) AS chars_per_token_micro
+    FROM read_parquet('{TOKENIZER_STATS_FIXTURE}')
+    GROUP BY family
+    """,
+)
+def tokenizer_family_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checked half of the tokenizer-family comparison (r10
+    verdict #6): tokenizer_family_compare = iterative training (BPE
+    merge induction / unigram-LM EM — pytest-pinned, not
+    SQL-expressible) composed with THIS fold, a plain hash aggregate.
+    Splitting the frame lets the driver hash-verify the fold against
+    DuckDB over the pinned per-document stats fixture (the trainers are
+    deterministic, so the fixture is stable; tests regenerate it from a
+    fresh training run and assert equality), shrinking the compare
+    row's unchecked surface to training alone.
+
+    ``sf_dir`` is deliberately unused: the fold's input contract is the
+    pinned stats frame, not a per-SF table — both engines read the SAME
+    committed parquet, so this row checks the aggregation, not the
+    corpus."""
+    from ..operators.tokenize import tokenizer_family_fold as fold
+
+    return fold(spark.read.parquet(TOKENIZER_STATS_FIXTURE))
+
+
 @query(
     "lang_id_heuristic",
     oracle="""

@@ -9,7 +9,7 @@ each swap). This script makes the accrued union mechanical instead of
 a prose claim: it unions every CORRECTNESS_r*.json in the repo root
 with the current driver-facing roster and prints per-query status.
 
-Usage: python scripts/coverage_ledger.py [--staleness]
+Usage: python scripts/coverage_ledger.py [--staleness [--check]] [--floor]
 
 ``--staleness`` prints the PARITY.md witness-staleness table instead
 (r9 verdict #8): per registry row, the last green driver round, its
@@ -18,6 +18,17 @@ the action the staleness rule requires — ``on roster`` (re-admitted
 this round), ``fresh`` (< 4 rounds old), ``REVIEW`` (>= 4 rounds old
 and excluded: its DRIVER_EXCLUDED justification must be re-reviewed
 this round), or ``pytest-only``/``queued`` for never-witnessed rows.
+
+``--staleness --check`` exits nonzero if PARITY.md's committed table
+(between the STALENESS-TABLE markers) differs from the generated one
+(r10 verdict #8: the table is generated, never pasted — drift between
+the committed table and the CORRECTNESS files fails the suite).
+
+``--floor`` prints the rotation-floor queue (r10 verdict #1): the
+FLOOR_K oldest-witnessed oracle-ready rows, which the current roster
+MUST include (enforced by tests/test_rotation.py) — so every row
+re-earns a driver green on a bounded schedule instead of aging
+unboundedly behind valid-but-stale cover entries.
 """
 
 from __future__ import annotations
@@ -29,12 +40,43 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+#: Rotation floor (r10 verdict #1): every round's roster must include
+#: the FLOOR_K oldest-witnessed oracle-ready rows (never-witnessed
+#: counts as oldest, so brand-new oracle-ready rows take first-witness
+#: slots immediately). 123 rows / 50 slots at 12 forced swaps a round
+#: bounds every row's witness age.
+FLOOR_K = 12
 
-def collect_witnesses() -> dict[str, list[str]]:
+PARITY_MD = "/root/repo/PARITY.md"
+STALENESS_BEGIN = "<!-- STALENESS-TABLE-BEGIN (generated) -->"
+STALENESS_END = "<!-- STALENESS-TABLE-END -->"
+
+
+def _correctness_files(as_built: bool = False) -> list[str]:
+    """CORRECTNESS_r*.json paths, oldest first. With ``as_built=True``,
+    drop the newest file IF its key set equals the current roster: the
+    driver writes exactly the roster's rows each round, so key-set
+    equality means that file is the CURRENT roster's own landing — the
+    floor/staleness decisions were made against the files BEFORE it.
+    Measuring this way keeps the committed bookkeeping green through
+    exactly one driver landing (the same convention as the cadence
+    test), going red only on the next build, when it can be acted on."""
+    files = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    if as_built and files:
+        from jonesy_spark.plans import driver_queries
+
+        with open(files[-1]) as f:
+            latest_keys = set(json.load(f))
+        if latest_keys == set(driver_queries()):
+            files = files[:-1]
+    return files
+
+
+def collect_witnesses(as_built: bool = False) -> dict[str, list[str]]:
     """name -> sorted round tags ('r01'..) with a fully-green driver
     row, unioned over every CORRECTNESS_r*.json in the repo root."""
     witnessed: dict[str, list[str]] = {}
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+    for path in _correctness_files(as_built=as_built):
         rnd = os.path.basename(path).removesuffix(".json").removeprefix("CORRECTNESS_")
         with open(path) as f:
             rows = json.load(f)
@@ -50,16 +92,35 @@ def collect_witnesses() -> dict[str, list[str]]:
     return witnessed
 
 
+def floor_due(k: int = FLOOR_K) -> list[str]:
+    """The k oldest-witnessed oracle-ready registry rows as of the
+    file set the current roster was built against (never-witnessed
+    first, then by last green round, ties by name) — the rows the
+    rotation floor requires ON the roster this round."""
+    from jonesy_spark.plans import all_oracle_sql, all_queries
+
+    witnessed = collect_witnesses(as_built=True)
+    last: dict[str, int] = {
+        name: max(int(r.removeprefix("r")) for r in rounds)
+        for name, rounds in witnessed.items()
+    }
+    ready = sorted(
+        set(all_queries()) & set(all_oracle_sql()),
+        key=lambda n: (last.get(n, 0), n),
+    )
+    return ready[:k]
+
+
 def staleness_rows() -> tuple[int, list[tuple[str, str, object, str]]]:
     """(current_round, [(name, last_green, age, action)]) — the data
     behind PARITY.md's staleness table, derived ONLY from the
     CORRECTNESS files plus the live registry/roster."""
     from jonesy_spark.plans import all_oracle_sql, all_queries, driver_queries
 
-    witnessed = collect_witnesses()
+    witnessed = collect_witnesses(as_built=True)
     seen_rounds = [
         int(os.path.basename(p).removesuffix(".json").removeprefix("CORRECTNESS_r"))
-        for p in glob.glob("/root/repo/CORRECTNESS_r*.json")
+        for p in _correctness_files(as_built=True)
     ]
     current = (max(seen_rounds) + 1) if seen_rounds else 1
     registry = set(all_queries())
@@ -83,18 +144,85 @@ def staleness_rows() -> tuple[int, list[tuple[str, str, object, str]]]:
     return current, out
 
 
-def print_staleness() -> int:
+def staleness_table() -> str:
+    """The exact text committed to PARITY.md between the markers."""
     current, rows = staleness_rows()
-    print(f"| query | last driver green | age (rounds, vs r{current}) | action |")
-    print("|---|---|---|---|")
+    lines = [
+        STALENESS_BEGIN,
+        f"| query | last driver green | age (rounds, vs r{current}) | action |",
+        "|---|---|---|---|",
+    ]
     for name, last, age, action in rows:
-        print(f"| {name} | {last} | {age if age is not None else '—'} | {action} |")
+        lines.append(
+            f"| {name} | {last} | {age if age is not None else '—'} | {action} |"
+        )
     n_review = sum(1 for r in rows if r[3] == "REVIEW")
-    print(
-        f"\n{len(rows)} registry rows; {n_review} at the >=4-round review "
+    lines.append("")
+    lines.append(
+        f"{len(rows)} registry rows; {n_review} at the >=4-round review "
         "line this round."
     )
+    lines.append(STALENESS_END)
+    return "\n".join(lines)
+
+
+def committed_staleness_table() -> str | None:
+    """PARITY.md's marker-delimited table, or None if markers absent."""
+    try:
+        with open(PARITY_MD) as f:
+            text = f.read()
+    except OSError:
+        return None
+    b = text.find(STALENESS_BEGIN)
+    e = text.find(STALENESS_END)
+    if b < 0 or e < 0:
+        return None
+    return text[b : e + len(STALENESS_END)]
+
+
+def check_staleness() -> int:
+    """Exit 0 iff PARITY.md's committed table matches the generated
+    one line-for-line (r10 verdict #8)."""
+    want = staleness_table()
+    got = committed_staleness_table()
+    if got is None:
+        print("PARITY.md: STALENESS-TABLE markers not found", file=sys.stderr)
+        return 2
+    if got != want:
+        import difflib
+
+        diff = difflib.unified_diff(
+            got.splitlines(), want.splitlines(),
+            "PARITY.md (committed)", "generated", lineterm="",
+        )
+        print("\n".join(diff), file=sys.stderr)
+        print(
+            "\nPARITY.md staleness table is stale — regenerate with:\n"
+            "  python scripts/coverage_ledger.py --staleness",
+            file=sys.stderr,
+        )
+        return 1
+    print("PARITY.md staleness table matches the generated one")
     return 0
+
+
+def print_staleness() -> int:
+    print(staleness_table())
+    return 0
+
+
+def print_floor() -> int:
+    from jonesy_spark.plans import driver_queries
+
+    roster = set(driver_queries())
+    due = floor_due()
+    print(f"rotation-floor queue (FLOOR_K={FLOOR_K} oldest-witnessed oracle-ready):")
+    ok = True
+    for name in due:
+        mark = "on roster" if name in roster else "MISSING FROM ROSTER"
+        ok = ok and name in roster
+        print(f"  {name:32s} {mark}")
+    return 0 if ok else 1
 
 
 def main() -> int:
@@ -132,6 +260,10 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if "--staleness" in sys.argv and "--check" in sys.argv:
+        raise SystemExit(check_staleness())
     if "--staleness" in sys.argv:
         raise SystemExit(print_staleness())
+    if "--floor" in sys.argv:
+        raise SystemExit(print_floor())
     raise SystemExit(main())

@@ -36,8 +36,10 @@ def test_every_query_has_oracle_or_is_flagged():
         # trains BOTH families above on one frame, so it inherits their
         # non-SQL-expressibility; the fold is pinned equal to
         # independently aggregating the two pinned per-family stats
-        # frames (test_tokenize), and it is the one deliberate
-        # rows-only DRIVER row (test_rotation pins that list)
+        # frames (test_tokenize) AND oracle-checked on the roster as
+        # tokenizer_family_fold over the pinned stats fixture (r10
+        # verdict #6) — since r11 the roster carries zero rows-only
+        # rows (test_rotation pins that list empty)
         "tokenizer_family_compare",
     }
     assert missing <= allowed_missing, f"queries without oracle: {missing}"

@@ -97,6 +97,44 @@ def test_roster_is_exactly_at_cap_with_oracles():
     assert len(roster) == DRIVER_QUERY_CAP
     oracles = set(all_oracle_sql())
     # rows-only roster rows are deliberate and rare: each must be a
-    # non-SQL-expressible op documented in its builder docstring
+    # non-SQL-expressible op documented in its builder docstring.
+    # Since r11 the set is EMPTY — tokenizer_family_compare's fold is
+    # oracle-checked as tokenizer_family_fold and the training row
+    # rotates through the registry tier with its pytest differentials.
     rows_only = sorted(set(roster) - oracles)
-    assert rows_only == ["tokenizer_family_compare"], rows_only
+    assert rows_only == [], rows_only
+
+
+def test_roster_includes_rotation_floor():
+    """The rotation floor, mechanized (r10 verdict #1): every round's
+    roster must include the FLOOR_K oldest-witnessed oracle-ready rows
+    (never-witnessed first — new oracle-ready rows take first-witness
+    slots immediately), so individual rows re-earn driver greens on a
+    bounded schedule instead of aging unboundedly behind cover
+    entries. Ages are measured against the file set the roster was
+    built on (coverage_ledger drops the newest CORRECTNESS file when
+    its key set IS the current roster — that file is this roster's own
+    landing), so the committed roster stays green through exactly one
+    driver landing and goes red on the next build, when the next floor
+    batch can actually be admitted."""
+    roster = set(driver_queries())
+    due = coverage_ledger.floor_due()
+    missing = [n for n in due if n not in roster]
+    assert not missing, (
+        f"rotation floor violated — the {coverage_ledger.FLOOR_K} "
+        f"oldest-witnessed oracle-ready rows must be on the roster; "
+        f"missing: {missing}"
+    )
+
+
+def test_parity_staleness_table_is_generated_not_pasted():
+    """PARITY.md's staleness table must equal the generated one
+    line-for-line (r10 verdict #8) — regenerate with
+    ``python scripts/coverage_ledger.py --staleness`` after any
+    roster/registry change."""
+    committed = coverage_ledger.committed_staleness_table()
+    assert committed is not None, "PARITY.md lacks STALENESS-TABLE markers"
+    assert committed == coverage_ledger.staleness_table(), (
+        "PARITY.md staleness table drifted from the CORRECTNESS files; "
+        "regenerate with: python scripts/coverage_ledger.py --staleness"
+    )

@@ -766,6 +766,62 @@ def test_seed_unigram_distributed_ignores_empty_words(spark):
         assert abs(got[p] - want[p]) < 1e-9
 
 
+def test_tokenizer_stats_fixture_matches_fresh_training(spark):
+    """The committed fixture behind the oracle-checked
+    tokenizer_family_fold row (r10 verdict #6) must equal a FRESH
+    training run on the same corpus with the same params — the
+    trainers are deterministic, so a drifted fixture (stale after a
+    trainer change) fails here instead of silently pinning old
+    behavior. Regenerate with scripts/gen_tokenizer_fixture.py."""
+    import importlib.util
+    import pathlib
+
+    import pandas as pd
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "gen_tokenizer_fixture", root / "scripts" / "gen_tokenizer_fixture.py"
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
+    from jonesy_spark.plans.llm_queries import TOKENIZER_STATS_FIXTURE
+
+    fresh = (
+        gen.build_stats_frame(spark)
+        .toPandas()
+        .sort_values(["family", "doc_id"])
+        .reset_index(drop=True)
+    )
+    committed = (
+        pd.read_parquet(TOKENIZER_STATS_FIXTURE)
+        .sort_values(["family", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fresh, committed, check_dtype=True)
+
+
+def test_tokenizer_family_fold_row_equals_compare_on_fixture_corpus(spark):
+    """End-to-end tie between the two roster generations: the
+    oracle-checked fold row (fold over the pinned fixture) equals
+    tokenizer_family_compare run fresh on the fixture's corpus — the
+    split changed what the driver can hash, not the semantics."""
+    from jonesy_spark.plans.llm_queries import QUERIES
+
+    fold_rows = {
+        r["family"]: r.asDict()
+        for r in QUERIES["tokenizer_family_fold"](spark, "unused").collect()
+    }
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    compare_rows = {
+        r["family"]: r.asDict()
+        for r in T.tokenizer_family_compare(
+            docs, n_merges=64, vocab_size=256, seed_size=2048
+        ).collect()
+    }
+    assert fold_rows == compare_rows
+
+
 def test_tokenizer_family_compare_rejects_empty_corpus(spark):
     # r10 ADVICE: the fold's sums are coalesced to 0 so the frame can
     # never carry null counters; the trainers additionally fail fast
