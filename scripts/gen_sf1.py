@@ -61,6 +61,16 @@ def main() -> None:
         default=None,
         help="subset of fact tables to synthesize (default: all)",
     )
+    ap.add_argument(
+        "--expand-text",
+        type=int,
+        default=1,
+        help="repeat each document's text N times (with a distinct "
+        "boundary token per copy) — lifts per-doc bytes ~Nx WITHOUT "
+        "adding documents, so corpus-term walls (shingle explode, "
+        "digest hashing) rise above the local-mode scheduler floor "
+        "while batch sizes stay fixed (VERDICT r10 #3)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -117,6 +127,27 @@ def main() -> None:
                         F.transform(
                             F.split(F.col("text"), " "),
                             lambda t: F.concat(t, F.lit(f"x{r}")),
+                        ),
+                        " ",
+                    ),
+                ).withColumn("n_chars", F.length("text").cast("long"))
+            if name == "documents" and args.expand_text > 1:
+                # longer documents, not more of them: k copies of the
+                # text joined with per-copy boundary tokens (seg1..segk)
+                # — bytes and token counts scale ~k, document count and
+                # dup structure stay fixed
+                rep = rep.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.sequence(
+                                F.lit(1), F.lit(args.expand_text)
+                            ),
+                            lambda i: F.concat_ws(
+                                " ",
+                                F.col("text"),
+                                F.concat(F.lit("seg"), i.cast("string")),
+                            ),
                         ),
                         " ",
                     ),

@@ -21,10 +21,18 @@ so per-wave latency and cross-wave state growth are both visible:
   state-store rows/bytes from the query's progress events. The claim:
   state rows == distinct users seen (key-bounded), NOT event volume.
 
+* backfill (r11, VERDICT r10 #5) — the AvailableNow bounded catch-up
+  at sf1 volume: ALL 1M events land at once, ``dir_stream``'s
+  ``maxFilesPerTrigger`` forces >= 20 rate-limited epochs, the query
+  is KILLED mid-drain once and restarted from the same checkpoint,
+  and the ledger fold must equal the single-pass sketch exactly — the
+  cron catch-up story (bounded idempotent epochs + crash recovery)
+  measured end-to-end instead of pinned on a fixture.
+
 Usage:
     python scripts/gen_sf1.py
     python scripts/streaming_probe.py [--sf-dir /tmp/jonesy_sf1]
-        [--work-dir /tmp/jonesy_stream_probe] [kmv warc stateful]
+        [--work-dir /tmp/jonesy_stream_probe] [kmv warc stateful backfill]
 """
 
 from __future__ import annotations
@@ -64,7 +72,7 @@ def main() -> None:
     ap.add_argument("--work-dir", default="/tmp/jonesy_stream_probe")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
-    names = args.names or ["kmv", "warc", "stateful"]
+    names = args.names or ["kmv", "warc", "stateful", "backfill"]
 
     from pyspark.sql import functions as F
 
@@ -218,6 +226,119 @@ def main() -> None:
             "waves": waves,
             "distinct_users": events.select("user_id").distinct().count(),
         }
+
+    if "backfill" in names:
+        from jonesy_spark.operators import stats as ST
+
+        landing = f"{args.work_dir}/backfill_landing"
+        ledger = f"{args.work_dir}/backfill_ledger"
+        ckpt = f"{args.work_dir}/backfill_ckpt"
+        os.makedirs(landing, exist_ok=True)
+        # the whole history lands at once — the cron-was-down shape
+        for w in range(EVENT_WAVES):
+            land_event_wave(landing, w)
+        n_files = len(glob.glob(f"{landing}/*.parquet"))
+        per_trigger = max(1, n_files // 24)  # force >= 20 epochs
+
+        epoch_log: list[int] = []
+
+        def handle(batch_df, epoch_id: int) -> None:
+            ST.write_kmv_index(
+                ST.kmv_sketch_batch(batch_df, ["day"], "user"),
+                ledger,
+                mode="overwrite",
+                run_id=f"epoch-{epoch_id}",
+            )
+            epoch_log.append(int(epoch_id))
+
+        def writer():
+            rows = SI.dir_stream(
+                spark, landing, EVENTS_SCHEMA,
+                max_files_per_trigger=per_trigger,
+            ).select(
+                F.to_date("ts").alias("day"),
+                F.col("user_id").cast("string").alias("user"),
+            )
+            return (
+                rows.writeStream.foreachBatch(handle)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+            )
+
+        def progress_of(q):
+            raw = [
+                p if isinstance(p, dict) else json.loads(p.json)
+                for p in (q.recentProgress or [])
+            ]
+            return [p for p in raw if p.get("numInputRows", 0) > 0]
+
+        # first drain: KILL mid-backfill after ~8 landed epochs — the
+        # cron box dying partway through catch-up
+        kill_after = 8
+        t0 = time.time()
+        q = writer().start()
+        while q.isActive and len(epoch_log) < kill_after:
+            time.sleep(0.2)
+        q.stop()
+        run1 = {
+            "wall_s": round(time.time() - t0, 2),
+            "epochs": len(progress_of(q)),
+            "killed_after_epochs": len(epoch_log),
+        }
+        print(json.dumps({"leg": "backfill", "run1_killed": run1}),
+              flush=True)
+
+        # restart from the same checkpoint: AvailableNow resumes,
+        # replays the interrupted epoch (overwrite-idempotent ledger
+        # transaction), drains the rest, self-terminates
+        t0 = time.time()
+        q2 = writer().start()
+        q2.awaitTermination()
+        prog2 = progress_of(q2)
+        batch_ms = [p["durationMs"].get("triggerExecution") for p in prog2]
+        run2 = {
+            "wall_s": round(time.time() - t0, 2),
+            "epochs": len(prog2),
+            "epoch_ms_min": min(batch_ms) if batch_ms else None,
+            "epoch_ms_max": max(batch_ms) if batch_ms else None,
+        }
+        print(json.dumps({"leg": "backfill", "run2_resume": run2}),
+              flush=True)
+
+        # post-crash equality: the folded ledger == the single-pass
+        # sketch over the full corpus, row for row (cut-invariance +
+        # epoch idempotence THROUGH a mid-drain kill)
+        rows_all = events.select(
+            F.to_date("ts").alias("day"),
+            F.col("user_id").cast("string").alias("user"),
+        )
+        folded = ST.kmv_estimate(
+            ST.kmv_fold(spark, ledger, ["day"]), ["day"]
+        )
+        single = ST.kmv_estimate(
+            ST.kmv_sketch_batch(rows_all, ["day"], "user"), ["day"]
+        )
+        f_rows = sorted(
+            (r["day"].isoformat(), r["est_distinct"])
+            for r in folded.collect()
+        )
+        s_rows = sorted(
+            (r["day"].isoformat(), r["est_distinct"])
+            for r in single.collect()
+        )
+        out["backfill"] = {
+            "landed_files": n_files,
+            "max_files_per_trigger": per_trigger,
+            "run1_killed": run1,
+            "run2_resume": run2,
+            "total_epochs": run1["epochs"] + run2["epochs"],
+            "distinct_epoch_ids": len(set(epoch_log)),
+            "fold_equals_single_pass": f_rows == s_rows,
+            "ledger_bytes": du(ledger),
+            "checkpoint_bytes": du(ckpt),
+        }
+        print(json.dumps({"leg": "backfill", **out["backfill"]}),
+              flush=True)
 
     print(json.dumps({"sf_dir": args.sf_dir, "legs": out}))
 
