@@ -122,8 +122,15 @@ def main() -> None:
 
         def probe(idx):
             def run():
+                # small_batch=True is the operator's designed probe
+                # geometry (a batch-sized broadcast semi-join — the
+                # index is scanned, never shuffled); the default
+                # geometry shuffles the O(index) side every probe,
+                # which is the nightly-comparable-batch shape, not the
+                # epoch-probe shape this measurement prices
                 novel, _ = H.incremental_dedup(
-                    batch, H.read_digest_index(spark, idx)
+                    batch, H.read_digest_index(spark, idx),
+                    small_batch=True,
                 )
                 novel = novel.persist()
                 n = novel.count()
@@ -132,6 +139,7 @@ def main() -> None:
                     novel, idx, mode="overwrite", run_id="probe"
                 )
                 novel.unpersist()
+                DD.release_caches(novel)
                 return n
             return run
 
@@ -139,14 +147,19 @@ def main() -> None:
         p9 = timed(probe(idx9))
 
         def rebuild():
-            # the no-index nightly: re-dedup the full 10-replica corpus
-            # from scratch and rebuild the digest index
+            # the no-index nightly: re-dedup the full corpus from
+            # scratch and rebuild the digest index (persisted before
+            # the write+count pair, same as the probe side — neither
+            # leg pays a double computation)
             novel, _ = H.incremental_dedup(docs, empty)
+            novel = novel.persist()
+            n = novel.count()
             H.write_novel_digests(
                 novel, f"{args.work_dir}/digest_rebuild",
                 mode="overwrite", run_id="rebuild",
             )
-            return novel.count()
+            novel.unpersist()
+            return n
 
         rb = timed(rebuild)
         report("digest", p4, p9, rb,
