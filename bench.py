@@ -124,6 +124,9 @@ HEADLINE = [
     # added r11: the oracle-checked fold over the pinned stats fixture
     # (fixture-sized; benched for completeness of the roster surface)
     "tokenizer_family_fold",
+    # added r11 (late): SemDeDup-style within-cell semantic pruning —
+    # prices the cell-blocked self-join + min-aggregate + corpus join
+    "semantic_dedup",
 ]
 
 #: The r5-era 21-query set — every HEADLINE row that existed before the
@@ -161,6 +164,7 @@ R5_COMPARABLE = [
         "tokenizer_family_compare",
         "skew_salted_join",
         "tokenizer_family_fold",
+        "semantic_dedup",
     }
 ]
 

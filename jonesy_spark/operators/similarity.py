@@ -296,6 +296,77 @@ def embedding_near_dup(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_bucket_dims: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv
+    2303.09540): partition the embedding space into cells, and within
+    each cell prune every vector that has a semantic duplicate with a
+    smaller id — one row per vector, ``(vec_id, cell, is_pruned,
+    pruned_by)`` with ``pruned_by = -1`` for survivors (the min
+    matching id otherwise, so the decision is a deterministic pure
+    function of the corpus).
+
+    The paper clusters with k-means and prunes within-cluster pairs
+    above a cosine threshold; here the cells are the deterministic
+    sign buckets (:func:`functions.vectors.sign_bucket`) so the DuckDB
+    oracle reproduces the frame bit-for-bit — the k-means-cell variant
+    at scale is the IVF machinery next door (``ivf_assignments`` /
+    ``incremental_embedding_dedup``, pytest-pinned because centroid
+    training is iterative). Scale shape: a cell-blocked self-join
+    (equi-join on the cell key, never all-pairs — same plan family as
+    ``bucketed_topk``) followed by a min-aggregate and a left join
+    back to the corpus; raise ``n_bucket_dims`` with the corpus so
+    per-cell populations stay bounded (2^d cells).
+    """
+    e = (
+        _prepared(emb)
+        .withColumn("cell", VX.sign_bucket(F.col("v"), n_bucket_dims))
+        .persist()
+    )
+    a = e.select("vec_id", "cell", F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    hits = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("vec_b") < F.col("vec_id")),
+        )
+        .select(
+            "vec_id",
+            "vec_b",
+            micro_units(
+                VX.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cosine_micro"),
+        )
+        .filter(F.col("cosine_micro") >= _micro_threshold(threshold))
+        .groupBy("vec_id")
+        .agg(F.min("vec_b").alias("hit_by"))
+    )
+    from .dedup import _track_caches
+
+    return _track_caches(
+        e.select("vec_id", "cell")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("hit_by").isNotNull().alias("is_pruned"),
+            F.coalesce(F.col("hit_by"), F.lit(-1))
+            .cast("long")
+            .alias("pruned_by"),
+        ),
+        e,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Persisted IVF index — incremental embedding near-dup (the semantic
 # sibling of hygiene's digest / MinHash indexes).

@@ -415,6 +415,12 @@ DRIVER_EXCLUDED = {
     # family stays via quality_filter + quality_classifier (both
     # retained; the classifier row carries the same score-binning).
     "quality_psi",
+    # persisted BM25 index probe: witnesses r9+r10; its slot goes to
+    # the NEW semantic_dedup row (never-witnessed rows outrank fresh
+    # greens under the floor). The probe==batch theorem's batch side
+    # stays driver-checked via bm25_search (retained), and the
+    # persisted-index probe family via incremental_near_dup (retained).
+    "bm25_index_probe",
 }
 
 #: Excluded rows whose correctness is pinned by pytest ALONE, by
@@ -504,6 +510,7 @@ EXCLUSION_COVERS: dict[str, tuple[str, ...]] = {
     "events_sliding_window": ("trailing_range_stats", "sketch_dashboard"),
     "anomaly_flags": ("trailing_range_stats",),
     "quality_psi": ("quality_filter", "quality_classifier"),
+    "bm25_index_probe": ("bm25_search", "incremental_near_dup"),
 }
 
 

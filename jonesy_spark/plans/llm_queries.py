@@ -454,6 +454,45 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semantic_dedup",
+    oracle=f"""
+    WITH {_EMB},
+    cells AS (
+        SELECT vec_id,
+               array_to_string(list_transform(range(1, 7),
+                   i -> CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END),
+                   '') AS cell,
+               v, nrm
+        FROM nemb
+    ),
+    hits AS (
+        SELECT a.vec_id, min(b.vec_id) AS hit_by
+        FROM cells a JOIN cells b
+          ON a.cell = b.cell AND b.vec_id < a.vec_id
+        WHERE CAST(round(list_sum(list_transform(range(1, len(a.v)+1),
+                      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)
+                      * 1000000) AS BIGINT) >= 300000
+        GROUP BY a.vec_id
+    )
+    SELECT c.vec_id, c.cell,
+           h.hit_by IS NOT NULL AS is_pruned,
+           CAST(coalesce(h.hit_by, -1) AS BIGINT) AS pruned_by
+    FROM cells c LEFT JOIN hits h ON h.vec_id = c.vec_id
+    """,
+)
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): one row
+    per vector with its cell, whether a smaller-id in-cell semantic
+    duplicate exists at cosine >= 0.3, and the min such id (-1 for
+    survivors). Cells are the deterministic sign buckets so the frame
+    is exactly SQL-reproducible; the k-means-cell variant is the IVF
+    tier (pytest-pinned). operators.similarity.semantic_dedup."""
+    return SIM.semantic_dedup(
+        Catalog(spark, sf_dir).embeddings, threshold=0.3
+    )
+
+
+@query(
     "ann_cosine_topk",
     oracle=f"""
     WITH {_EMB},

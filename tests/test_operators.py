@@ -760,6 +760,79 @@ def test_quantized_topk_recall_and_exact_scores(spark):
     exact.unpersist()
 
 
+def test_semantic_dedup_prunes_planted_duplicates_min_id_wins(spark):
+    """SemDeDup frame semantics on a planted fixture: three exact
+    copies of one vector (cosine 1.0, same sign cell by construction)
+    prune down to the min id; an orthogonal singleton survives; every
+    pruned row names the MIN smaller-id duplicate."""
+    from jonesy_spark.operators import similarity as SIM
+    from jonesy_spark.operators.dedup import release_caches
+
+    base = [1.0, 2.0, -3.0, 0.5, 0.0, 1.0, 0.0, 0.0]
+    ortho = [-1.0, 2.0, 3.0, -0.5, 1.0, -1.0, 0.0, 0.0]
+    rows = [
+        (10, base, "a"),
+        (11, [x * 2.0 for x in base], "a"),  # scaled copy: cosine 1.0
+        (12, base, "a"),
+        (20, ortho, "b"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = SIM.semantic_dedup(emb, threshold=0.9)
+    got = {r["vec_id"]: r.asDict() for r in out.collect()}
+    release_caches(out)
+    assert len(got) == 4
+    assert not got[10]["is_pruned"] and got[10]["pruned_by"] == -1
+    assert got[11]["is_pruned"] and got[11]["pruned_by"] == 10
+    assert got[12]["is_pruned"] and got[12]["pruned_by"] == 10
+    assert not got[20]["is_pruned"] and got[20]["pruned_by"] == -1
+    # cells: the copies share one sign cell; the flipped-sign vector
+    # lands elsewhere (so it was never even a candidate)
+    assert got[10]["cell"] == got[11]["cell"] == got[12]["cell"]
+    assert got[20]["cell"] != got[10]["cell"]
+
+
+def test_semantic_dedup_matches_brute_force_on_fixture(spark):
+    """The blocked frame equals the unblocked definition WITHIN cells:
+    for every vector, pruned_by is exactly the min smaller-id
+    same-cell partner at cosine >= threshold computed brute-force in
+    numpy over the sf fixture."""
+    import numpy as np
+
+    from jonesy_spark.operators import similarity as SIM
+    from jonesy_spark.operators.dedup import release_caches
+
+    emb = Catalog(spark, SF_DIR).embeddings
+    out = SIM.semantic_dedup(emb, threshold=0.3)
+    got = {r["vec_id"]: (r["is_pruned"], r["pruned_by"]) for r in out.collect()}
+    release_caches(out)
+
+    rows = sorted(
+        (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        for r in emb.collect()
+    )
+    cells = {
+        vid: "".join("1" if v[i] >= 0 else "0" for i in range(6))
+        for vid, v in rows
+    }
+    want = {}
+    for vid, v in rows:
+        best = -1
+        for wid, w in rows:
+            if wid >= vid or cells[wid] != cells[vid]:
+                continue
+            cos_micro = round(
+                float(v @ w)
+                / (np.linalg.norm(v) * np.linalg.norm(w))
+                * 1_000_000
+            )
+            if cos_micro >= 300_000:
+                best = wid if best < 0 else min(best, wid)
+        want[vid] = (best >= 0, best)
+    assert got == want
+
+
 def test_ann_recall_identity_and_miss(spark):
     from jonesy_spark.operators import similarity as SIM
 

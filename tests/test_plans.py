@@ -83,6 +83,74 @@ def test_skew_salted_join_equals_plain_join(spark):
     assert counts[-1] >= 50 * counts[len(counts) // 2]
 
 
+def test_aqe_skew_join_splits_planted_hot_partition(spark):
+    """The OTHER skew strategy the engine relies on (skew_salted_join
+    witnesses explicit salting): AQE's runtime skew split, which the
+    shipped session enables but nothing previously PROVED engages.
+    Plant two thirds of a 300k-row incompressible-payload fact on one
+    key, forbid broadcast, lower the skew thresholds to fixture scale,
+    and the FINAL adaptive plan must show the split —
+    SortMergeJoin(skew=true) over a skewed AQEShuffleRead. Runtime
+    confs are restored in finally (session is shared)."""
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    )
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "262144",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "262144"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        fact = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 3 < 2, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            # md5-derived padding: incompressible, so the shuffle
+            # stats AQE reads see the hot partition's true weight
+            # (constant padding compresses to nothing and the skew
+            # detector correctly sees a small partition)
+            F.repeat(F.md5(F.col("id").cast("string")), 8).alias("pad"),
+        )
+        dim = spark.range(0, 2000).select(
+            F.col("id").alias("k"), F.lit("d").alias("attr")
+        )
+        j = fact.join(dim, "k")
+        n = j.count()
+        # hot key 0 matches once; cold keys are ids with id % 3 == 2
+        # that fall inside the dim's [0, 2000) range
+        n_hot = 200_000
+        n_cold = sum(1 for i in range(2000) if i % 3 == 2)
+        assert n == n_hot + n_cold
+        j.collect()  # materialize j's own adaptive execution
+        plan = plan_of_executed(j)
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "skewed" in plan  # the AQEShuffleRead split marker
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def plan_of_executed(df) -> str:
+    """explain() AFTER an action on df: for AQE plans this renders the
+    FINAL adaptive plan (isFinalPlan=true), which is where runtime
+    decisions like skew splits become visible."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
 def test_term_courses_all_dims_broadcast(spark):
     plan = plan_of(all_queries()["term_courses"](spark, SF_DIR))
     # formatted explain lists each node twice (tree + detail): count the
