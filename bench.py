@@ -127,6 +127,11 @@ HEADLINE = [
     # added r11 (late): SemDeDup-style within-cell semantic pruning —
     # prices the cell-blocked self-join + min-aggregate + corpus join
     "semantic_dedup",
+    # added r11 (late): fixed-iteration PageRank over the events-derived
+    # 499-node graph — prices the iterative join/agg loop with per-round
+    # localCheckpoint (the graph fixed-point family next to
+    # dedup_clusters' connected components)
+    "link_authority",
 ]
 
 #: The r5-era 21-query set — every HEADLINE row that existed before the
@@ -165,6 +170,7 @@ R5_COMPARABLE = [
         "skew_salted_join",
         "tokenizer_family_fold",
         "semantic_dedup",
+        "link_authority",
     }
 ]
 
@@ -312,8 +318,9 @@ def main() -> None:
                     "the six sketch-ledger rows; r9 added "
                     "unigram_token_stats and sketch_dashboard; r10 "
                     "added corpus_card and tokenizer_family_compare; "
-                    "r11 added skew_salted_join and "
-                    "tokenizer_family_fold — the 48-query set. "
+                    "r11 added skew_salted_join, tokenizer_family_fold, "
+                    "semantic_dedup and link_authority — the 50-query "
+                    "set. "
                     "subtotal_r5_comparable is the "
                     "cross-round-stable 21-query subtotal; "
                     "subtotal_r5_per_calib divides it by the "

@@ -266,20 +266,25 @@ def pagerank(
     with dangling (out-degree-zero) node mass redistributed uniformly —
     the standard correction that keeps ``sum(rank) == 1`` each
     iteration (asserted by the tests, not just claimed). Convergence
-    stops at L1 delta < ``tol`` or ``max_iter``, whichever first.
+    stops at L1 delta < ``tol`` or ``max_iter``, whichever first;
+    ``tol <= 0`` pins EXACTLY ``max_iter`` iterations (the
+    fixed-iteration mode the SQL-unrollable oracle rows need) and
+    skips the delta job entirely — halving the per-iteration job
+    count when early stopping isn't wanted.
     Output: ``(node, rank)`` for every node appearing on either edge
     side, ranks rounded to 9 digits.
 
     Scale shape, per iteration: one join of the rank vector against
     the out-degree-annotated edge list on the src key, one aggregation
     on the dst key — both keyed shuffles over (long, double) rows; the
-    dangling mass and the L1 delta are 1-row aggregates (broadcast
-    cross-join / driver scalar, never a rank-vector collect). The
-    rank vector is ``localCheckpoint``-ed each round — the CC-loop
-    rule: iterative lineage MUST be cut or the plan doubles every
-    round (the one sanctioned checkpoint site in the codebase).
-    Degenerate inputs (no edges) raise rather than dividing by a zero
-    node count.
+    dangling mass is a grouping-free 1-row aggregate folded back IN
+    PLAN via a broadcast cross join (no per-iteration driver scalar —
+    the only driver sync per round is the eager ``localCheckpoint``,
+    plus the L1-delta read when ``tol > 0``). The rank vector is
+    ``localCheckpoint``-ed each round — the CC-loop rule: iterative
+    lineage MUST be cut or the plan doubles every round (the one
+    sanctioned checkpoint site in the codebase). Degenerate inputs
+    (no edges) raise rather than dividing by a zero node count.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
@@ -302,11 +307,11 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     base = (1.0 - damping) / n
     for _ in range(max_iter):
-        dangling = (
-            ranks.join(deg.select(F.col("src").alias("node")), "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-            .first()["dm"]
-        )
+        # grouping-free aggregate: exactly 1 row, so the cross join is
+        # a provably-bounded BroadcastNestedLoopJoin (plan-audit rule)
+        dm = ranks.join(
+            deg.select(F.col("src").alias("node")), "node", "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
         contrib = (
             ed.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
             .groupBy(F.col("dst").alias("node"))
@@ -314,24 +319,31 @@ def pagerank(
         )
         new_ranks = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dm))
             .select(
                 "node",
                 (
                     F.lit(base)
                     + damping
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("__dm") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint()
         )
-        delta = (
-            new_ranks.join(
-                ranks.select("node", F.col("rank").alias("old")), "node"
+        if tol > 0:
+            delta = (
+                new_ranks.join(
+                    ranks.select("node", F.col("rank").alias("old")), "node"
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
+                .first()["d"]
             )
-            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
-            .first()["d"]
-        )
-        # the superseded checkpoint is dead after the delta read —
+        else:
+            delta = float("inf")
+        # the superseded checkpoint is dead once the new one exists —
         # release its executor-storage blocks now instead of letting
         # max_iter generations accumulate for the life of the job
         # (ADVICE r6).

@@ -3769,3 +3769,93 @@ def media_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "index_doc_id",
         F.col("hamming").cast("long").alias("hamming"),
     )
+
+
+def _link_authority_oracle(iters: int = 6) -> str:
+    """K-unrolled PageRank in ANSI SQL (DuckDB): one (dangling-mass,
+    inflow, rank) CTE triple per power iteration, generated by this
+    loop so the oracle and the Spark operator can never disagree on
+    the iteration count. All arithmetic is double-precision on both
+    engines and the output is rounded to nano-units, so the ~1e-16
+    relative drift from engine-specific summation order sits six
+    orders of magnitude below the rounding boundary."""
+    parts = [
+        """
+    edges AS (
+        SELECT DISTINCT user_id % 499 AS src,
+               ((event_id * 2654435761) % 2147483647) % 499 AS dst
+        FROM events
+    ),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst AS node FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    d{i} AS (
+        SELECT coalesce(sum(r.rank), 0.0) AS dm
+        FROM r{i - 1} r ANTI JOIN deg g ON r.node = g.src
+    ),
+    c{i} AS (
+        SELECT e.dst AS node, sum(r.rank / g.deg) AS inflow
+        FROM edges e JOIN deg g ON g.src = e.src
+        JOIN r{i - 1} r ON r.node = e.src
+        GROUP BY e.dst
+    ),
+    r{i} AS (
+        SELECT n.node,
+               (1 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * (coalesce(c.inflow, 0.0)
+                         + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+        FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT r.node,
+           CAST(coalesce(g.deg, 0) AS BIGINT) AS out_degree,
+           CAST(round(r.rank * 1000000000) AS BIGINT) AS rank_nano
+    FROM r{iters} r LEFT JOIN deg g ON g.src = r.node"""
+    )
+    return "WITH" + "".join(parts)
+
+
+@query("link_authority", oracle=_link_authority_oracle())
+def link_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph authority prior (PageRank, Page et al. 1999) over a
+    deterministic 499-node interaction graph derived from the events
+    stream — the crawl-scale quality prior a corpus pipeline attaches
+    per host (curated hosts are linked-to; spam farms are not), here
+    driver-witnessing operators.graph.pagerank, which was previously
+    pytest-pinned only (vs a dense numpy power iteration).
+
+    Fixed-iteration mode (tol=0.0, 6 iterations) so the run is exactly
+    SQL-unrollable: the oracle generates one CTE triple per iteration
+    from the same loop bound. Per iteration the plan is two keyed
+    shuffles over (long, double) rows plus a provably-1-row broadcast
+    cross join for the dangling mass — at 100 TB the edge list is the
+    host graph (millions of rows, not the corpus), so the whole loop
+    is metadata-sized next to the document scan that produced it."""
+    from ..operators import graph as G
+
+    ev = Catalog(spark, sf_dir).events
+    edges = ev.select(
+        (F.col("user_id") % 499).alias("src"),
+        (((F.col("event_id") * F.lit(2654435761)) % 2147483647) % 499).alias(
+            "dst"
+        ),
+    )
+    ranks = G.pagerank(edges, damping=0.85, max_iter=6, tol=0.0)
+    deg = (
+        edges.distinct()
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return ranks.join(deg, "node", "left").select(
+        "node",
+        F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("out_degree"),
+        F.round(F.col("rank") * 1e9).cast("long").alias("rank_nano"),
+    )

@@ -79,6 +79,11 @@ DECADE_SUITE = DEFAULT_PROBE + [
     "skew_salted_join",
     # r11 (late): SemDeDup-style within-cell semantic pruning
     "semantic_dedup",
+    # r11 (late): fixed-iteration PageRank over the events graph — the
+    # iterative join/agg loop; node count is capped (499) so the 10x
+    # cost is the edge-distinct scan, exactly the 100 TB shape (host
+    # graph is metadata-sized next to the corpus)
+    "link_authority",
 ]
 
 

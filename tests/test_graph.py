@@ -284,3 +284,24 @@ def test_pagerank_matches_numpy_on_random_graphs(spark, edges):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_pagerank_fixed_iteration_mode_matches_numpy_exactly(spark):
+    """tol=0.0 pins EXACTLY max_iter iterations (never early-stops) —
+    the contract the SQL-unrolled link_authority oracle depends on.
+    With few iterations the ranks are far from the fixed point, so a
+    match here proves the iteration COUNT agrees, not just the limit."""
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (5, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for k in (1, 3):
+        got = {
+            r["node"]: r["rank"]
+            for r in G.pagerank(df, max_iter=k, tol=0.0).collect()
+        }
+        want = _np_pagerank(edges, max_iter=k, tol=0.0)
+        far = _np_pagerank(edges, max_iter=60, tol=1e-12)
+        assert any(abs(want[x] - far[x]) > 1e-4 for x in want), (
+            "fixture converged too fast to distinguish iteration counts"
+        )
+        for x in want:
+            assert abs(got[x] - want[x]) < 1e-9, (k, x, got[x], want[x])
