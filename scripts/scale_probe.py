@@ -84,6 +84,23 @@ DECADE_SUITE = DEFAULT_PROBE + [
     # cost is the edge-distinct scan, exactly the 100 TB shape (host
     # graph is metadata-sized next to the corpus)
     "link_authority",
+    # r11 (late): the REFERENCE-family batch — the decade suite was
+    # LLM-tier-heavy, so the §2 plan families (multi-join decimal agg,
+    # window dedup, composite keys, range join, semi/anti, distinct
+    # Expand, cumulative windows, as-of, CDC merge, funnels, native
+    # sessionization) now hold their own measured sf1 decades too
+    "pricing_summary_agg",
+    "local_supplier_volume",
+    "latest_order_per_customer",
+    "composite_key_join",
+    "range_join_calendar",
+    "semi_anti_joins",
+    "distinct_counts",
+    "running_total",
+    "asof_join_last_click",
+    "cdc_upsert",
+    "funnel_steps",
+    "events_session_native",
 ]
 
 
