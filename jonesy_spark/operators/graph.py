@@ -252,6 +252,7 @@ def pagerank(
     tol: float = 1e-6,
     src_col: str = "src",
     dst_col: str = "dst",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge table — the link-based authority
     score of the public algorithm (Page et al. 1999), the standard
@@ -288,9 +289,12 @@ def pagerank(
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # callers that already deduplicated (and ideally checkpointed) the
+    # edge list skip the distinct shuffle here — link_authority shares
+    # one distinct edge frame between the loop and its out-degree column
+    if not assume_distinct:
+        e = e.distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -300,7 +304,10 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank needs a non-empty edge table")
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # checkpointed: the per-iteration dangling anti-join consumes deg
+    # directly, and an un-cut deg would drag the full source scan +
+    # distinct + groupBy back into EVERY iteration (r11 review finding)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     # out-degree rides the edge list once; the per-iteration join then
     # touches a single pre-built (src, dst, deg) table
     ed = e.join(deg, "src").localCheckpoint()

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..functions.scalars import micro_units
-from .dedup import CPU_PARTITIONS, element_hash
+from .dedup import CPU_PARTITIONS, _track_caches, element_hash
 
 #: Phone shapes, anchored to telephone-like GROUPING rather than "any
 #: long digit run" (which also ate ISBNs, numeric ids, timestamps):
@@ -211,7 +211,7 @@ def incremental_dedup(
             F.broadcast(firsts.select("content_hash")), "content_hash", "left_semi"
         )
         novel = firsts.join(F.broadcast(matched), "content_hash", "left_anti")
-        novel._jonesy_cached_deps = [firsts]
+        novel = _track_caches(novel, firsts)
     else:
         novel = firsts.join(seen, "content_hash", "left_anti")
     updated = seen.union(novel.select("content_hash"))

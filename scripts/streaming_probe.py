@@ -279,11 +279,17 @@ def main() -> None:
         q = writer().start()
         while q.isActive and len(epoch_log) < kill_after:
             time.sleep(0.2)
+        # the kill must actually interrupt an ACTIVE drain: if the
+        # stream self-terminated first (too few files for >= kill_after
+        # epochs), the crash-recovery scenario silently degenerates to
+        # a clean single pass — fail loudly instead (r11 review).
+        interrupted = q.isActive
         q.stop()
         run1 = {
             "wall_s": round(time.time() - t0, 2),
             "epochs": len(progress_of(q)),
             "killed_after_epochs": len(epoch_log),
+            "interrupted_while_active": interrupted,
         }
         print(json.dumps({"leg": "backfill", "run1_killed": run1}),
               flush=True)
@@ -339,6 +345,13 @@ def main() -> None:
         }
         print(json.dumps({"leg": "backfill", **out["backfill"]}),
               flush=True)
+        if not interrupted or run2["epochs"] == 0:
+            raise SystemExit(
+                "backfill leg did not exercise the crash: "
+                f"interrupted={interrupted}, resume_epochs={run2['epochs']} "
+                "— raise the landed file count or lower "
+                "max_files_per_trigger so the drain outlives the kill"
+            )
 
     print(json.dumps({"sf_dir": args.sf_dir, "legs": out}))
 
