@@ -132,6 +132,9 @@ HEADLINE = [
     # localCheckpoint (the graph fixed-point family next to
     # dedup_clusters' connected components)
     "link_authority",
+    # added r11 (late): crawl-tier HTML -> text extraction — prices the
+    # WARC front door's regexp chain (JVM codegen, map-only, no UDF)
+    "html_extract",
 ]
 
 #: The r5-era 21-query set — every HEADLINE row that existed before the
@@ -171,6 +174,7 @@ R5_COMPARABLE = [
         "tokenizer_family_fold",
         "semantic_dedup",
         "link_authority",
+        "html_extract",
     }
 ]
 
@@ -319,8 +323,8 @@ def main() -> None:
                     "unigram_token_stats and sketch_dashboard; r10 "
                     "added corpus_card and tokenizer_family_compare; "
                     "r11 added skew_salted_join, tokenizer_family_fold, "
-                    "semantic_dedup and link_authority — the 50-query "
-                    "set. "
+                    "semantic_dedup, link_authority and html_extract — "
+                    "the 51-query set. "
                     "subtotal_r5_comparable is the "
                     "cross-round-stable 21-query subtotal; "
                     "subtotal_r5_per_calib divides it by the "

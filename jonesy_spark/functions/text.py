@@ -223,3 +223,44 @@ def dominant_script(text: Column) -> Column:
                 cond = cond & (counts[name] >= counts[other])
         expr = F.when(cond, F.lit(name)).otherwise(expr)
     return expr
+
+
+#: Ordered (entity, replacement) pairs — the SPECIFIC entities decode
+#: first and ``&amp;`` strictly LAST, so "&amp;lt;" decodes to the
+#: literal text "&lt;" (one pass, never re-scanned) instead of "<".
+#: The same fixed order is what makes the DuckDB twin byte-identical.
+HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+#: Strip order is load-bearing: script/style BODIES go first (their
+#: content may contain '<' that the generic tag pattern would split),
+#: then comments, then every remaining tag. Flags are in-pattern
+#: ((?is)) so Java regex (Spark) and RE2 (DuckDB) read the same string;
+#: lazy quantifiers behave identically in both.
+HTML_STRIP_PATTERNS = (
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+    r"<[^>]*>",
+)
+
+
+def strip_html(html: Column) -> Column:
+    """Crawl-tier HTML -> text extraction: drop script/style bodies,
+    comments and tags, decode the common entities, collapse whitespace
+    (EXPLICIT Java class, the PRETOKEN_PATTERN portability rule — never
+    ``\\s``). Pure regexp_replace/replace chain — whole-stage codegen,
+    map-only, no UDF; at 100 TB this is the WARC front door's hottest
+    expression and it never leaves the JVM."""
+    out = html
+    for pat in HTML_STRIP_PATTERNS:
+        out = F.regexp_replace(out, pat, " ")
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"[ \t\n\x0B\f\r]+", " "))

@@ -429,6 +429,12 @@ DRIVER_EXCLUDED = {
     # the heavy-key top-N machinery via mg_heavy_hitters (r9 green,
     # within cadence); the report keeps its pytest DuckDB differential.
     "events_key_skew",
+    # per-cohort retention matrix: witnesses r9+r10; its slot goes to
+    # the NEW html_extract row (same floor rule). The per-key
+    # event-time machinery stays on the roster via events_sessionization
+    # and the range-frame windows via trailing_range_stats; the cohort
+    # pivot keeps its pytest DuckDB differential.
+    "retention_cohorts",
 }
 
 #: Excluded rows whose correctness is pinned by pytest ALONE, by
@@ -520,6 +526,7 @@ EXCLUSION_COVERS: dict[str, tuple[str, ...]] = {
     "quality_psi": ("quality_filter", "quality_classifier"),
     "bm25_index_probe": ("bm25_search", "incremental_near_dup"),
     "events_key_skew": ("skew_salted_join", "mg_heavy_hitters"),
+    "retention_cohorts": ("events_sessionization", "trailing_range_stats"),
 }
 
 

@@ -3867,3 +3867,97 @@ def link_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("out_degree"),
         F.round(F.col("rank") * 1e9).cast("long").alias("rank_nano"),
     )
+
+
+#: The deterministic crawl-page synthesis shared by html_extract's
+#: Spark builder and its oracle: a realistic page skeleton (title,
+#: style, a script whose BODY contains angle brackets, nav links, a
+#: comment, entities, a lang-dependent extra link, a footer) wrapped
+#: around each document's text. Both engines build the SAME string, so
+#: the extraction chain — not the fixture — is what the hash checks.
+_HTML_PREFIX = (
+    '<html><head><title>page</title><style>p {margin:0}</style>'
+    '<script type="text/javascript">var t = "x < y && z > 0";</script>'
+    '</head><body><nav><a href="/home">home</a> <a href="/about">about'
+    '</a></nav><!-- rendered --><p>Q&amp;A &nbsp;'
+)
+_HTML_SUFFIX = (
+    '</p><div class="footer"><a href="/tos">terms</a></div></body></html>'
+)
+_HTML_EN_LINK = '<a href="/en">english</a>'
+
+
+@query(
+    "html_extract",
+    oracle=f"""
+    WITH synth AS (
+        SELECT doc_id,
+               '{_HTML_PREFIX.replace("'", "''")}' || text ||
+               CASE WHEN lang = 'en'
+                    THEN '{_HTML_EN_LINK.replace("'", "''")}' ELSE '' END ||
+               '{_HTML_SUFFIX.replace("'", "''")}' AS html
+        FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id, html,
+               trim(regexp_replace(
+                 replace(replace(replace(replace(replace(replace(
+                   regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(html,
+                       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                 '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+               '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean_text,
+               CAST((length(html)
+                     - length(replace(html, '<a href', ''))) / 7
+                    AS BIGINT) AS n_links
+        FROM synth
+    )
+    SELECT doc_id, clean_text, n_links,
+           CAST(length(html) AS BIGINT) AS html_chars,
+           CAST(length(clean_text) AS BIGINT) AS clean_chars,
+           (length(html) - length(clean_text)) * 1000000 // length(html)
+               AS markup_ratio_micro
+    FROM stripped
+    """,
+)
+def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-tier HTML -> text extraction (the WARC-to-documents front
+    door the public pipelines run before every other operator —
+    RefinedWeb/FineWeb's extraction stage): synthesize a deterministic
+    page around each document's text, then strip script/style bodies,
+    comments and tags, decode entities, collapse whitespace
+    (functions.text.strip_html — a pure JVM regexp chain, no UDF) and
+    report per-page link count and markup ratio (integer DIV
+    micro-units, the corpus_card rule). The link-density/markup-ratio
+    columns are the boilerplate signals a quality gate consumes."""
+    docs = Catalog(spark, sf_dir).documents
+    html = F.concat(
+        F.lit(_HTML_PREFIX),
+        F.col("text"),
+        F.when(F.col("lang") == "en", F.lit(_HTML_EN_LINK)).otherwise(
+            F.lit("")
+        ),
+        F.lit(_HTML_SUFFIX),
+    )
+    synth = docs.select("doc_id", html.alias("html"))
+    stripped = synth.select(
+        "doc_id",
+        "html",
+        TX.strip_html(F.col("html")).alias("clean_text"),
+        TX.occurrences(F.col("html"), "<a href").cast("long").alias("n_links"),
+    )
+    return stripped.select(
+        "doc_id",
+        "clean_text",
+        "n_links",
+        F.length("html").cast("long").alias("html_chars"),
+        F.length("clean_text").cast("long").alias("clean_chars"),
+        F.expr(
+            "(length(html) - length(clean_text)) * 1000000L"
+            " div length(html)"
+        ).alias("markup_ratio_micro"),
+    )

@@ -101,6 +101,9 @@ DECADE_SUITE = DEFAULT_PROBE + [
     "cdc_upsert",
     "funnel_steps",
     "events_session_native",
+    # r11 (late): the crawl front door — map-only regexp extraction,
+    # the shape that must scale exactly linearly (no shuffle at all)
+    "html_extract",
 ]
 
 

@@ -1046,3 +1046,27 @@ def test_corpus_card_growing_corpus_beyond_k_digest_regime(spark, tmp_path):
         # monotone growth across the mid-read
         est_before = before[s]["n_docs"] - before[s]["n_exact_dup_docs"]
         assert est_distinct >= est_before, (s, est_distinct, est_before)
+
+
+def test_strip_html_semantics(spark):
+    """The load-bearing corners of the extraction chain: script bodies
+    containing angle brackets vanish WHOLE (strip order), '&amp;lt;'
+    decodes to the literal text '&lt;' (entity order — one pass, amp
+    last), and whitespace collapses to single spaces."""
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.functions.text import strip_html
+
+    cases = [
+        # script body with < > && must vanish entirely
+        ('<p>a</p><script>if (x < y && y > z) {..}</script><p>b</p>', "a b"),
+        # style body, comment, nested tags
+        ('<style>p < div {}</style><div><b>bold</b> text</div><!-- c -->', "bold text"),
+        # one-pass entity decode: &amp;lt; is the TEXT "&lt;", not "<"
+        ("<p>&amp;lt; &lt; &gt; &quot; &#39; &nbsp; &amp;</p>", "&lt; < > \" '   &".replace("   ", " ")),
+        # whitespace collapse across tag boundaries and newlines
+        ("<p>a</p>\n\t<p>b</p>", "a b"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], ["html"])
+    got = [r["t"] for r in df.select(strip_html(F.col("html")).alias("t")).collect()]
+    assert got == [want for _, want in cases], got
