@@ -135,6 +135,9 @@ HEADLINE = [
     # added r11 (late): crawl-tier HTML -> text extraction — prices the
     # WARC front door's regexp chain (JVM codegen, map-only, no UDF)
     "html_extract",
+    # added r11 (late): C4's line-level heuristic gate — prices the
+    # explode + CASE + grouped reassembly single pass
+    "c4_line_filter",
 ]
 
 #: The r5-era 21-query set — every HEADLINE row that existed before the
@@ -175,6 +178,7 @@ R5_COMPARABLE = [
         "semantic_dedup",
         "link_authority",
         "html_extract",
+        "c4_line_filter",
     }
 ]
 
@@ -323,8 +327,8 @@ def main() -> None:
                     "unigram_token_stats and sketch_dashboard; r10 "
                     "added corpus_card and tokenizer_family_compare; "
                     "r11 added skew_salted_join, tokenizer_family_fold, "
-                    "semantic_dedup, link_authority and html_extract — "
-                    "the 51-query set. "
+                    "semantic_dedup, link_authority, html_extract and "
+                    "c4_line_filter — the 52-query set. "
                     "subtotal_r5_comparable is the "
                     "cross-round-stable 21-query subtotal; "
                     "subtotal_r5_per_calib divides it by the "

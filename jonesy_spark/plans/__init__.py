@@ -435,6 +435,14 @@ DRIVER_EXCLUDED = {
     # and the range-frame windows via trailing_range_stats; the cohort
     # pivot keeps its pytest DuckDB differential.
     "retention_cohorts",
+    # decoded-pixel near-dup: witnesses r9+r10; its slot goes to the
+    # NEW c4_line_filter row (same floor rule). The vendored-codec
+    # decode + dHash machinery stays on the roster via
+    # multimodal_real_codec (same PPM decode, same feature/dHash
+    # extraction against a closed-form oracle) and the banded hamming
+    # probe via incremental_near_dup; the pair trio keeps its
+    # brute-force-oracle pytest differentials.
+    "image_near_dup",
 }
 
 #: Excluded rows whose correctness is pinned by pytest ALONE, by
@@ -527,6 +535,7 @@ EXCLUSION_COVERS: dict[str, tuple[str, ...]] = {
     "bm25_index_probe": ("bm25_search", "incremental_near_dup"),
     "events_key_skew": ("skew_salted_join", "mg_heavy_hitters"),
     "retention_cohorts": ("events_sessionization", "trailing_range_stats"),
+    "image_near_dup": ("multimodal_real_codec", "incremental_near_dup"),
 }
 
 

@@ -3961,3 +3961,133 @@ def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div length(html)"
         ).alias("markup_ratio_micro"),
     )
+
+
+@query(
+    "c4_line_filter",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS words
+        FROM documents
+    ),
+    linearr AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN ['please enable javascript in your browser']
+                    ELSE [] END
+               || list_transform(range(0, (len(words) + 5) // 6),
+                    i -> array_to_string(words[i*6+1 : i*6+6], ' ')
+                         || CASE WHEN (doc_id + i) % 4 <> 3
+                                 THEN '.' ELSE '' END)
+               || CASE WHEN doc_id % 7 = 0
+                    THEN ['lorem ipsum dolor sit amet consectetur.']
+                    ELSE [] END AS lines
+        FROM base
+    ),
+    lined AS (
+        SELECT doc_id, s.i AS idx, lines[s.i] AS line
+        FROM linearr, unnest(generate_series(1, len(lines))) AS s(i)
+    ),
+    judged AS (
+        SELECT doc_id, idx, line,
+               CASE
+                 WHEN contains(line, 'javascript')
+                      OR contains(line, 'lorem ipsum')
+                      OR contains(line, 'cookie') THEN 'banner'
+                 WHEN len(string_split(line, ' ')) < 5 THEN 'short'
+                 WHEN right(line, 1) NOT IN ('.', '!', '?', '"')
+                      THEN 'punct'
+                 ELSE 'kept'
+               END AS verdict
+        FROM lined
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (verdict = 'kept') AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (verdict = 'banner') AS BIGINT) AS n_banner,
+           CAST(count(*) FILTER (verdict = 'short') AS BIGINT) AS n_short,
+           CAST(count(*) FILTER (verdict = 'punct') AS BIGINT) AS n_punct,
+           coalesce(string_agg(CASE WHEN verdict = 'kept' THEN line END,
+                               chr(10) ORDER BY idx), '') AS kept_text,
+           count(*) FILTER (verdict = 'kept') >= 3 AS doc_kept
+    FROM judged
+    GROUP BY doc_id
+    """,
+)
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's line-level heuristic gate (Raffel et al. 2020, the public
+    pipeline behind the C4 corpus): keep lines that end in terminal
+    punctuation AND have >= 5 words AND carry no javascript/cookie/
+    lorem-ipsum boilerplate; keep documents with >= 3 surviving lines.
+    The fixture's documents are single-line word streams, so the row
+    synthesizes deterministic lines first (6-word chunks, punctuation
+    on a (doc_id+idx)%4 schedule, banner lines injected for doc_id%5
+    and %7 — both engines build the same lines, so the hash checks the
+    RULES). Pure explode + CASE + grouped aggregate: map-side explode,
+    one keyed shuffle, kept_text reassembled order-deterministically —
+    at 100 TB this is a single pass over the corpus."""
+    docs = Catalog(spark, sf_dir).documents
+    words = F.split(F.trim(F.col("text")), " ")
+    n_chunks = F.floor((F.size(words) + F.lit(5)) / F.lit(6)).cast("int")
+    content = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(words, i * 6 + 1, 6), " "),
+            F.when((F.col("doc_id") + i) % 4 != 3, F.lit(".")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    lines = F.concat(
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.array(F.lit("please enable javascript in your browser")),
+        ).otherwise(empty),
+        content,
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.array(F.lit("lorem ipsum dolor sit amet consectetur.")),
+        ).otherwise(empty),
+    )
+    lined = docs.select(
+        "doc_id", F.posexplode(lines).alias("idx", "line")
+    )
+    verdict = (
+        F.when(
+            F.contains(F.col("line"), F.lit("javascript"))
+            | F.contains(F.col("line"), F.lit("lorem ipsum"))
+            | F.contains(F.col("line"), F.lit("cookie")),
+            F.lit("banner"),
+        )
+        .when(F.size(F.split(F.col("line"), " ")) < 5, F.lit("short"))
+        .when(
+            ~F.substring(F.col("line"), -1, 1).isin(".", "!", "?", '"'),
+            F.lit("punct"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    judged = lined.select("doc_id", "idx", "line", verdict.alias("verdict"))
+    kept_in_order = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("verdict") == "kept",
+                        F.struct(F.col("idx"), F.col("line")),
+                    )
+                )
+            ),
+            lambda s: s["line"],
+        ),
+        "\n",
+    )
+    return judged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.count(F.when(F.col("verdict") == "kept", 1)).cast("long").alias("n_kept"),
+        F.count(F.when(F.col("verdict") == "banner", 1)).cast("long").alias("n_banner"),
+        F.count(F.when(F.col("verdict") == "short", 1)).cast("long").alias("n_short"),
+        F.count(F.when(F.col("verdict") == "punct", 1)).cast("long").alias("n_punct"),
+        kept_in_order.alias("kept_text"),
+        (F.count(F.when(F.col("verdict") == "kept", 1)) >= 3).alias("doc_kept"),
+    )

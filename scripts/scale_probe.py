@@ -104,6 +104,8 @@ DECADE_SUITE = DEFAULT_PROBE + [
     # r11 (late): the crawl front door — map-only regexp extraction,
     # the shape that must scale exactly linearly (no shuffle at all)
     "html_extract",
+    # r11 (late): C4 line gate — explode + one keyed shuffle
+    "c4_line_filter",
 ]
 
 
