@@ -286,6 +286,18 @@ def pagerank(
     lineage MUST be cut or the plan doubles every round (the one
     sanctioned checkpoint site in the codebase). Degenerate inputs
     (no edges) raise rather than dividing by a zero node count.
+
+    ``assume_distinct=True`` skips the internal edge ``distinct()``.
+    CONTRACT: the caller guarantees the edge list is already
+    deduplicated (ideally checkpointed, so the loop reads a
+    materialized frame) — passing raw multi-edges under this flag
+    silently weights parallel edges into deg/contrib and the ranks
+    stop summing to 1; when in doubt leave it False. Setup
+    checkpoints (``nodes``/``deg``/``ed``, ~node/edge-count rows of
+    longs) are superseded-generation-released only for the rank
+    vector; the rest are freed by the ContextCleaner when the call's
+    references drop — the same lifecycle ``connected_components``
+    has run under since r4.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")

@@ -3975,10 +3975,16 @@ def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN doc_id % 5 = 0
                     THEN ['please enable javascript in your browser']
                     ELSE [] END
+               || CASE WHEN doc_id % 11 = 0
+                    THEN ['this site uses cookie tracking, accept to continue.']
+                    ELSE [] END
                || list_transform(range(0, (len(words) + 5) // 6),
                     i -> array_to_string(words[i*6+1 : i*6+6], ' ')
-                         || CASE WHEN (doc_id + i) % 4 <> 3
-                                 THEN '.' ELSE '' END)
+                         || CASE (doc_id + i) % 4
+                              WHEN 0 THEN '.' WHEN 1 THEN '!'
+                              WHEN 2 THEN '?' ELSE '' END
+                         || CASE WHEN (doc_id + i) % 9 = 4
+                                 THEN '"' ELSE '' END)
                || CASE WHEN doc_id % 7 = 0
                     THEN ['lorem ipsum dolor sit amet consectetur.']
                     ELSE [] END AS lines
@@ -4033,7 +4039,11 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat(
             F.array_join(F.slice(words, i * 6 + 1, 6), " "),
-            F.when((F.col("doc_id") + i) % 4 != 3, F.lit(".")).otherwise(
+            F.when((F.col("doc_id") + i) % 4 == 0, F.lit("."))
+            .when((F.col("doc_id") + i) % 4 == 1, F.lit("!"))
+            .when((F.col("doc_id") + i) % 4 == 2, F.lit("?"))
+            .otherwise(F.lit("")),
+            F.when((F.col("doc_id") + i) % 9 == 4, F.lit('"')).otherwise(
                 F.lit("")
             ),
         ),
@@ -4043,6 +4053,14 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("doc_id") % 5 == 0,
             F.array(F.lit("please enable javascript in your browser")),
+        ).otherwise(empty),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.array(
+                F.lit(
+                    "this site uses cookie tracking, accept to continue."
+                )
+            ),
         ).otherwise(empty),
         content,
         F.when(

@@ -164,9 +164,14 @@ def decade_suite(args) -> None:
     )
     cal_sf1, sf1 = _timed_set(spark, queries, names, args.sf_dir, args.runs)
 
+    # provenance must name the EXACT replaying command: a name-restricted
+    # run recorded as the bare suite command would not reproduce
+    # (r11 review finding)
+    cmd = f"scale_probe.py --suite decade --round {args.round}"
+    if args.names:
+        cmd += " " + " ".join(args.names)
     lines = [
-        f"Decade table (generated by `scale_probe.py --suite decade "
-        f"--round {args.round}`; calibration "
+        f"Decade table (generated by `{cmd}`; calibration "
         f"{cal_base}/{cal_sf1}, min-of-{args.runs} steady, both tiers "
         "same session):",
         "",
