@@ -138,6 +138,12 @@ HEADLINE = [
     # added r11 (late): C4's line-level heuristic gate — prices the
     # explode + CASE + grouped reassembly single pass
     "c4_line_filter",
+    # added r11 (late): CCNet head/middle/tail terciles — prices the
+    # scoring pass + histogram-window threshold fit + broadcast assign
+    "perplexity_buckets",
+    # added r11 (late): Gopher's document-level rule set — prices the
+    # map-only array-expression gate (zero exchanges)
+    "gopher_quality_gate",
 ]
 
 #: The r5-era 21-query set — every HEADLINE row that existed before the
@@ -179,6 +185,8 @@ R5_COMPARABLE = [
         "link_authority",
         "html_extract",
         "c4_line_filter",
+        "perplexity_buckets",
+        "gopher_quality_gate",
     }
 ]
 

@@ -896,6 +896,115 @@ def bigram_logprob(
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 50_000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partitioning (public method:
+    Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data"): score every document with the
+    :func:`unigram_logprob` perplexity proxy, then split each language
+    into score TERCILES — ``head`` (most fluent third), ``middle``,
+    ``tail`` — the partition CCNet publishes per language so downstream
+    consumers pick their quality/recall point by choosing buckets.
+
+    Threshold semantics (exact, engine-portable): per language, order
+    the fixed-point micro scores ascending; ``t1`` is the score at
+    cumulative rank ``ceil(n/3)`` and ``t2`` at ``ceil(2n/3)``; a doc
+    is ``tail`` if ``score <= t1``, ``middle`` if ``score <= t2``,
+    else ``head``. Boundary TIES share a bucket (the threshold is a
+    score, not a per-doc rank), so the split is a pure function of the
+    score — reshuffling input order cannot move a document.
+
+    Output: one row per ``(lang, bucket)`` — ``n_docs``,
+    ``total_tokens``, ``sum_logprob_micro`` (exact integer sum of the
+    per-doc micro scores; divide by ``n_docs`` off-line for the bucket
+    mean — summing integers keeps the hash exact), ``min_score_micro``
+    / ``max_score_micro`` (the realized bucket edges).
+
+    Scale shape: the scoring pass is :func:`unigram_logprob` (two keyed
+    token-stream aggregations, broadcast vocabulary). Everything after
+    operates on a per-``(lang, score)`` HISTOGRAM — docs collapse to
+    one row per distinct micro score before any window runs, so the
+    per-language cumulative sum orders histogram rows, never documents
+    (micro fixed-point bounds the distinct-score domain; boilerplate
+    corpora collapse hardest). The threshold frame is rows = languages
+    × buckets — broadcast back over the histogram. At crawl scale
+    CCNet itself fits thresholds on a SAMPLE and ships them as
+    constants; this exact-tercile form is the auditable variant, and
+    swapping the histogram pass for a sampled quantile keeps every
+    downstream line unchanged.
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        vocab_size=vocab_size,
+        alpha=alpha,
+    ).join(
+        docs.select(F.col(id_col), F.col(lang_col).alias("lang")), id_col
+    )
+    hist = scored.groupBy("lang", "avg_logprob_micro").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("n_tokens").alias("tk"),
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("avg_logprob_micro")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "lang",
+        "avg_logprob_micro",
+        "nd",
+        "tk",
+        F.sum("nd").over(w_cum).alias("cum"),
+        F.sum("nd").over(w_all).alias("n"),
+    )
+    thr = cum.groupBy("lang").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n + 2) DIV 3"),
+                F.col("avg_logprob_micro"),
+            )
+        ).alias("t1"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(2 * n + 2) DIV 3"),
+                F.col("avg_logprob_micro"),
+            )
+        ).alias("t2"),
+    )
+    bucketed = cum.join(F.broadcast(thr), "lang").select(
+        "lang",
+        F.when(F.col("avg_logprob_micro") <= F.col("t1"), "tail")
+        .when(F.col("avg_logprob_micro") <= F.col("t2"), "middle")
+        .otherwise("head")
+        .alias("bucket"),
+        "nd",
+        "tk",
+        "avg_logprob_micro",
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.sum("nd").cast("int").alias("n_docs"),
+        F.sum("tk").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("avg_logprob_micro") * F.col("nd"))
+        .cast("bigint")
+        .alias("sum_logprob_micro"),
+        F.min("avg_logprob_micro").alias("min_score_micro"),
+        F.max("avg_logprob_micro").alias("max_score_micro"),
+    )
+
+
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,

@@ -996,3 +996,128 @@ def repeated_span_removal(
         .cast("int")
         .alias("n_removed"),
     )
+
+
+#: Gopher rule-2 stop-word set (Rae et al. 2021, Appendix A1.1): a doc
+#: must contain at least two DISTINCT members to pass the stop-word
+#: rule. Module-level so the fixture synthesis and the gate share one
+#: definition.
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher's document-level quality rules (public method: Rae et al.
+    2021, "Scaling Language Models: ... Gopher", Appendix A1.1 — the
+    filter set Dolma / RedPajama-v2 / FineWeb all re-implement): per
+    document,
+
+      * word count in ``[min_words, max_words]``;
+      * mean word length in [3, 10] characters;
+      * <= 10% of words are "symbol" words (contain ``#`` or ``...``);
+      * >= 80% of words contain at least one alphabetic character;
+      * >= 2 distinct members of :data:`GOPHER_STOP_WORDS` present;
+      * <= 10% of lines start with a bullet (``- ``);
+      * <= 30% of lines end with an ellipsis (``...``).
+
+    ``keep`` is the conjunction. Every ratio threshold is evaluated as
+    an exact INTEGER comparison (``n_symbol * 10 <= n_words``, never a
+    float divide), so the verdicts are bit-identical across engines;
+    the raw counts ship alongside the booleans so a consumer can re-cut
+    at different thresholds without a second scan.
+
+    Scale shape: the entire gate is per-row array expressions — split,
+    ``transform``/``filter``/``aggregate`` over the word and line
+    arrays, all inside whole-stage codegen. MAP-ONLY: zero exchanges,
+    zero joins, zero Python at any corpus size; at 100 TB the cost is
+    the scan itself, and the gate composes with c4_line_filter /
+    html_extract in the same single pass over a crawl tier.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    words = F.filter(
+        F.split(F.translate(text, "\n", " "), " "), lambda w: w != ""
+    )
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS])
+    staged = docs.select(
+        F.col(id_col),
+        words.alias("__w"),
+        lines.alias("__l"),
+    )
+    n_words = F.size(F.col("__w")).cast("long")
+    n_lines = F.size(F.col("__l")).cast("long")
+    counted = staged.select(
+        id_col,
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        F.aggregate(
+            F.col("__w"),
+            F.lit(0).cast("long"),
+            lambda a, w: a + F.length(w),
+        ).alias("total_word_chars"),
+        F.size(
+            F.filter(
+                F.col("__w"),
+                lambda w: w.contains("#") | w.contains("..."),
+            )
+        )
+        .cast("long")
+        .alias("n_symbol_words"),
+        F.size(F.filter(F.col("__w"), lambda w: w.rlike("[a-zA-Z]")))
+        .cast("long")
+        .alias("n_alpha_words"),
+        F.size(
+            F.filter(stop_arr, lambda s: F.array_contains(F.col("__w"), s))
+        )
+        .cast("long")
+        .alias("n_stop_kinds"),
+        F.size(
+            F.filter(F.col("__l"), lambda l: F.substring(l, 1, 2) == "- ")
+        )
+        .cast("long")
+        .alias("n_bullet_lines"),
+        F.size(
+            F.filter(F.col("__l"), lambda l: l.substr(-3, 3) == "...")
+        )
+        .cast("long")
+        .alias("n_ellipsis_lines"),
+    )
+    c = F.col
+    return counted.select(
+        id_col,
+        "n_words",
+        "n_lines",
+        "total_word_chars",
+        "n_symbol_words",
+        "n_alpha_words",
+        "n_stop_kinds",
+        "n_bullet_lines",
+        "n_ellipsis_lines",
+        c("n_words").between(min_words, max_words).alias("r_word_count"),
+        (
+            (c("total_word_chars") >= 3 * c("n_words"))
+            & (c("total_word_chars") <= 10 * c("n_words"))
+        ).alias("r_mean_word_len"),
+        (c("n_symbol_words") * 10 <= c("n_words")).alias("r_symbol_ratio"),
+        (c("n_alpha_words") * 5 >= c("n_words") * 4).alias("r_alpha_ratio"),
+        (c("n_stop_kinds") >= 2).alias("r_stop_words"),
+        (c("n_bullet_lines") * 10 <= c("n_lines")).alias("r_bullet_lines"),
+        (c("n_ellipsis_lines") * 10 <= c("n_lines") * 3).alias(
+            "r_ellipsis_lines"
+        ),
+        (
+            c("n_words").between(min_words, max_words)
+            & (c("total_word_chars") >= 3 * c("n_words"))
+            & (c("total_word_chars") <= 10 * c("n_words"))
+            & (c("n_symbol_words") * 10 <= c("n_words"))
+            & (c("n_alpha_words") * 5 >= c("n_words") * 4)
+            & (c("n_stop_kinds") >= 2)
+            & (c("n_bullet_lines") * 10 <= c("n_lines"))
+            & (c("n_ellipsis_lines") * 10 <= c("n_lines") * 3)
+        ).alias("keep"),
+    )

@@ -2470,6 +2470,78 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "perplexity_buckets",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS t
+        FROM documents
+    ),
+    tf AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    vocab AS (SELECT t, c FROM tf ORDER BY c DESC, t LIMIT 16),
+    tot AS (SELECT (SELECT sum(c) FROM tf) AS n_total,
+                   (SELECT count(*) FROM vocab) AS v_actual),
+    lp AS (
+        SELECT toks.doc_id, toks.lang,
+               round(ln((coalesce(v.c, 0) + 0.5)
+                        / (tot.n_total + 0.5 * (tot.v_actual + 1))), 9) AS lp
+        FROM toks LEFT JOIN vocab v ON v.t = toks.t CROSS JOIN tot
+    ),
+    doc AS (
+        SELECT doc_id, lang, count(*) AS n_tokens,
+               CAST(round(sum(lp) / count(*) * 1000000) AS BIGINT) AS score
+        FROM lp GROUP BY doc_id, lang
+    ),
+    hist AS (
+        SELECT lang, score, count(*) AS nd, sum(n_tokens) AS tk
+        FROM doc GROUP BY lang, score
+    ),
+    cum AS (
+        SELECT lang, score, nd, tk,
+               sum(nd) OVER (PARTITION BY lang ORDER BY score) AS cum,
+               sum(nd) OVER (PARTITION BY lang) AS n
+        FROM hist
+    ),
+    thr AS (
+        SELECT lang,
+               min(CASE WHEN cum >= (n + 2) // 3 THEN score END) AS t1,
+               min(CASE WHEN cum >= (2 * n + 2) // 3 THEN score END) AS t2
+        FROM cum GROUP BY lang
+    ),
+    b AS (
+        SELECT c.lang,
+               CASE WHEN c.score <= t.t1 THEN 'tail'
+                    WHEN c.score <= t.t2 THEN 'middle'
+                    ELSE 'head' END AS bucket,
+               c.nd, c.tk, c.score
+        FROM cum c JOIN thr t ON t.lang = c.lang
+    )
+    SELECT lang, bucket,
+           CAST(sum(nd) AS INT) AS n_docs,
+           CAST(sum(tk) AS BIGINT) AS total_tokens,
+           CAST(sum(score * nd) AS BIGINT) AS sum_logprob_micro,
+           min(score) AS min_score_micro,
+           max(score) AS max_score_micro
+    FROM b GROUP BY lang, bucket
+    """,
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus partitioning (Wenzek et al. 2020):
+    per-language score TERCILES of the doc_logprob perplexity proxy —
+    the quality-partition step between extraction (html_extract,
+    c4_line_filter) and selection (dsir_select, quality_filter) in a
+    crawl pipeline. Same tiny vocab_size=16 model as doc_logprob so the
+    oracle's scoring CTE is the audited one; thresholds are exact
+    integer ranks over the micro-score histogram, ties share a bucket.
+    operators.corpus.perplexity_buckets has the histogram-not-docs
+    window note and the CCNet sampled-threshold scale path."""
+    from ..operators import corpus as C
+
+    return C.perplexity_buckets(
+        Catalog(spark, sf_dir).documents, vocab_size=16, alpha=0.5
+    )
+
+
+@query(
     "quality_classifier",
     oracle="""
     WITH tok AS (
@@ -4109,3 +4181,206 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept_in_order.alias("kept_text"),
         (F.count(F.when(F.col("verdict") == "kept", 1)) >= 3).alias("doc_kept"),
     )
+
+
+@query(
+    "gopher_quality_gate",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w0 FROM documents
+    ),
+    a1 AS (
+        SELECT doc_id, list_transform(range(0, len(w0)), i ->
+            CASE WHEN (doc_id + i) % 15 = 8
+                 THEN (['the','be','to','of','and','that','have','with'])
+                      [(doc_id + i) % 8 + 1]
+                 ELSE w0[i + 1] END) AS w1
+        FROM base
+    ),
+    a2 AS (
+        SELECT doc_id, list_transform(range(0, len(w1)), i ->
+            CASE WHEN (doc_id % 31 = 3 AND (doc_id + i) % 3 = 1)
+                   OR (doc_id % 31 <> 3 AND (doc_id + i) % 41 = 9)
+                 THEN '12345' ELSE w1[i + 1] END) AS w2
+        FROM a1
+    ),
+    a3 AS (
+        SELECT doc_id, list_transform(range(0, len(w2)), i ->
+            CASE WHEN (doc_id % 13 = 4 AND (doc_id + i) % 3 = 0)
+                   OR (doc_id % 13 <> 4 AND (doc_id + i) % 29 = 0)
+                 THEN '#' || w2[i + 1] ELSE w2[i + 1] END) AS w3
+        FROM a2
+    ),
+    a4 AS (
+        SELECT doc_id, list_transform(range(0, len(w3)), i ->
+            CASE WHEN doc_id % 23 = 7 THEN w3[i + 1] || 'xxxxxxxxxx'
+                 WHEN doc_id % 23 = 15 THEN substr(w3[i + 1], 1, 1)
+                 ELSE w3[i + 1] END) AS w4
+        FROM a3
+    ),
+    synth AS (
+        SELECT doc_id, array_to_string(
+            list_transform(range(0, (len(w4) + 7) // 8), j ->
+                CASE WHEN (doc_id % 9 = 2 AND (doc_id + j) % 3 = 0)
+                       OR (doc_id % 9 <> 2 AND (doc_id + j) % 31 = 7)
+                     THEN '- ' ELSE '' END
+                || array_to_string(w4[j*8+1 : j*8+8], ' ')
+                || CASE WHEN (doc_id % 19 = 6 AND (doc_id + j) % 2 = 0)
+                          OR (doc_id % 19 <> 6 AND (doc_id + j) % 23 = 3)
+                        THEN '...' ELSE '' END),
+            chr(10)) AS text
+        FROM a4
+    ),
+    parsed AS (
+        SELECT doc_id,
+               list_filter(string_split(replace(text, chr(10), ' '), ' '),
+                           w -> w <> '') AS w,
+               string_split(text, chr(10)) AS l
+        FROM synth
+    ),
+    counted AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(len(l) AS BIGINT) AS n_lines,
+               CAST(list_sum(list_transform(w, x -> length(x)))
+                    AS BIGINT) AS total_word_chars,
+               CAST(len(list_filter(w, x -> contains(x, '#')
+                                         OR contains(x, '...')))
+                    AS BIGINT) AS n_symbol_words,
+               CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+                    AS BIGINT) AS n_alpha_words,
+               CAST(len(list_filter(
+                        ['the','be','to','of','and','that','have','with'],
+                        s -> list_contains(w, s)))
+                    AS BIGINT) AS n_stop_kinds,
+               CAST(len(list_filter(l, x -> substr(x, 1, 2) = '- '))
+                    AS BIGINT) AS n_bullet_lines,
+               CAST(len(list_filter(l, x -> right(x, 3) = '...'))
+                    AS BIGINT) AS n_ellipsis_lines
+        FROM parsed
+    )
+    SELECT doc_id, n_words, n_lines, total_word_chars, n_symbol_words,
+           n_alpha_words, n_stop_kinds, n_bullet_lines, n_ellipsis_lines,
+           n_words BETWEEN 50 AND 100000 AS r_word_count,
+           total_word_chars >= 3 * n_words
+               AND total_word_chars <= 10 * n_words AS r_mean_word_len,
+           n_symbol_words * 10 <= n_words AS r_symbol_ratio,
+           n_alpha_words * 5 >= n_words * 4 AS r_alpha_ratio,
+           n_stop_kinds >= 2 AS r_stop_words,
+           n_bullet_lines * 10 <= n_lines AS r_bullet_lines,
+           n_ellipsis_lines * 10 <= n_lines * 3 AS r_ellipsis_lines,
+           (n_words BETWEEN 50 AND 100000)
+               AND total_word_chars >= 3 * n_words
+               AND total_word_chars <= 10 * n_words
+               AND n_symbol_words * 10 <= n_words
+               AND n_alpha_words * 5 >= n_words * 4
+               AND n_stop_kinds >= 2
+               AND n_bullet_lines * 10 <= n_lines
+               AND n_ellipsis_lines * 10 <= n_lines * 3 AS keep
+    FROM counted
+    """,
+)
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's document-level quality rules (Rae et al. 2021, Appendix
+    A1.1) — the most re-implemented filter set in the training-data
+    literature (Dolma, RedPajama-v2, FineWeb). The fixture's documents
+    are single-line word streams in which no rule's reject branch would
+    ever fire, so the row first synthesizes a deterministic multi-line
+    document per doc (both engines build the SAME text, so the hash
+    checks the RULES, not the fixture): scheduled stop-word /
+    non-alpha / '#'-symbol word substitutions plus per-rule STRESS
+    COHORTS (doc_id%23 stretches or truncates every word past the mean-
+    length band, %31/%13 densify non-alpha and symbol words past their
+    ratio caps, %9/%19 do the same for bullet and ellipsis lines), then
+    8-word lines with scheduled '- ' bullets and '...' endings. The
+    gate itself is operators.hygiene.gopher_quality_gate — exact
+    integer threshold comparisons, MAP-ONLY (zero exchanges, the plan
+    is split/transform/filter/aggregate array expressions inside
+    whole-stage codegen)."""
+    from ..operators import hygiene as HG
+
+    docs = Catalog(spark, sf_dir).documents
+    doc = F.col("doc_id")
+    stop_arr = F.array(
+        *[F.lit(s) for s in HG.GOPHER_STOP_WORDS]
+    )
+
+    def over(prev, fn):
+        return F.transform(
+            F.sequence(F.lit(0), F.size(prev) - 1),
+            lambda i: fn(F.element_at(prev, (i + 1).cast("int")), i),
+        )
+
+    w0 = F.split(F.trim(F.col("text")), " ")
+    staged = docs.select("doc_id", w0.alias("w0"))
+    staged = staged.select(
+        "doc_id",
+        over(
+            F.col("w0"),
+            lambda w, i: F.when(
+                (doc + i) % 15 == 8,
+                F.element_at(stop_arr, ((doc + i) % 8 + 1).cast("int")),
+            ).otherwise(w),
+        ).alias("w1"),
+    )
+    staged = staged.select(
+        "doc_id",
+        over(
+            F.col("w1"),
+            lambda w, i: F.when(
+                ((doc % 31 == 3) & ((doc + i) % 3 == 1))
+                | ((doc % 31 != 3) & ((doc + i) % 41 == 9)),
+                F.lit("12345"),
+            ).otherwise(w),
+        ).alias("w2"),
+    )
+    staged = staged.select(
+        "doc_id",
+        over(
+            F.col("w2"),
+            lambda w, i: F.when(
+                ((doc % 13 == 4) & ((doc + i) % 3 == 0))
+                | ((doc % 13 != 4) & ((doc + i) % 29 == 0)),
+                F.concat(F.lit("#"), w),
+            ).otherwise(w),
+        ).alias("w3"),
+    )
+    staged = staged.select(
+        "doc_id",
+        over(
+            F.col("w3"),
+            lambda w, i: F.when(
+                doc % 23 == 7, F.concat(w, F.lit("xxxxxxxxxx"))
+            )
+            .when(doc % 23 == 15, F.substring(w, 1, 1))
+            .otherwise(w),
+        ).alias("w4"),
+    )
+    n_chunks = F.floor((F.size(F.col("w4")) + F.lit(7)) / F.lit(8)).cast(
+        "int"
+    )
+    synth = staged.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda j: F.concat(
+                    F.when(
+                        ((doc % 9 == 2) & ((doc + j) % 3 == 0))
+                        | ((doc % 9 != 2) & ((doc + j) % 31 == 7)),
+                        F.lit("- "),
+                    ).otherwise(F.lit("")),
+                    F.array_join(
+                        F.slice(F.col("w4"), j * 8 + 1, 8), " "
+                    ),
+                    F.when(
+                        ((doc % 19 == 6) & ((doc + j) % 2 == 0))
+                        | ((doc % 19 != 6) & ((doc + j) % 23 == 3)),
+                        F.lit("..."),
+                    ).otherwise(F.lit("")),
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return HG.gopher_quality_gate(synth)

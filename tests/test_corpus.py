@@ -448,6 +448,77 @@ def test_unigram_logprob_vocab_broadcasts(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_perplexity_buckets_matches_per_doc_tercile_rule(spark):
+    """The CCNet head/middle/tail split must equal an independent
+    Python fold of the per-doc scores under the documented rule
+    (t1 = score at cumulative rank ceil(n/3), t2 at ceil(2n/3), ties
+    share a bucket) — covering a mixed 7-doc language, an all-tied
+    language (one single 'tail' bucket), and 1- and 2-doc degenerates."""
+    rows = [
+        # 'aa': 7 docs, compositions spread across vocab/OOV mixes
+        (1, "aa", "alpha alpha alpha alpha"),
+        (2, "aa", "alpha beta alpha beta"),
+        (3, "aa", "alpha beta gamma zz"),
+        (4, "aa", "zz qq xx yy"),
+        (5, "aa", "beta beta gamma gamma"),
+        (6, "aa", "alpha alpha beta zz"),
+        (7, "aa", "gamma gamma gamma qq"),
+        # 'bb': 3 byte-identical docs -> one all-tied 'tail' bucket
+        (8, "bb", "alpha beta"),
+        (9, "bb", "alpha beta"),
+        (10, "bb", "alpha beta"),
+        # 'cc': single doc -> 'tail'
+        (11, "cc", "alpha gamma"),
+        # 'dd': two distinct docs -> 'tail' + 'middle', never 'head'
+        (12, "dd", "alpha alpha"),
+        (13, "dd", "zz yy"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    scored = {
+        r["doc_id"]: (r["avg_logprob_micro"], r["n_tokens"])
+        for r in C.unigram_logprob(docs, vocab_size=4, alpha=0.5).collect()
+    }
+    lang_of = {i: lang for i, lang, _ in rows}
+    by_lang: dict[str, list[int]] = {}
+    for i, (score, _) in scored.items():
+        by_lang.setdefault(lang_of[i], []).append(score)
+    expected: dict[tuple[str, str], list[int]] = {}
+    for lang, scores in by_lang.items():
+        s = sorted(scores)
+        n = len(s)
+        t1, t2 = s[(n + 2) // 3 - 1], s[(2 * n + 2) // 3 - 1]
+        for i, (score, n_tokens) in scored.items():
+            if lang_of[i] != lang:
+                continue
+            bucket = (
+                "tail" if score <= t1 else "middle" if score <= t2 else "head"
+            )
+            agg = expected.setdefault((lang, bucket), [0, 0, 0, None, None])
+            agg[0] += 1
+            agg[1] += n_tokens
+            agg[2] += score
+            agg[3] = score if agg[3] is None else min(agg[3], score)
+            agg[4] = score if agg[4] is None else max(agg[4], score)
+    out = C.perplexity_buckets(docs, vocab_size=4, alpha=0.5).collect()
+    got = {
+        (r["lang"], r["bucket"]): [
+            r["n_docs"],
+            r["total_tokens"],
+            r["sum_logprob_micro"],
+            r["min_score_micro"],
+            r["max_score_micro"],
+        ]
+        for r in out
+    }
+    assert got == expected
+    assert all(v is not None for r in out for v in r)  # null-free canon
+    # all-tied language collapses to exactly one bucket, and it's tail
+    assert [k for k in got if k[0] == "bb"] == [("bb", "tail")]
+    assert got[("bb", "tail")][0] == 3
+    assert [k[1] for k in sorted(got) if k[0] == "cc"] == ["tail"]
+    assert sorted(k[1] for k in got if k[0] == "dd") == ["middle", "tail"]
+
+
 def test_cluster_keyed_split_never_straddles(spark):
     """THE leakage property: every cluster lands in exactly one split,
     and singletons fall back to their own id (matching corpus_split's

@@ -894,3 +894,52 @@ def test_compact_torn_intent_record_is_tolerated(spark, tmp_path):
     assert rid.startswith("compact-2-")
     assert glob.glob(f"{path}/_compactions/*.json") == []
     assert sorted(map(tuple, ST.kmv_fold(spark, path, ["key"], k=8).collect())) == before
+
+
+def test_gopher_quality_gate_rule_goldens(spark):
+    """Each Gopher rule isolated on a hand-built doc that violates ONLY
+    it (plus a clean pass, a 10%-symbol exact-tie pass, and a
+    word-count fail) — counts and booleans pinned by hand."""
+    clean = ["alpha"] * 58 + ["the", "of"]          # mean len 295/60
+    rows = [
+        (1, " ".join(clean)),                        # all rules pass
+        (2, "just ten the of tokens in this doc right here"),  # <50 words
+        (3, " ".join(["#" + w if i < 20 else w for i, w in enumerate(clean)])),
+        (4, "\n".join(
+            ("- " if i < 2 else "") + " ".join(clean[:6])
+            for i in range(10)) + " the of"),        # 2/10 bullet lines
+        (5, "\n".join(
+            " ".join(clean[:6]) + ("..." if i < 4 else "")
+            for i in range(10)) + " the of"),        # 4/10 ellipsis lines
+        (6, " ".join(["alphabetical"] * 58 + ["the", "of"])),  # mean 11.7
+        (7, " ".join(["123" if i < 20 else w for i, w in enumerate(clean)])),
+        (8, " ".join(["alpha"] * 59 + ["the"])),     # only 1 stop kind
+        (9, " ".join(["#" + w if i < 6 else w for i, w in enumerate(clean)])),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in H.gopher_quality_gate(docs).collect()}
+    assert out[1]["keep"] and all(
+        out[1][k] for k in out[1] if k.startswith("r_")
+    )
+    assert out[1]["n_words"] == 60 and out[1]["total_word_chars"] == 295
+    assert not out[2]["r_word_count"] and not out[2]["keep"]
+    # doc 3: 20/60 symbol words > 10%; every other rule still passes
+    assert not out[3]["r_symbol_ratio"] and out[3]["n_symbol_words"] == 20
+    assert out[3]["r_mean_word_len"] and out[3]["r_alpha_ratio"]
+    # doc 4: exactly the bullet rule (2*10 > 10 lines)
+    assert not out[4]["r_bullet_lines"] and out[4]["n_bullet_lines"] == 2
+    assert out[4]["r_ellipsis_lines"] and not out[4]["keep"]
+    # doc 5: exactly the ellipsis rule (4*10 > 3*10)
+    assert not out[5]["r_ellipsis_lines"] and out[5]["n_ellipsis_lines"] == 4
+    assert out[5]["r_bullet_lines"]
+    # doc 6: mean word length 697/60 > 10, all else green
+    assert not out[6]["r_mean_word_len"] and out[6]["r_stop_words"]
+    # doc 7: 20/60 non-alpha > 20%
+    assert not out[7]["r_alpha_ratio"] and out[7]["n_alpha_words"] == 40
+    # doc 8: one stop kind is not two
+    assert not out[8]["r_stop_words"] and out[8]["n_stop_kinds"] == 1
+    # doc 9: EXACT tie — 6 symbol words in 60 is <= 10%, rule passes
+    assert out[9]["r_symbol_ratio"] and out[9]["n_symbol_words"] == 6
+    assert out[9]["keep"]
+    # null-free canon over every cell
+    assert all(v is not None for d in out.values() for v in d.values())
