@@ -1011,6 +1011,7 @@ def gopher_quality_gate(
     id_col: str = "doc_id",
     min_words: int = 50,
     max_words: int = 100_000,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher's document-level quality rules (public method: Rae et al.
     2021, "Scaling Language Models: ... Gopher", Appendix A1.1 — the
@@ -1029,7 +1030,10 @@ def gopher_quality_gate(
     an exact INTEGER comparison (``n_symbol * 10 <= n_words``, never a
     float divide), so the verdicts are bit-identical across engines;
     the raw counts ship alongside the booleans so a consumer can re-cut
-    at different thresholds without a second scan.
+    at different thresholds without a second scan. ``passthrough``
+    names extra input columns (e.g. the text itself, provenance) to
+    carry onto the output unchanged, so a pipeline can filter on
+    ``keep`` without joining back to the input.
 
     Scale shape: the entire gate is per-row array expressions — split,
     ``transform``/``filter``/``aggregate`` over the word and line
@@ -1048,11 +1052,13 @@ def gopher_quality_gate(
         F.col(id_col),
         words.alias("__w"),
         lines.alias("__l"),
+        *[F.col(p) for p in passthrough],
     )
     n_words = F.size(F.col("__w")).cast("long")
     n_lines = F.size(F.col("__l")).cast("long")
     counted = staged.select(
         id_col,
+        *passthrough,
         n_words.alias("n_words"),
         n_lines.alias("n_lines"),
         F.aggregate(
@@ -1090,6 +1096,7 @@ def gopher_quality_gate(
     c = F.col
     return counted.select(
         id_col,
+        *passthrough,
         "n_words",
         "n_lines",
         "total_word_chars",

@@ -1058,3 +1058,95 @@ def test_sketch_stream_available_now_rate_limited_backfill(spark, tmp_path):
         for p in glob.glob(f"{idx}/ingest_batch=*")
     }
     assert after == epochs
+
+
+def test_crawl_intake_stream_composes_and_matches_batch(spark, tmp_path):
+    """The composed intake (WARC -> strip_html -> Gopher gate -> digest
+    dedup) over two waves: gate rejects land in the report not the
+    corpus, a cross-wave content duplicate is dropped by the index
+    probe, and the streamed corpus equals the same composition run as
+    one batch over all archives."""
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.functions import text as TX
+    from jonesy_spark.operators import hygiene as H
+    from jonesy_spark.pipeline import warc as W
+    from jonesy_spark.streaming.incremental import run_crawl_intake_stream
+
+    def html(words: str) -> bytes:
+        return f"<html><body><p>{words}</p></body></html>".encode()
+
+    good1 = " ".join(f"alpha{i}" for i in range(58)) + " the of"
+    good2 = " ".join(f"beta{i}" for i in range(58)) + " the with"
+    symbolic = " ".join(
+        ("#tag" if i % 6 == 0 else f"gamma{i}") for i in range(58)
+    ) + " the of"
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    dest = str(tmp_path / "corpus")
+    index = str(tmp_path / "digest_index")
+    ckpt = str(tmp_path / "ckpt")
+
+    (src / "wave1.warc.gz").write_bytes(
+        W.encode_warc(
+            [
+                ("https://a.example/good1", "2024-01-01T00:00:00Z", html(good1)),
+                ("https://a.example/short", "2024-01-01T00:00:01Z", html("too short")),
+            ],
+            gzip_members=True,
+        )
+    )
+    run_crawl_intake_stream(spark, str(src), dest, index, ckpt)
+
+    (src / "wave2.warc.gz").write_bytes(
+        W.encode_warc(
+            [
+                # byte-identical CONTENT at a new URL: novel doc_id,
+                # same digest -> the index probe must drop it
+                ("https://b.example/dup-of-good1", "2024-01-02T00:00:00Z", html(good1)),
+                ("https://b.example/good2", "2024-01-02T00:00:01Z", html(good2)),
+                ("https://b.example/tags", "2024-01-02T00:00:02Z", html(symbolic)),
+            ],
+            gzip_members=True,
+        )
+    )
+    run_crawl_intake_stream(spark, str(src), dest, index, ckpt)
+
+    corpus = spark.read.parquet(dest)
+    assert sorted(r["text"] for r in corpus.collect()) == sorted([good1, good2])
+    reports = {
+        r["epoch"]: r for r in spark.read.parquet(f"{dest}/_report").collect()
+    }
+    assert reports[0]["n_extracted"] == 2 and reports[0]["n_kept"] == 1
+    assert reports[0]["rej_r_word_count"] == 1 and reports[0]["n_novel"] == 1
+    assert reports[1]["n_extracted"] == 3 and reports[1]["n_kept"] == 2
+    assert reports[1]["rej_r_symbol_ratio"] == 1 and reports[1]["n_novel"] == 1
+    assert all(
+        v is not None for r in reports.values() for v in r.asDict().values()
+    )
+
+    # batch parity: one pass over ALL archives through the same
+    # operators equals the streamed union (modulo the epoch column)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(str(src))
+        .select(
+            F.col("path").alias("archive_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    clean, _ = W.split_warc_records(
+        W.warc_records_quarantined(raw), normalize=True
+    )
+    extracted = clean.select(
+        "doc_id", TX.strip_html(F.col("text")).alias("text")
+    )
+    gated = H.gopher_quality_gate(extracted, passthrough=("text",))
+    kept = gated.filter(F.col("keep")).select("doc_id", "text")
+    empty_seen = spark.createDataFrame([], "content_hash string")
+    batch_novel, _ = H.incremental_dedup(kept, empty_seen)
+    assert sorted(r["text"] for r in batch_novel.collect()) == sorted(
+        r["text"] for r in corpus.collect()
+    )
