@@ -222,3 +222,55 @@ def test_warc_to_training_corpus_chain(spark, tmp_path):
     seqs = out["sequences"].collect()
     assert len(seqs) >= 1
     assert all(r["n_docs"] >= 1 and r["seq_tokens"] > 0 for r in seqs)
+
+
+def test_crawl_intake_job_gates_dedups_and_converges(spark, tmp_path):
+    """The composed nightly intake job with no WARC_SRC: seeds
+    HTML-bodied fixture archives, extracts, gates, dedups against the
+    persisted index. A same-day rerun converges (idempotent overwrite
+    of its own run partition); the NEXT day's run over unchanged
+    archives ingests zero novel documents."""
+    import json
+    from datetime import date
+
+    from jonesy_spark.pipeline.jobs import JobContext, run_job
+
+    ctx = JobContext(
+        spark, "/root/testdata/sf0.001", str(tmp_path), [],
+        run_date=date(2024, 3, 1),
+    )
+    run_job("crawl_intake", ctx)
+
+    root = tmp_path / "crawl_intake"
+    docs = spark.read.parquet(str(root / "documents"))
+    n_first = docs.count()
+    manifest = json.loads((root / "_MANIFEST.json").read_text())
+    assert manifest["intake"]["n_extracted"] > 0
+    # the gate is live: some fixture docs fail the 50-word floor
+    assert 0 < manifest["intake"]["n_kept"] < manifest["intake"]["n_extracted"]
+    assert manifest["intake"]["n_novel"] == n_first > 0
+    # extraction is live: no markup survives into the corpus
+    assert docs.filter(docs.text.contains("<")).count() == 0
+    assert f"crawl_intake/documents/ingest_batch=run-2024-03-01" in ctx.written
+
+    # same-day rerun: converges to the same corpus, not a double ingest
+    run_job(
+        "crawl_intake",
+        JobContext(
+            spark, "/root/testdata/sf0.001", str(tmp_path), [],
+            run_date=date(2024, 3, 1),
+        ),
+    )
+    assert spark.read.parquet(str(root / "documents")).count() == n_first
+
+    # next-day run over unchanged archives: everything already indexed
+    run_job(
+        "crawl_intake",
+        JobContext(
+            spark, "/root/testdata/sf0.001", str(tmp_path), [],
+            run_date=date(2024, 3, 2),
+        ),
+    )
+    manifest2 = json.loads((root / "_MANIFEST.json").read_text())
+    assert manifest2["intake"]["n_novel"] == 0
+    assert spark.read.parquet(str(root / "documents")).count() == n_first
