@@ -1020,14 +1020,21 @@ def gopher_quality_gate(
 
       * word count in ``[min_words, max_words]``;
       * mean word length in [3, 10] characters;
-      * <= 10% of words are "symbol" words (contain ``#`` or ``...``);
+      * symbol-to-word ratio <= 0.1 for EACH of ``#`` and ``...``
+        (occurrences counted, not words — ``##`` is two symbols, the
+        paper's per-symbol ratio, not a pooled cap);
       * >= 80% of words contain at least one alphabetic character;
-      * >= 2 distinct members of :data:`GOPHER_STOP_WORDS` present;
-      * <= 10% of lines start with a bullet (``- ``);
+      * >= 2 distinct members of :data:`GOPHER_STOP_WORDS` present
+        (matched case-insensitively with trailing punctuation stripped,
+        so sentence-initial ``The`` and ``of,`` count as the paper's
+        word-tokenized check would);
+      * <= 90% of lines start with a bullet (``- ``) — the paper
+        REMOVES only near-pure bullet lists, it keeps prose that
+        merely contains one;
       * <= 30% of lines end with an ellipsis (``...``).
 
     ``keep`` is the conjunction. Every ratio threshold is evaluated as
-    an exact INTEGER comparison (``n_symbol * 10 <= n_words``, never a
+    an exact INTEGER comparison (``n_hash * 10 <= n_words``, never a
     float divide), so the verdicts are bit-identical across engines;
     the raw counts ship alongside the booleans so a consumer can re-cut
     at different thresholds without a second scan. ``passthrough``
@@ -1066,19 +1073,35 @@ def gopher_quality_gate(
             F.lit(0).cast("long"),
             lambda a, w: a + F.length(w),
         ).alias("total_word_chars"),
-        F.size(
-            F.filter(
-                F.col("__w"),
-                lambda w: w.contains("#") | w.contains("..."),
-            )
-        )
-        .cast("long")
-        .alias("n_symbol_words"),
+        F.aggregate(
+            F.col("__w"),
+            F.lit(0).cast("long"),
+            lambda a, w: a + F.length(w) - F.length(F.replace(w, F.lit("#"))),
+        ).alias("n_hash_symbols"),
+        F.aggregate(
+            F.col("__w"),
+            F.lit(0).cast("long"),
+            lambda a, w: a
+            + (
+                (F.length(w) - F.length(F.replace(w, F.lit("...")))) / 3
+            ).cast("long"),
+        ).alias("n_ellipsis_symbols"),
         F.size(F.filter(F.col("__w"), lambda w: w.rlike("[a-zA-Z]")))
         .cast("long")
         .alias("n_alpha_words"),
         F.size(
-            F.filter(stop_arr, lambda s: F.array_contains(F.col("__w"), s))
+            F.filter(
+                stop_arr,
+                lambda s: F.array_contains(
+                    F.transform(
+                        F.col("__w"),
+                        lambda w: F.regexp_replace(
+                            F.lower(w), r"[.,!?;:'\"]+$", ""
+                        ),
+                    ),
+                    s,
+                ),
+            )
         )
         .cast("long")
         .alias("n_stop_kinds"),
@@ -1100,7 +1123,8 @@ def gopher_quality_gate(
         "n_words",
         "n_lines",
         "total_word_chars",
-        "n_symbol_words",
+        "n_hash_symbols",
+        "n_ellipsis_symbols",
         "n_alpha_words",
         "n_stop_kinds",
         "n_bullet_lines",
@@ -1110,10 +1134,15 @@ def gopher_quality_gate(
             (c("total_word_chars") >= 3 * c("n_words"))
             & (c("total_word_chars") <= 10 * c("n_words"))
         ).alias("r_mean_word_len"),
-        (c("n_symbol_words") * 10 <= c("n_words")).alias("r_symbol_ratio"),
+        (
+            (c("n_hash_symbols") * 10 <= c("n_words"))
+            & (c("n_ellipsis_symbols") * 10 <= c("n_words"))
+        ).alias("r_symbol_ratio"),
         (c("n_alpha_words") * 5 >= c("n_words") * 4).alias("r_alpha_ratio"),
         (c("n_stop_kinds") >= 2).alias("r_stop_words"),
-        (c("n_bullet_lines") * 10 <= c("n_lines")).alias("r_bullet_lines"),
+        (c("n_bullet_lines") * 10 <= c("n_lines") * 9).alias(
+            "r_bullet_lines"
+        ),
         (c("n_ellipsis_lines") * 10 <= c("n_lines") * 3).alias(
             "r_ellipsis_lines"
         ),
@@ -1121,10 +1150,11 @@ def gopher_quality_gate(
             c("n_words").between(min_words, max_words)
             & (c("total_word_chars") >= 3 * c("n_words"))
             & (c("total_word_chars") <= 10 * c("n_words"))
-            & (c("n_symbol_words") * 10 <= c("n_words"))
+            & (c("n_hash_symbols") * 10 <= c("n_words"))
+            & (c("n_ellipsis_symbols") * 10 <= c("n_words"))
             & (c("n_alpha_words") * 5 >= c("n_words") * 4)
             & (c("n_stop_kinds") >= 2)
-            & (c("n_bullet_lines") * 10 <= c("n_lines"))
+            & (c("n_bullet_lines") * 10 <= c("n_lines") * 9)
             & (c("n_ellipsis_lines") * 10 <= c("n_lines") * 3)
         ).alias("keep"),
     )

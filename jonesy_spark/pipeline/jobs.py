@@ -374,15 +374,18 @@ def _corpus_card(ctx: JobContext) -> None:
 
 def _crawl_intake(ctx: JobContext) -> None:
     """Nightly crawl intake — the batch twin of
-    ``streaming.incremental.run_crawl_intake_stream``, the same
-    operators in the same order: WARC quarantine parse →
+    ``streaming.incremental.run_crawl_intake_stream``: both run
+    ``pipeline.intake.intake_batch`` (WARC quarantine parse →
     ``strip_html`` extraction → Gopher document gate → digest dedup
-    against the persisted index → novel gated documents + intake
-    manifest. Run-date idempotent the same way the stream is
+    against the persisted index → novel gated documents), so the two
+    front doors share the composition itself, not merely the
+    operators. Run-date idempotent the same way the stream is
     epoch-idempotent: the run EXCLUDES its own ``ingest_batch``
     partition from the ``seen`` read and overwrites its own subtrees,
     so a same-day rerun converges instead of double-ingesting, while
-    the next day's run dedups against everything before it.
+    the next day's run dedups against everything before it. The full
+    intake accounting (quarantined archives, extracted, kept,
+    per-rule rejects, novel) lands in the manifest.
 
     With no ``$WARC_SRC`` configured the job seeds HTML-bodied fixture
     archives (the documents fixture wrapped in minimal markup plus two
@@ -390,10 +393,9 @@ def _crawl_intake(ctx: JobContext) -> None:
     corpus has no natural English stop words and would otherwise gate
     to zero); real deployments point ``WARC_SRC`` at the crawl tree
     and never touch the seed path."""
-    from ..functions import text as TX
-    from ..operators import hygiene as H
     from . import warc as W
     from .corpus_job import write_json_manifest
+    from .intake import intake_batch
 
     dest = f"{ctx.out_root}/crawl_intake"
     run_id = f"run-{ctx.run_date.isoformat()}"
@@ -418,69 +420,23 @@ def _crawl_intake(ctx: JobContext) -> None:
             F.col("content").alias("payload"),
         )
     )
-    clean, quarantine = W.split_warc_records(
-        W.warc_records_quarantined(raw), normalize=True
+    # nightly batches are index-comparable: the default join geometry
+    # (index shuffles once) is the right one; the stream twin passes
+    # small_batch=True for its 15-minute epochs
+    counts = intake_batch(
+        ctx.spark,
+        raw,
+        docs_root=f"{dest}/documents",
+        quarantine_root=f"{dest}/_quarantine",
+        index_path=f"{dest}/digest_index",
+        run_id=run_id,
+        small_batch=False,
     )
-    extracted = clean.select(
-        "doc_id",
-        TX.strip_html(F.col("text")).alias("text"),
-        "source",
-        "archive_id",
-        "record_url",
-        "record_ts",
+    write_json_manifest(
+        ctx.spark,
+        f"{dest}/_MANIFEST.json",
+        {"src": src, "run_id": run_id, "intake": counts},
     )
-    gated = H.gopher_quality_gate(
-        extracted,
-        passthrough=("text", "source", "archive_id", "record_url",
-                     "record_ts"),
-    ).persist()
-    try:
-        kept = gated.filter(F.col("keep")).select(
-            "doc_id", "text", "source", "archive_id", "record_url",
-            "record_ts",
-        )
-        index_path = f"{dest}/digest_index"
-        seen = H.read_digest_index(
-            ctx.spark, index_path, exclude_run_id=run_id
-        )
-        # nightly batches are index-comparable: the default join
-        # geometry (index shuffles once) is the right one here; the
-        # stream uses small_batch=True for its 15-minute epochs
-        novel, _ = H.incremental_dedup(kept, seen)
-        novel = novel.persist()
-        try:
-            novel.write.mode("overwrite").parquet(
-                f"{dest}/documents/ingest_batch={run_id}"
-            )
-            H.write_novel_digests(
-                novel, index_path, mode="overwrite", run_id=run_id
-            )
-            quarantine.write.mode("overwrite").parquet(
-                f"{dest}/_quarantine/ingest_batch={run_id}"
-            )
-            counts = gated.agg(
-                F.count(F.lit(1)).alias("n_extracted"),
-                F.coalesce(
-                    F.sum(F.col("keep").cast("long")), F.lit(0)
-                ).alias("n_kept"),
-            ).collect()[0]
-            write_json_manifest(
-                ctx.spark,
-                f"{dest}/_MANIFEST.json",
-                {
-                    "src": src,
-                    "run_id": run_id,
-                    "intake": {
-                        "n_extracted": counts["n_extracted"],
-                        "n_kept": counts["n_kept"],
-                        "n_novel": novel.count(),
-                    },
-                },
-            )
-        finally:
-            novel.unpersist()
-    finally:
-        gated.unpersist()
     ctx.written.extend(
         [
             f"crawl_intake/documents/ingest_batch={run_id}",

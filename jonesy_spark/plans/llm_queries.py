@@ -4208,7 +4208,10 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, list_transform(range(0, len(w2)), i ->
             CASE WHEN (doc_id % 13 = 4 AND (doc_id + i) % 3 = 0)
                    OR (doc_id % 13 <> 4 AND (doc_id + i) % 29 = 0)
-                 THEN '#' || w2[i + 1] ELSE w2[i + 1] END) AS w3
+                 THEN '#' || w2[i + 1]
+                 WHEN doc_id % 37 = 5 AND (doc_id + i) % 5 = 2
+                 THEN w2[i + 1] || '...'
+                 ELSE w2[i + 1] END) AS w3
         FROM a2
     ),
     a4 AS (
@@ -4221,7 +4224,7 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth AS (
         SELECT doc_id, array_to_string(
             list_transform(range(0, (len(w4) + 7) // 8), j ->
-                CASE WHEN (doc_id % 9 = 2 AND (doc_id + j) % 3 = 0)
+                CASE WHEN doc_id % 9 = 2
                        OR (doc_id % 9 <> 2 AND (doc_id + j) % 31 = 7)
                      THEN '- ' ELSE '' END
                 || array_to_string(w4[j*8+1 : j*8+8], ' ')
@@ -4244,14 +4247,21 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(len(l) AS BIGINT) AS n_lines,
                CAST(list_sum(list_transform(w, x -> length(x)))
                     AS BIGINT) AS total_word_chars,
-               CAST(len(list_filter(w, x -> contains(x, '#')
-                                         OR contains(x, '...')))
-                    AS BIGINT) AS n_symbol_words,
+               CAST(list_sum(list_transform(w, x ->
+                        length(x) - length(replace(x, '#', ''))))
+                    AS BIGINT) AS n_hash_symbols,
+               CAST(list_sum(list_transform(w, x ->
+                        (length(x) - length(replace(x, '...', ''))) // 3))
+                    AS BIGINT) AS n_ellipsis_symbols,
                CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
                     AS BIGINT) AS n_alpha_words,
                CAST(len(list_filter(
                         ['the','be','to','of','and','that','have','with'],
-                        s -> list_contains(w, s)))
+                        s -> list_contains(
+                            list_transform(w, x ->
+                                regexp_replace(lower(x),
+                                               '[.,!?;:''"]+$', '')),
+                            s)))
                     AS BIGINT) AS n_stop_kinds,
                CAST(len(list_filter(l, x -> substr(x, 1, 2) = '- '))
                     AS BIGINT) AS n_bullet_lines,
@@ -4259,23 +4269,26 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS n_ellipsis_lines
         FROM parsed
     )
-    SELECT doc_id, n_words, n_lines, total_word_chars, n_symbol_words,
-           n_alpha_words, n_stop_kinds, n_bullet_lines, n_ellipsis_lines,
+    SELECT doc_id, n_words, n_lines, total_word_chars, n_hash_symbols,
+           n_ellipsis_symbols, n_alpha_words, n_stop_kinds,
+           n_bullet_lines, n_ellipsis_lines,
            n_words BETWEEN 50 AND 100000 AS r_word_count,
            total_word_chars >= 3 * n_words
                AND total_word_chars <= 10 * n_words AS r_mean_word_len,
-           n_symbol_words * 10 <= n_words AS r_symbol_ratio,
+           n_hash_symbols * 10 <= n_words
+               AND n_ellipsis_symbols * 10 <= n_words AS r_symbol_ratio,
            n_alpha_words * 5 >= n_words * 4 AS r_alpha_ratio,
            n_stop_kinds >= 2 AS r_stop_words,
-           n_bullet_lines * 10 <= n_lines AS r_bullet_lines,
+           n_bullet_lines * 10 <= n_lines * 9 AS r_bullet_lines,
            n_ellipsis_lines * 10 <= n_lines * 3 AS r_ellipsis_lines,
            (n_words BETWEEN 50 AND 100000)
                AND total_word_chars >= 3 * n_words
                AND total_word_chars <= 10 * n_words
-               AND n_symbol_words * 10 <= n_words
+               AND n_hash_symbols * 10 <= n_words
+               AND n_ellipsis_symbols * 10 <= n_words
                AND n_alpha_words * 5 >= n_words * 4
                AND n_stop_kinds >= 2
-               AND n_bullet_lines * 10 <= n_lines
+               AND n_bullet_lines * 10 <= n_lines * 9
                AND n_ellipsis_lines * 10 <= n_lines * 3 AS keep
     FROM counted
     """,
@@ -4290,9 +4303,11 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks the RULES, not the fixture): scheduled stop-word /
     non-alpha / '#'-symbol word substitutions plus per-rule STRESS
     COHORTS (doc_id%23 stretches or truncates every word past the mean-
-    length band, %31/%13 densify non-alpha and symbol words past their
-    ratio caps, %9/%19 do the same for bullet and ellipsis lines), then
-    8-word lines with scheduled '- ' bullets and '...' endings. The
+    length band, %31/%13/%37 densify non-alpha words, '#' and '...'
+    occurrences past their ratio caps, %9 bullets EVERY line — the
+    paper's 90% bar needs a near-pure list to reject — and %19 puts
+    '...' on half the lines, past the 30% bar), then 8-word lines with
+    scheduled '- ' bullets and '...' endings. The
     gate itself is operators.hygiene.gopher_quality_gate — exact
     integer threshold comparisons, MAP-ONLY (zero exchanges, the plan
     is split/transform/filter/aggregate array expressions inside
@@ -4342,7 +4357,12 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((doc % 13 == 4) & ((doc + i) % 3 == 0))
                 | ((doc % 13 != 4) & ((doc + i) % 29 == 0)),
                 F.concat(F.lit("#"), w),
-            ).otherwise(w),
+            )
+            .when(
+                (doc % 37 == 5) & ((doc + i) % 5 == 2),
+                F.concat(w, F.lit("...")),
+            )
+            .otherwise(w),
         ).alias("w3"),
     )
     staged = staged.select(
@@ -4366,7 +4386,7 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(0), n_chunks - 1),
                 lambda j: F.concat(
                     F.when(
-                        ((doc % 9 == 2) & ((doc + j) % 3 == 0))
+                        (doc % 9 == 2)
                         | ((doc % 9 != 2) & ((doc + j) % 31 == 7)),
                         F.lit("- "),
                     ).otherwise(F.lit("")),

@@ -898,16 +898,17 @@ def test_compact_torn_intent_record_is_tolerated(spark, tmp_path):
 
 def test_gopher_quality_gate_rule_goldens(spark):
     """Each Gopher rule isolated on a hand-built doc that violates ONLY
-    it (plus a clean pass, a 10%-symbol exact-tie pass, and a
-    word-count fail) — counts and booleans pinned by hand."""
+    it, plus a clean pass, the exact-tie boundaries of the 10%-symbol
+    and 90%-bullet thresholds, and the case/punctuation-normalized
+    stop-word match — counts and booleans pinned by hand."""
     clean = ["alpha"] * 58 + ["the", "of"]          # mean len 295/60
     rows = [
         (1, " ".join(clean)),                        # all rules pass
         (2, "just ten the of tokens in this doc right here"),  # <50 words
         (3, " ".join(["#" + w if i < 20 else w for i, w in enumerate(clean)])),
         (4, "\n".join(
-            ("- " if i < 2 else "") + " ".join(clean[:6])
-            for i in range(10)) + " the of"),        # 2/10 bullet lines
+            "- " + " ".join(clean[:6])
+            for _ in range(10)) + " the of"),        # 10/10 bullet lines
         (5, "\n".join(
             " ".join(clean[:6]) + ("..." if i < 4 else "")
             for i in range(10)) + " the of"),        # 4/10 ellipsis lines
@@ -915,6 +916,16 @@ def test_gopher_quality_gate_rule_goldens(spark):
         (7, " ".join(["123" if i < 20 else w for i, w in enumerate(clean)])),
         (8, " ".join(["alpha"] * 59 + ["the"])),     # only 1 stop kind
         (9, " ".join(["#" + w if i < 6 else w for i, w in enumerate(clean)])),
+        # 9/10 bullet lines: exactly the paper's 90% bar — passes
+        (10, "\n".join(
+            ("- " if i < 9 else "") + " ".join(clean[:6])
+            for i in range(10)) + " the of"),
+        # sentence-initial 'The' and punctuated 'of,' still count
+        (11, " ".join(["The"] + ["alpha"] * 57 + ["of,", "beta"])),
+        # 12/60 '...'-suffixed words: ellipsis OCCURRENCES > 10% even
+        # with zero '#' — the per-symbol ratio, not a pooled cap
+        (12, " ".join([w + "..." if i < 12 else w
+                       for i, w in enumerate(clean)])),
     ]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r["doc_id"]: r.asDict() for r in H.gopher_quality_gate(docs).collect()}
@@ -923,13 +934,13 @@ def test_gopher_quality_gate_rule_goldens(spark):
     )
     assert out[1]["n_words"] == 60 and out[1]["total_word_chars"] == 295
     assert not out[2]["r_word_count"] and not out[2]["keep"]
-    # doc 3: 20/60 symbol words > 10%; every other rule still passes
-    assert not out[3]["r_symbol_ratio"] and out[3]["n_symbol_words"] == 20
+    # doc 3: 20 '#' occurrences in 60 words > 10%; all else passes
+    assert not out[3]["r_symbol_ratio"] and out[3]["n_hash_symbols"] == 20
     assert out[3]["r_mean_word_len"] and out[3]["r_alpha_ratio"]
-    # doc 4: exactly the bullet rule (2*10 > 10 lines)
-    assert not out[4]["r_bullet_lines"] and out[4]["n_bullet_lines"] == 2
+    # doc 4: a pure bullet list (10/10 > 90%) — the paper's reject
+    assert not out[4]["r_bullet_lines"] and out[4]["n_bullet_lines"] == 10
     assert out[4]["r_ellipsis_lines"] and not out[4]["keep"]
-    # doc 5: exactly the ellipsis rule (4*10 > 3*10)
+    # doc 5: exactly the ellipsis-LINE rule (4*10 > 3*10)
     assert not out[5]["r_ellipsis_lines"] and out[5]["n_ellipsis_lines"] == 4
     assert out[5]["r_bullet_lines"]
     # doc 6: mean word length 697/60 > 10, all else green
@@ -938,8 +949,18 @@ def test_gopher_quality_gate_rule_goldens(spark):
     assert not out[7]["r_alpha_ratio"] and out[7]["n_alpha_words"] == 40
     # doc 8: one stop kind is not two
     assert not out[8]["r_stop_words"] and out[8]["n_stop_kinds"] == 1
-    # doc 9: EXACT tie — 6 symbol words in 60 is <= 10%, rule passes
-    assert out[9]["r_symbol_ratio"] and out[9]["n_symbol_words"] == 6
+    # doc 9: EXACT tie — 6 '#' occurrences in 60 is <= 10%, rule passes
+    assert out[9]["r_symbol_ratio"] and out[9]["n_hash_symbols"] == 6
     assert out[9]["keep"]
+    # doc 10: EXACT tie at the 90% bullet bar — 9/10 passes
+    assert out[10]["r_bullet_lines"] and out[10]["n_bullet_lines"] == 9
+    assert out[10]["keep"]
+    # doc 11: normalized stop match ('The', 'of,') -> 2 kinds, keeps
+    assert out[11]["r_stop_words"] and out[11]["n_stop_kinds"] == 2
+    assert out[11]["keep"]
+    # doc 12: 12 ellipsis occurrences in 60 words > 10% with no '#'
+    assert not out[12]["r_symbol_ratio"]
+    assert out[12]["n_ellipsis_symbols"] == 12
+    assert out[12]["n_hash_symbols"] == 0 and not out[12]["keep"]
     # null-free canon over every cell
     assert all(v is not None for d in out.values() for v in d.values())

@@ -1111,6 +1111,7 @@ def test_crawl_intake_stream_composes_and_matches_batch(spark, tmp_path):
             gzip_members=True,
         )
     )
+    (src / "corrupt.warc.gz").write_bytes(b"\x1f\x8b" + b"\x00" * 8)
     run_crawl_intake_stream(spark, str(src), dest, index, ckpt)
 
     corpus = spark.read.parquet(dest)
@@ -1120,8 +1121,12 @@ def test_crawl_intake_stream_composes_and_matches_batch(spark, tmp_path):
     }
     assert reports[0]["n_extracted"] == 2 and reports[0]["n_kept"] == 1
     assert reports[0]["rej_r_word_count"] == 1 and reports[0]["n_novel"] == 1
+    assert reports[0]["n_quarantined"] == 0
     assert reports[1]["n_extracted"] == 3 and reports[1]["n_kept"] == 2
     assert reports[1]["rej_r_symbol_ratio"] == 1 and reports[1]["n_novel"] == 1
+    # the corrupt archive is VISIBLE in the epoch's accounting, not
+    # just quietly parked in the quarantine subtree
+    assert reports[1]["n_quarantined"] == 1
     assert all(
         v is not None for r in reports.values() for v in r.asDict().values()
     )
