@@ -1004,6 +1004,20 @@ def repeated_span_removal(
 #: definition.
 GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
+#: The gate's rule columns, in output order. Lives NEXT TO the gate so
+#: an added rule cannot be forgotten by downstream accounting: the
+#: intake composition (``pipeline.intake``) enumerates this tuple for
+#: its per-rule reject counts, and the gate derives ``keep`` from it.
+GOPHER_GATE_RULES = (
+    "r_word_count",
+    "r_mean_word_len",
+    "r_symbol_ratio",
+    "r_alpha_ratio",
+    "r_stop_words",
+    "r_bullet_lines",
+    "r_ellipsis_lines",
+)
+
 
 def gopher_quality_gate(
     docs: DataFrame,
@@ -1059,6 +1073,13 @@ def gopher_quality_gate(
         F.col(id_col),
         words.alias("__w"),
         lines.alias("__l"),
+        # normalized-word twin built ONCE (the stop-word filter below
+        # would otherwise re-run lower+regexp over the full word array
+        # per stop-word candidate)
+        F.transform(
+            words,
+            lambda w: F.regexp_replace(F.lower(w), r"[.,!?;:'\"]+$", ""),
+        ).alias("__wn"),
         *[F.col(p) for p in passthrough],
     )
     n_words = F.size(F.col("__w")).cast("long")
@@ -1092,15 +1113,7 @@ def gopher_quality_gate(
         F.size(
             F.filter(
                 stop_arr,
-                lambda s: F.array_contains(
-                    F.transform(
-                        F.col("__w"),
-                        lambda w: F.regexp_replace(
-                            F.lower(w), r"[.,!?;:'\"]+$", ""
-                        ),
-                    ),
-                    s,
-                ),
+                lambda s: F.array_contains(F.col("__wn"), s),
             )
         )
         .cast("long")
@@ -1117,7 +1130,7 @@ def gopher_quality_gate(
         .alias("n_ellipsis_lines"),
     )
     c = F.col
-    return counted.select(
+    ruled = counted.select(
         id_col,
         *passthrough,
         "n_words",
@@ -1146,15 +1159,11 @@ def gopher_quality_gate(
         (c("n_ellipsis_lines") * 10 <= c("n_lines") * 3).alias(
             "r_ellipsis_lines"
         ),
-        (
-            c("n_words").between(min_words, max_words)
-            & (c("total_word_chars") >= 3 * c("n_words"))
-            & (c("total_word_chars") <= 10 * c("n_words"))
-            & (c("n_hash_symbols") * 10 <= c("n_words"))
-            & (c("n_ellipsis_symbols") * 10 <= c("n_words"))
-            & (c("n_alpha_words") * 5 >= c("n_words") * 4)
-            & (c("n_stop_kinds") >= 2)
-            & (c("n_bullet_lines") * 10 <= c("n_lines") * 9)
-            & (c("n_ellipsis_lines") * 10 <= c("n_lines") * 3)
-        ).alias("keep"),
     )
+    # keep derives from the rule COLUMNS, not a restated copy of the
+    # expressions: a threshold edit cannot drift keep out of agreement
+    # with its own rule booleans
+    keep = None
+    for r in GOPHER_GATE_RULES:
+        keep = c(r) if keep is None else keep & c(r)
+    return ruled.select("*", keep.alias("keep"))

@@ -21,17 +21,13 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-#: The gate's rule columns, in report order — the reject accounting
-#: enumerates these so the report schema tracks the gate definition.
-GATE_RULES = (
-    "r_word_count",
-    "r_mean_word_len",
-    "r_symbol_ratio",
-    "r_alpha_ratio",
-    "r_stop_words",
-    "r_bullet_lines",
-    "r_ellipsis_lines",
-)
+from ..operators.hygiene import GOPHER_GATE_RULES
+
+#: The gate's rule columns, in report order — re-exported from the
+#: gate's own module (operators.hygiene) so a rule ADDED to the gate
+#: automatically appears in the intake accounting; the report schema
+#: tracks the gate definition by construction.
+GATE_RULES = GOPHER_GATE_RULES
 
 _PROVENANCE = ("text", "source", "archive_id", "record_url", "record_ts")
 

@@ -4245,13 +4245,14 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(len(w) AS BIGINT) AS n_words,
                CAST(len(l) AS BIGINT) AS n_lines,
-               CAST(list_sum(list_transform(w, x -> length(x)))
+               CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0)
                     AS BIGINT) AS total_word_chars,
-               CAST(list_sum(list_transform(w, x ->
-                        length(x) - length(replace(x, '#', ''))))
+               CAST(coalesce(list_sum(list_transform(w, x ->
+                        length(x) - length(replace(x, '#', '')))), 0)
                     AS BIGINT) AS n_hash_symbols,
-               CAST(list_sum(list_transform(w, x ->
-                        (length(x) - length(replace(x, '...', ''))) // 3))
+               CAST(coalesce(list_sum(list_transform(w, x ->
+                        (length(x) - length(replace(x, '...', ''))) // 3)),
+                        0)
                     AS BIGINT) AS n_ellipsis_symbols,
                CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
                     AS BIGINT) AS n_alpha_words,
@@ -4268,29 +4269,25 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(len(list_filter(l, x -> right(x, 3) = '...'))
                     AS BIGINT) AS n_ellipsis_lines
         FROM parsed
+    ),
+    ruled AS (
+        SELECT *,
+               n_words BETWEEN 50 AND 100000 AS r_word_count,
+               total_word_chars >= 3 * n_words
+                   AND total_word_chars <= 10 * n_words AS r_mean_word_len,
+               n_hash_symbols * 10 <= n_words
+                   AND n_ellipsis_symbols * 10 <= n_words AS r_symbol_ratio,
+               n_alpha_words * 5 >= n_words * 4 AS r_alpha_ratio,
+               n_stop_kinds >= 2 AS r_stop_words,
+               n_bullet_lines * 10 <= n_lines * 9 AS r_bullet_lines,
+               n_ellipsis_lines * 10 <= n_lines * 3 AS r_ellipsis_lines
+        FROM counted
     )
-    SELECT doc_id, n_words, n_lines, total_word_chars, n_hash_symbols,
-           n_ellipsis_symbols, n_alpha_words, n_stop_kinds,
-           n_bullet_lines, n_ellipsis_lines,
-           n_words BETWEEN 50 AND 100000 AS r_word_count,
-           total_word_chars >= 3 * n_words
-               AND total_word_chars <= 10 * n_words AS r_mean_word_len,
-           n_hash_symbols * 10 <= n_words
-               AND n_ellipsis_symbols * 10 <= n_words AS r_symbol_ratio,
-           n_alpha_words * 5 >= n_words * 4 AS r_alpha_ratio,
-           n_stop_kinds >= 2 AS r_stop_words,
-           n_bullet_lines * 10 <= n_lines * 9 AS r_bullet_lines,
-           n_ellipsis_lines * 10 <= n_lines * 3 AS r_ellipsis_lines,
-           (n_words BETWEEN 50 AND 100000)
-               AND total_word_chars >= 3 * n_words
-               AND total_word_chars <= 10 * n_words
-               AND n_hash_symbols * 10 <= n_words
-               AND n_ellipsis_symbols * 10 <= n_words
-               AND n_alpha_words * 5 >= n_words * 4
-               AND n_stop_kinds >= 2
-               AND n_bullet_lines * 10 <= n_lines * 9
-               AND n_ellipsis_lines * 10 <= n_lines * 3 AS keep
-    FROM counted
+    SELECT *,
+           r_word_count AND r_mean_word_len AND r_symbol_ratio
+               AND r_alpha_ratio AND r_stop_words AND r_bullet_lines
+               AND r_ellipsis_lines AS keep
+    FROM ruled
     """,
 )
 def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
