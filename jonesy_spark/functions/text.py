@@ -257,7 +257,16 @@ def strip_html(html: Column) -> Column:
     (EXPLICIT Java class, the PRETOKEN_PATTERN portability rule — never
     ``\\s``). Pure regexp_replace/replace chain — whole-stage codegen,
     map-only, no UDF; at 100 TB this is the WARC front door's hottest
-    expression and it never leaves the JVM."""
+    expression and it never leaves the JVM.
+
+    LIMITATION (heuristic extractor, not a parser — ADVICE r11): the
+    generic tag pattern ``<[^>]*>`` mishandles real-world markup where
+    ``>`` appears inside a quoted attribute value (``<a title="x>y">``
+    leaves ``y">`` behind) or a tag is unterminated (the remainder of
+    the document survives as "text"). On such pages fragments leak
+    into the extracted text; the downstream quality gates
+    (c4/gopher — symbol-ratio, alpha-ratio, stop-word rules) are the
+    designed backstop that rejects pages the heuristic mangles."""
     out = html
     for pat in HTML_STRIP_PATTERNS:
         out = F.regexp_replace(out, pat, " ")

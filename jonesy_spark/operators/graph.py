@@ -294,10 +294,11 @@ def pagerank(
     silently weights parallel edges into deg/contrib and the ranks
     stop summing to 1; when in doubt leave it False. Setup
     checkpoints (``nodes``/``deg``/``ed``, ~node/edge-count rows of
-    longs) are superseded-generation-released only for the rank
-    vector; the rest are freed by the ContextCleaner when the call's
-    references drop — the same lifecycle ``connected_components``
-    has run under since r4.
+    longs) are explicitly unpersisted before return — the returned
+    frame hangs off the final rank checkpoint alone, so repeated
+    calls in one session (graph_probe runs 3+ per tier) cannot
+    accumulate setup blocks waiting on the ContextCleaner
+    (ADVICE r11).
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
@@ -370,4 +371,9 @@ def pagerank(
         ranks = new_ranks
         if delta < tol:
             break
+    # the final ranks checkpoint is the only block the returned frame
+    # needs — release the three setup checkpoints now instead of
+    # leaving them to the ContextCleaner (ADVICE r11)
+    for setup in (nodes, deg, ed):
+        setup.unpersist()
     return ranks.select("node", F.round("rank", 9).alias("rank"))
