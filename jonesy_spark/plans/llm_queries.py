@@ -4401,3 +4401,374 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return HG.gopher_quality_gate(synth)
+
+
+def _link_converged_oracle() -> str:
+    """Closed-form stationary PageRank for the hub-funnel graph the
+    convergence row builds (VERDICT r11 #5): every node ``i%3 != 0``
+    (derived from events) links to ALL of hubs {1..7}, so every linker
+    has the identical out-neighborhood and the only in-graph dangling
+    nodes are the hubs that are themselves ``%3 == 0`` non-linkers.
+    With d = |dangling|, D = d*r_hub, the fixed point solves exactly:
+
+        r_hub * (1 + d*b/7 - d*b/n) = (1-b)/n + b/7
+        r_non = (1-b)/n + d*b*r_hub/n
+
+    so the oracle checks the CONVERGED ranks (the delta-stop branch's
+    limit), not an unrolled iteration count — d and n are computed
+    from the data, never assumed."""
+    return """
+    WITH linkers AS (
+        SELECT DISTINCT user_id % 499 AS src FROM events
+        WHERE (user_id % 499) % 3 <> 0
+    ),
+    edges AS (
+        SELECT l.src AS src, h.dst AS dst
+        FROM linkers l CROSS JOIN
+             (SELECT unnest(range(1, 8)) AS dst) h
+    ),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst AS node FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    dang AS (
+        SELECT CAST(count(*) AS DOUBLE) AS d FROM nodes
+        WHERE node NOT IN (SELECT src FROM linkers)
+    ),
+    hubrank AS (
+        SELECT ((1 - 0.85) / (SELECT n FROM nn) + 0.85 / 7.0)
+               / (1 + (SELECT d FROM dang) * 0.85 / 7.0
+                    - (SELECT d FROM dang) * 0.85 / (SELECT n FROM nn))
+               AS r_hub
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
+    SELECT n.node,
+           CAST(coalesce(g.deg, 0) AS BIGINT) AS out_degree,
+           CAST(round(
+             CASE WHEN n.node BETWEEN 1 AND 7
+                  THEN (SELECT r_hub FROM hubrank)
+                  ELSE (1 - 0.85) / (SELECT n FROM nn)
+                       + (SELECT d FROM dang) * 0.85
+                         * (SELECT r_hub FROM hubrank)
+                         / (SELECT n FROM nn)
+             END * 1000000000) AS BIGINT) AS rank_nano
+    FROM nodes n LEFT JOIN deg g ON g.src = n.node
+    """
+
+
+@query("link_authority_converged", oracle=_link_converged_oracle())
+def link_authority_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank in CONVERGENCE mode (VERDICT r11 #5) — the tol>0
+    early-stop branch a real crawl prior runs, driver-witnessed
+    against the closed-form stationary solution instead of an
+    unrolled iteration count. The graph is a deterministic hub
+    funnel derived from events: every node ``i%3 != 0`` links to all
+    of hubs {1..7} (identical out-neighborhoods), the ``%3 == 0``
+    hubs are the only in-graph dangling nodes, so the dangling-mass
+    recursion D' = a + b*D contracts at |b| = d*0.85*(1/7 - 1/n)
+    ~ 0.24 — tol=1e-12 is reached in ~19 iterations and the iterate
+    sits within ~3e-13 of the closed form, six thousand times inside
+    the nano-unit rounding boundary (and the output takes only TWO
+    distinct rank values, so the boundary-collision risk is nil).
+
+    Scale shape: identical to link_authority — per iteration two
+    keyed shuffles over (long, double) rows plus a provably-1-row
+    broadcast for the dangling mass; the early stop SAVES iterations
+    at 100 TB whenever the host graph mixes faster than the pinned
+    bound."""
+    from ..operators import graph as G
+
+    ev = Catalog(spark, sf_dir).events
+    linkers = (
+        ev.select((F.col("user_id") % 499).alias("src"))
+        .filter(F.col("src") % 3 != 0)
+        .distinct()
+    )
+    # linkers x {1..7}: distinct by construction, checkpointed so the
+    # iteration loop and the out-degree column read one materialized
+    # edge list (the link_authority rule)
+    edges = linkers.select(
+        "src",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.lit(7).cast("long"))
+        ).alias("dst"),
+    ).localCheckpoint()
+    ranks = G.pagerank(
+        edges, damping=0.85, max_iter=60, tol=1e-12, assume_distinct=True
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    return ranks.join(deg, "node", "left").select(
+        "node",
+        F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("out_degree"),
+        F.round(F.col("rank") * 1e9).cast("long").alias("rank_nano"),
+    )
+
+
+#: DuckDB twin of the composed crawl gate below, one CTE chain:
+#: synthesize the html_extract page skeleton, strip it, synthesize C4
+#: lines from the EXTRACTED words, apply the C4 line gate as list
+#: filters, then run the Gopher document rules over the surviving
+#: text — the same end-to-end path pipeline/intake.py runs, oracle-
+#: checked as ONE flow (VERDICT r11 #6).
+_CRAWL_GATE_ORACLE = f"""
+    WITH synth AS (
+        SELECT doc_id,
+               '{_HTML_PREFIX.replace("'", "''")}' || text ||
+               CASE WHEN lang = 'en'
+                    THEN '{_HTML_EN_LINK.replace("'", "''")}' ELSE '' END ||
+               '{_HTML_SUFFIX.replace("'", "''")}' AS html
+        FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                 replace(replace(replace(replace(replace(replace(
+                   regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(html,
+                       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                 '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+               '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean
+        FROM synth
+    ),
+    based AS (
+        SELECT doc_id, string_split(clean, ' ') AS words FROM stripped
+    ),
+    linearr AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN ['please enable javascript in your browser']
+                    ELSE [] END
+               || CASE WHEN doc_id % 11 = 0
+                    THEN ['this site uses cookie tracking, accept to continue.']
+                    ELSE [] END
+               || list_transform(range(0, (len(words) + 5) // 6),
+                    i -> array_to_string(words[i*6+1 : i*6+6], ' ')
+                         || CASE (doc_id + i) % 4
+                              WHEN 0 THEN '.' WHEN 1 THEN '!'
+                              WHEN 2 THEN '?' ELSE '' END
+                         || CASE WHEN (doc_id + i) % 9 = 4
+                                 THEN '"' ELSE '' END)
+               || CASE WHEN doc_id % 7 = 0
+                    THEN ['lorem ipsum dolor sit amet consectetur.']
+                    ELSE [] END AS lines
+        FROM based
+    ),
+    c4 AS (
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS c4_n_lines,
+               CAST(len(list_filter(lines, l ->
+                        contains(l, 'javascript') OR contains(l, 'lorem ipsum')
+                        OR contains(l, 'cookie'))) AS BIGINT) AS c4_n_banner,
+               CAST(len(list_filter(lines, l ->
+                        NOT (contains(l, 'javascript') OR contains(l, 'lorem ipsum')
+                             OR contains(l, 'cookie'))
+                        AND len(string_split(l, ' ')) < 5))
+                    AS BIGINT) AS c4_n_short,
+               CAST(len(list_filter(lines, l ->
+                        NOT (contains(l, 'javascript') OR contains(l, 'lorem ipsum')
+                             OR contains(l, 'cookie'))
+                        AND len(string_split(l, ' ')) >= 5
+                        AND right(l, 1) NOT IN ('.', '!', '?', '"')))
+                    AS BIGINT) AS c4_n_punct,
+               list_filter(lines, l ->
+                        NOT (contains(l, 'javascript') OR contains(l, 'lorem ipsum')
+                             OR contains(l, 'cookie'))
+                        AND len(string_split(l, ' ')) >= 5
+                        AND right(l, 1) IN ('.', '!', '?', '"')) AS kept
+        FROM linearr
+    ),
+    ktext AS (
+        SELECT doc_id, c4_n_lines, c4_n_banner, c4_n_short, c4_n_punct,
+               CAST(len(kept) AS BIGINT) AS c4_n_kept,
+               len(kept) >= 3 AS c4_doc_kept,
+               array_to_string(kept, chr(10)) AS text
+        FROM c4
+    ),
+    parsed AS (
+        SELECT doc_id, c4_n_lines, c4_n_kept, c4_n_banner, c4_n_short,
+               c4_n_punct, c4_doc_kept,
+               list_filter(string_split(replace(text, chr(10), ' '), ' '),
+                           w -> w <> '') AS w,
+               string_split(text, chr(10)) AS l
+        FROM ktext
+    ),
+    counted AS (
+        SELECT doc_id, c4_n_lines, c4_n_kept, c4_n_banner, c4_n_short,
+               c4_n_punct, c4_doc_kept,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(len(l) AS BIGINT) AS n_lines,
+               CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+                    AS BIGINT) AS total_word_chars,
+               CAST(coalesce(list_sum(list_transform(w, x ->
+                        length(x) - length(replace(x, '#', '')))), 0)
+                    AS BIGINT) AS n_hash_symbols,
+               CAST(coalesce(list_sum(list_transform(w, x ->
+                        (length(x) - length(replace(x, '...', ''))) // 3)),
+                        0)
+                    AS BIGINT) AS n_ellipsis_symbols,
+               CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+                    AS BIGINT) AS n_alpha_words,
+               CAST(len(list_filter(
+                        ['the','be','to','of','and','that','have','with'],
+                        s -> list_contains(
+                            list_transform(w, x ->
+                                regexp_replace(lower(x),
+                                               '[.,!?;:''"]+$', '')),
+                            s)))
+                    AS BIGINT) AS n_stop_kinds,
+               CAST(len(list_filter(l, x -> substr(x, 1, 2) = '- '))
+                    AS BIGINT) AS n_bullet_lines,
+               CAST(len(list_filter(l, x -> right(x, 3) = '...'))
+                    AS BIGINT) AS n_ellipsis_lines
+        FROM parsed
+    ),
+    ruled AS (
+        SELECT *,
+               n_words BETWEEN 50 AND 100000 AS r_word_count,
+               total_word_chars >= 3 * n_words
+                   AND total_word_chars <= 10 * n_words AS r_mean_word_len,
+               n_hash_symbols * 10 <= n_words
+                   AND n_ellipsis_symbols * 10 <= n_words AS r_symbol_ratio,
+               n_alpha_words * 5 >= n_words * 4 AS r_alpha_ratio,
+               n_stop_kinds >= 2 AS r_stop_words,
+               n_bullet_lines * 10 <= n_lines * 9 AS r_bullet_lines,
+               n_ellipsis_lines * 10 <= n_lines * 3 AS r_ellipsis_lines
+        FROM counted
+    )
+    SELECT *,
+           r_word_count AND r_mean_word_len AND r_symbol_ratio
+               AND r_alpha_ratio AND r_stop_words AND r_bullet_lines
+               AND r_ellipsis_lines AS keep,
+           c4_doc_kept AND r_word_count AND r_mean_word_len
+               AND r_symbol_ratio AND r_alpha_ratio AND r_stop_words
+               AND r_bullet_lines AND r_ellipsis_lines AS keep_composed
+    FROM ruled
+"""
+
+
+@query("crawl_gate_composed", oracle=_CRAWL_GATE_ORACLE)
+def crawl_gate_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl front door COMPOSED end to end and oracle-checked as
+    one flow (VERDICT r11 #6): documents -> the html_extract page
+    skeleton -> functions.text.strip_html -> C4 line gate (Raffel et
+    al. 2020) -> Gopher document gate (Rae et al. 2021) — the same
+    extraction+gate path ``pipeline/intake.py`` runs on WARC input,
+    previously covered only by pytest parity on the composition.
+
+    The C4 gate here is the MAP-ONLY twin of the c4_line_filter row:
+    instead of posexplode + groupBy, the verdicts are array
+    ``filter`` predicates over the synthesized line array (banner >
+    short > punct precedence preserved as predicate conjunctions), so
+    the composed plan stays ZERO-exchange — scan, array expressions,
+    Gopher's array expressions, project — one codegen'd pass over the
+    corpus at any scale. Lines are synthesized from the EXTRACTED
+    words (6-word chunks, the c4_line_filter punctuation/banner
+    schedules), so both engines build the same intermediate text and
+    the hash checks the composed RULES."""
+    from ..operators import hygiene as HG
+
+    docs = Catalog(spark, sf_dir).documents
+    html = F.concat(
+        F.lit(_HTML_PREFIX),
+        F.col("text"),
+        F.when(F.col("lang") == "en", F.lit(_HTML_EN_LINK)).otherwise(
+            F.lit("")
+        ),
+        F.lit(_HTML_SUFFIX),
+    )
+    words = F.split(TX.strip_html(html), " ")
+    n_chunks = F.floor((F.size(words) + F.lit(5)) / F.lit(6)).cast("int")
+    content = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(words, i * 6 + 1, 6), " "),
+            F.when((F.col("doc_id") + i) % 4 == 0, F.lit("."))
+            .when((F.col("doc_id") + i) % 4 == 1, F.lit("!"))
+            .when((F.col("doc_id") + i) % 4 == 2, F.lit("?"))
+            .otherwise(F.lit("")),
+            F.when((F.col("doc_id") + i) % 9 == 4, F.lit('"')).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    lines = F.concat(
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.array(F.lit("please enable javascript in your browser")),
+        ).otherwise(empty),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.array(
+                F.lit(
+                    "this site uses cookie tracking, accept to continue."
+                )
+            ),
+        ).otherwise(empty),
+        content,
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.array(F.lit("lorem ipsum dolor sit amet consectetur.")),
+        ).otherwise(empty),
+    )
+
+    def _banner(l):
+        return (
+            F.contains(l, F.lit("javascript"))
+            | F.contains(l, F.lit("lorem ipsum"))
+            | F.contains(l, F.lit("cookie"))
+        )
+
+    def _short(l):
+        return F.size(F.split(l, " ")) < 5
+
+    def _endpunct(l):
+        return F.substring(l, -1, 1).isin(".", "!", "?", '"')
+
+    staged = docs.select("doc_id", lines.alias("__lines"))
+    kept = F.filter(
+        F.col("__lines"),
+        lambda l: ~_banner(l) & ~_short(l) & _endpunct(l),
+    )
+    c4 = staged.select(
+        "doc_id",
+        F.size(F.col("__lines")).cast("long").alias("c4_n_lines"),
+        F.size(kept).cast("long").alias("c4_n_kept"),
+        F.size(F.filter(F.col("__lines"), _banner))
+        .cast("long")
+        .alias("c4_n_banner"),
+        F.size(
+            F.filter(F.col("__lines"), lambda l: ~_banner(l) & _short(l))
+        )
+        .cast("long")
+        .alias("c4_n_short"),
+        F.size(
+            F.filter(
+                F.col("__lines"),
+                lambda l: ~_banner(l) & ~_short(l) & ~_endpunct(l),
+            )
+        )
+        .cast("long")
+        .alias("c4_n_punct"),
+        (F.size(kept) >= 3).alias("c4_doc_kept"),
+        F.array_join(kept, "\n").alias("text"),
+    )
+    gated = HG.gopher_quality_gate(
+        c4,
+        passthrough=(
+            "c4_n_lines",
+            "c4_n_kept",
+            "c4_n_banner",
+            "c4_n_short",
+            "c4_n_punct",
+            "c4_doc_kept",
+        ),
+    )
+    return gated.select(
+        "*", (F.col("c4_doc_kept") & F.col("keep")).alias("keep_composed")
+    )

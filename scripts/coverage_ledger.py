@@ -9,7 +9,7 @@ each swap). This script makes the accrued union mechanical instead of
 a prose claim: it unions every CORRECTNESS_r*.json in the repo root
 with the current driver-facing roster and prints per-query status.
 
-Usage: python scripts/coverage_ledger.py [--staleness [--check]] [--floor]
+Usage: python scripts/coverage_ledger.py [--staleness [--check]] [--parity [--check]] [--floor]
 
 ``--staleness`` prints the PARITY.md witness-staleness table instead
 (r9 verdict #8): per registry row, the last green driver round, its
@@ -43,9 +43,9 @@ sys.path.insert(0, "/root/repo")
 #: Rotation floor (r10 verdict #1): every round's roster must include
 #: the FLOOR_K oldest-witnessed oracle-ready rows (never-witnessed
 #: counts as oldest, so brand-new oracle-ready rows take first-witness
-#: slots immediately). 123 rows / 50 slots at 12 forced swaps a round
-#: bounds every row's witness age.
-FLOOR_K = 12
+#: slots immediately). 131 rows / 50 slots at 16 forced swaps a round
+#: bounds every row's witness age (raised 12 -> 16 per VERDICT r11 #2).
+FLOOR_K = 16
 
 PARITY_MD = "/root/repo/PARITY.md"
 STALENESS_BEGIN = "<!-- STALENESS-TABLE-BEGIN (generated) -->"
@@ -166,18 +166,117 @@ def staleness_table() -> str:
     return "\n".join(lines)
 
 
-def committed_staleness_table() -> str | None:
-    """PARITY.md's marker-delimited table, or None if markers absent."""
+PARITY_BEGIN = "<!-- PARITY-ROSTER-BEGIN (generated) -->"
+PARITY_END = "<!-- PARITY-ROSTER-END -->"
+
+
+def parity_table() -> str:
+    """The generated roster/exclusion witness map (r11 verdict #8):
+    PARITY.md's per-family tables are derived from the live registry
+    metadata (DRIVER_EXCLUDED / EXCLUSION_COVERS / PYTEST_ONLY_BY_
+    DESIGN) plus the CORRECTNESS files — the same facts the rotation
+    tests enforce — so the committed document cannot drift into prose
+    the machinery no longer proves. Hand-written text in PARITY.md is
+    design rationale only; this table is the inventory."""
+    from jonesy_spark.plans import (
+        DRIVER_EXCLUDED,
+        EXCLUSION_COVERS,
+        PYTEST_ONLY_BY_DESIGN,
+        driver_queries,
+    )
+
+    witnessed = collect_witnesses()
+    last = {
+        name: max(int(r.removeprefix("r")) for r in rounds)
+        for name, rounds in witnessed.items()
+    }
+    roster = set(driver_queries())
+
+    def tag(name: str) -> str:
+        return f"r{last[name]:02d}" if name in last else "new"
+
+    lines = [PARITY_BEGIN]
+    lines.append(
+        f"**Driver roster ({len(roster)} rows, last green in parens):** "
+        + ", ".join(f"`{n}` ({tag(n)})" for n in sorted(roster))
+    )
+    lines.append("")
+    lines.append(
+        "| excluded row | own last green | family witnessed via |"
+    )
+    lines.append("|---|---|---|")
+    n_pytest_only = 0
+    for name in sorted(DRIVER_EXCLUDED):
+        own = tag(name) if name in last else "—"
+        if name in PYTEST_ONLY_BY_DESIGN:
+            via = "pytest-only by design (documented in plans/__init__.py)"
+            n_pytest_only += 1
+        else:
+            covers = EXCLUSION_COVERS.get(name, ())
+            via = ", ".join(
+                f"`{c}` ({'roster' if c in roster else tag(c)})"
+                for c in covers
+            )
+        lines.append(f"| `{name}` | {own} | {via} |")
+    lines.append("")
+    lines.append(
+        f"{len(DRIVER_EXCLUDED)} excluded rows: "
+        f"{n_pytest_only} pytest-only by design, "
+        f"{len(DRIVER_EXCLUDED) - n_pytest_only} with family covers "
+        "(each enforced on-roster-or-within-cadence by "
+        "tests/test_rotation.py)."
+    )
+    lines.append(PARITY_END)
+    return "\n".join(lines)
+
+
+def _committed_block(begin: str, end: str) -> str | None:
     try:
         with open(PARITY_MD) as f:
             text = f.read()
     except OSError:
         return None
-    b = text.find(STALENESS_BEGIN)
-    e = text.find(STALENESS_END)
+    b = text.find(begin)
+    e = text.find(end)
     if b < 0 or e < 0:
         return None
-    return text[b : e + len(STALENESS_END)]
+    return text[b : e + len(end)]
+
+
+def committed_parity_table() -> str | None:
+    """PARITY.md's marker-delimited roster map, or None if absent."""
+    return _committed_block(PARITY_BEGIN, PARITY_END)
+
+
+def check_parity() -> int:
+    """Exit 0 iff PARITY.md's committed roster map matches the
+    generated one line-for-line (r11 verdict #8)."""
+    want = parity_table()
+    got = committed_parity_table()
+    if got is None:
+        print("PARITY.md: PARITY-ROSTER markers not found", file=sys.stderr)
+        return 2
+    if got != want:
+        import difflib
+
+        diff = difflib.unified_diff(
+            got.splitlines(), want.splitlines(),
+            "PARITY.md (committed)", "generated", lineterm="",
+        )
+        print("\n".join(diff), file=sys.stderr)
+        print(
+            "\nPARITY.md roster map is stale — regenerate with:\n"
+            "  python scripts/coverage_ledger.py --parity",
+            file=sys.stderr,
+        )
+        return 1
+    print("PARITY.md roster map matches the generated one")
+    return 0
+
+
+def committed_staleness_table() -> str | None:
+    """PARITY.md's marker-delimited table, or None if markers absent."""
+    return _committed_block(STALENESS_BEGIN, STALENESS_END)
 
 
 def check_staleness() -> int:
@@ -264,6 +363,11 @@ if __name__ == "__main__":
         raise SystemExit(check_staleness())
     if "--staleness" in sys.argv:
         raise SystemExit(print_staleness())
+    if "--parity" in sys.argv and "--check" in sys.argv:
+        raise SystemExit(check_parity())
+    if "--parity" in sys.argv:
+        print(parity_table())
+        raise SystemExit(0)
     if "--floor" in sys.argv:
         raise SystemExit(print_floor())
     raise SystemExit(main())

@@ -127,6 +127,19 @@ def test_roster_includes_rotation_floor():
     )
 
 
+def test_parity_roster_map_is_generated_not_pasted():
+    """PARITY.md's roster/exclusion witness map must equal the
+    generated one line-for-line (r11 verdict #8) — regenerate with
+    ``python scripts/coverage_ledger.py --parity`` after any
+    roster/registry/covers change."""
+    committed = coverage_ledger.committed_parity_table()
+    assert committed is not None, "PARITY.md lacks PARITY-ROSTER markers"
+    assert committed == coverage_ledger.parity_table(), (
+        "PARITY.md roster map drifted from the registry metadata; "
+        "regenerate with: python scripts/coverage_ledger.py --parity"
+    )
+
+
 def test_parity_staleness_table_is_generated_not_pasted():
     """PARITY.md's staleness table must equal the generated one
     line-for-line (r10 verdict #8) — regenerate with
