@@ -144,6 +144,14 @@ HEADLINE = [
     # added r11 (late): Gopher's document-level rule set — prices the
     # map-only array-expression gate (zero exchanges)
     "gopher_quality_gate",
+    # added r12: convergence-mode PageRank (tol>0 early stop vs the
+    # closed-form stationary oracle) — prices the delta-job variant of
+    # the iterative loop next to link_authority's fixed-iteration mode
+    "link_authority_converged",
+    # added r12: the composed crawl gate (html skeleton -> strip_html
+    # -> C4 line gate as array filters -> Gopher document gate) — one
+    # zero-exchange pass; prices the whole extraction+gate front door
+    "crawl_gate_composed",
 ]
 
 #: The r5-era 21-query set — every HEADLINE row that existed before the
@@ -187,6 +195,8 @@ R5_COMPARABLE = [
         "c4_line_filter",
         "perplexity_buckets",
         "gopher_quality_gate",
+        "link_authority_converged",
+        "crawl_gate_composed",
     }
 ]
 
@@ -299,79 +309,108 @@ def main() -> None:
     subtotal_r5 = round(sum(steady[q] for q in R5_COMPARABLE), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    # Key order is deliberate: the driver's capture of this line keeps
-    # only the LAST ~2000 chars (BENCH_r06 lost most steady rows;
-    # BENCH_r08 lost the head-positioned calibration block and with it
-    # cross-round comparability), so everything a reader needs to
-    # compare rounds comes LAST — metadata and cold first, then the
-    # steady dict, then subtotals, CALIBRATION markers, the
-    # calibration-normalized subtotal, and the headline value at the
-    # very end where a tail-kept capture preserves them (VERDICT r6 #6,
-    # r8 #4).
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "unit": "sec",
-                "sf": float(sf),
-                "runs_per_query": RUNS,
-                "headline_set": (
-                    f"{len(HEADLINE)} queries; r4 added dedup_clusters "
-                    "(connected components) — totals are NOT comparable "
-                    "to r<=3's 20-query set without subtracting it. Since "
-                    "r5 dedup_clusters reuses the session's checkpointed "
-                    "minhash pair graph (computed once, on its cold run), "
-                    "so its steady time prices connected components only "
-                    "— the pair cost is priced by dedup_minhash_lsh. r6 "
-                    "added incremental_near_dup (cold pays the one-time "
-                    "index seed write, steady prices the probe), then "
-                    "ann_quantized_topk, repeated_span_removal, "
-                    "bpe_token_stats, token_budget_prune and "
-                    "prefix_jaccard_join, then quality_classifier and "
-                    "dsir_select and bm25_search; r7 added "
-                    "multimodal_real_codec and hybrid_search; r8 added "
-                    "the audio/video codecs, WARC round trip, PQ, and "
-                    "the six sketch-ledger rows; r9 added "
-                    "unigram_token_stats and sketch_dashboard; r10 "
-                    "added corpus_card and tokenizer_family_compare; "
-                    "r11 added skew_salted_join, tokenizer_family_fold, "
-                    "semantic_dedup, link_authority, html_extract and "
-                    "c4_line_filter — the 52-query set. "
-                    "subtotal_r5_comparable is the "
-                    "cross-round-stable 21-query subtotal; "
-                    "subtotal_r5_per_calib divides it by the "
-                    "calibration marker so machine drift cancels"
-                ),
-                "timing": (
-                    f"queries/value = min of the {RUNS - 1} WARM repeats "
-                    "(run 1 = cold, pays one-time JIT/codegen, reported "
-                    "separately); cache cleared before every run; the "
-                    f"fixed calibration probe re-runs every {CAL_EVERY} "
-                    "queries — calibration_series certifies the machine "
-                    "window across the whole loop, not just head/tail"
-                ),
-                "queries_cold": cold,
-                "value_cold": round(sum(cold.values()), 3),
-                "queries": steady,
-                "subtotal_r5_comparable": subtotal_r5,
-                "n_r5_comparable": len(R5_COMPARABLE),
-                # fixed yardstick: min-of-3 lineitem scan+groupBy count,
-                # timed before and after the query loop, PLUS the
-                # interleaved min-of-2 series (one point per CAL_EVERY
-                # queries) — a flat series (spread ~1x) certifies the
-                # run; a spike localizes machine drift to a stretch of
-                # the loop (VERDICT r10 #2)
-                "calibration_before": calibration_before,
-                "calibration_series": cal_series,
-                "calibration_after": calibration_after,
-                "calibration_spread_ratio": cal_spread,
-                # dimensionless: subtotal over the machine's yardstick
-                # speed this run — compare THIS across rounds
-                "subtotal_r5_per_calib": round(subtotal_r5 / calibration, 1),
-                "value": round(sum(steady.values()), 3),
-            }
-        )
+    # The FULL artifact — narratives, per-query cold times, the whole
+    # calibration series — goes to bench_out.json: the self-certifying
+    # line outgrew the driver's ~2000-char tail capture in r11
+    # (BENCH_r11.parsed came back null), so the file now carries full
+    # fidelity and stdout carries a COMPACT line that always fits
+    # (VERDICT r11 #3).
+    full = {
+        "metric": "headline_queries_total_runtime",
+        "unit": "sec",
+        "sf": float(sf),
+        "runs_per_query": RUNS,
+        "headline_set": (
+            f"the {len(HEADLINE)}-query set (count derived from "
+            "len(HEADLINE) — ADVICE r11). r4 added dedup_clusters "
+            "(connected components) — totals are NOT comparable "
+            "to r<=3's 20-query set without subtracting it. Since "
+            "r5 dedup_clusters reuses the session's checkpointed "
+            "minhash pair graph (computed once, on its cold run), "
+            "so its steady time prices connected components only "
+            "— the pair cost is priced by dedup_minhash_lsh. r6 "
+            "added incremental_near_dup (cold pays the one-time "
+            "index seed write, steady prices the probe), then "
+            "ann_quantized_topk, repeated_span_removal, "
+            "bpe_token_stats, token_budget_prune and "
+            "prefix_jaccard_join, then quality_classifier and "
+            "dsir_select and bm25_search; r7 added "
+            "multimodal_real_codec and hybrid_search; r8 added "
+            "the audio/video codecs, WARC round trip, PQ, and "
+            "the six sketch-ledger rows; r9 added "
+            "unigram_token_stats and sketch_dashboard; r10 "
+            "added corpus_card and tokenizer_family_compare; "
+            "r11 added EIGHT rows — skew_salted_join, "
+            "tokenizer_family_fold, semantic_dedup, "
+            "link_authority, html_extract, c4_line_filter, "
+            "perplexity_buckets and gopher_quality_gate; r12 "
+            "added link_authority_converged and "
+            "crawl_gate_composed. subtotal_r5_comparable is the "
+            "cross-round-stable 21-query subtotal; "
+            "subtotal_r5_per_calib divides it by the "
+            "calibration marker so machine drift cancels"
+        ),
+        "timing": (
+            f"queries/value = min of the {RUNS - 1} WARM repeats "
+            "(run 1 = cold, pays one-time JIT/codegen, reported "
+            "separately); cache cleared before every run; the "
+            f"fixed calibration probe re-runs every {CAL_EVERY} "
+            "queries — calibration_series certifies the machine "
+            "window across the whole loop, not just head/tail"
+        ),
+        "queries_cold": cold,
+        "value_cold": round(sum(cold.values()), 3),
+        "queries": steady,
+        "subtotal_r5_comparable": subtotal_r5,
+        "n_r5_comparable": len(R5_COMPARABLE),
+        # fixed yardstick: min-of-3 lineitem scan+groupBy count,
+        # timed before and after the query loop, PLUS the
+        # interleaved min-of-2 series (one point per CAL_EVERY
+        # queries) — a flat series (spread ~1x) certifies the
+        # run; a spike localizes machine drift to a stretch of
+        # the loop (VERDICT r10 #2)
+        "calibration_before": calibration_before,
+        "calibration_series": cal_series,
+        "calibration_after": calibration_after,
+        "calibration_spread_ratio": cal_spread,
+        # dimensionless: subtotal over the machine's yardstick
+        # speed this run — compare THIS across rounds
+        "subtotal_r5_per_calib": round(subtotal_r5 / calibration, 1),
+        "value": round(sum(steady.values()), 3),
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
     )
+    with open(out_path, "w") as f:
+        json.dump(full, f)
+        f.write("\n")
+
+    # Compact driver line: the required contract keys plus the
+    # cross-round markers, steady times at 2 decimals. Must stay under
+    # the driver's ~2000-char tail capture so `parsed` populates — the
+    # assert turns silent truncation into a local failure the moment
+    # the set outgrows the line again.
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(HEADLINE),
+        "artifact": "bench_out.json",
+        "queries": {k: round(v, 2) for k, v in steady.items()},
+        "subtotal_r5_comparable": subtotal_r5,
+        "value_cold": round(sum(cold.values()), 3),
+        "calibration": calibration,
+        "calibration_spread_ratio": cal_spread,
+        "subtotal_r5_per_calib": round(subtotal_r5 / calibration, 1),
+        "value": round(sum(steady.values()), 3),
+    }
+    line = json.dumps(compact)
+    assert len(line) <= 1900, (
+        f"compact bench line is {len(line)} chars — exceeds the "
+        "driver's ~2000-char tail capture; shrink the printed keys "
+        "(full fidelity lives in bench_out.json)"
+    )
+    print(line)
 
 
 if __name__ == "__main__":
