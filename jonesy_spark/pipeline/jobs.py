@@ -446,6 +446,56 @@ def _crawl_intake(ctx: JobContext) -> None:
     )
 
 
+def _crawl_to_corpus(ctx: JobContext) -> None:
+    """The composed raw-bytes-to-training-shards job (VERDICT r11 #4):
+    crawl archives → intake (parse / extract / gate / digest-dedup,
+    ``pipeline.intake.intake_batch`` — the same composition the
+    nightly ``crawl_intake`` job and the streaming bridge run) →
+    corpus pipeline (gate survivors through dedup / mixture / split /
+    pack, :func:`corpus_job.prepare_training_corpus`) — one command
+    from WARC bytes to packed training sequences, with per-boundary
+    row counts in the manifest. Fixture seeding follows the
+    ``crawl_intake`` shape (HTML-bodied archives with stop words so
+    the gate's PASS branch carries data) when ``$WARC_SRC`` is
+    unset."""
+    from .corpus_job import prepare_corpus_from_crawl
+
+    dest = f"{ctx.out_root}/crawl_corpus"
+    run_id = f"run-{ctx.run_date.isoformat()}"
+    src = layered_config().get("WARC_SRC")
+    if not src:
+        from . import warc as W
+
+        src = f"{dest}/raw_archives"
+        fixture = Catalog(ctx.spark, ctx.sf_dir).documents.select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.col("text"),
+                F.lit(" the of</p></body></html>"),
+            ).alias("text"),
+        )
+        W.write_fixture_archives(fixture, src)
+    raw = (
+        ctx.spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(src)
+        .select(
+            F.col("path").alias("archive_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    prepare_corpus_from_crawl(ctx.spark, raw, dest, run_id=run_id)
+    ctx.written.extend(
+        [
+            f"crawl_corpus/documents/ingest_batch={run_id}",
+            "crawl_corpus/corpus/split",
+            "crawl_corpus/corpus/sequences",
+            "crawl_corpus/_MANIFEST.json",
+        ]
+    )
+
+
 JOBS: dict[str, Callable[[JobContext], None]] = {
     "upload_advisors": upload_advisors,
     "upload_snapshot": upload_snapshot,
@@ -458,6 +508,7 @@ JOBS: dict[str, Callable[[JobContext], None]] = {
     "maintain_indexes": _maintain_indexes,
     "corpus_card": _corpus_card,
     "crawl_intake": _crawl_intake,
+    "crawl_to_corpus": _crawl_to_corpus,
 }
 
 

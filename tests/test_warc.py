@@ -274,3 +274,72 @@ def test_crawl_intake_job_gates_dedups_and_converges(spark, tmp_path):
     manifest2 = json.loads((root / "_MANIFEST.json").read_text())
     assert manifest2["intake"]["n_novel"] == 0
     assert spark.read.parquet(str(root / "documents")).count() == n_first
+
+
+def test_crawl_to_corpus_job_end_to_end_conservation(spark, tmp_path):
+    """The composed raw-bytes-to-training-shards job (VERDICT r11 #4):
+    WARC fixtures -> intake (parse/extract/gate/digest-dedup) ->
+    corpus pipeline (dedup/split/pack/assemble), with row-count
+    conservation asserted at EVERY boundary — and a rerun over the
+    same archives reproducing the identical shards (the determinism
+    contract the corpus job already holds, now end to end from raw
+    bytes)."""
+    import json
+    from datetime import date
+
+    from jonesy_spark.pipeline.jobs import JobContext, run_job
+
+    ctx = JobContext(
+        spark, "/root/testdata/sf0.001", str(tmp_path), [],
+        run_date=date(2024, 3, 1),
+    )
+    run_job("crawl_to_corpus", ctx)
+
+    root = tmp_path / "crawl_corpus"
+    manifest = json.loads((root / "_MANIFEST.json").read_text())
+    intake, bounds = manifest["intake"], manifest["boundaries"]
+
+    # boundary 1 (intake): extraction saw rows, the gate rejected some,
+    # dedup landed exactly the novel set as the documents tier
+    assert intake["n_extracted"] > 0
+    assert 0 < intake["n_kept"] <= intake["n_extracted"]
+    assert intake["n_novel"] <= intake["n_kept"]
+    n_docs = spark.read.parquet(str(root / "documents")).count()
+    assert n_docs == intake["n_novel"] == bounds["n_documents"] > 0
+
+    # boundary 2 (corpus gates/dedup): can only shrink the doc tier
+    assert 0 < bounds["n_clean"] <= bounds["n_documents"]
+
+    # boundary 3 (split): partitions the clean tier exactly — one
+    # decision per surviving document, nothing dropped or invented
+    split = spark.read.parquet(str(root / "corpus" / "split"))
+    assert split.count() == bounds["n_split"] == bounds["n_clean"]
+    by = {r["split"]: r["count"] for r in split.groupBy("split").count().collect()}
+    assert sum(by.values()) == bounds["n_clean"]
+    assert by.get("train", 0) > 0
+
+    # boundary 4 (pack/assemble): every sequence carries >= 1 doc and
+    # the assembled doc total equals the train split size
+    seqs = spark.read.parquet(str(root / "corpus" / "sequences"))
+    assert seqs.count() == bounds["n_sequences"] > 0
+    from pyspark.sql import functions as F
+
+    n_packed_docs = seqs.agg(F.sum("n_docs")).collect()[0][0]
+    assert n_packed_docs == by["train"]
+
+    # determinism: a same-day rerun over the same archives converges
+    # to byte-identical sequences (doc_id hashes the archive path +
+    # record identity + content, so "same archives" means same paths —
+    # the idempotence contract the intake job already holds, extended
+    # through pack/assemble)
+    cols = sorted(seqs.columns)
+    first = sorted(map(tuple, seqs.select(*cols).collect()))
+    ctx2 = JobContext(
+        spark, "/root/testdata/sf0.001", str(tmp_path), [],
+        run_date=date(2024, 3, 1),
+    )
+    run_job("crawl_to_corpus", ctx2)
+    again = spark.read.parquet(str(root / "corpus" / "sequences"))
+    assert first == sorted(map(tuple, again.select(*cols).collect()))
+    # and the rerun did not double-ingest the document tier
+    assert spark.read.parquet(str(root / "documents")).count() == n_docs
