@@ -320,46 +320,58 @@ def funnel_conversion(
     epochs past the drop-off point; aggregate ``furthest_step``
     downstream for the conversion report.
 
-    Shape: one stage per step — filter to the step's events, join the
-    previous stage's per-key frontier (one row per key, strictly
-    shrinking), keep events after the frontier, take the min. Every
-    stage is a keyed aggregation + keyed join on the SAME key, so the
-    funnel reuses one hash partitioning end-to-end; ``len(steps)`` is
-    a query constant (3-5), never data-scaled. Epochs are BIGINT
-    seconds (the time-series tier's no-timezone rule)."""
+    Shape (r12 — VERDICT r11 #7, the repartition-free rewrite): the
+    whole funnel rides ONE hash partitioning on the key. Each stage is
+    a full-partition ``min`` window — ``step_i = min(es WHERE et =
+    step_i AND es > step_{i-1})`` over the key partition, where
+    ``step_{i-1}`` is itself the previous window column — and Catalyst
+    plans the chained Window operators over a SINGLE exchange + sort
+    (each subsequent window's required distribution/ordering is
+    already satisfied); the final one-row-per-key aggregate reuses the
+    same partitioning, so the plan carries exactly one Exchange at any
+    scale. The r11 stage-chain form (per-stage keyed agg + keyed join)
+    re-shuffled the frontier ``len(steps)`` times and measured 3.1x at
+    the 10x decade; this form shuffles the event projection once.
+    ``len(steps)`` is a query constant (3-5), never data-scaled.
+    Epochs are BIGINT seconds (the time-series tier's no-timezone
+    rule)."""
+    from pyspark.sql import Window
+
     es = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
-    ev = events.select(
+    df = events.select(
         F.col(key_col).alias("k"), F.col(type_col).alias("et"), es.alias("es")
     )
-    prefixes = []
-    frontier = None
+    w = Window.partitionBy("k")
     for i, step in enumerate(steps, start=1):
-        stage = ev.filter(F.col("et") == step).select("k", "es")
-        col = f"step{i}_epoch"
-        if frontier is None:
-            frontier = stage.groupBy("k").agg(F.min("es").alias(col))
-        else:
-            prev = f"step{i - 1}_epoch"
-            frontier = (
-                stage.join(frontier, "k")
-                .filter(F.col("es") > F.col(prev))
-                .groupBy("k", *[f"step{j}_epoch" for j in range(1, i)])
-                .agg(F.min("es").alias(col))
-            )
-        prefixes.append(frontier.select("k", col))
-    result = prefixes[0]
-    for p in prefixes[1:]:
-        result = result.join(p, "k", "left")
+        cond = F.col("et") == step
+        if i > 1:
+            cond = cond & (F.col("es") > F.col(f"step{i - 1}_epoch"))
+        df = df.withColumn(
+            f"step{i}_epoch", F.min(F.when(cond, F.col("es"))).over(w)
+        )
     furthest = F.coalesce(
         *[
             F.when(F.col(f"step{i}_epoch").isNotNull(), F.lit(i))
             for i in range(len(steps), 0, -1)
         ]
     )
-    return result.select(
-        F.col("k").alias(key_col),
-        *[f"step{i}_epoch" for i in range(1, len(steps) + 1)],
-        furthest.cast("int").alias("furthest_step"),
+    # every row of a key carries identical step columns — one grouped
+    # min per key collapses them without a second exchange (the
+    # aggregate's distribution is already satisfied)
+    return (
+        df.filter(F.col("step1_epoch").isNotNull())
+        .groupBy(F.col("k").alias(key_col))
+        .agg(
+            *[
+                F.min(f"step{i}_epoch").alias(f"step{i}_epoch")
+                for i in range(1, len(steps) + 1)
+            ]
+        )
+        .select(
+            key_col,
+            *[f"step{i}_epoch" for i in range(1, len(steps) + 1)],
+            furthest.cast("int").alias("furthest_step"),
+        )
     )
 
 
