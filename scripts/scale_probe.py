@@ -106,6 +106,13 @@ DECADE_SUITE = DEFAULT_PROBE + [
     "html_extract",
     # r11 (late): C4 line gate — explode + one keyed shuffle
     "c4_line_filter",
+    # r11 (late): CCNet terciles + the Gopher document gate
+    "perplexity_buckets",
+    "gopher_quality_gate",
+    # r12: convergence-mode PageRank (the delta-job loop) and the
+    # composed zero-exchange crawl gate
+    "link_authority_converged",
+    "crawl_gate_composed",
 ]
 
 
