@@ -1,0 +1,53 @@
+"""The bench harness's driver-facing contract, pinned (VERDICT r11 #3):
+the compact stdout line must fit the driver's ~2000-char tail capture
+at the CURRENT headline-set size, and every benched name must be a
+real registry row — a rename or an over-grown set fails here instead
+of landing as a null `parsed` field in the round artifact."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import pathlib
+
+_ROOT = pathlib.Path(__file__).resolve().parent.parent
+_SPEC = importlib.util.spec_from_file_location("bench", _ROOT / "bench.py")
+bench = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(bench)
+
+
+def test_headline_names_are_registry_rows():
+    from jonesy_spark.plans import all_queries
+
+    registry = set(all_queries())
+    missing = [q for q in bench.HEADLINE if q not in registry]
+    assert not missing, f"benched names not in the registry: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate rows"
+    assert set(bench.R5_COMPARABLE) <= set(bench.HEADLINE)
+
+
+def test_compact_line_fits_tail_capture_at_current_set_size():
+    """Dry-run the compact line at worst-plausible per-query widths
+    (two-decimal values just under 100 s — a 56-row set summing past
+    that is a broken bench, not a wider line) — it must stay under the
+    runtime assert's 1900-char bound, which itself sits under the
+    driver's ~2000-char tail capture."""
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "unit": "sec",
+        "sf": 0.1,
+        "n_queries": len(bench.HEADLINE),
+        "artifact": "bench_out.json",
+        "queries": {k: 99.99 for k in bench.HEADLINE},
+        "subtotal_r5_comparable": 123.456,
+        "value_cold": 1234.567,
+        "calibration": 0.123,
+        "calibration_spread_ratio": 1.23,
+        "subtotal_r5_per_calib": 123.4,
+        "value": 1234.567,
+    }
+    line = json.dumps(compact)
+    assert len(line) <= 1900, (
+        f"{len(line)} chars at {len(bench.HEADLINE)} rows — the compact "
+        "line has outgrown the tail capture; move keys to bench_out.json"
+    )
