@@ -394,3 +394,46 @@ def test_bnlj_boundedness_rule(spark):
         F.broadcast(total.select(F.col("t").alias("t2")))
     )
     assert plan_audit.bnlj_violations(reused) == []
+
+
+def test_funnel_plan_is_single_exchange(spark):
+    """The r12 funnel rewrite's scale claim, pinned in the plan: the
+    chained conditional-min windows and the final per-key aggregate
+    all ride ONE hash partitioning — exactly one shuffle Exchange at
+    any step count (the r11 stage-chain form carried one per step)."""
+    import re
+
+    from jonesy_spark.plans import all_queries
+
+    df = all_queries()["funnel_steps"](spark, "/root/testdata/sf0.001")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 3
+
+
+def test_crawl_gate_composed_plan_is_map_only(spark):
+    """The composed crawl gate's scale claim, pinned in the plan
+    (VERDICT r11 #6): html synthesis -> strip_html -> C4 array-filter
+    line gate -> Gopher document gate is ZERO-exchange — scan plus
+    codegen'd projections, no joins, no aggregates, no Python."""
+    import contextlib
+    import io
+    import re
+
+    from jonesy_spark.plans import all_queries
+
+    df = all_queries()["crawl_gate_composed"](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    for node in ("Exchange", "BroadcastExchange", "SortMergeJoin",
+                 "HashAggregate", "BatchEvalPython", "ArrowEvalPython"):
+        assert not re.findall(rf"\(\d+\) {node}\b", plan), node

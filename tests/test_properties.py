@@ -951,3 +951,71 @@ def test_bloom_fold_cut_invariance_property(spark, case):
     union = union.unionByName(partials[0])
     folded = sorted(r["bit"] for r in union.distinct().collect())
     assert folded == single
+
+
+# --- funnel_conversion vs a pure-Python model (r12: the chained-window
+# rewrite must hold the stage-chain semantics on adversarial orderings:
+# ties, out-of-order stages, repeats, drop-offs at every depth) --------
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),          # user
+        st.sampled_from(["view", "click", "purchase", "noise"]),
+        st.integers(0, 8),          # epoch second
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _funnel_reference(rows, steps):
+    """Independent model: step_i = min epoch of step_i events strictly
+    after step_{i-1}'s epoch; keys that never hit step 1 are absent."""
+    out = {}
+    for k in {r[0] for r in rows}:
+        es = [(t, e) for (u, t, e) in rows if u == k]
+        epochs, prev = [], None
+        for i, step in enumerate(steps):
+            cand = [
+                e
+                for (t, e) in es
+                if t == step and (prev is None or e > prev)
+            ]
+            cur = min(cand) if cand else None
+            epochs.append(cur)
+            if cur is None:
+                epochs.extend([None] * (len(steps) - i - 1))
+                break
+            prev = cur
+        if epochs[0] is not None:
+            furthest = max(i + 1 for i, e in enumerate(epochs) if e is not None)
+            out[k] = (*epochs, furthest)
+    return out
+
+
+@given(rows=funnel_events)
+@settings(**SETTINGS)
+def test_funnel_conversion_matches_reference(spark, rows):
+    from datetime import datetime, timezone as tz
+
+    from jonesy_spark.operators.windows import funnel_conversion
+
+    df = spark.createDataFrame(
+        [
+            (u, t, datetime.fromtimestamp(e, tz.utc).replace(tzinfo=None))
+            for (u, t, e) in rows
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    got = {
+        r["user_id"]: (
+            r["step1_epoch"],
+            r["step2_epoch"],
+            r["step3_epoch"],
+            r["furthest_step"],
+        )
+        for r in funnel_conversion(
+            df, ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == _funnel_reference(rows, ["view", "click", "purchase"])
