@@ -47,6 +47,28 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def word_ngrams(text: Column, n: int = 5) -> Column:
+    """Distinct word n-gram set: normalize (lower, trim, collapse
+    whitespace — the dedup_exact normalization), split on single
+    spaces, join each n-word window back with spaces. Texts with fewer
+    than n words yield an EMPTY set (same guard rationale as
+    :func:`char_ngrams`; the DuckDB twin's range() is empty there).
+
+    DuckDB twin: ``list_distinct(list_transform(range(1, len(ws)-n+2),
+    i -> array_to_string(ws[i:i+n-1], ' ')))`` over
+    ``string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ')``."""
+    words = F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " ")
+    return F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def jaccard(a: Column, b: Column, ndigits: int = 6) -> Column:
     """Set Jaccard similarity of two distinct-element array columns,
     rounded.

@@ -135,6 +135,59 @@ def contamination(
     )
 
 
+def ngram_novelty(
+    eval_docs: DataFrame,
+    train_docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a training corpus (the
+    RAVEN-style memorization metric, McCoy et al. 2023): for each eval
+    document, the fraction of its distinct word ``n``-grams that appear
+    NOWHERE in the training documents. The complement of
+    :func:`contamination`'s overlap gate — novelty is a per-document
+    generation/holdout QUALITY metric, not a drop filter.
+
+    Output: (doc_id, n_grams, n_novel, novelty_micro) for eval docs
+    with at least n words. Unlike contamination (benchmark side is
+    MB-scale, broadcast), the TRAIN side here is corpus-scale, so the
+    membership probe is a shuffled equi-join on the 28-bit gram hash —
+    both sides partial-aggregate map-side (array_distinct before the
+    explode bounds per-doc fan-out; the train set dedups in partial
+    aggregation before the exchange). At 100 TB this is the same plan
+    family as exact-substring dedup (Lee et al. 2022): one shuffle of
+    narrow (hash) rows, no broadcast, no driver state."""
+    eval_grams = (
+        eval_docs.repartition(CPU_PARTITIONS, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(TX.word_ngrams(F.col(text_col), n)).alias("g"),
+        )
+        .select(id_col, element_hash(F.col("g")).alias("h"))
+    )
+    train_grams = (
+        train_docs.select(F.explode(TX.word_ngrams(F.col(text_col), n)).alias("g"))
+        .select(element_hash(F.col("g")).alias("th"))
+        .distinct()
+    )
+    novel = F.when(F.col("th").isNull(), 1).otherwise(0)
+    return (
+        eval_grams.join(train_grams, F.col("h") == F.col("th"), "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_novel",
+            micro_units(F.col("n_novel") / F.col("n_grams")).alias("novelty_micro"),
+        )
+    )
+
+
 def blocklist_filter(
     docs: DataFrame,
     blocked: DataFrame | list[str],

@@ -587,6 +587,55 @@ def prepare_corpus_from_crawl(
     }
 
 
+def read_corpus_outputs(spark, workdir: str) -> dict:
+    """The crash-safe front door to a corpus run's outputs (VERDICT
+    r12 #3): ``_MANIFEST.json`` is the COMMIT MARKER — it is written
+    LAST, after every output parquet has landed, so a run killed at
+    any earlier boundary leaves no manifest and this reader refuses.
+    Partial subtrees (a sequences directory whose write died before
+    the Spark committer's ``_SUCCESS``) are therefore invisible to
+    consumers going through this door, the same contract the IVF
+    index gives via its ``_COMMITTED`` marker. On success the split
+    and sequences frames are returned only after their row counts are
+    verified against the manifest's boundary counts — a torn state
+    (manifest from run N, outputs from a dying run N+1) fails loudly
+    instead of training on it."""
+    import json
+
+    sc = spark.sparkContext
+    Path = sc._jvm.org.apache.hadoop.fs.Path
+    mpath = Path(f"{workdir}/_MANIFEST.json")
+    fs = mpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(mpath):
+        raise FileNotFoundError(
+            f"{workdir}/_MANIFEST.json missing — the corpus run never "
+            "committed (killed mid-tier, or still running); rerun "
+            "prepare_corpus_from_crawl to completion before reading"
+        )
+    stream = fs.open(mpath)
+    try:
+        # py4j passes byte[] BY COPY, so readFully-into-a-buffer is a
+        # silent no-op from Python — drain the stream JVM-side instead
+        manifest = json.loads(
+            sc._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        )
+    finally:
+        stream.close()
+    out = {"manifest": manifest}
+    bounds = manifest["boundaries"]
+    for key, bound_key in (("split", "n_split"), ("sequences", "n_sequences")):
+        df = spark.read.parquet(f"{workdir}/corpus/{key}")
+        got = df.count()
+        if got != bounds[bound_key]:
+            raise ValueError(
+                f"{workdir}/corpus/{key}: {got} rows but the manifest "
+                f"committed {bounds[bound_key]} — torn outputs; rerun "
+                "the corpus job"
+            )
+        out[key] = df
+    return out
+
+
 def write_corpus_manifest(
     spark,
     workdir: str,

