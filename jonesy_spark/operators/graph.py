@@ -45,6 +45,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _tracked_checkpoint(df: DataFrame) -> tuple[DataFrame, list[int]]:
+    """``localCheckpoint()`` plus the ids of the persistent RDDs it
+    created. ``DataFrame.unpersist()`` only clears CacheManager
+    entries — a localCheckpoint's blocks live in RDD block storage and
+    survive it (ADVICE r12, verified empirically there), so releasing
+    a dead checkpoint requires ``unpersist`` on the underlying RDD,
+    which is only reachable by diffing the context's persistent-RDD
+    map around the call. Single-threaded callers only: a concurrent
+    persist in another thread would be misattributed."""
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint()
+    after = sc._jsc.getPersistentRDDs().keySet().toArray()
+    return out, [i for i in after if i not in before]
+
+
+def _release_rdds(df: DataFrame, ids: list[int]) -> None:
+    """Drop the named RDDs' storage blocks (non-blocking) — the actual
+    release ``DataFrame.unpersist()`` cannot perform for checkpoints."""
+    jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        if jmap.containsKey(i):
+            jmap.get(i).unpersist(False)
+
+
 def _canonical(edges: DataFrame) -> DataFrame:
     """Self-loop-free distinct edges oriented (u > v)."""
     return (
@@ -294,11 +319,14 @@ def pagerank(
     silently weights parallel edges into deg/contrib and the ranks
     stop summing to 1; when in doubt leave it False. Setup
     checkpoints (``nodes``/``deg``/``ed``, ~node/edge-count rows of
-    longs) are explicitly unpersisted before return — the returned
-    frame hangs off the final rank checkpoint alone, so repeated
-    calls in one session (graph_probe runs 3+ per tier) cannot
-    accumulate setup blocks waiting on the ContextCleaner
-    (ADVICE r11).
+    longs) are released before return AT THE RDD LEVEL — checkpoint
+    blocks live in RDD block storage, where ``DataFrame.unpersist()``
+    is a no-op (ADVICE r12); :func:`_tracked_checkpoint` captures the
+    persistent-RDD ids at creation so the release actually drops the
+    blocks. The returned frame hangs off the final rank checkpoint
+    alone, so repeated calls in one session (graph_probe runs 3+ per
+    tier) cannot accumulate setup or per-iteration blocks
+    (ADVICE r11/r12; pinned by a getRDDStorageInfo test).
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
@@ -308,11 +336,10 @@ def pagerank(
     # one distinct edge frame between the loop and its out-degree column
     if not assume_distinct:
         e = e.distinct()
-    nodes = (
+    nodes, nodes_ids = _tracked_checkpoint(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     n = nodes.count()
     if n == 0:
@@ -320,11 +347,15 @@ def pagerank(
     # checkpointed: the per-iteration dangling anti-join consumes deg
     # directly, and an un-cut deg would drag the full source scan +
     # distinct + groupBy back into EVERY iteration (r11 review finding)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    deg, deg_ids = _tracked_checkpoint(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    )
     # out-degree rides the edge list once; the per-iteration join then
     # touches a single pre-built (src, dst, deg) table
-    ed = e.join(deg, "src").localCheckpoint()
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    ed, ed_ids = _tracked_checkpoint(e.join(deg, "src"))
+    ranks, ranks_ids = _tracked_checkpoint(
+        nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    )
     base = (1.0 - damping) / n
     for _ in range(max_iter):
         # grouping-free aggregate: exactly 1 row, so the cross join is
@@ -351,8 +382,8 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        new_ranks, new_ranks_ids = _tracked_checkpoint(new_ranks)
         if tol > 0:
             delta = (
                 new_ranks.join(
@@ -364,16 +395,17 @@ def pagerank(
         else:
             delta = float("inf")
         # the superseded checkpoint is dead once the new one exists —
-        # release its executor-storage blocks now instead of letting
-        # max_iter generations accumulate for the life of the job
-        # (ADVICE r6).
-        ranks.unpersist()
-        ranks = new_ranks
+        # release its executor-storage blocks now (at the RDD level:
+        # DataFrame.unpersist is a no-op for checkpoint blocks, ADVICE
+        # r12) instead of letting max_iter generations accumulate for
+        # the life of the job (ADVICE r6).
+        _release_rdds(ranks, ranks_ids)
+        ranks, ranks_ids = new_ranks, new_ranks_ids
         if delta < tol:
             break
     # the final ranks checkpoint is the only block the returned frame
     # needs — release the three setup checkpoints now instead of
-    # leaving them to the ContextCleaner (ADVICE r11)
-    for setup in (nodes, deg, ed):
-        setup.unpersist()
+    # leaving them to the ContextCleaner (ADVICE r11; RDD-level per
+    # ADVICE r12, pinned by test_pagerank_releases_checkpoint_blocks)
+    _release_rdds(ranks, [*nodes_ids, *deg_ids, *ed_ids])
     return ranks.select("node", F.round("rank", 9).alias("rank"))

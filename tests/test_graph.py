@@ -305,3 +305,35 @@ def test_pagerank_fixed_iteration_mode_matches_numpy_exactly(spark):
         )
         for x in want:
             assert abs(got[x] - want[x]) < 1e-9, (k, x, got[x], want[x])
+
+
+def test_pagerank_releases_checkpoint_blocks(spark):
+    """ADVICE r12: DataFrame.unpersist() is a no-op for localCheckpoint
+    blocks (they live in RDD block storage, not the CacheManager), so
+    the release must happen at the RDD level. Pinned with the storage
+    API itself: after pagerank returns, RDD block storage holds AT
+    MOST the final ranks checkpoint beyond what it held before — the
+    three setup checkpoints and every superseded per-iteration
+    generation are gone."""
+    sc = spark.sparkContext
+
+    def cached_ids():
+        return {
+            info.id()
+            for info in sc._jsc.sc().getRDDStorageInfo()
+            if info.isCached()
+        }
+
+    rows = [(i, (i * 7) % 23) for i in range(200)] + [(i, 5) for i in range(40)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+
+    before = cached_ids()
+    ranks = G.pagerank(df, max_iter=8, tol=1e-9)
+    ranks.count()  # materialize through the final checkpoint
+    leaked = cached_ids() - before
+    # 8+ iterations each create a checkpoint; all but the final one
+    # (plus the 3 setup frames) must have been released
+    assert len(leaked) <= 1, (
+        f"{len(leaked)} checkpoint RDDs left in block storage — the "
+        "RDD-level release regressed to the DataFrame-level no-op"
+    )

@@ -210,3 +210,27 @@ def test_roster_guards_survive_a_post_commit_driver_landing(tmp_path):
         assert committed != coverage_ledger.parity_table(up_to=newest + 1)
     finally:
         coverage_ledger.ROOT = old_root
+
+
+def test_survey_map_is_generated_and_cites_live_registry_rows():
+    """The §2 / LLM inventory (VERDICT r12 #8): PARITY.md's committed
+    survey-map block must equal the render of plans/survey_map.py, the
+    frozen REGISTRY_REFS set must equal the set recomputed from the
+    tables' text (no silent rot), and every cited row must exist in
+    the live registry (a rename fails here, not in stranded prose)."""
+    from jonesy_spark.plans import survey_map
+
+    registry = set(all_queries())
+    stranded = sorted(survey_map.REGISTRY_REFS - registry)
+    assert not stranded, f"survey map cites rows not in the registry: {stranded}"
+    recomputed = coverage_ledger.survey_refs_from_tables()
+    assert recomputed == survey_map.REGISTRY_REFS, (
+        "REGISTRY_REFS drifted from the TABLES text — regenerate "
+        "survey_map.py's refs set"
+    )
+    committed = coverage_ledger.committed_survey_table()
+    assert committed is not None, "PARITY.md lacks SURVEY-MAP markers"
+    assert committed == coverage_ledger.survey_table(), (
+        "PARITY.md survey map drifted; regenerate with: "
+        "python scripts/coverage_ledger.py --survey --write"
+    )

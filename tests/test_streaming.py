@@ -1202,13 +1202,15 @@ def test_crawl_intake_stream_killed_mid_drain_resumes(spark, tmp_path):
         and time.time() < deadline
     ):
         time.sleep(0.2)
-    interrupted = q.isActive
     q.stop()
     # the kill must interrupt an ACTIVE drain, or the scenario
-    # degenerates to a clean run (the streaming_probe rule)
-    assert interrupted, "stream drained everything before the kill"
+    # degenerates to a clean run (the streaming_probe rule). isActive
+    # cannot witness this — a file-source query stays active after
+    # draining all input (ADVICE r12) — but the landed-epoch count at
+    # kill time can: fewer batches than archives means epochs were
+    # still in flight when stop() hit.
     landed_before = len(glob.glob(f"{dest}/ingest_batch=*"))
-    assert landed_before < n_archives
+    assert landed_before < n_archives, "stream drained everything before the kill"
 
     # run 2: same checkpoint — replays the in-flight epoch, drains all
     run_crawl_intake_stream(
