@@ -113,6 +113,16 @@ DECADE_SUITE = DEFAULT_PROBE + [
     # composed zero-exchange crawl gate
     "link_authority_converged",
     "crawl_gate_composed",
+    # r13 (VERDICT r12 #6): five more distinct plan shapes — the
+    # bucket-pruned persisted BM25 index probe, the archive-split WARC
+    # round trip, span-level exact-substring dedup (gram-df + anti-join
+    # rebuild), and the two new r13 rows (corpus-scale gram membership
+    # join; totals-agg + broadcast-explode mix design)
+    "bm25_index_probe",
+    "warc_ingest_roundtrip",
+    "repeated_span_removal",
+    "ngram_novelty",
+    "temperature_mixture",
 ]
 
 
