@@ -43,6 +43,7 @@ def test_compact_line_fits_tail_capture_at_current_set_size():
         "calibration": 0.123,
         "calibration_spread_ratio": 1.23,
         "subtotal_r5_per_calib": 123.4,
+        "subtotal_r5_per_calib_series": 123.4,
         "value": 1234.567,
     }
     line = json.dumps(compact)
@@ -70,3 +71,13 @@ def test_spiky_stretch_detection_localizes_drift():
 
     # a partial final stretch is bracketed by the after-marker
     assert bench.spiky_stretches([0.17], 0.6, n_queries=12, cal_every=8) == [1]
+
+
+def test_flat_series_with_warmed_after_marker_is_not_spiky():
+    """r13 regression: the probe C2-ramps across the run, so the
+    after-marker is systematically the fastest point — a flat in-loop
+    series with a fast after must NOT trigger healing (the floor is
+    the series minimum; the after-marker only brackets the final
+    stretch)."""
+    flat = [0.205, 0.179, 0.166, 0.156, 0.175, 0.165, 0.189]  # r13 raw
+    assert bench.spiky_stretches(flat, 0.123, n_queries=58, cal_every=8) == []
