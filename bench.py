@@ -158,6 +158,9 @@ HEADLINE = [
     # added r13: temperature-rebalanced mixture (totals agg + driver
     # rate math + broadcast-join explode) — prices the mix-design tier
     "temperature_mixture",
+    # added r13 (late): margin-ratio bitext mining — one cross-side
+    # scored frame through four ranking windows + two keyed sums
+    "bitext_mining_margin",
 ]
 
 #: The r5-era 21-query set — every HEADLINE row that existed before the
@@ -205,6 +208,7 @@ R5_COMPARABLE = [
         "crawl_gate_composed",
         "ngram_novelty",
         "temperature_mixture",
+        "bitext_mining_margin",
     }
 ]
 
@@ -514,7 +518,6 @@ def main() -> None:
         "n_queries": len(HEADLINE),
         "artifact": "bench_out.json",
         "queries": {k: round(v, 1) for k, v in steady.items()},
-        "subtotal_r5_comparable": subtotal_r5,
         "calibration": calibration,
         "calibration_spread_ratio": cal_spread,
         "subtotal_r5_per_calib": round(subtotal_r5 / calibration, 1),

@@ -1565,3 +1565,103 @@ def cluster_top_terms(
         .filter(F.col("rank") <= top_n)
         .select("cluster_id", "term", "score", "rank")
     )
+
+
+def margin_bitext_pairs(
+    emb: DataFrame,
+    k_neighborhood: int = 4,
+    margin_floor_micro: int = 1_000_000,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (the public ratio-margin
+    criterion of Artetxe & Schwenk 2019, the method behind the large
+    public bitext corpora): embeddings split into two sides by label
+    parity (the fixture's stand-in for two languages), every cross
+    pair scored
+
+        margin(x, y) = cos(x, y) / ((avg_k(x->Y) + avg_k(y->X)) / 2)
+
+    where avg_k is the mean cosine of the vector's k nearest
+    cross-side neighbors — the normalization that suppresses hubness
+    (a vector globally similar to everything scores no pair highly).
+    A pair is emitted iff it is MUTUAL best-by-margin (forward and
+    backward argmax agree) and its margin clears ``margin_floor_micro``
+    (1.0 = above the neighborhood average).
+
+    Determinism discipline: cosines land in micro-units first; the
+    margin is derived from those integers (scaled by 2e6 over the two
+    k-sums, one round) so both engines rank identical BIGINTs; all
+    ties break on vec_id.
+
+    Scale shape: ONE cross-side scored frame feeds the neighborhood
+    sums and both argmax windows (windows over the side keys — keyed
+    shuffles, no driver state). The cross join here is the exact
+    brute-force tier; at corpus scale the candidate generation swaps
+    to the IVF cells (:func:`bucketed_topk` / :func:`probe_ivf_index`)
+    exactly as the ANN rows do — margin math is agnostic to where
+    candidates come from.
+    """
+    e = _prepared(emb)
+    x = e.filter(F.col("label") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"), F.col("v").alias("xv"), F.col("nrm").alias("xn")
+    )
+    y = e.filter(F.col("label") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"), F.col("v").alias("yv"), F.col("nrm").alias("yn")
+    )
+    scored = x.crossJoin(y).select(
+        "src_id",
+        "tgt_id",
+        micro_units(
+            VX.dot(F.col("xv"), F.col("yv")) / (F.col("xn") * F.col("yn"))
+        ).alias("cosine_micro"),
+    )
+    wx = Window.partitionBy("src_id").orderBy(
+        F.col("cosine_micro").desc(), F.col("tgt_id")
+    )
+    wy = Window.partitionBy("tgt_id").orderBy(
+        F.col("cosine_micro").desc(), F.col("src_id")
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    sx = ranked.filter(F.col("rx") <= k_neighborhood).groupBy("src_id").agg(
+        F.sum("cosine_micro").alias("ksum_x")
+    )
+    sy = ranked.filter(F.col("ry") <= k_neighborhood).groupBy("tgt_id").agg(
+        F.sum("cosine_micro").alias("ksum_y")
+    )
+    m = (
+        ranked.join(sx, "src_id")
+        .join(sy, "tgt_id")
+        .withColumn(
+            "margin_micro",
+            F.round(
+                F.col("cosine_micro")
+                * (2_000_000.0 * k_neighborhood)
+                / (F.col("ksum_x") + F.col("ksum_y"))
+            ).cast("long"),
+        )
+    )
+    wmx = Window.partitionBy("src_id").orderBy(
+        F.col("margin_micro").desc(), F.col("tgt_id")
+    )
+    wmy = Window.partitionBy("tgt_id").orderBy(
+        F.col("margin_micro").desc(), F.col("src_id")
+    )
+    return (
+        m.select(
+            "src_id",
+            "tgt_id",
+            "cosine_micro",
+            "margin_micro",
+            F.row_number().over(wmx).alias("fb"),
+            F.row_number().over(wmy).alias("bb"),
+        )
+        .filter(
+            (F.col("fb") == 1)
+            & (F.col("bb") == 1)
+            & (F.col("margin_micro") >= margin_floor_micro)
+        )
+        .select("src_id", "tgt_id", "cosine_micro", "margin_micro")
+    )

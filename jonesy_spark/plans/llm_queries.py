@@ -4916,3 +4916,63 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         rates,
         salt="temp-v1",
     )
+
+
+@query(
+    "bitext_mining_margin",
+    oracle=f"""
+    WITH {_EMB},
+    x AS (SELECT vec_id AS src_id, v AS xv, nrm AS xn FROM nemb WHERE label % 2 = 0),
+    y AS (SELECT vec_id AS tgt_id, v AS yv, nrm AS yn FROM nemb WHERE label % 2 = 1),
+    scored AS (
+        SELECT src_id, tgt_id,
+               CAST(round(list_sum(list_transform(range(1, len(xv)+1),
+                                                  i -> xv[i]*yv[i]))
+                          / (xn * yn) * 1000000) AS BIGINT) AS cosine_micro
+        FROM x CROSS JOIN y
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY src_id
+                                  ORDER BY cosine_micro DESC, tgt_id) AS rx,
+               row_number() OVER (PARTITION BY tgt_id
+                                  ORDER BY cosine_micro DESC, src_id) AS ry
+        FROM scored
+    ),
+    sx AS (SELECT src_id, sum(cosine_micro) AS ksum_x FROM ranked
+           WHERE rx <= 4 GROUP BY src_id),
+    sy AS (SELECT tgt_id, sum(cosine_micro) AS ksum_y FROM ranked
+           WHERE ry <= 4 GROUP BY tgt_id),
+    m AS (
+        SELECT r.src_id, r.tgt_id, r.cosine_micro,
+               CAST(round(r.cosine_micro * 8000000.0
+                          / (sx.ksum_x + sy.ksum_y)) AS BIGINT) AS margin_micro
+        FROM ranked r JOIN sx USING (src_id) JOIN sy USING (tgt_id)
+    ),
+    best AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY src_id
+                                  ORDER BY margin_micro DESC, tgt_id) AS fb,
+               row_number() OVER (PARTITION BY tgt_id
+                                  ORDER BY margin_micro DESC, src_id) AS bb
+        FROM m
+    )
+    SELECT src_id, tgt_id, cosine_micro, margin_micro
+    FROM best WHERE fb = 1 AND bb = 1 AND margin_micro >= 1000000
+    """,
+)
+def bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019's
+    ratio margin — the method behind the public large-scale bitext
+    corpora): label-parity sides of the embeddings table stand in for
+    the two languages; pairs are emitted iff mutual-best-by-margin
+    with margin > 1.0 (above the k=4 neighborhood average — the
+    hubness suppressor). All ranking on micro-unit BIGINTs with
+    vec_id tiebreaks, so the mutual-argmax set is identical across
+    engines. operators.similarity.margin_bitext_pairs has the
+    brute-vs-IVF candidate-tier scale notes."""
+    from ..operators import similarity as S
+
+    return S.margin_bitext_pairs(
+        Catalog(spark, sf_dir).embeddings, k_neighborhood=4
+    )

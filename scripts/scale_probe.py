@@ -147,15 +147,26 @@ def _timed_set(spark, queries, names, sf_dir, runs):
     for name in names:
         run_ts = []
         rows = None
-        for _ in range(runs):
-            spark.catalog.clearCache()
-            t0 = time.time()
-            df = queries[name](spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            run_ts.append(time.time() - t0)
-            if rows is None:
-                rows = df.count()
-            release_caches(df)
+        try:
+            for _ in range(runs):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                df = queries[name](spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                run_ts.append(time.time() - t0)
+                if rows is None:
+                    rows = df.count()
+                release_caches(df)
+        except ValueError as e:
+            # a bounded-tier contract refusing at this SF is a RESULT,
+            # not a probe crash (r13: prefix_jaccard_join's
+            # pair_density_limit refuses at sf1 by design — the LSH
+            # row is the scale path)
+            results[name] = {"refused": str(e).split(".")[0]}
+            print(json.dumps({"query": name, "sf_dir": sf_dir,
+                              "refused": results[name]["refused"]}),
+                  flush=True)
+            continue
         results[name] = {
             "cold": round(run_ts[0], 2),
             "steady": round(min(run_ts), 2),
@@ -197,6 +208,11 @@ def decade_suite(args) -> None:
     ]
     worst = 0.0
     for name in names:
+        if "refused" in base[name] or "refused" in sf1[name]:
+            b = base[name].get("steady", "refused")
+            s = "REFUSED by contract" if "refused" in sf1[name] else sf1[name]["steady"]
+            lines.append(f"| {name} | {b} | {s} | — | {args.round} |")
+            continue
         b, s = base[name]["steady"], sf1[name]["steady"]
         ratio = round(s / max(b, 1e-9), 1)
         worst = max(worst, ratio)

@@ -39,7 +39,6 @@ def test_compact_line_fits_tail_capture_at_current_set_size():
         "n_queries": len(bench.HEADLINE),
         "artifact": "bench_out.json",
         "queries": {k: 99.9 for k in bench.HEADLINE},
-        "subtotal_r5_comparable": 123.456,
         "calibration": 0.123,
         "calibration_spread_ratio": 1.23,
         "subtotal_r5_per_calib": 123.4,

@@ -451,3 +451,49 @@ def test_cluster_documents_separates_populations(spark):
         by_cluster.setdefault(r["cluster_id"], set()).add(r["term"])
     assert by_cluster[a_clusters.pop()] == set(vocab_a)
     assert by_cluster[b_clusters.pop()] == set(vocab_b)
+
+
+def test_margin_bitext_recovers_planted_parallel_pairs(spark):
+    """Margin mining (Artetxe & Schwenk ratio criterion): plant near-
+    identical cross-side twins inside orthogonal-ish noise — every
+    planted pair must come back as a mutual-best with margin > 1, no
+    noise vector may pair with a planted one, and the pair set must be
+    one-to-one on both sides (the mutual-argmax invariant)."""
+    import math
+
+    from jonesy_spark.operators.similarity import margin_bitext_pairs
+
+    def unit(seed, dim=16):
+        vals = [math.sin(7.3 * seed + 1.7 * j) for j in range(dim)]
+        n = math.sqrt(sum(v * v for v in vals))
+        return [v / n for v in vals]
+
+    rows = []
+    # planted twins: src 2i (label 0) ~ tgt 2i+1 (label 1), tiny tilt
+    for i in range(10):
+        base = unit(i)
+        rows.append((2 * i, 0, base))
+        tilted = [v + 0.01 * math.cos(3.1 * i + j) for j, v in enumerate(base)]
+        rows.append((2 * i + 1, 1, tilted))
+    # unpaired noise on both sides
+    for i in range(10, 25):
+        rows.append((2 * i, 0, unit(100 + i)))
+        rows.append((2 * i + 1, 1, unit(200 + i)))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    got = {
+        (r["src_id"], r["tgt_id"]): r["margin_micro"]
+        for r in margin_bitext_pairs(emb, k_neighborhood=4).collect()
+    }
+    for i in range(10):
+        assert (2 * i, 2 * i + 1) in got, f"planted pair {i} not mined"
+        assert got[(2 * i, 2 * i + 1)] > 1_000_000
+    # one-to-one: no side id appears twice
+    srcs = [s for s, _ in got]
+    tgts = [t for _, t in got]
+    assert len(srcs) == len(set(srcs)) and len(tgts) == len(set(tgts))
+    # no planted vector pairs with noise
+    for (s, t) in got:
+        planted_s, planted_t = s < 20, t < 20
+        assert planted_s == planted_t, (s, t)
