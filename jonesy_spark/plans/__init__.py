@@ -102,12 +102,12 @@ DRIVER_EXCLUDED = {
     "tfidf_top_terms",
     "train_order",
     "url_dedup",
-    # r13 (late): NEW registry row awaiting its first driver seat —
-    # the floor hands never-witnessed oracle-ready rows a slot next
-    # round; until then the embedding-pair family is driver-witnessed
-    # via the covers below and the full DuckDB differential runs in
-    # pytest.
-    "bitext_mining_margin",
+    # r13 (late): the rotation floor hands the NEW oracle-ready row
+    # bitext_mining_margin its first-witness seat immediately
+    # (never-witnessed = oldest), so dedup_survivors_quality — a
+    # cohort keeper whose CC-survivor family stays witnessed via the
+    # kept hubs — rotates out to make the seat.
+    "dedup_survivors_quality",
     # ---- r12 rotations (r11-green; within their cover cadence) -----
     "ann_cosine_topk",
     "basic_attributes",
@@ -183,7 +183,7 @@ PYTEST_ONLY_BY_DESIGN = {
 #: two-round cadence — so a justification silently invalidated by a
 #: later rotation fails a test instead of aging into prose.
 EXCLUSION_COVERS: dict[str, tuple[str, ...]] = {
-    "bitext_mining_margin": ("incremental_near_dup", "ann_bucketed_topk"),
+    "dedup_survivors_quality": ("dedup_minhash_lsh", "quality_filter"),
     # r13 rotations out (every row here is r12-green; covers name the
     # kept hubs / re-admitted rows now back on the roster)
     "pivot_event_counts": ("events_rollup", "cube_agg"),

@@ -460,11 +460,16 @@ def test_margin_bitext_recovers_planted_parallel_pairs(spark):
     noise vector may pair with a planted one, and the pair set must be
     one-to-one on both sides (the mutual-argmax invariant)."""
     import math
+    import random
 
     from jonesy_spark.operators.similarity import margin_bitext_pairs
 
     def unit(seed, dim=16):
-        vals = [math.sin(7.3 * seed + 1.7 * j) for j in range(dim)]
+        # seeded gaussians: cross-cosines concentrate near 0 (+-1/sqrt(dim)),
+        # so planted twins at cos ~0.9996 dominate — a sin-grid fixture
+        # phase-collides across seeds and out-scores the plants
+        rng = random.Random(seed)
+        vals = [rng.gauss(0, 1) for _ in range(dim)]
         n = math.sqrt(sum(v * v for v in vals))
         return [v / n for v in vals]
 
@@ -473,8 +478,8 @@ def test_margin_bitext_recovers_planted_parallel_pairs(spark):
     for i in range(10):
         base = unit(i)
         rows.append((2 * i, 0, base))
-        tilted = [v + 0.01 * math.cos(3.1 * i + j) for j, v in enumerate(base)]
-        rows.append((2 * i + 1, 1, tilted))
+        tilt = unit(1000 + i)
+        rows.append((2 * i + 1, 1, [v + 0.02 * t for v, t in zip(base, tilt)]))
     # unpaired noise on both sides
     for i in range(10, 25):
         rows.append((2 * i, 0, unit(100 + i)))
