@@ -161,6 +161,9 @@ HEADLINE = [
     # added r13 (late): margin-ratio bitext mining — one cross-side
     # scored frame through four ranking windows + two keyed sums
     "bitext_mining_margin",
+    # added r13 (late): RHO-loss-proxy selection — both LM scorers,
+    # one doc-keyed join, partial top-k
+    "excess_loss_select",
 ]
 
 #: The r5-era 21-query set — every HEADLINE row that existed before the
@@ -209,6 +212,7 @@ R5_COMPARABLE = [
         "ngram_novelty",
         "temperature_mixture",
         "bitext_mining_margin",
+        "excess_loss_select",
     }
 ]
 
@@ -520,7 +524,6 @@ def main() -> None:
         "queries": {k: round(v, 1) for k, v in steady.items()},
         "calibration": calibration,
         "calibration_spread_ratio": cal_spread,
-        "subtotal_r5_per_calib": round(subtotal_r5 / calibration, 1),
         "subtotal_r5_per_calib_series": round(subtotal_r5 / cal_median, 1),
         "value": round(sum(steady.values()), 3),
     }

@@ -1205,3 +1205,57 @@ def diversity_sample(
         .filter(F.col("__rn") <= per_bucket_n)
         .drop("__rn")
     )
+
+
+def excess_loss_select(
+    docs: DataFrame,
+    k: int = 200,
+    vocab_size: int = 50_000,
+    bigram_size: int = 500_000,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learnability-ordered data selection (the public RHO-loss idea,
+    Mindermann et al. 2022, in its cheap-proxy form): score each
+    document by its EXCESS log-likelihood under the conditional
+    (bigram) model over the context-free (unigram) baseline —
+    documents whose tokens are predictable only WITH context are
+    structured prose worth training on; docs the unigram model already
+    explains (repetitive/boilerplate) and docs neither model explains
+    (garbled) both score low. Keep the top ``k``.
+
+    score_micro = bigram avg_logprob_micro - unigram avg_logprob_micro
+    — an INTEGER difference of the two scorers' fixed-point outputs,
+    so cross-engine equality is inherited from theirs; the cut is
+    total-ordered (score desc, doc_id).
+
+    Scale shape: both constituent scorers are broadcast-table passes
+    over the token stream (:func:`unigram_logprob` /
+    :func:`bigram_logprob` document the V / bigram-table bounds); the
+    composition adds one doc-keyed equi-join and an orderBy+limit
+    top-k (partial per-partition top-k, never a global sort)."""
+    uni = unigram_logprob(
+        docs, text_col=text_col, id_col=id_col,
+        vocab_size=vocab_size, alpha=alpha,
+    ).select(
+        F.col(id_col),
+        "n_tokens",
+        F.col("avg_logprob_micro").alias("unigram_lp_micro"),
+    )
+    bi = bigram_logprob(
+        docs, text_col=text_col, id_col=id_col,
+        vocab_size=vocab_size, bigram_size=bigram_size, alpha=alpha,
+    ).select(
+        F.col(id_col),
+        F.col("avg_logprob_micro").alias("bigram_lp_micro"),
+    )
+    return (
+        uni.join(bi, id_col)
+        .withColumn(
+            "excess_micro",
+            (F.col("bigram_lp_micro") - F.col("unigram_lp_micro")).cast("long"),
+        )
+        .orderBy(F.col("excess_micro").desc(), F.col(id_col))
+        .limit(k)
+    )

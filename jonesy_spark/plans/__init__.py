@@ -102,12 +102,15 @@ DRIVER_EXCLUDED = {
     "tfidf_top_terms",
     "train_order",
     "url_dedup",
-    # r13 (late): the rotation floor hands the NEW oracle-ready row
-    # bitext_mining_margin its first-witness seat immediately
-    # (never-witnessed = oldest), so dedup_survivors_quality — a
-    # cohort keeper whose CC-survivor family stays witnessed via the
-    # kept hubs — rotates out to make the seat.
+    # r13 (late): the rotation floor hands BOTH new oracle-ready rows
+    # (bitext_mining_margin, excess_loss_select) first-witness seats
+    # immediately (never-witnessed = oldest), so two keepers whose
+    # families stay witnessed rotate out: dedup_survivors_quality
+    # (CC-survivor family -> dedup_minhash_lsh + quality_filter) and
+    # mixture_upsample (the mixture family's witness is now the
+    # on-roster temperature_mixture, whose draw IS mixture_upsample's).
     "dedup_survivors_quality",
+    "mixture_upsample",
     # ---- r12 rotations (r11-green; within their cover cadence) -----
     "ann_cosine_topk",
     "basic_attributes",
@@ -183,6 +186,7 @@ PYTEST_ONLY_BY_DESIGN = {
 #: two-round cadence — so a justification silently invalidated by a
 #: later rotation fails a test instead of aging into prose.
 EXCLUSION_COVERS: dict[str, tuple[str, ...]] = {
+    "mixture_upsample": ("temperature_mixture", "leakage_safe_split"),
     "dedup_survivors_quality": ("dedup_minhash_lsh", "quality_filter"),
     # r13 rotations out (every row here is r12-green; covers name the
     # kept hubs / re-admitted rows now back on the roster)

@@ -4976,3 +4976,104 @@ def bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.margin_bitext_pairs(
         Catalog(spark, sf_dir).embeddings, k_neighborhood=4
     )
+
+
+@query(
+    "excess_loss_select",
+    # Composes the doc_logprob and bigram_logprob oracle chains
+    # verbatim (same tiny 16/64 caps) and subtracts the two micro-unit
+    # means — integer arithmetic on already-hash-stable columns.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS t
+        FROM documents
+    ),
+    tf AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    vocab AS (SELECT t, c FROM tf ORDER BY c DESC, t LIMIT 16),
+    tot AS (SELECT (SELECT sum(c) FROM tf) AS n_total,
+                   (SELECT count(*) FROM vocab) AS v_actual),
+    uscored AS (
+        SELECT toks.doc_id,
+               round(ln((coalesce(v.c, 0) + 0.5)
+                        / (tot.n_total + 0.5 * (tot.v_actual + 1))), 9) AS lp
+        FROM toks LEFT JOIN vocab v ON v.t = toks.t CROSS JOIN tot
+    ),
+    uni AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+               CAST(round(sum(lp) / count(*) * 1000000) AS BIGINT)
+                   AS unigram_lp_micro
+        FROM uscored GROUP BY doc_id
+    ),
+    base AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS arr
+        FROM documents
+    ),
+    btoks AS (
+        SELECT doc_id, i AS pos, arr[i] AS raw
+        FROM base, unnest(generate_series(1, len(arr))) AS s(i)
+    ),
+    btf AS (SELECT raw, count(*) AS c FROM btoks GROUP BY raw),
+    bvocab AS (SELECT raw FROM btf ORDER BY c DESC, raw LIMIT 16),
+    coll AS (
+        SELECT btoks.doc_id, btoks.pos,
+               CASE WHEN v.raw IS NULL THEN '<oov>' ELSE btoks.raw END AS t
+        FROM btoks LEFT JOIN bvocab v ON v.raw = btoks.raw
+    ),
+    c1 AS (SELECT t, count(*) AS c1 FROM coll GROUP BY t),
+    btot AS (SELECT (SELECT sum(c1) FROM c1) AS n_total,
+                    (SELECT count(*) FROM c1) AS v1),
+    paired AS (
+        SELECT doc_id, pos, t,
+               lag(t) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM coll
+    ),
+    c2 AS (
+        SELECT prev, t, count(*) AS c2
+        FROM paired WHERE prev IS NOT NULL GROUP BY prev, t
+        ORDER BY c2 DESC, prev, t LIMIT 64
+    ),
+    bscored AS (
+        SELECT p.doc_id,
+               round(CASE WHEN p.prev IS NULL
+                     THEN ln((u.c1 + 0.5) / (btot.n_total + 0.5 * btot.v1))
+                     ELSE ln((coalesce(b.c2, 0) + 0.5)
+                             / (cp.c1 + 0.5 * btot.v1)) END, 9) AS lp
+        FROM paired p
+        LEFT JOIN c2 b ON b.prev = p.prev AND b.t = p.t
+        LEFT JOIN c1 cp ON cp.t = p.prev
+        LEFT JOIN c1 u ON u.t = p.t
+        CROSS JOIN btot
+    ),
+    bi AS (
+        SELECT doc_id,
+               CAST(round(sum(lp) / count(*) * 1000000) AS BIGINT)
+                   AS bigram_lp_micro
+        FROM bscored GROUP BY doc_id
+    )
+    SELECT uni.doc_id, uni.n_tokens, uni.unigram_lp_micro,
+           bi.bigram_lp_micro,
+           bi.bigram_lp_micro - uni.unigram_lp_micro AS excess_micro
+    FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+    ORDER BY excess_micro DESC, uni.doc_id
+    LIMIT 200
+    """,
+)
+def excess_loss_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learnability-ordered data selection (RHO-loss proxy, Mindermann
+    et al. 2022): rank documents by the EXCESS of their bigram-LM mean
+    log-likelihood over the unigram baseline — predictable-only-with-
+    context prose ranks high, boilerplate the unigram already explains
+    and garbage neither explains rank low — and keep the top 200. An
+    integer difference of two already-hash-stable micro-unit scorers,
+    with the same tiny 16/64 table caps as the constituent rows.
+    operators.corpus.excess_loss_select has the broadcast-table and
+    partial-top-k scale notes."""
+    from ..operators import corpus as C
+
+    return C.excess_loss_select(
+        Catalog(spark, sf_dir).documents,
+        k=200,
+        vocab_size=16,
+        bigram_size=64,
+        alpha=0.5,
+    )

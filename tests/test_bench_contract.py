@@ -41,7 +41,6 @@ def test_compact_line_fits_tail_capture_at_current_set_size():
         "queries": {k: 99.9 for k in bench.HEADLINE},
         "calibration": 0.123,
         "calibration_spread_ratio": 1.23,
-        "subtotal_r5_per_calib": 123.4,
         "subtotal_r5_per_calib_series": 123.4,
         "value": 1234.567,
     }
