@@ -1571,6 +1571,7 @@ def margin_bitext_pairs(
     emb: DataFrame,
     k_neighborhood: int = 4,
     margin_floor_micro: int = 1_000_000,
+    n_bucket_dims: int | None = 6,
 ) -> DataFrame:
     """Margin-based parallel-pair mining (the public ratio-margin
     criterion of Artetxe & Schwenk 2019, the method behind the large
@@ -1592,22 +1593,34 @@ def margin_bitext_pairs(
     k-sums, one round) so both engines rank identical BIGINTs; all
     ties break on vec_id.
 
-    Scale shape: ONE cross-side scored frame feeds the neighborhood
-    sums and both argmax windows (windows over the side keys — keyed
-    shuffles, no driver state). The cross join here is the exact
-    brute-force tier; at corpus scale the candidate generation swaps
-    to the IVF cells (:func:`bucketed_topk` / :func:`probe_ivf_index`)
-    exactly as the ANN rows do — margin math is agnostic to where
-    candidates come from.
+    Scale shape: candidate generation is a sign-bucket EQUI-JOIN by
+    default (``n_bucket_dims`` cells, the :func:`bucketed_topk`
+    pattern) — margins, neighborhoods, and the mutual-argmax are all
+    computed within the candidate set, exactly how production mining
+    runs over ANN neighborhoods rather than the n x m cross product.
+    ONE scored frame feeds the neighborhood sums and both argmax
+    windows (keyed shuffles, no driver state). ``n_bucket_dims=None``
+    opts into the exact cross-product tier (tests/small fixtures
+    only: its BroadcastNestedLoopJoin is not boundable, which is why
+    the registered row runs bucketed — the plan audit enforces that).
     """
     e = _prepared(emb)
+    if n_bucket_dims is not None:
+        e = e.withColumn("bucket", VX.sign_bucket(F.col("v"), n_bucket_dims))
     x = e.filter(F.col("label") % 2 == 0).select(
-        F.col("vec_id").alias("src_id"), F.col("v").alias("xv"), F.col("nrm").alias("xn")
+        F.col("vec_id").alias("src_id"),
+        F.col("v").alias("xv"),
+        F.col("nrm").alias("xn"),
+        *([F.col("bucket")] if n_bucket_dims is not None else []),
     )
     y = e.filter(F.col("label") % 2 == 1).select(
-        F.col("vec_id").alias("tgt_id"), F.col("v").alias("yv"), F.col("nrm").alias("yn")
+        F.col("vec_id").alias("tgt_id"),
+        F.col("v").alias("yv"),
+        F.col("nrm").alias("yn"),
+        *([F.col("bucket")] if n_bucket_dims is not None else []),
     )
-    scored = x.crossJoin(y).select(
+    joined = x.join(y, "bucket") if n_bucket_dims is not None else x.crossJoin(y)
+    scored = joined.select(
         "src_id",
         "tgt_id",
         micro_units(

@@ -4922,14 +4922,22 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bitext_mining_margin",
     oracle=f"""
     WITH {_EMB},
-    x AS (SELECT vec_id AS src_id, v AS xv, nrm AS xn FROM nemb WHERE label % 2 = 0),
-    y AS (SELECT vec_id AS tgt_id, v AS yv, nrm AS yn FROM nemb WHERE label % 2 = 1),
+    be AS (
+        SELECT vec_id, label, v, nrm,
+               array_to_string(list_transform(range(1, 7),
+                   i -> CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        FROM nemb
+    ),
+    x AS (SELECT vec_id AS src_id, v AS xv, nrm AS xn, bucket
+          FROM be WHERE label % 2 = 0),
+    y AS (SELECT vec_id AS tgt_id, v AS yv, nrm AS yn, bucket
+          FROM be WHERE label % 2 = 1),
     scored AS (
         SELECT src_id, tgt_id,
                CAST(round(list_sum(list_transform(range(1, len(xv)+1),
                                                   i -> xv[i]*yv[i]))
                           / (xn * yn) * 1000000) AS BIGINT) AS cosine_micro
-        FROM x CROSS JOIN y
+        FROM x JOIN y USING (bucket)
     ),
     ranked AS (
         SELECT *,
@@ -4965,16 +4973,19 @@ def bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based parallel-pair mining (Artetxe & Schwenk 2019's
     ratio margin — the method behind the public large-scale bitext
     corpora): label-parity sides of the embeddings table stand in for
-    the two languages; pairs are emitted iff mutual-best-by-margin
-    with margin > 1.0 (above the k=4 neighborhood average — the
-    hubness suppressor). All ranking on micro-unit BIGINTs with
-    vec_id tiebreaks, so the mutual-argmax set is identical across
-    engines. operators.similarity.margin_bitext_pairs has the
-    brute-vs-IVF candidate-tier scale notes."""
+    the two languages; candidates come from the 64-cell sign-bucket
+    equi-join (the production shape — mining runs over ANN
+    neighborhoods, never the n x m cross product); pairs are emitted
+    iff mutual-best-by-margin with margin > 1.0 (above the k=4
+    neighborhood average — the hubness suppressor). All ranking on
+    micro-unit BIGINTs with vec_id tiebreaks, so the mutual-argmax
+    set is identical across engines.
+    operators.similarity.margin_bitext_pairs has the bucketed-vs-
+    exact candidate-tier notes."""
     from ..operators import similarity as S
 
     return S.margin_bitext_pairs(
-        Catalog(spark, sf_dir).embeddings, k_neighborhood=4
+        Catalog(spark, sf_dir).embeddings, k_neighborhood=4, n_bucket_dims=6
     )
 
 

@@ -487,9 +487,12 @@ def test_margin_bitext_recovers_planted_parallel_pairs(spark):
     emb = spark.createDataFrame(
         rows, "vec_id long, label long, embedding array<double>"
     )
+    # exact tier (n_bucket_dims=None): the full property set
     got = {
         (r["src_id"], r["tgt_id"]): r["margin_micro"]
-        for r in margin_bitext_pairs(emb, k_neighborhood=4).collect()
+        for r in margin_bitext_pairs(
+            emb, k_neighborhood=4, n_bucket_dims=None
+        ).collect()
     }
     for i in range(10):
         assert (2 * i, 2 * i + 1) in got, f"planted pair {i} not mined"
@@ -502,3 +505,23 @@ def test_margin_bitext_recovers_planted_parallel_pairs(spark):
     for (s, t) in got:
         planted_s, planted_t = s < 20, t < 20
         assert planted_s == planted_t, (s, t)
+
+    # bucketed tier (the registered row's shape): every planted pair
+    # whose twins SHARE a sign bucket must still be mined — the
+    # candidate equi-join only drops cross-bucket pairs
+    def bucket(vec):
+        return "".join("1" if v >= 0 else "0" for v in vec[:6])
+
+    emb_by_id = {vid: v for vid, _, v in rows}
+    bucketed = {
+        (r["src_id"], r["tgt_id"])
+        for r in margin_bitext_pairs(
+            emb, k_neighborhood=4, n_bucket_dims=6
+        ).collect()
+    }
+    for i in range(10):
+        if bucket(emb_by_id[2 * i]) == bucket(emb_by_id[2 * i + 1]):
+            assert (2 * i, 2 * i + 1) in bucketed, f"co-bucketed pair {i} lost"
+    srcs = [s for s, _ in bucketed]
+    tgts = [t for _, t in bucketed]
+    assert len(srcs) == len(set(srcs)) and len(tgts) == len(set(tgts))
