@@ -123,6 +123,11 @@ DECADE_SUITE = DEFAULT_PROBE + [
     "repeated_span_removal",
     "ngram_novelty",
     "temperature_mixture",
+    # r13 (late): the two newest rows — bucketed margin mining (four
+    # ranking windows over one candidate frame) and the two-LM excess
+    # selection (both broadcast-table scorers + partial top-k)
+    "bitext_mining_margin",
+    "excess_loss_select",
 ]
 
 
