@@ -837,3 +837,41 @@ def test_diversity_sample_balances_buckets(spark):
     # determinism: same salt, same selection
     again = {r["doc_id"] for r in diversity_sample(docs, per_bucket_n=4, dim=32).collect()}
     assert again == {r["doc_id"] for r in out}
+
+
+def test_temperature_tau_one_is_identity_mix(spark):
+    """tau=1 keeps natural proportions with the budget at the corpus
+    total, so every per-source rate is exactly 1.0 and the realized
+    mix is the input corpus verbatim (one copy_nbr=0 row per doc) —
+    the identity endpoint of the temperature family."""
+    import pyspark.sql.functions as F
+
+    from jonesy_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}", "w " * (5 + i % 7)) for i in range(60)],
+        "doc_id long, source string, text string",
+    )
+    rates = C.temperature_rates(C.domain_token_totals(docs), tau=1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in rates.values())
+    out = C.mixture_upsample(docs, rates, salt="t1")
+    assert out.count() == 60
+    assert out.agg(F.max("copy_nbr")).collect()[0][0] == 0
+
+
+def test_excess_loss_ranks_structured_over_repetitive(spark):
+    """The RHO-loss-proxy ordering property: under the corpus's own
+    two models, a one-token repetition doc gains nothing from bigram
+    context beyond what every doc gains (its unigram logprob is
+    already maximal), so structured multi-token prose must outrank it
+    on excess — and the top-k cut is exhaustive and deterministic."""
+    from jonesy_spark.operators.corpus import excess_loss_select
+
+    structured = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, structured) for i in range(10)]
+    rows += [(100 + i, "spam " * 12) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = excess_loss_select(docs, k=10, vocab_size=16, bigram_size=64)
+    got = [r["doc_id"] for r in out.collect()]
+    assert len(got) == 10
+    assert all(d < 100 for d in got), got

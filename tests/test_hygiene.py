@@ -964,3 +964,34 @@ def test_gopher_quality_gate_rule_goldens(spark):
     assert out[12]["n_hash_symbols"] == 0 and not out[12]["keep"]
     # null-free canon over every cell
     assert all(v is not None for d in out.values() for v in d.values())
+
+
+def test_ngram_novelty_known_answers(spark):
+    """Endpoint properties of the RAVEN-style novelty metric: an eval
+    doc wholly contained in a train doc reads novelty 0; an eval doc
+    with a vocabulary disjoint from the whole train side reads
+    1,000,000 (every gram novel); a half-copied doc sits strictly
+    between; docs shorter than n grams are absent from the report."""
+    from jonesy_spark.operators.hygiene import ngram_novelty
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    copied = "alpha beta gamma delta epsilon zeta eta theta"
+    disjoint = "red orange yellow green blue indigo violet pink"
+    half = "one two three four five crimson maroon teal navy olive"
+    evald = spark.createDataFrame(
+        [(10, copied), (11, disjoint), (12, half), (13, "too short")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(evald, train, n=5).collect()}
+    assert got[10]["novelty_micro"] == 0
+    assert got[11]["novelty_micro"] == 1_000_000
+    assert 0 < got[12]["novelty_micro"] < 1_000_000
+    assert 13 not in got  # 2 words < n, no grams, no row
+    # counts are distinct-gram counts: the copied doc has 4 grams
+    assert got[10]["n_grams"] == 4 and got[10]["n_novel"] == 0
