@@ -218,8 +218,11 @@ R5_COMPARABLE = [
 
 
 #: Drift-healing bound (VERDICT r12 #2): a stretch whose bracketing
-#: calibration points exceed this ratio over the loop floor gets its
-#: queries re-run; r12's artifact certified runs at ~1.35 spread.
+#: calibration points exceed this ratio over the MEDIAN of the in-loop
+#: calibration series gets its queries re-run; r12's artifact
+#: certified runs at ~1.35 spread. The yardstick is deliberately the
+#: median, not the min — min-based stats false-heal under the JIT
+#: warm-up ramp (r13: two observed false-heal cycles).
 HEAL_BOUND = 1.35
 
 
@@ -361,9 +364,10 @@ def main() -> None:
     # re-adjudicate out-of-band. Now the bench acts on its own
     # evidence, bounded to at most two extra tiers of work:
     #   tier 1 — any stretch of CAL_EVERY queries whose bracketing
-    #   in-loop calibration points exceed HEAL_BOUND x the loop floor
-    #   gets its queries re-run once (min-merged into steady) and its
-    #   calibration points re-measured;
+    #   in-loop calibration points exceed HEAL_BOUND x the MEDIAN of
+    #   the in-loop series gets its queries re-run once (min-merged
+    #   into steady) and its calibration points re-measured (median,
+    #   not min: min-based yardsticks false-heal under the JIT ramp);
     #   tier 2 — if the healed series is still spiky, one full warm
     #   pass over every query, min-merged, with a fresh series.
     # Mins are sound here: the metric is steady-state throughput, and
@@ -470,7 +474,8 @@ def main() -> None:
             "queries — calibration_series certifies the machine "
             "window across the whole loop, not just head/tail. "
             "SELF-HEALING (r12 #2): stretches whose bracketing "
-            f"points exceed {HEAL_BOUND}x the loop floor are re-run "
+            f"points exceed {HEAL_BOUND}x the median of the in-loop "
+            "series are re-run "
             "once (min-merged); if the series is still spiky, one "
             "full second warm pass — `heal` records what fired; "
             "calibration_series is the healed series, _raw the "

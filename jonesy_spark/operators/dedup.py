@@ -33,6 +33,15 @@ from ..functions import text as TX
 from ..functions.scalars import micro_units
 
 
+class PairBudgetExceeded(ValueError):
+    """A bounded-tier contract refusal: an exact-enumeration operator
+    counted its candidate pairs and found them over the configured
+    budget (``pair_density_limit`` / ``max_truth_pairs``). Distinct
+    from ValueError so probes (``scripts/scale_probe.py``) can record
+    the refusal as a RESULT without swallowing unrelated parameter
+    validation errors (ADVICE r13)."""
+
+
 def _micro_threshold(threshold: float) -> int:
     """A similarity threshold in the same fixed-point micro-units the
     pair operators emit (``functions.scalars.micro_units``): filtering
@@ -849,7 +858,7 @@ def lsh_recall_report(
     sample = df.filter(draw < sample_frac)
     n_sampled = sample.select(id_col).count()
     if n_sampled * (n_sampled - 1) // 2 > max_truth_pairs:
-        raise ValueError(
+        raise PairBudgetExceeded(
             f"lsh_recall_report: sample of {n_sampled} docs implies "
             f"{n_sampled * (n_sampled - 1) // 2} exact truth pairs, over "
             f"the max_truth_pairs={max_truth_pairs} budget — lower "
@@ -1011,7 +1020,7 @@ def prefix_jaccard_pairs(
         )
         est = int(est or 0)
         if est > pair_density_limit:
-            raise ValueError(
+            raise PairBudgetExceeded(
                 f"prefix_jaccard_pairs: exact candidate enumeration would "
                 f"emit ~{est} pairs (> pair_density_limit="
                 f"{pair_density_limit}). This corpus is past the exact "

@@ -4477,18 +4477,26 @@ def link_authority_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel derived from events: every node ``i%3 != 0`` links to all
     of hubs {1..7} (identical out-neighborhoods), the ``%3 == 0``
     hubs are the only in-graph dangling nodes, so the dangling-mass
-    recursion D' = a + b*D contracts at |b| = d*0.85*(1/7 - 1/n)
-    ~ 0.24. The tol is DERIVED from the nano-unit rounding bound, not
-    maximal (VERDICT r12 #4): an L1 stop at 1e-9 leaves the iterate
-    within tol*|b|/(1-|b|) ~ 3.2e-10 L1 of the fixed point, and the
-    graph's symmetry (all 7 hubs share one iterate value, all 95
-    non-hubs the other) splits that per node: hub error <= 4.6e-11 vs
-    a 3.9e-10 distance to its nearest round(x*1e9) half-unit boundary
-    (8x margin), non-hub <= 3.4e-12 vs 2.5e-10 (74x margin) — both
-    computed from the closed form at sf0.01, so the rounded hash
-    cannot flip. 1e-12 over-converged by ~5 further iterations for
-    the identical hash (r12 measured ~19 iterations; 1e-9 lands in
-    ~14, cutting the heaviest bench row accordingly).
+    recursion contracts. The tol is DERIVED from the nano-unit
+    rounding bound, not maximal (VERDICT r12 #4), and the derivation
+    covers EVERY scale a differential runs at (ADVICE r13) — the
+    driver's sf0.01 and the pytest DuckDB differential's sf0.001.
+    Successive iterates live in the symmetric subspace (all 7 hubs
+    share one value, all non-hubs the other) with zero-mass
+    differences, where the difference map is scalar multiplication by
+    lambda2 = d*(5/7 + k_d/n) - d (k_d=2 dangling hubs at both
+    scales): an L1 stop at tol=1e-9 leaves the iterate within
+    tol*|lambda2|/(1-|lambda2|) of the fixed point, conservatively
+    split per node as total/7 (hub) and total/n_nonhub (non-hub).
+    At sf0.01 (n=102, |lambda2|=0.226, total<=2.93e-10): hub error
+    <=4.2e-11 vs 3.9e-10 to the nearest round(x*1e9) half-unit
+    boundary (9x margin), non-hub <=3.1e-12 vs 2.5e-10 (81x).
+    At sf0.001 (n=12, |lambda2|=0.101, total<=1.13e-10): hub error
+    <=1.7e-11 vs 1.2e-10 boundary distance (7.6x margin), non-hub
+    <=2.3e-11 vs 2.3e-10 (10x). Both scales' rounded hashes cannot
+    flip. 1e-12 over-converged by ~5 further iterations for the
+    identical hash (r12 measured ~19 iterations; 1e-9 lands in ~14,
+    cutting the heaviest bench row accordingly).
 
     Scale shape: identical to link_authority — per iteration two
     keyed shuffles over (long, double) rows plus a provably-1-row

@@ -369,7 +369,15 @@ def committed_cap(block: str | None) -> int | None:
 
     if block is None:
         return None
-    m = re.search(r"through r(\d+)\.", block)
+    # Anchored to the stamp LINE (ADVICE r13): a future generated table
+    # cell or action text containing 'through rNN.' must not be misread
+    # as the cap, which would silently regenerate the drift guard
+    # against the wrong file set.
+    m = re.search(
+        r"^Witness tags from CORRECTNESS files through r(\d+)\.$",
+        block,
+        re.MULTILINE,
+    )
     return int(m.group(1)) if m else None
 
 

@@ -132,7 +132,7 @@ DECADE_SUITE = DEFAULT_PROBE + [
 
 
 def _timed_set(spark, queries, names, sf_dir, runs):
-    from jonesy_spark.operators.dedup import release_caches
+    from jonesy_spark.operators.dedup import PairBudgetExceeded, release_caches
 
     def calibrate() -> float:
         ts = []
@@ -162,11 +162,14 @@ def _timed_set(spark, queries, names, sf_dir, runs):
                 if rows is None:
                     rows = df.count()
                 release_caches(df)
-        except ValueError as e:
+        except PairBudgetExceeded as e:
             # a bounded-tier contract refusing at this SF is a RESULT,
             # not a probe crash (r13: prefix_jaccard_join's
             # pair_density_limit refuses at sf1 by design — the LSH
-            # row is the scale path)
+            # row is the scale path). Only the dedicated refusal type
+            # is caught (ADVICE r13): an unrelated ValueError from
+            # parameter validation or plan construction FAILS the
+            # probe instead of masquerading as a contract refusal.
             results[name] = {"refused": str(e).split(".")[0]}
             print(json.dumps({"query": name, "sf_dir": sf_dir,
                               "refused": results[name]["refused"]}),

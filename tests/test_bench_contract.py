@@ -74,8 +74,11 @@ def test_spiky_stretch_detection_localizes_drift():
 def test_flat_series_with_warmed_after_marker_is_not_spiky():
     """r13 regression: the probe C2-ramps across the run, so the
     after-marker is systematically the fastest point — a flat in-loop
-    series with a fast after must NOT trigger healing (the floor is
-    the series minimum; the after-marker only brackets the final
-    stretch)."""
+    series with a fast after must NOT trigger healing. The yardstick
+    spiky_stretches compares against is the IN-LOOP SERIES MEDIAN
+    (the after-marker only brackets the final stretch); a min-based
+    yardstick would make the whole flat series look spiky relative to
+    the ramped-down minimum and false-heal every run — the exact
+    cycle the r13 median fix removed. Do not 'fix' this back to min."""
     flat = [0.205, 0.179, 0.166, 0.156, 0.175, 0.165, 0.189]  # r13 raw
     assert bench.spiky_stretches(flat, 0.123, n_queries=58, cal_every=8) == []
