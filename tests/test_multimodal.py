@@ -831,3 +831,69 @@ def test_vectorized_codec_property_equals_tuple_decoder():
             assert g.reshape(-1).tolist() == C.luma(srgb)
 
     prop()
+
+
+def test_probe_isin_cap_skips_partition_filter_keeps_semi_join(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r13 #2: a backfill-sized batch (touched buckets over
+    PROBE_ISIN_BUCKET_CAP) must not grow the probe plan with a huge
+    In-filter — the probe skips the driver-side isin() and relies on
+    the broadcast left_semi on (band_id, bucket), which prunes the
+    identical rows post-scan. Pinned both ways: above the cap the
+    physical plan carries NO bucket In-filter but still the semi-join,
+    and the match set is byte-identical to the default-cap probe."""
+    import random
+
+    from jonesy_spark.multimodal import binary_ops as B
+    from jonesy_spark.operators.dedup import release_caches
+
+    rnd = random.Random(43)
+    originals = [
+        bytes(rnd.randrange(256) for _ in range(640)) for _ in range(12)
+    ]
+    idx = str(tmp_path / "phash_idx_cap")
+
+    seed = B.perceptual_hashes(
+        _fake_media_batch(spark, list(enumerate(originals))), fake=True
+    )
+    B.write_phash_index(seed, idx, run_id="seed")
+    release_caches(seed)
+
+    def corrupt(p):
+        c = bytearray(p)
+        c[100] = (c[100] + 97) % 256
+        return bytes(c)
+
+    batch = B.perceptual_hashes(
+        _fake_media_batch(
+            spark, [(1000 + i, corrupt(p)) for i, p in enumerate(originals)]
+        ),
+        fake=True,
+    )
+
+    def probe_plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # default cap: the nightly path — partition isin() present
+    with_filter = B.probe_phash_index(batch, spark, idx)
+    got_default = sorted(
+        (r["doc_id"], r["index_doc_id"]) for r in with_filter.collect()
+    )
+    assert got_default  # the near-copies must match their originals
+    assert "bucket" in probe_plan(with_filter) and (
+        " IN " in probe_plan(with_filter) or "isin" in probe_plan(with_filter)
+        or "In(bucket" in probe_plan(with_filter)
+    )
+
+    # backfill path: cap forced below the batch's touched-bucket count
+    monkeypatch.setattr(B, "PROBE_ISIN_BUCKET_CAP", 1)
+    no_filter = B.probe_phash_index(batch, spark, idx)
+    plan = probe_plan(no_filter)
+    assert "In(bucket" not in plan and " IN " not in plan, plan
+    assert "LeftSemi" in plan, plan
+    got_capped = sorted(
+        (r["doc_id"], r["index_doc_id"]) for r in no_filter.collect()
+    )
+    assert got_capped == got_default
+    release_caches(batch)
