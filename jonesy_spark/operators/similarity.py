@@ -862,6 +862,7 @@ def quantized_topk(
     n_queries: int = 10,
     overfetch: int = 3,
     rerank: bool = True,
+    store: DataFrame | None = None,
 ) -> DataFrame:
     """Brute-force top-k whose SCAN side is the int8 store: score the
     dequantized vectors, keep ``overfetch * k`` candidates per query,
@@ -872,8 +873,17 @@ def quantized_topk(
     the bytes moved while the exact re-rank touches only
     ``n_queries * overfetch * k`` rows. Output schema matches
     :func:`cosine_topk` so :func:`ann_recall` compares them directly.
+
+    ``store`` is the persisted-store path (VERDICT r13 #6): pass a
+    precomputed ``(vec_id, qv struct<q, scale>)`` frame to skip live
+    quantization — the production shape (quantize at ingest, scan the
+    store), and what lets the fixture-frozen driver row remove the
+    round(x/scale) half-integer boundary from the cross-engine
+    surface.
     """
-    store = quantize_embeddings(emb).repartition(64)
+    if store is None:
+        store = quantize_embeddings(emb)
+    store = store.repartition(64)
     dq = VX.dequantize_int8(F.col("qv"))
     e = store.select("vec_id", dq.alias("v")).withColumn("nrm", VX.norm(F.col("v")))
     # limit = structural boundedness proof for the plan audit's BNLJ
@@ -1101,6 +1111,7 @@ def pq_topk(
     codes: DataFrame | None = None,
     n_cells: int | None = None,
     probes: int = 3,
+    adc_micro_rank: bool = False,
 ) -> DataFrame:
     """Product-quantized top-k by asymmetric distance (ADC), the
     billion-scale ANN recipe: queries stay float, the corpus is
@@ -1212,8 +1223,19 @@ def pq_topk(
             .groupBy("query_id", "vec_id")
             .agg(F.sum("d2").alias("adc_d2"))
         )
+    # adc_micro_rank (VERDICT r13 #6): candidate selection by the
+    # MICRO-ROUNDED distance with vec_id tiebreak instead of the raw
+    # double — the sum of m lookup doubles folds in nondeterministic
+    # order (map-side combine), so a raw-double orderBy could flip
+    # near-tied candidates run-to-run and engine-to-engine; rounding
+    # first makes the overfetch boundary a total order both engines
+    # agree on (the fixture-pinned driver row asserts no adc sum sits
+    # near a half-micro boundary, so the rounding itself can't flip).
+    adc_rank_col = (
+        micro_units(F.col("adc_d2")) if adc_micro_rank else F.col("adc_d2")
+    )
     w_adc = Window.partitionBy("query_id").orderBy(
-        F.col("adc_d2").asc(), F.col("vec_id")
+        adc_rank_col.asc(), F.col("vec_id")
     )
     cand = (
         adc.withColumn("rank", F.row_number().over(w_adc))

@@ -862,6 +862,193 @@ def sample_quantiles(
 
 
 # --------------------------------------------------------------------
+# KLL-family quantile sketch (VERDICT r13 #5) — the RANK-ERROR-BOUNDED
+# member of the sketch tier. The bottom-k sample above answers
+# nearest-rank quantiles exactly in the exhaustive regime, but its
+# state grows with k for a target error (uniform sampling needs
+# O(1/eps^2) rows) and its tail merges lossily. This is the mergeable
+# compactor design of that family — Munro-Paterson 1980 / MRL (Manku-
+# Rajagopalan-Lindsay 1998) / KLL (Karnin-Lang-Liberty 2016), all
+# public methods — with ONE deliberate deviation: KLL's random parity
+# coin is replaced by deterministic evenly-spaced selection, because
+# the ledger contract here is cross-engine bit-determinism (the same
+# reason the CMS rows use md5-derived hashes instead of a library's
+# internal family). That trades KLL's randomized O((1/eps)
+# sqrt(log 1/delta)) space for the deterministic MRL-style bound and
+# makes every step — batch decimation, weighted fold recompaction,
+# cumulative-weight rank queries — exact integer SQL both engines
+# reproduce bit-for-bit:
+#   * batch partial: per group, sort the n micro-values, keep every
+#     step-th (step = ceil(n/k)) with weight step (last kept row takes
+#     the remainder so weights sum to EXACTLY n). Rank error <= step-1
+#     < n/k.
+#   * fold: union partial rows (v, w), cumulative-weight sweep, keep
+#     each row whose weight interval crosses a multiple of
+#     s = ceil(W/k) plus the max row; re-derive weights as
+#     cw - lag(cw) so they still sum to exactly W. Adds <= s rank
+#     error per fold; <= k+1 rows survive.
+#   * query: value of the first row whose inclusive cumulative weight
+#     reaches t = ceil(q*W/100) — integer arithmetic end to end.
+# Total deterministic rank error for B batches folded once:
+# sum_b(n_b/k) + W/k + B + 1 <= 2n/k + B + 1. k=128 keeps every group
+# within ~2.5 % rank error at any corpus size, in <= k+1 rows of two
+# longs — metadata-sized, exactly weight-conserving, and safely
+# re-foldable (each extra fold adds one more W/k + 1 term).
+# --------------------------------------------------------------------
+
+KLL_DEFAULT_K = 128
+
+
+def kll_sketch_batch(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = KLL_DEFAULT_K,
+) -> DataFrame:
+    """One batch's quantile-sketch partial: per key group, the
+    evenly-spaced decimation of the sorted micro-values —
+    ``(*key_cols, v, w)`` with at most ``k`` rows per group whose
+    weights sum to exactly the group size. Groups of <= k rows are
+    kept EXHAUSTIVELY (step 1, all weights 1) — their quantiles come
+    out exact. The sort window is the only exchange, and it runs on
+    (keys, v) scalar rows — at 100 TB the partial per group is k
+    longs whatever the corpus size."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"kll_sketch_batch needs k >= 1, got {k=}")
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        *key_cols, micro_units(F.col(value_col)).alias("v")
+    )
+    w_ord = Window.partitionBy(*key_cols).orderBy("v")
+    wn = Window.partitionBy(*key_cols)
+    ranked = rows.withColumn("rk", F.row_number().over(w_ord)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    stepped = ranked.withColumn("step", F.expr(f"(n + {k - 1}) DIV {k}"))
+    return (
+        stepped.filter((F.col("rk") - 1) % F.col("step") == 0)
+        .select(
+            *key_cols,
+            "v",
+            F.least(F.col("step"), F.col("n") - (F.col("rk") - 1))
+            .cast("long")
+            .alias("w"),
+        )
+    )
+
+
+def write_kll_index(
+    partials: DataFrame,
+    index_path: str,
+    mode: str = "append",
+    run_id: str | None = None,
+) -> str:
+    """Land one batch's KLL partials under the ``ingest_batch=<run>``
+    ledger — family member #10. Rows are (keys, v, w) longs, <= k per
+    group. Duplicate rows from a compaction crash are NOT safe here
+    (weights sum, the rollup/CMS hazard), so reads resolve through
+    ``read_index_resolved`` and replays overwrite their own epoch."""
+    return _write_ledger(partials, index_path, mode, run_id)
+
+
+def kll_fold(
+    spark: SparkSession,
+    index_path: str,
+    key_cols: list[str],
+    k: int = KLL_DEFAULT_K,
+) -> DataFrame:
+    """Fold the KLL ledger to one compact sketch per group: the
+    weighted union of every batch's partials, recompacted by the
+    cumulative-weight sweep to <= k+1 rows whose re-derived weights
+    sum to EXACTLY the total ingested count (the sweep keeps each row
+    crossing a multiple of s = ceil(W/k), plus the max row; new
+    weight = cw - previous kept cw). Deterministic: the (v, w)-sorted
+    cumulative-weight sequence is a function of the row multiset, so
+    any batch cut folds to the same sketch bound. Raises on an absent
+    ledger, the house probe rule."""
+    raw = _read_ledger(spark, index_path, "KLL", "write_kll_index")
+    return _kll_compact(raw.select(*key_cols, "v", "w"), key_cols, k)
+
+
+def _kll_compact(
+    rows: DataFrame, key_cols: list[str], k: int
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"KLL compaction needs k >= 1, got {k=}")
+    w_ord = Window.partitionBy(*key_cols).orderBy("v", "w")
+    wn = Window.partitionBy(*key_cols)
+    swept = (
+        rows.withColumn("rk", F.row_number().over(w_ord))
+        .withColumn(
+            "cw",
+            F.sum("w").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("n_rows", F.count(F.lit(1)).over(wn))
+        .withColumn("tw", F.sum("w").over(wn))
+    )
+    kept = swept.withColumn(
+        "s", F.expr(f"(tw + {k - 1}) DIV {k}")
+    ).filter(
+        (F.col("rk") == F.col("n_rows"))
+        | (F.expr("cw DIV s") > F.expr("(cw - w) DIV s"))
+    )
+    w_kept = Window.partitionBy(*key_cols).orderBy("cw")
+    return kept.select(
+        *key_cols,
+        "v",
+        (
+            F.col("cw") - F.coalesce(F.lag("cw").over(w_kept), F.lit(0))
+        ).alias("w"),
+    )
+
+
+def kll_quantiles(
+    sketch: DataFrame,
+    key_cols: list[str],
+    q_pcts: tuple[int, ...] = (25, 50, 75, 90, 99),
+) -> DataFrame:
+    """Rank queries over a KLL sketch, per group and requested integer
+    percentile: the value of the first (v, w)-ordered sketch row whose
+    inclusive cumulative weight reaches ``ceil(q * W / 100)`` —
+    ``(keys, q_pct, n_weight, q_value_micro)``, all exact integer
+    arithmetic. ``n_weight`` is the exact ingested row count (weights
+    conserve through decimation and folds). Same [1, 100] percentile
+    contract as :func:`sample_quantiles`."""
+    from pyspark.sql import Window
+
+    bad = [q for q in q_pcts if q != int(q) or not (1 <= q <= 100)]
+    if bad or not q_pcts:
+        raise ValueError(
+            f"q_pcts must be non-empty integers in [1, 100], got {q_pcts!r}"
+        )
+    w_ord = Window.partitionBy(*key_cols).orderBy("v", "w")
+    wn = Window.partitionBy(*key_cols)
+    swept = sketch.withColumn(
+        "cw",
+        F.sum("w").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("n_weight", F.sum("w").over(wn))
+    qs = F.explode(
+        F.array(*[F.lit(int(q)).cast("long") for q in q_pcts])
+    ).alias("q_pct")
+    return (
+        swept.select(*key_cols, "v", "w", "cw", "n_weight", qs)
+        .withColumn("t", F.expr("(q_pct * n_weight + 99) DIV 100"))
+        .filter((F.col("cw") >= F.col("t")) & (F.col("cw") - F.col("w") < F.col("t")))
+        .select(
+            *key_cols,
+            "q_pct",
+            "n_weight",
+            F.col("v").alias("q_value_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
 # Count-min sketch — the FREQUENCY member of the sketch tier
 # (Cormode-Muthukrishnan 2005, public method). The rollup ledger
 # answers per-KEY totals only for keys you group by; at 100 TB the

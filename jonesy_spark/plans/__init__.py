@@ -41,14 +41,6 @@ DRIVER_QUERY_CAP = 50
 DRIVER_EXCLUDED = {
     # ---- REGISTRY-ONLY by design (pytest pins more than a driver
     # slot could; see PYTEST_ONLY_BY_DESIGN) ---------------------------
-    # int8-scan + exact-float-rerank ANN: the round(x/scale) int8
-    # boundary is where engine ulp drift could flip a candidate;
-    # pytest equalities (rerank == float scores; recall >= 0.9) pin it.
-    "ann_quantized_topk",
-    # IVF-PQ tier next to it: per-subspace k-means codebooks are
-    # iterative, so correctness is pytest-pinned (ADC rerank
-    # exact-equality, recall floor, code determinism).
-    "ann_pq_topk",
     # iterative BPE merge induction is not SQL-expressible; pytest
     # pins naive-reference equality, trainer equivalence, replay
     # encode, concat round-trip.
@@ -58,23 +50,50 @@ DRIVER_EXCLUDED = {
     # singles retention, exact concat round-trip.
     "unigram_token_stats",
     # rows-only training row whose FOLD is oracle-checked as
-    # tokenizer_family_fold (kept on the r13 roster); training keeps
+    # tokenizer_family_fold (kept on the r14 roster); training keeps
     # its pytest differentials (merge replay, Viterbi == exhaustive,
     # concat round-trips).
     "tokenizer_family_compare",
-    # ---- r13 ROSTER (VERDICT r12 #5): the whole >=4-round REVIEW
-    # cohort (25 rows, r06-r09 greens) is re-admitted — draining the
-    # staleness queue to ZERO — plus the two NEW rows ngram_novelty
-    # (word-5-gram novelty vs an md5 train split) and
-    # temperature_mixture (tau-rebalanced mix rates, the first driver
-    # witness for operators.corpus.temperature_rates). Seats come from
-    # rotating out 27 of the r12-green r5/r6 cohort; the keepers are
-    # the 18 family-cover hubs + the two r12-new rows
-    # (crawl_gate_composed, link_authority_converged) + the three
-    # strongest cohort hubs (mixture_upsample, pack_sequences,
-    # dedup_survivors_quality). Every row below holds a FRESH r12
-    # driver green and keeps its full pytest DuckDB differential; per
-    # the cadence each is due back by r15. ---------------------------
+    # ---- r14: LIVE ANN tiers whose deterministic scan+rerank halves
+    # are now oracle-checked as ann_int8_rerank / ann_pq_rerank over
+    # the frozen ANN fixture (VERDICT r13 #6 — the
+    # tokenizer_family_fold split). The live rows keep the bench
+    # scan-compression story at sf0.1 and their pytest equalities
+    # (rerank == float scores; recall >= 0.9; code determinism);
+    # their one non-frozen step each (round(x/scale) boundary,
+    # k-means training) is exactly what the split removed from the
+    # cross-engine surface. ------------------------------------------
+    "ann_quantized_topk",
+    "ann_pq_topk",
+    # ---- r14 rotations out (every row below is r13-green; seats went
+    # to the 19-row r10 REVIEW cohort — drained to zero — plus the
+    # three first-witness rows ann_int8_rerank / ann_pq_rerank /
+    # kll_quantiles. Keepers are the family-cover hubs each cover
+    # entry names. Every row keeps its full pytest DuckDB differential
+    # and is due back by r16 per the cadence. -------------------------
+    "bigram_logprob",
+    "bitext_mining_margin",
+    "bloom_membership",
+    "classifier_eval",
+    "cms_frequencies",
+    "current_terms_topk",
+    "event_transitions",
+    "excess_loss_select",
+    "json_props_extract",
+    "kmv_overlap_users",
+    "lsh_recall",
+    "mg_heavy_hitters",
+    "multimodal_audio_codec",
+    "multimodal_features",
+    "multimodal_real_codec",
+    "multimodal_video_codec",
+    "ngram_novelty",
+    "profile_table",
+    "resample_interpolate",
+    "sampled_quantiles",
+    "variant_props_extract",
+    "warc_ingest_roundtrip",
+    # ---- r13 rotations (r12-green; within their cover cadence) -----
     "pivot_event_counts",
     "quantile_stats",
     "text_quality_score",
@@ -102,13 +121,6 @@ DRIVER_EXCLUDED = {
     "tfidf_top_terms",
     "train_order",
     "url_dedup",
-    # r13 (late): the rotation floor hands BOTH new oracle-ready rows
-    # (bitext_mining_margin, excess_loss_select) first-witness seats
-    # immediately (never-witnessed = oldest), so two keepers whose
-    # families stay witnessed rotate out: dedup_survivors_quality
-    # (CC-survivor family -> dedup_minhash_lsh + quality_filter) and
-    # mixture_upsample (the mixture family's witness is now the
-    # on-roster temperature_mixture, whose draw IS mixture_upsample's).
     "dedup_survivors_quality",
     "mixture_upsample",
     # ---- r12 rotations (r11-green; within their cover cadence) -----
@@ -144,36 +156,12 @@ DRIVER_EXCLUDED = {
     "token_budget_prune",
     "token_counts",
     "unpivot_event_counts",
-    # ---- standing exclusions (r10-r11 rotations still within their
-    # cover cadence; each keeps its full pytest DuckDB differential
-    # and its family witness named in EXCLUSION_COVERS) --------------
-    "composite_key_join",
-    "latest_event_version",
-    "watermark_incremental",
-    "pagination_window",
-    "set_operations",
-    "corpus_card",
-    "timestamp_formats",
-    "priority_ordered_extract",
-    "audio_near_dup",
-    "video_near_dup",
-    "events_sliding_window",
-    "anomaly_flags",
-    "quality_psi",
-    "bm25_index_probe",
-    "events_key_skew",
-    "retention_cohorts",
-    "image_near_dup",
-    "kmv_distinct_users",
-    "pii_stats",
 }
 
 #: Excluded rows whose correctness is pinned by pytest ALONE, by
 #: design (iterative training / engine-ulp boundaries — documented on
 #: each row above); the staleness rule's cover check does not apply.
 PYTEST_ONLY_BY_DESIGN = {
-    "ann_quantized_topk",
-    "ann_pq_topk",
     "bpe_token_stats",
     "unigram_token_stats",
 }
@@ -186,7 +174,38 @@ PYTEST_ONLY_BY_DESIGN = {
 #: two-round cadence — so a justification silently invalidated by a
 #: later rotation fails a test instead of aging into prose.
 EXCLUSION_COVERS: dict[str, tuple[str, ...]] = {
-    "mixture_upsample": ("temperature_mixture", "leakage_safe_split"),
+    # r14: the live ANN tiers' deterministic halves are driver-checked
+    # as the fixture rows (VERDICT r13 #6); the live rows keep their
+    # pytest equalities + bench witnesses
+    "ann_quantized_topk": ("ann_int8_rerank",),
+    "ann_pq_topk": ("ann_pq_rerank",),
+    # r14 rotations out (every row r13-green; covers name kept hubs /
+    # re-admitted r10-cohort rows back on the roster)
+    "bigram_logprob": ("quality_classifier", "quality_filter"),
+    "bitext_mining_margin": ("hybrid_search", "incremental_near_dup"),
+    "bloom_membership": ("sketch_dashboard", "contamination"),
+    "classifier_eval": ("quality_classifier",),
+    "cms_frequencies": ("sketch_dashboard", "mg_heavy_hitters"),
+    "current_terms_topk": ("topk_per_group_price", "pagination_window"),
+    "event_transitions": ("events_sessionization", "events_rollup"),
+    "excess_loss_select": ("quality_classifier", "temperature_mixture"),
+    "json_props_extract": ("scalar_functions_suite", "pii_stats"),
+    "kmv_overlap_users": ("kmv_distinct_users", "sketch_dashboard"),
+    "lsh_recall": ("dedup_minhash_lsh", "incremental_near_dup"),
+    "mg_heavy_hitters": ("sketch_dashboard", "events_key_skew"),
+    "multimodal_audio_codec": ("audio_near_dup", "media_index_probe"),
+    "multimodal_features": ("image_near_dup", "media_index_probe"),
+    "multimodal_real_codec": ("image_near_dup", "media_index_probe"),
+    "multimodal_video_codec": ("video_near_dup", "media_index_probe"),
+    "ngram_novelty": ("contamination", "dedup_exact"),
+    "profile_table": ("sketch_dashboard", "trailing_range_stats"),
+    "resample_interpolate": ("trailing_range_stats", "resample_gapfill"),
+    "sampled_quantiles": ("kll_quantiles", "sketch_dashboard"),
+    "variant_props_extract": ("scalar_functions_suite", "term_courses"),
+    "warc_ingest_roundtrip": ("crawl_gate_composed",),
+    # r13 rotations out (kept from r13; the mixture family's witness
+    # is the still-on-roster temperature_mixture)
+    "mixture_upsample": ("temperature_mixture", "pack_sequences"),
     "dedup_survivors_quality": ("dedup_minhash_lsh", "quality_filter"),
     # r13 rotations out (every row here is r12-green; covers name the
     # kept hubs / re-admitted rows now back on the roster)
@@ -253,26 +272,6 @@ EXCLUSION_COVERS: dict[str, tuple[str, ...]] = {
     "unpivot_event_counts": ("pivot_event_counts",),
     # registry-only / superseded rows
     "tokenizer_family_compare": ("tokenizer_family_fold",),
-    # standing r7-r11 rotations
-    "composite_key_join": ("term_courses", "range_join_calendar"),
-    "latest_event_version": ("latest_order_per_customer",),
-    "watermark_incremental": ("recent_instructor_updates",),
-    "pagination_window": ("current_terms_topk",),
-    "set_operations": ("rollup_agg", "distinct_counts"),
-    "corpus_card": ("token_budget_prune", "sketch_dashboard"),
-    "timestamp_formats": ("scalar_functions_suite",),
-    "priority_ordered_extract": ("basic_attributes", "recent_instructor_updates"),
-    "audio_near_dup": ("image_near_dup", "multimodal_real_codec"),
-    "video_near_dup": ("image_near_dup", "multimodal_real_codec"),
-    "events_sliding_window": ("trailing_range_stats", "sketch_dashboard"),
-    "anomaly_flags": ("trailing_range_stats",),
-    "quality_psi": ("quality_filter", "quality_classifier"),
-    "bm25_index_probe": ("bm25_search", "incremental_near_dup"),
-    "events_key_skew": ("skew_salted_join", "mg_heavy_hitters"),
-    "retention_cohorts": ("events_sessionization", "trailing_range_stats"),
-    "image_near_dup": ("multimodal_real_codec", "incremental_near_dup"),
-    "kmv_distinct_users": ("sketch_dashboard",),
-    "pii_stats": ("scalar_functions_suite", "html_extract"),
 }
 
 

@@ -1519,6 +1519,52 @@ def _kmv_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (applicationId, sf_dir) -> tmp per-(key, day) KLL ledger dir for
+#: the dashboard's p50 column (two batches, even/odd event_id).
+_KLL_DASH_INDEX_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _kll_dash_ledger_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The session's seeded per-(event_type, day) KLL value ledger —
+    the dashboard's rank-quantile column (VERDICT r13 #5): same
+    two-batch even/odd seed and day-bucket floor as the KMV ledger
+    beside it, over the value column in micro-units."""
+    from ..operators import stats as ST
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _KLL_DASH_INDEX_MEMO:
+        import tempfile
+
+        es = F.unix_timestamp(F.col("ts").cast("timestamp"))
+        ev = (
+            Catalog(spark, sf_dir)
+            .events.filter(
+                F.col("event_id").isNotNull() & F.col("value").isNotNull()
+            )
+            .select(
+                "event_id",
+                F.col("event_type").alias("key"),
+                (es - F.pmod(es, F.lit(86_400))).alias("bucket_es"),
+                "value",
+            )
+        )
+        d = tempfile.mkdtemp(prefix="jonesy_kll_dash_")
+        for rid, parity in (("even", 0), ("odd", 1)):
+            ST.write_kll_index(
+                ST.kll_sketch_batch(
+                    ev.filter(F.col("event_id") % 2 == parity),
+                    ["key", "bucket_es"],
+                    "value",
+                    k=128,
+                ),
+                d,
+                mode="overwrite",
+                run_id=rid,
+            )
+        _KLL_DASH_INDEX_MEMO[key] = d
+    return _KLL_DASH_INDEX_MEMO[key]
+
+
 def _kmv_ledger_dir(spark: SparkSession, sf_dir: str) -> str:
     """The session's seeded per-(event_type, day) KMV user ledger —
     shared by kmv_distinct_users and the cross-ledger dashboard row."""
@@ -1628,17 +1674,18 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sketch_dashboard",
-    # TWO ledger families read in ONE query — the monitoring
-    # dashboard's actual access pattern (VERDICT r8 #8). The oracle
-    # computes both answers DIRECTLY from events: the day-level
-    # volume aggregate (what the hourly rollup ledger re-folds to)
-    # and the one-pass daily KMV user sketch (what the KMV ledger
-    # folds to), joined. A hash match therefore witnesses three
-    # claims at once: the rollup partials' exact mergeability, their
-    # exact HIERARCHICAL re-aggregation (hour buckets re-fold to day
-    # buckets with zero drift — sums/counts/mins/maxes compose), and
-    # the KMV fold == direct-sketch theorem, all through the shared
-    # ingest_batch= layout.
+    # THREE ledger families read in ONE query — the monitoring
+    # dashboard's actual access pattern (VERDICT r8 #8; KLL column
+    # VERDICT r13 #5). The oracle computes every answer DIRECTLY from
+    # events: the day-level volume aggregate (what the hourly rollup
+    # ledger re-folds to), the one-pass daily KMV user sketch (what
+    # the KMV ledger folds to), and the per-day KLL p50 (the two-batch
+    # decimation + weighted-sweep fold the KLL ledger reproduces),
+    # joined. A hash match therefore witnesses the rollup partials'
+    # exact mergeability, their exact HIERARCHICAL re-aggregation
+    # (hour buckets re-fold to day buckets with zero drift), the KMV
+    # fold == direct-sketch theorem, and the KLL fold's deterministic
+    # rank pick, all through the shared ingest_batch= layout.
     oracle="""
     WITH ev AS (
         SELECT event_type AS key,
@@ -1676,13 +1723,61 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE CAST(63 * 281474976710656 // kth_hash AS BIGINT)
                END AS est_distinct_users
         FROM sk
+    ), kev AS (
+        SELECT event_type AS key,
+               (CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                - ((CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                    % 86400) + 86400) % 86400) AS bucket_es,
+               CAST(event_id % 2 AS BIGINT) AS parity,
+               CAST(round(value * 1000000) AS BIGINT) AS v
+        FROM events
+        WHERE event_id IS NOT NULL AND value IS NOT NULL
+    ), kranked AS (
+        SELECT key, bucket_es, parity, v,
+               row_number() OVER (PARTITION BY key, bucket_es, parity
+                                  ORDER BY v) AS rk,
+               CAST(count(*) OVER (PARTITION BY key, bucket_es, parity)
+                    AS BIGINT) AS n
+        FROM kev
+    ), kpart AS (
+        SELECT key, bucket_es, v,
+               least((n + 127) // 128, n - (rk - 1)) AS w
+        FROM kranked WHERE (rk - 1) % ((n + 127) // 128) = 0
+    ), kswept AS (
+        SELECT key, bucket_es, v, w,
+               row_number() OVER (PARTITION BY key, bucket_es
+                                  ORDER BY v, w) AS rk,
+               CAST(sum(w) OVER (PARTITION BY key, bucket_es
+                                 ORDER BY v, w
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+               count(*) OVER (PARTITION BY key, bucket_es) AS n_rows,
+               CAST(sum(w) OVER (PARTITION BY key, bucket_es)
+                    AS BIGINT) AS tw
+        FROM kpart
+    ), kkept AS (
+        SELECT key, bucket_es, v, cw FROM kswept
+        WHERE rk = n_rows
+           OR (cw // ((tw + 127) // 128)) > ((cw - w) // ((tw + 127) // 128))
+    ), kfolded AS (
+        SELECT key, bucket_es, v, cw,
+               cw - coalesce(lag(cw) OVER (PARTITION BY key, bucket_es
+                                           ORDER BY cw), 0) AS w,
+               max(cw) OVER (PARTITION BY key, bucket_es) AS n_weight
+        FROM kkept
+    ), p50 AS (
+        SELECT key, bucket_es, v AS p50_value_micro
+        FROM kfolded
+        WHERE cw >= (50 * n_weight + 99) // 100
+          AND cw - w < (50 * n_weight + 99) // 100
     )
     SELECT a.key, a.bucket_es, a.n_events, a.sum_value_micro,
            a.min_value_micro, a.max_value_micro, e.est_distinct_users,
+           p.p50_value_micro,
            CAST(a.n_events * 1000000 // e.est_distinct_users AS BIGINT)
                AS events_per_user_micro
     FROM agg a JOIN est e
       ON a.key = e.key AND a.bucket_es = e.bucket_es
+    JOIN p50 p ON a.key = p.key AND a.bucket_es = p.bucket_es
     """,
 )
 def sketch_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1691,11 +1786,13 @@ def sketch_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets to day buckets (hierarchical re-aggregation — the
     hypertable property that makes one hourly ledger answer every
     coarser question), joined with estimated distinct users from the
-    KMV ledger, plus an events-per-user rate in integer micro-units.
-    Both ledgers are the session-memoized two-batch seeds the
-    single-family rows use (shared ``ingest_batch=`` layout, seeded
-    once); events itself is never rescanned — the whole dashboard
-    reads metadata-sized ledgers, which is the point at 100 TB."""
+    KMV ledger and the median event value from the KLL quantile
+    ledger (p50_value_micro — VERDICT r13 #5), plus an
+    events-per-user rate in integer micro-units. All three ledgers
+    are session-memoized two-batch seeds shared with the
+    single-family rows (one ``ingest_batch=`` layout, seeded once);
+    events itself is never rescanned — the whole dashboard reads
+    metadata-sized ledgers, which is the point at 100 TB."""
     from ..operators import stats as ST
 
     hour = ST.rollup_report(spark, _rollup_ledger_dir(spark, sf_dir))
@@ -1721,11 +1818,25 @@ def sketch_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_es",
         F.col("est_distinct").alias("est_distinct_users"),
     )
-    return day.join(users, ["key", "bucket_es"]).withColumn(
-        "events_per_user_micro",
-        F.expr(
-            "CAST(n_events * 1000000 DIV est_distinct_users AS BIGINT)"
+    p50 = ST.kll_quantiles(
+        ST.kll_fold(
+            spark, _kll_dash_ledger_dir(spark, sf_dir),
+            ["key", "bucket_es"], k=128,
         ),
+        ["key", "bucket_es"],
+        (50,),
+    ).select(
+        "key", "bucket_es", F.col("q_value_micro").alias("p50_value_micro")
+    )
+    return (
+        day.join(users, ["key", "bucket_es"])
+        .join(p50, ["key", "bucket_es"])
+        .withColumn(
+            "events_per_user_micro",
+            F.expr(
+                "CAST(n_events * 1000000 DIV est_distinct_users AS BIGINT)"
+            ),
+        )
     )
 
 
@@ -2263,5 +2374,144 @@ def sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", "q_pct", "n_group", F.col("v").alias("exact_q_micro"))
     )
     return sq.join(exact, ["key", "q_pct"]).withColumn(
+        "err_micro", F.expr("abs(q_value_micro - exact_q_micro)")
+    )
+
+
+#: (applicationId, sf_dir) -> tmp KLL ledger dir (two batches,
+#: even/odd event_id — the KMV seed pattern).
+_KLL_INDEX_MEMO: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "kll_quantiles",
+    # The KLL-family compactor sketch (VERDICT r13 #5) folded from a
+    # two-batch ledger and rank-queried — all exact integer SQL, so
+    # the oracle reproduces the ENTIRE pipeline from events: per-batch
+    # evenly-spaced decimation of the sorted micro-values (step
+    # ceil(n/k), weights conserving to exactly n), the weighted
+    # cumulative-sweep recompaction of the batch union (keep rows
+    # crossing a multiple of ceil(W/k) plus the max row, re-derive
+    # weights as cw - lag(cw)), and the ceil(q*W/100) rank pick —
+    # then joins the exact population quantiles for the error report.
+    # A hash match witnesses weight conservation (n_weight == n_group
+    # column-for-column), the deterministic fold, and the rank query
+    # at once.
+    oracle="""
+    WITH ev AS (
+        SELECT event_type AS key, CAST(event_id % 2 AS BIGINT) AS parity,
+               CAST(round(value * 1000000) AS BIGINT) AS v
+        FROM events
+        WHERE event_id IS NOT NULL AND value IS NOT NULL
+    ), ranked AS (
+        SELECT key, parity, v,
+               row_number() OVER (PARTITION BY key, parity ORDER BY v) AS rk,
+               CAST(count(*) OVER (PARTITION BY key, parity) AS BIGINT) AS n
+        FROM ev
+    ), part AS (
+        SELECT key, v,
+               least((n + 127) // 128, n - (rk - 1)) AS w
+        FROM ranked WHERE (rk - 1) % ((n + 127) // 128) = 0
+    ), swept AS (
+        SELECT key, v, w,
+               row_number() OVER (PARTITION BY key ORDER BY v, w) AS rk,
+               CAST(sum(w) OVER (PARTITION BY key ORDER BY v, w
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+               count(*) OVER (PARTITION BY key) AS n_rows,
+               CAST(sum(w) OVER (PARTITION BY key) AS BIGINT) AS tw
+        FROM part
+    ), kept AS (
+        SELECT key, v, cw FROM swept
+        WHERE rk = n_rows
+           OR (cw // ((tw + 127) // 128)) > ((cw - w) // ((tw + 127) // 128))
+    ), folded AS (
+        SELECT key, v, cw,
+               cw - coalesce(lag(cw) OVER (PARTITION BY key ORDER BY cw),
+                             0) AS w,
+               max(cw) OVER (PARTITION BY key) AS n_weight
+        FROM kept
+    ), qq AS (
+        SELECT CAST(unnest([25, 50, 75, 90, 99]) AS BIGINT) AS q_pct
+    ), kq AS (
+        SELECT f.key, q.q_pct, f.n_weight, f.v AS q_value_micro
+        FROM folded f CROSS JOIN qq q
+        WHERE f.cw >= (q.q_pct * f.n_weight + 99) // 100
+          AND f.cw - f.w < (q.q_pct * f.n_weight + 99) // 100
+    ), full_ranked AS (
+        SELECT key, v,
+               row_number() OVER (PARTITION BY key ORDER BY v) AS rk,
+               CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n_group
+        FROM ev
+    ), exq AS (
+        SELECT r.key, q.q_pct, r.n_group, r.v AS exact_q_micro
+        FROM full_ranked r CROSS JOIN qq q
+        WHERE r.rk = (q.q_pct * r.n_group + 99) // 100
+    )
+    SELECT s.key, s.q_pct, s.n_weight, s.q_value_micro,
+           e.n_group, e.exact_q_micro,
+           abs(s.q_value_micro - e.exact_q_micro) AS err_micro
+    FROM kq s JOIN exq e ON s.key = e.key AND s.q_pct = e.q_pct
+    """,
+)
+def kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles (p25/50/75/90/99) from the
+    KLL-family compactor ledger (operators.stats.kll_sketch_batch /
+    kll_fold / kll_quantiles — Munro-Paterson/MRL/KLL lineage with
+    deterministic evenly-spaced selection instead of KLL's coin, the
+    cross-engine ledger contract): events land as TWO sketch-partial
+    batches (even/odd event_id) of <= k=128 (v, w) rows per group
+    whose weights sum to exactly the batch size, the driver row folds
+    the ledger with the weighted cumulative sweep (<= k+1 surviving
+    rows, weights still summing to the exact total — n_weight ==
+    n_group is part of the hash), rank-queries it with integer
+    arithmetic, and joins the TRUE population quantiles for an error
+    report in value micro-units. Versus sampled_quantiles (the
+    bottom-k uniform sample): rank error here is DETERMINISTICALLY
+    bounded (<= 2n/k + batches + 1 ranks) instead of probabilistic
+    O(1/sqrt(k)), and state stays <= k+1 rows per group under any
+    number of batch merges. Events is read once per batch forever;
+    every later quantile question folds the metadata-sized ledger."""
+    from ..operators import stats as ST
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.filter(
+        F.col("event_id").isNotNull() & F.col("value").isNotNull()
+    ).select("event_id", F.col("event_type").alias("key"), "value")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _KLL_INDEX_MEMO:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="jonesy_kll_")
+        for rid, parity in (("even", 0), ("odd", 1)):
+            ST.write_kll_index(
+                ST.kll_sketch_batch(
+                    ev.filter(F.col("event_id") % 2 == parity),
+                    ["key"],
+                    "value",
+                    k=128,
+                ),
+                d,
+                mode="overwrite",
+                run_id=rid,
+            )
+        _KLL_INDEX_MEMO[key] = d
+    folded = ST.kll_fold(spark, _KLL_INDEX_MEMO[key], ["key"], k=128)
+    kq = ST.kll_quantiles(folded, ["key"], (25, 50, 75, 90, 99))
+
+    evm = ev.select("key", micro_units(F.col("value")).alias("v"))
+    w = Window.partitionBy("key").orderBy("v")
+    wn = Window.partitionBy("key")
+    ranked = evm.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_group", F.count(F.lit(1)).over(wn)
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q).cast("long") for q in (25, 50, 75, 90, 99)])
+    ).alias("q_pct")
+    exact = (
+        ranked.select("key", "rk", "n_group", "v", qs)
+        .filter(F.col("rk") == F.expr("(q_pct * n_group + 99) DIV 100"))
+        .select("key", "q_pct", "n_group", F.col("v").alias("exact_q_micro"))
+    )
+    return kq.join(exact, ["key", "q_pct"]).withColumn(
         "err_micro", F.expr("abs(q_value_micro - exact_q_micro)")
     )

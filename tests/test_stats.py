@@ -1070,3 +1070,125 @@ def test_strip_html_semantics(spark):
     df = spark.createDataFrame([(h,) for h, _ in cases], ["html"])
     got = [r["t"] for r in df.select(strip_html(F.col("html")).alias("t")).collect()]
     assert got == [want for _, want in cases], got
+
+
+# --------------------------------------------------------------------
+# KLL-family quantile sketch (VERDICT r13 #5)
+# --------------------------------------------------------------------
+
+
+def _kll_frame(spark, values, key="g"):
+    return spark.createDataFrame(
+        [(key, i, float(v)) for i, v in enumerate(values)],
+        "key string, rid long, value double",
+    )
+
+
+def test_kll_exhaustive_regime_is_exact(spark):
+    """Groups of <= k rows decimate with step 1: the sketch IS the
+    sorted group, weights all 1, and every quantile is the exact
+    nearest-rank answer."""
+    vals = [7, 3, 11, 5, 2, 13, 2]
+    sk = S.kll_sketch_batch(_kll_frame(spark, vals), ["key"], "value", k=16)
+    rows = sorted((r["v"], r["w"]) for r in sk.collect())
+    assert rows == [(v * 1_000_000, 1) for v in sorted(vals)]
+    q = {
+        r["q_pct"]: r["q_value_micro"]
+        for r in S.kll_quantiles(sk, ["key"], (50, 99)).collect()
+    }
+    sv = sorted(v * 1_000_000 for v in vals)
+    n = len(vals)
+    assert q[50] == sv[(50 * n + 99) // 100 - 1]
+    assert q[99] == sv[(99 * n + 99) // 100 - 1]
+
+
+def test_kll_weights_conserve_and_state_bounded(spark):
+    """Decimation weights sum to EXACTLY n per batch; the fold's
+    recompaction conserves the total and survives in <= k+1 rows."""
+    import random
+
+    rnd = random.Random(7)
+    vals = [rnd.uniform(-50, 50) for _ in range(3000)]
+    k = 64
+    sk = S.kll_sketch_batch(_kll_frame(spark, vals), ["key"], "value", k=k)
+    rows = sk.collect()
+    assert len(rows) <= k
+    assert sum(r["w"] for r in rows) == len(vals)
+
+    merged = S._kll_compact(
+        sk.unionByName(sk.withColumn("v", F.col("v") + 1)), ["key"], k
+    )
+    mrows = merged.collect()
+    assert len(mrows) <= k + 1
+    assert sum(r["w"] for r in mrows) == 2 * len(vals)
+
+
+def test_kll_cut_invariance_merged_halves_within_single_pass_bound(
+    spark, tmp_path
+):
+    """The mergeability contract: sketching two halves and folding the
+    ledger answers every quantile within the DETERMINISTIC rank-error
+    bound (2n/k + batches + 1 ranks) of the exact answer — the same
+    bound a single-pass sketch obeys — and the fold conserves the
+    exact total count."""
+    import random
+
+    rnd = random.Random(13)
+    vals = [rnd.gauss(0, 1000) for _ in range(5001)]
+    k = 128
+    n = len(vals)
+    df = _kll_frame(spark, vals)
+    idx = str(tmp_path / "kll")
+    S.write_kll_index(
+        S.kll_sketch_batch(df.filter(F.col("rid") % 2 == 0), ["key"], "value", k=k),
+        idx, run_id="even",
+    )
+    S.write_kll_index(
+        S.kll_sketch_batch(df.filter(F.col("rid") % 2 == 1), ["key"], "value", k=k),
+        idx, run_id="odd",
+    )
+    folded = S.kll_fold(spark, idx, ["key"], k=k)
+    frows = folded.collect()
+    assert len(frows) <= k + 1
+    assert sum(r["w"] for r in frows) == n
+
+    single = S.kll_sketch_batch(df, ["key"], "value", k=k)
+    sv = sorted(round(v * 1_000_000) for v in vals)
+    bound = 2 * n // k + 2 + 1  # 2n/k + B(=2) + 1
+    for sketch in (folded, single):
+        got = {
+            r["q_pct"]: r["q_value_micro"]
+            for r in S.kll_quantiles(sketch, ["key"], (25, 50, 75, 90, 99)).collect()
+        }
+        for q, val in got.items():
+            t = (q * n + 99) // 100
+            # true rank band of the reported value
+            lo = next(i for i, x in enumerate(sv) if x >= val)
+            hi = max(i for i, x in enumerate(sv) if x <= val)
+            assert lo - bound <= t - 1 <= hi + bound, (q, val, t, lo, hi)
+
+
+def test_kll_fold_replay_overwrite_idempotent(spark, tmp_path):
+    """A replayed batch (same run_id, overwrite) must not change the
+    folded sketch — duplicate weight rows are the SUM hazard, so the
+    epoch's own subtree is replaced, not appended."""
+    vals = list(range(1000))
+    df = _kll_frame(spark, vals)
+    idx = str(tmp_path / "kll_replay")
+    part = S.kll_sketch_batch(df, ["key"], "value", k=32)
+    S.write_kll_index(part, idx, run_id="b1")
+    before = sorted((r["v"], r["w"]) for r in S.kll_fold(spark, idx, ["key"], k=32).collect())
+    S.write_kll_index(part, idx, mode="overwrite", run_id="b1")
+    after = sorted((r["v"], r["w"]) for r in S.kll_fold(spark, idx, ["key"], k=32).collect())
+    assert before == after
+    assert sum(w for _, w in after) == len(vals)
+
+
+def test_kll_quantiles_rejects_bad_percentiles(spark):
+    import pytest
+
+    sk = S.kll_sketch_batch(_kll_frame(spark, [1, 2, 3]), ["key"], "value")
+    with pytest.raises(ValueError):
+        S.kll_quantiles(sk, ["key"], (0,))
+    with pytest.raises(ValueError):
+        S.kll_quantiles(sk, ["key"], ())
