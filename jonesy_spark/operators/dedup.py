@@ -291,16 +291,22 @@ def minhash_lsh_pairs(
         )
         .select("doc_id", element_hash(F.col("t")).alias("h"))
     )
-    # Cache strategy (A/B-measured this round, sf0.1, same-session
-    # min-of-3): the window-based split caches its own stats frame
-    # ("stats", the default — 2.4 s vs 5.0 s for r4's tok-persist +
-    # broadcast split), which already holds the band keys, so caching
-    # the token sketch on top buys nothing: its only other consumers
-    # are the two narrow re-attach joins. The knob stays for re-tuning:
-    # "tok" persists / "checkpoint" localCheckpoints the sketch
-    # (checkpoint ties at small SF but truncates lineage — a lost
-    # executor then kills the job instead of recomputing, the wrong
-    # trade at 1000 executors).
+    # Cache strategy (re-A/B'd r14 per VERDICT r13 #3, sf0.1, TWO
+    # independent interleaved same-session runs of 5 rounds each after
+    # 8 warm-up runs): session A min/med — stats 2.56/3.06, tok
+    # 3.41/3.54, checkpoint 2.13/2.25, stats+tok 2.85/2.97; session B —
+    # stats 2.63/2.93, checkpoint 3.12/3.29, tok+eager 3.15/3.23,
+    # stats+tok+eager 2.91/3.05. The stats/checkpoint WINNER FLIPS
+    # between sessions: the four strategies are within the ±40 %
+    # session-to-session machine window at this row's ~2-3 s magnitude,
+    # which also adjudicates the r11(2.16) vs r13(3.4) "regression" —
+    # window noise, not a strategy change. "stats" stays the default:
+    # never slower than noise, and it keeps lineage ("checkpoint"
+    # truncates it — a lost executor then kills the job instead of
+    # recomputing, the wrong trade at 1000 executors). The knob stays
+    # for re-tuning: "tok" persists the sketch, "+eager" materializes
+    # it in a separate job (same-job lazy persist populates too late
+    # for reuse), "checkpoint" localCheckpoints.
     tok = ex.groupBy("doc_id").agg(
         F.collect_set("h").alias("toks"), *_minhash_min_aggs(n_hashes)
     )
@@ -311,6 +317,12 @@ def minhash_lsh_pairs(
     if "tok" in strategy:
         tok = tok.persist()
         persisted.append(tok)
+        if "eager" in strategy:
+            # materialize in a separate job so the main DAG's three
+            # consumers all read cached blocks (lazy persist populates
+            # mid-job, too late for same-job reuse) while KEEPING
+            # lineage — the fault-tolerant version of localCheckpoint
+            tok.count()
     elif "checkpoint" in strategy:
         tok = tok.localCheckpoint()
     banded = tok.select(
