@@ -204,12 +204,15 @@ def prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs with pair_density_limit=100M — the operator counts its
     candidate pairs exactly (one cheap agg over the prefix buckets)
     and REFUSES past the budget instead of silently going quadratic.
-    Measured density: ~445k pairs at sf0.01 (the driver scale),
-    ~44.6M at sf0.1 (the benched scale, the 7.2x decade ratio's
-    cause), ~4.4B extrapolated at sf1 — where this row refuses BY
-    CONTRACT and dedup_minhash_lsh is the documented 100 TB path
-    (lsh_recall measures that trade against this tier's ground
-    truth)."""
+    Measured density (r14, pre-counted by the contract itself):
+    ~445k pairs at sf0.01 (the driver scale), ~44.6M at sf0.1 (the
+    benched scale, the 7.2x decade ratio's cause), ~445.5M at sf1 and
+    ~4.455B at sf10 — candidate mass scales exactly linearly with the
+    disjoint replica corpora, and the row refuses BY CONTRACT at both
+    sf1 and sf10 (r13's docstring extrapolated "~4.4B at sf1"; the
+    r14 pre-counts correct that — 4.4B is sf10's figure).
+    dedup_minhash_lsh is the documented 100 TB path (lsh_recall
+    measures that trade against this tier's ground truth)."""
     return DD.prefix_jaccard_pairs(
         Catalog(spark, sf_dir).documents,
         threshold=0.8,

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -128,6 +129,17 @@ DECADE_SUITE = DEFAULT_PROBE + [
     # selection (both broadcast-table scorers + partial top-k)
     "bitext_mining_margin",
     "excess_loss_select",
+    # r14 (VERDICT r13 #4): the heaviest previously-unmeasured distinct
+    # plan shapes — the whole vendored-codec mapInPandas family (all
+    # overhead-dominated: vectorized decode runs at us/doc, so 10x
+    # docs lands flat at these SFs) and the BNLJ-bounded centroid
+    # near-dup (3.6x at 10x data while its OUTPUT pair mass grows
+    # ~100x — the sf1 replicas keep float values, planting 10-cliques)
+    "multimodal_real_codec",
+    "multimodal_audio_codec",
+    "multimodal_video_codec",
+    "multimodal_features",
+    "embedding_near_dup",
 ]
 
 
@@ -204,14 +216,22 @@ def decade_suite(args) -> None:
     # run recorded as the bare suite command would not reproduce
     # (r11 review finding)
     cmd = f"scale_probe.py --suite decade --round {args.round}"
+    if args.baseline_dir != "/root/testdata/sf0.1":
+        cmd += f" --baseline-dir {args.baseline_dir}"
+    if args.sf_dir != "/tmp/jonesy_sf1":
+        cmd += f" --sf-dir {args.sf_dir}"
     if args.names:
         cmd += " " + " ".join(args.names)
+    base_tag = os.path.basename(args.baseline_dir.rstrip("/")).removeprefix(
+        "jonesy_"
+    )
+    sf_tag = os.path.basename(args.sf_dir.rstrip("/")).removeprefix("jonesy_")
     lines = [
         f"Decade table (generated by `{cmd}`; calibration "
         f"{cal_base}/{cal_sf1}, min-of-{args.runs} steady, both tiers "
         "same session):",
         "",
-        "| row | sf0.1 s | sf1 s (10x data) | ratio | round |",
+        f"| row | {base_tag} s | {sf_tag} s (10x data) | ratio | round |",
         "|---|---|---|---|---|",
     ]
     worst = 0.0
