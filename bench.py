@@ -164,6 +164,11 @@ HEADLINE = [
     # added r13 (late): RHO-loss-proxy selection — both LM scorers,
     # one doc-keyed join, partial top-k
     "excess_loss_select",
+    # added r14: the KLL-family quantile ledger fold + rank queries
+    # with the exact-quantile comparison join — the rank-error-bounded
+    # sibling of sampled_quantiles; cold pays the one-time two-batch
+    # ledger seed (session memo), steady prices the fold alone
+    "kll_quantiles",
 ]
 
 #: The r5-era 21-query set — every HEADLINE row that existed before the
@@ -213,6 +218,7 @@ R5_COMPARABLE = [
         "temperature_mixture",
         "bitext_mining_margin",
         "excess_loss_select",
+        "kll_quantiles",
     }
 ]
 
@@ -327,6 +333,17 @@ def main() -> None:
     # JIT compiles the generated code only after enough invocations);
     # min-of-2 was still ~30-60% above the sustained rate for them.
     RUNS = 3
+    # Converged-warm rule (r14): the heaviest codegen rows ramp for
+    # SEVERAL warm runs (prefix_jaccard_join measured 14.7 -> 5.5 ->
+    # 5.2 -> 4.8 -> 4.85 -> 4.2 on an otherwise idle session — the r14
+    # bench printed 9.8 for a row whose steady state is ~4.2, purely
+    # from where the C2 ramp sat), so while the LAST run keeps setting
+    # a new warm minimum by more than RAMP_EPS, keep re-running, up to
+    # MAX_RUNS total. Stable rows stop at RUNS (a >5% improvement on
+    # the second warm repeat is rare); ramping rows converge instead
+    # of sampling their ramp.
+    MAX_RUNS = 7
+    RAMP_EPS = 0.05
 
     def run_once(name: str) -> float:
         """One timed end-to-end run, cache-empty before and after.
@@ -349,6 +366,13 @@ def main() -> None:
     cold: dict[str, float] = {}
     for i, name in enumerate(HEADLINE):
         runs = [run_once(name) for _ in range(RUNS)]
+        # converged-warm rule: chase a still-descending C2 ramp
+        while (
+            len(runs) < MAX_RUNS
+            and runs[-1] == min(runs[1:])
+            and runs[-1] < (1 - RAMP_EPS) * min(runs[1:-1])
+        ):
+            runs.append(run_once(name))
         cold[name] = round(runs[0], 3)
         # min over the WARM repeats only (runs 2..RUNS): run 1 pays
         # one-time JIT/codegen and is reported separately as cold
@@ -434,7 +458,9 @@ def main() -> None:
         "metric": "headline_queries_total_runtime",
         "unit": "sec",
         "sf": float(sf),
-        "runs_per_query": RUNS,
+        "runs_per_query": f"{RUNS} (+ up to {MAX_RUNS - RUNS} while the "
+        f"last run sets a new warm min by >{int(RAMP_EPS * 100)}% — the "
+        "r14 converged-warm rule for C2-ramping rows)",
         "headline_set": (
             f"the {len(HEADLINE)}-query set (count derived from "
             "len(HEADLINE) — ADVICE r11). r4 added dedup_clusters "
@@ -467,8 +493,11 @@ def main() -> None:
             "calibration marker so machine drift cancels"
         ),
         "timing": (
-            f"queries/value = min of the {RUNS - 1} WARM repeats "
-            "(run 1 = cold, pays one-time JIT/codegen, reported "
+            f"queries/value = min of the WARM repeats ({RUNS - 1} "
+            f"fixed + up to {MAX_RUNS - RUNS} more while the last run "
+            f"keeps improving the warm min by >{int(RAMP_EPS * 100)}% "
+            "— converged-warm, r14; run 1 = cold, pays one-time "
+            "JIT/codegen, reported "
             "separately); cache cleared before every run; the "
             f"fixed calibration probe re-runs every {CAL_EVERY} "
             "queries — calibration_series certifies the machine "
