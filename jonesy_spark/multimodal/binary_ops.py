@@ -296,6 +296,8 @@ def media_near_dup(
     max_hamming: int = 7,
     fake: bool = True,
     sketches: DataFrame | None = None,
+    bucket_cap: int | None = None,
+    pair_density_limit: int | None = None,
 ) -> DataFrame:
     """Near-duplicate media pairs by perceptual hash: ``(doc_id,
     dup_doc_id, hamming)`` for every payload pair within
@@ -308,6 +310,17 @@ def media_near_dup(
     only Python is the per-payload hash (Arrow-batched); banding,
     joining and verification are all JVM-side bit arithmetic on one
     BIGINT per row.
+
+    ``pair_density_limit`` is the BOUNDED-TIER CONTRACT in machinery
+    (the PPJoin rule, ported r14 after the video twin's sf1 probe hit
+    a 6.25B-pair enumeration): a counted pre-flight over the band
+    buckets refuses — :class:`~..operators.dedup.PairBudgetExceeded`,
+    naming the ``bucket_cap`` collapse — when the exact tier's
+    candidate mass exceeds the budget, instead of launching a
+    quadratic job. ``bucket_cap`` (the named fallback) drops
+    degenerate band buckets larger than the cap, trading the recall
+    proof for boundedness; the default keeps both off so driver rows
+    run exact.
     """
     if not 0 <= max_hamming < 8:
         raise ValueError(f"max_hamming must be in [0, 8) for 8 bands, got {max_hamming}")
@@ -326,12 +339,26 @@ def media_near_dup(
         "phash",
         F.explode(_pigeonhole_bands(F.col("phash"))).alias("b"),
     ).select("doc_id", "phash", "b.band_id", "b.band_key")
+    banded = _gate_band_density(
+        banded, bucket_cap, pair_density_limit, op="media_near_dup"
+    )
     right = banded.select(
         F.col("doc_id").alias("dup_doc_id"),
         F.col("phash").alias("dup_phash"),
         "band_id",
         "band_key",
     )
+    # join strategy is deliberately LEFT TO CATALYST: broadcast under
+    # the 64 MB threshold, sort-merge above it. The r14 sf1 probes
+    # measured the pinned alternative (merge hints on the self-join)
+    # at 2-6x SLOWER — with only ~8x256 distinct band keys, the
+    # broadcast probe's map-side parallelism beats a 2048-key shuffle,
+    # and the verification rides the join inline (no per-pair state),
+    # so enumeration streams at ~1e8 pairs/s. What actually bounds the
+    # operator at scale is CANDIDATE MASS, not the join plan — hence
+    # the counted pair_density_limit pre-flight below (the PPJoin
+    # bounded-tier contract), which refuses quadratic-density corpora
+    # and names the bucket_cap collapse.
     out = (
         banded.join(right, ["band_id", "band_key"])
         .filter(F.col("doc_id") < F.col("dup_doc_id"))
@@ -344,6 +371,48 @@ def media_near_dup(
         .dropDuplicates(["doc_id", "dup_doc_id"])
     )
     return _track_caches(out, sketches if own_sketches else None)
+
+
+def _gate_band_density(banded, bucket_cap, pair_density_limit, op):
+    """The media family's counted bounded-tier gate — the PPJoin
+    ``pair_density_limit`` contract (operators.dedup) ported r14 after
+    the video twin's sf1 probe walked into a 6.25B-pair enumeration:
+    with a budget set and no cap, pre-count the exact candidate mass
+    ``sum(k*(k-1)/2)`` over the band buckets (one small agg over the
+    already-persisted sketch table — the count is exact, not an
+    estimate) and REFUSE past the budget, naming the fallbacks; with
+    ``bucket_cap`` set, drop degenerate band buckets larger than the
+    cap riding the join's own shuffle (the house hot-bucket rule)."""
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import PairBudgetExceeded
+
+    if pair_density_limit is not None and bucket_cap is None:
+        est = (
+            banded.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .agg(F.sum(F.col("k") * (F.col("k") - 1) / 2).alias("pairs"))
+            .collect()[0]["pairs"]
+        )
+        est = int(est or 0)
+        if est > pair_density_limit:
+            raise PairBudgetExceeded(
+                f"{op}: exact candidate enumeration would emit ~{est} "
+                f"band-bucket row pairs (> pair_density_limit="
+                f"{pair_density_limit}). This corpus is past the exact "
+                f"tier's pair budget — pass bucket_cap= to opt into the "
+                f"hot-bucket drop (bounded, recall proof waived), or "
+                f"dedup incrementally against the phash index "
+                f"(incremental_media_dedup, the scale path)."
+            )
+    if bucket_cap is not None:
+        w = W.partitionBy("band_id", "band_key")
+        banded = (
+            banded.withColumn("__n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__n") <= bucket_cap)
+            .drop("__n")
+        )
+    return banded
 
 
 def _pigeonhole_bands(hash_col):
@@ -960,6 +1029,7 @@ def video_near_dup(
     max_hamming: int = 7,
     min_overlap: int = 2,
     bucket_cap: int | None = None,
+    pair_density_limit: int | None = None,
 ) -> DataFrame:
     """Temporal video near-duplicate pairs — the shot-level member of
     the media near-dup family: two clips are near-dups at alignment
@@ -989,9 +1059,19 @@ def video_near_dup(
     join's own shuffle — the house hot-bucket rule for adversarial
     corpora (constant-color frames); it trades the recall proof for
     boundedness, so the default keeps it off and the driver row runs
-    exact."""
-    from pyspark.sql import Window as W
+    exact.
 
+    ``pair_density_limit`` (r14) is the counted bounded-tier contract
+    (:func:`_gate_band_density` — the PPJoin rule): frames multiply
+    bucket density (n_frames rows per clip per band), so this operator
+    is the family's quadratic hot spot — the r14 sf1 probe counted
+    6.25B candidate (row, row) pairs at 10x data (100x sf0.1's 62.4M:
+    in-bucket growth is quadratic in the per-bucket clip count) and
+    neither broadcast nor sort-merge plans survive enumerating that on
+    a bench-sized heap. Past the budget the operator REFUSES with
+    :class:`~..operators.dedup.PairBudgetExceeded`, naming the
+    ``bucket_cap`` collapse and the incremental phash index as the
+    scale paths, instead of launching the quadratic job."""
     from ..operators.dedup import _track_caches
 
     feats = video_features(df)
@@ -1008,11 +1088,9 @@ def video_near_dup(
         "f",
         F.explode(_pigeonhole_bands(F.col("fh"))).alias("b"),
     ).select("doc_id", "f", "b.band_id", "b.band_key")
-    if bucket_cap is not None:
-        w = W.partitionBy("band_id", "band_key")
-        banded = banded.withColumn(
-            "__n", F.count(F.lit(1)).over(w)
-        ).filter(F.col("__n") <= bucket_cap).drop("__n")
+    banded = _gate_band_density(
+        banded, bucket_cap, pair_density_limit, op="video_near_dup"
+    )
     right = banded.select(
         F.col("doc_id").alias("doc_b"),
         F.col("f").alias("f_b"),

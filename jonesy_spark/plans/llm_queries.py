@@ -1455,12 +1455,20 @@ def image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle brute-forces every pair from the closed form with no
     banding — banded == exact is the row's claim, the image member of
     the media near-dup verification trio (video_near_dup is the
-    temporal one)."""
+    temporal one). Runs with pair_density_limit=2B (the counted
+    media bounded-tier contract, r14): the sf1 probe counted 412M
+    band-bucket pairs enumerating in 9.4 s (verification rides the
+    band join inline), so the image/audio budget sits one decade up
+    — sf10's ~41B would refuse, naming the capped/incremental
+    paths."""
     from ..multimodal import binary_ops as MM
 
     docs = Catalog(spark, sf_dir).documents
     pairs = MM.media_near_dup(
-        MM.attach_ppm_near_dup_payload(docs), max_hamming=3, fake=False
+        MM.attach_ppm_near_dup_payload(docs),
+        max_hamming=3,
+        fake=False,
+        pair_density_limit=2_000_000_000,
     )
     return DD.carry_caches(
         pairs.select(
@@ -1520,12 +1528,17 @@ def audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies (multimodal.binary_ops.media_near_dup — the WAV mime
     dispatch). The oracle brute-forces every pair from the closed
     form with no banding — banded == exact, completing the
-    image/audio/video verification trio."""
+    image/audio/video verification trio. Runs with
+    pair_density_limit=2B (see image_near_dup — the sf1 probe counted
+    1.04B pairs enumerating in 12.7 s; sf10's ~104B refuses)."""
     from ..multimodal import binary_ops as MM
 
     docs = Catalog(spark, sf_dir).documents
     pairs = MM.media_near_dup(
-        MM.attach_wav_near_dup_payload(docs), max_hamming=3, fake=False
+        MM.attach_wav_near_dup_payload(docs),
+        max_hamming=3,
+        fake=False,
+        pair_density_limit=2_000_000_000,
     )
     return DD.carry_caches(
         pairs.select(
@@ -1604,12 +1617,23 @@ def video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= 3 bits contract (multimodal.binary_ops.video_near_dup has the
     recall theorem and scale notes). The oracle brute-forces every
     pair and alignment from the closed form — banded == exact is the
-    row's claim."""
+    row's claim. Runs with pair_density_limit=500M — the video member
+    is the media family's quadratic hot spot (frames multiply bucket
+    density, and each candidate pays a distinct + two frame re-joins):
+    the r14 sf1 probe counted 6.25B candidate pairs at 10x data (100x
+    sf0.1's 62.4M — in-bucket growth is quadratic in per-bucket clip
+    count) and neither broadcast nor merge plans survive enumerating
+    that, so past the budget the row REFUSES BY CONTRACT, naming the
+    bucket_cap / incremental-phash-index scale paths (the r13 PPJoin
+    precedent)."""
     from ..multimodal import binary_ops as MM
 
     docs = Catalog(spark, sf_dir).documents
     return MM.video_near_dup(
-        MM.attach_shifted_video_payload(docs), max_hamming=3, min_overlap=2
+        MM.attach_shifted_video_payload(docs),
+        max_hamming=3,
+        min_overlap=2,
+        pair_density_limit=500_000_000,
     )
 
 

@@ -140,6 +140,25 @@ DECADE_SUITE = DEFAULT_PROBE + [
     "multimodal_video_codec",
     "multimodal_features",
     "embedding_near_dup",
+    # r14 (late): ten more distinct shapes — the banded media near-dup
+    # trio (merge-hint-pinned after the first sf1 run OOMed video's
+    # broadcast build; see SCALE.md r14), the phash index probe, the
+    # new KLL fold, the salted skew join, df/idf ranking, first-fit
+    # packing, positional phrase search, and the exact-dedup hash agg.
+    # lsh_recall is deliberately absent: its registry row runs
+    # sample_frac=1.0 (exact all-pairs truth, sized for the sf0.01
+    # driver tier) and its max_truth_pairs budget refuses at sf0.1 BY
+    # CONTRACT — the sampled path is the scale tier, pytest-pinned.
+    "image_near_dup",
+    "audio_near_dup",
+    "video_near_dup",
+    "media_index_probe",
+    "kll_quantiles",
+    "events_key_skew",
+    "tfidf_top_terms",
+    "pack_sequences",
+    "phrase_search",
+    "dedup_exact",
 ]
 
 

@@ -897,3 +897,70 @@ def test_probe_isin_cap_skips_partition_filter_keeps_semi_join(
     )
     assert got_capped == got_default
     release_caches(batch)
+
+
+def test_media_family_pair_density_contract(spark):
+    """The counted bounded-tier contract ported to the media family
+    (r14): the sf1 probe walked video_near_dup into a 6.25B-pair
+    band-join enumeration (100x sf0.1's 62.4M — in-bucket growth is
+    quadratic in per-bucket clip count), so both family members now
+    carry the PPJoin pair_density_limit rule. On a planted degenerate
+    corpus (every payload identical — the clique adversary) the exact
+    tier must refuse from the CHEAP PRE-COUNT, before the quadratic
+    join launches, naming bucket_cap and the incremental phash index;
+    the capped tier completes the same corpus; under the budget the
+    exact tier is bit-for-bit untouched."""
+    from jonesy_spark.multimodal.binary_ops import (
+        attach_ppm_video_payload,
+        media_near_dup,
+        video_near_dup,
+    )
+    from jonesy_spark.operators.dedup import PairBudgetExceeded, release_caches
+
+    k = 200
+    same = bytes(range(256)) * 3
+    df = spark.createDataFrame(
+        [(i, same, "image/png", len(same)) for i in range(k)],
+        "doc_id long, payload binary, mime string, byte_len long",
+    )
+    # identical payloads -> one phash -> 8 band buckets of k rows:
+    # exact mass 8*C(200,2) = 159,200 >> the 10k budget
+    with pytest.raises(PairBudgetExceeded, match="bucket_cap|incremental"):
+        media_near_dup(df, pair_density_limit=10_000)
+    # the capped collapse bounds the same corpus (every bucket is hot
+    # here, so the capped tier drops them all — bounded, not wrong)
+    capped = media_near_dup(df, bucket_cap=64)
+    assert capped.count() == 0
+    release_caches(capped)
+    # under the budget the exact tier is untouched: same pairs with
+    # and without the limit (10 identical docs -> C(10,2) = 45)
+    small = df.filter("doc_id < 10")
+    exact = media_near_dup(small)
+    n_exact = exact.count()
+    release_caches(exact)
+    limited = media_near_dup(small, pair_density_limit=10_000)
+    n_limited = limited.count()
+    release_caches(limited)
+    assert n_exact == n_limited == 45
+
+    # the video member: same contract over frame-level buckets
+    one = attach_ppm_video_payload(
+        spark.range(1).withColumnRenamed("id", "doc_id")
+    ).collect()[0]
+    vdf = spark.createDataFrame(
+        [(i, one["payload"], one["mime"], one["byte_len"]) for i in range(100)],
+        "doc_id long, payload binary, mime string, byte_len long",
+    )
+    with pytest.raises(PairBudgetExceeded, match="bucket_cap|incremental"):
+        video_near_dup(vdf, pair_density_limit=10_000)
+    vcapped = video_near_dup(vdf, bucket_cap=16)
+    assert vcapped.count() == 0
+    release_caches(vcapped)
+    vsmall = vdf.filter("doc_id < 6")
+    v_exact = video_near_dup(vsmall)
+    n_vexact = v_exact.count()
+    release_caches(v_exact)
+    v_limited = video_near_dup(vsmall, pair_density_limit=10_000_000)
+    n_vlimited = v_limited.count()
+    release_caches(v_limited)
+    assert n_vexact == n_vlimited
