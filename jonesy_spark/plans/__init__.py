@@ -93,6 +93,12 @@ DRIVER_EXCLUDED = {
     "sampled_quantiles",
     "variant_props_extract",
     "warc_ingest_roundtrip",
+    # ---- r14 (late): seat swap for the NEW scd2_history row (the
+    # rotation floor gives never-witnessed oracle-ready rows a
+    # first-witness slot immediately, and the roster was at the
+    # 50-row cap). topk_per_group_price is r13-green and its window
+    # family keeps TWO on-roster witnesses. ---------------------------
+    "topk_per_group_price",
     # ---- r13 rotations (r12-green; within their cover cadence) -----
     "pivot_event_counts",
     "quantile_stats",
@@ -203,6 +209,9 @@ EXCLUSION_COVERS: dict[str, tuple[str, ...]] = {
     "sampled_quantiles": ("kll_quantiles", "sketch_dashboard"),
     "variant_props_extract": ("scalar_functions_suite", "term_courses"),
     "warc_ingest_roundtrip": ("crawl_gate_composed",),
+    # r14 (late): rotated out to seat the new scd2_history row —
+    # greatest-n/window ranking stays witnessed by two on-roster rows
+    "topk_per_group_price": ("trailing_range_stats", "running_total"),
     # r13 rotations out (kept from r13; the mixture family's witness
     # is the still-on-roster temperature_mixture)
     "mixture_upsample": ("temperature_mixture", "pack_sequences"),

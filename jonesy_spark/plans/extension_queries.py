@@ -695,6 +695,86 @@ def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd2_history",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_type,
+               CAST(round(value * 1000000) AS BIGINT) AS value_micro,
+               CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events
+    ),
+    marked AS (
+        SELECT *,
+               lag(value_micro) OVER w AS prev_value,
+               lag(event_id) OVER w AS prev_id
+        FROM base
+        WINDOW w AS (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT * FROM marked
+        WHERE prev_id IS NULL OR value_micro IS DISTINCT FROM prev_value
+    )
+    SELECT user_id, event_type, value_micro,
+           ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           row_number() OVER w2 AS version,
+           (lead(ts) OVER w2 IS NULL) AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history built from a change
+    log: per (user_id, event_type) key, change-only compression drops
+    rows whose value repeats the previous observation (null-safe), then
+    each survivor becomes a validity interval ``[valid_from, valid_to)``
+    via ``lead`` with an open-ended current row — the interval-ized
+    complement of cdc_upsert (latest-wins MERGE) and snapshot_cdc
+    (snapshot diff), and the producer side of the range_join_calendar /
+    J9 validity-interval consumers (reference jonesy/queries.py keeps
+    only current rows; a warehouse needs the full history too).
+
+    Determinism: values are compared and emitted as micro-unit BIGINTs
+    (both engines round the same IEEE double product), ordering ties
+    break on event_id, and version is a dense per-key sequence.
+
+    Scale: one hash partition by the dimension key; the lag-compress
+    and lead/row_number windows share the same partitioning + ordering,
+    so Catalyst plans a single Exchange with sorts reused — no second
+    shuffle for the interval build. History length per key is bounded
+    by the key's churn, not corpus size; skewed keys cost one
+    partition-local sort, never a cross-key shuffle.
+    """
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    base = ev.select(
+        "user_id",
+        "event_type",
+        micro_units(F.col("value")).alias("value_micro"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+    )
+    marked = base.withColumn(
+        "prev_value", F.lag("value_micro").over(w)
+    ).withColumn("prev_id", F.lag("event_id").over(w))
+    changes = marked.filter(
+        F.col("prev_id").isNull()
+        | ~F.col("value_micro").eqNullSafe(F.col("prev_value"))
+    )
+    return changes.select(
+        "user_id",
+        "event_type",
+        "value_micro",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+@query(
     "local_supplier_volume",
     oracle="""
     SELECT n.n_name AS nation,

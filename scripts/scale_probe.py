@@ -137,7 +137,7 @@ DECADE_SUITE = DEFAULT_PROBE + [
     # ~100x — the sf1 replicas keep float values, planting 10-cliques)
     "multimodal_real_codec",
     "multimodal_audio_codec",
-    "multimodal_video_codec",
+    # (multimodal_video_codec is already in DEFAULT_PROBE above)
     "multimodal_features",
     "embedding_near_dup",
     # r14 (late): ten more distinct shapes — the banded media near-dup
@@ -159,6 +159,80 @@ DECADE_SUITE = DEFAULT_PROBE + [
     "pack_sequences",
     "phrase_search",
     "dedup_exact",
+    # r14 (second extension): EVERY remaining measurable registry row —
+    # the decade record now covers the full registry minus six
+    # documented absences: tokenizer_family_fold + ann_int8_rerank +
+    # ann_pq_rerank (fixture-bound by contract — their input is the
+    # committed store, not a per-SF table, so a "decade" would time
+    # the same bytes twice), bpe_token_stats + unigram_token_stats
+    # (iterative trainers, pytest-only by design), and lsh_recall
+    # (exact all-pairs truth tier sized for sf0.01; its budget refuses
+    # past sf0.1 by contract — the sampled path is pytest-pinned).
+    "active_day_codes",
+    "ann_bucketed_topk",
+    "ann_cosine_topk",
+    "ann_quantized_topk",
+    "anomaly_flags",
+    "assemble_sequences",
+    "basic_attributes",
+    "bigram_logprob",
+    "bloom_membership",
+    "catalog_number_parsing",
+    "classifier_eval",
+    "corpus_split",
+    "cube_agg",
+    "current_terms_topk",
+    "dedup_survivors_quality",
+    "diversity_sample",
+    "doc_chunking",
+    "doc_fingerprints",
+    "doc_logprob",
+    "event_transitions",
+    "events_tumbling_window",
+    "incremental_classifier",
+    "json_props_extract",
+    "kmv_overlap_users",
+    "lang_id_heuristic",
+    "latest_event_version",
+    "leakage_safe_split",
+    "line_dedup",
+    "mixture_sample",
+    "mixture_upsample",
+    "near_dup_contamination",
+    "ngram_containment",
+    "omit_drops_withdrawals",
+    "pagination_window",
+    "pivot_event_counts",
+    "priority_ordered_extract",
+    "profile_table",
+    "quality_psi",
+    "quantile_stats",
+    "quota_sample",
+    "recent_instructor_updates",
+    "repetition_stats",
+    "resample_gapfill",
+    "resample_interpolate",
+    "rollup_agg",
+    "sampled_quantiles",
+    "scalar_functions_suite",
+    "scalar_subquery_filter",
+    "set_operations",
+    "snapshot_cdc",
+    "term_courses",
+    "term_enrollments",
+    "text_quality_score",
+    "timestamp_formats",
+    "token_counts",
+    "top_tokens_per_lang",
+    "topk_per_group_price",
+    "train_order",
+    "unpivot_event_counts",
+    "url_dedup",
+    "variant_props_extract",
+    "watermark_incremental",
+    # r14 (late) new row: SCD2 interval history (events-only input, so
+    # it also qualifies for the sf10 two-decade tier)
+    "scd2_history",
 ]
 
 

@@ -418,6 +418,29 @@ def test_funnel_plan_is_single_exchange(spark):
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 3
 
 
+def test_scd2_history_plan_is_single_exchange(spark):
+    """The SCD2 builder's scale claim, pinned in the plan: the
+    change-compress lag window, the interval lead window and the
+    version row_number all share one (key, order) spec, so the whole
+    history build rides ONE hash partitioning — one Exchange, one Sort
+    (the second Window sits directly on the Filter, no re-sort), and
+    the scan reads only the five referenced columns."""
+    import contextlib
+    import io
+    import re
+
+    from jonesy_spark.plans import all_queries
+
+    df = all_queries()["scd2_history"](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+
+
 def test_crawl_gate_composed_plan_is_map_only(spark):
     """The composed crawl gate's scale claim, pinned in the plan
     (VERDICT r11 #6): html synthesis -> strip_html -> C4 array-filter
