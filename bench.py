@@ -169,6 +169,11 @@ HEADLINE = [
     # sibling of sampled_quantiles; cold pays the one-time two-batch
     # ledger seed (session memo), steady prices the fold alone
     "kll_quantiles",
+    # NOT added, r14 (late): scd2_history — at 62 rows the compact
+    # stdout line's worst-plausible width (1919 chars) outgrows the
+    # driver's ~2000-char tail capture (test_compact_line_fits_...),
+    # so the set stays at 61; the row's scale witness is its decade
+    # (sf1 AND sf10) entry in SCALE.md instead.
 ]
 
 #: The r5-era 21-query set — every HEADLINE row that existed before the
