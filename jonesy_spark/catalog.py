@@ -104,6 +104,31 @@ class Catalog:
             self.table(name).createOrReplaceTempView(name)
 
 
+def spread(df: DataFrame, *key_cols) -> DataFrame:
+    """Scale-adaptive parallelism floor for heavy per-row compute over a
+    narrow source (guide §2.5 "input skew → repartition after the read"):
+    repartition up to the session's default parallelism ONLY when the
+    frame's planned partitioning is below it.
+
+    Why: a map-heavy stage (regex chains, array lambdas, codec hops)
+    over a source whose scan yields fewer splits than the cluster has
+    cores runs serially however many cores exist — a single-row-group
+    parquet file (the local fixtures), one gzip member, or a small
+    cold-tier dimension all plan 1-2 tasks. At 100 TB the same scan
+    plans thousands of splits, the guard is a no-op, and NO shuffle is
+    added — the repartition is conditioned on the actual planned
+    layout, never a local-mode constant.
+
+    With ``key_cols`` the spread is a hash repartition (deterministic
+    row placement, reusable by a downstream groupBy on the same key);
+    without, round-robin.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+
+
 def write_format(df: DataFrame, path: str, fmt: str = "parquet") -> str:
     """Write a table in any supported lake format (parquet/orc/json/csv).
 

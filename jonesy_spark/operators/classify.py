@@ -54,7 +54,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import micro_units
 
-from .dedup import CPU_PARTITIONS, element_hash
+from .dedup import CPU_PARTITIONS, _track_caches, element_hash
 
 #: Default feature-space size. 32k buckets keeps the model ~1 MB
 #: (bucket int + double) — broadcastable on any executor — while
@@ -161,6 +161,13 @@ def train_log_odds(
         labeled, text_col=text_col, id_col=id_col,
         n_buckets=n_buckets, ngrams=ngrams,
     )
+    # Persisted: per_bucket feeds the weight projection AND (twice, via
+    # the broadcast totals) the unseen/normalizer rows — without the
+    # persist each consumer re-runs the token explode + tf aggregation
+    # + label join from the corpus scan (r14 plan audit:
+    # quality_classifier's plan carried 86 Exchanges, mostly this
+    # subtree repeated). Bounded to <= n_buckets rows by construction;
+    # released via the _track_caches handle on the returned model.
     per_bucket = (
         tf.join(labeled.select(id_col, "__pos"), id_col)
         .groupBy("bucket")
@@ -168,6 +175,7 @@ def train_log_odds(
             F.sum(F.col("tf") * F.col("__pos")).alias("pos_c"),
             F.sum(F.col("tf") * (1 - F.col("__pos"))).alias("neg_c"),
         )
+        .persist()
     )
     doc_counts = labeled.agg(
         F.sum("__pos").alias("n_pos"),
@@ -218,7 +226,9 @@ def train_log_odds(
         )
         .alias("weight"),
     )
-    return weights.unionByName(bias).unionByName(unseen)
+    return _track_caches(
+        weights.unionByName(bias).unionByName(unseen), per_bucket
+    )
 
 
 def eval_report(scored: DataFrame, labels: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -409,7 +419,7 @@ def score_log_odds(
     empty_micro = (F.round(F.col("__bias").cast("decimal(12,9)"), 6) * 1_000_000).cast(
         "long"
     )
-    return (
+    out = (
         docs.select(id_col)
         .join(scored, id_col, "left")
         .crossJoin(F.broadcast(meta))
@@ -420,6 +430,9 @@ def score_log_odds(
             (F.coalesce(F.col("score_micro"), empty_micro) > 0).alias("pred"),
         )
     )
+    # forward the training model's cache handles (train_log_odds
+    # persists its per-bucket counts) so callers can release them
+    return _track_caches(out, *getattr(model, "_jonesy_cached_deps", ()))
 
 
 def write_classifier_counts(

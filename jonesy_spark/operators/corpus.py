@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..functions.scalars import micro_units
-from .dedup import _micro_threshold
+from .dedup import _micro_threshold, _track_caches, carry_caches
 from .dedup import CPU_PARTITIONS, element_hash
 
 
@@ -521,11 +521,23 @@ def unigram_logprob(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("t"),
     )
-    tf = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    # Persisted: tf feeds BOTH the top-V cut and the totals aggregate —
+    # without the persist each broadcast re-runs the full token explode
+    # + groupBy (r14 plan audit: the corpus scan appeared 3x per
+    # scorer). The frame is the distinct-token table (vocab-scale, far
+    # smaller than the stream; MEMORY_AND_DISK spills if a pathological
+    # corpus inflates it). Released via the _track_caches handle.
+    tf = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c")).persist()
     vocab = tf.orderBy(F.col("c").desc(), F.col("t")).limit(vocab_size)
+    # v_actual = |vocab| = min(|tf|, vocab_size) — computed IN the same
+    # 1-row aggregate instead of re-evaluating the top-V subtree for a
+    # count (one fewer pass; value identical by construction).
     totals = tf.agg(
         F.sum("c").alias("n_total"),
-    ).crossJoin(vocab.agg(F.count(F.lit(1)).alias("v_actual")))
+        F.least(
+            F.count(F.lit(1)), F.lit(vocab_size).cast("long")
+        ).alias("v_actual"),
+    )
     denom = F.col("n_total") + alpha * (F.col("v_actual") + 1)
     scored = (
         toks.join(F.broadcast(vocab), "t", "left")
@@ -538,14 +550,17 @@ def unigram_logprob(
             ).alias("lp"),
         )
     )
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("int").alias("n_tokens"),
-        micro_units(F.sum("is_oov") / F.count(F.lit(1))).alias(
-            "oov_frac_micro"
+    return _track_caches(
+        scored.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            micro_units(F.sum("is_oov") / F.count(F.lit(1))).alias(
+                "oov_frac_micro"
+            ),
+            micro_units(F.sum("lp") / F.count(F.lit(1))).alias(
+                "avg_logprob_micro"
+            ),
         ),
-        micro_units(F.sum("lp") / F.count(F.lit(1))).alias(
-            "avg_logprob_micro"
-        ),
+        tf,
     )
 
 
@@ -845,12 +860,21 @@ def bigram_logprob(
         .otherwise(F.col("raw"))
         .alias("t"),
     )
-    c1 = collapsed.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
-    totals = c1.agg(
-        F.sum("c1").alias("n_total"), F.count(F.lit(1)).alias("v1")
-    )
+    # Persisted: the lagged stream feeds THREE consumers (c1, c2, the
+    # scoring pass) and each broadcast model table otherwise re-runs
+    # the explode + vocab join + lag window from the source scan (r14
+    # plan audit: the corpus scan appeared ~7x in excess_loss_select's
+    # plan). c1 additionally feeds totals/cprev/the per-token join, so
+    # it persists too (<= vocab_size + 1 rows). Both release via the
+    # _track_caches handles.
     paired = collapsed.withColumn(
         "prev", F.lag("t").over(W.partitionBy(id_col).orderBy("pos"))
+    ).persist()
+    # same rows as grouping `collapsed` — the lag adds a column, not
+    # rows — but reads the persisted frame instead of a fresh subtree
+    c1 = paired.groupBy("t").agg(F.count(F.lit(1)).alias("c1")).persist()
+    totals = c1.agg(
+        F.sum("c1").alias("n_total"), F.count(F.lit(1)).alias("v1")
     )
     c2 = (
         paired.filter(F.col("prev").isNotNull())
@@ -885,14 +909,18 @@ def bigram_logprob(
             ).alias("lp"),
         )
     )
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("int").alias("n_tokens"),
-        micro_units(F.sum("unseen") / F.count(F.lit(1))).alias(
-            "unseen_bigram_frac_micro"
+    return _track_caches(
+        scored.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            micro_units(F.sum("unseen") / F.count(F.lit(1))).alias(
+                "unseen_bigram_frac_micro"
+            ),
+            micro_units(F.sum("lp") / F.count(F.lit(1))).alias(
+                "avg_logprob_micro"
+            ),
         ),
-        micro_units(F.sum("lp") / F.count(F.lit(1))).alias(
-            "avg_logprob_micro"
-        ),
+        paired,
+        c1,
     )
 
 
@@ -941,13 +969,14 @@ def perplexity_buckets(
     """
     from pyspark.sql import Window
 
-    scored = unigram_logprob(
+    uni = unigram_logprob(
         docs,
         text_col=text_col,
         id_col=id_col,
         vocab_size=vocab_size,
         alpha=alpha,
-    ).join(
+    )
+    scored = uni.join(
         docs.select(F.col(id_col), F.col(lang_col).alias("lang")), id_col
     )
     hist = scored.groupBy("lang", "avg_logprob_micro").agg(
@@ -970,21 +999,31 @@ def perplexity_buckets(
         F.sum("nd").over(w_cum).alias("cum"),
         F.sum("nd").over(w_all).alias("n"),
     )
-    thr = cum.groupBy("lang").agg(
+    # The tercile thresholds are WINDOW aggregates over the same
+    # per-lang partitioning the cumulative sum already established —
+    # not a groupBy + broadcast-join back (the r13 shape), which made
+    # `cum` a two-consumer subtree and re-ran the whole scoring pass a
+    # second time (r14 plan audit: 58 Exchanges -> one linear chain).
+    # Same min-over-qualifying-rows semantics, so buckets are
+    # bit-identical.
+    bucketed = cum.select(
+        "lang",
+        "nd",
+        "tk",
+        "avg_logprob_micro",
         F.min(
             F.when(
                 F.col("cum") >= F.expr("(n + 2) DIV 3"),
                 F.col("avg_logprob_micro"),
             )
-        ).alias("t1"),
+        ).over(w_all).alias("t1"),
         F.min(
             F.when(
                 F.col("cum") >= F.expr("(2 * n + 2) DIV 3"),
                 F.col("avg_logprob_micro"),
             )
-        ).alias("t2"),
-    )
-    bucketed = cum.join(F.broadcast(thr), "lang").select(
+        ).over(w_all).alias("t2"),
+    ).select(
         "lang",
         F.when(F.col("avg_logprob_micro") <= F.col("t1"), "tail")
         .when(F.col("avg_logprob_micro") <= F.col("t2"), "middle")
@@ -994,7 +1033,7 @@ def perplexity_buckets(
         "tk",
         "avg_logprob_micro",
     )
-    return bucketed.groupBy("lang", "bucket").agg(
+    return carry_caches(bucketed.groupBy("lang", "bucket").agg(
         F.sum("nd").cast("int").alias("n_docs"),
         F.sum("tk").cast("bigint").alias("total_tokens"),
         F.sum(F.col("avg_logprob_micro") * F.col("nd"))
@@ -1002,7 +1041,7 @@ def perplexity_buckets(
         .alias("sum_logprob_micro"),
         F.min("avg_logprob_micro").alias("min_score_micro"),
         F.max("avg_logprob_micro").alias("max_score_micro"),
-    )
+    ), uni)
 
 
 def dsir_weights(
@@ -1235,22 +1274,24 @@ def excess_loss_select(
     :func:`bigram_logprob` document the V / bigram-table bounds); the
     composition adds one doc-keyed equi-join and an orderBy+limit
     top-k (partial per-partition top-k, never a global sort)."""
-    uni = unigram_logprob(
+    uni0 = unigram_logprob(
         docs, text_col=text_col, id_col=id_col,
         vocab_size=vocab_size, alpha=alpha,
-    ).select(
+    )
+    uni = uni0.select(
         F.col(id_col),
         "n_tokens",
         F.col("avg_logprob_micro").alias("unigram_lp_micro"),
     )
-    bi = bigram_logprob(
+    bi0 = bigram_logprob(
         docs, text_col=text_col, id_col=id_col,
         vocab_size=vocab_size, bigram_size=bigram_size, alpha=alpha,
-    ).select(
+    )
+    bi = bi0.select(
         F.col(id_col),
         F.col("avg_logprob_micro").alias("bigram_lp_micro"),
     )
-    return (
+    out = (
         uni.join(bi, id_col)
         .withColumn(
             "excess_micro",
@@ -1259,3 +1300,4 @@ def excess_loss_select(
         .orderBy(F.col("excess_micro").desc(), F.col(id_col))
         .limit(k)
     )
+    return carry_caches(carry_caches(out, uni0), bi0)

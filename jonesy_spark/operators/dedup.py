@@ -1001,6 +1001,14 @@ def prefix_jaccard_pairs(
     path) or must opt into the capped collapse. The check is skipped
     when ``bucket_cap`` is set — the collapse already bounds every
     bucket to O(k)."""
+    # Persisted: ex feeds FOUR consumers (the df aggregation, the
+    # position window, and both verification re-attach sides) — without
+    # the persist each one re-runs the explode + per-token md5 +
+    # distinct from the corpus scan (r14: the before-plan carried 28
+    # Exchanges, mostly this subtree repeated; the row timed 4.4 s ->
+    # see OPTIMIZATION_r14.md). Distinct (doc, token-hash) rows — the
+    # same width the shuffles already carry. Released via the
+    # _track_caches handle.
     ex = (
         df.repartition(CPU_PARTITIONS, F.col(id_col))
         .select(
@@ -1011,6 +1019,7 @@ def prefix_jaccard_pairs(
         )
         .select("doc_id", element_hash(F.col("t")).alias("h"))
         .distinct()
+        .persist()
     )
     dft = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window as W
@@ -1083,4 +1092,4 @@ def prefix_jaccard_pairs(
         .filter(F.col("jaccard_micro") >= _micro_threshold(threshold))
         .select("doc_a", "doc_b", "jaccard_micro")
     )
-    return _track_caches(out, *caches)
+    return _track_caches(out, ex, *caches)

@@ -344,32 +344,53 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank needs a non-empty edge table")
-    # checkpointed: the per-iteration dangling anti-join consumes deg
-    # directly, and an un-cut deg would drag the full source scan +
-    # distinct + groupBy back into EVERY iteration (r11 review finding)
+    # checkpointed: deg is read every iteration via ed, and an un-cut
+    # deg would drag the full source scan + distinct + groupBy back
+    # into EVERY iteration (r11 review finding)
     deg, deg_ids = _tracked_checkpoint(
         e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     )
     # out-degree rides the edge list once; the per-iteration join then
     # touches a single pre-built (src, dst, deg) table
     ed, ed_ids = _tracked_checkpoint(e.join(deg, "src"))
+    # The rank vector CARRIES its node's dangling flag (out-degree
+    # zero — a static property of the graph): the per-iteration
+    # dangling mass is then a narrow filter+sum over the rank
+    # checkpoint's own blocks instead of an anti-join against deg
+    # every round (r14 optimization — one whole join subtree removed
+    # per iteration; same sum over the same rows, so ranks are
+    # bit-identical).
     ranks, ranks_ids = _tracked_checkpoint(
-        nodes.select("node", F.lit(1.0 / n).alias("rank"))
+        nodes.join(
+            deg.select(F.col("src").alias("node"), F.lit(True).alias("__o")),
+            "node",
+            "left",
+        ).select(
+            "node",
+            F.lit(1.0 / n).alias("rank"),
+            F.col("__o").isNull().alias("dang"),
+        )
     )
     base = (1.0 - damping) / n
     for _ in range(max_iter):
         # grouping-free aggregate: exactly 1 row, so the cross join is
         # a provably-bounded BroadcastNestedLoopJoin (plan-audit rule)
-        dm = ranks.join(
-            deg.select(F.col("src").alias("node")), "node", "left_anti"
-        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+        dm = ranks.filter(F.col("dang")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+        )
         contrib = (
             ed.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
         )
+        # join contrib back onto the rank vector itself (same node set
+        # as `nodes`, and already checkpointed) so the previous rank
+        # rides along: the L1-delta below then reads the new
+        # checkpoint's own blocks instead of re-joining two rank
+        # generations (r14 — second join subtree removed per round)
         new_ranks = (
-            nodes.join(contrib, "node", "left")
+            ranks.select("node", F.col("rank").alias("__old"), "dang")
+            .join(contrib, "node", "left")
             .crossJoin(F.broadcast(dm))
             .select(
                 "node",
@@ -381,17 +402,15 @@ def pagerank(
                         + F.col("__dm") / F.lit(float(n))
                     )
                 ).alias("rank"),
+                "dang",
+                "__old",
             )
         )
         new_ranks, new_ranks_ids = _tracked_checkpoint(new_ranks)
         if tol > 0:
-            delta = (
-                new_ranks.join(
-                    ranks.select("node", F.col("rank").alias("old")), "node"
-                )
-                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
-                .first()["d"]
-            )
+            delta = new_ranks.agg(
+                F.sum(F.abs(F.col("rank") - F.col("__old"))).alias("d")
+            ).first()["d"]
         else:
             delta = float("inf")
         # the superseded checkpoint is dead once the new one exists —

@@ -166,8 +166,15 @@ def ngram_novelty(
         )
         .select(id_col, element_hash(F.col("g")).alias("h"))
     )
+    # spread: the train-side gram explode + per-gram md5 is the heavy
+    # map here and the train frame arrives pre-filtered from a scan
+    # that may plan 1 split (local fixtures) — adaptive floor, no-op
+    # when the scan already has >= cores splits
+    from ..catalog import spread
+
     train_grams = (
-        train_docs.select(F.explode(TX.word_ngrams(F.col(text_col), n)).alias("g"))
+        spread(train_docs)
+        .select(F.explode(TX.word_ngrams(F.col(text_col), n)).alias("g"))
         .select(element_hash(F.col("g")).alias("th"))
         .distinct()
     )
@@ -416,6 +423,13 @@ def probe_minhash_index(
         )
     if exclude_run_id is not None:
         idx = idx.filter(F.col("ingest_batch") != exclude_run_id)
+    # Persisted: the batch's sketch frame feeds THREE consumers — the
+    # touched-bucket collect (an eager action), the touched-key
+    # broadcast, and the candidate join — and each otherwise re-runs
+    # the batch's explode + MinHash aggregation (r14: the before-plan
+    # carried the sketch subtree 3x). O(batch) rows of ~19 longs by the
+    # index contract. Released via the _track_caches handle.
+    new_sigs = new_sigs.persist()
     # Partition pruning first: the layout derives ``bucket`` from
     # band_key (write_minhash_index: substring(band_key, 1, 2)), so the
     # batch's touched buckets are knowable up front. Collecting them is
@@ -461,14 +475,19 @@ def probe_minhash_index(
         )
         .dropDuplicates(["doc_id", "index_doc_id"])
     )
-    return _observed(
-        cand.withColumn(
-            "est_jaccard_micro",
-            estimated_jaccard(F.col("mh"), F.col("mh_i"), n_hashes),
-        )
-        .filter(F.col("est_jaccard_micro") >= _micro_threshold(threshold))
-        .select("doc_id", "index_doc_id", "est_jaccard_micro"),
-        len(buckets),
+    from .dedup import _track_caches
+
+    return _track_caches(
+        _observed(
+            cand.withColumn(
+                "est_jaccard_micro",
+                estimated_jaccard(F.col("mh"), F.col("mh_i"), n_hashes),
+            )
+            .filter(F.col("est_jaccard_micro") >= _micro_threshold(threshold))
+            .select("doc_id", "index_doc_id", "est_jaccard_micro"),
+            len(buckets),
+        ),
+        new_sigs,
     )
 
 

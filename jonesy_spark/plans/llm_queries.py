@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import Catalog
+from ..catalog import Catalog, spread
 from ..functions import scalars as SC
 from ..functions import text as TX
 from ..operators import dedup as DD
@@ -864,7 +864,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token count, avg token length, stopword-marker
     ratio, composite score — the standard pretraining-corpus filters,
     all exact integer/rounded math, map-only."""
-    docs = Catalog(spark, sf_dir).documents
+    # spread: per-doc token/ratio map over a 1-split fixture scan
+    # (no-op at scale)
+    docs = spread(Catalog(spark, sf_dir).documents)
     n_tokens = TX.whitespace_token_count(F.col("text"))
     n_nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
     c_stop = TX.occurrences(F.lower(F.col("text")), "the")
@@ -1070,7 +1072,9 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: chunking is map-side only; output rows ≈ corpus_len/stride.
     Downstream embedding/tokenization operates per chunk.
     """
-    docs = Catalog(spark, sf_dir).documents
+    # spread: chunk-explode map over a 1-split fixture scan (no-op at
+    # scale)
+    docs = spread(Catalog(spark, sf_dir).documents)
     n_chunks = F.floor((F.length("text") - 1) / 150).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks),
@@ -1213,7 +1217,9 @@ def multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     list-valued cells (r07 ERR); ppm_features keeps the array API."""
     from ..multimodal import binary_ops as MM
 
-    docs = Catalog(spark, sf_dir).documents
+    # spread: two Arrow-batched Python hops over a scan that plans 1
+    # split on the fixture files (no-op at cluster scale)
+    docs = spread(Catalog(spark, sf_dir).documents)
     out = MM.ppm_features(MM.attach_ppm_payload(docs))
     return out.select(
         "doc_id",
@@ -1295,7 +1301,9 @@ def multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot sort list cells); wav_features keeps the array API."""
     from ..multimodal import binary_ops as MM
 
-    docs = Catalog(spark, sf_dir).documents
+    # spread: two Arrow-batched Python hops over a scan that plans 1
+    # split on the fixture files (no-op at cluster scale)
+    docs = spread(Catalog(spark, sf_dir).documents)
     out = MM.wav_features(MM.attach_wav_payload(docs))
     return out.select(
         "doc_id",
@@ -1380,7 +1388,9 @@ def multimodal_video_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     video_features keeps the array API."""
     from ..multimodal import binary_ops as MM
 
-    docs = Catalog(spark, sf_dir).documents
+    # spread: two Arrow-batched Python hops over a scan that plans 1
+    # split on the fixture files (no-op at cluster scale)
+    docs = spread(Catalog(spark, sf_dir).documents)
     out = MM.video_features(MM.attach_ppm_video_payload(docs))
     return out.select(
         "doc_id",
@@ -4064,7 +4074,8 @@ def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     report per-page link count and markup ratio (integer DIV
     micro-units, the corpus_card rule). The link-density/markup-ratio
     columns are the boilerplate signals a quality gate consumes."""
-    docs = Catalog(spark, sf_dir).documents
+    # spread: regex-chain map over a 1-split fixture scan (no-op at scale)
+    docs = spread(Catalog(spark, sf_dir).documents)
     html = F.concat(
         F.lit(_HTML_PREFIX),
         F.col("text"),
@@ -4162,7 +4173,9 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     RULES). Pure explode + CASE + grouped aggregate: map-side explode,
     one keyed shuffle, kept_text reassembled order-deterministically —
     at 100 TB this is a single pass over the corpus."""
-    docs = Catalog(spark, sf_dir).documents
+    # spread: line-synth array lambdas over a 1-split fixture scan
+    # (no-op at scale)
+    docs = spread(Catalog(spark, sf_dir).documents)
     words = F.split(F.trim(F.col("text")), " ")
     n_chunks = F.floor((F.size(words) + F.lit(5)) / F.lit(6)).cast("int")
     content = F.transform(
@@ -4369,7 +4382,10 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen)."""
     from ..operators import hygiene as HG
 
-    docs = Catalog(spark, sf_dir).documents
+    # spread: the synth staging + gate are heavy array lambdas over a
+    # scan that plans 1 split on the fixture files — serial without the
+    # adaptive parallelism floor (no-op at cluster scale)
+    docs = spread(Catalog(spark, sf_dir).documents)
     doc = F.col("doc_id")
     stop_arr = F.array(
         *[F.lit(s) for s in HG.GOPHER_STOP_WORDS]
@@ -4745,7 +4761,10 @@ def crawl_gate_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash checks the composed RULES."""
     from ..operators import hygiene as HG
 
-    docs = Catalog(spark, sf_dir).documents
+    # spread: strip_html's regex chain + the C4/Gopher array lambdas
+    # are the most expression-heavy map in the registry, over a scan
+    # that plans 1 split on the fixture files (no-op at cluster scale)
+    docs = spread(Catalog(spark, sf_dir).documents)
     html = F.concat(
         F.lit(_HTML_PREFIX),
         F.col("text"),

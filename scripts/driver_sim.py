@@ -173,8 +173,11 @@ def main() -> int:
     for name in names:
         t0 = time.time()
         try:
+            from jonesy_spark.operators.dedup import release_caches
+
             df = queries[name](spark, args.sf_dir)
             spdf = df.toPandas()
+            release_caches(df)
             hazards = dtype_hazards(spdf, "spark")
             shash = canon_hash(spdf)
             if name not in oracles:
