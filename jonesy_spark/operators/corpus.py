@@ -1081,7 +1081,15 @@ def dsir_weights(
     """
     from .classify import token_buckets
 
-    tf_r = token_buckets(raw, text_col=text_col, id_col=id_col, n_buckets=n_buckets)
+    # Persisted: tf_r feeds the raw-side bucket counts AND the scoring
+    # join; counts feeds the weight projection AND the broadcast
+    # totals — without the persists each consumer re-ran the token
+    # explode + hash aggregation from its corpus scan (r14 plan audit:
+    # 26 Exchanges in dsir_select's plan). tf_r is (doc, bucket, tf)
+    # rows; counts is <= n_buckets rows. Released via _track_caches.
+    tf_r = token_buckets(
+        raw, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    ).persist()
     tf_t = token_buckets(target, text_col=text_col, id_col=id_col, n_buckets=n_buckets)
     ct = tf_t.groupBy("bucket").agg(F.sum("tf").alias("ct"))
     cr = tf_r.groupBy("bucket").agg(F.sum("tf").alias("cr"))
@@ -1089,7 +1097,7 @@ def dsir_weights(
         "bucket",
         F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
         F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
-    )
+    ).persist()
     totals = counts.agg(F.sum("ct").alias("tot_t"), F.sum("cr").alias("tot_r"))
     aB = alpha * n_buckets
     w = F.round(
@@ -1124,7 +1132,7 @@ def dsir_weights(
             .alias("log_weight_micro"),
         )
     )
-    return (
+    return _track_caches(
         raw.select(id_col)
         .join(scored, id_col, "left")
         .select(
@@ -1133,7 +1141,9 @@ def dsir_weights(
             F.coalesce(F.col("log_weight_micro"), F.lit(0).cast("long")).alias(
                 "log_weight_micro"
             ),
-        )
+        ),
+        tf_r,
+        counts,
     )
 
 
@@ -1166,6 +1176,9 @@ def dsir_select(
         raw, target, text_col=text_col, id_col=id_col,
         n_buckets=n_buckets, alpha=alpha,
     )
+    # the top-k cut below derives from `weighted`; keep its cache
+    # handles on the returned frame for the caller's release
+    caches = getattr(weighted, "_jonesy_cached_deps", ())
     u = _hash_unit(salt, F.col(id_col))
     # u in [0, 1): guard the u == 0 endpoint (ln(0)) by the half-step
     # below the smallest representable draw — deterministic, oracle-safe.
@@ -1174,10 +1187,11 @@ def dsir_select(
     # the subtraction — and therefore the top-k cut — is exact integer
     # arithmetic on both engines.
     key = F.col("log_weight_micro") - micro_units(F.log(-F.log(safe_u)))
-    return (
+    return _track_caches(
         weighted.withColumn("sample_key_micro", key)
         .orderBy(F.col("sample_key_micro").desc(), F.col(id_col))
-        .limit(k)
+        .limit(k),
+        *caches,
     )
 
 

@@ -483,6 +483,25 @@ def simhash_near_dup(
     )
     half = n_bits // 2
     assert half % band_size == 0, "bands must not straddle fingerprint halves"
+    # The md5 hex is parsed ONCE per token into 8-hex-digit (32-bit)
+    # integer chunks; each bit's vote then reads a shift+mask of a
+    # chunk column instead of its own conv(substring(hex)) string
+    # parse — 64 convs/token -> 2 at n_bits=64 (r14; bit values are
+    # identical: chunk c covers bits 32c+1..32c+32 big-endian, exactly
+    # the digit/mask layout the per-digit form read).
+    n_hex = n_bits // 4
+    chunk_cols = []
+    for ci, c0 in enumerate(range(0, n_hex, 8)):
+        width = min(8, n_hex - c0)
+        chunk_cols.append(
+            (
+                F.conv(F.substring("hh", c0 + 1, width), 16, 10)
+                .cast("long")
+                .alias(f"hc{ci}"),
+                c0 * 4,
+                width * 4,
+            )
+        )
     ex = (
         df.repartition(CPU_PARTITIONS, F.col(id_col))
         .select(
@@ -491,14 +510,22 @@ def simhash_near_dup(
             F.explode(TX.tokens(F.col(text_col))).alias("t"),
         )
         .select("doc_id", "block", F.md5("t").alias("hh"))
+        .select("doc_id", "block", *[c for c, _, _ in chunk_cols])
     )
 
     def vote(p: int) -> Column:
-        # Bit p (1-indexed) reads hex digit (p-1)//4 + 1 under mask
-        # 8 >> ((p-1) % 4) — the digit's actual bits, high to low.
-        d, m = (p - 1) // 4 + 1, 8 >> ((p - 1) % 4)
-        v = F.conv(F.substring("hh", d, 1), 16, 10).cast("int")
-        return F.when(v.bitwiseAND(m) > 0, 1).otherwise(-1)
+        # Bit p (1-indexed, big-endian over the md5 hex) lives in the
+        # chunk whose bit range contains it; +1 set / -1 clear.
+        ci = next(
+            i
+            for i, (_, lo_bits, n_chunk_bits) in enumerate(chunk_cols)
+            if lo_bits < p <= lo_bits + n_chunk_bits
+        )
+        _, lo_bits, n_chunk_bits = chunk_cols[ci]
+        bit = F.shiftright(
+            F.col(f"hc{ci}"), n_chunk_bits - (p - lo_bits)
+        ).bitwiseAND(F.lit(1))
+        return (bit * 2 - 1).cast("int")
 
     sums = ex.groupBy("doc_id", "block").agg(
         *[F.sum(vote(p)).alias(f"s{p}") for p in range(1, n_bits + 1)]

@@ -61,15 +61,20 @@ def bm25_search(
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("t"),
     ).filter(F.col("t") != "")
     # per-doc length over ALL tokens (BM25 normalizes by full doc
-    # length), plus the 1-row corpus aggregates
-    lens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("len"))
+    # length), plus the 1-row corpus aggregates. Persisted: lens feeds
+    # the corpus aggregate AND the contribution join, tf feeds the idf
+    # aggregate AND the contribution join — without the persists each
+    # consumer re-ran the token explode from the corpus scan (r14 plan
+    # audit: 28 Exchanges, the explode subtree 4x). lens is one narrow
+    # row per doc; tf is query-hit-sized. Released via _track_caches.
+    lens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("len")).persist()
     corpus = lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avg_len")
     )
     # query-term hits only from here on — the map-side semi-join is
     # what keeps the aggregation input query-sized, not corpus-sized
     hits = toks.join(F.broadcast(qdf), "t")
-    tf = hits.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    tf = hits.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf")).persist()
     df_t = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     idf = df_t.crossJoin(F.broadcast(corpus)).select(
         "t",
@@ -98,7 +103,9 @@ def bm25_search(
             ).alias("c"),
         )
     )
-    return (
+    from .dedup import _track_caches
+
+    return _track_caches(
         contrib.groupBy(id_col)
         .agg(
             (F.round(F.sum(F.col("c").cast("decimal(12,9)")), 6) * 1_000_000)
@@ -107,7 +114,9 @@ def bm25_search(
             F.count(F.lit(1)).cast("int").alias("n_hits"),
         )
         .orderBy(F.col("score_micro").desc(), F.col(id_col))
-        .limit(top_k)
+        .limit(top_k),
+        lens,
+        tf,
     )
 
 
@@ -440,9 +449,10 @@ def hybrid_search(
     else:
         qv = [round(c / nrm, 6) for c in comp]
 
-    bm = bm25_search(
+    bm0 = bm25_search(
         docs, terms, top_k=channel_n, text_col=text_col, id_col=id_col
-    ).select(id_col, F.col("score_micro").alias("bm_score"))
+    )
+    bm = bm0.select(id_col, F.col("score_micro").alias("bm_score"))
     w_bm = Window.orderBy(F.col("bm_score").desc(), F.col(id_col))
     bm_ranked = bm.select(
         id_col, F.row_number().over(w_bm).alias("bm25_rank")
@@ -481,8 +491,11 @@ def hybrid_search(
         .cast("long")
         .alias("rrf_score_nano"),
     )
-    return (
+    from .dedup import carry_caches
+
+    return carry_caches(
         fused.orderBy(F.col("rrf_score_nano").desc(), F.col(id_col))
         .limit(top_k)
-        .select(id_col, "rrf_score_nano", "bm25_rank", "dense_rank")
+        .select(id_col, "rrf_score_nano", "bm25_rank", "dense_rank"),
+        bm0,
     )

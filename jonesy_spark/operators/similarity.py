@@ -252,7 +252,11 @@ def embedding_near_dup(
     the K ~ sqrt(n) default otherwise runs; it is only consulted when
     neither ``centroids`` nor ``n_centroids`` pins K explicitly.
     """
-    e = _prepared(emb)
+    # Persisted: the prepared vector frame feeds the centroid slice,
+    # the assignment cross join, and BOTH verification re-attach sides
+    # — four evaluations of scan + repartition + norm without it (r14).
+    # Released with the assignment handle below.
+    e = _prepared(emb).persist()
     if centroids is None and n_centroids is None:
         n_centroids = adaptive_centroids(
             n_docs if n_docs is not None else emb.count()
@@ -293,6 +297,7 @@ def embedding_near_dup(
         )
         .filter(F.col("cosine_micro") >= _micro_threshold(threshold)),
         assign,
+        e,
     )
 
 
@@ -1660,23 +1665,32 @@ def margin_bitext_pairs(
         F.row_number().over(wx).alias("rx"),
         F.row_number().over(wy).alias("ry"),
     )
-    sx = ranked.filter(F.col("rx") <= k_neighborhood).groupBy("src_id").agg(
-        F.sum("cosine_micro").alias("ksum_x")
-    )
-    sy = ranked.filter(F.col("ry") <= k_neighborhood).groupBy("tgt_id").agg(
-        F.sum("cosine_micro").alias("ksum_y")
-    )
-    m = (
-        ranked.join(sx, "src_id")
-        .join(sy, "tgt_id")
-        .withColumn(
-            "margin_micro",
-            F.round(
-                F.col("cosine_micro")
-                * (2_000_000.0 * k_neighborhood)
-                / (F.col("ksum_x") + F.col("ksum_y"))
-            ).cast("long"),
-        )
+    # Neighborhood k-sums as WINDOW aggregates over the same src/tgt
+    # partitionings the rank windows already established — not a
+    # groupBy + join back, which made `ranked` a three-consumer
+    # subtree and re-ran the cross-bucket cosine scoring (and both
+    # rank windows) once per consumer (r14 plan audit: 30 Exchanges ->
+    # one linear chain). Identical values: the sum over rows with
+    # rank <= k within a partition is the same number the filtered
+    # groupBy computed, attached to every row of the partition as the
+    # inner join did (every id has a rank-1 row, so no rows vanish).
+    wxa = Window.partitionBy("src_id")
+    wya = Window.partitionBy("tgt_id")
+    m = ranked.select(
+        "*",
+        F.sum(
+            F.when(F.col("rx") <= k_neighborhood, F.col("cosine_micro"))
+        ).over(wxa).alias("ksum_x"),
+        F.sum(
+            F.when(F.col("ry") <= k_neighborhood, F.col("cosine_micro"))
+        ).over(wya).alias("ksum_y"),
+    ).withColumn(
+        "margin_micro",
+        F.round(
+            F.col("cosine_micro")
+            * (2_000_000.0 * k_neighborhood)
+            / (F.col("ksum_x") + F.col("ksum_y"))
+        ).cast("long"),
     )
     wmx = Window.partitionBy("src_id").orderBy(
         F.col("margin_micro").desc(), F.col("tgt_id")
