@@ -83,13 +83,23 @@ def _canonical(edges: DataFrame) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Link every node's larger neighbors to min(neighborhood + self).
-    Output stays (u > v)-oriented because the min is <= u < neighbor."""
+    Output stays (u > v)-oriented because the min is <= u < neighbor.
+
+    The per-node neighborhood minimum is a WINDOW aggregate over the
+    undirected edge list — one keyed shuffle — instead of the r13
+    groupBy + join-back, which shuffled the same rows twice and made
+    the star a two-consumer subtree that each round had to
+    localCheckpoint before :func:`_small_star` could consume it (r14).
+    A hub's window partition is linear in its degree, exactly the rows
+    the old join co-located on the same key anyway."""
+    from pyspark.sql import Window
+
     und = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    mins = und.groupBy("u").agg(F.min("v").alias("mn"))
+    mn = F.min("v").over(Window.partitionBy("u"))
     return (
-        und.join(mins, "u")
+        und.select("u", "v", mn.alias("mn"))
         .filter(F.col("v") > F.col("u"))
         .select(
             F.col("v").alias("u"),
@@ -100,16 +110,27 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Link each node and its smaller neighbors to its minimum smaller
-    neighbor. Expects and preserves the (u > v) orientation."""
-    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
-    neighbor_links = edges.join(mins, "u").select(
-        F.col("v").alias("a"), F.col("m").alias("b")
+    neighbor. Expects and preserves the (u > v) orientation.
+
+    Window-min + a 2-way explode emits each edge's neighbor link
+    (v -> m_u) AND its node's self link (u -> m_u) in ONE pass over
+    ONE evaluation of the input — the r13 groupBy/join/union shape
+    consumed the input from two subtrees. Self links arrive once per
+    incident edge instead of once per node; the canonical distinct
+    (already present) collapses them, so the output SET is unchanged."""
+    from pyspark.sql import Window
+
+    m = F.min("v").over(Window.partitionBy("u"))
+    linked = edges.select("u", "v", m.alias("m")).select(
+        F.explode(
+            F.array(
+                F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+            )
+        ).alias("l")
     )
-    self_links = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
     return _canonical(
-        neighbor_links.union(self_links).select(
-            F.col("a").alias("u"), F.col("b").alias("v")
-        )
+        linked.select(F.col("l.a").alias("u"), F.col("l.b").alias("v"))
     )
 
 
@@ -156,12 +177,12 @@ def _run_star_rounds(edges: DataFrame, max_rounds: int) -> tuple[DataFrame, int]
     if _is_star_forest(edges):
         return edges, 0
     for rounds in range(1, max_rounds + 1):
-        # Checkpoint BETWEEN the stars too: each star's output feeds two
-        # consumers (its min table and the join probe), and Spark plans
-        # them as separate subtrees (no ReusedExchange across the alias
-        # boundary — verified on the executed plan), so an
-        # un-materialized large-star would be computed twice per round.
-        edges = _small_star(_large_star(edges).localCheckpoint()).localCheckpoint()
+        # One checkpoint per round: with the window-min formulation
+        # (r14) each star is a single-consumer chain — the r13 shape
+        # needed a second localCheckpoint between the stars because
+        # large-star's output fed two subtrees (its min table and the
+        # join probe). Half the driver-sync barriers per round.
+        edges = _small_star(_large_star(edges)).localCheckpoint()
         if _is_star_forest(edges):
             return edges, rounds
     raise RuntimeError(

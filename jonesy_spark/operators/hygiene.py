@@ -1013,6 +1013,11 @@ def repeated_span_removal(
         id_col, F.posexplode(F.col("arr")).alias("pos", "tok")
     ).filter(F.col("tok") != "")
     n = F.size(F.col("arr"))
+    # Persisted: grams feeds the document-frequency pass AND the
+    # removed-span join — without the persist both re-run the per-
+    # position gram md5 transform (the operator's heaviest map) from
+    # the scan (r14 plan audit: 16 Exchanges, the gram subtree twice).
+    # Released via the _track_caches handle.
     grams = base.select(
         id_col,
         F.posexplode(
@@ -1025,7 +1030,7 @@ def repeated_span_removal(
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("start", "g"),
-    )
+    ).persist()
     hot = (
         grams.select(id_col, "g")
         .distinct()
@@ -1049,7 +1054,14 @@ def repeated_span_removal(
         ).alias("pos"),
     ).distinct()
     kept = toks.join(covered, [id_col, "pos"], "left_anti")
-    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    # token totals map-side from the array (count of non-empty
+    # elements), not a second explode + groupBy over the token stream;
+    # the >= 1 filter preserves the old frame's domain exactly (a doc
+    # with zero non-empty tokens produced no grouped row)
+    totals = base.select(
+        id_col,
+        F.size(F.filter(F.col("arr"), lambda x: x != "")).alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 1)
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
             " ",
@@ -1060,13 +1072,18 @@ def repeated_span_removal(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    return totals.join(rebuilt, id_col, "left").select(
-        id_col,
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        F.col("n_tokens").cast("int").alias("n_tokens"),
-        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("int")
-        .alias("n_removed"),
+    from .dedup import _track_caches
+
+    return _track_caches(
+        totals.join(rebuilt, id_col, "left").select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        ),
+        grams,
     )
 
 

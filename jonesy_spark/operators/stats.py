@@ -1297,6 +1297,12 @@ def kmv_overlap_report(
             f"by the kth hash, which k=1 lets be 0), got {k=}"
         )
 
+    # Persisted: the sketch frame feeds four subtrees (both sides of
+    # the key self-join and both union branches) — without the persist
+    # each re-runs the upstream ledger fold (r14 plan audit: 54
+    # Exchanges in kmv_overlap_users' plan). <= G x k rows by the KMV
+    # contract. Released via the _track_caches handle.
+    sketches = sketches.persist()
     keys = sketches.select("key").distinct()
     pairs = (
         keys.withColumnRenamed("key", "a")
@@ -1330,11 +1336,18 @@ def kmv_overlap_report(
     est_union = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
         F.expr(f"CAST({numer} DIV kth_hash AS BIGINT)")
     )
-    return agg.withColumn("est_union", est_union).withColumn(
-        "est_intersection",
-        F.when(F.col("n_kept") < k, F.col("n_common")).otherwise(
-            F.expr("CAST(est_union * n_common DIV " + str(k) + " AS BIGINT)")
+    from .dedup import _track_caches
+
+    return _track_caches(
+        agg.withColumn("est_union", est_union).withColumn(
+            "est_intersection",
+            F.when(F.col("n_kept") < k, F.col("n_common")).otherwise(
+                F.expr(
+                    "CAST(est_union * n_common DIV " + str(k) + " AS BIGINT)"
+                )
+            ),
         ),
+        sketches,
     )
 
 

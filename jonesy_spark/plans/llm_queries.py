@@ -1020,13 +1020,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated on that key, so the exchange is reused). Only the
     single-row corpus count is broadcast unconditionally.
     """
-    docs = Catalog(spark, sf_dir).documents
+    # spread: the token explode runs over a 1-split fixture scan
+    # (no-op at cluster scale)
+    docs = spread(Catalog(spark, sf_dir).documents, "doc_id")
     from pyspark.sql import Window
 
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token")
     ).filter(F.col("token") != "")
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # Persisted: tf feeds the df aggregation AND the scoring join —
+    # without the persist both re-run the explode from the scan (r14).
+    # Released by the bench/driver release_caches hook.
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).persist()
     df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n"))
     scored = (
@@ -1043,9 +1048,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.col("salience_micro").desc(), F.col("token")
     )
-    return (
+    return DD._track_caches(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 3)
+        .filter(F.col("rank") <= 3),
+        tf,
     )
 
 
