@@ -1028,14 +1028,19 @@ def prefix_jaccard_pairs(
     path) or must opt into the capped collapse. The check is skipped
     when ``bucket_cap`` is set — the collapse already bounds every
     bucket to O(k)."""
-    # Persisted: ex feeds FOUR consumers (the df aggregation, the
-    # position window, and both verification re-attach sides) — without
-    # the persist each one re-runs the explode + per-token md5 +
-    # distinct from the corpus scan (r14: the before-plan carried 28
-    # Exchanges, mostly this subtree repeated; the row timed 4.4 s ->
-    # see OPTIMIZATION_r14.md). Distinct (doc, token-hash) rows — the
-    # same width the shuffles already carry. Released via the
-    # _track_caches handle.
+    # Persisted EAGERLY: ex feeds FOUR consumers (the df aggregation,
+    # the position window, and both verification re-attach sides) —
+    # without the persist each one re-runs the explode + per-token md5
+    # + distinct from the corpus scan (r14: the before-plan carried 28
+    # Exchanges, mostly this subtree repeated, and the executed
+    # persist-off plan showed 13 parquet scans with ZERO runtime
+    # ReusedExchange). A lazy persist never populates in time for
+    # same-job reuse (r14 interleaved A/B at sf0.1: lazy med 5.83 s vs
+    # no-persist 5.64 s; eager min 4.94 ≈ no-persist 4.96) — the
+    # eager count is a wash locally and at corpus scale replaces four
+    # explode+distinct passes with one. Distinct (doc, token-hash)
+    # rows — the same width the shuffles already carry. Released via
+    # the _track_caches handle.
     ex = (
         df.repartition(CPU_PARTITIONS, F.col(id_col))
         .select(
@@ -1048,6 +1053,7 @@ def prefix_jaccard_pairs(
         .distinct()
         .persist()
     )
+    ex.count()
     dft = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window as W
 

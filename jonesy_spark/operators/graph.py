@@ -408,9 +408,17 @@ def pagerank(
         # as `nodes`, and already checkpointed) so the previous rank
         # rides along: the L1-delta below then reads the new
         # checkpoint's own blocks instead of re-joining two rank
-        # generations (r14 — second join subtree removed per round)
+        # generations (r14 — second join subtree removed per round).
+        # The __old carry exists ONLY for that delta, so fixed-iteration
+        # mode (tol == 0: link_authority's 6-round witness) does not pay
+        # the extra double per node in every checkpoint generation
+        # (r14: the unconditional carry regressed link_authority
+        # 1.92 -> 2.51 s while converged mode improved 6.81 -> 4.97).
+        carry_old = (
+            [F.col("rank").alias("__old")] if tol > 0 else []
+        )
         new_ranks = (
-            ranks.select("node", F.col("rank").alias("__old"), "dang")
+            ranks.select("node", "rank", "dang")
             .join(contrib, "node", "left")
             .crossJoin(F.broadcast(dm))
             .select(
@@ -424,7 +432,7 @@ def pagerank(
                     )
                 ).alias("rank"),
                 "dang",
-                "__old",
+                *carry_old,
             )
         )
         new_ranks, new_ranks_ids = _tracked_checkpoint(new_ranks)

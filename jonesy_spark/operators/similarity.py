@@ -948,6 +948,7 @@ def pq_codebooks(
     seed: int = 13,
     max_iter: int = 8,
     n_train: int = 4096,
+    prepared: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization codebooks (Jégou et al. 2011, public
     method — the IVF-PQ half every billion-scale vector store runs):
@@ -979,7 +980,10 @@ def pq_codebooks(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     d = dim // m
-    unit = _prepared(emb).select(
+    # `prepared` lets pq_topk share ONE persisted _prepared frame
+    # across codebook training, encoding, the query side and the
+    # re-rank (r14: each used to re-run the scan + as_double + norm)
+    unit = (prepared if prepared is not None else _prepared(emb)).select(
         "vec_id",
         F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u"),
     )
@@ -1038,7 +1042,11 @@ def _pq_m(codebooks: DataFrame) -> int:
     return top + 1
 
 
-def pq_encode(emb: DataFrame, codebooks: DataFrame) -> DataFrame:
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    prepared: DataFrame | None = None,
+) -> DataFrame:
     """Encode unit-normalized embeddings under a PQ codebook:
     ``(vec_id, codes array<int>, label)`` with ``codes[j]`` the
     nearest subspace-``j`` centroid — ``m`` small ints instead of
@@ -1060,7 +1068,7 @@ def pq_encode(emb: DataFrame, codebooks: DataFrame) -> DataFrame:
             [], "vec_id long, label string, codes array<int>"
         )
     d = dim_row["s"] // m
-    unit = _prepared(emb).select(
+    unit = (prepared if prepared is not None else _prepared(emb)).select(
         "vec_id",
         "label",
         F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u"),
@@ -1150,10 +1158,19 @@ def pq_topk(
     touches ``n_queries * overfetch * k`` rows. Pass precomputed
     ``codebooks``/``codes`` (the persisted-store path) to skip
     training and encoding."""
+    from .dedup import _track_caches
+
+    # ONE persisted _prepared frame shared by codebook training, the
+    # encode pass, the query side, the IVF branch and the float
+    # re-rank (r14: five separate _prepared subtrees each re-ran the
+    # scan + as_double + norm; the codebook sample's bounded collect
+    # is the eager job that populates the cache for every later
+    # consumer). Released via the _track_caches handle.
+    prep = _prepared(emb).persist()
     if codebooks is None:
-        codebooks = pq_codebooks(emb, m=m, k=n_codes)
+        codebooks = pq_codebooks(emb, m=m, k=n_codes, prepared=prep)
     if codes is None:
-        codes = pq_encode(emb, codebooks)
+        codes = pq_encode(emb, codebooks, prepared=prep)
 
     mm = _pq_m(codebooks)
     dim_row = emb.select(F.size("embedding").alias("s")).first()
@@ -1161,11 +1178,12 @@ def pq_topk(
         # mirror pq_encode's empty-frame guard: no vectors means no
         # queries and no candidates — an empty result, not a NoneType
         # subscript
+        prep.unpersist()
         return emb.sparkSession.createDataFrame(
             [], "query_id long, vec_id long, cosine_micro long, rank int"
         )
     dsub = dim_row["s"] // mm
-    unit = _prepared(emb).select(
+    unit = prep.select(
         "vec_id", F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u")
     )
     q = unit.filter(F.col("vec_id") < n_queries)
@@ -1199,7 +1217,7 @@ def pq_topk(
         "vec_id", F.posexplode("codes").alias("sub", "code")
     ).withColumn("sub", F.col("sub").cast("int"))
     if n_cells is not None:
-        e = _prepared(emb)
+        e = prep
         db_cells = ivf_assignments(e, n_centroids=n_cells, probes=1)
         q_cells = ivf_assignments(
             e.filter(F.col("vec_id") < n_queries),
@@ -1250,7 +1268,7 @@ def pq_topk(
     if not rerank:
         # approximate scores straight from ADC (unit vectors):
         # cos = 1 - d2/2
-        return (
+        return _track_caches(
             adc.join(F.broadcast(cand), ["query_id", "vec_id"])
             .select(
                 "query_id",
@@ -1264,15 +1282,19 @@ def pq_topk(
                         F.col("cosine_micro").desc(), F.col("vec_id")
                     )
                 ),
-            )
+            ),
+            prep,
         )
-    fl = emb.select("vec_id", VX.as_double(F.col("embedding")).alias("fv"))
-    fl = fl.withColumn("fn", VX.norm(F.col("fv")))
+    # the float re-rank side reads the SAME persisted frame (fv == v,
+    # fn == nrm by construction — as_double then norm)
+    fl = prep.select(
+        "vec_id", F.col("v").alias("fv"), F.col("nrm").alias("fn")
+    )
     qf = fl.withColumnsRenamed({"vec_id": "query_id", "fv": "qfv", "fn": "qfn"})
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_micro").desc(), F.col("vec_id")
     )
-    return (
+    return _track_caches(
         fl.join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(qf.filter(F.col("query_id") < n_queries)), "query_id")
         .withColumn(
@@ -1283,7 +1305,8 @@ def pq_topk(
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine_micro", "rank")
+        .select("query_id", "vec_id", "cosine_micro", "rank"),
+        prep,
     )
 
 

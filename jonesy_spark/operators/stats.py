@@ -1297,12 +1297,18 @@ def kmv_overlap_report(
             f"by the kth hash, which k=1 lets be 0), got {k=}"
         )
 
-    # Persisted: the sketch frame feeds four subtrees (both sides of
-    # the key self-join and both union branches) — without the persist
-    # each re-runs the upstream ledger fold (r14 plan audit: 54
-    # Exchanges in kmv_overlap_users' plan). <= G x k rows by the KMV
-    # contract. Released via the _track_caches handle.
+    # Persisted EAGERLY: the sketch frame feeds four subtrees (both
+    # sides of the key self-join and both union branches) — without the
+    # persist each re-runs the upstream sketch build (r14 plan audit: 54
+    # Exchanges in kmv_overlap_users' plan). A LAZY persist never
+    # populates in time for same-job reuse and measured as pure
+    # overhead (r14 interleaved A/B at sf0.1: lazy med 1.86 s vs
+    # no-persist 1.65 s vs eager 1.10 s ≈ no-persist 1.08 s); the
+    # eager count costs one extra tiny job (<= G x k rows by the KMV
+    # contract) and at corpus scale replaces four upstream scans with
+    # one. Released via the _track_caches handle.
     sketches = sketches.persist()
+    sketches.count()
     keys = sketches.select("key").distinct()
     pairs = (
         keys.withColumnRenamed("key", "a")

@@ -1078,9 +1078,14 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: chunking is map-side only; output rows ≈ corpus_len/stride.
     Downstream embedding/tokenization operates per chunk.
     """
-    # spread: chunk-explode map over a 1-split fixture scan (no-op at
-    # scale)
-    docs = spread(Catalog(spark, sf_dir).documents)
+    # No spread here (unlike the other map-only rows): the chunk
+    # explode is cheap enough per row that the repartition round-trip
+    # costs more than the serial map saves (r14 interleaved A/B at
+    # sf0.1: spread ON min 0.26 / med 0.33 s vs OFF min 0.21 / med
+    # 0.23 s; the other spread rows measured neutral-or-better with
+    # it). At corpus scale the scan plans many splits and chunking
+    # parallelizes off the scan itself.
+    docs = Catalog(spark, sf_dir).documents
     n_chunks = F.floor((F.length("text") - 1) / 150).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks),
