@@ -443,9 +443,14 @@ def test_scd2_history_plan_is_single_exchange(spark):
 
 def test_crawl_gate_composed_plan_is_map_only(spark):
     """The composed crawl gate's scale claim, pinned in the plan
-    (VERDICT r11 #6): html synthesis -> strip_html -> C4 array-filter
-    line gate -> Gopher document gate is ZERO-exchange — scan plus
-    codegen'd projections, no joins, no aggregates, no Python."""
+    (VERDICT r11 #6, amended r14): html synthesis -> strip_html -> C4
+    array-filter line gate -> Gopher document gate is scan plus
+    codegen'd projections — no joins, no aggregates, no Python, and no
+    KEYED shuffle. r14's `catalog.spread()` may add AT MOST ONE
+    round-robin Exchange (the scale-adaptive parallelism floor for
+    1-split fixture scans, guide §2.5); round-robin moves no keys and
+    leaves the map-only semantics intact, so the pin now forbids any
+    hash/range partitioning and allows <= 1 RoundRobinPartitioning."""
     import contextlib
     import io
     import re
@@ -457,6 +462,11 @@ def test_crawl_gate_composed_plan_is_map_only(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    for node in ("Exchange", "BroadcastExchange", "SortMergeJoin",
+    for node in ("BroadcastExchange", "SortMergeJoin",
                  "HashAggregate", "BatchEvalPython", "ArrowEvalPython"):
         assert not re.findall(rf"\(\d+\) {node}\b", plan), node
+    assert not re.findall(r"hashpartitioning|rangepartitioning", plan), plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 1, plan
+    assert len(re.findall(r"RoundRobinPartitioning", plan)) == len(
+        re.findall(r"\(\d+\) Exchange\b", plan)
+    ), plan
