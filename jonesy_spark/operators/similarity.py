@@ -1052,19 +1052,12 @@ def pq_encode(
     nearest subspace-``j`` centroid — ``m`` small ints instead of
     ``dim`` floats, the 32x-smaller scan side of :func:`pq_topk`.
 
-    Plan shape (r14, guide §2.1 "remove shuffles outright"): the
-    codebook is bounded by construction (``m * k`` rows — parameters,
-    not data), so it collects once and every per-subspace argmin folds
-    MAP-SIDE with literal centers: codes[j] = argmin_c of the same
-    zip-with-fold squared distance the old broadcast join computed,
-    ties to the lowest code via the same (d, code) struct-min. The
-    previous shape exploded each vector to ``m`` rows, joined the
-    broadcast codebook into ``m * k`` rows, then paid TWO keyed
-    aggregations (per-(vec, sub) argmin + codes-array assembly) — two
-    Exchanges over corpus-wide rows, now zero (r14: ann_pq_topk's
-    encode phase 2.3 s -> see OPTIMIZATION_r14.md). Distances are the
-    identical double expressions, so the emitted codes are
-    bit-identical to the join path's."""
+    Plan shape: the codebook broadcasts; each vector explodes to its
+    ``m`` subvectors map-side, the ``k`` candidate distances fold in
+    the join projection, and the per-(vec, sub) argmin plus the
+    codes-array assembly are two keyed aggregations with map-side
+    combine (ties break to the lowest code, deterministically). No
+    corpus-wide anything but the one vec_id-keyed agg."""
     m = _pq_m(codebooks)
     dim_row = emb.select(F.size("embedding").alias("s")).first()
     if dim_row is None:
@@ -1080,36 +1073,42 @@ def pq_encode(
         "label",
         F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u"),
     )
-    # bounded collect: m * k codebook rows (<= 2048 at the widest
-    # configuration in the repo) — the same budget class as the
-    # codebook TRAINING collect above
-    cb: dict[int, list] = {}
-    for r in codebooks.select("sub", "code", "sv").collect():
-        cb.setdefault(r["sub"], []).append((r["code"], r["sv"]))
-
-    def _best_code(j: int):
-        x = F.slice(F.col("u"), j * d + 1, d)
-        cands = [
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        x,
-                        F.array(*[F.lit(float(v)) for v in sv]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, y: acc + y,
-                ).alias("d"),
-                F.lit(code).cast("int").alias("code"),
-            )
-            for code, sv in sorted(cb.get(j, []))
-        ]
-        return F.array_min(F.array(*cands)).getField("code")
-
-    return unit.select(
+    subs = unit.select(
         "vec_id",
         "label",
-        F.array(*[_best_code(j) for j in range(m)]).alias("codes"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("sub"),
+                        F.slice(F.col("u"), j * d + 1, d).alias("x"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "label", "s.sub", "s.x")
+    d2 = F.aggregate(
+        F.zip_with(F.col("x"), F.col("sv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+    best = (
+        subs.join(F.broadcast(codebooks), "sub")
+        .select(
+            "vec_id",
+            "label",
+            "sub",
+            F.struct(d2.alias("d"), F.col("code")).alias("dc"),
+        )
+        .groupBy("vec_id", "label", "sub")
+        .agg(F.min("dc").getField("code").alias("code"))
+    )
+    return best.groupBy("vec_id", "label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s.getField("code"),
+        ).alias("codes")
     )
 
 
@@ -1188,66 +1187,35 @@ def pq_topk(
         "vec_id", F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u")
     )
     q = unit.filter(F.col("vec_id") < n_queries)
-    # r14 (guide §2.1/§2.2): the LUT and the ADC fold are both
-    # map-side now. The codebook is bounded (m * k rows — parameters,
-    # not data), so it collects once and each query's m x k lookup
-    # table is ONE flat array column (index = sub * kk + code) built
-    # from the query vector with literal centers — the same zip-with
-    # fold doubles the old broadcast-join LUT produced. The corpus
-    # side then never explodes: ADC is an in-order fold over the m
-    # codes against the broadcast per-query LUT row, replacing the
-    # old explode (m rows/vec) + LUT join + corpus-wide
-    # groupBy(query, vec) Exchange with a projection after a
-    # broadcast nested-loop join against n_queries rows. (The old
-    # F.sum folded the m lookup doubles in nondeterministic map-side
-    # combine order; the in-order fold is a strict determinism
-    # improvement, and the fixture-pinned separation margin — no adc
-    # sum near a half-micro boundary — covers the ULP difference.)
-    cb: dict[int, list] = {}
-    for r in codebooks.select("sub", "code", "sv").collect():
-        cb.setdefault(r["sub"], []).append((r["code"], r["sv"]))
-    kk = max(len(v) for v in cb.values())
-    # the flat LUT below indexes entry (j, code) at j * kk + code, so
-    # every subspace must carry the SAME contiguous 0..kk-1 code set
-    # (pq_codebooks always emits one; a hand-built/fixture codebook
-    # that dropped a row would silently misalign without this guard)
-    for j in range(mm):
-        codes_j = [c for c, _ in sorted(cb.get(j, []))]
-        if codes_j != list(range(kk)):
-            raise ValueError(
-                f"pq_topk needs a complete codebook: subspace {j} has "
-                f"codes {codes_j}, expected 0..{kk - 1}"
+    qsubs = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("sub"),
+                        F.slice(F.col("u"), j * dsub + 1, dsub).alias("qx"),
+                    )
+                    for j in range(mm)
+                ]
             )
-
-    def _lut_entry(j: int, sv) -> "F.Column":
-        return F.aggregate(
+        ).alias("s"),
+    ).select("query_id", "s.sub", "s.qx")
+    lut = qsubs.join(F.broadcast(codebooks), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.aggregate(
             F.zip_with(
-                F.slice(F.col("u"), j * dsub + 1, dsub),
-                F.array(*[F.lit(float(v)) for v in sv]),
-                lambda a, b: (a - b) * (a - b),
+                F.col("qx"), F.col("sv"), lambda a, b: (a - b) * (a - b)
             ),
             F.lit(0.0),
             lambda acc, y: acc + y,
-        )
-
-    lut_arr = q.select(
-        F.col("vec_id").alias("query_id"),
-        F.array(
-            *[
-                _lut_entry(j, sv)
-                for j in range(mm)
-                for _code, sv in sorted(cb[j])
-            ]
-        ).alias("lut"),
+        ).alias("d2"),
     )
-    adc_fold = F.aggregate(
-        F.sequence(F.lit(0), F.lit(mm - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(
-            F.col("lut"), j * kk + F.element_at(F.col("codes"), j + 1) + 1
-        ),
-    )
+    exploded = codes.select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    ).withColumn("sub", F.col("sub").cast("int"))
     if n_cells is not None:
         e = prep
         db_cells = ivf_assignments(e, n_centroids=n_cells, probes=1)
@@ -1262,19 +1230,21 @@ def pq_topk(
             ),
         ).withColumnsRenamed({"vec_id": "query_id"})
         # tag each code row with its one cell (vec_id-co-keyed join),
-        # then keep only (query, vec) pairs inside a probed cell
+        # then keep only rows inside a probed cell of each query
+        exploded = exploded.join(db_cells, "vec_id")
         adc = (
-            codes.join(db_cells, "vec_id")
-            .crossJoin(F.broadcast(lut_arr))
+            exploded.join(F.broadcast(lut), ["sub", "code"])
             .join(F.broadcast(q_cells), ["query_id", "cid"])
             .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", "vec_id", adc_fold.alias("adc_d2"))
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum("d2").alias("adc_d2"))
         )
     else:
         adc = (
-            codes.crossJoin(F.broadcast(lut_arr))
+            exploded.join(F.broadcast(lut), ["sub", "code"])
             .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", "vec_id", adc_fold.alias("adc_d2"))
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum("d2").alias("adc_d2"))
         )
     # adc_micro_rank (VERDICT r13 #6): candidate selection by the
     # MICRO-ROUNDED distance with vec_id tiebreak instead of the raw
