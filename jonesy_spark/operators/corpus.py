@@ -489,6 +489,8 @@ def unigram_logprob(
     id_col: str = "doc_id",
     vocab_size: int = 50_000,
     alpha: float = 0.5,
+    stream: DataFrame | None = None,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's OWN
     unigram distribution — the classic cheap perplexity proxy for
@@ -516,18 +518,37 @@ def unigram_logprob(
     MBs however large the corpus, which is the whole point of the OOV
     floor: unbounded tails stay out of the join. The 1-row totals frame
     cross-joins (broadcast) rather than collecting.
+
+    ``stream`` / ``tf`` (r14, guide §1.2 shared subtrees): a caller
+    composing this with :func:`bigram_logprob` over the SAME corpus
+    (:func:`excess_loss_select`) passes the one prepared token stream
+    — ``(id_col, pos, raw)``, the posexplode of the identical
+    lower/trim/split — and the one ``(raw, c)`` term-frequency table,
+    so the corpus is exploded and counted once instead of once per
+    scorer. Values are identical by construction (same expressions,
+    order-insensitive aggregates); cache ownership stays with the
+    caller for passed frames.
     """
-    toks = docs.repartition(CPU_PARTITIONS, F.col(id_col)).select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("t"),
-    )
+    own_tf = tf is None
+    if stream is not None:
+        toks = stream.select(F.col(id_col), F.col("raw").alias("t"))
+    else:
+        toks = docs.repartition(CPU_PARTITIONS, F.col(id_col)).select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), " ")
+            ).alias("t"),
+        )
     # Persisted: tf feeds BOTH the top-V cut and the totals aggregate —
     # without the persist each broadcast re-runs the full token explode
     # + groupBy (r14 plan audit: the corpus scan appeared 3x per
     # scorer). The frame is the distinct-token table (vocab-scale, far
     # smaller than the stream; MEMORY_AND_DISK spills if a pathological
     # corpus inflates it). Released via the _track_caches handle.
-    tf = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c")).persist()
+    if tf is None:
+        tf = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c")).persist()
+    else:
+        tf = tf.withColumnsRenamed({"raw": "t"})
     vocab = tf.orderBy(F.col("c").desc(), F.col("t")).limit(vocab_size)
     # v_actual = |vocab| = min(|tf|, vocab_size) — computed IN the same
     # 1-row aggregate instead of re-evaluating the top-V subtree for a
@@ -560,7 +581,7 @@ def unigram_logprob(
                 "avg_logprob_micro"
             ),
         ),
-        tf,
+        tf if own_tf else None,
     )
 
 
@@ -806,6 +827,8 @@ def bigram_logprob(
     vocab_size: int = 10_000,
     bigram_size: int = 100_000,
     alpha: float = 0.5,
+    stream: DataFrame | None = None,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean CONDITIONAL log-probability under the corpus's
     own bigram model — the perplexity-proxy upgrade over
@@ -841,13 +864,19 @@ def bigram_logprob(
     """
     from pyspark.sql import Window as W
 
-    stream = docs.repartition(CPU_PARTITIONS, F.col(id_col)).select(
-        F.col(id_col),
-        F.posexplode(
-            F.split(F.lower(F.trim(F.col(text_col))), " ")
-        ).alias("pos", "raw"),
-    )
-    tf = stream.groupBy("raw").agg(F.count(F.lit(1)).alias("c"))
+    # ``stream`` / ``tf`` (r14, guide §1.2): optional caller-prepared
+    # token stream and term-frequency table — see
+    # :func:`unigram_logprob`'s parameter note; values identical by
+    # construction, cache ownership stays with the caller.
+    if stream is None:
+        stream = docs.repartition(CPU_PARTITIONS, F.col(id_col)).select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col(text_col))), " ")
+            ).alias("pos", "raw"),
+        )
+    if tf is None:
+        tf = stream.groupBy("raw").agg(F.count(F.lit(1)).alias("c"))
     vocab = (
         tf.orderBy(F.col("c").desc(), "raw")
         .limit(vocab_size)
@@ -1287,10 +1316,32 @@ def excess_loss_select(
     over the token stream (:func:`unigram_logprob` /
     :func:`bigram_logprob` document the V / bigram-table bounds); the
     composition adds one doc-keyed equi-join and an orderBy+limit
-    top-k (partial per-partition top-k, never a global sort)."""
+    top-k (partial per-partition top-k, never a global sort).
+
+    The two scorers share ONE prepared token stream and ONE
+    term-frequency table (r14, guide §1.2): both tokenize with the
+    identical lower/trim/split expression and count the identical
+    multiset, so the corpus is exploded once and counted once instead
+    of once per scorer — values unchanged by construction
+    (order-insensitive aggregates over the same rows). Both frames
+    persist eagerly here (a lazy persist never populates in time for
+    same-job reuse — the r14 interleaved A/B finding) and release via
+    the output's cache handles."""
+    stream = (
+        docs.repartition(CPU_PARTITIONS, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col(text_col))), " ")
+            ).alias("pos", "raw"),
+        )
+        .persist()
+    )
+    tf = stream.groupBy("raw").agg(F.count(F.lit(1)).alias("c")).persist()
+    tf.count()  # one job populates both caches (tf scans stream)
     uni0 = unigram_logprob(
         docs, text_col=text_col, id_col=id_col,
-        vocab_size=vocab_size, alpha=alpha,
+        vocab_size=vocab_size, alpha=alpha, stream=stream, tf=tf,
     )
     uni = uni0.select(
         F.col(id_col),
@@ -1300,6 +1351,7 @@ def excess_loss_select(
     bi0 = bigram_logprob(
         docs, text_col=text_col, id_col=id_col,
         vocab_size=vocab_size, bigram_size=bigram_size, alpha=alpha,
+        stream=stream, tf=tf,
     )
     bi = bi0.select(
         F.col(id_col),
@@ -1314,4 +1366,6 @@ def excess_loss_select(
         .orderBy(F.col("excess_micro").desc(), F.col(id_col))
         .limit(k)
     )
-    return carry_caches(carry_caches(out, uni0), bi0)
+    return _track_caches(
+        carry_caches(carry_caches(out, uni0), bi0), stream, tf
+    )
