@@ -385,6 +385,25 @@ def _rank_table(merges) -> dict[tuple[str, str], int]:
     return {(r["left"], r["right"]): r["rank"] for r in rows}
 
 
+def _bpe_word_syms(word: str, ranks: dict) -> list[str]:
+    """Greedy lowest-rank-first merge replay for ONE pre-token — the
+    shared per-word kernel of every BPE encode/count UDF (the public
+    GPT-2 formulation: repeatedly merge the lowest-ranked adjacent
+    pair until none applies)."""
+    inf = float("inf")
+    syms = list(word)
+    while len(syms) > 1:
+        best, best_rank = None, inf
+        for p in zip(syms, syms[1:]):
+            r = ranks.get(p, inf)
+            if r < best_rank:
+                best, best_rank = p, r
+        if best is None:
+            break
+        syms = _merge_word(syms, best[0], best[1], best[0] + best[1])
+    return syms
+
+
 def bpe_encode(
     docs: DataFrame,
     merges,
@@ -408,25 +427,14 @@ def bpe_encode(
     def _enc(segs):  # pragma: no cover - executed on workers
         import pandas as pd
 
-        inf = float("inf")
         memo: dict[str, list[str]] = {}
 
         def encode_word(word: str) -> list[str]:
             got = memo.get(word)
-            if got is not None:
-                return got
-            syms = list(word)
-            while len(syms) > 1:
-                best, best_rank = None, inf
-                for p in zip(syms, syms[1:]):
-                    r = ranks.get(p, inf)
-                    if r < best_rank:
-                        best, best_rank = p, r
-                if best is None:
-                    break
-                syms = _merge_word(syms, best[0], best[1], best[0] + best[1])
-            memo[word] = syms
-            return syms
+            if got is None:
+                got = _bpe_word_syms(word, ranks)
+                memo[word] = got
+            return got
 
         out = []
         for seg_list in segs:
@@ -449,16 +457,47 @@ def bpe_token_stats(
     ``(doc_id, n_chars, n_pretokens, n_bpe_tokens, chars_per_token_micro)`` —
     the compression-ratio view that decides whether a vocabulary is
     worth its size. chars_per_token is fixed-point micro-units; counts are
-    exact. One encode pass; the merge table rides the closure."""
-    enc = bpe_encode(docs, merges, text_col=text_col)
-    return enc.select(
+    exact. One encode pass; the merge table rides the closure.
+
+    The report needs only the token COUNT per document, so the Arrow
+    UDF returns one int per doc instead of the full token array (r14,
+    guide §4.2 "pass only the columns the function needs" — applied to
+    the RETURN side: the per-word merge replay and memo are identical
+    to :func:`bpe_encode`'s via the shared :func:`_bpe_word_syms`
+    kernel, so ``n_bpe_tokens == size(bpe_encode(...))`` exactly —
+    pinned by test — while the giant per-doc token lists are never
+    built or Arrow-serialized; interleaved A/B at sf0.1: 0.74 → 0.37 s
+    warm-min)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = _rank_table(merges)
+
+    @pandas_udf("int")
+    def _cnt(segs):  # pragma: no cover - executed on workers
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def count_word(word: str) -> int:
+            got = memo.get(word)
+            if got is None:
+                got = len(_bpe_word_syms(word, ranks))
+                memo[word] = got
+            return got
+
+        return pd.Series(
+            [sum(count_word(w) for w in seg_list) for seg_list in segs]
+        )
+
+    cnt = docs.withColumn("__n_tok", _cnt(pretokens(F.col(text_col))))
+    return cnt.select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("n_chars"),
         F.size(pretokens(F.col(text_col))).alias("n_pretokens"),
-        F.size("bpe_tokens").alias("n_bpe_tokens"),
+        F.col("__n_tok").alias("n_bpe_tokens"),
         micro_units(
             F.length(F.col(text_col))
-            / F.greatest(F.size("bpe_tokens"), F.lit(1))
+            / F.greatest(F.col("__n_tok"), F.lit(1))
         ).alias("chars_per_token_micro"),
     )
 
@@ -566,24 +605,13 @@ def bpe_encode_ids(
     def _enc(segs):  # pragma: no cover - executed on workers
         import pandas as pd
 
-        inf = float("inf")
         memo: dict[str, list[int]] = {}
 
         def encode_word(word: str) -> list[int]:
             got = memo.get(word)
             if got is not None:
                 return got
-            syms = list(word)
-            while len(syms) > 1:
-                best, best_rank = None, inf
-                for p in zip(syms, syms[1:]):
-                    r = ranks.get(p, inf)
-                    if r < best_rank:
-                        best, best_rank = p, r
-                if best is None:
-                    break
-                syms = _merge_word(syms, best[0], best[1], best[0] + best[1])
-            out = [ids.get(s, oov_id) for s in syms]
+            out = [ids.get(s, oov_id) for s in _bpe_word_syms(word, ranks)]
             memo[word] = out
             return out
 
@@ -1077,16 +1105,51 @@ def unigram_token_stats(
     the unigram twin of :func:`bpe_token_stats`, column-for-column, so
     the two vocabularies compare on one dashboard:
     ``(doc_id, n_chars, n_pretokens, n_unigram_tokens,
-    chars_per_token_micro)``."""
-    enc = unigram_encode(docs, pieces, text_col=text_col)
-    return enc.select(
+    chars_per_token_micro)``.
+
+    Count-only Arrow UDF (r14, same rationale as
+    :func:`bpe_token_stats`): the report consumes only the token count,
+    so the UDF Viterbi-segments each DISTINCT pre-token (identical
+    ``_viterbi_py`` call and memo keying as :func:`unigram_encode`,
+    so the count equals ``size(unigram_encode(...))`` exactly — pinned
+    by test) and returns one int per doc; the token arrays are never
+    built or Arrow-serialized (interleaved A/B at sf0.1: 0.73 → 0.35 s
+    warm-min)."""
+    from pyspark.sql.functions import pandas_udf
+
+    if isinstance(pieces, DataFrame):
+        rows = pieces.collect()
+    else:
+        rows = list(pieces)
+    scores = {r["piece"]: int(r["logprob_micro"]) for r in rows}
+    max_piece_len = max((len(p) for p in scores), default=1)
+
+    @pandas_udf("int")
+    def _cnt(segs):  # pragma: no cover - executed on workers
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def count_word(w: str) -> int:
+            got = memo.get(w)
+            if got is None:
+                got = len(_viterbi_py(w, scores, max_piece_len))
+                memo[w] = got
+            return got
+
+        return pd.Series(
+            [sum(count_word(w) for w in seg_list) for seg_list in segs]
+        )
+
+    cnt = docs.withColumn("__n_tok", _cnt(pretokens(F.col(text_col))))
+    return cnt.select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("n_chars"),
         F.size(pretokens(F.col(text_col))).alias("n_pretokens"),
-        F.size("unigram_tokens").alias("n_unigram_tokens"),
+        F.col("__n_tok").alias("n_unigram_tokens"),
         micro_units(
             F.length(F.col(text_col))
-            / F.greatest(F.size("unigram_tokens"), F.lit(1))
+            / F.greatest(F.col("__n_tok"), F.lit(1))
         ).alias("chars_per_token_micro"),
     )
 

@@ -188,6 +188,39 @@ def test_bpe_token_stats_bounds(spark):
     assert bad == 0
 
 
+def test_token_stats_counts_equal_encode_sizes(spark):
+    """The r14 count-only stats UDFs must reproduce size(encode) bit
+    for bit: both paths share the per-word kernel (_bpe_word_syms /
+    _viterbi_py with identical memo keying), so n_*_tokens from the
+    count UDF equals the old array-UDF's F.size() for every document —
+    the equality the optimization's correctness rests on."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(80)
+    merges = T.bpe_train(docs, n_merges=16)
+    got_b = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in T.bpe_token_stats(docs, merges).collect()
+    }
+    want_b = {
+        r["doc_id"]: r["n"]
+        for r in T.bpe_encode(docs, merges)
+        .select("doc_id", F.size("bpe_tokens").alias("n"))
+        .collect()
+    }
+    assert got_b == want_b
+    pieces = T.unigram_train(docs, vocab_size=64, seed_size=256)
+    got_u = {
+        r["doc_id"]: r["n_unigram_tokens"]
+        for r in T.unigram_token_stats(docs, pieces).collect()
+    }
+    want_u = {
+        r["doc_id"]: r["n"]
+        for r in T.unigram_encode(docs, pieces)
+        .select("doc_id", F.size("unigram_tokens").alias("n"))
+        .collect()
+    }
+    assert got_u == want_u
+
+
 def test_bpe_vocab_ids_contiguous(spark):
     docs = _tiny_docs(spark)
     merges = T.bpe_train(docs, n_merges=6)
