@@ -26,6 +26,8 @@ Scale design (the whole point at 100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -108,8 +110,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 #: exchanges by *byte* size; these stages are tiny in bytes but heavy in
 #: CPU (md5 sketches, set intersections), so without an explicit
 #: repartition they collapse to one task on small inputs. An explicit
-#: numPartitions is respected by AQE.
-CPU_PARTITIONS = 64
+#: numPartitions is respected by AQE. Scale-parameterized (r14 round
+#: rule: no constants tuned to the local core count): defaults to
+#: 2x $SPARK_GRAFT_CPUS (64 on the local[32] bench — unchanged bench
+#: behavior, and the driver's lower-core scaling runs see parallelism
+#: track the core budget instead of a 32-core magic number); a cluster
+#: deployment sets SPARK_GRAFT_CPU_PARTITIONS to ~2-3x its
+#: executor-core total so these stages keep every core busy without
+#: thousands of micro-tasks. Partition COUNT never changes values:
+#: every consumer aggregates/windows under explicit keys.
+CPU_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_CPU_PARTITIONS")
+    or 2 * int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+)
 
 
 def element_hash(col: Column) -> Column:

@@ -888,7 +888,12 @@ def quantized_topk(
     """
     if store is None:
         store = quantize_embeddings(emb)
-    store = store.repartition(64)
+    # CPU_PARTITIONS, not a literal: the dot-product scan is the
+    # CPU-dense stage this floor exists for (r14 — scale-parameterized
+    # with the rest of the forced-parallelism sites)
+    from .dedup import CPU_PARTITIONS
+
+    store = store.repartition(CPU_PARTITIONS)
     dq = VX.dequantize_int8(F.col("qv"))
     e = store.select("vec_id", dq.alias("v")).withColumn("nrm", VX.norm(F.col("v")))
     # limit = structural boundedness proof for the plan audit's BNLJ
