@@ -53,6 +53,61 @@ def _micro_threshold(threshold: float) -> int:
     return int(round(threshold * 1_000_000))
 
 
+#: Interleaved-A/B toggle for the verify-stage single-evaluation guard
+#: (scripts/verify_once_probe.py flips it per arm). Default = the
+#: measured winner; see :func:`_eval_once` for the evidence.
+VERIFY_ONCE = True
+
+
+def _eval_once(col: Column) -> Column:
+    """Pin an expensive per-pair verify expression to ONE evaluation.
+
+    Every pair operator ends ``withColumn("jaccard", <expr>)`` followed
+    by ``.filter(jaccard >= t)``. Catalyst inlines the alias and pushes
+    the comparison down — into the candidate join's residual condition
+    (the batch ops) or against the pair-dedup boundary (the index
+    probes) — so ``<expr>`` is evaluated once per candidate in the
+    pushed filter AND once more in the surviving row's projection.
+    Codegen subexpression elimination only applies inside ProjectExec /
+    HashAggregateExec, not to join residuals or Filter conditions, so
+    ``jaccard_micro``'s internal ``array_intersect`` twin (numerator +
+    union denominator) is not collapsed there either: ~3 hash-set
+    intersections per surviving pair where 1 suffices — and for
+    :func:`estimated_jaccard` each evaluation is an INTERPRETED
+    16-element higher-order fold.
+
+    The guard is guide §4.4's mechanism (mark the expensive expression
+    non-deterministic so the optimizer may not duplicate or reorder
+    it) applied to a built-in expression: wrapping the alias in an
+    always-true non-deterministic predicate pins the projection in
+    place — the filter then compares the already-computed column value.
+    ``monotonically_increasing_id() >= 0`` holds for every row by
+    construction (the id is a non-negative partition offset and its
+    value is never used), so output values are bit-identical; only the
+    evaluation count changes.
+
+    Measured (r14, sf0.1): isolated verify stage of prefix_jaccard
+    (6.47 M candidate pairs, candidates + token sets persisted so ONLY
+    the re-attach + jaccard + filter is timed, 7 interleaved rounds):
+    guarded med 1.60 s / min 1.50 vs pushdown med 1.80 / min 1.71 —
+    the guard won every paired round (~12 %). Full-row effects are
+    within the machine window at sf0.1 (two 5/9-round interleaved
+    sessions: prefix med 4.81 vs 6.43 and 11.81 vs 13.45 in a degraded
+    window, minhash/ngram/incremental/embedding a wash) — the verify
+    expression is a minority of those rows' total, but it is the part
+    that grows with pair density, so the halved evaluation count is
+    kept. Guarded outputs were collect()-identical on all seven
+    affected rows at sf0.001 before flipping the default."""
+    return F.when(F.monotonically_increasing_id() >= 0, col)
+
+
+def _verify_expr(col: Column) -> Column:
+    """The verify expression as configured: guarded single-evaluation
+    when ``VERIFY_ONCE`` is on, the plain (pushdown-duplicated) form
+    otherwise."""
+    return _eval_once(col) if VERIFY_ONCE else col
+
+
 def _track_caches(df: DataFrame, *deps: DataFrame) -> DataFrame:
     """Attach the operator's internally-persisted frames to the frame it
     returns, so callers can release them after the terminal action
@@ -385,14 +440,25 @@ def minhash_lsh_pairs(
     # O(corpus), never O(pairs × corpus).
     ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = tok.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    # Parallelism floor for the CPU-dense verify is a HASH repartition
+    # on doc_a, not round-robin: keyless repartition pays a local sort
+    # of every pair row (sortBeforeRepartition, SPARK-23207) that the
+    # hash form skips — isolated re-attach A/B at sf0.1 (6.47 M pairs,
+    # scripts/reattach_repart_probe.py): rr med 5.33 s vs hash 2.34 vs
+    # no-repartition 2.39, rr slower in all 7 paired rounds. Hash on
+    # doc_a also pre-satisfies the re-attach join's distribution when
+    # it degrades to sort-merge at corpus scale; hot doc_a skew is
+    # bounded by the band/bucket caps (a doc joins <= bands x cap
+    # pairs).
     verified = (
-        candidates.repartition(CPU_PARTITIONS)
+        candidates.repartition(CPU_PARTITIONS, F.col("doc_a"))
         .join(ta, "doc_a")
         .join(tb, "doc_b")
     )
     return _track_caches(
         verified.withColumn(
-            "jaccard_micro", TX.jaccard_micro(F.col("toks_a"), F.col("toks_b"))
+            "jaccard_micro",
+            _verify_expr(TX.jaccard_micro(F.col("toks_a"), F.col("toks_b"))),
         )
         .filter(F.col("jaccard_micro") >= _micro_threshold(threshold))
         .select("doc_a", "doc_b", "jaccard_micro"),
@@ -771,17 +837,23 @@ def ngram_jaccard_pairs(
         )
     candidates = candidates.dropDuplicates(["doc_a", "doc_b"])
     # Gram sets re-attach via keyed joins on doc_id (no forced broadcast
-    # — same degrade-to-shuffle rationale as minhash_lsh_pairs).
+    # — same degrade-to-shuffle rationale as minhash_lsh_pairs). Hash
+    # repartition on doc_a, not round-robin — see the minhash verify
+    # comment (keyless repartition pays sortBeforeRepartition).
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
-    pairs = candidates.repartition(CPU_PARTITIONS).join(ga, "doc_a").join(gb, "doc_b")
+    pairs = (
+        candidates.repartition(CPU_PARTITIONS, F.col("doc_a"))
+        .join(ga, "doc_a")
+        .join(gb, "doc_b")
+    )
     return _track_caches(
         pairs.select(
             "doc_a",
             "doc_b",
-            TX.jaccard_micro(F.col("grams_a"), F.col("grams_b")).alias(
-                "jaccard_micro"
-            ),
+            _verify_expr(
+                TX.jaccard_micro(F.col("grams_a"), F.col("grams_b"))
+            ).alias("jaccard_micro"),
         )
         .filter(F.col("jaccard_micro") >= _micro_threshold(threshold)),
         *persisted,
@@ -940,7 +1012,8 @@ def lsh_recall_report(
             & (F.col("b.sz") >= threshold * F.col("a.sz")),
         )
         .withColumn(
-            "jaccard_micro", TX.jaccard_micro(F.col("a.toks"), F.col("b.toks"))
+            "jaccard_micro",
+            _verify_expr(TX.jaccard_micro(F.col("a.toks"), F.col("b.toks"))),
         )
         .filter(F.col("jaccard_micro") >= _micro_threshold(threshold))
         .select(
@@ -1128,12 +1201,16 @@ def prefix_jaccard_pairs(
     toksets = ex.groupBy("doc_id").agg(F.collect_set("h").alias("toks"))
     ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    # Hash on doc_a, not round-robin — see the minhash verify comment
+    # (keyless repartition pays sortBeforeRepartition; measured on THIS
+    # operator's verify stage in scripts/reattach_repart_probe.py).
     out = (
-        cand.repartition(CPU_PARTITIONS)
+        cand.repartition(CPU_PARTITIONS, F.col("doc_a"))
         .join(ta, "doc_a")
         .join(tb, "doc_b")
         .withColumn(
-            "jaccard_micro", TX.jaccard_micro(F.col("toks_a"), F.col("toks_b"))
+            "jaccard_micro",
+            _verify_expr(TX.jaccard_micro(F.col("toks_a"), F.col("toks_b"))),
         )
         .filter(F.col("jaccard_micro") >= _micro_threshold(threshold))
         .select("doc_a", "doc_b", "jaccard_micro")

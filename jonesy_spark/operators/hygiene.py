@@ -401,7 +401,7 @@ def probe_minhash_index(
 
     from pyspark.errors import AnalysisException
 
-    from .dedup import _micro_threshold, estimated_jaccard
+    from .dedup import _micro_threshold, _verify_expr, estimated_jaccard
 
     def _observed(df: DataFrame, n_buckets: int) -> DataFrame:
         return df.observe(
@@ -481,7 +481,9 @@ def probe_minhash_index(
         _observed(
             cand.withColumn(
                 "est_jaccard_micro",
-                estimated_jaccard(F.col("mh"), F.col("mh_i"), n_hashes),
+                _verify_expr(
+                    estimated_jaccard(F.col("mh"), F.col("mh_i"), n_hashes)
+                ),
             )
             .filter(F.col("est_jaccard_micro") >= _micro_threshold(threshold))
             .select("doc_id", "index_doc_id", "est_jaccard_micro"),
@@ -688,7 +690,12 @@ def near_dup_contamination(
     The threshold-implied size-ratio prune runs before the signature
     comparison, exactly as in the batch LSH operators.
     """
-    from .dedup import _micro_threshold, estimated_jaccard, minhash_banded_sigs
+    from .dedup import (
+        _micro_threshold,
+        _verify_expr,
+        estimated_jaccard,
+        minhash_banded_sigs,
+    )
 
     doc_sigs = minhash_banded_sigs(
         docs, text_col=text_col, id_col=id_col,
@@ -715,7 +722,9 @@ def near_dup_contamination(
     return (
         cand.withColumn(
             "est_jaccard_micro",
-            estimated_jaccard(F.col("mh"), F.col("mh_b"), n_hashes),
+            _verify_expr(
+                estimated_jaccard(F.col("mh"), F.col("mh_b"), n_hashes)
+            ),
         )
         .filter(F.col("est_jaccard_micro") >= _micro_threshold(threshold))
         .select("doc_id", "bench_id", "est_jaccard_micro")

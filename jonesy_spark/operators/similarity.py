@@ -283,7 +283,7 @@ def embedding_near_dup(
     )
     va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    from .dedup import _track_caches
+    from .dedup import _track_caches, _verify_expr
 
     return _track_caches(
         candidates.join(va, "vec_a")
@@ -291,8 +291,11 @@ def embedding_near_dup(
         .select(
             "vec_a",
             "vec_b",
-            micro_units(
-                VX.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            _verify_expr(
+                micro_units(
+                    VX.dot(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb"))
+                )
             ).alias("cosine_micro"),
         )
         .filter(F.col("cosine_micro") >= _micro_threshold(threshold)),
@@ -618,12 +621,17 @@ def probe_ivf_index(
             F.col("nrm").alias("inrm"),
             "cid",
         )
+    from .dedup import _verify_expr
+
     return _observed(
         probe.join(idx, "cid")
         .withColumn(
             "cosine_micro",
-            micro_units(
-                VX.dot(F.col("v"), F.col("iv")) / (F.col("nrm") * F.col("inrm"))
+            _verify_expr(
+                micro_units(
+                    VX.dot(F.col("v"), F.col("iv"))
+                    / (F.col("nrm") * F.col("inrm"))
+                )
             ),
         )
         .filter(F.col("cosine_micro") >= _micro_threshold(threshold))

@@ -470,3 +470,54 @@ def test_crawl_gate_composed_plan_is_map_only(spark):
     assert len(re.findall(r"RoundRobinPartitioning", plan)) == len(
         re.findall(r"\(\d+\) Exchange\b", plan)
     ), plan
+
+
+def test_verify_guard_keeps_expensive_expr_out_of_join_conditions(spark):
+    """r14 verify-stage single-evaluation guard (dedup._eval_once):
+    each pair operator's threshold filter used to be pushed into the
+    candidate/re-attach join as a residual condition, DUPLICATING the
+    expensive verify expression (array_intersect jaccard, interpreted
+    estimated_jaccard fold, dot-product cosine) — once per candidate in
+    the condition plus once in the surviving row's projection. With
+    VERIFY_ONCE on (the measured default: isolated verify stage med
+    1.80 -> 1.60 s at sf0.1), the guarded projection pins ONE
+    evaluation, so no Join node may carry the expression as a
+    condition."""
+    q = all_queries()
+    for name in [
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "prefix_jaccard_join",
+        "embedding_near_dup",
+        "incremental_near_dup",
+    ]:
+        plan = plan_of(q[name](spark, SF_DIR))
+        for m in re.finditer(r"Join condition: (.+)", plan):
+            cond = m.group(1)
+            for marker in ("array_intersect", "zip_with", "aggregate("):
+                assert marker not in cond, (name, cond)
+
+
+def test_verify_guard_values_identical(spark):
+    """The guard is an always-true predicate: flipping VERIFY_ONCE must
+    not change a single output row (it only pins the evaluation count).
+    Checked on the row whose verify expression is the interpreted
+    MinHash fold — the most duplication-sensitive shape."""
+    import jonesy_spark.operators.dedup as dd
+
+    from jonesy_spark.operators.dedup import release_caches
+
+    q = all_queries()
+    prev = dd.VERIFY_ONCE
+    try:
+        dd.VERIFY_ONCE = True
+        on_df = q["dedup_minhash_lsh"](spark, SF_DIR)
+        on = sorted(map(tuple, on_df.collect()))
+        release_caches(on_df)
+        dd.VERIFY_ONCE = False
+        off_df = q["dedup_minhash_lsh"](spark, SF_DIR)
+        off = sorted(map(tuple, off_df.collect()))
+        release_caches(off_df)
+    finally:
+        dd.VERIFY_ONCE = prev
+    assert on == off and len(on) > 0
