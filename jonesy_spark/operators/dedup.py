@@ -755,7 +755,7 @@ def ngram_jaccard_pairs(
     """
     band_size = n_hashes // n_bands
     strategy = set(
-        getattr(ngram_jaccard_pairs, "_cache_strategy", "stats").split("+")
+        getattr(ngram_jaccard_pairs, "_cache_strategy", "g+stats").split("+")
     )
     ex = (
         df.repartition(CPU_PARTITIONS, F.col(id_col))
@@ -780,11 +780,19 @@ def ngram_jaccard_pairs(
     g = ex.groupBy("doc_id", "lang").agg(
         F.collect_set("h").alias("grams"), *_minhash_min_aggs(n_hashes)
     )
-    # Default "stats": cache only the split's window-stats frame (3.2 s
-    # vs 10.4 s for r4's banded-persist + broadcast split, same-session
-    # A/B). The gram arrays are ~|text| elements per doc — caching them
-    # ("g"/"checkpoint") costs more in columnar build/scan than the two
-    # re-attach recomputations it saves.
+    # Default "g+stats" (re-A/B'd late r14 after the verify guard +
+    # hash-repartition changes shifted the balance): the gram frame
+    # feeds THREE consumers (banded + both re-attach sides), and
+    # persisting it now wins every interleaved round — stats-only med
+    # 5.00 s / min 4.60 vs g+stats med 4.23 / min 3.53
+    # (checkpoint+stats med 3.71 is faster still but truncates lineage
+    # — the wrong trade at 1000 executors, see the minhash note). This
+    # REVERSES the r4 finding (3.2 vs 10.4 s), which was measured
+    # against the since-removed banded-persist + broadcast split
+    # shape, not a pure gram-frame persist. The split's stats action
+    # populates the cache mid-build, so no eager count is needed. The
+    # gram arrays are ~|text| ints per doc — MEMORY_AND_DISK, released
+    # via the _track_caches handle.
     persisted = []
     if "checkpoint" in strategy:
         g = g.localCheckpoint()
