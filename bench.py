@@ -538,6 +538,17 @@ def main() -> None:
         # dimensionless twin over the median in-loop probe point —
         # steadier across rounds than the min-of-markers denominator
         "subtotal_r5_per_calib_series": round(subtotal_r5 / cal_median, 1),
+        # Per-row calibration-normalized seconds (VERDICT r14 #5):
+        # row / the run's own in-loop calibration median, so a
+        # cross-round per-row status can be computed on values from
+        # which machine-window drift cancels (the r14 32-core run's
+        # 1.30-spread window inflated 30 raw rows that the 8-core run
+        # of the same code contradicted). Dimensionless; compare THESE
+        # across rounds, not raw seconds, when spreads differ.
+        "cal_median": round(cal_median, 3),
+        "queries_normalized": {
+            k: round(v / cal_median, 2) for k, v in steady.items()
+        },
         "value": round(sum(steady.values()), 3),
     }
     out_path = os.path.join(
@@ -564,6 +575,13 @@ def main() -> None:
         "calibration": calibration,
         "calibration_spread_ratio": cal_spread,
         "subtotal_r5_per_calib_series": round(subtotal_r5 / cal_median, 1),
+        # the in-loop calibration median: divides into every printed
+        # row to give its calibration-normalized value (the full
+        # queries_normalized dict lives in bench_out.json — 61 more
+        # dict entries would outgrow the driver's ~2000-char tail
+        # capture, so the compact line carries the one scalar the
+        # normalization needs)
+        "cal_median": round(cal_median, 3),
         "value": round(sum(steady.values()), 3),
     }
     line = json.dumps(compact)

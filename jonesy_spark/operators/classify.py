@@ -129,6 +129,7 @@ def train_log_odds(
     n_buckets: int = DEFAULT_N_BUCKETS,
     alpha: float = 1.0,
     ngrams: int = 1,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Train the linear model: returns one bounded ``(bucket, weight)``
     frame (<= ``n_buckets`` + 2 rows) holding the per-bucket smoothed
@@ -155,12 +156,19 @@ def train_log_odds(
     Two keyed aggregations (per-bucket class counts, per-class doc
     counts); the 1-row totals frame broadcasts into the weight
     expression — nothing is collected.
+
+    ``tf`` optionally passes a PREPARED :func:`token_buckets` frame
+    over ``docs`` (same ``n_buckets``/``ngrams``) so a train+score
+    pipeline computes the corpus token explode + tf aggregation ONCE
+    (r15; the excess_loss_select shared-stream pattern) — the r14
+    plan ran it once per pass.
     """
     labeled = docs.withColumn("__pos", label.cast("int"))
-    tf = token_buckets(
-        labeled, text_col=text_col, id_col=id_col,
-        n_buckets=n_buckets, ngrams=ngrams,
-    )
+    if tf is None:
+        tf = token_buckets(
+            labeled, text_col=text_col, id_col=id_col,
+            n_buckets=n_buckets, ngrams=ngrams,
+        )
     # Persisted: per_bucket feeds the weight projection AND (twice, via
     # the broadcast totals) the unseen/normalizer rows — without the
     # persist each consumer re-runs the token explode + tf aggregation
@@ -359,6 +367,7 @@ def score_log_odds(
     id_col: str = "doc_id",
     n_buckets: int = DEFAULT_N_BUCKETS,
     ngrams: int = 1,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a :func:`train_log_odds` model: ``(id, n_tokens, score,
     pred)`` for EVERY input document — ``score = bias + sum(tf * w)``
@@ -369,11 +378,14 @@ def score_log_odds(
     ``n_buckets`` must match training — the bucket space IS the
     feature space. The model broadcasts by construction; scoring adds
     one tf shuffle on (id, bucket) beyond the map-side explode.
+    ``tf`` optionally passes a prepared :func:`token_buckets` frame
+    over ``docs`` (see :func:`train_log_odds`).
     """
-    tf = token_buckets(
-        docs, text_col=text_col, id_col=id_col,
-        n_buckets=n_buckets, ngrams=ngrams,
-    )
+    if tf is None:
+        tf = token_buckets(
+            docs, text_col=text_col, id_col=id_col,
+            n_buckets=n_buckets, ngrams=ngrams,
+        )
     sentinels = model.filter(F.col("bucket") < 0)
     weights = model.filter(F.col("bucket") >= 0)
     meta = sentinels.groupBy().pivot("bucket", [BIAS_BUCKET, UNSEEN_BUCKET]).sum(

@@ -1110,15 +1110,22 @@ def dsir_weights(
     """
     from .classify import token_buckets
 
-    # Persisted: tf_r feeds the raw-side bucket counts AND the scoring
+    # Cache strategy (re-adjudicated r15 under cold-JVM timing, VERDICT
+    # r14 #9): tf_r feeds the raw-side bucket counts AND the scoring
     # join; counts feeds the weight projection AND the broadcast
     # totals — without the persists each consumer re-ran the token
     # explode + hash aggregation from its corpus scan (r14 plan audit:
     # 26 Exchanges in dsir_select's plan). tf_r is (doc, bucket, tf)
-    # rows; counts is <= n_buckets rows. Released via _track_caches.
+    # rows; counts is <= n_buckets rows. Released via _track_caches;
+    # OPTIMIZATION_r15.md has the A/B that picked the default.
+    strategy = set(getattr(dsir_weights, "_cache_strategy", "tfr+counts").split("+"))
+    persisted = []
     tf_r = token_buckets(
         raw, text_col=text_col, id_col=id_col, n_buckets=n_buckets
-    ).persist()
+    )
+    if "tfr" in strategy:
+        tf_r = tf_r.persist()
+        persisted.append(tf_r)
     tf_t = token_buckets(target, text_col=text_col, id_col=id_col, n_buckets=n_buckets)
     ct = tf_t.groupBy("bucket").agg(F.sum("tf").alias("ct"))
     cr = tf_r.groupBy("bucket").agg(F.sum("tf").alias("cr"))
@@ -1126,7 +1133,10 @@ def dsir_weights(
         "bucket",
         F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
         F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
-    ).persist()
+    )
+    if "counts" in strategy:
+        counts = counts.persist()
+        persisted.append(counts)
     totals = counts.agg(F.sum("ct").alias("tot_t"), F.sum("cr").alias("tot_r"))
     aB = alpha * n_buckets
     w = F.round(
@@ -1171,8 +1181,7 @@ def dsir_weights(
                 "log_weight_micro"
             ),
         ),
-        tf_r,
-        counts,
+        *persisted,
     )
 
 

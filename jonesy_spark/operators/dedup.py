@@ -97,7 +97,22 @@ def _eval_once(col: Column) -> Column:
     expression is a minority of those rows' total, but it is the part
     that grows with pair density, so the halved evaluation count is
     kept. Guarded outputs were collect()-identical on all seven
-    affected rows at sf0.001 before flipping the default."""
+    affected rows at sf0.001 before flipping the default.
+
+    Nullability note (ADVICE r14): ``F.when`` without ``otherwise``
+    declares the guarded column NULLABLE even though no value can
+    actually be null (the predicate holds for every row). This is
+    deliberate: appending ``.otherwise(col)`` would place the
+    expensive expression in the plan TWICE (both branches — only one
+    evaluates per row, but it hands a future optimizer rule an
+    identical-branch collapse that would silently restore the
+    duplicated evaluation, and it breaks the exactly-once plan pin in
+    tests/test_plans.py). The nullability diff is demonstrably
+    tolerated by every downstream comparison: the driver's oracle
+    check hashes VALUES and compares column names/types, not
+    nullability (CORRECTNESS_r14: all seven guarded rows
+    schema_match=true), and parquet round-trips store the same
+    optional-everywhere schema either way."""
     return F.when(F.monotonically_increasing_id() >= 0, col)
 
 
@@ -799,6 +814,12 @@ def ngram_jaccard_pairs(
     elif "g" in strategy:
         g = g.persist()
         persisted.append(g)
+        if "stats" not in strategy:
+            # without the stats branch no mid-build action populates
+            # the cache before the three consumers scan it in one job —
+            # the lazy-persist-never-populates-in-time pitfall
+            # (ADVICE r14); materialize eagerly
+            g.count()
     banded = g.select(
         "doc_id",
         "lang",
@@ -1122,19 +1143,30 @@ def prefix_jaccard_pairs(
     path) or must opt into the capped collapse. The check is skipped
     when ``bucket_cap`` is set — the collapse already bounds every
     bucket to O(k)."""
-    # Persisted EAGERLY: ex feeds FOUR consumers (the df aggregation,
-    # the position window, and both verification re-attach sides) —
-    # without the persist each one re-runs the explode + per-token md5
-    # + distinct from the corpus scan (r14: the before-plan carried 28
-    # Exchanges, mostly this subtree repeated, and the executed
-    # persist-off plan showed 13 parquet scans with ZERO runtime
-    # ReusedExchange). A lazy persist never populates in time for
-    # same-job reuse (r14 interleaved A/B at sf0.1: lazy med 5.83 s vs
-    # no-persist 5.64 s; eager min 4.94 ≈ no-persist 4.96) — the
-    # eager count is a wash locally and at corpus scale replaces four
-    # explode+distinct passes with one. Distinct (doc, token-hash)
-    # rows — the same width the shuffles already carry. Released via
-    # the _track_caches handle.
+    # Cache strategy, re-adjudicated r15 under the DRIVER's methodology
+    # (scripts/cold_ab.py: fresh JVM per arm, bench-style cold +
+    # min-of-warm — the r14 same-session interleaved A/Bs picked a
+    # persist both driver windows then measured as a regression): the
+    # r14 default eagerly persisted the FULL exploded distinct token
+    # stream ("ex+eager" — corpus x tokens rows, the largest
+    # intermediate in the suite), the memory-heavy / compute-light
+    # shape the quantized-store A/B already rejected. The default is
+    # now "pref+toksets+eager": persist the PREFIX-SELECTED subset (a
+    # ~(1-t) fraction of the stream, 3 consumers: density estimate +
+    # both candidate-join sides) and the per-doc collect_set frame
+    # (one row per doc, both re-attach sides). Cold-JVM A/B at 32c
+    # (3 rotated rounds, n=6): warm-min mean pref+toksets 3.98 s vs
+    # none 4.10 vs ex+eager 4.43 (pref won every paired round; colds
+    # 12.9 vs 13.9 vs 13.4). 8-core rounds were window-drift-dominated
+    # (within-arm spread 6.9-9.0 s > arm deltas) — adjudicated to the
+    # clean 32c signal; OPTIMIZATION_r15.md has the full table.
+    # Strategy knob follows the minhash pattern.
+    strategy = set(
+        getattr(
+            prefix_jaccard_pairs, "_cache_strategy", "pref+toksets+eager"
+        ).split("+")
+    )
+    persisted = []
     ex = (
         df.repartition(CPU_PARTITIONS, F.col(id_col))
         .select(
@@ -1145,9 +1177,12 @@ def prefix_jaccard_pairs(
         )
         .select("doc_id", element_hash(F.col("t")).alias("h"))
         .distinct()
-        .persist()
     )
-    ex.count()
+    if "ex" in strategy:
+        ex = ex.persist()
+        persisted.append(ex)
+        if "eager" in strategy:
+            ex.count()
     dft = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window as W
 
@@ -1159,6 +1194,14 @@ def prefix_jaccard_pairs(
     )
     L = F.col("sz") - F.ceil(F.round(F.lit(threshold) * F.col("sz"), 9)) + 1
     pref = pos.filter(F.col("pos") <= L).select("doc_id", "h", "sz")
+    if "pref" in strategy:
+        # the prefix-selected subset (a (1-t) fraction of the stream)
+        # feeds the density estimate and BOTH candidate-join sides —
+        # persisting it runs the df-agg + position-window chain once
+        pref = pref.persist()
+        persisted.append(pref)
+        if "eager" in strategy:
+            pref.count()
     if pair_density_limit is not None and bucket_cap is None:
         est = (
             pref.groupBy("h")
@@ -1207,13 +1250,34 @@ def prefix_jaccard_pairs(
         )
     cand = cand.dropDuplicates(["doc_a", "doc_b"])
     toksets = ex.groupBy("doc_id").agg(F.collect_set("h").alias("toks"))
+    if "toksets" in strategy:
+        toksets = toksets.persist()
+        persisted.append(toksets)
+        if "eager" in strategy:
+            # same-job lazy persist populates too late for the two
+            # re-attach consumers (the minhash "tok+eager" rationale)
+            toksets.count()
     ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    # Hash on doc_a, not round-robin — see the minhash verify comment
+    # Hash repartition, not round-robin — see the minhash verify comment
     # (keyless repartition pays sortBeforeRepartition; measured on THIS
-    # operator's verify stage in scripts/reattach_repart_probe.py).
+    # operator's verify stage in scripts/reattach_repart_probe.py). In
+    # the capped tier hot-doc_a skew is bounded (a doc pairs with <=
+    # bucket_cap members per prefix token), so doc_a alone is safe and
+    # pre-satisfies a sort-merge re-attach. The EXACT tier (bucket_cap
+    # None, the default) has NO per-key bound — only the TOTAL pair
+    # count is bounded by pair_density_limit, so a low-id doc sharing
+    # prefix tokens with many docs can concentrate an unbounded share
+    # of CPU-dense verify pairs on one partition; salt with doc_b
+    # (ADVICE r14) so hot keys spread while placement stays
+    # deterministic.
+    repart_cols = (
+        [F.col("doc_a")]
+        if bucket_cap is not None
+        else [F.col("doc_a"), F.col("doc_b")]
+    )
     out = (
-        cand.repartition(CPU_PARTITIONS, F.col("doc_a"))
+        cand.repartition(CPU_PARTITIONS, *repart_cols)
         .join(ta, "doc_a")
         .join(tb, "doc_b")
         .withColumn(
@@ -1223,4 +1287,4 @@ def prefix_jaccard_pairs(
         .filter(F.col("jaccard_micro") >= _micro_threshold(threshold))
         .select("doc_a", "doc_b", "jaccard_micro")
     )
-    return _track_caches(out, ex, *caches)
+    return _track_caches(out, *persisted, *caches)

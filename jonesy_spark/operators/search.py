@@ -61,20 +61,35 @@ def bm25_search(
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("t"),
     ).filter(F.col("t") != "")
     # per-doc length over ALL tokens (BM25 normalizes by full doc
-    # length), plus the 1-row corpus aggregates. Persisted: lens feeds
-    # the corpus aggregate AND the contribution join, tf feeds the idf
-    # aggregate AND the contribution join — without the persists each
-    # consumer re-ran the token explode from the corpus scan (r14 plan
-    # audit: 28 Exchanges, the explode subtree 4x). lens is one narrow
-    # row per doc; tf is query-hit-sized. Released via _track_caches.
-    lens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("len")).persist()
+    # length), plus the 1-row corpus aggregates. Cache strategy
+    # (re-adjudicated r15 under cold-JVM timing, VERDICT r14 #3): lens
+    # feeds the corpus aggregate AND the contribution join, tf feeds
+    # the idf aggregate AND the contribution join. The r14 "lens+tf"
+    # persists never won a cold-JVM round (bm25 row: all four arms
+    # within 0.06 s; hybrid row: none 2.00 s mean vs lens+tf 2.21 —
+    # the persists were the driver-flagged hybrid regression), so the
+    # default is now "none": the re-run explodes are cheap per byte
+    # cached, and corpus-SCALE retrieval goes through the persisted
+    # inverted index (write_search_index / bm25_probe), not this
+    # ad-hoc operator — a cluster caller that does hammer this path
+    # flips the knob to "lens+tf" (2 corpus passes instead of 4).
+    # OPTIMIZATION_r15.md has the A/B table.
+    strategy = set(getattr(bm25_search, "_cache_strategy", "none").split("+"))
+    persisted = []
+    lens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("len"))
+    if "lens" in strategy:
+        lens = lens.persist()
+        persisted.append(lens)
     corpus = lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avg_len")
     )
     # query-term hits only from here on — the map-side semi-join is
     # what keeps the aggregation input query-sized, not corpus-sized
     hits = toks.join(F.broadcast(qdf), "t")
-    tf = hits.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = hits.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    if "tf" in strategy:
+        tf = tf.persist()
+        persisted.append(tf)
     df_t = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     idf = df_t.crossJoin(F.broadcast(corpus)).select(
         "t",
@@ -115,8 +130,7 @@ def bm25_search(
         )
         .orderBy(F.col("score_micro").desc(), F.col(id_col))
         .limit(top_k),
-        lens,
-        tf,
+        *persisted,
     )
 
 

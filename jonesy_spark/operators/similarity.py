@@ -252,11 +252,23 @@ def embedding_near_dup(
     the K ~ sqrt(n) default otherwise runs; it is only consulted when
     neither ``centroids`` nor ``n_centroids`` pins K explicitly.
     """
-    # Persisted: the prepared vector frame feeds the centroid slice,
-    # the assignment cross join, and BOTH verification re-attach sides
-    # — four evaluations of scan + repartition + norm without it (r14).
-    # Released with the assignment handle below.
-    e = _prepared(emb).persist()
+    # Cache strategy, re-adjudicated r15 under the driver's cold-JVM
+    # methodology (VERDICT r14 #2): the r14 "e+assign" default also
+    # persisted the prepared vector frame — a corpus-wide double-array
+    # frame, exactly the memory-heavy / compute-light shape the
+    # quantized-store A/B rejected (the repeated subtree is a scan +
+    # cast + norm, cheap per byte cached), and the row regressed in
+    # both driver windows. Default is now assign-only; the knob follows
+    # the minhash pattern for re-tuning. OPTIMIZATION_r15.md has the
+    # cold-JVM A/B numbers.
+    strategy = set(
+        getattr(embedding_near_dup, "_cache_strategy", "assign").split("+")
+    )
+    persisted = []
+    e = _prepared(emb)
+    if "e" in strategy:
+        e = e.persist()
+        persisted.append(e)
     if centroids is None and n_centroids is None:
         n_centroids = adaptive_centroids(
             n_docs if n_docs is not None else emb.count()
@@ -267,7 +279,10 @@ def embedding_near_dup(
     # (vec_id, cid) x probes — narrow at any corpus size. The handle is
     # released by the caller via dedup.release_caches, same contract as
     # the LSH operators.
-    assign = ivf_assignments(e, n_centroids or 0, probes, centroids=centroids).persist()
+    assign = ivf_assignments(e, n_centroids or 0, probes, centroids=centroids)
+    if "assign" in strategy:
+        assign = assign.persist()
+        persisted.append(assign)
     a, b = assign.alias("a"), assign.alias("b")
     candidates = (
         a.join(
@@ -299,8 +314,7 @@ def embedding_near_dup(
             ).alias("cosine_micro"),
         )
         .filter(F.col("cosine_micro") >= _micro_threshold(threshold)),
-        assign,
-        e,
+        *persisted,
     )
 
 

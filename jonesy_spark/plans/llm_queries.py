@@ -2691,10 +2691,29 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights; the unseen-bucket fallback path keeps its pytest pin.
     operators.classify has the broadcast-model scale notes."""
     from ..operators import classify as CL
+    from ..operators.dedup import _track_caches
 
     docs = Catalog(spark, sf_dir).documents
-    model = CL.train_log_odds(docs, F.col("lang") == "en")
-    return CL.score_log_odds(docs, model)
+    # Shared-token_buckets arm (r15, VERDICT r14 #7): train and score
+    # each run their own corpus explode + tf aggregation over the SAME
+    # documents, so one persisted frame passed to both looked like the
+    # excess_loss_select shared-stream win. MEASURED AND REJECTED
+    # cold-JVM (3 rotated rounds): unshared warm 3.56-3.72 s (tight),
+    # shared 2.49-4.85 (wild, mean 3.90), shared+eager mean 4.15;
+    # colds 15.9 / 16.1 / 16.9 — the persist of the (doc, bucket, tf)
+    # frame costs more than the recompute at every measured point and
+    # destabilizes the row. Default stays "unshared"; the `tf=`
+    # parameter remains for pipelines that already hold a prepared
+    # frame (OPTIMIZATION_r15.md has the table).
+    strategy = getattr(quality_classifier, "_tf_strategy", "unshared")
+    if strategy == "unshared":
+        model = CL.train_log_odds(docs, F.col("lang") == "en")
+        return CL.score_log_odds(docs, model)
+    tf = CL.token_buckets(docs).persist()
+    if strategy == "shared+eager":
+        tf.count()
+    model = CL.train_log_odds(docs, F.col("lang") == "en", tf=tf)
+    return _track_caches(CL.score_log_odds(docs, model, tf=tf), tf)
 
 
 @query(

@@ -1,11 +1,11 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") for bench HEADLINE queries into
-plans/r14/<query>_<tag>.txt (tag = before/after), for the optimization
-round's plan-diff evidence.
+plans/<round>/<query>_<tag>.txt (tag = before/after), for the
+optimization round's plan-diff evidence.
 
 Usage:
-    python scripts/capture_plans.py before [name ...]
-    python scripts/capture_plans.py after  [name ...]
+    [PLANS_ROUND=r15] python scripts/capture_plans.py before [name ...]
+    [PLANS_ROUND=r15] python scripts/capture_plans.py after  [name ...]
 
 With no names, captures every bench HEADLINE row. Plan capture builds
 the query (which for a few operators runs real jobs at build time) but
@@ -31,7 +31,9 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or HEADLINE
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLANS_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
 

@@ -130,6 +130,7 @@ def test_model_store_round_trip_and_version_bump(spark, tmp_path):
     assert (n_buckets, v) == (128, 1)
 
 
+@pytest.mark.slow
 def test_scored_doc_stream_two_waves_with_retrain(spark, tmp_path):
     """Streaming scorer: wave 1 scores under model v0; a retrain
     publishes v1 between waves and the restarted query scores wave 2
@@ -253,6 +254,7 @@ def test_eval_report_degenerate_all_negative(spark):
     assert row["accuracy_micro"] == 1_000_000
 
 
+@pytest.mark.slow
 def test_pipeline_classifier_gate_drops_off_target_docs(spark, tmp_path):
     """CorpusConfig.classifier_model_path: publish a model trained to
     accept one subpopulation; the pipeline's clean output keeps that
@@ -417,6 +419,7 @@ def test_count_ledger_guards(spark, tmp_path):
         C.train_from_counts(spark, path2, exclude_run_id="epoch-7")
 
 
+@pytest.mark.slow
 def test_classifier_counts_stream_folds_to_monolithic(spark, tmp_path):
     """Streamed count ledger: two waves of labeled docs, then
     train_from_counts over the accumulated epochs equals monolithic

@@ -4,6 +4,7 @@ shapes, and the cluster-level dedup resolution built on top."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -53,6 +54,7 @@ def _spark_components(spark, edges):
     )
 )
 @settings(max_examples=12, deadline=None)
+@pytest.mark.slow
 def test_components_match_union_find(spark, edges):
     want = _union_find([(a, b) for a, b in edges if a != b])
     if not want:  # all self-loops: operator drops them, no nodes remain
@@ -225,6 +227,7 @@ def _np_pagerank(edges, damping=0.85, max_iter=50, tol=1e-9):
     return {nodes[i]: r[i] for i in range(n)}
 
 
+@pytest.mark.slow
 def test_pagerank_matches_dense_reference(spark):
     """Spark PageRank vs an independent numpy power iteration on a
     graph with a hub, a chain, and a dangling sink."""
@@ -272,6 +275,7 @@ from hypothesis import settings as hsettings
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_pagerank_matches_numpy_on_random_graphs(spark, edges):
     """Relational PageRank == dense numpy power iteration on arbitrary
     small digraphs (self-loops, dangling sinks, duplicates included)."""

@@ -3,6 +3,7 @@ DuckDB differential, blocklist anti-join, incremental dedup semantics."""
 
 from __future__ import annotations
 
+import pytest
 import duckdb
 from pyspark.sql import functions as F
 
@@ -227,6 +228,7 @@ def test_contamination_benchmark_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
 
 
+@pytest.mark.slow
 def test_incremental_near_dup_two_batches(spark, tmp_path):
     """Near-dup sibling of the digest index: batch 1 collapses its own
     cluster and seeds the index; batch 2 is deduped against HISTORY via
@@ -282,6 +284,7 @@ def test_incremental_near_dup_two_batches(spark, tmp_path):
     assert cache_mgr.isEmpty()
 
 
+@pytest.mark.slow
 def test_probe_minhash_index_observability(spark, tmp_path):
     """VERDICT r5 #7: nightly probes must be alertable without extra
     actions — the probe's returned frame carries a CollectMetrics node
@@ -491,6 +494,7 @@ def test_near_dup_contamination_catches_reformatted_eval(spark):
     assert "BroadcastHashJoin" in plan
 
 
+@pytest.mark.slow
 def test_compact_index_digest_and_minhash(spark, tmp_path):
     """Compaction collapses N ingest_batch subtrees into one with
     identical content and strictly fewer files, for BOTH index layouts;

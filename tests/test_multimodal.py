@@ -642,6 +642,7 @@ def _fake_media_batch(spark, items):
     )
 
 
+@pytest.mark.slow
 def test_incremental_media_dedup_index_round_trip(spark, tmp_path):
     """The sixth incremental-index family member: batch one collapses
     its within-batch duplicate and seeds the phash index; batch two's

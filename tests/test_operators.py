@@ -3,6 +3,7 @@ applyInPandas as-of variant vs the window-based plan."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from conftest import SF_DIR, assert_matches_oracle
@@ -326,6 +327,7 @@ def test_carry_caches_forwards_handles(spark):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
+@pytest.mark.slow
 def test_cap_split_is_noop_below_cap(spark):
     """The window-based hot-bucket split (r5) must be semantically
     invisible while every bucket is <= cap: capped and uncapped outputs
@@ -414,6 +416,7 @@ def test_incremental_embedding_dedup_two_batches(spark, tmp_path):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
+@pytest.mark.slow
 def test_rebuild_ivf_index_versions(spark, tmp_path):
     """VERDICT r5 missing #3: a growing corpus re-trains its frozen
     centroids via rebuild_ivf_index — new version=N subtree, k-means||

@@ -343,6 +343,7 @@ def test_validate_schema_gate(spark):
         validate_schema(df, "doc_id bigint, text string", strict=True)
 
 
+@pytest.mark.slow
 def test_prepare_corpus_end_to_end(spark, tmp_path):
     """The assembled training-corpus pipeline: gates compose, counts
     only shrink, outputs are deterministic, and the job writes the
@@ -383,6 +384,7 @@ def test_prepare_corpus_end_to_end(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "out" / "corpus" / "sequences")).count() > 0
 
 
+@pytest.mark.slow
 def test_prepare_corpus_quality_gate(spark):
     """The optional per-domain quality percentile shrinks the corpus to
     ~keep_frac per source and stays deterministic."""
@@ -445,6 +447,7 @@ def test_corpus_job_runs_lsh_once_and_releases_caches(spark):
     assert "LogicalRDD" in clean_plan  # the checkpointed component labels
 
 
+@pytest.mark.slow
 def test_prepare_corpus_r6_policies(spark):
     """The r6 pipeline knobs compose: line-level boilerplate removal
     scrubs injected banners before any text-derived stage, the quality
@@ -563,6 +566,7 @@ def test_prepare_corpus_from_jsonl_end_to_end(spark, tmp_path):
     assert manifest["stats_run_id"] == result["stats_run_id"]
 
 
+@pytest.mark.slow
 def test_prepare_corpus_temperature_mix_policy(spark):
     """The tau knob rebalances domains with upsampled copies: copies
     carry copy-unique packing ids, every copy of a doc lands in ONE
@@ -653,6 +657,7 @@ def test_ingest_corpus_job_end_to_end(spark, tmp_path):
     assert manifest["ingest"]["rows_malformed"] == 0
 
 
+@pytest.mark.slow
 def test_prepare_corpus_tokenizer_stage(spark):
     """Opt-in tokenize stage: vocab trains on the train split only,
     every train doc encodes to ids with zero OOV, and ids decode back
@@ -692,6 +697,7 @@ def test_prepare_corpus_tokenizer_stage(spark):
     ).first()[0]
 
 
+@pytest.mark.slow
 def test_prepare_corpus_token_budget_cap(spark):
     """The hard token-budget knob caps the clean corpus: kept docs'
     token total fits the budget, and loosening the budget only grows
@@ -761,6 +767,7 @@ def test_backfill_overwrites_only_touched_partitions(spark, tmp_path):
     assert got == {("2024-01-01", "old-a"), ("2024-01-02", "new-b")}
 
 
+@pytest.mark.slow
 def test_maintain_indexes_job_compacts_and_preserves_probes(spark, tmp_path, monkeypatch):
     """VERDICT r6 #7: the maintenance job on the operational rails —
     two-batch digest AND minhash indexes collapse to one ingest_batch

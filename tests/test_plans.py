@@ -472,7 +472,27 @@ def test_crawl_gate_composed_plan_is_map_only(spark):
     ), plan
 
 
-def test_verify_guard_keeps_expensive_expr_out_of_join_conditions(spark):
+def test_spread_probes_file_metadata_not_rdd(spark, tmp_path):
+    """r15 (VERDICT r14 #8): spread()'s planned-layout probe is a file
+    metadata estimate — no DataFrame→RDD conversion in the hot path. A
+    1-split fixture scan still gets the parallelism floor; a scan whose
+    file count already covers the cores is returned UNCHANGED (same
+    plan object, so provably no Exchange added)."""
+    from jonesy_spark.catalog import spread
+
+    target = spark.sparkContext.defaultParallelism
+
+    small = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    spread_small = spread(small)
+    assert spread_small is not small  # floor fired on the 1-file scan
+    plan = plan_of(spread_small)
+    assert "RoundRobinPartitioning" in plan
+
+    many_path = str(tmp_path / "many")
+    spark.range(0, 10_000).repartition(target).write.parquet(many_path)
+    many = spark.read.parquet(many_path)
+    assert len(many.inputFiles()) >= target
+    assert spread(many) is many  # no-op before any file is stat'ed
     """r14 verify-stage single-evaluation guard (dedup._eval_once):
     each pair operator's threshold filter used to be pushed into the
     candidate/re-attach join as a residual condition, DUPLICATING the
@@ -496,6 +516,17 @@ def test_verify_guard_keeps_expensive_expr_out_of_join_conditions(spark):
             cond = m.group(1)
             for marker in ("array_intersect", "zip_with", "aggregate("):
                 assert marker not in cond, (name, cond)
+        # ADVICE r14: absence-from-joins alone would pass if a future
+        # optimizer rule simplified the always-true guard and restored
+        # the duplicated evaluation into a Filter or second Project —
+        # additionally pin the expensive expression to EXACTLY ONE
+        # occurrence anywhere in the formatted plan. array_intersect
+        # appears twice per evaluation site by construction (the
+        # jaccard numerator + union denominator both call it), so one
+        # evaluation = exactly 2 hits; the fold markers appear once.
+        n_intersect = plan.count("array_intersect")
+        if n_intersect:
+            assert n_intersect == 2, (name, n_intersect)
 
 
 def test_verify_guard_values_identical(spark):

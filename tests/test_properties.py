@@ -115,6 +115,7 @@ def test_omit_drops_null_semantics(spark, rows):
     )
 )
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_pacific_coercion_matches_pytz(spark, ts):
     """F19 (reference jobs.py:166-171): UTC wall time re-rendered as
     America/Los_Angeles with its true DST-aware offset."""
@@ -314,6 +315,7 @@ def test_pretoken_count_matches_python_re(spark, texts):
     budget=st.integers(0, 120),
 )
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_token_budget_prune_equals_greedy_reference(spark, docs, budget):
     """Property: the two-pass range-partition cut == the collected
     greedy prefix, for ANY corpus and budget (incl. 0 and over-total).
@@ -342,6 +344,7 @@ def test_token_budget_prune_equals_greedy_reference(spark, docs, budget):
     new=st.dictionaries(st.integers(0, 8), st.one_of(st.none(), st.text(max_size=3)), max_size=6),
 )
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_snapshot_diff_matches_dict_reference(spark, old, new):
     """Property: snapshot_diff statuses == the obvious dict diff, for
     ANY pair of snapshots incl. NULL texts and empty sides."""
@@ -374,6 +377,7 @@ def test_snapshot_diff_matches_dict_reference(spark, old, new):
     threshold=st.sampled_from([0.5, 0.8, 1.0]),
 )
 @settings(**{**SETTINGS, "max_examples": 6})  # two Spark joins per example
+@pytest.mark.slow
 def test_prefix_jaccard_exactness_property(spark, docs, threshold):
     """Property: prefix filtering returns EXACTLY the brute-force
     >= threshold pairs on ANY corpus — including 1-symbol sets, full
@@ -424,6 +428,7 @@ corpus_strategy = st.lists(
 
 @given(texts=corpus_strategy)
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_bm25_matches_python_reference_on_random_corpora(spark, texts):
     """BM25 == the independent Python reference on arbitrary small
     corpora: idf smoothing, tf saturation, length normalization and
@@ -444,6 +449,7 @@ def test_bm25_matches_python_reference_on_random_corpora(spark, texts):
 
 @given(texts=corpus_strategy)
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_phrase_probe_matches_sliding_window_on_random_corpora(spark, tmp_path_factory, texts):
     """Positional phrase matching == the sliding-window reference on
     arbitrary corpora, including overlapping repeats."""
@@ -477,6 +483,7 @@ def test_phrase_probe_matches_sliding_window_on_random_corpora(spark, tmp_path_f
     ).filter(lambda rs: any(y for _, y in rs) and any(not y for _, y in rs))
 )
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_classifier_matches_python_nb_on_random_corpora(spark, rows):
     """train_log_odds + score_log_odds == an independent pure-Python
     multinomial NB (decimal-exact accumulation) on arbitrary labeled
@@ -545,6 +552,7 @@ def test_classifier_matches_python_nb_on_random_corpora(spark, rows):
     target=corpus_strategy,
 )
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_dsir_weights_match_python_reference(spark, raw, target):
     """dsir_weights == an independent decimal-exact Python computation
     of the smoothed class-conditional hashed-distribution ratio."""
@@ -637,6 +645,7 @@ def test_hash_embed_matches_python_reference(spark, texts):
 
 @given(texts=corpus_strategy)
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_bm25_probe_equals_one_pass_on_random_corpora(
     spark, tmp_path_factory, texts
 ):
@@ -686,6 +695,7 @@ def test_bm25_probe_equals_one_pass_on_random_corpora(
     k=st.integers(2, 12),
 )
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_kmv_fold_matches_python_model(spark, rows, k):
     """KMV mergeability under ARBITRARY batch cuts: per-batch min-k
     partials fold to the single-pass sketch, and both equal an
@@ -815,6 +825,7 @@ def _cut_case(draw):
 
 @given(_cut_case())
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_kmv_fold_cut_invariance_property(spark, case):
     """The KMV pigeonhole theorem over ARBITRARY batch cuts: min-k of
     the union of per-batch min-k partials equals the single-pass
@@ -852,6 +863,7 @@ def test_kmv_fold_cut_invariance_property(spark, case):
 
 @given(_cut_case())
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_rollup_fold_cut_invariance_property(spark, case):
     """Rollup partial mergeability over ARBITRARY batch cuts:
     sum-of-sums / min-of-mins / max-of-maxes of per-batch partials
@@ -894,6 +906,7 @@ def test_rollup_fold_cut_invariance_property(spark, case):
 
 @given(_cut_case())
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_cms_fold_cut_invariance_property(spark, case):
     """Count-min partials are SUM-mergeable over ARBITRARY batch cuts:
     summing per-batch (r, c, cnt) counters equals the single-pass
@@ -927,6 +940,7 @@ def test_cms_fold_cut_invariance_property(spark, case):
 
 @given(_cut_case())
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_bloom_fold_cut_invariance_property(spark, case):
     """Bloom set bits are OR-mergeable over ARBITRARY batch cuts:
     the distinct union of per-batch bit sets equals the single-pass

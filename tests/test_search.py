@@ -115,6 +115,7 @@ def test_hash_embed_rejects_tiny_dim(spark):
         hash_embed(docs, dim=1)
 
 
+@pytest.mark.slow
 def test_pipeline_semantic_dedup_collapses_paraphrase_cluster(spark):
     """CorpusConfig.semantic_dedup_threshold: token-REORDERED copies
     (which shingle-based LSH misses at high thresholds but bag-of-words
@@ -230,6 +231,7 @@ def test_search_index_probe_requires_index(spark, tmp_path):
         bm25_probe(spark, str(tmp_path / "missing"), ["x"])
 
 
+@pytest.mark.slow
 def test_search_index_stream_two_waves(spark, tmp_path):
     """Streaming search indexing: two waves land as epoch subtrees and
     the probe over the accumulated index equals batch BM25 over all

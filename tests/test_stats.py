@@ -3,6 +3,7 @@ invariance, and the persisted incremental index round-trip."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from jonesy_spark.catalog import Catalog
@@ -340,6 +341,7 @@ def test_key_skew_report_uniform_ratio_one(spark):
     assert all(r["share_micro"] == round(3 / 30 * 1e6) for r in got)
 
 
+@pytest.mark.slow
 def test_index_overlap_report_estimates_known_overlap(spark, tmp_path):
     """Two digest indexes with a planted 50% overlap: the HLL
     inclusion-exclusion estimate must land within the sketch's error
@@ -369,6 +371,7 @@ def test_index_overlap_report_estimates_known_overlap(spark, tmp_path):
     assert disjoint["est_jaccard"] < 0.05
 
 
+@pytest.mark.slow
 def test_stats_profile_stream_two_waves_fold_to_single_pass(spark, tmp_path):
     """Streaming ledger: two waves land as epoch subtrees; the folded
     corpus report equals the single-pass profile over the union

@@ -4,6 +4,7 @@ plan the oracle already verified)."""
 
 from __future__ import annotations
 
+import pytest
 from collections import defaultdict
 
 from conftest import SF_DIR
@@ -519,6 +520,7 @@ def test_jsonl_ingest_stream_two_waves(spark, tmp_path):
     assert stats.agg(F.sum("n_docs")).first()[0] == 3
 
 
+@pytest.mark.slow
 def test_tokenized_shard_stream_two_waves(spark, tmp_path):
     """Streaming shard encoder: wave 1 encodes under the published
     tokenizer with zero OOV (same corpus); a restarted query over wave
@@ -1157,6 +1159,7 @@ def test_crawl_intake_stream_composes_and_matches_batch(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_crawl_intake_stream_killed_mid_drain_resumes(spark, tmp_path):
     """Kill-and-resume on the INTAKE stream (VERDICT r11 #1): a
     rate-limited backfill over many archives is stopped while actively

@@ -246,6 +246,7 @@ def test_bpe_train_min_pair_count_stops(spark):
     assert T.bpe_train_distributed(docs, n_merges=5).count() == 0
 
 
+@pytest.mark.slow
 def test_bpe_merge_store_versioned_publish(spark, tmp_path):
     path = str(tmp_path / "merges")
     docs = _tiny_docs(spark)
@@ -296,6 +297,7 @@ def test_bpe_encode_ids_oov_on_unseen_chars(spark):
     assert ids.count(-1) == 2  # z and q unseen in training
 
 
+@pytest.mark.slow
 def test_bpe_tokenizer_pair_store_roundtrip(spark, tmp_path):
     path = str(tmp_path / "tok")
     docs = _tiny_docs(spark)
@@ -312,6 +314,7 @@ def test_bpe_tokenizer_pair_store_roundtrip(spark, tmp_path):
     assert T.read_bpe_tokenizer(spark, path)[2] == 1
 
 
+@pytest.mark.slow
 def test_train_tokenizer_job_publishes_versioned_pair(spark, tmp_path, monkeypatch):
     from jonesy_spark.pipeline.jobs import JobContext, run_job
 
@@ -616,6 +619,7 @@ def test_unigram_encode_ids_roundtrip_and_oov(spark):
     assert got["token_ids"] == [-1, -1]
 
 
+@pytest.mark.slow
 def test_unigram_shard_stream_and_oov_report(spark, tmp_path):
     from jonesy_spark.streaming.incremental import run_tokenized_shard_stream
 

@@ -224,6 +224,7 @@ def test_warc_to_training_corpus_chain(spark, tmp_path):
     assert all(r["n_docs"] >= 1 and r["seq_tokens"] > 0 for r in seqs)
 
 
+@pytest.mark.slow
 def test_crawl_intake_job_gates_dedups_and_converges(spark, tmp_path):
     """The composed nightly intake job with no WARC_SRC: seeds
     HTML-bodied fixture archives, extracts, gates, dedups against the
@@ -276,6 +277,7 @@ def test_crawl_intake_job_gates_dedups_and_converges(spark, tmp_path):
     assert spark.read.parquet(str(root / "documents")).count() == n_first
 
 
+@pytest.mark.slow
 def test_crawl_to_corpus_job_end_to_end_conservation(spark, tmp_path):
     """The composed raw-bytes-to-training-shards job (VERDICT r11 #4):
     WARC fixtures -> intake (parse/extract/gate/digest-dedup) ->
@@ -374,6 +376,7 @@ def _fixture_raw(spark, src: str):
     )
 
 
+@pytest.mark.slow
 def test_crawl_to_corpus_kill_and_resume(spark, tmp_path):
     """The composed job's crash witness (VERDICT r12 #3): kill the
     batch composition AFTER the intake tier commits but BEFORE the
