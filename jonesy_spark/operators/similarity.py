@@ -1192,8 +1192,15 @@ def pq_topk(
     # re-rank (r14: five separate _prepared subtrees each re-ran the
     # scan + as_double + norm; the codebook sample's bounded collect
     # is the eager job that populates the cache for every later
-    # consumer). Released via the _track_caches handle.
-    prep = _prepared(emb).persist()
+    # consumer). Released via the _track_caches handle. r15: the
+    # embedding_near_dup re-adjudication dropped the SAME vector-frame
+    # shape there, so this persist was cold-JVM A/B'd too ("prep" vs
+    # "none") — here it SURVIVED: five consumers and the mid-build
+    # collect make the cache pay (OPTIMIZATION_r15.md has the table);
+    # knob kept for re-tuning.
+    prep = _prepared(emb)
+    if getattr(pq_topk, "_cache_strategy", "prep") == "prep":
+        prep = prep.persist()
     if codebooks is None:
         codebooks = pq_codebooks(emb, m=m, k=n_codes, prepared=prep)
     if codes is None:
